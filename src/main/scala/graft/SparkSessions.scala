@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Mirrors the role of the reference's session creator
+  * (reference: SparkSessionCreator.scala:17-42) without Delta extensions:
+  * the engine runs on vanilla Spark SQL + Structured Streaming.
+  *
+  * Defaults are sized for local[N] testing but chosen to scale: AQE on
+  * (runtime re-planning, skew-join handling), shuffle partitions matched
+  * to local cores rather than the 200 default, UTC session time zone for
+  * oracle parity.
+  */
+object SparkSessions {
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$cores]", cores).getOrCreate()
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+
+  /** Path of a testdata table under an sf dir. */
+  def tablePath(sfDir: String, name: String): String = {
+    val dir = if (sfDir.endsWith("/")) sfDir.dropRight(1) else sfDir
+    s"$dir/$name.parquet"
+  }
+}

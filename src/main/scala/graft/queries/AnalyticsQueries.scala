@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSessions.tablePath
+
+/** Core analytical query surface over the driver testdata tables.
+  *
+  * These exercise the reference's SQL capability set (SURVEY.md §2.3:
+  * scan+count, top-k, group-by aggregates, HAVING, multi-key group-by,
+  * CASE, arithmetic, UNION ALL) on the TPC-H-ish corpus, shaped so every
+  * result is deterministic (total order on any LIMIT; money sums rounded
+  * so double accumulation order can't flip the hash).
+  *
+  * Scale notes: all aggregations are partial-aggregate-friendly (hash agg
+  * with map-side combine), joins against dimension tables are broadcast
+  * (dims are tiny at any SF), filters/projections are plain column refs so
+  * Catalyst pushes them into the parquet scan.
+  */
+object AnalyticsQueries extends QueryModule {
+
+  private def li(s: SparkSession, dir: String) = s.read.parquet(tablePath(dir, "lineitem"))
+  private def ord(s: SparkSession, dir: String) = s.read.parquet(tablePath(dir, "orders"))
+  private def cust(s: SparkSession, dir: String) = s.read.parquet(tablePath(dir, "customer"))
+
+  override def queries: Seq[EngineQuery] = Seq(
+    // Q1/Q3: scan + group-by aggregates (TPC-H Q1 shape).
+    EngineQuery(
+      "q1_agg",
+      (s, dir) =>
+        li(s, dir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Q2: sort + limit (top-k) with a total order for determinism.
+    EngineQuery(
+      "q2_topk",
+      (s, dir) =>
+        ord(s, dir)
+          .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+             |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // Q4: HAVING (post-aggregation filter).
+    EngineQuery(
+      "q4_having",
+      (s, dir) =>
+        li(s, dir)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("sum_qty"))
+          .filter(col("n_items") >= 5),
+      Some("""SELECT l_orderkey, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 5""".stripMargin)),
+
+    // Q5: multi-key group-by with a broadcast dimension join + CASE (Q10).
+    EngineQuery(
+      "q5_multikey_join",
+      (s, dir) => {
+        val o = ord(s, dir)
+        val c = cust(s, dir)
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment", "o_orderstatus")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("revenue"),
+            sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0)).as("n_urgent"))
+      },
+      Some("""SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS revenue,
+             |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)),
+
+    // Q12: UNION ALL of two count branches.
+    EngineQuery(
+      "q12_union_all",
+      (s, dir) => {
+        val a = ord(s, dir).agg(lit("orders").as("src"), count(lit(1)).as("n"))
+        val b = li(s, dir).agg(lit("lineitem").as("src"), count(lit(1)).as("n"))
+        a.unionByName(b)
+      },
+      Some("""SELECT 'orders' AS src, count(*) AS n FROM orders
+             |UNION ALL SELECT 'lineitem' AS src, count(*) AS n FROM lineitem""".stripMargin))
+  )
+}

@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness check.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Runs each oracle_sql.json entry in DuckDB over the parquet tables in sfDir,
+loads the engine's parquet dump for the same query, sorts columns by name and
+rows by value, and compares cell-by-cell (exact for non-floats, 1e-9 relative
+tolerance for floats — strict enough that the driver's hash compare should
+also pass if this does).
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def rows_key(row):
+    return tuple(str(c) for c in row)
+
+
+def compare(name, engine_rows, engine_cols, oracle_rows, oracle_cols):
+    if sorted(engine_cols) != sorted(oracle_cols):
+        return f"SCHEMA MISMATCH engine={sorted(engine_cols)} oracle={sorted(oracle_cols)}"
+    if len(engine_rows) != len(oracle_rows):
+        return f"ROWCOUNT MISMATCH engine={len(engine_rows)} oracle={len(oracle_rows)}"
+    # reorder columns by sorted name
+    e_idx = [engine_cols.index(c) for c in sorted(engine_cols)]
+    o_idx = [oracle_cols.index(c) for c in sorted(oracle_cols)]
+    e = sorted([tuple(norm(r[i]) for i in e_idx) for r in engine_rows], key=rows_key)
+    o = sorted([tuple(norm(r[i]) for i in o_idx) for r in oracle_rows], key=rows_key)
+    for i, (er, orow) in enumerate(zip(e, o)):
+        for ec, oc in zip(er, orow):
+            if isinstance(ec, float) and isinstance(oc, float):
+                if not math.isclose(ec, oc, rel_tol=1e-9, abs_tol=1e-9):
+                    return f"VALUE MISMATCH row {i}: {er} vs {orow}"
+            elif str(ec) != str(oc):
+                return f"VALUE MISMATCH row {i}: {er} vs {orow}"
+    return None
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        eng_path = Path(out_dir) / name
+        if not eng_path.exists():
+            print(f"FAIL {name}: engine parquet missing")
+            n_fail += 1
+            continue
+        try:
+            ed = con.execute(
+                f"SELECT * FROM read_parquet('{eng_path}/*.parquet')")
+            engine_rows, engine_cols = ed.fetchall(), [d[0] for d in ed.description]
+            od = con.execute(sql)
+            oracle_rows, oracle_cols = od.fetchall(), [d[0] for d in od.description]
+        except Exception as ex:
+            print(f"FAIL {name}: {ex}")
+            n_fail += 1
+            continue
+        err = compare(name, engine_rows, engine_cols, oracle_rows, oracle_cols)
+        if err:
+            print(f"FAIL {name}: {err}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(engine_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
