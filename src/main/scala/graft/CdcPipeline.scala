@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.buffering.TxBuffer
+import graft.cdcgen.CdcEventGen
+import graft.envelope.Envelope
+import graft.model.OrderStreamRow
+
+/** End-to-end CDC pipeline 1: value-string streams → parse → union →
+  * stateful transaction buffering → denormalized `order_stream` rows
+  * (reference: TransactionalCdcProcessingApp.scala:46-83).
+  *
+  * Source-agnostic: works on batch DataFrames (the driver correctness
+  * path — flatMapGroupsWithState runs in batch mode with empty initial
+  * state) and on streaming DataFrames (MemoryStream / file source / a
+  * Kafka source when the connector jar is present).
+  */
+object CdcPipeline {
+
+  /** Fixed processing timestamp for deterministic correctness dumps. */
+  val FixedTs = "2026-01-01T00:00:00Z"
+
+  def unified(
+      orders: DataFrame,
+      details: DataFrame,
+      lineItems: DataFrame,
+      metadata: DataFrame): DataFrame =
+    Envelope.unionAll(Seq(
+      Envelope.parseCdc(orders, "ORDERS"),
+      Envelope.parseCdc(details, "ORDER_DETAILS"),
+      Envelope.parseCdc(lineItems, "ORDER_LINE_ITEMS"),
+      Envelope.parseMetadata(metadata)))
+
+  def orderStream(
+      orders: DataFrame,
+      details: DataFrame,
+      lineItems: DataFrame,
+      metadata: DataFrame,
+      processedTs: () => String = () => java.time.Instant.now().toString): Dataset[OrderStreamRow] =
+    TxBuffer(unified(orders, details, lineItems, metadata), processedTs)
+
+  /** Batch run over the deterministic TPC-H-derived CDC workload. */
+  def orderStreamFromTpch(spark: SparkSession, sfDir: String): Dataset[OrderStreamRow] = {
+    val s = CdcEventGen.fromTpch(spark, sfDir)
+    orderStream(s.orders, s.details, s.lineItems, s.metadata, () => FixedTs)
+  }
+}

@@ -14,7 +14,8 @@ import graft.queries.{EngineQuery, QueryModule}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    graft.queries.AnalyticsQueries
+    graft.queries.AnalyticsQueries,
+    graft.queries.CdcQueries
   )
 
   private lazy val all: Seq[EngineQuery] = {

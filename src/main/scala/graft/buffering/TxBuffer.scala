@@ -1,0 +1,196 @@
+package graft.buffering
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.{FieldCoercion, OrderStreamRow}
+
+/** One unified envelope event in typed form (the 12 columns of
+  * Envelope.unifiedColumns). */
+final case class CollectionCount(data_collection: Option[String], event_count: Option[Int])
+
+final case class UnifiedEvent(
+    xid: String,
+    csn: String,
+    table: Option[String],
+    op_type: Option[String],
+    op_ts: Option[String],
+    current_ts: Option[String],
+    pos: Option[String],
+    before: Option[Map[String, String]],
+    after: Option[Map[String, String]],
+    event_type: String,
+    expected_count: Option[Int],
+    data_collections: Option[Seq[CollectionCount]]) {
+
+  /** Short table name: schema prefix stripped
+    * (reference: model/generic/DataChangeEvent.scala:43-45). */
+  def tableName: Option[String] = table.map { t =>
+    val i = t.lastIndexOf('.')
+    if (i >= 0) t.substring(i + 1) else t
+  }
+}
+
+/** Per-transaction mutable buffer carried in the state store
+  * (reference: processor/TransactionState.scala:20-68). Immutable case
+  * class — state updates replace the value, which is what GroupState
+  * requires anyway.
+  *
+  * `expected*` are -1 until the metadata event arrives ("no metadata yet",
+  * the reference models this as a null metadata object).
+  */
+final case class TxState(
+    xid: String,
+    csn: String,
+    orderEvents: Seq[UnifiedEvent],
+    detailEvents: Seq[UnifiedEvent],
+    lineItemEvents: Seq[UnifiedEvent],
+    expectedOrders: Int,
+    expectedDetails: Int,
+    expectedLineItems: Int) {
+
+  def hasMetadata: Boolean = expectedOrders >= 0
+
+  def withMetadata(e: UnifiedEvent): TxState = {
+    def countFor(name: String): Int =
+      e.data_collections.getOrElse(Nil)
+        .filter(_.data_collection.exists(dc => dc == name || dc.endsWith("." + name)))
+        .flatMap(_.event_count).sum
+    copy(
+      expectedOrders = countFor("ORDERS"),
+      expectedDetails = countFor("ORDER_DETAILS"),
+      expectedLineItems = countFor("ORDER_LINE_ITEMS"))
+  }
+
+  /** Route a CDC event to its per-table buffer; unknown tables are ignored
+    * (reference: TransactionState.scala:49-56). */
+  def withEvent(e: UnifiedEvent): TxState = e.tableName match {
+    case Some("ORDERS")           => copy(orderEvents = orderEvents :+ e)
+    case Some("ORDER_DETAILS")    => copy(detailEvents = detailEvents :+ e)
+    case Some("ORDER_LINE_ITEMS") => copy(lineItemEvents = lineItemEvents :+ e)
+    case _                        => this
+  }
+
+  /** `>=`, not `==` — late duplicate deliveries must not wedge the
+    * transaction open (reference: TransactionState.scala:58-62). */
+  def isComplete: Boolean =
+    hasMetadata &&
+      orderEvents.size >= expectedOrders &&
+      detailEvents.size >= expectedDetails &&
+      lineItemEvents.size >= expectedLineItems
+}
+
+object TxState {
+  def empty(xid: String, csn: String): TxState =
+    TxState(xid, csn, Vector.empty, Vector.empty, Vector.empty, -1, -1, -1)
+}
+
+/** THE core stateful operator: buffer CDC events per `xid:csn` until the
+  * metadata-announced per-table counts are met, then join the buffered
+  * events by ORDER_ID and emit denormalized rows
+  * (reference: TransactionalCdcProcessingApp.scala:66-72, 138-223).
+  *
+  * Scale notes:
+  *  - `groupByKey` hash-partitions by transaction key, so state for one
+  *    transaction lives in exactly one task; parallelism = key cardinality,
+  *    which at CDC scale is effectively unbounded.
+  *  - The stateful lambda is an optimization barrier; callers should
+  *    project to the 12 envelope columns before grouping (the parsers
+  *    already do) so no extra bytes cross the shuffle.
+  *  - State per key is one transaction's events — bounded by transaction
+  *    size, not stream length; completed keys are removed eagerly.
+  *  - Run streaming with the RocksDB state store provider for large key
+  *    cardinality (see SparkSessions / app wiring).
+  */
+object TxBuffer {
+
+  implicit private val eventEnc: Encoder[UnifiedEvent] = Encoders.product[UnifiedEvent]
+  implicit private val stateEnc: Encoder[TxState] = Encoders.product[TxState]
+  implicit private val outEnc: Encoder[OrderStreamRow] = Encoders.product[OrderStreamRow]
+  implicit private val keyEnc: Encoder[String] = Encoders.STRING
+
+  /** Apply to a unified-envelope DataFrame (batch or streaming).
+    *
+    * @param processedTs processing timestamp supplier; pass a constant for
+    *                    deterministic output in tests/correctness dumps.
+    */
+  def apply(unified: DataFrame, processedTs: () => String = () => Instant.now().toString): Dataset[OrderStreamRow] = {
+    val ts = processedTs
+    unified
+      .as[UnifiedEvent]
+      .groupByKey(e => e.xid + ":" + e.csn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        processTransaction(ts))
+  }
+
+  private[buffering] def processTransaction(processedTs: () => String)(
+      txKey: String,
+      events: Iterator[UnifiedEvent],
+      state: GroupState[TxState]): Iterator[OrderStreamRow] = {
+
+    val (xid, csn) = txKey.split(":", 2) match {
+      case Array(x, c) => (x, c)
+      case _           => (txKey, "")
+    }
+
+    var st = state.getOption.getOrElse(TxState.empty(xid, csn))
+    events.foreach { e =>
+      st = if (e.event_type == "METADATA") st.withMetadata(e) else st.withEvent(e)
+    }
+
+    if (st.isComplete) {
+      state.remove()
+      OrderAssembler.assemble(st, processedTs()).iterator
+    } else {
+      state.update(st)
+      Iterator.empty
+    }
+  }
+}
+
+/** Joins one complete transaction's buffered events into denormalized
+  * per-order rows (reference: processor/OrderJoiner.scala:29-88). Runs on
+  * tiny in-memory per-transaction buffers inside the stateful operator —
+  * plain Scala, no Spark join needed.
+  */
+object OrderAssembler {
+
+  import graft.model.{LineItemRec, OrderDetailRec, OrderRec}
+
+  def assemble(st: TxState, processedTs: String): Seq[OrderStreamRow] = {
+    // LinkedHashMap: first-touched order first, matching insertion-order
+    // emission; within one order, events keep arrival order. Key is
+    // Option[Double]: an event with a missing ORDER_ID still yields a row
+    // with null orderId, as in the reference (null-keyed HashMap entry).
+    val byOrder = scala.collection.mutable.LinkedHashMap[Option[Double], (Vector[OrderRec], Vector[OrderDetailRec], Vector[LineItemRec])]()
+
+    def touch(id: Option[Double]) = byOrder.getOrElseUpdate(id, (Vector.empty, Vector.empty, Vector.empty))
+
+    // Delete events carry after=null and are silently skipped
+    // (reference: OrderJoiner.scala:38,56,74 + replicat IGNOREDELETES).
+    st.orderEvents.foreach { e =>
+      e.after.foreach { a =>
+        val rec = FieldCoercion.order(a, e.before)
+        val (o, d, l) = touch(rec.orderId); byOrder(rec.orderId) = (o :+ rec, d, l)
+      }
+    }
+    st.detailEvents.foreach { e =>
+      e.after.foreach { a =>
+        val rec = FieldCoercion.detail(a, e.before)
+        val (o, d, l) = touch(rec.orderId); byOrder(rec.orderId) = (o, d :+ rec, l)
+      }
+    }
+    st.lineItemEvents.foreach { e =>
+      e.after.foreach { a =>
+        val rec = FieldCoercion.lineItem(a, e.before)
+        val (o, d, l) = touch(rec.orderId); byOrder(rec.orderId) = (o, d, l :+ rec)
+      }
+    }
+
+    byOrder.toSeq.map { case (orderId, (orders, details, lineItems)) =>
+      OrderStreamRow(st.xid, st.csn, processedTs, orderId, orders, details, lineItems)
+    }
+  }
+}
