@@ -45,4 +45,18 @@ object CdcPipeline {
     val s = CdcEventGen.fromTpch(spark, sfDir)
     orderStream(s.orders, s.details, s.lineItems, s.metadata, () => FixedTs)
   }
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized + persisted `order_stream` per (session, sfDir): the stateful
+    * buffering is the expensive stage, and several correctness/bench queries
+    * read its output — compute it once per JVM, not once per query. */
+  def orderStreamCached(spark: SparkSession, sfDir: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir), {
+      val df = orderStreamFromTpch(spark, sfDir).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize eagerly so all readers hit the cache
+      df
+    })
 }

@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     graft.queries.AnalyticsQueries,
-    graft.queries.CdcQueries
+    graft.queries.CdcQueries,
+    graft.queries.ScdQueries
   )
 
   private lazy val all: Seq[EngineQuery] = {

@@ -44,6 +44,24 @@ object CdcEventGen {
   private def baseXid = concat(lit("tx-"), expr("CAST(o_orderkey DIV 5 AS STRING)"))
   private def baseCsn = expr("CAST(o_orderkey DIV 5 AS STRING)")
 
+  private val carriers = array(lit("FEDEX"), lit("UPS"), lit("DHL"), lit("USPS"))
+  private val methods = array(lit("STANDARD"), lit("EXPRESS"), lit("OVERNIGHT"), lit("PICKUP"))
+  private val dstatus = array(lit("PENDING"), lit("IN_TRANSIT"), lit("DELIVERED"), lit("RETURNED"))
+  private def modIdx = (pmod(col("o_orderkey"), lit(4)) + 1).cast("int")
+
+  /** The order_details image; status column injectable so update events can
+    * carry a changed delivery status. */
+  private def detailImage(versionCol: org.apache.spark.sql.Column, statusCol: org.apache.spark.sql.Column) =
+    map(
+      lit("ORDER_ID"), col("o_orderkey").cast("string"),
+      lit("VERSION"), versionCol,
+      lit("SHIPPING_METHOD"), element_at(methods, modIdx),
+      lit("TRACKING_NUMBER"), concat(lit("TRK-"), col("o_orderkey").cast("string")),
+      lit("SHIPPED_TS"), date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+      lit("ESTIMATED_DELIVERY_DATE"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      lit("CARRIER"), element_at(carriers, modIdx),
+      lit("DELIVERY_STATUS"), statusCol)
+
   /** The shared order `after` image (all values strings, as in the
     * GoldenGate envelope; typed coercion happens in the engine). */
   private def orderImage(versionCol: org.apache.spark.sql.Column, statusCol: org.apache.spark.sql.Column) =
@@ -116,22 +134,26 @@ object CdcEventGen {
     val allOrderEvents = orderInserts.unionByName(orderUpdates)
       .unionByName(orderDeletes).unionByName(nullKeyNoise)
 
-    // --- ORDER_DETAILS events (1:1 with orders, insert-only) ---
-    val carriers = array(lit("FEDEX"), lit("UPS"), lit("DHL"), lit("USPS"))
-    val methods = array(lit("STANDARD"), lit("EXPRESS"), lit("OVERNIGHT"), lit("PICKUP"))
-    val dstatus = array(lit("PENDING"), lit("IN_TRANSIT"), lit("DELIVERED"), lit("RETURNED"))
-    val idx = (pmod(col("o_orderkey"), lit(4)) + 1).cast("int")
+    // --- ORDER_DETAILS events (1:1 with orders) ---
     val detailInserts = orders.select(envelope(
       baseXid, baseCsn, "APPUSER.ORDER_DETAILS", lit("I"), nullMap,
-      map(
-        lit("ORDER_ID"), col("o_orderkey").cast("string"),
-        lit("VERSION"), lit("1"),
-        lit("SHIPPING_METHOD"), element_at(methods, idx),
-        lit("TRACKING_NUMBER"), concat(lit("TRK-"), col("o_orderkey").cast("string")),
-        lit("SHIPPED_TS"), date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
-        lit("ESTIMATED_DELIVERY_DATE"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
-        lit("CARRIER"), element_at(carriers, idx),
-        lit("DELIVERY_STATUS"), element_at(dstatus, idx))))
+      detailImage(lit("1"), element_at(dstatus, modIdx))))
+
+    // Detail-only update transactions (o_orderkey % 9 == 0): parent version
+    // does NOT advance → exercises the SCD1 merge's catch-all clause (parent
+    // preserved, child struct + tx context updated), and for orders whose
+    // base tx was withheld AND that have no parent update, the insert guard
+    // (source.version IS NULL → no orphan insert).
+    val detailUpdates = orders
+      .filter(col("o_orderkey") % 9 === 0)
+      .select(envelope(
+        concat(lit("txs-"), col("o_orderkey").cast("string")),
+        (col("o_orderkey") + lit(3000000000L)).cast("string"),
+        "APPUSER.ORDER_DETAILS", lit("U"),
+        detailImage(lit("1"), element_at(dstatus, modIdx)),
+        detailImage(lit("2"), concat(lit("UPDATED-"), element_at(dstatus, modIdx)))))
+
+    val allDetailEvents = detailInserts.unionByName(detailUpdates)
 
     // --- ORDER_LINE_ITEMS events (insert-only, from lineitem) ---
     val liWithOrderDate = lineitem.select(
@@ -177,20 +199,21 @@ object CdcEventGen {
           struct(lit("ORDER_LINE_ITEMS").as("data_collection"), col("n_li").as("event_count"))
         ).as("data_collections"))).as("value"))
 
-    def singleOrderMeta(filterMod: Int, prefix: String, csnOffset: Long) = orders
+    def singleOrderMeta(filterMod: Int, prefix: String, csnOffset: Long, collection: String) = orders
       .filter(col("o_orderkey") % filterMod === 0)
       .select(to_json(struct(
         concat(lit(prefix), col("o_orderkey").cast("string")).as("xid"),
         (col("o_orderkey") + lit(csnOffset)).cast("string").as("csn"),
         date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("tx_ts"),
         lit(1).as("event_count"),
-        array(struct(lit("ORDERS").as("data_collection"), lit(1).as("event_count")))
+        array(struct(lit(collection).as("data_collection"), lit(1).as("event_count")))
           .as("data_collections"))).as("value"))
 
     val metadata = baseMeta
-      .unionByName(singleOrderMeta(7, "txu-", 1000000000L))
-      .unionByName(singleOrderMeta(13, "txd-", 2000000000L))
+      .unionByName(singleOrderMeta(7, "txu-", 1000000000L, "ORDERS"))
+      .unionByName(singleOrderMeta(13, "txd-", 2000000000L, "ORDERS"))
+      .unionByName(singleOrderMeta(9, "txs-", 3000000000L, "ORDER_DETAILS"))
 
-    CdcStreams(allOrderEvents, detailInserts, lineItemInserts, metadata)
+    CdcStreams(allOrderEvents, allDetailEvents, lineItemInserts, metadata)
   }
 }

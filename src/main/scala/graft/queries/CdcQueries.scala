@@ -26,7 +26,7 @@ object CdcQueries extends QueryModule {
     EngineQuery(
       "cdc_order_stream_flat",
       (s, dir) =>
-        CdcPipeline.orderStreamFromTpch(s, dir).toDF().selectExpr(
+        CdcPipeline.orderStreamCached(s, dir).selectExpr(
           "xid",
           "orderId",
           "try_element_at(orders, 1).orderRef AS orderRef",
@@ -63,14 +63,26 @@ object CdcQueries extends QueryModule {
              |  CAST(0.0 AS DOUBLE),
              |  round(o_totalprice, 2),
              |  CAST(1 AS INT)
-             |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin)),
+             |FROM orders WHERE o_orderkey % 7 = 0
+             |UNION ALL
+             |SELECT 'txs-' || CAST(o_orderkey AS VARCHAR),
+             |  CAST(o_orderkey AS DOUBLE),
+             |  CAST(NULL AS VARCHAR),
+             |  CAST(NULL AS VARCHAR),
+             |  CAST(NULL AS VARCHAR),
+             |  CAST(NULL AS DOUBLE),
+             |  CAST(0 AS BIGINT),
+             |  CAST(0.0 AS DOUBLE),
+             |  CAST(NULL AS DOUBLE),
+             |  CAST(0 AS INT)
+             |FROM orders WHERE o_orderkey % 9 = 0""".stripMargin)),
 
     // Explode the nested lineItems array (Q6 LATERAL VIEW analog) and
     // project nested fields (Q9/Q11 shapes).
     EngineQuery(
       "cdc_lineitems_exploded",
       (s, dir) =>
-        CdcPipeline.orderStreamFromTpch(s, dir).toDF()
+        CdcPipeline.orderStreamCached(s, dir)
           .filter(col("xid").startsWith("tx-"))
           .select(explode(col("lineItems")).as("li"))
           .select(
@@ -91,7 +103,7 @@ object CdcQueries extends QueryModule {
     EngineQuery(
       "cdc_tx_rollup",
       (s, dir) =>
-        CdcPipeline.orderStreamFromTpch(s, dir).toDF()
+        CdcPipeline.orderStreamCached(s, dir)
           .filter(col("xid").startsWith("tx-"))
           .groupBy("xid", "csn")
           .agg(
@@ -111,7 +123,7 @@ object CdcQueries extends QueryModule {
     EngineQuery(
       "cdc_before_images",
       (s, dir) =>
-        CdcPipeline.orderStreamFromTpch(s, dir).toDF()
+        CdcPipeline.orderStreamCached(s, dir)
           .select(explode(col("orders")).as("o"))
           .filter(col("o.before").isNotNull)
           .select(

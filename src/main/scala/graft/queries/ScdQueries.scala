@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.scd.ScdPipeline
+
+/** Oracle-checked queries over the SCD Type 1 `orders_current` table
+  * produced by BatchFlattener + MergeExecutor (SURVEY.md §2.2 R13-R21,
+  * §4.3). The DuckDB oracles derive the expected current state of every
+  * order directly from the workload's modular-arithmetic rules:
+  *
+  *  - base tx emitted iff (o_orderkey DIV 5) % 11 != 0;
+  *  - order updated (version 2, 'UPDATED-' status, 'txu-' context) iff
+  *    o_orderkey % 7 == 0 — merge clause 1;
+  *  - detail-only update (detail version 2, 'UPDATED-' delivery status,
+  *    'txs-' context, parent fields preserved) iff o_orderkey % 9 == 0 —
+  *    merge catch-all clause;
+  *  - a row exists iff base emitted OR order updated (detail-only sources
+  *    with no target are blocked by the insert guard);
+  *  - deletes (o_orderkey % 13 == 0) never reach SCD1 (skipped upstream).
+  */
+object ScdQueries extends QueryModule {
+
+  /** Shared DuckDB prelude computing the expected orders_current. */
+  private val oracleCur =
+    """WITH li AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS q
+      |  FROM lineitem GROUP BY l_orderkey),
+      |cur AS (
+      |  SELECT o_orderkey AS k,
+      |    ((o_orderkey // 5) % 11 <> 0) AS base_emitted,
+      |    (o_orderkey % 7 = 0) AS upd,
+      |    (o_orderkey % 9 = 0) AS dupd,
+      |    o_orderstatus AS st, o_totalprice AS amt,
+      |    ['PENDING','IN_TRANSIT','DELIVERED','RETURNED'][CAST(o_orderkey % 4 AS INT) + 1] AS dst,
+      |    ['STANDARD','EXPRESS','OVERNIGHT','PICKUP'][CAST(o_orderkey % 4 AS INT) + 1] AS smeth,
+      |    coalesce(n, 0) AS n_li, coalesce(q, 0.0) AS q_li
+      |  FROM orders LEFT JOIN li ON l_orderkey = o_orderkey),
+      |expected AS (
+      |  SELECT
+      |    CAST(k AS DOUBLE) AS orderId,
+      |    'ORD-' || CAST(k AS VARCHAR) AS orderRef,
+      |    CAST(CASE WHEN upd THEN 2.0 ELSE 1.0 END AS DOUBLE) AS version,
+      |    CASE WHEN upd THEN 'UPDATED-' || st ELSE st END AS orderStatus,
+      |    amt AS totalAmount,
+      |    CASE WHEN upd THEN 'txu-' || CAST(k AS VARCHAR)
+      |         WHEN dupd THEN 'txs-' || CAST(k AS VARCHAR)
+      |         ELSE 'tx-' || CAST(k // 5 AS VARCHAR) END AS xid,
+      |    CAST(CASE WHEN dupd THEN 2.0 WHEN base_emitted THEN 1.0 END AS DOUBLE) AS detailVersion,
+      |    CASE WHEN dupd THEN 'UPDATED-' || dst WHEN base_emitted THEN dst END AS deliveryStatus,
+      |    CASE WHEN dupd OR base_emitted THEN smeth END AS shippingMethod,
+      |    CAST(CASE WHEN base_emitted THEN n_li ELSE 0 END AS BIGINT) AS numLineItems,
+      |    CAST(CASE WHEN base_emitted THEN q_li ELSE 0.0 END AS DOUBLE) AS totalQty,
+      |    CAST(CASE WHEN upd THEN 1 ELSE 0 END AS INT) AS hasOrderBefore,
+      |    CAST(CASE WHEN dupd THEN 1 ELSE 0 END AS INT) AS detailHasBefore
+      |  FROM cur WHERE base_emitted OR upd)
+      |""".stripMargin
+
+  override def queries: Seq[EngineQuery] = Seq(
+
+    // Full current-state projection: every merge path lands in some column.
+    EngineQuery(
+      "scd1_current_flat",
+      (s, dir) =>
+        ScdPipeline.ordersCurrent(s, dir).selectExpr(
+          "orderId", "orderRef", "version", "orderStatus", "totalAmount", "xid",
+          "orderDetails.version AS detailVersion",
+          "orderDetails.deliveryStatus AS deliveryStatus",
+          "orderDetails.shippingMethod AS shippingMethod",
+          "CAST(size(lineItems) AS BIGINT) AS numLineItems",
+          "aggregate(lineItems, CAST(0.0 AS DOUBLE), (acc, li) -> acc + li.itemQty) AS totalQty",
+          "CAST(CASE WHEN orderBefore IS NOT NULL THEN 1 ELSE 0 END AS INT) AS hasOrderBefore",
+          "CAST(CASE WHEN orderDetails.before IS NOT NULL THEN 1 ELSE 0 END AS INT) AS detailHasBefore"),
+      Some(oracleCur + "SELECT * FROM expected")),
+
+    // Uniqueness invariant (reference: db/query_scd1_table.sql:13-19):
+    // exactly one row per orderId after the merge.
+    EngineQuery(
+      "scd1_dup_check",
+      (s, dir) =>
+        ScdPipeline.ordersCurrent(s, dir)
+          .groupBy("orderId").agg(count(lit(1)).as("n"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(when(col("n") > 1, 1L).otherwise(0L)).as("dup_orders")),
+      Some(oracleCur +
+        """SELECT CAST(count(*) AS BIGINT) AS n_orders,
+          |  CAST(0 AS BIGINT) AS dup_orders FROM expected""".stripMargin)),
+
+    // SCD1-vs-SCD2 count comparison (reference: db/query_scd1_table.sql:70-79,
+    // Q12 UNION ALL).
+    EngineQuery(
+      "scd1_vs_scd2_counts",
+      (s, dir) => {
+        val scd1 = ScdPipeline.ordersCurrent(s, dir)
+          .agg(lit("orders_current").as("tbl"), count(lit(1)).as("n"))
+        val scd2 = graft.CdcPipeline.orderStreamCached(s, dir)
+          .agg(lit("order_stream").as("tbl"), count(lit(1)).as("n"))
+        scd1.unionByName(scd2)
+      },
+      Some(
+        """SELECT 'orders_current' AS tbl, CAST(count(*) AS BIGINT) AS n
+          |FROM orders WHERE ((o_orderkey // 5) % 11 <> 0) OR o_orderkey % 7 = 0
+          |UNION ALL
+          |SELECT 'order_stream',
+          |  CAST((SELECT count(*) FROM orders WHERE (o_orderkey // 5) % 11 <> 0)
+          |   + (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0)
+          |   + (SELECT count(*) FROM orders WHERE o_orderkey % 9 = 0) AS BIGINT)""".stripMargin))
+  )
+}
