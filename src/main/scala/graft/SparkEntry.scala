@@ -16,7 +16,9 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     graft.queries.AnalyticsQueries,
     graft.queries.CdcQueries,
-    graft.queries.ScdQueries
+    graft.queries.ScdQueries,
+    graft.queries.TextQueries,
+    graft.queries.DedupQueries
   )
 
   private lazy val all: Seq[EngineQuery] = {

@@ -1,0 +1,97 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis._
+
+/** Document deduplication operators for training-data pipelines:
+  * exact (hash-groupBy), n-gram Jaccard (shared-gram join), MinHash+LSH
+  * (shingle → signature → band → bucket-join → exact-verify), SimHash.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is one hash aggregation — partial aggregates map-side,
+  *    a single shuffle on the 128-bit content hash (effectively unskewed).
+  *  - Pairwise Jaccard via the shared-gram join is the VERIFIER, not the
+  *    candidate generator: at scale you never self-join the full gram
+  *    posting list (common grams explode quadratically). MinHash+LSH is
+  *    the candidate generator — per-doc signature is partition-local
+  *    (HOFs, no shuffle), banding shuffles once on (band, bandHash), and
+  *    bucket sizes are bounded by collision probability, so the quadratic
+  *    blowup is confined to near-duplicate clusters, which is the output.
+  *  - Everything is md5-based and deterministic — resumable and
+  *    cross-engine reproducible (DuckDB oracle computes identical bits).
+  */
+object Dedup {
+
+  /** doc_id, toks, grams (distinct word 3-grams). */
+  def withGrams(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(toksSpark)).withColumn("grams", expr(grams3Spark))
+
+  /** Exact dedup groups: one row per distinct text. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("rep_id"), count(lit(1)).as("n_docs"))
+
+  /** All pairs (a_id < b_id) with n-gram Jaccard >= threshold, via the
+    * shared-gram join. Exact but quadratic in gram frequency — verifier /
+    * small-scale path. */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val ex = withGrams(docs)
+      .select(col("doc_id"), size(col("grams")).as("ng"), explode(col("grams")).as("gram"))
+    ex.alias("a")
+      .join(ex.alias("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.ng").as("na"), col("b.ng").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand = 4
+
+  /** doc_id, grams, sig (MinHash signature array), band_hash_0..3. */
+  def withMinhash(docs: DataFrame): DataFrame = {
+    val sigs = withGrams(docs).withColumn("sig", expr(minhashSigSpark(NumHashes)))
+    (0 until NumBands).foldLeft(sigs) { (df, b) =>
+      df.withColumn(s"band_hash_$b", expr(bandHashSpark(b * RowsPerBand + 1, RowsPerBand)))
+    }
+  }
+
+  /** LSH candidate pairs (shared band bucket), verified with exact n-gram
+    * Jaccard >= threshold. The scale path: signature + banding are
+    * partition-local; the only shuffles are the bucket join and the
+    * candidate verification. */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val mh = withMinhash(docs)
+    val bandCols = (0 until NumBands).map(b => s"band_hash_$b").mkString(", ")
+    val bands = mh.selectExpr("doc_id", s"posexplode(array($bandCols)) AS (band_idx, band_hash)")
+    val cands = bands.alias("a")
+      .join(
+        bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val gramSets = withGrams(docs).select(col("doc_id"), col("grams"))
+    cands
+      .join(gramSets.alias("ga"), col("a_id") === col("ga.doc_id"))
+      .join(gramSets.alias("gb"), col("b_id") === col("gb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("ga.grams"), col("gb.grams"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("ga.grams")) + size(col("gb.grams")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** doc_id, simhash (32-bit fingerprint as BIGINT). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(toksSpark))
+      .selectExpr("doc_id", s"$simhash32Spark AS simhash")
+}

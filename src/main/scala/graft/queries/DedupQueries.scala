@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.SparkSessions.tablePath
+import graft.dedup.Dedup
+import graft.text.TextAnalysis._
+
+/** Oracle-checked dedup operators on `documents` (see Dedup for the scale
+  * rationale). The DuckDB oracles replicate each algorithm bit-for-bit:
+  * same md5-based 60-bit hashes, same integer arithmetic, same single
+  * double division for Jaccard (IEEE-identical), same rounding.
+  */
+object DedupQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(tablePath(dir, "documents"))
+
+  /** DuckDB CTE producing (doc_id, toks, grams). */
+  private val duckGrams =
+    s"""WITH tk AS (SELECT doc_id, text, $toksDuck AS toks FROM documents),
+       |g AS (SELECT doc_id, $grams3Duck AS grams FROM tk)""".stripMargin
+
+  override def queries: Seq[EngineQuery] = Seq(
+
+    EngineQuery(
+      "dedup_exact",
+      (s, dir) => Dedup.exactGroups(docs(s, dir)),
+      Some("""SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS rep_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    EngineQuery(
+      "dedup_jaccard_pairs",
+      (s, dir) => Dedup.jaccardPairs(docs(s, dir), 0.8),
+      Some(s"""$duckGrams,
+              |p AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS inter,
+              |    len(a.grams) AS na, len(b.grams) AS nb
+              |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+              |SELECT a_id, b_id,
+              |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+              |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""".stripMargin)),
+
+    // Per-doc MinHash signature + LSH band hashes (the partition-local
+    // stage of the scale path, checked value-by-value).
+    EngineQuery(
+      "dedup_minhash_bands",
+      (s, dir) =>
+        Dedup.withMinhash(docs(s, dir)).selectExpr(
+          "doc_id",
+          "element_at(sig, 1) AS sig1",
+          "array_min(sig) AS sig_min",
+          "band_hash_0", "band_hash_1", "band_hash_2", "band_hash_3"),
+      Some(s"""$duckGrams,
+              |s AS (SELECT doc_id, ${minhashSigDuck(Dedup.NumHashes)} AS sig FROM g)
+              |SELECT doc_id, sig[1] AS sig1, list_min(sig) AS sig_min,
+              |  ${bandHashDuck(1, 4)} AS band_hash_0,
+              |  ${bandHashDuck(5, 4)} AS band_hash_1,
+              |  ${bandHashDuck(9, 4)} AS band_hash_2,
+              |  ${bandHashDuck(13, 4)} AS band_hash_3
+              |FROM s""".stripMargin)),
+
+    // LSH candidates verified by exact Jaccard — end-to-end MinHash dedup.
+    EngineQuery(
+      "dedup_minhash_pairs",
+      (s, dir) => Dedup.minhashPairs(docs(s, dir), 0.8),
+      Some(s"""$duckGrams,
+              |s AS (SELECT doc_id, grams, ${minhashSigDuck(Dedup.NumHashes)} AS sig FROM g),
+              |s2 AS (SELECT doc_id, grams,
+              |  [${bandHashDuck(1, 4)}, ${bandHashDuck(5, 4)}, ${bandHashDuck(9, 4)}, ${bandHashDuck(13, 4)}] AS bhs
+              |  FROM s),
+              |b AS (SELECT doc_id, grams, i, bhs[i] AS band_hash
+              |  FROM s2 CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) idx),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+              |  FROM b a JOIN b b2
+              |    ON a.i = b2.i AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+              |v AS (SELECT a_id, b_id,
+              |    len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS inter,
+              |    len(ga.grams) AS na, len(gb.grams) AS nb
+              |  FROM cand JOIN g ga ON a_id = ga.doc_id JOIN g gb ON b_id = gb.doc_id)
+              |SELECT a_id, b_id,
+              |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+              |FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""".stripMargin)),
+
+    EngineQuery(
+      "dedup_simhash",
+      (s, dir) => Dedup.simhash(docs(s, dir)),
+      Some(s"""WITH tk AS (SELECT doc_id, $toksDuck AS toks FROM documents)
+              |SELECT doc_id, $simhash32Duck AS simhash FROM tk""".stripMargin))
+  )
+}

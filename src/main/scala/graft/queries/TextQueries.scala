@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSessions.tablePath
+import graft.text.TextAnalysis._
+
+/** Text-analysis operators over the `documents` table: token counting
+  * (whitespace + BPE-ish regex), quality scoring, n-gram language-ID,
+  * content fingerprinting. All partition-local (no shuffle except the
+  * explicit rollup), all oracle-checked against bit-identical DuckDB
+  * formulations (see TextAnalysis for the pairing rules).
+  */
+object TextQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(tablePath(dir, "documents"))
+
+  private val enHits = profileHitsSpark(langProfiles.head._2)
+  private val enHitsDuck = profileHitsDuck(langProfiles.head._2)
+
+  /** Same text in Spark SQL and DuckDB: argmax by fixed preference order. */
+  private val predictedCase =
+    """CASE WHEN h_en >= greatest(h_es, h_de, h_fr, h_zh) THEN 'en'
+      |     WHEN h_es >= greatest(h_de, h_fr, h_zh) THEN 'es'
+      |     WHEN h_de >= greatest(h_fr, h_zh) THEN 'de'
+      |     WHEN h_fr >= h_zh THEN 'fr'
+      |     ELSE 'zh' END AS predicted_lang""".stripMargin.replace("\n", " ")
+
+  override def queries: Seq[EngineQuery] = Seq(
+
+    EngineQuery(
+      "text_stats",
+      (s, dir) =>
+        docs(s, dir).withColumn("toks", expr(toksSpark)).selectExpr(
+          "doc_id",
+          "CAST(size(toks) AS BIGINT) AS n_tokens",
+          s"$bpeSpark AS bpe_tokens",
+          "round(aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t)) / CAST(size(toks) AS DOUBLE), 4) AS avg_token_len",
+          s"round($enHits / CAST(size(toks) AS DOUBLE), 4) AS stop_ratio",
+          s"round(least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHits / CAST(size(toks) AS DOUBLE)) * 0.5, 4) AS quality"),
+      Some(s"""WITH t AS (SELECT doc_id, text, $toksDuck AS toks FROM documents)
+              |SELECT doc_id,
+              |  CAST(len(toks) AS BIGINT) AS n_tokens,
+              |  $bpeDuck AS bpe_tokens,
+              |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+              |  round($enHitsDuck / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio,
+              |  round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHitsDuck / CAST(len(toks) AS DOUBLE)) * 0.5, 4) AS quality
+              |FROM t""".stripMargin)),
+
+    // Language-ID: stopword-profile hit counts per language; prediction by
+    // max hits (integer compare — no float ties), fixed preference order.
+    EngineQuery(
+      "text_langid",
+      (s, dir) => {
+        val hitCols = langProfiles.map { case (l, ws) =>
+          s"CAST(${profileHitsSpark(ws)} AS INT) AS h_$l"
+        }
+        docs(s, dir).withColumn("toks", expr(toksSpark))
+          .selectExpr(Seq("doc_id", "lang") ++ hitCols: _*)
+          .selectExpr("*", predictedCase)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
+              |h AS (SELECT doc_id, lang,
+              |  ${langProfiles.map { case (l, ws) => s"CAST(${profileHitsDuck(ws)} AS INT) AS h_$l" }.mkString(",\n  ")}
+              |FROM t)
+              |SELECT *, $predictedCase FROM h""".stripMargin)),
+
+    EngineQuery(
+      "text_fingerprint",
+      (s, dir) =>
+        docs(s, dir).selectExpr(
+          "doc_id",
+          "md5(text) AS md5_hex",
+          s"${hash60Spark("text")} AS content_hash",
+          s"$fp5Spark AS shingle_fp"),
+      Some(s"""SELECT doc_id, md5(text) AS md5_hex,
+              |  ${hash60Duck("text")} AS content_hash,
+              |  $fp5Duck AS shingle_fp
+              |FROM documents""".stripMargin)),
+
+    EngineQuery(
+      "text_source_rollup",
+      (s, dir) =>
+        docs(s, dir)
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            round(avg("n_chars"), 4).as("avg_chars"),
+            countDistinct("lang").as("n_langs")),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  round(avg(n_chars), 4) AS avg_chars,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+             |FROM documents GROUP BY source""".stripMargin))
+  )
+}

@@ -1,0 +1,112 @@
+package graft.text
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, BPE-ish token estimation, stopword/quality scoring,
+  * n-gram language-ID, and content fingerprinting.
+  *
+  * Everything is expressed as Spark SQL (higher-order functions over
+  * arrays — no UDFs, fully distributed, partition-local: a text operator
+  * never shuffles) with a DuckDB-parallel formulation kept side by side so
+  * the driver oracle computes bit-identical results:
+  *  - integer arithmetic is exact in both engines;
+  *  - double arithmetic uses the same operations in the same order
+  *    (IEEE-754 ⇒ bit-identical);
+  *  - hashing goes through md5 (same algorithm in both engines), with the
+  *    first 15 hex digits read as a 60-bit non-negative BIGINT.
+  *
+  * Scale notes: all per-document expressions are narrow (no shuffle) and
+  * pipeline into whole-stage codegen up to the HOF boundary; at 100 TB the
+  * only shuffles in this module's consumers are the explicit groupBys in
+  * the dedup/rollup operators.
+  */
+object TextAnalysis {
+
+  /** Spark-side: lowercase whitespace tokenization. */
+  val toksSpark = "filter(split(trim(lower(text)), '\\\\s+'), t -> t != '')"
+
+  /** DuckDB-side equivalent (computed fresh in oracle CTEs). */
+  val toksDuck = """list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '')"""
+
+  /** 60-bit hash of a string expression: first 15 hex digits of md5. */
+  def hash60Spark(e: String): String =
+    s"CAST(conv(substr(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
+  def hash60Duck(e: String): String =
+    s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
+
+  /** BPE-ish token-count estimate: runs of letters, runs of digits, single
+    * other non-space chars. */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
+  val bpeSpark = s"CAST(size(regexp_extract_all(lower(text), '$bpePattern', 0)) AS BIGINT)"
+  val bpeDuck = """CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)"""
+
+  /** Stopword profiles for the n-gram language-ID heuristic. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "you", "wo", "ta"))
+
+  def profileHitsSpark(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("array(", ", ", ")")
+    s"size(filter(toks, t -> array_contains($arr, t)))"
+  }
+
+  def profileHitsDuck(words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, t -> list_contains($arr, t)))"
+  }
+
+  /** Word n-gram set (distinct), joined with single spaces; short docs
+    * degrade to one truncated gram (concat_ws skips the null tail in both
+    * engines identically). */
+  val grams3Spark: String =
+    """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
+      | i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"""
+      .stripMargin.replace("\n", "")
+
+  val grams3Duck: String =
+    """list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+      | for i in range(1, greatest(len(toks) - 2, 1) + 1)])"""
+      .stripMargin.replace("\n", "")
+
+  /** Document fingerprint: minimum 60-bit hash over character 5-grams of
+    * the lowercased text (the winnowing/rolling-hash family collapsed to
+    * its min-sketch special case — deterministic and order-independent). */
+  val fp5Spark: String =
+    s"array_min(transform(sequence(1, greatest(length(lower(text)) - 4, 1)), i -> ${hash60Spark("substr(lower(text), i, 5)")}))"
+
+  val fp5Duck: String =
+    s"list_min([${hash60Duck("substr(lower(text), i, 5)")} for i in range(1, greatest(length(lower(text)) - 4, 1) + 1)])"
+
+  /** MinHash signature: numHashes independent hash functions realized as
+    * md5 of "<j>|<shingle>", min over the document's shingle set. */
+  def minhashSigSpark(numHashes: Int): String =
+    s"transform(sequence(0, ${numHashes - 1}), j -> array_min(transform(grams, s -> ${hash60Spark("concat(CAST(j AS STRING), '|', s)")})))"
+
+  def minhashSigDuck(numHashes: Int): String =
+    s"[list_min([${hash60Duck("j::VARCHAR || '|' || s")} for s in grams]) for j in range(0, $numHashes)]"
+
+  /** LSH band hash: md5 over the comma-joined signature slice [start..start+rows-1] (1-based). */
+  def bandHashSpark(start: Int, rows: Int): String =
+    s"md5(array_join(transform(slice(sig, $start, $rows), x -> CAST(x AS STRING)), ','))"
+
+  def bandHashDuck(start: Int, rows: Int): String =
+    s"md5(list_aggregate(list_transform(sig[$start:${start + rows - 1}], x -> x::VARCHAR), 'string_agg', ','))"
+
+  /** 32-bit SimHash over the token multiset (unit weights): for each bit,
+    * +1 if the token-hash has the bit set else -1; fingerprint bit = sign. */
+  val simhash32Spark: String =
+    """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc +
+      | CASE WHEN aggregate(toks, 0, (a2, t) ->
+      |   a2 + CASE WHEN ((HASH % 4294967296) DIV shiftleft(CAST(1 AS BIGINT), b)) % 2 = 1 THEN 1 ELSE -1 END) > 0
+      | THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"""
+      .stripMargin.replace("\n", "").replace("HASH", hash60Spark("t"))
+
+  val simhash32Duck: String =
+    """CAST(list_sum([CASE WHEN list_sum([
+      | CASE WHEN ((HASH % 4294967296) // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END
+      | for t in toks]) > 0 THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)]) AS BIGINT)"""
+      .stripMargin.replace("\n", "").replace("HASH", hash60Duck("t"))
+}
