@@ -18,7 +18,10 @@ object SparkEntry {
     graft.queries.CdcQueries,
     graft.queries.ScdQueries,
     graft.queries.TextQueries,
-    graft.queries.DedupQueries
+    graft.queries.DedupQueries,
+    graft.queries.SimQueries,
+    graft.queries.EventsQueries,
+    graft.queries.MultimodalQueries
   )
 
   private lazy val all: Seq[EngineQuery] = {

@@ -28,6 +28,22 @@ object Dedup {
   def withGrams(docs: DataFrame): DataFrame =
     docs.withColumn("toks", expr(toksSpark)).withColumn("grams", expr(grams3Spark))
 
+  private val gramsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  /** Memoized + persisted (doc_id, grams) per (session, path): the gram
+    * derivation (tokenize + HOF + md5) is the expensive narrow stage and
+    * feeds the Jaccard join, the MinHash signatures AND the candidate
+    * verification — compute it once per JVM. */
+  def gramsCached(spark: org.apache.spark.sql.SparkSession, docsParquet: String): DataFrame =
+    gramsCache.getOrElseUpdate((spark, docsParquet), {
+      val df = withGrams(spark.read.parquet(docsParquet))
+        .select(col("doc_id"), col("grams"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
   /** Exact dedup groups: one row per distinct text. */
   def exactGroups(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("text_hash"))
@@ -35,9 +51,9 @@ object Dedup {
 
   /** All pairs (a_id < b_id) with n-gram Jaccard >= threshold, via the
     * shared-gram join. Exact but quadratic in gram frequency — verifier /
-    * small-scale path. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val ex = withGrams(docs)
+    * small-scale path. Input: (doc_id, grams) — pass gramsCached. */
+  def jaccardPairs(grams: DataFrame, threshold: Double): DataFrame = {
+    val ex = grams
       .select(col("doc_id"), size(col("grams")).as("ng"), explode(col("grams")).as("gram"))
     ex.alias("a")
       .join(ex.alias("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -54,9 +70,10 @@ object Dedup {
   val NumBands = 4
   val RowsPerBand = 4
 
-  /** doc_id, grams, sig (MinHash signature array), band_hash_0..3. */
-  def withMinhash(docs: DataFrame): DataFrame = {
-    val sigs = withGrams(docs).withColumn("sig", expr(minhashSigSpark(NumHashes)))
+  /** doc_id, grams, sig (MinHash signature array), band_hash_0..3.
+    * Input: (doc_id, grams) — pass gramsCached. */
+  def withMinhash(grams: DataFrame): DataFrame = {
+    val sigs = grams.withColumn("sig", expr(minhashSigSpark(NumHashes)))
     (0 until NumBands).foldLeft(sigs) { (df, b) =>
       df.withColumn(s"band_hash_$b", expr(bandHashSpark(b * RowsPerBand + 1, RowsPerBand)))
     }
@@ -66,8 +83,8 @@ object Dedup {
     * Jaccard >= threshold. The scale path: signature + banding are
     * partition-local; the only shuffles are the bucket join and the
     * candidate verification. */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val mh = withMinhash(docs)
+  def minhashPairs(grams: DataFrame, threshold: Double): DataFrame = {
+    val mh = withMinhash(grams)
     val bandCols = (0 until NumBands).map(b => s"band_hash_$b").mkString(", ")
     val bands = mh.selectExpr("doc_id", s"posexplode(array($bandCols)) AS (band_idx, band_hash)")
     val cands = bands.alias("a")
@@ -78,7 +95,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val gramSets = withGrams(docs).select(col("doc_id"), col("grams"))
+    val gramSets = grams.select(col("doc_id"), col("grams"))
     cands
       .join(gramSets.alias("ga"), col("a_id") === col("ga.doc_id"))
       .join(gramSets.alias("gb"), col("b_id") === col("gb.doc_id"))

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, decoded by a partition-local batched
+  * decoder.
+  *
+  * The decode step itself is STUBBED (no image/audio libraries in this
+  * environment): `StubDecoder` derives deterministic features from the
+  * payload bytes. Everything around it is the real Spark shape a media
+  * pipeline needs at 100 TB:
+  *  - schema: (media_id, kind, payload BINARY, meta STRUCT) — payloads
+  *    stay opaque to Catalyst, metadata stays columnar/prunable;
+  *  - decode via `mapPartitions` over typed rows in fixed-size batches
+  *    (the JVM dual of `mapInPandas`' Arrow batches): amortizes
+  *    per-batch decoder setup, keeps memory bounded by batch size, never
+  *    shuffles — a decode stage is embarrassingly parallel;
+  *  - partitioning: decode inherits the scan's partitioning; size input
+  *    splits by `spark.sql.files.maxPartitionBytes` so one task's batch
+  *    of payloads fits executor memory.
+  */
+object Multimodal {
+
+  final case class MediaMeta(source: String, declaredKind: String)
+  final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      byte_len: Long,
+      checksum: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      duration_ms: Long)
+
+  implicit val recEnc: Encoder[MediaRecord] = Encoders.product[MediaRecord]
+  implicit val featEnc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+
+  /** A batched media decoder. Real implementations would wrap an image /
+    * audio / video library handle per batch; the stub derives features
+    * arithmetically so tests (and the DuckDB oracle) can verify the
+    * surrounding plumbing exactly. */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
+  }
+
+  /** Deterministic fake decode: checksum = sum of unsigned payload bytes.
+    * Feature formulas are pure integer arithmetic (oracle-replicable). */
+  object StubDecoder extends MediaDecoder {
+    override def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+      batch.map { r =>
+        val checksum = r.payload.foldLeft(0L)((acc, b) => acc + (b & 0xff))
+        MediaFeatures(
+          media_id = r.media_id,
+          kind = r.kind,
+          byte_len = r.payload.length.toLong,
+          checksum = checksum,
+          width = (64 + checksum % 577).toInt,
+          height = (64 + checksum % 433).toInt,
+          n_frames = if (r.kind == "video") (1 + checksum % 97).toInt else 1,
+          duration_ms = if (r.kind == "audio") 1000L + (checksum * 7) % 59999 else 0L)
+      }
+  }
+
+  val BatchSize = 64
+
+  /** Partition-local batched decode — the mapInPandas-shaped stage. */
+  def decode(media: Dataset[MediaRecord], decoder: MediaDecoder = StubDecoder): Dataset[MediaFeatures] =
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(batch => decoder.decodeBatch(batch))
+    }
+
+  /** Build a media table from `documents`: the UTF-8 payload stands in
+    * for opaque media bytes; kind cycles by doc_id. Real pipelines read
+    * (path, binary) via `spark.read.format("binaryFile")` or a manifest. */
+  def mediaFromDocuments(spark: SparkSession, docsParquet: String): Dataset[MediaRecord] = {
+    val df = spark.read.parquet(docsParquet).select(
+      col("doc_id").as("media_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(col("source").as("source"), lit("synthetic").as("declaredKind")).as("meta"))
+    df.as[MediaRecord]
+  }
+}

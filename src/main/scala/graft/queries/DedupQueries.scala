@@ -16,6 +16,9 @@ object DedupQueries extends QueryModule {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(tablePath(dir, "documents"))
 
+  private def grams(s: SparkSession, dir: String): DataFrame =
+    Dedup.gramsCached(s, tablePath(dir, "documents"))
+
   /** DuckDB CTE producing (doc_id, toks, grams). */
   private val duckGrams =
     s"""WITH tk AS (SELECT doc_id, text, $toksDuck AS toks FROM documents),
@@ -32,7 +35,7 @@ object DedupQueries extends QueryModule {
 
     EngineQuery(
       "dedup_jaccard_pairs",
-      (s, dir) => Dedup.jaccardPairs(docs(s, dir), 0.8),
+      (s, dir) => Dedup.jaccardPairs(grams(s, dir), 0.8),
       Some(s"""$duckGrams,
               |p AS (
               |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -48,7 +51,7 @@ object DedupQueries extends QueryModule {
     EngineQuery(
       "dedup_minhash_bands",
       (s, dir) =>
-        Dedup.withMinhash(docs(s, dir)).selectExpr(
+        Dedup.withMinhash(grams(s, dir)).selectExpr(
           "doc_id",
           "element_at(sig, 1) AS sig1",
           "array_min(sig) AS sig_min",
@@ -65,7 +68,7 @@ object DedupQueries extends QueryModule {
     // LSH candidates verified by exact Jaccard — end-to-end MinHash dedup.
     EngineQuery(
       "dedup_minhash_pairs",
-      (s, dir) => Dedup.minhashPairs(docs(s, dir), 0.8),
+      (s, dir) => Dedup.minhashPairs(grams(s, dir), 0.8),
       Some(s"""$duckGrams,
               |s AS (SELECT doc_id, grams, ${minhashSigDuck(Dedup.NumHashes)} AS sig FROM g),
               |s2 AS (SELECT doc_id, grams,

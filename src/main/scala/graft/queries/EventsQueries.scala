@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSessions.tablePath
+
+/** Event-stream analytics over the `events` table (event_id, ts, user_id,
+  * event_type, value, props-JSON). These are the batch duals of the
+  * streaming operators (tumbling windows, sessionization, JSON
+  * extraction); the streaming wiring itself lives in graft.streaming and
+  * is exercised by ScalaTest, while these give the semantics a DuckDB
+  * oracle.
+  *
+  * Float-determinism: sums of 2-decimal doubles are rounded back to 2
+  * decimals (the true sum has exactly 2 decimals, so both engines recover
+  * it bit-identically); we never round an avg of doubles (its true value
+  * can sit exactly on a rounding tie where Spark and DuckDB disagree).
+  */
+object EventsQueries extends QueryModule {
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as BIGINT (legacy conf) and rebuild a
+    * microsecond timestamp — DuckDB reads the same file natively as
+    * TIMESTAMP_NS, and the values are µs-grained so nothing truncates. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(tablePath(dir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  override def queries: Seq[EngineQuery] = Seq(
+
+    // Tumbling hourly window per event type (epoch-aligned in both
+    // engines: Spark window() and DuckDB time_bucket).
+    EngineQuery(
+      "evt_hourly",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+          .select(col("w.start").as("hour_ts"), col("event_type"), col("n"), col("total_value")),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_ts, event_type,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // Sessionization: per-user session count with a 30-minute inactivity
+    // gap (lag + cumulative-sum session ids; millisecond-exact integers).
+    EngineQuery(
+      "evt_sessions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        events(s, dir)
+          .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L)
+              .otherwise(0L))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("new_session").as("n_sessions"))
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id,
+             |    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(new_session) AS BIGINT) AS n_sessions
+             |FROM x GROUP BY user_id""".stripMargin)),
+
+    // JSON property extraction + aggregation (props is a JSON string).
+    EngineQuery(
+      "evt_json_extract",
+      (s, dir) =>
+        events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("k").as("sum_k"),
+            round(avg("k"), 4).as("avg_k")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // Per-type value stats (sum rounded to the data's 2-decimal grain;
+    // min/max are order-free).
+    EngineQuery(
+      "evt_type_stats",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum("value"), 2).as("total_value"),
+            min("value").as("min_value"),
+            max("value").as("max_value"),
+            countDistinct("user_id").as("n_users")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 2) AS total_value, min(value) AS min_value,
+             |  max(value) AS max_value, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM events GROUP BY event_type""".stripMargin))
+  )
+}

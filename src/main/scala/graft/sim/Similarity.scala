@@ -1,0 +1,81 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: deterministic
+  * random-hyperplane LSH — 16-bit (bucketing to ~2^16) or any width —
+  * computed with integer-derived hyperplane weights so the DuckDB oracle
+  * reproduces the projections bit-for-bit.
+  *
+  * Numeric determinism contract (shared with the oracles):
+  *  - all dot products are strict left folds over the element index with
+  *    every operand cast to DOUBLE first (IEEE-754 ⇒ the same partial-sum
+  *    sequence in any engine);
+  *  - hyperplane weight w(j,d) = ((1103515245*(j*D+d) + 12345) mod 2^31)
+  *    - 2^30, a plain LCG step — integer-exact everywhere.
+  *
+  * Scale notes: brute-force is a broadcast nested loop — right for a small
+  * probe set against a big corpus (probes broadcast, corpus scanned once,
+  * no shuffle of the corpus). All-pairs NN at 100 TB goes through LSH
+  * buckets (one shuffle on the bucket key) or IVF-style partition pruning;
+  * the quadratic work is confined to each bucket.
+  */
+object Similarity {
+
+  /** Strict-left-fold dot product of two array<float> columns as Spark SQL. */
+  def dotSpark(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** Same fold in DuckDB (list_reduce folds left; 0.0+x == x keeps the
+    * partial-sum sequence identical to the Spark init-fold). */
+  def dotDuck(a: String, b: String): String =
+    s"list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)], (x, y) -> x + y)"
+
+  def cosineSpark(a: String, b: String): String =
+    s"(${dotSpark(a, b)} / (sqrt(${dotSpark(a, a)}) * sqrt(${dotSpark(b, b)})))"
+
+  def cosineDuck(a: String, b: String): String =
+    s"(${dotDuck(a, b)} / (sqrt(${dotDuck(a, a)}) * sqrt(${dotDuck(b, b)})))"
+
+  /** Deterministic LCG hyperplane weight, as SQL over (j, d). The LCG
+    * multiplier is forced to BIGINT: both engines overflow 32-bit INT
+    * multiplication otherwise (Spark ANSI errors, DuckDB errors too). */
+  private def weight(j: String, d: String, dim: Int): String =
+    s"CAST(((CAST(1103515245 AS BIGINT) * ($j * $dim + $d) + 12345) % 2147483648) - 1073741824 AS DOUBLE)"
+
+  /** `bits`-bit random-hyperplane signature of an embedding column —
+    * Spark SQL. proj_j = left fold over dims of emb[d] * w(j,d). */
+  def lshSigSpark(emb: String, bits: Int, dim: Int): String = {
+    val proj =
+      s"aggregate(sequence(0, ${dim - 1}), CAST(0.0 AS DOUBLE), (acc, d) -> acc + CAST(element_at($emb, d + 1) AS DOUBLE) * ${weight("j", "d", dim)})"
+    s"aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (sig, j) -> sig + CASE WHEN $proj > 0.0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"
+  }
+
+  /** Same signature in DuckDB. */
+  def lshSigDuck(emb: String, bits: Int, dim: Int): String = {
+    val proj =
+      s"list_reduce([CAST($emb[d + 1] AS DOUBLE) * ${weight("j", "d", dim)} for d in range(0, $dim)], (x, y) -> x + y)"
+    s"CAST(list_sum([CASE WHEN $proj > 0.0 THEN (1::BIGINT << j) ELSE 0 END for j in range(0, $bits)]) AS BIGINT)"
+  }
+
+  /** Exact top-k neighbors for a probe set: broadcast nested loop +
+    * per-probe window. */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.alias("c")
+      .crossJoin(broadcast(probes.select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"))))
+      .filter(col("c.vec_id") =!= col("query_id"))
+      .selectExpr(
+        "query_id", "c.vec_id AS neighbor_id",
+        s"${cosineSpark("q_emb", "c.embedding")} AS cos")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+  }
+}
