@@ -1,0 +1,145 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.CdcPipeline
+import graft.scd.{BatchFlattener, MergeExecutor}
+
+/** Streaming wiring for the two reference pipelines on vanilla Structured
+  * Streaming (no Kafka/Delta jars in this environment — SURVEY.md §7.1):
+  *
+  *  - Pipeline 1 (reference: TransactionalCdcProcessingApp.scala:46-83):
+  *    4 value-string streams → parse/union → flatMapGroupsWithState
+  *    transaction buffering → append to the `order_stream` parquet dir.
+  *    Sources are pluggable: any DataFrame with a `value STRING` column.
+  *    Here: file streams of JSON lines (a Kafka source produces the same
+  *    shape via selectExpr("CAST(value AS STRING)")).
+  *
+  *  - Pipeline 2 (reference: ScdType1MergeApp.scala:44-66): file-stream
+  *    the append-only `order_stream` dir → foreachBatch → bootstrap or
+  *    clause-ordered merge → atomic swap of the `orders_current` snapshot.
+  *
+  * Exactly-once notes: pipeline 1 relies on the checkpointed file-source
+  * offsets + parquet append (the sink's `_spark_metadata` commit log makes
+  * re-run batches idempotent). Pipeline 2's merge output is a full
+  * snapshot; the swap is atomic (write tmp, rename) so readers never see
+  * a partial table, and replaying a batch after a crash converges because
+  * the merge is idempotent on already-applied versions.
+  *
+  * Scale notes: state per key is one transaction's events (bounded by
+  * transaction size); completed keys are removed eagerly. Run with the
+  * RocksDB state store provider for high key cardinality. The merge
+  * snapshot rewrite is the no-Delta tradeoff: at 100 TB you'd partition
+  * `orders_current` (e.g. by hash(orderId) bucket) and rewrite only
+  * buckets containing matched keys — MergeExecutor is partition-agnostic,
+  * so that refinement slots in at the writer.
+  */
+object CdcStreaming {
+
+  val valueSchema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** JSON-lines file stream with the Kafka-like `value` shape. */
+  def fileValueStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(valueSchema)
+      .text(dir)
+      .select(col("value"))
+
+  /** Pipeline 1: 4 source dirs → order_stream parquet appends. */
+  def startIngest(
+      spark: SparkSession,
+      ordersDir: String,
+      detailsDir: String,
+      lineItemsDir: String,
+      metadataDir: String,
+      outDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val out = CdcPipeline.orderStream(
+      fileValueStream(spark, ordersDir),
+      fileValueStream(spark, detailsDir),
+      fileValueStream(spark, lineItemsDir),
+      fileValueStream(spark, metadataDir))
+    out.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+  }
+
+  /** Pipeline 2: order_stream dir → merged orders_current snapshot. */
+  def startScd1Merge(
+      spark: SparkSession,
+      orderStreamDir: String,
+      targetDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val orderStreamSchema =
+      org.apache.spark.sql.Encoders.product[graft.model.OrderStreamRow].schema
+    val source = spark.readStream
+      .schema(orderStreamSchema)
+      .parquet(orderStreamDir)
+    source.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(spark, batch, targetDir)
+      }
+      .start()
+  }
+
+  /** One micro-batch of the SCD1 maintenance: bootstrap when the target
+    * doesn't exist (reference: ScdType1MergeApp.scala:74-81), else merge
+    * (reference: :83-132); always an atomic snapshot swap. */
+  def mergeBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
+    if (batch.isEmpty) return
+    val source = BatchFlattener.flatten(batch)
+    val result =
+      if (!ParquetTable.exists(targetDir))
+        // Bootstrap applies the merge's insert guard too: the reference's
+        // overwrite bootstrap (ScdType1MergeApp.scala:74-81) would admit a
+        // child-only orphan if a child-update event landed in the very
+        // first micro-batch; filtering keeps bootstrap ≡ merge-into-empty.
+        source.filter(col("version").isNotNull)
+      else MergeExecutor.merge(ParquetTable.read(spark, targetDir), source)
+    ParquetTable.swap(spark, result, targetDir)
+  }
+}
+
+/** Atomic snapshot table over a parquet directory: write to a tmp dir,
+  * then swap via rename (readers resolve the `current` symlink-style
+  * pointer — here a versioned subdir named by a monotonically increasing
+  * id, with a marker file designating the live one). */
+object ParquetTable {
+
+  import java.nio.file.{Files, Paths, StandardCopyOption}
+
+  private def pointer(dir: String) = Paths.get(dir, "_CURRENT")
+
+  def exists(dir: String): Boolean = Files.exists(pointer(dir))
+
+  def currentPath(dir: String): String = {
+    val v = Files.readString(pointer(dir)).trim
+    s"$dir/$v"
+  }
+
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(currentPath(dir))
+
+  /** Write a new snapshot version and atomically repoint `_CURRENT`. */
+  def swap(spark: SparkSession, df: DataFrame, dir: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    val next = "v" + System.nanoTime()
+    df.write.mode("overwrite").parquet(s"$dir/$next")
+    val tmp = Paths.get(dir, "_CURRENT.tmp")
+    Files.writeString(tmp, next)
+    Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.CdcPipeline
+
+/** Cross-batch completion semantics of the transaction buffer
+  * (reference: TransactionalCdcProcessingApp.scala:138-223): state must
+  * hold across micro-batches, emit only when the metadata-announced counts
+  * are met, and handle both metadata-first and metadata-last orderings.
+  */
+class TxBufferSpec extends SparkSuite {
+
+  private def cdc(xid: String, csn: String, table: String, opType: String,
+      after: String, before: String = "null"): String =
+    s"""{"table":"$table","op_type":"$opType","op_ts":"t","current_ts":"t","pos":"p",
+       |"csn":"$csn","xid":"$xid","before":$before,"after":$after}""".stripMargin.replace("\n", "")
+
+  private def orderAfter(id: Int, v: Int): String =
+    s"""{"ORDER_ID":"$id","ORDER_REF":"ORD-$id","VERSION":"$v","ORDER_STATUS":"PENDING",
+       |"TOTAL_AMOUNT":"10.5","CURRENCY":"USD"}""".stripMargin.replace("\n", "")
+
+  private def meta(xid: String, csn: String, counts: (String, Int)*): String = {
+    val dc = counts.map { case (t, n) => s"""{"data_collection":"$t","event_count":$n}""" }
+      .mkString("[", ",", "]")
+    s"""{"xid":"$xid","csn":"$csn","tx_ts":"t","event_count":${counts.map(_._2).sum},"data_collections":$dc}"""
+  }
+
+  test("buffer emits only on completion, across micro-batches, both orderings") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val orders = MemoryStream[String]
+    val details = MemoryStream[String]
+    val lineItems = MemoryStream[String]
+    val metadata = MemoryStream[String]
+
+    val out = CdcPipeline.orderStream(
+      orders.toDF().select(col("value")),
+      details.toDF().select(col("value")),
+      lineItems.toDF().select(col("value")),
+      metadata.toDF().select(col("value")))
+
+    val q = out.writeStream.format("memory").queryName("txbuf_out").outputMode("append").start()
+    def result() = spark.table("txbuf_out")
+
+    try {
+      // tx A: metadata FIRST, then events (events-after-metadata).
+      metadata.addData(meta("A", "1", "ORDERS" -> 2))
+      q.processAllAvailable()
+      assert(result().count() == 0, "no emission before events arrive")
+
+      orders.addData(cdc("A", "1", "APPUSER.ORDERS", "I", orderAfter(1, 1)))
+      q.processAllAvailable()
+      assert(result().count() == 0, "1 of 2 announced events must not emit")
+
+      orders.addData(cdc("A", "1", "APPUSER.ORDERS", "I", orderAfter(2, 1)))
+      q.processAllAvailable()
+      assert(result().count() == 2, "two orders in one tx emit two rows")
+
+      // tx B: events FIRST, metadata LAST (metadata-after-events).
+      orders.addData(cdc("B", "2", "APPUSER.ORDERS", "I", orderAfter(3, 1)))
+      q.processAllAvailable()
+      assert(result().count() == 2, "tx B incomplete without metadata")
+
+      metadata.addData(meta("B", "2", "ORDERS" -> 1))
+      q.processAllAvailable()
+      assert(result().count() == 3, "metadata arriving last completes tx B")
+
+      // tx C: delete-only transaction — completes but assembles no rows.
+      orders.addData(cdc("C", "3", "APPUSER.ORDERS", "D", "null", orderAfter(4, 1)))
+      metadata.addData(meta("C", "3", "ORDERS" -> 1))
+      q.processAllAvailable()
+      assert(result().count() == 3, "delete-only tx emits nothing")
+
+      // Emitted rows carry the join results.
+      val a = result().filter(col("xid") === "A").orderBy("orderId")
+        .selectExpr("orderId", "size(orders)").collect().map(_.toSeq)
+      assert(a.toSeq == Seq(Seq(1.0, 1), Seq(2.0, 1)))
+    } finally q.stop()
+  }
+}
