@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.DedupQueries,
     graft.queries.SimQueries,
     graft.queries.EventsQueries,
-    graft.queries.MultimodalQueries
+    graft.queries.MultimodalQueries,
+    graft.queries.SqlSurfaceQueries
   )
 
   private lazy val all: Seq[EngineQuery] = {

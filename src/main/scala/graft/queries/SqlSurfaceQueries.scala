@@ -1,0 +1,72 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.CdcPipeline
+import graft.scd.ScdPipeline
+import graft.tables.SqlScriptRunner
+
+/** The SQL/DDL surface end-to-end (SURVEY.md §2.1 S7, §2.3 Q13, §3.3):
+  * dump the engine-produced tables to parquet, register them + the views
+  * via the seed scripts (SqlScriptRunner), query the views through
+  * spark.sql — oracle-checked like everything else.
+  */
+object SqlSurfaceQueries extends QueryModule {
+
+  private val seeded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
+  private def ensureSeeded(s: SparkSession, dir: String): Unit =
+    seeded.getOrElseUpdate((s, dir), {
+      val base = Files.createTempDirectory("graft-sql").toString
+      CdcPipeline.orderStreamCached(s, dir)
+        .write.mode("overwrite").parquet(s"$base/order_stream")
+      ScdPipeline.ordersCurrent(s, dir)
+        .write.mode("overwrite").parquet(s"$base/orders_current")
+      SqlScriptRunner.runResource(s, "/ddl/10_tables.sql", Map(
+        "order_stream_dir" -> s"$base/order_stream",
+        "orders_current_dir" -> s"$base/orders_current"))
+      SqlScriptRunner.runResource(s, "/ddl/20_views.sql")
+      true
+    })
+
+  private def viaSql(sql: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { ensureSeeded(s, dir); s.sql(sql) }
+
+  override def queries: Seq[EngineQuery] = Seq(
+
+    // Change-detection view (LATERAL VIEW explode + CASE over before
+    // images), aggregated by change type.
+    EngineQuery(
+      "sql_view_changes",
+      viaSql("""SELECT change_type, count(*) AS n,
+               |  count(DISTINCT orderId) AS n_orders
+               |FROM order_stream_changes GROUP BY change_type""".stripMargin),
+      Some("""SELECT 'INSERTED' AS change_type,
+             |  CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_orders
+             |FROM orders WHERE (o_orderkey // 5) % 11 <> 0
+             |UNION ALL
+             |SELECT 'UPDATED', CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin)),
+
+    // SCD1 summary view: version histogram.
+    EngineQuery(
+      "sql_view_version_histogram",
+      viaSql("""SELECT version, count(*) AS n
+               |FROM orders_current_summary GROUP BY version""".stripMargin),
+      Some("""SELECT CAST(2.0 AS DOUBLE) AS version, CAST(count(*) AS BIGINT) AS n
+             |FROM orders WHERE o_orderkey % 7 = 0
+             |UNION ALL
+             |SELECT CAST(1.0 AS DOUBLE), CAST(count(*) AS BIGINT)
+             |FROM orders WHERE (o_orderkey // 5) % 11 <> 0 AND o_orderkey % 7 <> 0""".stripMargin)),
+
+    // Change-log head view: one row per order ever seen in the stream.
+    EngineQuery(
+      "sql_view_stream_current",
+      viaSql("SELECT count(*) AS n_orders FROM order_stream_current"),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders
+             |WHERE (o_orderkey // 5) % 11 <> 0 OR o_orderkey % 7 = 0 OR o_orderkey % 9 = 0""".stripMargin))
+  )
+}
