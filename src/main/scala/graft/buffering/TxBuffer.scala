@@ -19,8 +19,8 @@ final case class UnifiedEvent(
     op_ts: Option[String],
     current_ts: Option[String],
     pos: Option[String],
-    before: Option[Map[String, String]],
-    after: Option[Map[String, String]],
+    before: Option[String],
+    after: Option[String],
     event_type: String,
     expected_count: Option[Int],
     data_collections: Option[Seq[CollectionCount]]) {
@@ -170,21 +170,26 @@ object OrderAssembler {
 
     // Delete events carry after=null and are silently skipped
     // (reference: OrderJoiner.scala:38,56,74 + replicat IGNOREDELETES).
+    // Images travel as raw JSON and are Jackson-parsed here, once per
+    // buffered event (reference does the same in OrderJoiner.convert).
     st.orderEvents.foreach { e =>
       e.after.foreach { a =>
-        val rec = FieldCoercion.order(a, e.before)
+        val rec = FieldCoercion.order(
+          FieldCoercion.parseImage(a), e.before.map(FieldCoercion.parseImage))
         val (o, d, l) = touch(rec.orderId); byOrder(rec.orderId) = (o :+ rec, d, l)
       }
     }
     st.detailEvents.foreach { e =>
       e.after.foreach { a =>
-        val rec = FieldCoercion.detail(a, e.before)
+        val rec = FieldCoercion.detail(
+          FieldCoercion.parseImage(a), e.before.map(FieldCoercion.parseImage))
         val (o, d, l) = touch(rec.orderId); byOrder(rec.orderId) = (o, d :+ rec, l)
       }
     }
     st.lineItemEvents.foreach { e =>
       e.after.foreach { a =>
-        val rec = FieldCoercion.lineItem(a, e.before)
+        val rec = FieldCoercion.lineItem(
+          FieldCoercion.parseImage(a), e.before.map(FieldCoercion.parseImage))
         val (o, d, l) = touch(rec.orderId); byOrder(rec.orderId) = (o, d, l :+ rec)
       }
     }

@@ -96,6 +96,28 @@ final case class OrderStreamRow(
 
 object FieldCoercion {
 
+  /** Shared Jackson mapper (thread-safe for reads); Jackson ships with
+    * Spark's classpath and is what the reference used for the same job
+    * (processor/OrderJoiner.scala:90-98). */
+  private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Raw image JSON ({"COL":"val",...}) → string map. Null-valued and
+    * non-textual entries are skipped (reference skips null map values at
+    * OrderJoiner.scala:95); malformed JSON yields an empty map rather
+    * than killing the stream. */
+  def parseImage(json: String): Map[String, String] =
+    try {
+      val node = mapper.readTree(json)
+      val b = Map.newBuilder[String, String]
+      val it = node.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isValueNode && !e.getValue.isNull)
+          b += (e.getKey -> e.getValue.asText())
+      }
+      b.result()
+    } catch { case _: Exception => Map.empty }
+
   /** Reproduces the reference's Jackson string→typed coercion
     * (reference: processor/OrderJoiner.scala:90-98): null map values and
     * absent keys become null fields; unknown keys are ignored; numeric
