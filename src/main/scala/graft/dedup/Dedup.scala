@@ -111,4 +111,19 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame =
     docs.withColumn("toks", expr(toksSpark))
       .selectExpr("doc_id", s"$simhash32Spark AS simhash")
+
+  /** Cluster-representative assignment: every doc maps to the smallest
+    * doc_id among itself and its verified near-duplicates (one-hop — the
+    * standard min-id label step; full transitive closure iterates this
+    * join to a fixed point, which converges in O(log n) rounds at scale).
+    * Keep-policy: a doc survives dedup iff rep_id == doc_id. */
+  def clusterReps(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val neighborMin = pairs
+      .selectExpr("a_id AS doc_id", "b_id AS nb")
+      .unionByName(pairs.selectExpr("b_id AS doc_id", "a_id AS nb"))
+      .groupBy("doc_id").agg(min("nb").as("min_nb"))
+    docs.select(col("doc_id"))
+      .join(neighborMin, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "least(doc_id, coalesce(min_nb, doc_id)) AS rep_id")
+  }
 }

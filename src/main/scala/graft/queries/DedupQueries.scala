@@ -87,6 +87,26 @@ object DedupQueries extends QueryModule {
               |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
               |FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""".stripMargin)),
 
+    // Cluster-representative assignment over the verified LSH pairs:
+    // doc survives dedup iff rep_id == doc_id.
+    EngineQuery(
+      "dedup_cluster_reps",
+      (s, dir) => Dedup.clusterReps(docs(s, dir), Dedup.minhashPairs(grams(s, dir), 0.8)),
+      Some(s"""$duckGrams,
+              |p AS (
+              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS inter,
+              |    len(a.grams) AS na, len(b.grams) AS nb
+              |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+              |pairs AS (SELECT a_id, b_id FROM p
+              |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+              |nb AS (
+              |  SELECT doc_id, min(nb) AS min_nb FROM (
+              |    SELECT a_id AS doc_id, b_id AS nb FROM pairs
+              |    UNION ALL SELECT b_id, a_id FROM pairs) GROUP BY doc_id)
+              |SELECT d.doc_id, least(d.doc_id, coalesce(min_nb, d.doc_id)) AS rep_id
+              |FROM documents d LEFT JOIN nb ON d.doc_id = nb.doc_id""".stripMargin)),
+
     EngineQuery(
       "dedup_simhash",
       (s, dir) => Dedup.simhash(docs(s, dir)),

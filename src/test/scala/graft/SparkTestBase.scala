@@ -6,7 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 /** One shared local session for the whole test JVM (Test/fork := true). */
 object SparkTestBase {
   lazy val spark: SparkSession = {
-    val s = SparkSessions.builder("local[8]", 8).getOrCreate()
+    // RocksDB state store, as the reference runs it (reference.conf:14) —
+    // exercises the provider end-to-end in the streaming specs.
+    val s = SparkSessions.builder("local[8]", 8)
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
