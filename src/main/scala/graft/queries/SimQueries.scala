@@ -83,6 +83,19 @@ object SimQueries extends QueryModule {
               |  FROM p)
               |SELECT vec_id, neighbor_id, round(cos, 6) AS cosine FROM r WHERE rn = 1""".stripMargin)),
 
+    // Embedding-cosine near-duplicate pairs (exact, thresholded): norms
+    // precomputed once per vector, pairs compute only the dot product.
+    EngineQuery(
+      "sim_neardup_pairs",
+      (s, dir) => bruteForcePairs(s, emb(s, dir), 0.4),
+      Some(s"""WITH e AS (SELECT vec_id, embedding,
+              |    sqrt(${dotDuck("embedding", "embedding")}) AS nrm
+              |  FROM embeddings),
+              |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |    (${dotDuck("a.embedding", "b.embedding")} / (a.nrm * b.nrm)) AS cos
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              |SELECT a_id, b_id, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin)),
+
     // Label centroid check: average embedding per label, report the fold
     // of the centroid's own norm — exercises vector aggregation
     // (element-wise array sum via reduce-by-key) deterministically:

@@ -62,6 +62,55 @@ object Similarity {
     s"CAST(list_sum([CASE WHEN $proj > 0.0 THEN (1::BIGINT << j) ELSE 0 END for j in range(0, $bits)]) AS BIGINT)"
   }
 
+  final case class Vec(vec_id: Long, embedding: Array[Float])
+  final case class NearDupPair(a_id: Long, b_id: Long, cosine: Double)
+
+  /** JVM cosine with the exact same operation order as the SQL folds:
+    * left fold of double products, then dot / (sqrt(na) * sqrt(nb)). */
+  def cosineJvm(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Spark round(x, 6) reproduced on the JVM (BigDecimal HALF_UP). */
+  def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Exact all-pairs near-duplicates above a cosine threshold, as a
+    * broadcast nested loop in tight JVM code (the interpreted HOF fold is
+    * ~100× slower per pair). The broadcast side must fit executor memory —
+    * at 100 TB this operator runs per LSH bucket / IVF cell, where the
+    * block is bounded; all-pairs over the full corpus is the small-side
+    * special case. */
+  def bruteForcePairs(spark: SparkSession, corpus: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val vecEnc = Encoders.product[Vec]
+    implicit val pairEnc = Encoders.product[NearDupPair]
+    val vecs = corpus.select(col("vec_id"), col("embedding")).as[Vec].collect().sortBy(_.vec_id)
+    val bc = spark.sparkContext.broadcast(vecs)
+    corpus.select(col("vec_id"), col("embedding")).as[Vec]
+      .mapPartitions { it =>
+        val all = bc.value
+        it.flatMap { a =>
+          all.iterator
+            .filter(_.vec_id > a.vec_id)
+            .flatMap { b =>
+              val cos = cosineJvm(a.embedding, b.embedding)
+              if (cos >= threshold) Iterator.single(NearDupPair(a.vec_id, b.vec_id, round6(cos)))
+              else Iterator.empty
+            }
+        }
+      }
+      .toDF()
+  }
+
   /** Exact top-k neighbors for a probe set: broadcast nested loop +
     * per-probe window. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStreaming
+
+/** Watermarked event-time windowing: the streaming hourly aggregate over
+  * the events table (replayed as a file stream) must finalize every
+  * window that the batch dual (`evt_hourly` shape) produces, with equal
+  * aggregates, once the stream is drained with AvailableNow.
+  */
+class EventsStreamingSpec extends SparkSuite {
+
+  test("watermarked hourly windows match the batch aggregate") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select("ts", "event_type", "value")
+
+    // Replay as a file stream (3 files → a few micro-batches).
+    val dir = Files.createTempDirectory("graft-events").toString
+    src.coalesce(3).write.mode("overwrite").parquet(s"$dir/in")
+
+    val stream = spark.readStream.schema(src.schema).parquet(s"$dir/in")
+    val q = EventsStreaming.hourlyAgg(stream)
+      .writeStream.format("memory").queryName("evt_stream_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+
+    val streamed = spark.table("evt_stream_out")
+    val batch = src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("hour_ts"), col("event_type"), col("n"), col("total_value"))
+
+    // Append mode emits only windows closed by the final watermark; with
+    // AvailableNow + a 2h delay everything except the trailing windows
+    // finalizes. Assert the finalized set matches the batch result
+    // exactly and covers all but the watermark tail.
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    val sKeys = key(streamed)
+    val bKeys = key(batch)
+    assert(sKeys.subsetOf(bKeys), "streamed windows must agree with batch values")
+    val maxTs = src.agg(max("ts")).collect()(0).getTimestamp(0).getTime
+    val tail = batch.filter(
+      unix_millis(col("hour_ts")) + 3600 * 1000 > maxTs - 2 * 3600 * 1000)
+    assert(sKeys.size >= bKeys.size - tail.count(),
+      s"only the watermark tail may be missing: streamed=${sKeys.size} batch=${bKeys.size} tail=${tail.count()}")
+    assert(sKeys.nonEmpty)
+  }
+}
