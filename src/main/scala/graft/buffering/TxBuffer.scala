@@ -7,18 +7,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.model.{FieldCoercion, OrderStreamRow}
 
-/** One unified envelope event in typed form (the 12 columns of
-  * Envelope.unifiedColumns). */
 final case class CollectionCount(data_collection: Option[String], event_count: Option[Int])
 
+/** The buffered projection of the unified envelope: ONLY the fields the
+  * stateful operator consumes (routing key + images + completion
+  * metadata). The envelope's op_type/op_ts/current_ts/pos never cross the
+  * shuffle or enter the state store — the typed stateful operator is an
+  * optimization barrier, so projecting before `groupByKey` is the one
+  * optimization Catalyst can't do for us (SURVEY.md §4.2). */
 final case class UnifiedEvent(
     xid: String,
     csn: String,
     table: Option[String],
-    op_type: Option[String],
-    op_ts: Option[String],
-    current_ts: Option[String],
-    pos: Option[String],
     before: Option[String],
     after: Option[String],
     event_type: String,
@@ -119,6 +119,8 @@ object TxBuffer {
   def apply(unified: DataFrame, processedTs: () => String = () => Instant.now().toString): Dataset[OrderStreamRow] = {
     val ts = processedTs
     unified
+      .select("xid", "csn", "table", "before", "after",
+        "event_type", "expected_count", "data_collections")
       .as[UnifiedEvent]
       .groupByKey(e => e.xid + ":" + e.csn)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(

@@ -91,7 +91,7 @@ object DedupQueries extends QueryModule {
     // doc survives dedup iff rep_id == doc_id.
     EngineQuery(
       "dedup_cluster_reps",
-      (s, dir) => Dedup.clusterReps(docs(s, dir), Dedup.minhashPairs(grams(s, dir), 0.8)),
+      (s, dir) => Dedup.clusterReps(docs(s, dir), Dedup.jaccardPairs(grams(s, dir), 0.8)),
       Some(s"""$duckGrams,
               |p AS (
               |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,

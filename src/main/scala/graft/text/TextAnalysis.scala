@@ -80,13 +80,22 @@ object TextAnalysis {
   val fp5Duck: String =
     s"list_min([${hash60Duck("substr(lower(text), i, 5)")} for i in range(1, greatest(length(lower(text)) - 4, 1) + 1)])"
 
-  /** MinHash signature: numHashes independent hash functions realized as
-    * md5 of "<j>|<shingle>", min over the document's shingle set. */
-  def minhashSigSpark(numHashes: Int): String =
-    s"transform(sequence(0, ${numHashes - 1}), j -> array_min(transform(grams, s -> ${hash60Spark("concat(CAST(j AS STRING), '|', s)")})))"
+  /** MinHash signature: one md5-derived 60-bit base hash per shingle,
+    * then numHashes universal-hash mixes h_j(x) = (a_j·x + b_j) mod p
+    * over the 31-bit-truncated base (keeps every product within int64).
+    * 16× fewer md5 evaluations than hashing "<j>|<shingle>" per function,
+    * with the same independence properties. */
+  val MinhashPrime = 2147483647L // 2^31 - 1 (Mersenne)
 
-  def minhashSigDuck(numHashes: Int): String =
-    s"[list_min([${hash60Duck("j::VARCHAR || '|' || s")} for s in grams]) for j in range(0, $numHashes)]"
+  def minhashSigSpark(numHashes: Int): String = {
+    val base = s"transform(grams, s -> ${hash60Spark("s")} % 2147483648)"
+    s"transform(sequence(0, ${numHashes - 1}), j -> array_min(transform($base, x -> (CAST(2654435761 AS BIGINT) * (j + 1) % $MinhashPrime * x + j * 40503 + 1) % $MinhashPrime)))"
+  }
+
+  def minhashSigDuck(numHashes: Int): String = {
+    val base = s"list_transform(grams, s -> ${hash60Duck("s")} % 2147483648)"
+    s"[list_min(list_transform($base, x -> (2654435761::BIGINT * (j + 1) % $MinhashPrime * x + j * 40503 + 1) % $MinhashPrime)) for j in range(0, $numHashes)]"
+  }
 
   /** LSH band hash: md5 over the comma-joined signature slice [start..start+rows-1] (1-based). */
   def bandHashSpark(start: Int, rows: Int): String =
