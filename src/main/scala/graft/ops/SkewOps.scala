@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling aggregation: two-phase salted aggregate for hot keys.
+  *
+  * `groupBy(k).agg(sum/count/...)` already does partial (map-side)
+  * aggregation, which absorbs most skew; salting matters when the
+  * DISTINCT-ish or collect-style aggregates (or extreme key heat) make
+  * even the reduce side of one key too large for a task. Phase 1 groups
+  * by (key, salt) — salt derived deterministically from a row-unique
+  * column so re-runs are stable — phase 2 re-aggregates the partials by
+  * key. Works for any algebraic aggregate (sum/count/min/max).
+  *
+  * At 100 TB this is the pattern for hot-key rollups; AQE's skew-join
+  * handling covers joins, but aggregation salting must be explicit.
+  */
+object SkewOps {
+
+  /** sum/count aggregate over `valueCol` grouped by `key`, salted into
+    * `salts` sub-groups by a deterministic row hash. */
+  def saltedSumCount(
+      df: DataFrame,
+      key: Seq[String],
+      valueCol: String,
+      saltSource: Column,
+      salts: Int): DataFrame = {
+    val keyCols = key.map(col)
+    val partial = df
+      .withColumn("_salt", pmod(hash(saltSource), lit(salts)))
+      .groupBy(keyCols :+ col("_salt"): _*)
+      .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
+    partial
+      .groupBy(keyCols: _*)
+      .agg(sum("_psum").as(s"sum_$valueCol"), sum("_pcnt").as("n"))
+  }
+}

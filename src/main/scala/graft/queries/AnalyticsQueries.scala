@@ -86,6 +86,22 @@ object AnalyticsQueries extends QueryModule {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)),
 
+    // Skewed-key rollup via explicit two-phase salted aggregation
+    // (graft.ops.SkewOps): 3 ultra-hot keys spread over 32 salts, then
+    // re-aggregated — result identical to the direct group-by (integral
+    // sums, so the regrouped summation order cannot drift).
+    EngineQuery(
+      "q3_salted_agg",
+      (s, dir) =>
+        graft.ops.SkewOps.saltedSumCount(
+          li(s, dir), Seq("l_returnflag"), "l_quantity",
+          col("l_orderkey") * 10 + col("l_linenumber"), 32)
+          .select(col("l_returnflag"),
+            round(col("sum_l_quantity"), 2).as("sum_qty"), col("n")),
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // Q12: UNION ALL of two count branches.
     EngineQuery(
       "q12_union_all",
