@@ -83,8 +83,8 @@ object Dedup {
     * Jaccard >= threshold. The scale path: signature + banding are
     * partition-local; the only shuffles are the bucket join and the
     * candidate verification. */
-  def minhashPairs(grams: DataFrame, threshold: Double): DataFrame = {
-    val mh = withMinhash(grams)
+  /** Input: the withMinhash output (doc_id, grams, sig, band_hash_*). */
+  def minhashPairs(mh: DataFrame, threshold: Double): DataFrame = {
     val bandCols = (0 until NumBands).map(b => s"band_hash_$b").mkString(", ")
     val bands = mh.selectExpr("doc_id", s"posexplode(array($bandCols)) AS (band_idx, band_hash)")
     val cands = bands.alias("a")
@@ -95,7 +95,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    val gramSets = grams.select(col("doc_id"), col("grams"))
+    val gramSets = mh.select(col("doc_id"), col("grams"))
     cands
       .join(gramSets.alias("ga"), col("a_id") === col("ga.doc_id"))
       .join(gramSets.alias("gb"), col("b_id") === col("gb.doc_id"))

@@ -19,6 +19,19 @@ object DedupQueries extends QueryModule {
   private def grams(s: SparkSession, dir: String): DataFrame =
     Dedup.gramsCached(s, tablePath(dir, "documents"))
 
+  private val mhCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Signatures+bands persisted once per (session, dir): shared by the
+    * bands projection and the candidate-pair query. */
+  private def minhash(s: SparkSession, dir: String): DataFrame =
+    mhCache.getOrElseUpdate((s, dir), {
+      val df = Dedup.withMinhash(grams(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
   /** DuckDB CTE producing (doc_id, toks, grams). */
   private val duckGrams =
     s"""WITH tk AS (SELECT doc_id, text, $toksDuck AS toks FROM documents),
@@ -51,7 +64,7 @@ object DedupQueries extends QueryModule {
     EngineQuery(
       "dedup_minhash_bands",
       (s, dir) =>
-        Dedup.withMinhash(grams(s, dir)).selectExpr(
+        minhash(s, dir).selectExpr(
           "doc_id",
           "element_at(sig, 1) AS sig1",
           "array_min(sig) AS sig_min",
@@ -68,7 +81,7 @@ object DedupQueries extends QueryModule {
     // LSH candidates verified by exact Jaccard — end-to-end MinHash dedup.
     EngineQuery(
       "dedup_minhash_pairs",
-      (s, dir) => Dedup.minhashPairs(grams(s, dir), 0.8),
+      (s, dir) => Dedup.minhashPairs(minhash(s, dir), 0.8),
       Some(s"""$duckGrams,
               |s AS (SELECT doc_id, grams, ${minhashSigDuck(Dedup.NumHashes)} AS sig FROM g),
               |s2 AS (SELECT doc_id, grams,

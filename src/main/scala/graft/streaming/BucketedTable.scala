@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.scd.MergeExecutor
+
+/** Hash-bucketed snapshot table: the 100 TB answer to "no Delta means the
+  * merge rewrites the whole table".
+  *
+  * Layout: `dir/bucket=<i>/v<id>/part-*.parquet`, plus a `_MANIFEST` file
+  * mapping every non-empty bucket to its live version. A merge:
+  *  1. computes the affected buckets from the source keys
+  *     (`pmod(hash(key), numBuckets)`);
+  *  2. reads ONLY those buckets' current data (a bucket absent from the
+  *     manifest simply has no rows), merges with clause-ordered
+  *     MergeExecutor semantics, writes each as a new bucket version;
+  *  3. rewrites `_MANIFEST` via tmp + atomic rename — the whole-table
+  *     snapshot flips in one filesystem operation; unchanged buckets are
+  *     reused by reference, no data copied.
+  *
+  * A micro-batch touching k of N buckets rewrites k/N of the table.
+  * Readers load the manifest once and union the live bucket paths; a
+  * point lookup on the merge key computes its bucket and reads one path.
+  */
+object BucketedTable {
+
+  private def manifestPath(dir: String) = Paths.get(dir, "_MANIFEST")
+
+  def exists(dir: String): Boolean = Files.exists(manifestPath(dir))
+
+  /** bucket -> live version dir name (only non-empty buckets appear). */
+  def manifest(dir: String): Map[Int, String] =
+    Files.readAllLines(manifestPath(dir)).asScala
+      .filter(_.nonEmpty)
+      .map { line => val Array(b, v) = line.split(":", 2); b.toInt -> v }
+      .toMap
+
+  private def writeManifest(dir: String, m: Map[Int, String]): Unit = {
+    val tmp = Paths.get(dir, "_MANIFEST.tmp")
+    Files.writeString(tmp, m.toSeq.sortBy(_._1).map { case (b, v) => s"$b:$v" }.mkString("\n"))
+    Files.move(tmp, manifestPath(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def bucketOf(keyCol: String, numBuckets: Int) =
+    pmod(hash(col(keyCol)), lit(numBuckets))
+
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val paths = manifest(dir).toSeq.sortBy(_._1)
+      .map { case (b, v) => s"$dir/bucket=$b/$v" }
+    spark.read.parquet(paths: _*)
+  }
+
+  /** Union of the live data of `buckets`; None when none of them has data. */
+  def readBuckets(spark: SparkSession, dir: String, buckets: Seq[Int]): Option[DataFrame] = {
+    val m = manifest(dir)
+    val paths = buckets.flatMap(b => m.get(b).map(v => s"$dir/bucket=$b/$v"))
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+  }
+
+  /** Stage `df` partitioned by bucket under a fresh version id and move
+    * each bucket dir into place; returns bucket -> version for the
+    * buckets that actually contain data. */
+  private def stage(df: DataFrame, dir: String, keyCol: String, numBuckets: Int): Map[Int, String] = {
+    val ver = "v" + System.nanoTime()
+    val staging = s"$dir/staging-$ver"
+    df.withColumn("bkt", bucketOf(keyCol, numBuckets))
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").mode("overwrite").parquet(staging)
+    val moved = (0 until numBuckets).flatMap { b =>
+      val src = Paths.get(s"$staging/bkt=$b")
+      if (Files.exists(src)) {
+        val dst = Paths.get(s"$dir/bucket=$b/$ver")
+        Files.createDirectories(dst.getParent)
+        Files.move(src, dst)
+        Some(b -> ver)
+      } else None
+    }.toMap
+    // best-effort cleanup of the staging skeleton (_SUCCESS etc.)
+    Files.walk(Paths.get(staging)).iterator().asScala.toSeq.reverse
+      .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+    moved
+  }
+
+  /** Full-table (re)write. */
+  def bootstrap(spark: SparkSession, df: DataFrame, dir: String, keyCol: String, numBuckets: Int): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    writeManifest(dir, stage(df, dir, keyCol, numBuckets))
+  }
+
+  /** Incremental merge: only buckets containing source keys are read,
+    * merged and rewritten; the manifest flip publishes atomically. */
+  def merge(spark: SparkSession, source: DataFrame, dir: String, keyCol: String, numBuckets: Int): Unit = {
+    val src = source.withColumn("bkt", bucketOf(keyCol, numBuckets))
+    val affected = src.select("bkt").distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (affected.isEmpty) return
+    val target = readBuckets(spark, dir, affected).getOrElse(source.limit(0))
+    val merged = MergeExecutor.merge(target, src.drop("bkt"))
+    writeManifest(dir, manifest(dir) ++ stage(merged, dir, keyCol, numBuckets))
+  }
+}
