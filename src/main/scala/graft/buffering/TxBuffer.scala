@@ -115,22 +115,44 @@ object TxBuffer {
     *
     * @param processedTs processing timestamp supplier; pass a constant for
     *                    deterministic output in tests/correctness dumps.
+    * @param stateTtl    optional per-transaction state TTL (streaming
+    *                    only): transactions still incomplete this long
+    *                    after their last event are dropped. Fixes the
+    *                    reference's documented unbounded-state risk
+    *                    (IMPLEMENTATION.md:177-183 — NoTimeout, state
+    *                    leaks if metadata never arrives). None preserves
+    *                    the reference's exact semantics.
     */
-  def apply(unified: DataFrame, processedTs: () => String = () => Instant.now().toString): Dataset[OrderStreamRow] = {
+  def apply(
+      unified: DataFrame,
+      processedTs: () => String = () => Instant.now().toString,
+      stateTtl: Option[java.time.Duration] = None): Dataset[OrderStreamRow] = {
     val ts = processedTs
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     unified
       .select("xid", "csn", "table", "before", "after",
         "event_type", "expected_count", "data_collections")
       .as[UnifiedEvent]
       .groupByKey(e => e.xid + ":" + e.csn)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        processTransaction(ts))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        processTransaction(ts, stateTtl))
   }
 
-  private[buffering] def processTransaction(processedTs: () => String)(
+  private[buffering] def processTransaction(
+      processedTs: () => String,
+      stateTtl: Option[java.time.Duration] = None)(
       txKey: String,
       events: Iterator[UnifiedEvent],
       state: GroupState[TxState]): Iterator[OrderStreamRow] = {
+
+    if (state.hasTimedOut) {
+      // Incomplete past the TTL: drop (a dead-letter sink would hook in
+      // here — the events are in `state.get`).
+      state.remove()
+      return Iterator.empty
+    }
 
     val (xid, csn) = txKey.split(":", 2) match {
       case Array(x, c) => (x, c)
@@ -147,6 +169,7 @@ object TxBuffer {
       OrderAssembler.assemble(st, processedTs()).iterator
     } else {
       state.update(st)
+      stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
       Iterator.empty
     }
   }

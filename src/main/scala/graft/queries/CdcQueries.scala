@@ -77,6 +77,30 @@ object CdcQueries extends QueryModule {
              |  CAST(0 AS INT)
              |FROM orders WHERE o_orderkey % 9 = 0""".stripMargin)),
 
+    // The unified envelope surface alone (R1-R5): event counts per type
+    // after parse + normalize + union + null-key guard.
+    EngineQuery(
+      "cdc_envelope_counts",
+      (s, dir) => {
+        val st = graft.cdcgen.CdcEventGen.fromTpch(s, dir)
+        CdcPipeline.unified(st.orders, st.details, st.lineItems, st.metadata)
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT 'ORDERS' AS event_type,
+             |  CAST((SELECT count(*) FROM orders)
+             |   + (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0)
+             |   + (SELECT count(*) FROM orders WHERE o_orderkey % 13 = 0) AS BIGINT) AS n
+             |UNION ALL SELECT 'ORDER_DETAILS',
+             |  CAST((SELECT count(*) FROM orders)
+             |   + (SELECT count(*) FROM orders WHERE o_orderkey % 9 = 0) AS BIGINT)
+             |UNION ALL SELECT 'ORDER_LINE_ITEMS',
+             |  CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+             |UNION ALL SELECT 'METADATA',
+             |  CAST((SELECT count(*) FROM (SELECT o_orderkey // 5 AS g FROM orders GROUP BY 1) WHERE g % 11 <> 0)
+             |   + (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0)
+             |   + (SELECT count(*) FROM orders WHERE o_orderkey % 13 = 0)
+             |   + (SELECT count(*) FROM orders WHERE o_orderkey % 9 = 0) AS BIGINT)""".stripMargin)),
+
     // Explode the nested lineItems array (Q6 LATERAL VIEW analog) and
     // project nested fields (Q9/Q11 shapes).
     EngineQuery(

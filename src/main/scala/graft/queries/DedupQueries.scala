@@ -124,6 +124,26 @@ object DedupQueries extends QueryModule {
       "dedup_simhash",
       (s, dir) => Dedup.simhash(docs(s, dir)),
       Some(s"""WITH tk AS (SELECT doc_id, $toksDuck AS toks FROM documents)
-              |SELECT doc_id, $simhash32Duck AS simhash FROM tk""".stripMargin))
+              |SELECT doc_id, $simhash32Duck AS simhash FROM tk""".stripMargin)),
+
+    // SimHash near-dup candidates: fingerprint pairs within Hamming
+    // distance 6 of each other (cheap integer ops; at scale, block by
+    // fingerprint bytes instead of the all-pairs join).
+    EngineQuery(
+      "dedup_simhash_pairs",
+      (s, dir) => {
+        val f = Dedup.simhash(docs(s, dir))
+        f.alias("a").join(f.alias("b"),
+            org.apache.spark.sql.functions.col("a.doc_id") < org.apache.spark.sql.functions.col("b.doc_id"))
+          .selectExpr("a.doc_id AS a_id", "b.doc_id AS b_id",
+            "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming")
+          .filter("hamming <= 6")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+              |f AS (SELECT doc_id, $simhash32Duck AS simhash FROM tk)
+              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+              |FROM f a JOIN f b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin))
   )
 }

@@ -81,4 +81,50 @@ class TxBufferSpec extends SparkSuite {
       assert(a.toSeq == Seq(Seq(1.0, 1), Seq(2.0, 1)))
     } finally q.stop()
   }
+
+  test("state TTL drops transactions that stay incomplete past the deadline") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-ttl")
+    def dir(n: String) = { val d = root.resolve(n); Files.createDirectories(d); d.toString }
+    Seq("in/orders", "in/details", "in/lineitems", "in/metadata", "out", "ckpt").foreach(dir)
+
+    var fileNo = 0
+    def addFile(stream: String, lines: String*): Unit = {
+      fileNo += 1
+      Files.writeString(Paths.get(dir(s"in/$stream"), f"f$fileNo%03d.json"), lines.mkString("\n"))
+    }
+
+    // A continuous query (timeouts fire in no-data micro-batches; an
+    // AvailableNow trigger never terminates while a timeout is armed, and
+    // processAllAvailable can't observe timeout-only progress — so this
+    // test paces with wall-clock padding well above the 1s TTL).
+    val out = graft.buffering.TxBuffer(
+      graft.CdcPipeline.unified(
+        spark.readStream.schema(graft.streaming.CdcStreaming.valueSchema).text(dir("in/orders")),
+        spark.readStream.schema(graft.streaming.CdcStreaming.valueSchema).text(dir("in/details")),
+        spark.readStream.schema(graft.streaming.CdcStreaming.valueSchema).text(dir("in/lineitems")),
+        spark.readStream.schema(graft.streaming.CdcStreaming.valueSchema).text(dir("in/metadata"))),
+      stateTtl = Some(java.time.Duration.ofSeconds(1)))
+    val q = out.writeStream.format("parquet")
+      .option("path", dir("out")).option("checkpointLocation", dir("ckpt"))
+      .outputMode("append")
+      .start()
+
+    try {
+      // Phase 1: tx X announces 2 ORDERS events, only 1 arrives → incomplete.
+      addFile("metadata", meta("X", "9", "ORDERS" -> 2))
+      addFile("orders", cdc("X", "9", "APPUSER.ORDERS", "I", orderAfter(10, 1)))
+      Thread.sleep(8000) // processed + TTL (1s) expired + timeout batch fired
+      // Phase 2: X's missing event arrives post-drop — the rebuilt state
+      // has no metadata, so X must never complete. Y completes normally.
+      addFile("metadata", meta("Y", "10", "ORDERS" -> 1))
+      addFile("orders",
+        cdc("X", "9", "APPUSER.ORDERS", "I", orderAfter(11, 1)),
+        cdc("Y", "10", "APPUSER.ORDERS", "I", orderAfter(12, 1)))
+      Thread.sleep(8000)
+    } finally q.stop()
+
+    val rows = spark.read.parquet(dir("out")).selectExpr("xid").collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("Y"), s"expected only Y to complete, got $rows")
+  }
 }
