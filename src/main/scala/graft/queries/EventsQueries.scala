@@ -85,6 +85,38 @@ object EventsQueries extends QueryModule {
              |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Funnel: users whose first 'error' is followed by a 'click' within
+    // 24 hours (sequential pattern via per-user window functions; events
+    // are sparse in time, so a short window matches nothing).
+    EngineQuery(
+      "evt_funnel",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+        val e = events(s, dir)
+          .withColumn("ms", unix_millis(col("ts")))
+          .withColumn("first_error_ms",
+            min(when(col("event_type") === "error", col("ms"))).over(w))
+        e.filter(
+            col("event_type") === "click" &&
+              col("first_error_ms").isNotNull &&
+              col("ms") > col("first_error_ms") &&
+              col("ms") - col("first_error_ms") <= 86400000L)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("clicks_after_error"),
+            min("ms").as("first_click_ms"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, epoch_ms(ts) AS ms,
+             |    min(CASE WHEN event_type = 'error' THEN epoch_ms(ts) END)
+             |      OVER (PARTITION BY user_id) AS first_error_ms
+             |  FROM events)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS clicks_after_error,
+             |  CAST(min(ms) AS BIGINT) AS first_click_ms
+             |FROM e
+             |WHERE event_type = 'click' AND first_error_ms IS NOT NULL
+             |  AND ms > first_error_ms AND ms - first_error_ms <= 86400000
+             |GROUP BY user_id""".stripMargin)),
+
     // Per-type value stats (sum rounded to the data's 2-decimal grain;
     // min/max are order-free).
     EngineQuery(

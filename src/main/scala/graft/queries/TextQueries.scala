@@ -80,6 +80,44 @@ object TextQueries extends QueryModule {
               |  $fp5Duck AS shingle_fp
               |FROM documents""".stripMargin)),
 
+    // The end-to-end curation pipeline: quality-score every document,
+    // assign near-duplicate cluster representatives, keep one survivor
+    // per cluster above the quality bar — the composed operator a
+    // training-data pipeline actually runs.
+    EngineQuery(
+      "text_curate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = d.withColumn("toks", expr(toksSpark)).selectExpr(
+          "doc_id", "lang",
+          s"round(least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHits / CAST(size(toks) AS DOUBLE)) * 0.5, 4) AS quality")
+        val reps = graft.dedup.Dedup.clusterReps(
+          d, graft.dedup.Dedup.jaccardPairs(
+            graft.dedup.Dedup.gramsCached(s, graft.SparkSessions.tablePath(dir, "documents")), 0.8))
+        scored.join(reps, Seq("doc_id"))
+          .filter(col("rep_id") === col("doc_id") && col("quality") >= 0.35)
+          .select(col("doc_id"), col("lang"), col("quality"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, text, lang, $toksDuck AS toks FROM documents),
+              |scored AS (SELECT doc_id, lang,
+              |  round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHitsDuck / CAST(len(toks) AS DOUBLE)) * 0.5, 4) AS quality
+              |  FROM tk),
+              |g AS (SELECT doc_id, $grams3Duck AS grams FROM tk),
+              |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              |    len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS inter,
+              |    len(a.grams) AS na, len(b.grams) AS nb
+              |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
+              |pairs AS (SELECT a_id, b_id FROM p
+              |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+              |nbr AS (SELECT doc_id, min(nb) AS min_nb FROM (
+              |    SELECT a_id AS doc_id, b_id AS nb FROM pairs
+              |    UNION ALL SELECT b_id, a_id FROM pairs) GROUP BY doc_id),
+              |reps AS (SELECT d.doc_id, least(d.doc_id, coalesce(min_nb, d.doc_id)) AS rep_id
+              |  FROM documents d LEFT JOIN nbr ON d.doc_id = nbr.doc_id)
+              |SELECT s.doc_id, s.lang, s.quality
+              |FROM scored s JOIN reps r ON s.doc_id = r.doc_id
+              |WHERE r.rep_id = s.doc_id AND s.quality >= 0.35""".stripMargin)),
+
     EngineQuery(
       "text_source_rollup",
       (s, dir) =>
