@@ -115,10 +115,16 @@ object CdcStreaming {
 /** Atomic snapshot table over a parquet directory: write to a tmp dir,
   * then swap via rename (readers resolve the `current` symlink-style
   * pointer — here a versioned subdir named by a monotonically increasing
-  * id, with a marker file designating the live one). */
+  * id, with a marker file designating the live one).
+  *
+  * Every superseded version stays on disk until `vacuum`, which gives
+  * time travel for free (the reference gets it from Delta,
+  * db/query_table.sql:173-178): `snapshots` lists history newest-first,
+  * `readSnapshot(n)` reads the nth-newest. */
 object ParquetTable {
 
   import java.nio.file.{Files, Paths, StandardCopyOption}
+  import scala.jdk.CollectionConverters._
 
   private def pointer(dir: String) = Paths.get(dir, "_CURRENT")
 
@@ -131,6 +137,25 @@ object ParquetTable {
 
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(currentPath(dir))
+
+  /** Snapshot version names, newest first (v<nanotime> sorts by time). */
+  def snapshots(dir: String): Seq[String] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("v")).toSeq.sorted.reverse
+
+  /** Time travel: read the nth-newest snapshot (0 == current). */
+  def readSnapshot(spark: SparkSession, dir: String, n: Int): DataFrame =
+    spark.read.parquet(s"$dir/${snapshots(dir)(n)}")
+
+  /** Drop superseded snapshots, keeping the newest `keep` (>=1). */
+  def vacuum(dir: String, keep: Int = 1): Unit = {
+    val current = Files.readString(pointer(dir)).trim
+    snapshots(dir).drop(math.max(keep, 1)).filter(_ != current).foreach { v =>
+      val root = Paths.get(dir, v)
+      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
 
   /** Write a new snapshot version and atomically repoint `_CURRENT`. */
   def swap(spark: SparkSession, df: DataFrame, dir: String): Unit = {
