@@ -1,6 +1,6 @@
 package graft.cdcgen
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.SparkSessions.tablePath
@@ -24,14 +24,18 @@ import graft.SparkSessions.tablePath
   *    (completion gating).
   *  - Orders with o_orderkey % 7 == 0 get a second, single-order update
   *    transaction (xid `txu-<key>`) with before images and VERSION=2.
+  *  - Orders with o_orderkey % 9 == 0 get a detail-only update transaction
+  *    (xid `txs-<key>`) — SCD1 catch-all-clause and insert-guard coverage.
   *  - Orders with o_orderkey % 13 == 0 get a delete transaction
   *    (xid `txd-<key>`, op_type=D, after=null) → buffered, counted,
   *    complete, but assembles to zero rows (delete-skip semantics).
   *  - A handful of null-xid events are mixed in → dropped by the null
   *    guard before grouping.
   *
-  * Everything is a declarative DataFrame transform ending in
-  * `to_json(struct(...))`, producing Kafka-like `value: STRING` streams.
+  * The JSON is rendered with plain string `concat` (codegen'd, no
+  * map/struct allocation or Jackson serialization per row) instead of
+  * `to_json(struct(map(...)))`. Generated values contain no
+  * quotes/backslashes, so no escaping is needed.
   */
 object CdcEventGen {
 
@@ -49,63 +53,99 @@ object CdcEventGen {
   private val dstatus = array(lit("PENDING"), lit("IN_TRANSIT"), lit("DELIVERED"), lit("RETURNED"))
   private def modIdx = (pmod(col("o_orderkey"), lit(4)) + 1).cast("int")
 
+  /** JSON object of string-valued fields, via codegen'd concat. Values
+    * must be non-null and quote-free (true for everything we render). */
+  private def jsonObj(fields: (String, Column)*): Column = {
+    val parts = fields.zipWithIndex.flatMap { case ((k, v), i) =>
+      Seq(lit((if (i == 0) "\"" else ",\"") + k + "\":\""), v, lit("\""))
+    }
+    concat(lit("{") +: parts :+ lit("}"): _*)
+  }
+
+  /** Render a possibly-null string column as a quoted JSON string or the
+    * literal `null` token. */
+  private def strOrNull(c: Column): Column =
+    coalesce(concat(lit("\""), c, lit("\"")), lit("null"))
+
+  private val nullJson = lit("null")
+
   /** The order_details image; status column injectable so update events can
     * carry a changed delivery status. */
-  private def detailImage(versionCol: org.apache.spark.sql.Column, statusCol: org.apache.spark.sql.Column) =
-    map(
-      lit("ORDER_ID"), col("o_orderkey").cast("string"),
-      lit("VERSION"), versionCol,
-      lit("SHIPPING_METHOD"), element_at(methods, modIdx),
-      lit("TRACKING_NUMBER"), concat(lit("TRK-"), col("o_orderkey").cast("string")),
-      lit("SHIPPED_TS"), date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
-      lit("ESTIMATED_DELIVERY_DATE"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
-      lit("CARRIER"), element_at(carriers, modIdx),
-      lit("DELIVERY_STATUS"), statusCol)
+  private def detailImage(versionCol: Column, statusCol: Column): Column =
+    jsonObj(
+      "ORDER_ID" -> col("o_orderkey").cast("string"),
+      "VERSION" -> versionCol,
+      "SHIPPING_METHOD" -> element_at(methods, modIdx),
+      "TRACKING_NUMBER" -> concat(lit("TRK-"), col("o_orderkey").cast("string")),
+      "SHIPPED_TS" -> date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+      "ESTIMATED_DELIVERY_DATE" -> date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      "CARRIER" -> element_at(carriers, modIdx),
+      "DELIVERY_STATUS" -> statusCol)
 
   /** The shared order `after` image (all values strings, as in the
     * GoldenGate envelope; typed coercion happens in the engine). */
-  private def orderImage(versionCol: org.apache.spark.sql.Column, statusCol: org.apache.spark.sql.Column) =
-    map(
-      lit("ORDER_ID"), col("o_orderkey").cast("string"),
-      lit("ORDER_REF"), concat(lit("ORD-"), col("o_orderkey").cast("string")),
-      lit("VERSION"), versionCol,
-      lit("ORDER_DATE"), date_format(col("o_orderdate"), "yyyy-MM-dd"),
-      lit("ORDER_TS"), date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
-      lit("ORDER_STATUS"), statusCol,
-      lit("ORDER_TYPE"), col("o_orderpriority"),
-      lit("TOTAL_AMOUNT"), col("o_totalprice").cast("string"),
-      lit("CURRENCY"), lit("USD"),
-      lit("CUSTOMER_ID"), concat(lit("CUST-"), col("o_custkey").cast("string")),
-      lit("SHIPPING_ADDRESS_ID"), concat(lit("ADDR-"), pmod(col("o_custkey"), lit(100)).cast("string")),
-      lit("CREATED_TS"), date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+  private def orderImage(versionCol: Column, statusCol: Column): Column =
+    jsonObj(
+      "ORDER_ID" -> col("o_orderkey").cast("string"),
+      "ORDER_REF" -> concat(lit("ORD-"), col("o_orderkey").cast("string")),
+      "VERSION" -> versionCol,
+      "ORDER_DATE" -> date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      "ORDER_TS" -> date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+      "ORDER_STATUS" -> statusCol,
+      "ORDER_TYPE" -> col("o_orderpriority"),
+      "TOTAL_AMOUNT" -> col("o_totalprice").cast("string"),
+      "CURRENCY" -> lit("USD"),
+      "CUSTOMER_ID" -> concat(lit("CUST-"), col("o_custkey").cast("string")),
+      "SHIPPING_ADDRESS_ID" -> concat(lit("ADDR-"), pmod(col("o_custkey"), lit(100)).cast("string")),
+      "CREATED_TS" -> date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
 
   private def envelope(
-      xid: org.apache.spark.sql.Column,
-      csn: org.apache.spark.sql.Column,
+      xid: Column,
+      csn: Column,
       table: String,
-      opType: org.apache.spark.sql.Column,
-      before: org.apache.spark.sql.Column,
-      after: org.apache.spark.sql.Column) =
-    to_json(struct(
-      lit(table).as("table"),
-      opType.as("op_type"),
-      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("op_ts"),
-      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("current_ts"),
-      lpad(col("o_orderkey").cast("string"), 20, "0").as("pos"),
-      csn.as("csn"),
-      xid.as("xid"),
-      before.as("before"),
-      after.as("after"))).as("value")
+      opType: Column,
+      before: Column,
+      after: Column) = {
+    val ts6 = date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    concat(
+      lit(s"""{"table":"$table","op_type":""""), opType,
+      lit("""","op_ts":""""), ts6,
+      lit("""","current_ts":""""), ts6,
+      lit("""","pos":""""), lpad(col("o_orderkey").cast("string"), 20, "0"),
+      lit("""","csn":"""), strOrNull(csn),
+      lit(""","xid":"""), strOrNull(xid),
+      lit(""","before":"""), before,
+      lit(""","after":"""), after,
+      lit("}")).as("value")
+  }
+
+  private def metaJson(
+      xid: Column,
+      csn: Column,
+      txTs: Column,
+      eventCount: Column,
+      collections: Column) =
+    concat(
+      lit("""{"xid":""""), xid,
+      lit("""","csn":""""), csn,
+      lit("""","tx_ts":""""), txTs,
+      lit("""","event_count":"""), eventCount.cast("string"),
+      lit(""","data_collections":["""), collections,
+      lit("]}")).as("value")
+
+  private def collection(name: String, countCol: Column): Column =
+    concat(
+      lit(s"""{"data_collection":"$name","event_count":"""),
+      countCol.cast("string"), lit("}"))
 
   def fromTpch(spark: SparkSession, sfDir: String): CdcStreams = {
     val orders = spark.read.parquet(tablePath(sfDir, "orders"))
     val lineitem = spark.read.parquet(tablePath(sfDir, "lineitem"))
-    val nullMap = lit(null).cast("map<string,string>")
 
     // --- ORDERS events ---
     val orderInserts = orders.select(envelope(
       baseXid, baseCsn, "APPUSER.ORDERS", lit("I"),
-      nullMap, orderImage(lit("1"), col("o_orderstatus"))))
+      nullJson, orderImage(lit("1"), col("o_orderstatus"))))
 
     val orderUpdates = orders
       .filter(col("o_orderkey") % 7 === 0)
@@ -122,21 +162,21 @@ object CdcEventGen {
         concat(lit("txd-"), col("o_orderkey").cast("string")),
         (col("o_orderkey") + lit(2000000000L)).cast("string"),
         "APPUSER.ORDERS", lit("D"),
-        orderImage(lit("1"), col("o_orderstatus")), nullMap))
+        orderImage(lit("1"), col("o_orderstatus")), nullJson))
 
     // Null-xid noise: must be dropped by the pipeline's null guard.
     val nullKeyNoise = orders
       .filter(col("o_orderkey") % 500 === 1)
       .select(envelope(
         lit(null).cast("string"), lit(null).cast("string"),
-        "APPUSER.ORDERS", lit("I"), nullMap, orderImage(lit("1"), col("o_orderstatus"))))
+        "APPUSER.ORDERS", lit("I"), nullJson, orderImage(lit("1"), col("o_orderstatus"))))
 
     val allOrderEvents = orderInserts.unionByName(orderUpdates)
       .unionByName(orderDeletes).unionByName(nullKeyNoise)
 
     // --- ORDER_DETAILS events (1:1 with orders) ---
     val detailInserts = orders.select(envelope(
-      baseXid, baseCsn, "APPUSER.ORDER_DETAILS", lit("I"), nullMap,
+      baseXid, baseCsn, "APPUSER.ORDER_DETAILS", lit("I"), nullJson,
       detailImage(lit("1"), element_at(dstatus, modIdx))))
 
     // Detail-only update transactions (o_orderkey % 9 == 0): parent version
@@ -162,19 +202,19 @@ object CdcEventGen {
       col("l_linenumber"), col("l_partkey"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"))
     val lineItemInserts = liWithOrderDate.select(envelope(
-      baseXid, baseCsn, "APPUSER.ORDER_LINE_ITEMS", lit("I"), nullMap,
-      map(
-        lit("LINE_ITEM_ID"), (col("o_orderkey") * 10 + col("l_linenumber")).cast("string"),
-        lit("ORDER_ID"), col("o_orderkey").cast("string"),
-        lit("VERSION"), lit("1"),
-        lit("PRODUCT_ID"), concat(lit("PROD-"), col("l_partkey").cast("string")),
-        lit("ITEM_QTY"), col("l_quantity").cast("string"),
-        lit("ITEM_PRICE"), col("l_extendedprice").cast("string"),
+      baseXid, baseCsn, "APPUSER.ORDER_LINE_ITEMS", lit("I"), nullJson,
+      jsonObj(
+        "LINE_ITEM_ID" -> (col("o_orderkey") * 10 + col("l_linenumber")).cast("string"),
+        "ORDER_ID" -> col("o_orderkey").cast("string"),
+        "VERSION" -> lit("1"),
+        "PRODUCT_ID" -> concat(lit("PROD-"), col("l_partkey").cast("string")),
+        "ITEM_QTY" -> col("l_quantity").cast("string"),
+        "ITEM_PRICE" -> col("l_extendedprice").cast("string"),
         // No round(): Spark and DuckDB disagree on half-way decimal ties,
         // but a raw IEEE-754 product round-trips string→double exactly and
         // matches DuckDB's identical multiply bit-for-bit.
-        lit("ITEM_AMOUNT"), (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("string"),
-        lit("ITEM_CURRENCY"), lit("USD"))))
+        "ITEM_AMOUNT" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("string"),
+        "ITEM_CURRENCY" -> lit("USD"))))
 
     // --- Transaction metadata ---
     // Base groups: per g = o_orderkey DIV 5 — counts of orders, details
@@ -188,26 +228,24 @@ object CdcEventGen {
       .join(liCounts, Seq("g"), "left")
       .na.fill(0, Seq("n_li"))
       .filter(col("g") % 11 =!= 0)
-      .select(to_json(struct(
-        concat(lit("tx-"), col("g").cast("string")).as("xid"),
-        col("g").cast("string").as("csn"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("tx_ts"),
-        (col("n_ord") * 2 + col("n_li")).as("event_count"),
-        array(
-          struct(lit("ORDERS").as("data_collection"), col("n_ord").as("event_count")),
-          struct(lit("ORDER_DETAILS").as("data_collection"), col("n_ord").as("event_count")),
-          struct(lit("ORDER_LINE_ITEMS").as("data_collection"), col("n_li").as("event_count"))
-        ).as("data_collections"))).as("value"))
+      .select(metaJson(
+        concat(lit("tx-"), col("g").cast("string")),
+        col("g").cast("string"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        col("n_ord") * 2 + col("n_li"),
+        concat_ws(",",
+          collection("ORDERS", col("n_ord")),
+          collection("ORDER_DETAILS", col("n_ord")),
+          collection("ORDER_LINE_ITEMS", col("n_li")))))
 
-    def singleOrderMeta(filterMod: Int, prefix: String, csnOffset: Long, collection: String) = orders
+    def singleOrderMeta(filterMod: Int, prefix: String, csnOffset: Long, coll: String) = orders
       .filter(col("o_orderkey") % filterMod === 0)
-      .select(to_json(struct(
-        concat(lit(prefix), col("o_orderkey").cast("string")).as("xid"),
-        (col("o_orderkey") + lit(csnOffset)).cast("string").as("csn"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("tx_ts"),
-        lit(1).as("event_count"),
-        array(struct(lit(collection).as("data_collection"), lit(1).as("event_count")))
-          .as("data_collections"))).as("value"))
+      .select(metaJson(
+        concat(lit(prefix), col("o_orderkey").cast("string")),
+        (col("o_orderkey") + lit(csnOffset)).cast("string"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        lit(1),
+        collection(coll, lit(1))))
 
     val metadata = baseMeta
       .unionByName(singleOrderMeta(7, "txu-", 1000000000L, "ORDERS"))
