@@ -58,20 +58,9 @@ object SimQueries extends QueryModule {
     // confined to buckets). Vectors alone in their bucket drop out.
     EngineQuery(
       "sim_lsh_bucket_nn",
-      (s, dir) => {
-        val sigs = emb(s, dir).selectExpr(
-          "vec_id", "embedding",
-          s"${lshSigSpark("embedding", LshBits, Dim)} AS bucket")
-        val pairs = sigs.alias("a")
-          .join(sigs.alias("b"),
-            col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-          .selectExpr(
-            "a.vec_id AS vec_id", "b.vec_id AS neighbor_id",
-            s"${cosineSpark("a.embedding", "b.embedding")} AS cos")
-        val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-        pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-          .select(col("vec_id"), col("neighbor_id"), round(col("cos"), 6).as("cosine"))
-      },
+      (s, dir) => bucketNnJvm(s, emb(s, dir).selectExpr(
+        "vec_id", "embedding",
+        s"${lshSigSpark("embedding", LshBits, Dim)} AS bucket")),
       Some(s"""WITH s AS (SELECT vec_id, embedding,
               |    ${lshSigDuck("embedding", LshBits, Dim)} AS bucket
               |  FROM embeddings),

@@ -111,6 +111,42 @@ object Similarity {
       .toDF()
   }
 
+  final case class BucketVec(vec_id: Long, embedding: Array[Float], bucket: Long)
+  final case class BucketNn(vec_id: Long, neighbor_id: Long, cosine: Double)
+
+  /** Bucketed ANN, JVM path: nearest neighbor within each vector's LSH
+    * bucket. The corpus (with precomputed buckets) is broadcast and
+    * indexed by bucket per executor; each row scans only its own bucket.
+    * At 100 TB the broadcast side is the bucketed centroid/probe block,
+    * not the full corpus. Bit-identical to the SQL formulation (same
+    * fold-ordered cosine, same (cos desc, id asc) argmax). */
+  def bucketNnJvm(spark: SparkSession, withBuckets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val vEnc = Encoders.product[BucketVec]
+    implicit val nnEnc = Encoders.product[BucketNn]
+    val vecs = withBuckets.select(col("vec_id"), col("embedding"), col("bucket"))
+      .as[BucketVec].collect()
+    val bc = spark.sparkContext.broadcast(vecs.groupBy(_.bucket))
+    withBuckets.select(col("vec_id"), col("embedding"), col("bucket")).as[BucketVec]
+      .mapPartitions { it =>
+        val byBucket = bc.value
+        it.flatMap { a =>
+          var best: BucketNn = null
+          byBucket.getOrElse(a.bucket, Array.empty[BucketVec]).foreach { b =>
+            if (b.vec_id != a.vec_id) {
+              val cos = cosineJvm(a.embedding, b.embedding)
+              // argmax with (cos desc, neighbor_id asc) tiebreak
+              if (best == null || cos > best.cosine ||
+                  (cos == best.cosine && b.vec_id < best.neighbor_id))
+                best = BucketNn(a.vec_id, b.vec_id, cos)
+            }
+          }
+          Option(best).map(b => b.copy(cosine = round6(b.cosine)))
+        }
+      }
+      .toDF()
+  }
+
   /** Exact top-k neighbors for a probe set: broadcast nested loop +
     * per-probe window. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
