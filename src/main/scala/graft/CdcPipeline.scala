@@ -41,10 +41,23 @@ object CdcPipeline {
     TxBuffer(unified(orders, details, lineItems, metadata), processedTs)
 
   /** Batch run over the deterministic TPC-H-derived CDC workload. */
-  def orderStreamFromTpch(spark: SparkSession, sfDir: String): Dataset[OrderStreamRow] = {
-    val s = CdcEventGen.fromTpch(spark, sfDir)
-    orderStream(s.orders, s.details, s.lineItems, s.metadata, () => FixedTs)
-  }
+  def orderStreamFromTpch(spark: SparkSession, sfDir: String): Dataset[OrderStreamRow] =
+    TxBuffer(unifiedCached(spark, sfDir), () => FixedTs)
+
+  private val unifiedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized + persisted unified envelope for the TPC-H-derived workload:
+    * the generate+parse stage feeds both the buffering pipeline and the
+    * envelope-level queries — compute it once per JVM. */
+  def unifiedCached(spark: SparkSession, sfDir: String): DataFrame =
+    unifiedCache.getOrElseUpdate((spark, sfDir), {
+      val s = CdcEventGen.fromTpch(spark, sfDir)
+      val df = unified(s.orders, s.details, s.lineItems, s.metadata)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
 
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]

@@ -110,6 +110,7 @@ object Dedup {
   /** doc_id, simhash (32-bit fingerprint as BIGINT). */
   def simhash(docs: DataFrame): DataFrame =
     docs.withColumn("toks", expr(toksSpark))
+      .withColumn("th", expr(tokenHashesSpark))
       .selectExpr("doc_id", s"$simhash32Spark AS simhash")
 
   /** Cluster-representative assignment: every doc maps to the smallest

@@ -81,11 +81,9 @@ object CdcQueries extends QueryModule {
     // after parse + normalize + union + null-key guard.
     EngineQuery(
       "cdc_envelope_counts",
-      (s, dir) => {
-        val st = graft.cdcgen.CdcEventGen.fromTpch(s, dir)
-        CdcPipeline.unified(st.orders, st.details, st.lineItems, st.metadata)
-          .groupBy("event_type").agg(count(lit(1)).as("n"))
-      },
+      (s, dir) =>
+        CdcPipeline.unifiedCached(s, dir)
+          .groupBy("event_type").agg(count(lit(1)).as("n")),
       Some("""SELECT 'ORDERS' AS event_type,
              |  CAST((SELECT count(*) FROM orders)
              |   + (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0)

@@ -32,6 +32,20 @@ object DedupQueries extends QueryModule {
       df
     })
 
+  private val shCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** SimHash fingerprints persisted once per (session, dir): the
+    * fingerprint query and the self-joined pairs query share them (a
+    * self-join would otherwise recompute the hashing twice). */
+  private def simhashCached(s: SparkSession, dir: String): DataFrame =
+    shCache.getOrElseUpdate((s, dir), {
+      val df = Dedup.simhash(docs(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
   /** DuckDB CTE producing (doc_id, toks, grams). */
   private val duckGrams =
     s"""WITH tk AS (SELECT doc_id, text, $toksDuck AS toks FROM documents),
@@ -122,9 +136,10 @@ object DedupQueries extends QueryModule {
 
     EngineQuery(
       "dedup_simhash",
-      (s, dir) => Dedup.simhash(docs(s, dir)),
-      Some(s"""WITH tk AS (SELECT doc_id, $toksDuck AS toks FROM documents)
-              |SELECT doc_id, $simhash32Duck AS simhash FROM tk""".stripMargin)),
+      (s, dir) => simhashCached(s, dir),
+      Some(s"""WITH tk AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+              |h AS (SELECT doc_id, $tokenHashesDuck AS th FROM tk)
+              |SELECT doc_id, $simhash32Duck AS simhash FROM h""".stripMargin)),
 
     // SimHash near-dup candidates: fingerprint pairs within Hamming
     // distance 6 of each other (cheap integer ops; at scale, block by
@@ -132,7 +147,7 @@ object DedupQueries extends QueryModule {
     EngineQuery(
       "dedup_simhash_pairs",
       (s, dir) => {
-        val f = Dedup.simhash(docs(s, dir))
+        val f = simhashCached(s, dir)
         f.alias("a").join(f.alias("b"),
             org.apache.spark.sql.functions.col("a.doc_id") < org.apache.spark.sql.functions.col("b.doc_id"))
           .selectExpr("a.doc_id AS a_id", "b.doc_id AS b_id",
@@ -140,7 +155,8 @@ object DedupQueries extends QueryModule {
           .filter("hamming <= 6")
       },
       Some(s"""WITH tk AS (SELECT doc_id, $toksDuck AS toks FROM documents),
-              |f AS (SELECT doc_id, $simhash32Duck AS simhash FROM tk)
+              |h AS (SELECT doc_id, $tokenHashesDuck AS th FROM tk),
+              |f AS (SELECT doc_id, $simhash32Duck AS simhash FROM h)
               |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
               |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
               |FROM f a JOIN f b ON a.doc_id < b.doc_id

@@ -105,17 +105,26 @@ object TextAnalysis {
     s"md5(list_aggregate(list_transform(sig[$start:${start + rows - 1}], x -> x::VARCHAR), 'string_agg', ','))"
 
   /** 32-bit SimHash over the token multiset (unit weights): for each bit,
-    * +1 if the token-hash has the bit set else -1; fingerprint bit = sign. */
+    * +1 if the token-hash has the bit set else -1; fingerprint bit = sign.
+    * Token hashes (`th`) are computed once per token — the md5 must NOT
+    * sit inside the 32-bit loop (32× the hashing cost). */
+  val tokenHashesSpark: String =
+    s"transform(toks, t -> ${hash60Spark("t")} % 4294967296)"
+
+  val tokenHashesDuck: String =
+    s"list_transform(toks, t -> ${hash60Duck("t")} % 4294967296)"
+
+  /** Operates on a precomputed `th` array column (tokenHashes*). */
   val simhash32Spark: String =
     """aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, b) -> acc +
-      | CASE WHEN aggregate(toks, 0, (a2, t) ->
-      |   a2 + CASE WHEN ((HASH % 4294967296) DIV shiftleft(CAST(1 AS BIGINT), b)) % 2 = 1 THEN 1 ELSE -1 END) > 0
+      | CASE WHEN aggregate(th, 0, (a2, h) ->
+      |   a2 + CASE WHEN (h DIV shiftleft(CAST(1 AS BIGINT), b)) % 2 = 1 THEN 1 ELSE -1 END) > 0
       | THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)"""
-      .stripMargin.replace("\n", "").replace("HASH", hash60Spark("t"))
+      .stripMargin.replace("\n", "")
 
   val simhash32Duck: String =
     """CAST(list_sum([CASE WHEN list_sum([
-      | CASE WHEN ((HASH % 4294967296) // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END
-      | for t in toks]) > 0 THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)]) AS BIGINT)"""
-      .stripMargin.replace("\n", "").replace("HASH", hash60Duck("t"))
+      | CASE WHEN (h // (1::BIGINT << b)) % 2 = 1 THEN 1 ELSE -1 END
+      | for h in th]) > 0 THEN (1::BIGINT << b) ELSE 0 END for b in range(0, 32)]) AS BIGINT)"""
+      .stripMargin.replace("\n", "")
 }
