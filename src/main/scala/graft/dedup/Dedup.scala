@@ -113,6 +113,33 @@ object Dedup {
       .withColumn("th", expr(tokenHashesSpark))
       .selectExpr("doc_id", s"$simhash32Spark AS simhash")
 
+  final case class SimhashRow(doc_id: Long, simhash: Long)
+  final case class HammingPair(a_id: Long, b_id: Long, hamming: Int)
+
+  /** All fingerprint pairs within `maxHamming`, as a broadcast nested
+    * loop in JVM code (the SQL inequality self-join materializes n²/2
+    * rows; the JVM loop just counts bits). At scale, block by fingerprint
+    * bytes first — this is the within-block scan. */
+  def simhashPairs(spark: org.apache.spark.sql.SparkSession, fingerprints: DataFrame, maxHamming: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val rowEnc = Encoders.product[SimhashRow]
+    implicit val pairEnc = Encoders.product[HammingPair]
+    val all = fingerprints.select(col("doc_id"), col("simhash")).as[SimhashRow].collect().sortBy(_.doc_id)
+    val bc = spark.sparkContext.broadcast(all)
+    fingerprints.select(col("doc_id"), col("simhash")).as[SimhashRow]
+      .mapPartitions { it =>
+        val arr = bc.value
+        it.flatMap { a =>
+          arr.iterator.filter(_.doc_id > a.doc_id).flatMap { b =>
+            val h = java.lang.Long.bitCount(a.simhash ^ b.simhash)
+            if (h <= maxHamming) Iterator.single(HammingPair(a.doc_id, b.doc_id, h))
+            else Iterator.empty
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Cluster-representative assignment: every doc maps to the smallest
     * doc_id among itself and its verified near-duplicates (one-hop — the
     * standard min-id label step; full transitive closure iterates this

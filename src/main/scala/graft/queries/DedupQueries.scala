@@ -146,14 +146,7 @@ object DedupQueries extends QueryModule {
     // fingerprint bytes instead of the all-pairs join).
     EngineQuery(
       "dedup_simhash_pairs",
-      (s, dir) => {
-        val f = simhashCached(s, dir)
-        f.alias("a").join(f.alias("b"),
-            org.apache.spark.sql.functions.col("a.doc_id") < org.apache.spark.sql.functions.col("b.doc_id"))
-          .selectExpr("a.doc_id AS a_id", "b.doc_id AS b_id",
-            "CAST(bit_count(a.simhash ^ b.simhash) AS INT) AS hamming")
-          .filter("hamming <= 6")
-      },
+      (s, dir) => Dedup.simhashPairs(s, simhashCached(s, dir), 6),
       Some(s"""WITH tk AS (SELECT doc_id, $toksDuck AS toks FROM documents),
               |h AS (SELECT doc_id, $tokenHashesDuck AS th FROM tk),
               |f AS (SELECT doc_id, $simhash32Duck AS simhash FROM h)
