@@ -23,6 +23,7 @@ object AnalyticsQueries extends QueryModule {
   private def li(s: SparkSession, dir: String) = s.read.parquet(tablePath(dir, "lineitem"))
   private def ord(s: SparkSession, dir: String) = s.read.parquet(tablePath(dir, "orders"))
   private def cust(s: SparkSession, dir: String) = s.read.parquet(tablePath(dir, "customer"))
+  private def t(s: SparkSession, dir: String, name: String) = s.read.parquet(tablePath(dir, name))
 
   override def queries: Seq[EngineQuery] = Seq(
     // Q1/Q3: scan + group-by aggregates (TPC-H Q1 shape).
@@ -101,6 +102,56 @@ object AnalyticsQueries extends QueryModule {
       Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // Five-way join through the dimension chain (TPC-H Q5 shape):
+    // lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, filter on region,
+    // revenue by nation. Dimension sides broadcast; the two fact joins
+    // shuffle on their keys with AQE picking build sides at runtime.
+    EngineQuery(
+      "q7_multiway_join",
+      (s, dir) => {
+        val l = li(s, dir); val o = ord(s, dir); val c = cust(s, dir)
+        val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .filter(r("r_name") === "ASIA")
+          .groupBy(n("n_name").as("n_name"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin)),
+
+    // Part/supplier enrichment join (TPC-H Q9 shape, simplified):
+    // revenue by part brand for one supplier nation.
+    EngineQuery(
+      "q9_part_supplier",
+      (s, dir) => {
+        val l = li(s, dir)
+        val p = t(s, dir, "part"); val su = t(s, dir, "supplier")
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+          .groupBy(p("p_brand").as("p_brand"), su("s_nationkey").as("s_nationkey"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("net_revenue"))
+      },
+      Some("""SELECT p_brand, s_nationkey, CAST(count(*) AS BIGINT) AS n_items,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS net_revenue
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY p_brand, s_nationkey""".stripMargin)),
 
     // Q12: UNION ALL of two count branches.
     EngineQuery(
