@@ -53,6 +53,13 @@ object CdcEventGen {
   private val dstatus = array(lit("PENDING"), lit("IN_TRANSIT"), lit("DELIVERED"), lit("RETURNED"))
   private def modIdx = (pmod(col("o_orderkey"), lit(4)) + 1).cast("int")
 
+  // The testdata timestamps are all second-precision, so plain casts
+  // replace date_format (a per-row formatter, ~3 calls/row, measurable at
+  // sf0.1): CAST(ts AS STRING) == 'yyyy-MM-dd HH:mm:ss' in a UTC session.
+  private def tsStr = col("o_orderdate").cast("string")
+  private def dateStr = substring(tsStr, 1, 10)
+  private def ts6Str = concat(tsStr, lit(".000000"))
+
   /** JSON object of string-valued fields, via codegen'd concat. Values
     * must be non-null and quote-free (true for everything we render). */
   private def jsonObj(fields: (String, Column)*): Column = {
@@ -77,8 +84,8 @@ object CdcEventGen {
       "VERSION" -> versionCol,
       "SHIPPING_METHOD" -> element_at(methods, modIdx),
       "TRACKING_NUMBER" -> concat(lit("TRK-"), col("o_orderkey").cast("string")),
-      "SHIPPED_TS" -> date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
-      "ESTIMATED_DELIVERY_DATE" -> date_format(col("o_orderdate"), "yyyy-MM-dd"),
+      "SHIPPED_TS" -> tsStr,
+      "ESTIMATED_DELIVERY_DATE" -> dateStr,
       "CARRIER" -> element_at(carriers, modIdx),
       "DELIVERY_STATUS" -> statusCol)
 
@@ -89,15 +96,15 @@ object CdcEventGen {
       "ORDER_ID" -> col("o_orderkey").cast("string"),
       "ORDER_REF" -> concat(lit("ORD-"), col("o_orderkey").cast("string")),
       "VERSION" -> versionCol,
-      "ORDER_DATE" -> date_format(col("o_orderdate"), "yyyy-MM-dd"),
-      "ORDER_TS" -> date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+      "ORDER_DATE" -> dateStr,
+      "ORDER_TS" -> tsStr,
       "ORDER_STATUS" -> statusCol,
       "ORDER_TYPE" -> col("o_orderpriority"),
       "TOTAL_AMOUNT" -> col("o_totalprice").cast("string"),
       "CURRENCY" -> lit("USD"),
       "CUSTOMER_ID" -> concat(lit("CUST-"), col("o_custkey").cast("string")),
       "SHIPPING_ADDRESS_ID" -> concat(lit("ADDR-"), pmod(col("o_custkey"), lit(100)).cast("string")),
-      "CREATED_TS" -> date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))
+      "CREATED_TS" -> tsStr)
 
   private def envelope(
       xid: Column,
@@ -106,7 +113,7 @@ object CdcEventGen {
       opType: Column,
       before: Column,
       after: Column) = {
-    val ts6 = date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val ts6 = ts6Str
     concat(
       lit(s"""{"table":"$table","op_type":""""), opType,
       lit("""","op_ts":""""), ts6,
@@ -198,7 +205,7 @@ object CdcEventGen {
     // --- ORDER_LINE_ITEMS events (insert-only, from lineitem) ---
     val liWithOrderDate = lineitem.select(
       col("l_orderkey").as("o_orderkey"),
-      to_timestamp(date_format(col("l_shipdate"), "yyyy-MM-dd HH:mm:ss")).as("o_orderdate"),
+      col("l_shipdate").as("o_orderdate"),
       col("l_linenumber"), col("l_partkey"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"))
     val lineItemInserts = liWithOrderDate.select(envelope(
@@ -231,7 +238,7 @@ object CdcEventGen {
       .select(metaJson(
         concat(lit("tx-"), col("g").cast("string")),
         col("g").cast("string"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        ts6Str,
         col("n_ord") * 2 + col("n_li"),
         concat_ws(",",
           collection("ORDERS", col("n_ord")),
@@ -243,7 +250,7 @@ object CdcEventGen {
       .select(metaJson(
         concat(lit(prefix), col("o_orderkey").cast("string")),
         (col("o_orderkey") + lit(csnOffset)).cast("string"),
-        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        ts6Str,
         lit(1),
         collection(coll, lit(1))))
 
