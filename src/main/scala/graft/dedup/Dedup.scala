@@ -141,11 +141,39 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** doc_id, simhash (32-bit fingerprint as BIGINT). */
-  def simhash(docs: DataFrame): DataFrame =
+  final case class TokensRow(doc_id: Long, toks: Seq[String])
+
+  /** doc_id, simhash (32-bit fingerprint as BIGINT). JVM loop,
+    * bit-identical to the SQL/DuckDB formulation (same md5-derived token
+    * hash mod 2^32, same ±1 bit sums, sign → fingerprint bit). */
+  def simhash(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val inEnc = Encoders.product[TokensRow]
+    implicit val outEnc = Encoders.product[SimhashRow]
     docs.withColumn("toks", expr(toksSpark))
-      .withColumn("th", expr(tokenHashesSpark))
-      .selectExpr("doc_id", s"$simhash32Spark AS simhash")
+      .select(col("doc_id"), col("toks")).as[TokensRow]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { r =>
+          val th = r.toks.map { t =>
+            md.reset()
+            val hex = md.digest(t.getBytes("UTF-8"))
+              .take(8).map(b => f"${b & 0xff}%02x").mkString
+            java.lang.Long.parseLong(hex.substring(0, 15), 16) % 4294967296L
+          }
+          var fp = 0L
+          var b = 0
+          while (b < 32) {
+            var s = 0
+            th.foreach(h => s += (if (((h >> b) & 1L) == 1L) 1 else -1))
+            if (s > 0) fp |= 1L << b
+            b += 1
+          }
+          SimhashRow(r.doc_id, fp)
+        }
+      }
+      .toDF()
+  }
 
   final case class SimhashRow(doc_id: Long, simhash: Long)
   final case class HammingPair(a_id: Long, b_id: Long, hamming: Int)
