@@ -153,6 +153,33 @@ object AnalyticsQueries extends QueryModule {
              |JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY p_brand, s_nationkey""".stripMargin)),
 
+    // Analytic window functions: per-customer order sequence with
+    // row_number, lag and a running sum (frame-ordered left fold — the
+    // partial sums are bit-identical across engines because the frame
+    // order is total and deterministic).
+    EngineQuery(
+      "q8_window_analytics",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ord(s, dir)
+          .filter(col("o_custkey") % 50 === 0)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).as("order_seq"),
+            lag("o_totalprice", 1).over(w).as("prev_total"),
+            sum("o_totalprice").over(
+              w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+              .as("running_total"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  CAST(row_number() OVER w AS INT) AS order_seq,
+             |  lag(o_totalprice, 1) OVER w AS prev_total,
+             |  sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
+             |FROM orders
+             |WHERE o_custkey % 50 = 0
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
     // Q12: UNION ALL of two count branches.
     EngineQuery(
       "q12_union_all",
