@@ -7,30 +7,37 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.model.{FieldCoercion, OrderStreamRow}
 
-final case class CollectionCount(data_collection: Option[String], event_count: Option[Int])
+final case class CollectionCount(data_collection: String, event_count: java.lang.Integer)
 
 /** The buffered projection of the unified envelope: ONLY the fields the
   * stateful operator consumes (routing key + images + completion
   * metadata). The envelope's op_type/op_ts/current_ts/pos never cross the
   * shuffle or enter the state store — the typed stateful operator is an
   * optimization barrier, so projecting before `groupByKey` is the one
-  * optimization Catalyst can't do for us (SURVEY.md §4.2). */
+  * optimization Catalyst can't do for us (SURVEY.md §4.2).
+  *
+  * Fields are plain nullable types, not Options: this row is materialized
+  * once per event on the shuffle read and again per state round-trip, and
+  * Option boxing is measurable at that rate. */
 final case class UnifiedEvent(
     xid: String,
     csn: String,
-    table: Option[String],
-    before: Option[String],
-    after: Option[String],
+    table: String,
+    before: String,
+    after: String,
     event_type: String,
-    expected_count: Option[Int],
-    data_collections: Option[Seq[CollectionCount]]) {
+    expected_count: java.lang.Integer,
+    data_collections: Seq[CollectionCount]) {
 
   /** Short table name: schema prefix stripped
-    * (reference: model/generic/DataChangeEvent.scala:43-45). */
-  def tableName: Option[String] = table.map { t =>
-    val i = t.lastIndexOf('.')
-    if (i >= 0) t.substring(i + 1) else t
-  }
+    * (reference: model/generic/DataChangeEvent.scala:43-45); null for
+    * metadata events. */
+  def tableName: String =
+    if (table == null) null
+    else {
+      val i = table.lastIndexOf('.')
+      if (i >= 0) table.substring(i + 1) else table
+    }
 }
 
 /** Per-transaction mutable buffer carried in the state store
@@ -54,10 +61,14 @@ final case class TxState(
   def hasMetadata: Boolean = expectedOrders >= 0
 
   def withMetadata(e: UnifiedEvent): TxState = {
-    def countFor(name: String): Int =
-      e.data_collections.getOrElse(Nil)
-        .filter(_.data_collection.exists(dc => dc == name || dc.endsWith("." + name)))
-        .flatMap(_.event_count).sum
+    def countFor(name: String): Int = {
+      val dcs = if (e.data_collections == null) Nil else e.data_collections
+      dcs.iterator
+        .filter(c => c.data_collection != null &&
+          (c.data_collection == name || c.data_collection.endsWith("." + name)))
+        .collect { case c if c.event_count != null => c.event_count.intValue }
+        .sum
+    }
     copy(
       expectedOrders = countFor("ORDERS"),
       expectedDetails = countFor("ORDER_DETAILS"),
@@ -67,10 +78,10 @@ final case class TxState(
   /** Route a CDC event to its per-table buffer; unknown tables are ignored
     * (reference: TransactionState.scala:49-56). */
   def withEvent(e: UnifiedEvent): TxState = e.tableName match {
-    case Some("ORDERS")           => copy(orderEvents = orderEvents :+ e)
-    case Some("ORDER_DETAILS")    => copy(detailEvents = detailEvents :+ e)
-    case Some("ORDER_LINE_ITEMS") => copy(lineItemEvents = lineItemEvents :+ e)
-    case _                        => this
+    case "ORDERS"           => copy(orderEvents = orderEvents :+ e)
+    case "ORDER_DETAILS"    => copy(detailEvents = detailEvents :+ e)
+    case "ORDER_LINE_ITEMS" => copy(lineItemEvents = lineItemEvents :+ e)
+    case _                  => this
   }
 
   /** `>=`, not `==` — late duplicate deliveries must not wedge the
@@ -197,24 +208,23 @@ object OrderAssembler {
     // (reference: OrderJoiner.scala:38,56,74 + replicat IGNOREDELETES).
     // Images travel as raw JSON and are Jackson-parsed here, once per
     // buffered event (reference does the same in OrderJoiner.convert).
+    def beforeOf(e: UnifiedEvent): Option[Map[String, String]] =
+      Option(e.before).map(FieldCoercion.parseImage)
     st.orderEvents.foreach { e =>
-      e.after.foreach { a =>
-        val rec = FieldCoercion.order(
-          FieldCoercion.parseImage(a), e.before.map(FieldCoercion.parseImage))
+      if (e.after != null) {
+        val rec = FieldCoercion.order(FieldCoercion.parseImage(e.after), beforeOf(e))
         val (o, d, l) = touch(rec.orderId); byOrder(rec.orderId) = (o :+ rec, d, l)
       }
     }
     st.detailEvents.foreach { e =>
-      e.after.foreach { a =>
-        val rec = FieldCoercion.detail(
-          FieldCoercion.parseImage(a), e.before.map(FieldCoercion.parseImage))
+      if (e.after != null) {
+        val rec = FieldCoercion.detail(FieldCoercion.parseImage(e.after), beforeOf(e))
         val (o, d, l) = touch(rec.orderId); byOrder(rec.orderId) = (o, d :+ rec, l)
       }
     }
     st.lineItemEvents.foreach { e =>
-      e.after.foreach { a =>
-        val rec = FieldCoercion.lineItem(
-          FieldCoercion.parseImage(a), e.before.map(FieldCoercion.parseImage))
+      if (e.after != null) {
+        val rec = FieldCoercion.lineItem(FieldCoercion.parseImage(e.after), beforeOf(e))
         val (o, d, l) = touch(rec.orderId); byOrder(rec.orderId) = (o, d, l :+ rec)
       }
     }

@@ -11,8 +11,7 @@ import graft.model.FieldCoercion
 class OrderAssemblerSpec extends AnyFunSuite {
 
   private def ev(table: String, after: String, before: String = null): UnifiedEvent =
-    UnifiedEvent("x", "1", Some(table), Option(before), Option(after),
-      "CDC", None, None)
+    UnifiedEvent("x", "1", table, before, after, "CDC", null, null)
 
   test("events group by ORDER_ID across the three tables") {
     val st = TxState.empty("x", "1")
@@ -56,8 +55,8 @@ class OrderAssemblerSpec extends AnyFunSuite {
   }
 
   test("completion: >= semantics tolerate duplicate deliveries") {
-    val meta = UnifiedEvent("x", "1", None, None, None, "METADATA", Some(1),
-      Some(Seq(graft.buffering.CollectionCount(Some("ORDERS"), Some(1)))))
+    val meta = UnifiedEvent("x", "1", null, null, null, "METADATA", 1,
+      Seq(graft.buffering.CollectionCount("ORDERS", 1)))
     val e = ev("ORDERS", """{"ORDER_ID":"1","VERSION":"1"}""")
     val st = TxState.empty("x", "1").withMetadata(meta).withEvent(e).withEvent(e)
     assert(st.isComplete, "2 delivered >= 1 expected must complete")
