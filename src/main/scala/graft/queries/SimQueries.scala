@@ -85,6 +85,21 @@ object SimQueries extends QueryModule {
               |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
               |SELECT a_id, b_id, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin)),
 
+    // IVF cell assignment (the other ANN scale path next to LSH):
+    // deterministic seed centroids, argmax-cosine assignment.
+    EngineQuery(
+      "sim_ivf_assign",
+      (s, dir) => ivfAssign(s, emb(s, dir), 16),
+      Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 16),
+              |p AS (SELECT e.vec_id, c.cell,
+              |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
+              |  FROM embeddings e CROSS JOIN c),
+              |r AS (SELECT vec_id, cell, cos,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              |  FROM p)
+              |SELECT vec_id, cell, round(cos, 6) AS cosine FROM r WHERE rn = 1""".stripMargin)),
+
     // Label centroid check: average embedding per label, report the fold
     // of the centroid's own norm — exercises vector aggregation
     // (element-wise array sum via reduce-by-key) deterministically:

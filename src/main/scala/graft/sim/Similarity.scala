@@ -147,6 +147,40 @@ object Similarity {
       .toDF()
   }
 
+  final case class IvfAssign(vec_id: Long, cell: Long, cosine: Double)
+
+  /** IVF-style cell assignment: each vector maps to its nearest centroid
+    * (argmax cosine, centroid-id tiebreak). Centroids here are a
+    * deterministic seed set (first K vectors) rather than k-means output —
+    * the assignment/search machinery is identical and stays
+    * oracle-reproducible. At scale: centroids broadcast (tiny), one
+    * partition-local pass over the corpus, searches probe only their
+    * cell's partition (partition-prune by `cell`). */
+  def ivfAssign(spark: SparkSession, corpus: DataFrame, numCells: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val vecEnc = Encoders.product[Vec]
+    implicit val asgEnc = Encoders.product[IvfAssign]
+    val centroids = corpus.filter(col("vec_id") < numCells)
+      .select(col("vec_id"), col("embedding")).as[Vec].collect().sortBy(_.vec_id)
+    val bc = spark.sparkContext.broadcast(centroids)
+    corpus.select(col("vec_id"), col("embedding")).as[Vec]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { v =>
+          var bestCell = -1L
+          var bestCos = Double.NegativeInfinity
+          cs.foreach { c =>
+            val cos = cosineJvm(v.embedding, c.embedding)
+            if (cos > bestCos || (cos == bestCos && c.vec_id < bestCell)) {
+              bestCell = c.vec_id; bestCos = cos
+            }
+          }
+          IvfAssign(v.vec_id, bestCell, round6(bestCos))
+        }
+      }
+      .toDF()
+  }
+
   /** Exact top-k neighbors for a probe set: broadcast nested loop +
     * per-probe window. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
