@@ -28,4 +28,33 @@ object EventsStreaming {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .select(col("w.start").as("hour_ts"), col("event_type"), col("n"), col("total_value"))
+
+  /** Stream-stream interval join: per user, pair each error with the
+    * clicks that follow it within `intervalSeconds`. Both sides carry
+    * watermarks so join state is bounded (errors retained only until the
+    * click-side watermark passes the interval horizon).
+    *
+    * Reference has no stream-stream joins (SURVEY.md §2.4); this is the
+    * engine's beyond-reference streaming correlation primitive.
+    */
+  def errorClickJoin(
+      events: DataFrame,
+      intervalSeconds: Long,
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", watermarkDelay)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermarkDelay)
+    errors.join(
+      clicks,
+      col("e_user") === col("c_user") &&
+        col("c_ts") > col("e_ts") &&
+        col("c_ts") <= col("e_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
+      .select(col("e_user").as("user_id"), col("error_id"), col("click_id"),
+        col("e_ts"), col("c_ts"))
+  }
 }

@@ -53,4 +53,34 @@ class EventsStreamingSpec extends SparkSuite {
       s"only the watermark tail may be missing: streamed=${sKeys.size} batch=${bKeys.size} tail=${tail.count()}")
     assert(sKeys.nonEmpty)
   }
+
+  test("stream-stream interval join matches the batch join") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    src.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$dir/in")
+
+    val interval = 24 * 3600L
+    val q = EventsStreaming.errorClickJoin(stream, interval)
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+
+    val streamed = spark.table("ssj_out")
+      .selectExpr("user_id", "error_id", "click_id").collect()
+      .map(_.toSeq.mkString("|")).toSet
+    val batchPairs = EventsStreaming.errorClickJoin(src, interval)
+      .selectExpr("user_id", "error_id", "click_id").collect()
+      .map(_.toSeq.mkString("|")).toSet
+    assert(batchPairs.nonEmpty, "the 24h interval must produce pairs at sf0.001")
+    // Inner stream-stream join results within the watermark horizon are
+    // emitted; late-horizon pairs may be withheld, never invented.
+    assert(streamed.subsetOf(batchPairs))
+    assert(streamed.nonEmpty, "join emitted nothing")
+  }
 }
