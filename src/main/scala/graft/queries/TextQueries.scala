@@ -118,6 +118,24 @@ object TextQueries extends QueryModule {
               |FROM scored s JOIN reps r ON s.doc_id = r.doc_id
               |WHERE r.rep_id = s.doc_id AND s.quality >= 0.35""".stripMargin)),
 
+    // Corpus-level n-gram statistics: top-20 word bigrams (explode →
+    // count → total-ordered top-k). The corpus-wide dual of the per-doc
+    // text operators; at 100 TB this is one shuffle with map-side combine.
+    EngineQuery(
+      "text_top_bigrams",
+      (s, dir) =>
+        docs(s, dir).withColumn("toks", expr(toksSpark))
+          .selectExpr("explode(transform(sequence(1, greatest(size(toks) - 1, 1)), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))) AS bigram")
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram").asc)
+          .limit(20),
+      Some(s"""WITH t AS (SELECT $toksDuck AS toks FROM documents),
+              |b AS (SELECT unnest([concat_ws(' ', toks[i], toks[i+1])
+              |    for i in range(1, greatest(len(toks) - 1, 1) + 1)]) AS bigram FROM t)
+              |SELECT bigram, CAST(count(*) AS BIGINT) AS n
+              |FROM b GROUP BY bigram
+              |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin)),
+
     EngineQuery(
       "text_source_rollup",
       (s, dir) =>
