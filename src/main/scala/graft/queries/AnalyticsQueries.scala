@@ -83,7 +83,7 @@ object AnalyticsQueries extends QueryModule {
       },
       Some("""SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,
              |  round(sum(o_totalprice), 2) AS revenue,
-             |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+             |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY c_mktsegment, o_orderstatus""".stripMargin)),
 
