@@ -49,8 +49,8 @@ object ScdQueries extends QueryModule {
       |    CAST(CASE WHEN dupd THEN 2.0 WHEN base_emitted THEN 1.0 END AS DOUBLE) AS detailVersion,
       |    CASE WHEN dupd THEN 'UPDATED-' || dst WHEN base_emitted THEN dst END AS deliveryStatus,
       |    CASE WHEN dupd OR base_emitted THEN smeth END AS shippingMethod,
-      |    CAST(CASE WHEN base_emitted THEN n_li ELSE 0 END AS BIGINT) AS numLineItems,
-      |    CAST(CASE WHEN base_emitted THEN q_li ELSE 0.0 END AS DOUBLE) AS totalQty,
+      |    CAST(CASE WHEN base_emitted AND n_li > 0 THEN n_li END AS BIGINT) AS numLineItems,
+      |    CAST(CASE WHEN base_emitted AND n_li > 0 THEN q_li END AS DOUBLE) AS totalQty,
       |    CAST(CASE WHEN upd THEN 1 ELSE 0 END AS INT) AS hasOrderBefore,
       |    CAST(CASE WHEN dupd THEN 1 ELSE 0 END AS INT) AS detailHasBefore
       |  FROM cur WHERE base_emitted OR upd)

@@ -17,26 +17,28 @@ object ScdExpressions {
   def dedupArray(arr: String, key: String): String =
     s"filter($arr, e -> NOT exists($arr, o -> o.$key = e.$key AND o.version > e.version))"
 
-  /** Version-aware struct merge: higher version wins, source wins ties,
-    * null-guarded on either side (reference: ScdType1MergeApp.scala:219-225). */
+  /** Version-aware struct merge: strictly higher source version wins,
+    * TARGET wins ties (strict `>`; a NULL source version falls through to
+    * the ELSE, so it can never displace the target), null-guarded on
+    * either side (reference: ScdType1MergeApp.scala:219-225). */
   def mergeStruct(src: String, tgt: String): String =
     s"""CASE WHEN $src IS NULL THEN $tgt
        |     WHEN $tgt IS NULL THEN $src
-       |     WHEN $src.version IS NOT NULL
-       |          AND $src.version >= coalesce($tgt.version, CAST(0.0 AS DOUBLE)) THEN $src
+       |     WHEN $src.version > coalesce($tgt.version, CAST(0.0 AS DOUBLE)) THEN $src
        |     ELSE $tgt END""".stripMargin
 
-  /** Version-aware array merge by element key: a source element is dropped
-    * only if the target has a strictly newer version of it; a target element
-    * is dropped if the source has an equal-or-newer version (source wins
-    * ties — the deliberate `>` vs `>=` asymmetry,
-    * reference: ScdType1MergeApp.scala:236-244). */
+  /** Version-aware array merge by element key: a source element survives
+    * only when no target element of the same key has version >= it (target
+    * wins ties); a target element survives unless the source has a
+    * STRICTLY newer version of it — the deliberate `>=` vs `>` asymmetry.
+    * NULL and empty arrays are both treated as "no data on that side"
+    * (reference: ScdType1MergeApp.scala:236-244). */
   def mergeArray(src: String, tgt: String, key: String): String =
-    s"""CASE WHEN $src IS NULL THEN $tgt
-       |     WHEN $tgt IS NULL THEN $src
+    s"""CASE WHEN $src IS NULL OR size($src) = 0 THEN $tgt
+       |     WHEN $tgt IS NULL OR size($tgt) = 0 THEN $src
        |     ELSE concat(
-       |       filter($src, e -> NOT exists($tgt, o -> o.$key = e.$key AND o.version > e.version)),
-       |       filter($tgt, e -> NOT exists($src, o -> o.$key = e.$key AND o.version >= e.version)))
+       |       filter($src, e -> NOT exists($tgt, o -> o.$key = e.$key AND o.version >= e.version)),
+       |       filter($tgt, e -> NOT exists($src, o -> o.$key = e.$key AND o.version > e.version)))
        |     END""".stripMargin
 }
 
@@ -70,8 +72,9 @@ object BatchFlattener {
       s"try_element_at(${dedupArray("orderDetails", "orderId")}, 1) AS d",
       s"${dedupArray("lineItems", "lineItemId")} AS lineItems")
 
-    // Best order row per orderId: highest order version first; csn breaks
-    // ties deterministically (the reference leaves ties unspecified).
+    // Best order row per orderId: highest order version first (reference:
+    // :182-186 tiebreaks on dwhProcessedTs, which is constant within a
+    // micro-batch here — csn is the deterministic refinement).
     val wOrd = Window.partitionBy("orderId")
       .orderBy(desc_nulls_last("o.version"), desc_nulls_last("csn"))
     val bestOrder = flat
@@ -82,17 +85,24 @@ object BatchFlattener {
           orderFieldNames.map(f => col(s"o.$f").as(f)) :+
           col("o.before").as("orderBefore"): _*)
 
+    // Null details are filtered BEFORE the window (reference: :189-194) —
+    // ranking them would silently drop a valid detail from another row
+    // whenever the rank-1 row's detail is null.
     val wDet = Window.partitionBy("orderId")
       .orderBy(desc_nulls_last("d.version"), desc_nulls_last("csn"))
     val bestDetail = flat
       .select(col("orderId"), col("csn"), col("d"))
+      .filter(col("d").isNotNull)
       .withColumn("_rn", row_number().over(wDet))
-      .filter(col("_rn") === 1 && col("d").isNotNull)
+      .filter(col("_rn") === 1)
       .select(col("orderId"), col("d").as("orderDetails"))
 
-    // Line items merge across rows: concatenate all arrays for the order,
-    // then version-dedup by lineItemId (reference: :196-200).
+    // Line items merge across rows: concatenate all non-empty arrays for
+    // the order, then version-dedup by lineItemId (reference: :196-200).
+    // Orders whose rows all have empty arrays get NULL lineItems from the
+    // left join — not [] — matching the reference's pre-filter.
     val mergedLi = flat
+      .filter(col("lineItems").isNotNull && size(col("lineItems")) > 0)
       .groupBy("orderId")
       .agg(flatten_(col("lineItems")).as("lineItems"))
       .selectExpr("orderId", s"${dedupArray("lineItems", "lineItemId")} AS lineItems")
