@@ -31,6 +31,13 @@ import graft.SparkSessions.tablePath
   *    complete, but assembles to zero rows (delete-skip semantics).
   *  - A handful of null-xid events are mixed in → dropped by the null
   *    guard before grouping.
+  *  - Separately, `redeliveryFromTpch` builds a conflicting-redelivery
+  *    wave (xid `txr-<key>`, o_orderkey % 17 == 0): the same order /
+  *    detail / line-item images at their ORIGINAL versions but with
+  *    changed content — the at-least-once shape that exercises the
+  *    merge's target-wins-ties rule (reference:
+  *    ScdType1MergeApp.scala:219-244). Kept out of the base workload so
+  *    the tie semantics are observable in a dedicated oracle query.
   *
   * The JSON is rendered with plain string `concat` (codegen'd, no
   * map/struct allocation or Jackson serialization per row) instead of
@@ -145,6 +152,30 @@ object CdcEventGen {
       lit(s"""{"data_collection":"$name","event_count":"""),
       countCol.cast("string"), lit("}"))
 
+  /** The order_line_items image; qty column injectable so redelivery
+    * events can carry a conflicting quantity at the same version. */
+  private def lineItemImage(versionCol: Column, qtyCol: Column): Column =
+    jsonObj(
+      "LINE_ITEM_ID" -> (col("o_orderkey") * 10 + col("l_linenumber")).cast("string"),
+      "ORDER_ID" -> col("o_orderkey").cast("string"),
+      "VERSION" -> versionCol,
+      "PRODUCT_ID" -> concat(lit("PROD-"), col("l_partkey").cast("string")),
+      "ITEM_QTY" -> qtyCol.cast("string"),
+      "ITEM_PRICE" -> col("l_extendedprice").cast("string"),
+      // No round(): Spark and DuckDB disagree on half-way decimal ties,
+      // but a raw IEEE-754 product round-trips string→double exactly and
+      // matches DuckDB's identical multiply bit-for-bit.
+      "ITEM_AMOUNT" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("string"),
+      "ITEM_CURRENCY" -> lit("USD"))
+
+  /** lineitem renamed so the envelope helpers (keyed on o_* columns) work. */
+  private def liAsOrders(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+      col("l_orderkey").as("o_orderkey"),
+      col("l_shipdate").as("o_orderdate"),
+      col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"))
+
   def fromTpch(spark: SparkSession, sfDir: String): CdcStreams = {
     val orders = spark.read.parquet(tablePath(sfDir, "orders"))
     val lineitem = spark.read.parquet(tablePath(sfDir, "lineitem"))
@@ -203,25 +234,9 @@ object CdcEventGen {
     val allDetailEvents = detailInserts.unionByName(detailUpdates)
 
     // --- ORDER_LINE_ITEMS events (insert-only, from lineitem) ---
-    val liWithOrderDate = lineitem.select(
-      col("l_orderkey").as("o_orderkey"),
-      col("l_shipdate").as("o_orderdate"),
-      col("l_linenumber"), col("l_partkey"), col("l_quantity"),
-      col("l_extendedprice"), col("l_discount"))
-    val lineItemInserts = liWithOrderDate.select(envelope(
+    val lineItemInserts = liAsOrders(lineitem).select(envelope(
       baseXid, baseCsn, "APPUSER.ORDER_LINE_ITEMS", lit("I"), nullJson,
-      jsonObj(
-        "LINE_ITEM_ID" -> (col("o_orderkey") * 10 + col("l_linenumber")).cast("string"),
-        "ORDER_ID" -> col("o_orderkey").cast("string"),
-        "VERSION" -> lit("1"),
-        "PRODUCT_ID" -> concat(lit("PROD-"), col("l_partkey").cast("string")),
-        "ITEM_QTY" -> col("l_quantity").cast("string"),
-        "ITEM_PRICE" -> col("l_extendedprice").cast("string"),
-        // No round(): Spark and DuckDB disagree on half-way decimal ties,
-        // but a raw IEEE-754 product round-trips string→double exactly and
-        // matches DuckDB's identical multiply bit-for-bit.
-        "ITEM_AMOUNT" -> (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("string"),
-        "ITEM_CURRENCY" -> lit("USD"))))
+      lineItemImage(lit("1"), col("l_quantity"))))
 
     // --- Transaction metadata ---
     // Base groups: per g = o_orderkey DIV 5 — counts of orders, details
@@ -260,5 +275,52 @@ object CdcEventGen {
       .unionByName(singleOrderMeta(9, "txs-", 3000000000L, "ORDER_DETAILS"))
 
     CdcStreams(allOrderEvents, allDetailEvents, lineItemInserts, metadata)
+  }
+
+  /** Conflicting-redelivery wave for orders with o_orderkey % 17 == 0:
+    * one transaction per order (xid `txr-<key>`, csn key+4e9) re-sending
+    * the order image, its detail image and ALL its line items at their
+    * ORIGINAL version 1 but with changed content ('REDELIVERED-' status
+    * prefixes, line-item qty + 1000). Merging this against an
+    * already-current table exercises every tie rule: target must win the
+    * version-tied struct and array elements, while rows the base workload
+    * never materialized (withheld groups) insert the redelivered content.
+    */
+  def redeliveryFromTpch(spark: SparkSession, sfDir: String): CdcStreams = {
+    val orders = spark.read.parquet(tablePath(sfDir, "orders"))
+      .filter(col("o_orderkey") % 17 === 0)
+    val lineitem = spark.read.parquet(tablePath(sfDir, "lineitem"))
+      .filter(col("l_orderkey") % 17 === 0)
+
+    def xid = concat(lit("txr-"), col("o_orderkey").cast("string"))
+    def csn = (col("o_orderkey") + lit(4000000000L)).cast("string")
+
+    val redelOrders = orders.select(envelope(
+      xid, csn, "APPUSER.ORDERS", lit("I"), nullJson,
+      orderImage(lit("1"), concat(lit("REDELIVERED-"), col("o_orderstatus")))))
+
+    val redelDetails = orders.select(envelope(
+      xid, csn, "APPUSER.ORDER_DETAILS", lit("I"), nullJson,
+      detailImage(lit("1"), concat(lit("REDELIVERED-"), element_at(dstatus, modIdx)))))
+
+    val redelLineItems = liAsOrders(lineitem).select(envelope(
+      xid, csn, "APPUSER.ORDER_LINE_ITEMS", lit("I"), nullJson,
+      lineItemImage(lit("1"), col("l_quantity") + lit(1000))))
+
+    val liCounts = lineitem
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).cast("int").as("n_li"))
+    val metadata = orders
+      .join(liCounts, col("o_orderkey") === col("k"), "left")
+      .na.fill(0, Seq("n_li"))
+      .select(metaJson(
+        xid, csn, ts6Str,
+        lit(2) + col("n_li"),
+        concat_ws(",",
+          collection("ORDERS", lit(1)),
+          collection("ORDER_DETAILS", lit(1)),
+          collection("ORDER_LINE_ITEMS", col("n_li")))))
+
+    CdcStreams(redelOrders, redelDetails, redelLineItems, metadata)
   }
 }

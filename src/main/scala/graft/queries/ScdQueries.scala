@@ -2,7 +2,10 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.scd.ScdPipeline
+import graft.CdcPipeline
+import graft.buffering.TxBuffer
+import graft.cdcgen.CdcEventGen
+import graft.scd.{BatchFlattener, MergeExecutor, ScdPipeline}
 
 /** Oracle-checked queries over the SCD Type 1 `orders_current` table
   * produced by BatchFlattener + MergeExecutor (SURVEY.md §2.2 R13-R21,
@@ -86,6 +89,61 @@ object ScdQueries extends QueryModule {
       Some(oracleCur +
         """SELECT CAST(count(*) AS BIGINT) AS n_orders,
           |  CAST(0 AS BIGINT) AS dup_orders FROM expected""".stripMargin)),
+
+    // Tie/redelivery semantics end-to-end (reference:
+    // ScdType1MergeApp.scala:219-244): a conflicting-redelivery wave
+    // (same versions, changed content — the at-least-once shape) runs
+    // through the full generate → parse → buffer → flatten → merge path
+    // against the already-current table. Target must win every version
+    // tie (order struct, detail struct, line-item elements); withheld
+    // orders insert the redelivered content. This query FAILS under
+    // source-wins-ties semantics, so the oracle pins the tie-break.
+    EngineQuery(
+      "scd1_tie_semantics",
+      (s, dir) => {
+        val redel = CdcEventGen.redeliveryFromTpch(s, dir)
+        val stream = TxBuffer(
+          CdcPipeline.unified(redel.orders, redel.details, redel.lineItems, redel.metadata),
+          () => CdcPipeline.FixedTs).toDF()
+        MergeExecutor
+          .merge(ScdPipeline.ordersCurrent(s, dir), BatchFlattener.flatten(stream))
+          .filter(expr("orderId % 17 = 0"))
+          .selectExpr(
+            "orderId", "version", "orderStatus", "xid",
+            "orderDetails.version AS detailVersion",
+            "orderDetails.deliveryStatus AS deliveryStatus",
+            "CAST(size(lineItems) AS BIGINT) AS numLineItems",
+            "aggregate(lineItems, CAST(0.0 AS DOUBLE), (acc, li) -> acc + li.itemQty) AS totalQty")
+      },
+      Some(
+        """WITH li AS (
+          |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n, sum(l_quantity) AS q
+          |  FROM lineitem GROUP BY l_orderkey),
+          |cur AS (
+          |  SELECT o_orderkey AS k,
+          |    ((o_orderkey // 5) % 11 <> 0) AS base_emitted,
+          |    (o_orderkey % 7 = 0) AS upd,
+          |    (o_orderkey % 9 = 0) AS dupd,
+          |    o_orderstatus AS st,
+          |    ['PENDING','IN_TRANSIT','DELIVERED','RETURNED'][CAST(o_orderkey % 4 AS INT) + 1] AS dst,
+          |    coalesce(n, 0) AS n_li, coalesce(q, 0.0) AS q_li
+          |  FROM orders LEFT JOIN li ON l_orderkey = o_orderkey
+          |  WHERE o_orderkey % 17 = 0)
+          |SELECT
+          |  CAST(k AS DOUBLE) AS orderId,
+          |  CAST(CASE WHEN upd THEN 2.0 ELSE 1.0 END AS DOUBLE) AS version,
+          |  CASE WHEN upd THEN 'UPDATED-' || st
+          |       WHEN base_emitted THEN st
+          |       ELSE 'REDELIVERED-' || st END AS orderStatus,
+          |  'txr-' || CAST(k AS VARCHAR) AS xid,
+          |  CAST(CASE WHEN dupd AND (base_emitted OR upd) THEN 2.0 ELSE 1.0 END AS DOUBLE) AS detailVersion,
+          |  CASE WHEN dupd AND (base_emitted OR upd) THEN 'UPDATED-' || dst
+          |       WHEN base_emitted THEN dst
+          |       ELSE 'REDELIVERED-' || dst END AS deliveryStatus,
+          |  CAST(CASE WHEN n_li > 0 THEN n_li END AS BIGINT) AS numLineItems,
+          |  CAST(CASE WHEN n_li > 0 AND base_emitted THEN q_li
+          |            WHEN n_li > 0 THEN q_li + 1000.0 * n_li END AS DOUBLE) AS totalQty
+          |FROM cur""".stripMargin)),
 
     // SCD1-vs-SCD2 count comparison (reference: db/query_scd1_table.sql:70-79,
     // Q12 UNION ALL).
