@@ -176,30 +176,41 @@ object Dedup {
   }
 
   final case class SimhashRow(doc_id: Long, simhash: Long)
-  final case class HammingPair(a_id: Long, b_id: Long, hamming: Int)
 
-  /** All fingerprint pairs within `maxHamming`, as a broadcast nested
-    * loop in JVM code (the SQL inequality self-join materializes n²/2
-    * rows; the JVM loop just counts bits). At scale, block by fingerprint
-    * bytes first — this is the within-block scan. */
+  /** All fingerprint pairs within `maxHamming`, via FINGERPRINT BANDING:
+    * the 32-bit fingerprint splits into maxHamming+1 disjoint bit-range
+    * bands, and by pigeonhole any pair differing in <= maxHamming bits
+    * is identical in at least one band — so an equi-join on
+    * (band_idx, band_val) generates a complete candidate set, and a
+    * codegen'd `bit_count(a ^ b)` verifies the exact distance. The only
+    * shuffles are the band join and the pair distinct; no driver
+    * collect, no broadcast — candidate bucket sizes (not the corpus)
+    * bound executor memory. */
   def simhashPairs(spark: org.apache.spark.sql.SparkSession, fingerprints: DataFrame, maxHamming: Int): DataFrame = {
-    import org.apache.spark.sql.Encoders
-    implicit val rowEnc = Encoders.product[SimhashRow]
-    implicit val pairEnc = Encoders.product[HammingPair]
-    val all = fingerprints.select(col("doc_id"), col("simhash")).as[SimhashRow].collect().sortBy(_.doc_id)
-    val bc = spark.sparkContext.broadcast(all)
-    fingerprints.select(col("doc_id"), col("simhash")).as[SimhashRow]
-      .mapPartitions { it =>
-        val arr = bc.value
-        it.flatMap { a =>
-          arr.iterator.filter(_.doc_id > a.doc_id).flatMap { b =>
-            val h = java.lang.Long.bitCount(a.simhash ^ b.simhash)
-            if (h <= maxHamming) Iterator.single(HammingPair(a.doc_id, b.doc_id, h))
-            else Iterator.empty
-          }
-        }
-      }
-      .toDF()
+    val nb = maxHamming + 1
+    require(nb >= 1 && nb <= 32, s"maxHamming must be in [0, 31], got $maxHamming")
+    val bounds = (0 to nb).map(b => b * 32 / nb)
+    val bandExprs = (0 until nb).map { b =>
+      val lo = bounds(b)
+      val width = bounds(b + 1) - lo
+      s"shiftright(simhash, $lo) & ${(1L << width) - 1}L"
+    }
+    val bands = fingerprints.selectExpr(
+      "doc_id", "simhash",
+      s"posexplode(array(${bandExprs.mkString(", ")})) AS (band_idx, band_val)")
+    bands.alias("a")
+      .join(
+        bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+      .selectExpr("a_id", "b_id", "CAST(bit_count(sa ^ sb) AS INT) AS hamming")
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
   }
 
   /** Cluster-representative assignment: every doc maps to the smallest

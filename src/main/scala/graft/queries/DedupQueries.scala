@@ -142,8 +142,8 @@ object DedupQueries extends QueryModule {
               |SELECT doc_id, $simhash32Duck AS simhash FROM h""".stripMargin)),
 
     // SimHash near-dup candidates: fingerprint pairs within Hamming
-    // distance 6 of each other (cheap integer ops; at scale, block by
-    // fingerprint bytes instead of the all-pairs join).
+    // distance 6 of each other — banded (7 disjoint bit ranges, exact by
+    // pigeonhole), so the join shuffles band buckets, never all pairs.
     EngineQuery(
       "dedup_simhash_pairs",
       (s, dir) => Dedup.simhashPairs(s, simhashCached(s, dir), 6),

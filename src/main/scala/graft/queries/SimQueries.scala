@@ -72,8 +72,9 @@ object SimQueries extends QueryModule {
               |  FROM p)
               |SELECT vec_id, neighbor_id, round(cos, 6) AS cosine FROM r WHERE rn = 1""".stripMargin)),
 
-    // Embedding-cosine near-duplicate pairs (exact, thresholded): norms
-    // precomputed once per vector, pairs compute only the dot product.
+    // Embedding-cosine near-duplicate pairs (exact, thresholded):
+    // triangle block join — distributed n²/2 scan with no driver collect
+    // and bounded per-group memory.
     EngineQuery(
       "sim_neardup_pairs",
       (s, dir) => bruteForcePairs(s, emb(s, dir), 0.4),

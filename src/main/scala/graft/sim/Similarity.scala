@@ -83,29 +83,56 @@ object Similarity {
   def round6(x: Double): Double =
     java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** One replicated copy of a vector for the triangle block join: the
+    * (pi, pj) block-pair it participates in and the side it plays. */
+  final case class BlockTagged(
+      pi: Int, pj: Int, left: Boolean, vec_id: Long, embedding: Array[Float])
+
   /** Exact all-pairs near-duplicates above a cosine threshold, as a
-    * broadcast nested loop in tight JVM code (the interpreted HOF fold is
-    * ~100× slower per pair). The broadcast side must fit executor memory —
-    * at 100 TB this operator runs per LSH bucket / IVF cell, where the
-    * block is bounded; all-pairs over the full corpus is the small-side
-    * special case. */
-  def bruteForcePairs(spark: SparkSession, corpus: DataFrame, threshold: Double): DataFrame = {
+    * TRIANGLE BLOCK JOIN: vectors land in block g = vec_id % B, every
+    * unordered block pair (i <= j) becomes one shuffle group holding
+    * blocks i and j, and a tight JVM loop scans the cross product inside
+    * the group (the interpreted HOF fold is ~100× slower per pair).
+    *
+    * Scale: no driver collect, no full-corpus broadcast — each vector is
+    * replicated B+1 times through one shuffle and each group holds ~2n/B
+    * vectors, so executor memory bounds B, not n. The comparison count is
+    * inherently n²/2 (this is the EXACT operator); at 100 TB you cut n
+    * first by confining pairs to LSH buckets (lshSigSpark) or IVF cells
+    * (ivfAssign) and run this scan per bucket. */
+  def bruteForcePairs(
+      spark: SparkSession,
+      corpus: DataFrame,
+      threshold: Double,
+      numBlocks: Int = 8): DataFrame = {
     import org.apache.spark.sql.Encoders
     implicit val vecEnc = Encoders.product[Vec]
+    implicit val tagEnc = Encoders.product[BlockTagged]
     implicit val pairEnc = Encoders.product[NearDupPair]
-    val vecs = corpus.select(col("vec_id"), col("embedding")).as[Vec].collect().sortBy(_.vec_id)
-    val bc = spark.sparkContext.broadcast(vecs)
+    implicit val keyEnc = Encoders.scalaInt
     corpus.select(col("vec_id"), col("embedding")).as[Vec]
-      .mapPartitions { it =>
-        val all = bc.value
-        it.flatMap { a =>
-          all.iterator
-            .filter(_.vec_id > a.vec_id)
-            .flatMap { b =>
-              val cos = cosineJvm(a.embedding, b.embedding)
-              if (cos >= threshold) Iterator.single(NearDupPair(a.vec_id, b.vec_id, round6(cos)))
+      .flatMap { v =>
+        val g = (v.vec_id % numBlocks).toInt
+        (g until numBlocks).map(j => BlockTagged(g, j, left = true, v.vec_id, v.embedding)) ++
+          (0 to g).map(i => BlockTagged(i, g, left = false, v.vec_id, v.embedding))
+      }
+      .groupByKey(t => t.pi * numBlocks + t.pj)
+      .flatMapGroups { (_, it) =>
+        val (ls, rs) = it.toArray.partition(_.left)
+        val sameBlock = ls.nonEmpty && rs.nonEmpty && ls(0).pi == ls(0).pj
+        ls.iterator.flatMap { a =>
+          rs.iterator.flatMap { b =>
+            // within a block both roles hold the same vectors: id-order
+            // dedups; across blocks every pair appears exactly once.
+            if (sameBlock && a.vec_id >= b.vec_id) Iterator.empty
+            else {
+              val (lo, hi) = if (a.vec_id < b.vec_id) (a, b) else (b, a)
+              val cos = cosineJvm(lo.embedding, hi.embedding)
+              if (cos >= threshold)
+                Iterator.single(NearDupPair(lo.vec_id, hi.vec_id, round6(cos)))
               else Iterator.empty
             }
+          }
         }
       }
       .toDF()
@@ -115,24 +142,27 @@ object Similarity {
   final case class BucketNn(vec_id: Long, neighbor_id: Long, cosine: Double)
 
   /** Bucketed ANN, JVM path: nearest neighbor within each vector's LSH
-    * bucket. The corpus (with precomputed buckets) is broadcast and
-    * indexed by bucket per executor; each row scans only its own bucket.
-    * At 100 TB the broadcast side is the bucketed centroid/probe block,
-    * not the full corpus. Bit-identical to the SQL formulation (same
-    * fold-ordered cosine, same (cos desc, id asc) argmax). */
+    * bucket. ONE shuffle on the bucket key (groupByKey) and a JVM scan
+    * per bucket group — no driver collect, no corpus broadcast; executor
+    * memory bounds the bucket size (by construction: LSH bucket
+    * population falls geometrically with signature width), not the
+    * corpus. Bit-identical to the SQL formulation (same fold-ordered
+    * cosine, same (cos desc, id asc) argmax — the argmax is
+    * order-insensitive, so shuffle nondeterminism cannot change it). */
   def bucketNnJvm(spark: SparkSession, withBuckets: DataFrame): DataFrame = {
     import org.apache.spark.sql.Encoders
     implicit val vEnc = Encoders.product[BucketVec]
     implicit val nnEnc = Encoders.product[BucketNn]
-    val vecs = withBuckets.select(col("vec_id"), col("embedding"), col("bucket"))
-      .as[BucketVec].collect()
-    val bc = spark.sparkContext.broadcast(vecs.groupBy(_.bucket))
+    implicit val keyEnc = Encoders.scalaLong
     withBuckets.select(col("vec_id"), col("embedding"), col("bucket")).as[BucketVec]
-      .mapPartitions { it =>
-        val byBucket = bc.value
-        it.flatMap { a =>
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, it) =>
+        val vecs = it.toArray
+        vecs.iterator.flatMap { a =>
           var best: BucketNn = null
-          byBucket.getOrElse(a.bucket, Array.empty[BucketVec]).foreach { b =>
+          var k = 0
+          while (k < vecs.length) {
+            val b = vecs(k)
             if (b.vec_id != a.vec_id) {
               val cos = cosineJvm(a.embedding, b.embedding)
               // argmax with (cos desc, neighbor_id asc) tiebreak
@@ -140,8 +170,9 @@ object Similarity {
                   (cos == best.cosine && b.vec_id < best.neighbor_id))
                 best = BucketNn(a.vec_id, b.vec_id, cos)
             }
+            k += 1
           }
-          Option(best).map(b => b.copy(cosine = round6(b.cosine)))
+          Option(best).map(b => b.copy(cosine = round6(b.cosine))).iterator
         }
       }
       .toDF()
