@@ -62,11 +62,32 @@ object BucketedTable {
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
+  /** All version dirs currently on disk for `bucket`, any liveness. */
+  private def bucketVersions(dir: String, bucket: Int): Seq[String] = {
+    val p = Paths.get(s"$dir/bucket=$bucket")
+    if (!Files.exists(p)) Seq.empty
+    else Files.list(p).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .toSeq
+  }
+
+  /** Next monotonic version id: max over every bucket's on-disk versions
+    * + 1, zero-padded (stable across restarts — same rationale as
+    * ParquetTable). */
+  private def nextVersion(dir: String, numBuckets: Int): String = {
+    val maxId = (0 until numBuckets)
+      .flatMap(b => bucketVersions(dir, b))
+      .map(_.drop(1).toLong)
+      .foldLeft(0L)(math.max)
+    f"v${maxId + 1}%020d"
+  }
+
   /** Stage `df` partitioned by bucket under a fresh version id and move
     * each bucket dir into place; returns bucket -> version for the
     * buckets that actually contain data. */
   private def stage(df: DataFrame, dir: String, keyCol: String, numBuckets: Int): Map[Int, String] = {
-    val ver = "v" + System.nanoTime()
+    val ver = nextVersion(dir, numBuckets)
     val staging = s"$dir/staging-$ver"
     df.withColumn("bkt", bucketOf(keyCol, numBuckets))
       .repartition(col("bkt"))
@@ -101,5 +122,23 @@ object BucketedTable {
     val target = readBuckets(spark, dir, affected).getOrElse(source.limit(0))
     val merged = MergeExecutor.merge(target, src.drop("bkt"))
     writeManifest(dir, manifest(dir) ++ stage(merged, dir, keyCol, numBuckets))
+  }
+
+  /** Drop every bucket version the manifest no longer references — the
+    * merge stream publishes a new version per touched bucket and this
+    * reclaims the superseded ones (mirrors ParquetTable.vacuum; the
+    * reference gets this from Delta VACUUM, db/table_maintenance.sql).
+    * Single-writer table: run from the owning stream between batches.
+    * In-flight readers that loaded the manifest before the last flip can
+    * race a concurrent vacuum — same read-vs-vacuum window Delta has
+    * with a zero retention interval. */
+  def vacuum(dir: String, numBuckets: Int): Unit = {
+    val live = manifest(dir)
+    (0 until numBuckets).foreach { b =>
+      bucketVersions(dir, b).filterNot(live.get(b).contains(_)).foreach { v =>
+        val root = Paths.get(s"$dir/bucket=$b/$v")
+        Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
   }
 }

@@ -110,6 +110,50 @@ object CdcStreaming {
       else MergeExecutor.merge(ParquetTable.read(spark, targetDir), source)
     ParquetTable.swap(spark, result, targetDir)
   }
+
+  /** Pipeline 2, bucketed variant: the 100×-scale path. Instead of the
+    * full-snapshot swap (which rewrites the whole table every batch), a
+    * micro-batch touching k of N hash buckets rewrites only those k
+    * bucket partitions and flips the manifest — the MERGE cost tracks
+    * the batch's key spread, not the table size. `vacuumEachBatch`
+    * reclaims superseded bucket versions as the stream runs. */
+  def startScd1MergeBucketed(
+      spark: SparkSession,
+      orderStreamDir: String,
+      targetDir: String,
+      checkpointDir: String,
+      numBuckets: Int = 64,
+      vacuumEachBatch: Boolean = true,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val orderStreamSchema =
+      org.apache.spark.sql.Encoders.product[graft.model.OrderStreamRow].schema
+    spark.readStream
+      .schema(orderStreamSchema)
+      .parquet(orderStreamDir)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatchBucketed(spark, batch, targetDir, numBuckets)
+        if (vacuumEachBatch && BucketedTable.exists(targetDir))
+          BucketedTable.vacuum(targetDir, numBuckets)
+      }
+      .start()
+  }
+
+  /** One bucketed micro-batch: bootstrap on missing manifest, else an
+    * incremental per-bucket merge (same flatten + insert-guard semantics
+    * as the snapshot path). */
+  def mergeBatchBucketed(
+      spark: SparkSession, batch: DataFrame, targetDir: String, numBuckets: Int): Unit = {
+    if (batch.isEmpty) return
+    val source = BatchFlattener.flatten(batch)
+    if (!BucketedTable.exists(targetDir))
+      BucketedTable.bootstrap(
+        spark, source.filter(col("version").isNotNull), targetDir, "orderId", numBuckets)
+    else BucketedTable.merge(spark, source, targetDir, "orderId", numBuckets)
+  }
 }
 
 /** Atomic snapshot table over a parquet directory: write to a tmp dir,
@@ -117,16 +161,25 @@ object CdcStreaming {
   * pointer — here a versioned subdir named by a monotonically increasing
   * id, with a marker file designating the live one).
   *
+  * Version ids are a PERSISTED monotonic counter: the next id is
+  * max(existing ids) + 1, zero-padded so lexical and numeric order
+  * agree — stable across JVM restarts (a nanoTime-style name would
+  * reset to an arbitrary per-JVM origin and reorder history). A
+  * `_HISTORY` manifest records the publish wall-clock per version.
+  *
   * Every superseded version stays on disk until `vacuum`, which gives
   * time travel for free (the reference gets it from Delta,
   * db/query_table.sql:173-178): `snapshots` lists history newest-first,
-  * `readSnapshot(n)` reads the nth-newest. */
+  * `readSnapshot(n)` reads the nth-newest (VERSION AS OF) and
+  * `readAsOf(ts)` the newest published at or before ts
+  * (TIMESTAMP AS OF). */
 object ParquetTable {
 
-  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
   import scala.jdk.CollectionConverters._
 
   private def pointer(dir: String) = Paths.get(dir, "_CURRENT")
+  private def history(dir: String) = Paths.get(dir, "_HISTORY")
 
   def exists(dir: String): Boolean = Files.exists(pointer(dir))
 
@@ -138,15 +191,38 @@ object ParquetTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(currentPath(dir))
 
-  /** Snapshot version names, newest first (v<nanotime> sorts by time). */
+  private def versionId(name: String): Long = name.drop(1).toLong
+
+  /** Snapshot version names, newest first (numeric compare — immune to
+    * digit-count differences between naming epochs). */
   def snapshots(dir: String): Seq[String] =
     Files.list(Paths.get(dir)).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(_.startsWith("v")).toSeq.sorted.reverse
+      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .toSeq.sortBy(versionId).reverse
 
   /** Time travel: read the nth-newest snapshot (0 == current). */
   def readSnapshot(spark: SparkSession, dir: String, n: Int): DataFrame =
     spark.read.parquet(s"$dir/${snapshots(dir)(n)}")
+
+  /** (version name, publish epoch-millis), newest first, live dirs only. */
+  def publishedVersions(dir: String): Seq[(String, Long)] = {
+    if (!Files.exists(history(dir))) return Seq.empty
+    val onDisk = snapshots(dir).toSet
+    Files.readAllLines(history(dir)).asScala
+      .filter(_.nonEmpty)
+      .map { line => val Array(v, ts) = line.split("\t", 2); v -> ts.toLong }
+      .filter { case (v, _) => onDisk(v) }
+      .toSeq.sortBy { case (v, _) => -versionId(v) }
+  }
+
+  /** TIMESTAMP AS OF: read the newest snapshot published at or before
+    * `tsMillis`. */
+  def readAsOf(spark: SparkSession, dir: String, tsMillis: Long): DataFrame = {
+    val candidates = publishedVersions(dir).filter(_._2 <= tsMillis)
+    require(candidates.nonEmpty, s"no snapshot in $dir at or before $tsMillis")
+    spark.read.parquet(s"$dir/${candidates.head._1}")
+  }
 
   /** Drop superseded snapshots, keeping the newest `keep` (>=1). */
   def vacuum(dir: String, keep: Int = 1): Unit = {
@@ -157,14 +233,21 @@ object ParquetTable {
     }
   }
 
-  /** Write a new snapshot version and atomically repoint `_CURRENT`. */
+  /** Write a new snapshot version and atomically repoint `_CURRENT`.
+    * Single-writer by design (one streaming query owns a table); readers
+    * are never blocked and never see a partial snapshot. */
   def swap(spark: SparkSession, df: DataFrame, dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val next = "v" + System.nanoTime()
+    val nextId = snapshots(dir).headOption.map(versionId(_) + 1).getOrElse(1L)
+    val next = f"v$nextId%020d"
     df.write.mode("overwrite").parquet(s"$dir/$next")
     val tmp = Paths.get(dir, "_CURRENT.tmp")
     Files.writeString(tmp, next)
     Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // Publish wall-clock AFTER the pointer flip: a crash in between loses
+    // only the history line, never publishes an unreadable version.
+    Files.writeString(history(dir), s"$next\t${System.currentTimeMillis()}\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 }

@@ -51,5 +51,24 @@ class BucketedTableSpec extends SparkSuite {
     // (c) re-merging the same source converges (idempotent upsert).
     BucketedTable.merge(spark, batch2, dir, "orderId", N)
     assert(key(BucketedTable.read(spark, dir)).sameElements(key(expected)))
+
+    // (d) vacuum drops every superseded bucket version, keeps the data.
+    def versionDirs(b: Int): Seq[String] = {
+      val p = java.nio.file.Paths.get(s"$dir/bucket=$b")
+      if (!Files.exists(p)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(p).iterator().asScala.map(_.getFileName.toString).toSeq
+      }
+    }
+    val live = BucketedTable.manifest(dir)
+    assert(affected.exists(b => versionDirs(b).size > 1),
+      "affected buckets should hold superseded versions before vacuum")
+    BucketedTable.vacuum(dir, N)
+    live.keys.foreach { b =>
+      assert(versionDirs(b) == Seq(live(b)), s"bucket $b should hold exactly its live version")
+    }
+    assert(key(BucketedTable.read(spark, dir)).sameElements(key(expected)),
+      "table content survives vacuum")
   }
 }

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path}
 import org.apache.spark.sql.functions._
 
 import graft.cdcgen.CdcEventGen
-import graft.streaming.{CdcStreaming, ParquetTable}
+import graft.streaming.{BucketedTable, CdcStreaming, ParquetTable}
 
 /** End-to-end streaming test: JSON event files → file-stream ingest
   * (flatMapGroupsWithState in streaming mode, AvailableNow trigger) →
@@ -68,5 +68,19 @@ class StreamingSpec extends SparkSuite {
       df.selectExpr("orderId", "version", "orderDetails.version AS dv")
         .collect().map(_.toSeq.mkString("|")).sorted
     assert(versions(merged).sameElements(versions(expected)))
+
+    // Hop 2, bucketed variant: per-bucket incremental merge + per-batch
+    // vacuum must land on the same table with one live version/bucket.
+    val N = 16
+    val q3 = CdcStreaming.startScd1MergeBucketed(
+      spark, dir("order_stream"), dir("orders_current_bkt"), dir("ckpt/merge_bkt"), N)
+    q3.awaitTermination(300000)
+    val bucketed = BucketedTable.read(spark, dir("orders_current_bkt"))
+    assert(versions(bucketed).sameElements(versions(expected)))
+    (0 until N).foreach { b =>
+      val p = root.resolve(s"orders_current_bkt/bucket=$b")
+      if (Files.exists(p))
+        assert(Files.list(p).count() == 1, s"bucket $b should hold exactly one live version")
+    }
   }
 }

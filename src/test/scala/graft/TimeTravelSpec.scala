@@ -5,7 +5,8 @@ import java.nio.file.Files
 import graft.streaming.ParquetTable
 
 /** Snapshot time travel on the atomic parquet table (the engine's
-  * storage-level answer to Delta's VERSION AS OF; SURVEY §2.3 Q15). */
+  * storage-level answer to Delta's VERSION AS OF / TIMESTAMP AS OF;
+  * SURVEY §2.3 Q15). */
 class TimeTravelSpec extends SparkSuite {
 
   test("snapshots accumulate, read back by version, vacuum keeps the newest") {
@@ -26,5 +27,48 @@ class TimeTravelSpec extends SparkSuite {
     ParquetTable.vacuum(dir, keep = 1)
     assert(ParquetTable.snapshots(dir).size == 1)
     assert(ParquetTable.read(spark, dir).count() == 1, "current survives vacuum")
+  }
+
+  test("version ids stay monotonic across naming epochs (numeric, not lexical, order)") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-tt2").toString
+
+    // Plant a snapshot written by an "older epoch" with an UNPADDED name:
+    // lexically "v99" sorts after any zero-padded name, numerically it is
+    // the oldest — snapshots() must use numeric order and swap() must
+    // continue the counter past it.
+    Seq(1).toDF("x").write.parquet(s"$dir/v99")
+    Files.writeString(java.nio.file.Paths.get(dir, "_CURRENT"), "v99")
+
+    ParquetTable.swap(spark, Seq(1, 2).toDF("x"), dir)
+    ParquetTable.swap(spark, Seq(1, 2, 3).toDF("x"), dir)
+
+    assert(ParquetTable.snapshots(dir) ==
+      Seq(f"v${101L}%020d", f"v${100L}%020d", "v99"))
+    assert(ParquetTable.read(spark, dir).count() == 3, "newest padded version is current")
+    assert(ParquetTable.readSnapshot(spark, dir, 2).count() == 1, "legacy dir is oldest")
+
+    ParquetTable.vacuum(dir, keep = 1)
+    assert(ParquetTable.read(spark, dir).count() == 3, "vacuum must not delete the numeric-newest")
+  }
+
+  test("TIMESTAMP AS OF reads the newest snapshot published at or before ts") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-tt3").toString
+
+    val t0 = System.currentTimeMillis()
+    ParquetTable.swap(spark, Seq(1).toDF("x"), dir)
+    Thread.sleep(20)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(20)
+    ParquetTable.swap(spark, Seq(1, 2).toDF("x"), dir)
+
+    assert(ParquetTable.readAsOf(spark, dir, mid).count() == 1)
+    assert(ParquetTable.readAsOf(spark, dir, System.currentTimeMillis()).count() == 2)
+    intercept[IllegalArgumentException] {
+      ParquetTable.readAsOf(spark, dir, t0 - 1000)
+    }
   }
 }
