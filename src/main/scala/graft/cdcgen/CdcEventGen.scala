@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.SparkSessions.tablePath
+import graft.envelope.Envelope
 
 /** Deterministic CDC workload derived from the driver testdata.
   *
@@ -39,10 +40,18 @@ import graft.SparkSessions.tablePath
   *    ScdType1MergeApp.scala:219-244). Kept out of the base workload so
   *    the tie semantics are observable in a dedicated oracle query.
   *
-  * The JSON is rendered with plain string `concat` (codegen'd, no
-  * map/struct allocation or Jackson serialization per row) instead of
-  * `to_json(struct(map(...)))`. Generated values contain no
-  * quotes/backslashes, so no escaping is needed.
+  * Two output shapes share all of the above wiring:
+  *  - JSON (`fromTpch`): Kafka-like `value` strings rendered with plain
+  *    codegen'd `concat` (no map/struct allocation or Jackson
+  *    serialization per row; generated values contain no
+  *    quotes/backslashes, so no escaping is needed). This is the
+  *    CORRECTNESS path — it exercises Envelope.parseCdc end-to-end.
+  *  - Direct envelope (`envelopeFromTpch`): the exact 12-column frame
+  *    `Envelope.parseCdc`/`parseMetadata` would produce, built without
+  *    the render+reparse round-trip. This is the BENCH fast lane for
+  *    measuring the operators downstream of the parser; the before/after
+  *    images are still the same JSON strings (the assembler consumes
+  *    them as raw text either way).
   */
 object CdcEventGen {
 
@@ -52,6 +61,18 @@ object CdcEventGen {
       lineItems: DataFrame,
       metadata: DataFrame)
 
+  /** How an event family renders: Kafka-like JSON `value` strings, or the
+    * unified 12-column envelope directly. `before`/`after`/`xid`/`csn`
+    * are passed as semantic columns (NULL when absent). */
+  private sealed trait EventShape {
+    def cdc(
+        xid: Column, csn: Column, table: String, opType: Column,
+        before: Column, after: Column): Seq[Column]
+    def meta(
+        xid: Column, csn: Column, eventCount: Column,
+        collections: Seq[(String, Column)]): Seq[Column]
+  }
+
   private def baseXid = concat(lit("tx-"), expr("CAST(o_orderkey DIV 5 AS STRING)"))
   private def baseCsn = expr("CAST(o_orderkey DIV 5 AS STRING)")
 
@@ -60,12 +81,15 @@ object CdcEventGen {
   private val dstatus = array(lit("PENDING"), lit("IN_TRANSIT"), lit("DELIVERED"), lit("RETURNED"))
   private def modIdx = (pmod(col("o_orderkey"), lit(4)) + 1).cast("int")
 
+  private val nullStr = lit(null).cast("string")
+
   // The testdata timestamps are all second-precision, so plain casts
   // replace date_format (a per-row formatter, ~3 calls/row, measurable at
   // sf0.1): CAST(ts AS STRING) == 'yyyy-MM-dd HH:mm:ss' in a UTC session.
   private def tsStr = col("o_orderdate").cast("string")
   private def dateStr = substring(tsStr, 1, 10)
   private def ts6Str = concat(tsStr, lit(".000000"))
+  private def posStr = lpad(col("o_orderkey").cast("string"), 20, "0")
 
   /** JSON object of string-valued fields, via codegen'd concat. Values
     * must be non-null and quote-free (true for everything we render). */
@@ -81,7 +105,81 @@ object CdcEventGen {
   private def strOrNull(c: Column): Column =
     coalesce(concat(lit("\""), c, lit("\"")), lit("null"))
 
-  private val nullJson = lit("null")
+  /** Kafka-like rendering: one `value` column of envelope JSON. */
+  private object JsonShape extends EventShape {
+    def cdc(
+        xid: Column, csn: Column, table: String, opType: Column,
+        before: Column, after: Column): Seq[Column] = {
+      val ts6 = ts6Str
+      Seq(concat(
+        lit(s"""{"table":"$table","op_type":""""), opType,
+        lit("""","op_ts":""""), ts6,
+        lit("""","current_ts":""""), ts6,
+        lit("""","pos":""""), posStr,
+        lit("""","csn":"""), strOrNull(csn),
+        lit(""","xid":"""), strOrNull(xid),
+        lit(""","before":"""), coalesce(before, lit("null")),
+        lit(""","after":"""), coalesce(after, lit("null")),
+        lit("}")).as("value"))
+    }
+
+    def meta(
+        xid: Column, csn: Column, eventCount: Column,
+        collections: Seq[(String, Column)]): Seq[Column] = {
+      val colls = collections.map { case (name, cnt) =>
+        concat(
+          lit(s"""{"data_collection":"$name","event_count":"""),
+          cnt.cast("string"), lit("}"))
+      }
+      Seq(concat(
+        lit("""{"xid":""""), xid,
+        lit("""","csn":""""), csn,
+        lit("""","tx_ts":""""), ts6Str,
+        lit("""","event_count":"""), eventCount.cast("string"),
+        lit(""","data_collections":["""), concat_ws(",", colls: _*),
+        lit("]}")).as("value"))
+    }
+  }
+
+  /** Direct rendering of the unified envelope: byte-equivalent to
+    * parseCdc/parseMetadata output on the JSON shape. */
+  private object DirectShape extends EventShape {
+    private val collsType = "array<struct<data_collection:string,event_count:int>>"
+
+    def cdc(
+        xid: Column, csn: Column, table: String, opType: Column,
+        before: Column, after: Column): Seq[Column] = Seq(
+      xid.as("xid"),
+      csn.as("csn"),
+      lit(table).as("table"),
+      opType.as("op_type"),
+      ts6Str.as("op_ts"),
+      ts6Str.as("current_ts"),
+      posStr.as("pos"),
+      before.as("before"),
+      after.as("after"),
+      lit(table.stripPrefix("APPUSER.")).as("event_type"),
+      lit(null).cast("int").as("expected_count"),
+      lit(null).cast(collsType).as("data_collections"))
+
+    def meta(
+        xid: Column, csn: Column, eventCount: Column,
+        collections: Seq[(String, Column)]): Seq[Column] = Seq(
+      xid.as("xid"),
+      csn.as("csn"),
+      nullStr.as("table"),
+      nullStr.as("op_type"),
+      nullStr.as("op_ts"),
+      nullStr.as("current_ts"),
+      nullStr.as("pos"),
+      nullStr.as("before"),
+      nullStr.as("after"),
+      lit(Envelope.MetadataEventType).as("event_type"),
+      eventCount.cast("int").as("expected_count"),
+      array(collections.map { case (name, cnt) =>
+        struct(lit(name).as("data_collection"), cnt.cast("int").as("event_count"))
+      }: _*).as("data_collections"))
+  }
 
   /** The order_details image; status column injectable so update events can
     * carry a changed delivery status. */
@@ -113,45 +211,6 @@ object CdcEventGen {
       "SHIPPING_ADDRESS_ID" -> concat(lit("ADDR-"), pmod(col("o_custkey"), lit(100)).cast("string")),
       "CREATED_TS" -> tsStr)
 
-  private def envelope(
-      xid: Column,
-      csn: Column,
-      table: String,
-      opType: Column,
-      before: Column,
-      after: Column) = {
-    val ts6 = ts6Str
-    concat(
-      lit(s"""{"table":"$table","op_type":""""), opType,
-      lit("""","op_ts":""""), ts6,
-      lit("""","current_ts":""""), ts6,
-      lit("""","pos":""""), lpad(col("o_orderkey").cast("string"), 20, "0"),
-      lit("""","csn":"""), strOrNull(csn),
-      lit(""","xid":"""), strOrNull(xid),
-      lit(""","before":"""), before,
-      lit(""","after":"""), after,
-      lit("}")).as("value")
-  }
-
-  private def metaJson(
-      xid: Column,
-      csn: Column,
-      txTs: Column,
-      eventCount: Column,
-      collections: Column) =
-    concat(
-      lit("""{"xid":""""), xid,
-      lit("""","csn":""""), csn,
-      lit("""","tx_ts":""""), txTs,
-      lit("""","event_count":"""), eventCount.cast("string"),
-      lit(""","data_collections":["""), collections,
-      lit("]}")).as("value")
-
-  private def collection(name: String, countCol: Column): Column =
-    concat(
-      lit(s"""{"data_collection":"$name","event_count":"""),
-      countCol.cast("string"), lit("}"))
-
   /** The order_line_items image; qty column injectable so redelivery
     * events can carry a conflicting quantity at the same version. */
   private def lineItemImage(versionCol: Column, qtyCol: Column): Column =
@@ -176,46 +235,46 @@ object CdcEventGen {
       col("l_linenumber"), col("l_partkey"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"))
 
-  def fromTpch(spark: SparkSession, sfDir: String): CdcStreams = {
+  private def buildStreams(spark: SparkSession, sfDir: String, shape: EventShape): CdcStreams = {
     val orders = spark.read.parquet(tablePath(sfDir, "orders"))
     val lineitem = spark.read.parquet(tablePath(sfDir, "lineitem"))
 
     // --- ORDERS events ---
-    val orderInserts = orders.select(envelope(
+    val orderInserts = orders.select(shape.cdc(
       baseXid, baseCsn, "APPUSER.ORDERS", lit("I"),
-      nullJson, orderImage(lit("1"), col("o_orderstatus"))))
+      nullStr, orderImage(lit("1"), col("o_orderstatus"))): _*)
 
     val orderUpdates = orders
       .filter(col("o_orderkey") % 7 === 0)
-      .select(envelope(
+      .select(shape.cdc(
         concat(lit("txu-"), col("o_orderkey").cast("string")),
         (col("o_orderkey") + lit(1000000000L)).cast("string"),
         "APPUSER.ORDERS", lit("U"),
         orderImage(lit("1"), col("o_orderstatus")),
-        orderImage(lit("2"), concat(lit("UPDATED-"), col("o_orderstatus")))))
+        orderImage(lit("2"), concat(lit("UPDATED-"), col("o_orderstatus")))): _*)
 
     val orderDeletes = orders
       .filter(col("o_orderkey") % 13 === 0)
-      .select(envelope(
+      .select(shape.cdc(
         concat(lit("txd-"), col("o_orderkey").cast("string")),
         (col("o_orderkey") + lit(2000000000L)).cast("string"),
         "APPUSER.ORDERS", lit("D"),
-        orderImage(lit("1"), col("o_orderstatus")), nullJson))
+        orderImage(lit("1"), col("o_orderstatus")), nullStr): _*)
 
     // Null-xid noise: must be dropped by the pipeline's null guard.
     val nullKeyNoise = orders
       .filter(col("o_orderkey") % 500 === 1)
-      .select(envelope(
-        lit(null).cast("string"), lit(null).cast("string"),
-        "APPUSER.ORDERS", lit("I"), nullJson, orderImage(lit("1"), col("o_orderstatus"))))
+      .select(shape.cdc(
+        nullStr, nullStr,
+        "APPUSER.ORDERS", lit("I"), nullStr, orderImage(lit("1"), col("o_orderstatus"))): _*)
 
     val allOrderEvents = orderInserts.unionByName(orderUpdates)
       .unionByName(orderDeletes).unionByName(nullKeyNoise)
 
     // --- ORDER_DETAILS events (1:1 with orders) ---
-    val detailInserts = orders.select(envelope(
-      baseXid, baseCsn, "APPUSER.ORDER_DETAILS", lit("I"), nullJson,
-      detailImage(lit("1"), element_at(dstatus, modIdx))))
+    val detailInserts = orders.select(shape.cdc(
+      baseXid, baseCsn, "APPUSER.ORDER_DETAILS", lit("I"), nullStr,
+      detailImage(lit("1"), element_at(dstatus, modIdx))): _*)
 
     // Detail-only update transactions (o_orderkey % 9 == 0): parent version
     // does NOT advance → exercises the SCD1 merge's catch-all clause (parent
@@ -224,19 +283,19 @@ object CdcEventGen {
     // (source.version IS NULL → no orphan insert).
     val detailUpdates = orders
       .filter(col("o_orderkey") % 9 === 0)
-      .select(envelope(
+      .select(shape.cdc(
         concat(lit("txs-"), col("o_orderkey").cast("string")),
         (col("o_orderkey") + lit(3000000000L)).cast("string"),
         "APPUSER.ORDER_DETAILS", lit("U"),
         detailImage(lit("1"), element_at(dstatus, modIdx)),
-        detailImage(lit("2"), concat(lit("UPDATED-"), element_at(dstatus, modIdx)))))
+        detailImage(lit("2"), concat(lit("UPDATED-"), element_at(dstatus, modIdx)))): _*)
 
     val allDetailEvents = detailInserts.unionByName(detailUpdates)
 
     // --- ORDER_LINE_ITEMS events (insert-only, from lineitem) ---
-    val lineItemInserts = liAsOrders(lineitem).select(envelope(
-      baseXid, baseCsn, "APPUSER.ORDER_LINE_ITEMS", lit("I"), nullJson,
-      lineItemImage(lit("1"), col("l_quantity"))))
+    val lineItemInserts = liAsOrders(lineitem).select(shape.cdc(
+      baseXid, baseCsn, "APPUSER.ORDER_LINE_ITEMS", lit("I"), nullStr,
+      lineItemImage(lit("1"), col("l_quantity"))): _*)
 
     // --- Transaction metadata ---
     // Base groups: per g = o_orderkey DIV 5 — counts of orders, details
@@ -250,24 +309,22 @@ object CdcEventGen {
       .join(liCounts, Seq("g"), "left")
       .na.fill(0, Seq("n_li"))
       .filter(col("g") % 11 =!= 0)
-      .select(metaJson(
+      .select(shape.meta(
         concat(lit("tx-"), col("g").cast("string")),
         col("g").cast("string"),
-        ts6Str,
         col("n_ord") * 2 + col("n_li"),
-        concat_ws(",",
-          collection("ORDERS", col("n_ord")),
-          collection("ORDER_DETAILS", col("n_ord")),
-          collection("ORDER_LINE_ITEMS", col("n_li")))))
+        Seq(
+          "ORDERS" -> col("n_ord"),
+          "ORDER_DETAILS" -> col("n_ord"),
+          "ORDER_LINE_ITEMS" -> col("n_li"))): _*)
 
     def singleOrderMeta(filterMod: Int, prefix: String, csnOffset: Long, coll: String) = orders
       .filter(col("o_orderkey") % filterMod === 0)
-      .select(metaJson(
+      .select(shape.meta(
         concat(lit(prefix), col("o_orderkey").cast("string")),
         (col("o_orderkey") + lit(csnOffset)).cast("string"),
-        ts6Str,
         lit(1),
-        collection(coll, lit(1))))
+        Seq(coll -> lit(1))): _*)
 
     val metadata = baseMeta
       .unionByName(singleOrderMeta(7, "txu-", 1000000000L, "ORDERS"))
@@ -275,6 +332,19 @@ object CdcEventGen {
       .unionByName(singleOrderMeta(9, "txs-", 3000000000L, "ORDER_DETAILS"))
 
     CdcStreams(allOrderEvents, allDetailEvents, lineItemInserts, metadata)
+  }
+
+  /** JSON-shaped streams (Kafka-like `value` columns) — the correctness
+    * path through Envelope.parseCdc/parseMetadata. */
+  def fromTpch(spark: SparkSession, sfDir: String): CdcStreams =
+    buildStreams(spark, sfDir, JsonShape)
+
+  /** The unified envelope built directly (bench fast lane): identical
+    * rows to `Envelope.unionAll(parse(fromTpch(...)))` without the JSON
+    * render + from_json round-trip. */
+  def envelopeFromTpch(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = buildStreams(spark, sfDir, DirectShape)
+    Envelope.unionAll(Seq(s.orders, s.details, s.lineItems, s.metadata))
   }
 
   /** Conflicting-redelivery wave for orders with o_orderkey % 17 == 0:
@@ -295,17 +365,17 @@ object CdcEventGen {
     def xid = concat(lit("txr-"), col("o_orderkey").cast("string"))
     def csn = (col("o_orderkey") + lit(4000000000L)).cast("string")
 
-    val redelOrders = orders.select(envelope(
-      xid, csn, "APPUSER.ORDERS", lit("I"), nullJson,
-      orderImage(lit("1"), concat(lit("REDELIVERED-"), col("o_orderstatus")))))
+    val redelOrders = orders.select(JsonShape.cdc(
+      xid, csn, "APPUSER.ORDERS", lit("I"), nullStr,
+      orderImage(lit("1"), concat(lit("REDELIVERED-"), col("o_orderstatus")))): _*)
 
-    val redelDetails = orders.select(envelope(
-      xid, csn, "APPUSER.ORDER_DETAILS", lit("I"), nullJson,
-      detailImage(lit("1"), concat(lit("REDELIVERED-"), element_at(dstatus, modIdx)))))
+    val redelDetails = orders.select(JsonShape.cdc(
+      xid, csn, "APPUSER.ORDER_DETAILS", lit("I"), nullStr,
+      detailImage(lit("1"), concat(lit("REDELIVERED-"), element_at(dstatus, modIdx)))): _*)
 
-    val redelLineItems = liAsOrders(lineitem).select(envelope(
-      xid, csn, "APPUSER.ORDER_LINE_ITEMS", lit("I"), nullJson,
-      lineItemImage(lit("1"), col("l_quantity") + lit(1000))))
+    val redelLineItems = liAsOrders(lineitem).select(JsonShape.cdc(
+      xid, csn, "APPUSER.ORDER_LINE_ITEMS", lit("I"), nullStr,
+      lineItemImage(lit("1"), col("l_quantity") + lit(1000))): _*)
 
     val liCounts = lineitem
       .groupBy(col("l_orderkey").as("k"))
@@ -313,13 +383,13 @@ object CdcEventGen {
     val metadata = orders
       .join(liCounts, col("o_orderkey") === col("k"), "left")
       .na.fill(0, Seq("n_li"))
-      .select(metaJson(
-        xid, csn, ts6Str,
+      .select(JsonShape.meta(
+        xid, csn,
         lit(2) + col("n_li"),
-        concat_ws(",",
-          collection("ORDERS", lit(1)),
-          collection("ORDER_DETAILS", lit(1)),
-          collection("ORDER_LINE_ITEMS", col("n_li")))))
+        Seq(
+          "ORDERS" -> lit(1),
+          "ORDER_DETAILS" -> lit(1),
+          "ORDER_LINE_ITEMS" -> col("n_li"))): _*)
 
     CdcStreams(redelOrders, redelDetails, redelLineItems, metadata)
   }

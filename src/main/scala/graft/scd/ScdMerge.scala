@@ -62,16 +62,33 @@ object BatchFlattener {
   /** order_stream batch → one row per orderId:
     * (xid, csn, dwhProcessedTs, orderId, <flat order cols>, orderBefore,
     * orderDetails struct, lineItems array). */
-  def flatten(orderStream: DataFrame): DataFrame = {
-    // Per-row dedup: keep max-version element per key inside each array,
-    // then surface the single order/detail element (ANSI-safe try_element_at,
-    // reference: ScdType1MergeApp.scala:148-178).
-    val flat = orderStream.selectExpr(
+  def flatten(orderStream: DataFrame): DataFrame =
+    assemble(flatProjection(orderStream))
+
+  /** Like `flatten`, but persists the shared per-row dedup projection for
+    * the duration of `use` and unpersists it eagerly afterwards. The
+    * three downstream derivations (best order row, best detail, merged
+    * line items) each re-evaluate the quadratic dedup-HOF chain
+    * otherwise — 3× the dominant narrow cost of the flatten. Callers
+    * must fully materialize the result inside `use`. */
+  def flattenCached[T](orderStream: DataFrame)(use: DataFrame => T): T = {
+    val flat = flatProjection(orderStream)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try use(assemble(flat))
+    finally flat.unpersist(blocking = false)
+  }
+
+  /** Per-row dedup: keep max-version element per key inside each array,
+    * then surface the single order/detail element (ANSI-safe
+    * try_element_at, reference: ScdType1MergeApp.scala:148-178). */
+  private def flatProjection(orderStream: DataFrame): DataFrame =
+    orderStream.selectExpr(
       "xid", "csn", "dwhProcessedTs", "orderId",
       s"try_element_at(${dedupArray("orders", "orderId")}, 1) AS o",
       s"try_element_at(${dedupArray("orderDetails", "orderId")}, 1) AS d",
       s"${dedupArray("lineItems", "lineItemId")} AS lineItems")
 
+  private def assemble(flat: DataFrame): DataFrame = {
     // Best order row per orderId: highest order version first (reference:
     // :182-186 tiebreaks on dwhProcessedTs, which is constant within a
     // micro-batch here — csn is the deterministic refinement).

@@ -22,14 +22,19 @@ object ScdPipeline {
     cache.getOrElseUpdate((spark, sfDir), {
       val stream = CdcPipeline.orderStreamCached(spark, sfDir)
       // Micro-batch 1: base inserts (multi-order transactions).
-      val bootstrap = BatchFlattener.flatten(stream.filter(col("xid").startsWith("tx-")))
       // Micro-batch 2: order updates (txu-) + detail-only updates (txs-),
-      // collapsed per order by the flattener, then merged.
-      val updates = BatchFlattener.flatten(
-        stream.filter(col("xid").startsWith("txu-") || col("xid").startsWith("txs-")))
-      val df = MergeExecutor.merge(bootstrap, updates)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
+      // collapsed per order by the flattener, then merged. Both flatten
+      // projections are cached for the build and released right after the
+      // merge materializes.
+      BatchFlattener.flattenCached(
+        stream.filter(col("xid").startsWith("tx-"))) { bootstrap =>
+        BatchFlattener.flattenCached(
+          stream.filter(col("xid").startsWith("txu-") || col("xid").startsWith("txs-"))) { updates =>
+          val df = MergeExecutor.merge(bootstrap, updates)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          df
+        }
+      }
     })
 }

@@ -99,16 +99,17 @@ object CdcStreaming {
     * (reference: :83-132); always an atomic snapshot swap. */
   def mergeBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
     if (batch.isEmpty) return
-    val source = BatchFlattener.flatten(batch)
-    val result =
-      if (!ParquetTable.exists(targetDir))
-        // Bootstrap applies the merge's insert guard too: the reference's
-        // overwrite bootstrap (ScdType1MergeApp.scala:74-81) would admit a
-        // child-only orphan if a child-update event landed in the very
-        // first micro-batch; filtering keeps bootstrap ≡ merge-into-empty.
-        source.filter(col("version").isNotNull)
-      else MergeExecutor.merge(ParquetTable.read(spark, targetDir), source)
-    ParquetTable.swap(spark, result, targetDir)
+    BatchFlattener.flattenCached(batch) { source =>
+      val result =
+        if (!ParquetTable.exists(targetDir))
+          // Bootstrap applies the merge's insert guard too: the reference's
+          // overwrite bootstrap (ScdType1MergeApp.scala:74-81) would admit a
+          // child-only orphan if a child-update event landed in the very
+          // first micro-batch; filtering keeps bootstrap ≡ merge-into-empty.
+          source.filter(col("version").isNotNull)
+        else MergeExecutor.merge(ParquetTable.read(spark, targetDir), source)
+      ParquetTable.swap(spark, result, targetDir)
+    }
   }
 
   /** Pipeline 2, bucketed variant: the 100×-scale path. Instead of the
@@ -148,11 +149,12 @@ object CdcStreaming {
   def mergeBatchBucketed(
       spark: SparkSession, batch: DataFrame, targetDir: String, numBuckets: Int): Unit = {
     if (batch.isEmpty) return
-    val source = BatchFlattener.flatten(batch)
-    if (!BucketedTable.exists(targetDir))
-      BucketedTable.bootstrap(
-        spark, source.filter(col("version").isNotNull), targetDir, "orderId", numBuckets)
-    else BucketedTable.merge(spark, source, targetDir, "orderId", numBuckets)
+    BatchFlattener.flattenCached(batch) { source =>
+      if (!BucketedTable.exists(targetDir))
+        BucketedTable.bootstrap(
+          spark, source.filter(col("version").isNotNull), targetDir, "orderId", numBuckets)
+      else BucketedTable.merge(spark, source, targetDir, "orderId", numBuckets)
+    }
   }
 }
 
