@@ -24,20 +24,54 @@ import graft.text.TextAnalysis._
   */
 object Dedup {
 
-  /** doc_id, toks, grams (distinct word 3-grams). */
+  /** doc_id, toks, grams (distinct word 3-grams) — the SQL/HOF
+    * formulation, mirrored verbatim by the DuckDB oracle. */
   def withGrams(docs: DataFrame): DataFrame =
     docs.withColumn("toks", expr(toksSpark)).withColumn("grams", expr(grams3Spark))
+
+  final case class DocTextRow(doc_id: Long, text: String)
+
+  /** (doc_id, grams) computed in a tight JVM loop — element-identical to
+    * `withGrams` (GramParitySpec pins it): same whitespace tokenization,
+    * same concat_ws null-skip on the short-doc tail, same
+    * first-occurrence distinct. The interpreted HOF chain costs ~10× per
+    * doc; this is the hot path feeding Jaccard, MinHash and candidate
+    * verification. Partition-local, no shuffle. */
+  def withGramsJvm(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val inEnc = Encoders.product[DocTextRow]
+    implicit val outEnc = Encoders.product[GramRow]
+    docs.select(col("doc_id"), col("text")).as[DocTextRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          val toks = r.text.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          val upper = math.max(toks.length - 2, 1)
+          val seen = new java.util.LinkedHashSet[String]()
+          var i = 0
+          while (i < upper) {
+            // concat_ws(' ', ...) skips missing (null) operands.
+            val end = math.min(i + 3, toks.length)
+            seen.add(toks.slice(i, end).mkString(" "))
+            i += 1
+          }
+          import scala.jdk.CollectionConverters._
+          GramRow(r.doc_id, seen.iterator().asScala.toSeq)
+        }
+      }
+      .toDF()
+  }
 
   private val gramsCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
   /** Memoized + persisted (doc_id, grams) per (session, path): the gram
-    * derivation (tokenize + HOF + md5) is the expensive narrow stage and
-    * feeds the Jaccard join, the MinHash signatures AND the candidate
-    * verification — compute it once per JVM. */
+    * derivation is the expensive narrow stage and feeds the Jaccard
+    * join, the MinHash signatures AND the candidate verification —
+    * compute it once per JVM, in the JVM loop. */
   def gramsCached(spark: org.apache.spark.sql.SparkSession, docsParquet: String): DataFrame =
     gramsCache.getOrElseUpdate((spark, docsParquet), {
-      val df = withGrams(spark.read.parquet(docsParquet))
+      val df = withGramsJvm(spark.read.parquet(docsParquet))
         .select(col("doc_id"), col("grams"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()

@@ -59,11 +59,13 @@ object TextAnalysis {
   }
 
   /** Word n-gram set (distinct), joined with single spaces; short docs
-    * degrade to one truncated gram (concat_ws skips the null tail in both
-    * engines identically). */
+    * degrade to one truncated gram (try_element_at yields NULL past the
+    * end — ANSI-safe — and concat_ws skips the null tail; DuckDB list
+    * indexing is NULL out-of-bounds, so both engines degrade
+    * identically). */
   val grams3Spark: String =
     """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
-      | i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"""
+      | i -> concat_ws(' ', try_element_at(toks, i), try_element_at(toks, i + 1), try_element_at(toks, i + 2))))"""
       .stripMargin.replace("\n", "")
 
   val grams3Duck: String =

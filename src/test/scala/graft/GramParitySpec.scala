@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** The JVM gram derivation must be element-identical to the SQL/HOF
+  * formulation that the DuckDB oracles mirror — on the real documents
+  * table and on crafted short/degenerate docs. */
+class GramParitySpec extends SparkSuite {
+
+  private def gramsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
+    df.select(col("doc_id"), col("grams")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+
+  test("withGramsJvm == withGrams on the documents table") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val sql = gramsOf(Dedup.withGrams(docs))
+    val jvm = gramsOf(Dedup.withGramsJvm(docs))
+    assert(sql.keySet == jvm.keySet)
+    sql.foreach { case (id, g) =>
+      assert(jvm(id) == g, s"doc $id grams diverge: jvm=${jvm(id).take(3)} sql=${g.take(3)}")
+    }
+  }
+
+  test("withGramsJvm == withGrams on short and messy docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "one two three four five"),
+      (2L, "one two three"),
+      (3L, "one two"),
+      (4L, "one"),
+      (5L, "  Padded\tWITH   mixed\nWhitespace  "),
+      (6L, "dup dup dup dup")).toDF("doc_id", "text")
+    assert(gramsOf(Dedup.withGramsJvm(docs)) == gramsOf(Dedup.withGrams(docs)))
+  }
+}
