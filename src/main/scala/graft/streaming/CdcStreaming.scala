@@ -226,6 +226,19 @@ object ParquetTable {
     spark.read.parquet(s"$dir/${candidates.head._1}")
   }
 
+  /** RESTORE: republish the nth-newest snapshot as a NEW version (like
+    * Delta RESTORE, which commits the rollback rather than rewriting
+    * history — `snapshots` keeps the bad version for forensics until
+    * vacuum). */
+  def restore(spark: SparkSession, dir: String, n: Int): Unit =
+    swap(spark, readSnapshot(spark, dir, n), dir)
+
+  /** DEEP CLONE: materialize the source table's current snapshot as a
+    * fresh table at `dstDir` (version history starts over — same as
+    * Delta DEEP CLONE, which copies data files but not history). */
+  def deepClone(spark: SparkSession, srcDir: String, dstDir: String): Unit =
+    swap(spark, read(spark, srcDir), dstDir)
+
   /** Drop superseded snapshots, keeping the newest `keep` (>=1). */
   def vacuum(dir: String, keep: Int = 1): Unit = {
     val current = Files.readString(pointer(dir)).trim

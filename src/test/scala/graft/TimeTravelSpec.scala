@@ -53,6 +53,25 @@ class TimeTravelSpec extends SparkSuite {
     assert(ParquetTable.read(spark, dir).count() == 3, "vacuum must not delete the numeric-newest")
   }
 
+  test("RESTORE republishes an old snapshot as a new version; DEEP CLONE starts fresh history") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-tt4").toString
+
+    ParquetTable.swap(spark, Seq(1, 2, 3).toDF("x"), dir)
+    ParquetTable.swap(spark, Seq(9).toDF("x"), dir)
+
+    ParquetTable.restore(spark, dir, 1) // back to the 3-row snapshot
+    assert(ParquetTable.read(spark, dir).count() == 3)
+    assert(ParquetTable.snapshots(dir).size == 3, "restore commits, never rewrites history")
+    assert(ParquetTable.readSnapshot(spark, dir, 1).count() == 1, "the rolled-back version survives")
+
+    val cloneDir = Files.createTempDirectory("graft-tt4c").toString
+    ParquetTable.deepClone(spark, dir, cloneDir)
+    assert(ParquetTable.read(spark, cloneDir).count() == 3)
+    assert(ParquetTable.snapshots(cloneDir).size == 1, "clone starts with fresh history")
+  }
+
   test("TIMESTAMP AS OF reads the newest snapshot published at or before ts") {
     val s = spark
     import s.implicits._
