@@ -101,6 +101,70 @@ object SimQueries extends QueryModule {
               |  FROM p)
               |SELECT vec_id, cell, round(cos, 6) AS cosine FROM r WHERE rn = 1""".stripMargin)),
 
+    // Bucket-confined near-dup pairs — the 100 TB candidate-generation
+    // recipe stated as one operator: shuffle each vector once to its LSH
+    // bucket, scan pairs only within the bucket (wider 4-bit buckets here
+    // so recall at the test SF is non-trivial).
+    EngineQuery(
+      "sim_lsh_neardup",
+      (s, dir) => bucketPairsJvm(s, emb(s, dir).selectExpr(
+        "vec_id", "embedding",
+        s"${lshSigSpark("embedding", 4, Dim)} AS bucket"), 0.25),
+      Some(s"""WITH s AS (SELECT vec_id, embedding,
+              |    ${lshSigDuck("embedding", 4, Dim)} AS bucket
+              |  FROM embeddings),
+              |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |    ${cosineDuck("a.embedding", "b.embedding")} AS cos
+              |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+              |SELECT a_id, b_id, round(cos, 6) AS cosine FROM p WHERE cos >= 0.25""".stripMargin)),
+
+    // IVF SEARCH path end-to-end: probes look up their nearest cell, then
+    // scan ONLY that cell's members for top-k — the partition-pruned ANN
+    // (at scale, `cell` is the partition key, so a probe reads one
+    // partition instead of the corpus; probes broadcast).
+    EngineQuery(
+      "sim_ivf_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val assigns = ivfAssign(s, e, 16).select(col("vec_id"), col("cell"))
+        val probes = e.filter(col("vec_id") < 5)
+          .join(assigns, "vec_id")
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+        val cands = e.select(col("vec_id"), col("embedding")).join(assigns, "vec_id")
+        val scored = cands.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .selectExpr(
+            "query_id", "vec_id AS neighbor_id",
+            s"${cosineSpark("q_emb", "embedding")} AS cos")
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        scored
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("cos"), 6).as("cosine"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 16),
+              |p0 AS (SELECT e.vec_id, c.cell,
+              |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
+              |  FROM embeddings e CROSS JOIN c),
+              |a AS (SELECT vec_id, cell FROM (
+              |    SELECT vec_id, cell,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              |    FROM p0) WHERE rn = 1),
+              |pr AS (SELECT q.vec_id AS query_id, q.embedding AS q_emb, a.cell
+              |  FROM embeddings q JOIN a ON a.vec_id = q.vec_id WHERE q.vec_id < 5),
+              |j AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
+              |    ${cosineDuck("pr.q_emb", "e.embedding")} AS cos
+              |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+              |  JOIN pr ON a.cell = pr.cell AND e.vec_id <> pr.query_id),
+              |r AS (SELECT query_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM j)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |  round(cos, 6) AS cosine
+              |FROM r WHERE rank <= 3""".stripMargin)),
+
     // Label centroid check: average embedding per label, report the fold
     // of the centroid's own norm — exercises vector aggregation
     // (element-wise array sum via reduce-by-key) deterministically:

@@ -199,6 +199,36 @@ object Similarity {
       .toDF()
   }
 
+  /** Bucket-confined near-duplicate pairs: all (a < b) pairs that share
+    * an LSH bucket with cosine >= threshold. THE 100 TB near-dup recipe:
+    * candidate generation is the bucket co-membership itself, so the
+    * shuffle moves each vector once and the quadratic scan runs per
+    * bucket (recall is tuned by signature width / multi-probe, not by
+    * corpus size). Same group machinery as bucketNnJvm. */
+  def bucketPairsJvm(spark: SparkSession, withBuckets: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val vEnc = Encoders.product[BucketVec]
+    implicit val pairEnc = Encoders.product[NearDupPair]
+    implicit val keyEnc = Encoders.scalaLong
+    withBuckets.select(col("vec_id"), col("embedding"), col("bucket")).as[BucketVec]
+      .groupByKey(_.bucket)
+      .flatMapGroups { (_, it) =>
+        val vecs = it.toArray.sortBy(_.vec_id)
+        val norms = vecs.map(v => normJvm(v.embedding))
+        vecs.indices.iterator.flatMap { x =>
+          val a = vecs(x)
+          ((x + 1) until vecs.length).iterator.flatMap { y =>
+            val b = vecs(y)
+            val cos = dotJvm(a.embedding, b.embedding) / (norms(x) * norms(y))
+            if (cos >= threshold)
+              Iterator.single(NearDupPair(a.vec_id, b.vec_id, round6(cos)))
+            else Iterator.empty
+          }
+        }
+      }
+      .toDF()
+  }
+
   final case class IvfAssign(vec_id: Long, cell: Long, cosine: Double)
 
   /** IVF-style cell assignment: each vector maps to its nearest centroid
