@@ -61,15 +61,17 @@ object CdcPipeline {
     * envelope-level queries — compute it once per JVM. */
   def unifiedCached(spark: SparkSession, sfDir: String): DataFrame =
     unifiedCache.getOrElseUpdate((spark, sfDir), {
-      val raw =
-        if (useFastGen) CdcEventGen.envelopeFromTpch(spark, sfDir)
-        else {
-          val s = CdcEventGen.fromTpch(spark, sfDir)
-          unified(s.orders, s.details, s.lineItems, s.metadata)
-        }
-      val df = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
+      if (useFastGen) {
+        // Direct generation is a narrow codegen'd pipeline — cheaper to
+        // recompute per consumer than to write the columnar cache.
+        CdcEventGen.envelopeFromTpch(spark, sfDir)
+      } else {
+        val s = CdcEventGen.fromTpch(spark, sfDir)
+        val df = unified(s.orders, s.details, s.lineItems, s.metadata)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
+      }
     })
 
   private val cache =
