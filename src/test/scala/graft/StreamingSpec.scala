@@ -82,5 +82,16 @@ class StreamingSpec extends SparkSuite {
       if (Files.exists(p))
         assert(Files.list(p).count() == 1, s"bucket $b should hold exactly one live version")
     }
+
+    // Maintenance: compact the streaming append dir (it carries a
+    // _spark_metadata sink log — compaction must honor it, carry only
+    // committed data, and leave a plain parquet dir with same content).
+    assert(Files.exists(root.resolve("order_stream/_spark_metadata")))
+    val stats = graft.streaming.Compaction.compact(spark, dir("order_stream"))
+    assert(stats.compacted && stats.filesAfter < stats.filesBefore)
+    assert(!Files.exists(root.resolve("order_stream/_spark_metadata")))
+    val afterCompact = spark.read.parquet(dir("order_stream"))
+    assert(flat(afterCompact).sameElements(flat(batch)),
+      "compaction must preserve the committed stream content exactly")
   }
 }
