@@ -32,6 +32,20 @@ object DedupQueries extends QueryModule {
       df
     })
 
+  private val jpCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
+
+  /** Verified Jaccard pairs memoized per (session, dir, threshold): the
+    * shared-gram join is the expensive verifier and three queries
+    * (pairs, cluster reps, corpus curation) consume the same result. */
+  def jaccardPairsCached(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    jpCache.getOrElseUpdate((s, dir, threshold), {
+      val df = Dedup.jaccardPairs(grams(s, dir), threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
   private val shCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -62,7 +76,7 @@ object DedupQueries extends QueryModule {
 
     EngineQuery(
       "dedup_jaccard_pairs",
-      (s, dir) => Dedup.jaccardPairs(grams(s, dir), 0.8),
+      (s, dir) => jaccardPairsCached(s, dir, 0.8),
       Some(s"""$duckGrams,
               |p AS (
               |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -118,7 +132,7 @@ object DedupQueries extends QueryModule {
     // doc survives dedup iff rep_id == doc_id.
     EngineQuery(
       "dedup_cluster_reps",
-      (s, dir) => Dedup.clusterReps(docs(s, dir), Dedup.jaccardPairs(grams(s, dir), 0.8)),
+      (s, dir) => Dedup.clusterReps(docs(s, dir), jaccardPairsCached(s, dir, 0.8)),
       Some(s"""$duckGrams,
               |p AS (
               |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,

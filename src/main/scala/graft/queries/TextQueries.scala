@@ -92,8 +92,7 @@ object TextQueries extends QueryModule {
           "doc_id", "lang",
           s"round(least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHits / CAST(size(toks) AS DOUBLE)) * 0.5, 4) AS quality")
         val reps = graft.dedup.Dedup.clusterReps(
-          d, graft.dedup.Dedup.jaccardPairs(
-            graft.dedup.Dedup.gramsCached(s, graft.SparkSessions.tablePath(dir, "documents")), 0.8))
+          d, DedupQueries.jaccardPairsCached(s, dir, 0.8))
         scored.join(reps, Seq("doc_id"))
           .filter(col("rep_id") === col("doc_id") && col("quality") >= 0.35)
           .select(col("doc_id"), col("lang"), col("quality"))
@@ -125,7 +124,7 @@ object TextQueries extends QueryModule {
       "text_top_bigrams",
       (s, dir) =>
         docs(s, dir).withColumn("toks", expr(toksSpark))
-          .selectExpr("explode(transform(sequence(1, greatest(size(toks) - 1, 1)), i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))) AS bigram")
+          .selectExpr("explode(transform(sequence(1, greatest(size(toks) - 1, 1)), i -> concat_ws(' ', try_element_at(toks, i), try_element_at(toks, i + 1)))) AS bigram")
           .groupBy("bigram").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("bigram").asc)
           .limit(20),
