@@ -72,6 +72,41 @@ object Multimodal {
       it.grouped(BatchSize).flatMap(batch => decoder.decodeBatch(batch))
     }
 
+  final case class ResizedFeatures(
+      media_id: Long, kind: String, rs_len: Long, rs_checksum: Long)
+
+  /** Resize stage: same batched partition-local shape as `decode`. The
+    * stub "resampling" kernel strides the payload down to ~targetPixels
+    * samples (a real implementation would wrap an image scaler per
+    * batch); stride arithmetic is integer-exact for the oracle. */
+  def resize(media: Dataset[MediaRecord], targetPixels: Int): Dataset[ResizedFeatures] = {
+    implicit val enc: Encoder[ResizedFeatures] = Encoders.product[ResizedFeatures]
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { r =>
+        val len = r.payload.length
+        val stride = math.max(1, len / targetPixels)
+        var i = 0; var sum = 0L; var n = 0L
+        while (i < len) { sum += (r.payload(i) & 0xff); n += 1; i += stride }
+        ResizedFeatures(r.media_id, r.kind, n, sum)
+      })
+    }
+  }
+
+  /** Frame sampling: decode once, keep video rows, explode every k-th
+    * frame index with a per-frame fingerprint — declarative from the
+    * features on (codegen'd `sequence` + `explode`; the per-frame decode
+    * would slot into a batched stage like `decode`). */
+  def sampleFrames(features: Dataset[MediaFeatures], everyK: Int): DataFrame =
+    features.toDF()
+      .filter(col("kind") === "video")
+      .selectExpr(
+        "media_id", "n_frames",
+        s"explode(sequence(0, n_frames - 1, $everyK)) AS frame_idx",
+        "checksum")
+      .selectExpr(
+        "media_id", "n_frames", "frame_idx",
+        "(checksum * 31 + frame_idx) % 1000003 AS frame_hash")
+
   /** Build a media table from `documents`: the UTF-8 payload stands in
     * for opaque media bytes; kind cycles by doc_id. Real pipelines read
     * (path, binary) via `spark.read.format("binaryFile")` or a manifest. */

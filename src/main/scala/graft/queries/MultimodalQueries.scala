@@ -32,6 +32,41 @@ object MultimodalQueries extends QueryModule {
              |  CAST(CASE WHEN kind = 'audio' THEN 1000 + (checksum * 7) % 59999 ELSE 0 END AS BIGINT) AS duration_ms
              |FROM m""".stripMargin)),
 
+    // Resize stage: batched partition-local resampling kernel (stride
+    // arithmetic stands in for the scaler; the Spark shape is the point).
+    EngineQuery(
+      "mm_resize",
+      (s, dir) =>
+        Multimodal.resize(
+          Multimodal.mediaFromDocuments(s, tablePath(dir, "documents")), 256).toDF(),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             |    text, CAST(octet_length(encode(text)) AS BIGINT) AS len
+             |  FROM documents)
+             |SELECT media_id, kind,
+             |  CAST(len(range(1, CAST(len AS INT) + 1, CAST(greatest(1, len // 256) AS INT))) AS BIGINT) AS rs_len,
+             |  CAST(list_sum([unicode(text[i]) for i in range(1, CAST(len AS INT) + 1, CAST(greatest(1, len // 256) AS INT))]) AS BIGINT) AS rs_checksum
+             |FROM m""".stripMargin)),
+
+    // Frame sampling: every 7th frame of each video with a per-frame
+    // fingerprint (codegen'd sequence + explode — one narrow stage).
+    EngineQuery(
+      "mm_frame_sample",
+      (s, dir) =>
+        Multimodal.sampleFrames(
+          Multimodal.decode(
+            Multimodal.mediaFromDocuments(s, tablePath(dir, "documents"))), 7),
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+             |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+             |    CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS checksum
+             |  FROM documents),
+             |v AS (SELECT media_id, CAST(1 + checksum % 97 AS INT) AS n_frames, checksum
+             |  FROM m WHERE kind = 'video')
+             |SELECT media_id, n_frames,
+             |  CAST(unnest(range(0, n_frames, 7)) AS INT) AS frame_idx,
+             |  CAST((checksum * 31 + unnest(range(0, n_frames, 7))) % 1000003 AS BIGINT) AS frame_hash
+             |FROM v""".stripMargin)),
+
     EngineQuery(
       "mm_kind_rollup",
       (s, dir) =>
