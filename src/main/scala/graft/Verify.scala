@@ -9,6 +9,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The correctness gate ALWAYS exercises the real JSON render+parse
+    // path — a stray SPARK_GRAFT_FASTGEN=1 in the environment must not
+    // silently remove the parser from oracle coverage.
+    CdcPipeline.useFastGen = false
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated allowlist for fast single-query iteration.
     // NEVER set during a scoring run: oracle_sql.json is filtered too, so

@@ -44,6 +44,10 @@ object Dedup {
     docs.select(col("doc_id"), col("text")).as[DocTextRow]
       .mapPartitions { it =>
         it.map { r =>
+          // NULL text: the SQL path yields [""] (greatest skips the NULL
+          // size, try_element_at yields nulls, concat_ws of nulls is "").
+          if (r.text == null) GramRow(r.doc_id, Seq(""))
+          else {
           val toks = r.text.toLowerCase(java.util.Locale.ROOT)
             .split("\\s+").filter(_.nonEmpty)
           val upper = math.max(toks.length - 2, 1)
@@ -57,6 +61,7 @@ object Dedup {
           }
           import scala.jdk.CollectionConverters._
           GramRow(r.doc_id, seen.iterator().asScala.toSeq)
+          }
         }
       }
       .toDF()

@@ -75,20 +75,33 @@ object Multimodal {
   final case class ResizedFeatures(
       media_id: Long, kind: String, rs_len: Long, rs_checksum: Long)
 
-  /** Resize stage: same batched partition-local shape as `decode`. The
-    * stub "resampling" kernel strides the payload down to ~targetPixels
-    * samples (a real implementation would wrap an image scaler per
-    * batch); stride arithmetic is integer-exact for the oracle. */
-  def resize(media: Dataset[MediaRecord], targetPixels: Int): Dataset[ResizedFeatures] = {
-    implicit val enc: Encoder[ResizedFeatures] = Encoders.product[ResizedFeatures]
-    media.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap(_.map { r =>
+  /** A batched resize kernel, mirroring MediaDecoder: a real scaler holds
+    * its native handle per batch. The stub strides each payload down to
+    * ~targetPixels samples — integer-exact for the oracle. */
+  trait ResizeKernel extends Serializable {
+    def resizeBatch(batch: Seq[MediaRecord], targetPixels: Int): Seq[ResizedFeatures]
+  }
+
+  object StubResizer extends ResizeKernel {
+    override def resizeBatch(batch: Seq[MediaRecord], targetPixels: Int): Seq[ResizedFeatures] =
+      batch.map { r =>
         val len = r.payload.length
         val stride = math.max(1, len / targetPixels)
         var i = 0; var sum = 0L; var n = 0L
         while (i < len) { sum += (r.payload(i) & 0xff); n += 1; i += stride }
         ResizedFeatures(r.media_id, r.kind, n, sum)
-      })
+      }
+  }
+
+  /** Resize stage: same batched partition-local shape as `decode` — the
+    * whole batch goes to the kernel so per-batch scaler setup amortizes. */
+  def resize(
+      media: Dataset[MediaRecord],
+      targetPixels: Int,
+      kernel: ResizeKernel = StubResizer): Dataset[ResizedFeatures] = {
+    implicit val enc: Encoder[ResizedFeatures] = Encoders.product[ResizedFeatures]
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(batch => kernel.resizeBatch(batch, targetPixels))
     }
   }
 

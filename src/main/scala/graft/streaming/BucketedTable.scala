@@ -8,6 +8,32 @@ import org.apache.spark.sql.functions._
 
 import graft.scd.MergeExecutor
 
+/** Shared snapshot-version naming: zero-padded monotonic ids, parsed and
+  * ordered numerically (immune to digit-count differences between naming
+  * epochs). One definition for ParquetTable and BucketedTable — the two
+  * must never disagree on what a version dir is called. */
+private[streaming] object VersionNames {
+  def isVersionDir(name: String): Boolean =
+    name.startsWith("v") && name.length > 1 && name.drop(1).forall(_.isDigit)
+  def idOf(name: String): Long = name.drop(1).toLong
+  def format(id: Long): String = f"v$id%020d"
+
+  /** Direct child names of `dir` (empty if absent) — closes the stream. */
+  def childNames(dir: java.nio.file.Path): Seq[String] = {
+    if (!Files.exists(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString).toSeq
+    finally s.close()
+  }
+
+  /** Recursive delete — closes the walk stream. */
+  def deleteTree(root: java.nio.file.Path): Unit = {
+    val s = Files.walk(root)
+    val paths = try s.iterator().asScala.toSeq finally s.close()
+    paths.reverse.foreach(Files.deleteIfExists(_))
+  }
+}
+
 /** Hash-bucketed snapshot table: the 100 TB answer to "no Delta means the
   * merge rewrites the whole table".
   *
@@ -63,14 +89,9 @@ object BucketedTable {
   }
 
   /** All version dirs currently on disk for `bucket`, any liveness. */
-  private def bucketVersions(dir: String, bucket: Int): Seq[String] = {
-    val p = Paths.get(s"$dir/bucket=$bucket")
-    if (!Files.exists(p)) Seq.empty
-    else Files.list(p).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .toSeq
-  }
+  private def bucketVersions(dir: String, bucket: Int): Seq[String] =
+    VersionNames.childNames(Paths.get(s"$dir/bucket=$bucket"))
+      .filter(VersionNames.isVersionDir)
 
   /** Next monotonic version id: max over every bucket's on-disk versions
     * + 1, zero-padded (stable across restarts — same rationale as
@@ -78,9 +99,9 @@ object BucketedTable {
   private def nextVersion(dir: String, numBuckets: Int): String = {
     val maxId = (0 until numBuckets)
       .flatMap(b => bucketVersions(dir, b))
-      .map(_.drop(1).toLong)
+      .map(VersionNames.idOf)
       .foldLeft(0L)(math.max)
-    f"v${maxId + 1}%020d"
+    VersionNames.format(maxId + 1)
   }
 
   /** Stage `df` partitioned by bucket under a fresh version id and move
@@ -102,8 +123,7 @@ object BucketedTable {
       } else None
     }.toMap
     // best-effort cleanup of the staging skeleton (_SUCCESS etc.)
-    Files.walk(Paths.get(staging)).iterator().asScala.toSeq.reverse
-      .foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+    try VersionNames.deleteTree(Paths.get(staging)) catch { case _: Exception => () }
     moved
   }
 
@@ -136,8 +156,7 @@ object BucketedTable {
     val live = manifest(dir)
     (0 until numBuckets).foreach { b =>
       bucketVersions(dir, b).filterNot(live.get(b).contains(_)).foreach { v =>
-        val root = Paths.get(s"$dir/bucket=$b/$v")
-        Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        VersionNames.deleteTree(Paths.get(s"$dir/bucket=$b/$v"))
       }
     }
   }

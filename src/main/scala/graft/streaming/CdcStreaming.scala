@@ -193,29 +193,33 @@ object ParquetTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(currentPath(dir))
 
-  private def versionId(name: String): Long = name.drop(1).toLong
-
   /** Snapshot version names, newest first (numeric compare — immune to
     * digit-count differences between naming epochs). */
   def snapshots(dir: String): Seq[String] =
-    Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .toSeq.sortBy(versionId).reverse
+    VersionNames.childNames(Paths.get(dir))
+      .filter(VersionNames.isVersionDir)
+      .sortBy(VersionNames.idOf).reverse
 
   /** Time travel: read the nth-newest snapshot (0 == current). */
   def readSnapshot(spark: SparkSession, dir: String, n: Int): DataFrame =
     spark.read.parquet(s"$dir/${snapshots(dir)(n)}")
 
-  /** (version name, publish epoch-millis), newest first, live dirs only. */
+  /** (version name, publish epoch-millis), newest first, live dirs only.
+    * Tolerant of a torn trailing line (the append is not atomic — a
+    * crash mid-write must not brick TIMESTAMP AS OF). */
   def publishedVersions(dir: String): Seq[(String, Long)] = {
     if (!Files.exists(history(dir))) return Seq.empty
     val onDisk = snapshots(dir).toSet
     Files.readAllLines(history(dir)).asScala
-      .filter(_.nonEmpty)
-      .map { line => val Array(v, ts) = line.split("\t", 2); v -> ts.toLong }
+      .flatMap { line =>
+        line.split("\t", 2) match {
+          case Array(v, ts) if VersionNames.isVersionDir(v) && ts.forall(_.isDigit) && ts.nonEmpty =>
+            Some(v -> ts.toLong)
+          case _ => None // torn/garbage line: skip, never throw
+        }
+      }
       .filter { case (v, _) => onDisk(v) }
-      .toSeq.sortBy { case (v, _) => -versionId(v) }
+      .toSeq.sortBy { case (v, _) => -VersionNames.idOf(v) }
   }
 
   /** TIMESTAMP AS OF: read the newest snapshot published at or before
@@ -243,8 +247,7 @@ object ParquetTable {
   def vacuum(dir: String, keep: Int = 1): Unit = {
     val current = Files.readString(pointer(dir)).trim
     snapshots(dir).drop(math.max(keep, 1)).filter(_ != current).foreach { v =>
-      val root = Paths.get(dir, v)
-      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      VersionNames.deleteTree(Paths.get(dir, v))
     }
   }
 
@@ -253,8 +256,8 @@ object ParquetTable {
     * are never blocked and never see a partial snapshot. */
   def swap(spark: SparkSession, df: DataFrame, dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val nextId = snapshots(dir).headOption.map(versionId(_) + 1).getOrElse(1L)
-    val next = f"v$nextId%020d"
+    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+    val next = VersionNames.format(nextId)
     df.write.mode("overwrite").parquet(s"$dir/$next")
     val tmp = Paths.get(dir, "_CURRENT.tmp")
     Files.writeString(tmp, next)

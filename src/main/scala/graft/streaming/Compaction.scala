@@ -20,16 +20,19 @@ import org.apache.spark.sql.SparkSession
   *    only COMMITTED data is carried over; uncommitted stragglers from a
   *    crashed stream are dropped with the log (which this job removes:
   *    after compaction the directory is a plain parquet dir).
-  *  - The swap staggers through a `.trash` subdir: old files are moved
-  *    aside before the new ones land and deleted last, so a crash leaves
-  *    either the old files recoverable or the new files fully in place —
-  *    never a half-deleted table.
-  *  - Run it as a maintenance job while no stream is WRITING the dir.
-  *    A downstream `readStream` sees the compacted files as new input;
-  *    with the idempotent SCD1 merge that is converge-only (re-applying
-  *    already-applied versions is a no-op), but best practice is to
-  *    compact between stream lifecycles and reset downstream
-  *    checkpoints.
+  *  - The swap is NOT atomic (a plain filesystem cannot replace many
+  *    files in one operation), but it is CRASH-RECOVERABLE: a
+  *    `_COMPACTING` marker naming the trash dir and run id is written
+  *    before anything moves, old files are moved (not deleted) to the
+  *    trash, and the marker is removed only after the new files are all
+  *    in place. `compact` rolls back any interrupted prior run first, so
+  *    data is never lost and the table never stays partial past the next
+  *    maintenance run. Readers racing the swap window can see a partial
+  *    table — run it while nothing reads or writes the dir.
+  *  - A downstream `readStream` sees the compacted files as new input;
+  *    with the idempotent SCD1 merge that is converge-only, but best
+  *    practice is to compact between stream lifecycles and reset
+  *    downstream checkpoints.
   *
   * At 100 TB the same job runs per partition/bucket with `targetBytes`
   * tuned to the scan stripe size; `coalesce` keeps it a narrow, one-pass
@@ -42,9 +45,13 @@ object Compaction {
   final case class CompactionStats(
       filesBefore: Int, filesAfter: Int, bytes: Long, compacted: Boolean)
 
+  private def marker(dir: String) = Paths.get(dir, "_COMPACTING")
+
   /** Parquet data files under `dir` (any depth), excluding metadata. */
-  def dataFiles(dir: String): Seq[Path] =
-    Files.walk(Paths.get(dir)).iterator().asScala
+  def dataFiles(dir: String): Seq[Path] = {
+    val s = Files.walk(Paths.get(dir))
+    val all = try s.iterator().asScala.toSeq finally s.close()
+    all
       .filter(Files.isRegularFile(_))
       .filter { p =>
         val name = p.getFileName.toString
@@ -52,7 +59,26 @@ object Compaction {
           !p.iterator().asScala.exists(seg => seg.toString == "_spark_metadata" ||
             seg.toString.startsWith(".trash"))
       }
-      .toSeq
+  }
+
+  /** Roll back an interrupted compaction: delete that run's partially
+    * moved output, restore every staged-out file, drop the marker. */
+  def recover(dir: String): Boolean = {
+    if (!Files.exists(marker(dir))) return false
+    val Array(trashName, runId) = Files.readString(marker(dir)).trim.split("\t", 2)
+    val trash = Paths.get(dir, trashName)
+    // Remove this run's (possibly partial) output — names carry the run id.
+    dataFiles(dir).filter(_.getFileName.toString.contains(s"-compacted-$runId"))
+      .foreach(Files.deleteIfExists(_))
+    if (Files.exists(trash)) {
+      val s = Files.list(trash)
+      val staged = try s.iterator().asScala.toSeq finally s.close()
+      staged.foreach(f => Files.move(f, Paths.get(dir, f.getFileName.toString)))
+      Files.deleteIfExists(trash)
+    }
+    Files.deleteIfExists(marker(dir))
+    true
+  }
 
   /** Bin-pack `dir` toward `targetBytes` per file. No-op when the
     * directory already meets the target file count. */
@@ -60,6 +86,8 @@ object Compaction {
       spark: SparkSession,
       dir: String,
       targetBytes: Long = DefaultTargetBytes): CompactionStats = {
+    recover(dir) // roll back a crashed prior run before anything else
+
     val files = dataFiles(dir)
     val totalBytes = files.map(Files.size(_)).sum
     val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
@@ -72,18 +100,23 @@ object Compaction {
     df.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
     val newFiles = dataFiles(tmp)
 
-    // Stage out the old state (data files + sink log), bring in the new.
-    val trash = Files.createDirectories(Paths.get(dir, s".trash-${System.nanoTime()}"))
+    // Marker first, then stage out the old state, then bring in the new;
+    // the marker is dropped last so every crash window rolls back.
+    val runId = java.util.UUID.randomUUID().toString.take(8)
+    val trashName = s".trash-$runId"
+    val tmpMarker = Paths.get(dir, "_COMPACTING.tmp")
+    Files.writeString(tmpMarker, s"$trashName\t$runId")
+    Files.move(tmpMarker, marker(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val trash = Files.createDirectories(Paths.get(dir, trashName))
     files.foreach(f => Files.move(f, trash.resolve(f.getFileName)))
     val metaLog = Paths.get(dir, "_spark_metadata")
     if (Files.exists(metaLog)) Files.move(metaLog, trash.resolve("_spark_metadata"))
     newFiles.zipWithIndex.foreach { case (f, i) =>
-      Files.move(f, Paths.get(dir, f"part-$i%05d-compacted.parquet"))
+      Files.move(f, Paths.get(dir, f"part-$i%05d-compacted-$runId.parquet"))
     }
-    // Point of no return passed: new files are fully in place. Clean up.
-    Seq(trash, Paths.get(tmp)).foreach { root =>
-      Files.walk(root).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
+    Files.deleteIfExists(marker(dir)) // point of no return: swap committed
+    Seq(trash, Paths.get(tmp)).foreach(VersionNames.deleteTree)
     CompactionStats(files.size, newFiles.size, totalBytes, compacted = true)
   }
 }

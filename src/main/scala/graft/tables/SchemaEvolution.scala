@@ -1,5 +1,7 @@
 package graft.tables
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -43,7 +45,19 @@ object SchemaEvolution {
   /** Append `df` to the table dir, enforcing additive-only evolution
     * against the data already there. */
   def appendEvolved(spark: SparkSession, df: DataFrame, dir: String): Unit = {
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir))) {
+    // Guard on actual parquet data, not bare directory existence — a
+    // pre-created empty dir must behave like a first write.
+    val hasData = {
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.exists(p) && {
+        val s = java.nio.file.Files.walk(p)
+        try s.iterator().asScala.exists { f =>
+          java.nio.file.Files.isRegularFile(f) &&
+            f.getFileName.toString.endsWith(".parquet")
+        } finally s.close()
+      }
+    }
+    if (hasData) {
       val current = readEvolved(spark, dir).schema
       val violations = validateEvolution(current, df.schema)
       require(violations.isEmpty,

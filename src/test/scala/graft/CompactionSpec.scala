@@ -32,4 +32,35 @@ class CompactionSpec extends SparkSuite {
     val again = Compaction.compact(spark, dir, targetBytes = Compaction.DefaultTargetBytes)
     assert(!again.compacted && again.filesAfter == stats.filesAfter)
   }
+
+  test("an interrupted compaction rolls back losslessly on the next run") {
+    val dir = Files.createTempDirectory("graft-compact-crash").resolve("t").toString
+    val s = spark
+    import s.implicits._
+    val src = (1 to 1000).map(i => (i.toLong, s"row-$i")).toDF("id", "v")
+    src.repartition(10).write.parquet(dir)
+    def fingerprint() =
+      spark.read.parquet(dir).collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val before = fingerprint()
+
+    // Simulate a crash mid-swap: half the data staged out to the trash,
+    // a partial output file written, marker still present.
+    val runId = "deadbeef"
+    val trash = Files.createDirectories(
+      java.nio.file.Paths.get(dir, s".trash-$runId"))
+    Compaction.dataFiles(dir).take(5).foreach { f =>
+      Files.move(f, trash.resolve(f.getFileName))
+    }
+    Files.write(
+      java.nio.file.Paths.get(dir, s"part-00000-compacted-$runId.parquet"),
+      Array[Byte](1, 2, 3)) // torn partial output
+    Files.writeString(
+      java.nio.file.Paths.get(dir, "_COMPACTING"), s".trash-$runId\t$runId")
+
+    // Next maintenance run: rollback first, then a clean compaction.
+    val stats = Compaction.compact(spark, dir)
+    assert(stats.compacted && stats.filesBefore == 10)
+    assert(fingerprint() == before, "all rows must survive the crash + recovery")
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_COMPACTING")))
+  }
 }

@@ -11,7 +11,7 @@ class GramParitySpec extends SparkSuite {
 
   private def gramsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[String]] =
     df.select(col("doc_id"), col("grams")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+      .map(r => r.getLong(0) -> Option(r.getSeq[String](1)).map(_.toSeq).orNull).toMap
 
   test("withGramsJvm == withGrams on the documents table") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
@@ -32,7 +32,8 @@ class GramParitySpec extends SparkSuite {
       (3L, "one two"),
       (4L, "one"),
       (5L, "  Padded\tWITH   mixed\nWhitespace  "),
-      (6L, "dup dup dup dup")).toDF("doc_id", "text")
+      (6L, "dup dup dup dup"),
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
     assert(gramsOf(Dedup.withGramsJvm(docs)) == gramsOf(Dedup.withGrams(docs)))
   }
 }
