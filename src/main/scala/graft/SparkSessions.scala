@@ -21,6 +21,7 @@ object SparkSessions {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(graft.expressions.GraftExtensions.apply)
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -1,0 +1,97 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native cosine similarity over two `array<float>` columns.
+  *
+  * WHY a custom Expression: Spark's higher-order functions (`aggregate`,
+  * `zip_with`) do not participate in whole-stage codegen — every element
+  * step is an interpreted lambda call, ~100× a fused loop. Cosine over
+  * embeddings is a per-row hot path in the similarity operators, so this
+  * is exactly the case the build plan reserves for a custom Catalyst
+  * `Expression` with `doGenCode` (SURVEY §7.4): the semantics are
+  * expressible with built-ins, the performance is not.
+  *
+  * Numeric contract (identical to `Similarity.cosineSpark` /
+  * `cosineJvm` / the DuckDB oracle): strict left fold over the element
+  * index of double-widened products, then `dot / (sqrt(na) * sqrt(nb))`
+  * — bit-identical results across the interpreted HOF, this codegen'd
+  * loop, and the oracle.
+  *
+  * Null semantics match the HOF formulation: NULL if either array is
+  * NULL. Arrays are assumed element-non-null (embedding columns).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  // Seq[DataType] is covariantly a Seq[AbstractDataType] (which is
+  // private[sql] and thus unnameable here).
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $x.getFloat($i);
+         |  double $yi = (double) $y.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration: `SparkSessionExtensions.injectFunction` makes
+  * `cosine_sim(a, b)` available to every SQL/selectExpr surface —
+  * attach with `.withExtensions(GraftExtensions.apply)` at session
+  * build time (SparkSessions does). */
+object GraftExtensions {
+  val cosineSimDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_sim"),
+    new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "cosine_sim takes exactly 2 arguments")
+      CosineSim(children.head, children(1))
+    })
+
+  def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(cosineSimDescriptor)
+}

@@ -135,7 +135,7 @@ object SimQueries extends QueryModule {
           .filter(col("vec_id") =!= col("query_id"))
           .selectExpr(
             "query_id", "vec_id AS neighbor_id",
-            s"${cosineSpark("q_emb", "embedding")} AS cos")
+            "cosine_sim(q_emb, embedding) AS cos") // codegen'd, == HOF fold
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
         scored
           .withColumn("rank", row_number().over(w))
