@@ -94,10 +94,44 @@ object Compaction {
     if (files.size <= targetFiles)
       return CompactionStats(files.size, files.size, totalBytes, compacted = false)
 
+    val newCount = rewrite(spark, dir, files, _.coalesce(targetFiles))
+    CompactionStats(files.size, newCount, totalBytes, compacted = true)
+  }
+
+  /** Z-order rewrite: bin-pack like `compact` AND cluster the rows by the
+    * Morton interleave of `cols` (`tables.ZOrder`), so every output file
+    * carries a narrow min-max span in every listed column — the parquet
+    * data-skipping layout Delta's `OPTIMIZE ZORDER BY` produces
+    * (reference: db/table_maintenance.sql OPTIMIZE guidance). Unlike
+    * `compact` this always rewrites (the point is the layout, not the
+    * file count) and pays one range-partition shuffle. */
+  def zorder(
+      spark: SparkSession,
+      dir: String,
+      cols: Seq[String],
+      targetBytes: Long = DefaultTargetBytes): CompactionStats = {
+    recover(dir)
+
+    val files = dataFiles(dir)
+    val totalBytes = files.map(Files.size(_)).sum
+    val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val newCount =
+      rewrite(spark, dir, files, graft.tables.ZOrder.cluster(_, cols, targetFiles))
+    CompactionStats(files.size, newCount, totalBytes, compacted = true)
+  }
+
+  /** Crash-recoverable swap (see the object doc): write the transformed
+    * table to a side dir, stage the old files out through a `_COMPACTING`
+    * marker + trash, move the new files in, drop the marker last. */
+  private def rewrite(
+      spark: SparkSession,
+      dir: String,
+      files: Seq[Path],
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Int = {
     // Read through Spark: honors _spark_metadata (committed files only).
     val df = spark.read.parquet(dir)
     val tmp = s"$dir.compacting"
-    df.coalesce(targetFiles).write.mode("overwrite").parquet(tmp)
+    transform(df).write.mode("overwrite").parquet(tmp)
     val newFiles = dataFiles(tmp)
 
     // Marker first, then stage out the old state, then bring in the new;
@@ -117,6 +151,6 @@ object Compaction {
     }
     Files.deleteIfExists(marker(dir)) // point of no return: swap committed
     Seq(trash, Paths.get(tmp)).foreach(VersionNames.deleteTree)
-    CompactionStats(files.size, newFiles.size, totalBytes, compacted = true)
+    newFiles.size
   }
 }
