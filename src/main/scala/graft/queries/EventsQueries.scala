@@ -30,6 +30,20 @@ object EventsQueries extends QueryModule {
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
+  private val partSeed =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Events seeded once per (session, dir) into a date-partitioned
+    * hive-style layout (UTC session tz == DuckDB's naive CAST(ts AS DATE)). */
+  private def partitionedDir(s: SparkSession, dir: String): String =
+    partSeed.getOrElseUpdate((s, dir), {
+      val base = java.nio.file.Files.createTempDirectory("graft-evt-part")
+        .resolve("events").toString
+      graft.tables.PartitionedTable.write(
+        events(s, dir).withColumn("event_date", to_date(col("ts"))), base, Seq("event_date"))
+      base
+    })
+
   override def queries: Seq[EngineQuery] = Seq(
 
     // Tumbling hourly window per event type (epoch-aligned in both
@@ -116,6 +130,28 @@ object EventsQueries extends QueryModule {
              |WHERE event_type = 'click' AND first_error_ms IS NOT NULL
              |  AND ms > first_error_ms AND ms - first_error_ms <= 86400000
              |GROUP BY user_id""".stripMargin)),
+
+    // Daily rollup over a date-PARTITIONED layout: events are seeded once
+    // into a hive-style `event_date=...` directory tree
+    // (tables/PartitionedTable), and the week filter prunes whole
+    // partition directories at planning time — `PartitionFilters` on the
+    // scan, zero IO for the other 23 days (PartitionedTableSpec pins the
+    // pruning itself; this query pins the semantics against the oracle).
+    EngineQuery(
+      "evt_partition_prune",
+      (s, dir) => {
+        val pdir = partitionedDir(s, dir)
+        s.read.parquet(pdir)
+          .filter(col("event_date").between(
+            lit(java.sql.Date.valueOf("2024-01-08")), lit(java.sql.Date.valueOf("2024-01-14"))))
+          .groupBy("event_date", "event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      },
+      Some("""SELECT CAST(ts AS DATE) AS event_date, event_type,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+             |FROM events
+             |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+             |GROUP BY 1, 2""".stripMargin)),
 
     // Per-type value stats (sum rounded to the data's 2-decimal grain;
     // min/max are order-free).
