@@ -30,6 +30,24 @@ object TextQueries extends QueryModule {
 
   override def queries: Seq[EngineQuery] = Seq(
 
+    // Deterministic 80/10/10 train/val/test split by content-stable
+    // md5-bucket of doc_id — reproducible across engines/runs/partitions
+    // (TextAnalysis.splitSpark); checked per-split with doc and char
+    // tallies so a single reassigned doc would flip the hash.
+    EngineQuery(
+      "text_split",
+      (s, dir) =>
+        docs(s, dir)
+          .selectExpr(s"${splitSpark("doc_id")} AS split", "text")
+          .groupBy("split")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("n_chars")),
+      Some(s"""SELECT ${splitDuck("doc_id")} AS split,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+              |FROM documents GROUP BY 1""".stripMargin)),
+
     EngineQuery(
       "text_stats",
       (s, dir) =>

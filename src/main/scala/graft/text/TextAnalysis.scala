@@ -34,6 +34,23 @@ object TextAnalysis {
   def hash60Duck(e: String): String =
     s"(('0x' || substr(md5($e), 1, 15))::BIGINT)"
 
+  /** Deterministic train/val/test assignment (80/10/10): bucket by the
+    * 60-bit md5 hash of the key, modulo 100. Content-stable and
+    * engine-independent — the same row lands in the same split on any
+    * system, any partitioning, any run: the reproducibility contract a
+    * training pipeline needs when the corpus is rebuilt incrementally.
+    * Narrow (no shuffle, no sampling pass), so it costs one projection
+    * at 100 TB. */
+  def splitSpark(keyExpr: String): String = {
+    val bucket = s"${hash60Spark(s"CAST($keyExpr AS STRING)")} % 100"
+    s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END"
+  }
+
+  def splitDuck(keyExpr: String): String = {
+    val bucket = s"${hash60Duck(s"CAST($keyExpr AS VARCHAR)")} % 100"
+    s"CASE WHEN $bucket < 80 THEN 'train' WHEN $bucket < 90 THEN 'val' ELSE 'test' END"
+  }
+
   /** BPE-ish token-count estimate: runs of letters, runs of digits, single
     * other non-space chars. */
   val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
