@@ -24,7 +24,7 @@ object EventsQueries extends QueryModule {
     * reader rejects; read nanos as BIGINT (legacy conf) and rebuild a
     * microsecond timestamp — DuckDB reads the same file natively as
     * TIMESTAMP_NS, and the values are µs-grained so nothing truncates. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(tablePath(dir, "events"))
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

@@ -113,6 +113,8 @@ object Compaction {
     recover(dir)
 
     val files = dataFiles(dir)
+    if (files.isEmpty) // nothing committed yet — same no-op as compact
+      return CompactionStats(0, 0, 0L, compacted = false)
     val totalBytes = files.map(Files.size(_)).sum
     val targetFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     val newCount =

@@ -84,10 +84,13 @@ object ZOrder {
     * narrow z-range, i.e. a narrow min-max span in every listed column.
     * One shuffle (the range exchange), same as Delta's OPTIMIZE rewrite. */
   def cluster(df: DataFrame, cols: Seq[String], numFiles: Int, bits: Int = DefaultBits): DataFrame = {
+    val zcol = "__graft_zorder"
+    require(!df.columns.contains(zcol),
+      s"input already has a $zcol column — rename it before z-ordering")
     val z = zvalue(bounds(df, cols), bits)
-    df.withColumn("__z", z)
-      .repartitionByRange(math.max(1, numFiles), col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    df.withColumn(zcol, z)
+      .repartitionByRange(math.max(1, numFiles), col(zcol))
+      .sortWithinPartitions(zcol)
+      .drop(zcol)
   }
 }

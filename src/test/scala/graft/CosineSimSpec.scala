@@ -43,6 +43,16 @@ class CosineSimSpec extends SparkSuite {
       .collect().head
     assert(n.isNullAt(0))
 
+    // Length mismatch → NULL, exactly like the HOF (zip_with pads the
+    // shorter array with NULL, which nulls the whole fold).
+    val mm = spark.sql(
+      "SELECT cosine_sim(a, b) AS native, " +
+        s"${Similarity.cosineSpark("a", "b")} AS hof " +
+        "FROM VALUES (array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) t(a, b)")
+      .collect().head
+    assert(mm.isNullAt(0) && mm.isNullAt(1),
+      "mismatched lengths must be NULL in both the native and HOF paths")
+
     // The expression must sit inside a WholeStageCodegen span (the whole
     // point: HOF folds cannot). Check on a plain scan+project, which has
     // no AQE wrapper hiding the final plan.

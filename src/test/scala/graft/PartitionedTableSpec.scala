@@ -14,12 +14,10 @@ import graft.tables.PartitionedTable
   * (SURVEY §2.3 Q14/Q16 — the 100 TB incremental layout primitive). */
 class PartitionedTableSpec extends SparkSuite {
 
-  private def events() = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  // Shares the TIMESTAMP(NANOS) reader with the query module.
+  private def events() =
+    graft.queries.EventsQueries.events(spark, sf0001)
       .withColumn("event_date", to_date(col("ts")))
-  }
 
   test("partition filter prunes directories at planning time") {
     val dir = Files.createTempDirectory("graft-part").resolve("events").toString
