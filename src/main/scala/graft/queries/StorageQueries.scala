@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSessions.tablePath
+import graft.streaming.ParquetTable
+
+/** Oracle-gated storage-layer semantics (SURVEY §2.3 Q15): the versioned
+  * snapshot table is seeded deterministically from `orders` (version 1 =
+  * even order keys, version 2 = all rows), so VERSION-AS-OF reads have an
+  * exact DuckDB dual reconstructed from the raw table — upgrading time
+  * travel from spec-only to hash-checked correctness.
+  */
+object StorageQueries extends QueryModule {
+
+  private val seeded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Two-version table: v1 = even o_orderkey, v2 (current) = all orders. */
+  private def versionedOrders(s: SparkSession, dir: String): String =
+    seeded.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-tt")
+        .resolve("orders_versioned").toString
+      val orders = s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      ParquetTable.swap(s, orders.filter(col("o_orderkey") % 2 === 0), t)
+      ParquetTable.swap(s, orders, t)
+      t
+    })
+
+  private val seededSe =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Two-generation append table: even keys written pre-evolution, odd
+    * keys written after an ADD COLUMN (`priority_flag`). */
+  private def evolvedOrders(s: SparkSession, dir: String): String =
+    seededSe.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-se")
+        .resolve("orders_evolved").toString
+      val orders = s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus")
+      graft.tables.SchemaEvolution.appendEvolved(
+        s, orders.filter(col("o_orderkey") % 2 === 0), t)
+      graft.tables.SchemaEvolution.appendEvolved(
+        s, orders.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("priority_flag", col("o_orderkey") % 3), t)
+      t
+    })
+
+  override def queries: Seq[EngineQuery] = Seq(
+
+    // mergeSchema-on-read null-fill after an additive ADD COLUMN: rows
+    // written before the evolution read back with NULL priority_flag,
+    // rows after carry it — tallied per status against an oracle that
+    // reconstructs both generations from the raw table.
+    EngineQuery(
+      "se_evolved_nullfill",
+      (s, dir) =>
+        graft.tables.SchemaEvolution.readEvolved(s, evolvedOrders(s, dir))
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("priority_flag")).as("n_flagged"),
+            sum("priority_flag").as("sum_flag")),
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_flagged,
+             |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 3 END) AS BIGINT) AS sum_flag
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // Per-status row counts of the PREVIOUS snapshot (VERSION AS OF
+    // current-1) next to the current one; the oracle reconstructs the
+    // v1 membership rule from the raw table.
+    EngineQuery(
+      "tt_version_counts",
+      (s, dir) => {
+        val t = versionedOrders(s, dir)
+        val prev = ParquetTable.readSnapshot(s, t, 1)
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n_prev"))
+        val cur = ParquetTable.read(s, t)
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n_cur"))
+        cur.join(prev, Seq("o_orderstatus"), "left")
+          .select(
+            col("o_orderstatus"),
+            coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+            col("n_cur"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT) AS n_prev,
+             |  CAST(count(*) AS BIGINT) AS n_cur
+             |FROM orders GROUP BY 1""".stripMargin))
+  )
+}

@@ -29,6 +29,27 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .select(col("w.start").as("hour_ts"), col("event_type"), col("n"), col("total_value"))
 
+  /** Date-partitioned streaming append: land the raw event stream as a
+    * hive-style `event_date=...` parquet tree with an exactly-once sink
+    * log. Streaming ingest writing straight into the partition-pruned
+    * layout is the 100 TB landing pattern: downstream daily jobs read
+    * one partition directory (planning-time pruning, see
+    * tables/PartitionedTable) and maintenance (compaction / z-order)
+    * runs per partition. Returns the started query. */
+  def startPartitionedAppend(
+      events: DataFrame,
+      outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream
+      .format("parquet")
+      .partitionBy("event_date")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
   /** Stream-stream interval join: per user, pair each error with the
     * clicks that follow it within `intervalSeconds`. Both sides carry
     * watermarks so join state is bounded (errors retained only until the
