@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** AQE skew-join handling: a heavily skewed shuffle join must finish
+  * with the hot partition SPLIT at runtime (OptimizeSkewedJoin), not
+  * funneled through one task — the engine's runtime answer to data skew
+  * at 100 TB (explicit salting covers aggregations, `ops/SkewOps`). */
+class SkewJoinSpec extends SparkSuite {
+
+  test("AQE splits the skewed side of a sort-merge join at runtime") {
+    val s = spark
+    import s.implicits._
+
+    // 400k rows, 95% on one key — a pathological hot key — against a
+    // small-but-not-broadcastable dim side (broadcast disabled). The
+    // payload must survive the join (and resist shuffle compression):
+    // skew detection works on shuffle-partition BYTES, and a pruned
+    // all-constant hot partition compresses below any threshold.
+    val fact = spark.range(0, 400000)
+      .select(
+        when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id") % 1000).as("k"),
+        md5(col("id").cast("string")).as("payload"))
+    val dim = spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("attr"))
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevFactor = spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
+    val prevBytes =
+      spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256MB")
+    val prevAdvisory =
+      spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // Local-scale thresholds so the hot partition qualifies as skewed.
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    try {
+      // Global aggregate, NOT groupBy(k): an aggregation keyed on the
+      // join key would require the join's hash distribution, and AQE
+      // (rightly) refuses to split a skewed partition whose output
+      // partitioning is still needed downstream. max(payload) keeps the
+      // wide column in the shuffle (count of a non-null column folds to
+      // count(1) and prunes it away).
+      val joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum("attr").as("s"), max(col("payload")).as("mp"))
+      val row = joined.collect().head
+      // Correctness first: every fact row finds its dim match.
+      assert(row.getLong(0) == 400000L)
+
+      // The final adaptive plan must mark the join's skewed side split.
+      val adaptive = joined.queryExecution.executedPlan
+        .collectFirst { case a: AdaptiveSparkPlanExec => a }
+        .getOrElse(fail("expected an adaptive plan"))
+      val finalPlan = adaptive.executedPlan.toString
+      assert(finalPlan.contains("skew="),
+        s"expected OptimizeSkewedJoin to split the hot partition:\n$finalPlan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", prevFactor)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevBytes)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevAdvisory)
+    }
+  }
+}
