@@ -1,0 +1,72 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: the ANN index AS a partitioned table.
+  *
+  * `build` materializes the two index components once:
+  *   dir/centroids/  — (vec_id, embedding) of the K cell centroids
+  *   dir/cells/      — the corpus with embeddings, hive-partitioned by
+  *                     `cell=<id>` (tables/PartitionedTable layout)
+  *
+  * `search` then never touches the full corpus: probes find their
+  * nearest centroid against the broadcast centroid set, and candidate
+  * scanning reads ONLY the probed `cell=` directories — planning-time
+  * partition pruning does the "inverted file" part of IVF, so a probe's
+  * IO is corpus_size / numCells regardless of corpus size. Scoring runs
+  * the codegen'd `cosine_sim`, and the cell tie-break (equal cosine →
+  * lower cell id) matches `Similarity.ivfAssign` exactly, so a search
+  * over the persisted index returns bit-identical results to the
+  * assignment-time computation (`sim_ivf_topk`'s oracle-checked path).
+  */
+object IvfIndex {
+
+  /** One-time index build: O(corpus × K) assignment + one partitioned
+    * write; rebuild when the corpus or K changes. */
+  def build(spark: SparkSession, corpus: DataFrame, numCells: Int, dir: String): Unit = {
+    corpus.filter(col("vec_id") < numCells)
+      .select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val assigns = Similarity.ivfAssign(spark, corpus, numCells)
+      .select("vec_id", "cell")
+    corpus.select("vec_id", "embedding").join(assigns, "vec_id")
+      .select("cell", "vec_id", "embedding")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
+  }
+
+  /** Top-k neighbors per probe, reading only the probed cells'
+    * partition directories. */
+  def search(spark: SparkSession, dir: String, probes: DataFrame, k: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val wCell = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell").asc)
+    val probeCells = probes
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .selectExpr("query_id", "q_emb", "cell", "cosine_sim(q_emb, c_emb) AS cos")
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select("query_id", "q_emb", "cell")
+
+    // The probed cell ids (bounded by the probe count) become a static
+    // IN-filter, so the scan prunes to those partition dirs before IO.
+    val cellIds = probeCells.select("cell").distinct().collect().map(_.getLong(0))
+    // Filter BEFORE any cast: the predicate must sit directly on the
+    // inferred partition column to prune, the long cast (for the join
+    // with the centroid-derived cell) comes after.
+    val cands = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(cellIds: _*))
+      .withColumn("cell", col("cell").cast("long"))
+
+    val wTopK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id", "cosine_sim(q_emb, embedding) AS cos")
+      .withColumn("rank", row_number().over(wTopK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+}
