@@ -80,12 +80,40 @@ object Compaction {
     true
   }
 
+  /** Leaf partition directories of a hive-style tree (`col=value`
+    * segments), or empty when `dir` is a flat table. */
+  def partitionDirs(dir: String): Seq[Path] = {
+    def leaves(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      val kids = try s.iterator().asScala.toSeq finally s.close()
+      val parts = kids.filter(k => Files.isDirectory(k) && k.getFileName.toString.contains("="))
+      if (parts.isEmpty) Seq(p) else parts.flatMap(leaves)
+    }
+    if (!Files.isDirectory(Paths.get(dir))) Seq.empty
+    else leaves(Paths.get(dir)).filter(_ != Paths.get(dir))
+  }
+
+  /** Compact every leaf partition of a hive-partitioned table
+    * independently — each leaf is a flat parquet dir, so the rewrite
+    * never sees (and can never flatten) the partition layout. This is
+    * also the 100 TB shape: partitions compact in parallel maintenance
+    * jobs, touched partitions only. */
+  def compactPartitions(
+      spark: SparkSession,
+      dir: String,
+      targetBytes: Long = DefaultTargetBytes): Seq[(String, CompactionStats)] =
+    partitionDirs(dir).map { p =>
+      Paths.get(dir).relativize(p).toString -> compact(spark, p.toString, targetBytes)
+    }
+
   /** Bin-pack `dir` toward `targetBytes` per file. No-op when the
     * directory already meets the target file count. */
   def compact(
       spark: SparkSession,
       dir: String,
       targetBytes: Long = DefaultTargetBytes): CompactionStats = {
+    require(partitionDirs(dir).isEmpty,
+      s"$dir is hive-partitioned — use compactPartitions (a flat rewrite would drop the partition layout)")
     recover(dir) // roll back a crashed prior run before anything else
 
     val files = dataFiles(dir)
@@ -110,6 +138,8 @@ object Compaction {
       dir: String,
       cols: Seq[String],
       targetBytes: Long = DefaultTargetBytes): CompactionStats = {
+    require(partitionDirs(dir).isEmpty,
+      s"$dir is hive-partitioned — z-order each partition dir (a flat rewrite would drop the layout)")
     recover(dir)
 
     val files = dataFiles(dir)

@@ -33,6 +33,27 @@ class CompactionSpec extends SparkSuite {
     assert(!again.compacted && again.filesAfter == stats.filesAfter)
   }
 
+  test("partitioned trees compact per leaf and refuse the flat rewrite") {
+    val dir = Files.createTempDirectory("graft-compact-part").resolve("events").toString
+    val src = graft.queries.EventsQueries.events(spark, sf0001)
+      .withColumn("event_date", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")))
+    // Fragmented partitioned write: several files per daily partition.
+    src.repartition(4).write.partitionBy("event_date").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val filesBefore = Compaction.dataFiles(dir).size
+    assert(Compaction.partitionDirs(dir).size == 30)
+
+    // The flat rewrite would silently drop the partition layout — refuse.
+    intercept[IllegalArgumentException](Compaction.compact(spark, dir))
+
+    val stats = Compaction.compactPartitions(spark, dir)
+    assert(stats.size == 30 && stats.forall(_._2.compacted))
+    assert(Compaction.dataFiles(dir).size < filesBefore)
+    assert(Compaction.partitionDirs(dir).size == 30, "layout must survive compaction")
+    assert(spark.read.parquet(dir).collect().map(_.toSeq.mkString("|")).sorted.toSeq == before)
+  }
+
   test("an interrupted compaction rolls back losslessly on the next run") {
     val dir = Files.createTempDirectory("graft-compact-crash").resolve("t").toString
     val s = spark
