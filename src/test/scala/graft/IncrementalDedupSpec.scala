@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.streaming.IncrementalDedup
+
+/** Incremental streaming dedup must admit exactly the docs the two-gate
+  * semantics dictate (within-batch min-id keep policy, then banded
+  * check against the admitted corpus), and the admitted corpus must
+  * never contain a verified near-dup pair. The expected set is
+  * simulated independently in plain Scala from the engine's verified
+  * LSH pair relation. */
+class IncrementalDedupSpec extends SparkSuite {
+
+  private val threshold = 0.8
+
+  /** The engine's effective pair relation: LSH band collision + exact
+    * Jaccard >= threshold (both gates use exactly this criterion). */
+  private def pairSet(): Set[(Long, Long)] = {
+    val grams = Dedup.gramsCached(spark, s"$sf0001/documents.parquet")
+    Dedup.minhashPairs(Dedup.withMinhash(grams), threshold)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def simulate(batches: Seq[Seq[Long]], pairs: Set[(Long, Long)]): Set[Long] = {
+    def paired(a: Long, b: Long) = pairs.contains((math.min(a, b), math.max(a, b)))
+    var corpus = Set.empty[Long]
+    batches.foreach { b =>
+      val inBatch = b.toSet
+      val keep = b.filter { d =>
+        val nbs = b.filter(o => o != d && paired(d, o) && inBatch(o))
+        nbs.isEmpty || nbs.min > d // min-id keep policy (clusterReps)
+      }
+      val admitted = keep.filter(d => !corpus.exists(c => paired(d, c)))
+      corpus ++= admitted
+    }
+    corpus
+  }
+
+  test("streamed corpus matches the simulated two-gate admission, no near-dup pairs inside") {
+    val base = Files.createTempDirectory("graft-incdedup").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id")
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    val batches = ids.grouped((ids.length + 2) / 3).toSeq
+
+    // Replay as a 3-file stream, one file per micro-batch, in id order.
+    batches.zipWithIndex.foreach { case (b, i) =>
+      docs.filter(col("doc_id").isin(b: _*)).coalesce(1)
+        .write.parquet(s"$base/in/b$i")
+      Thread.sleep(5) // distinct mtimes keep FileStreamSource order stable
+    }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/in/*")
+    val q = IncrementalDedup.startIngest(
+      stream, s"$base/corpus", s"$base/index", s"$base/cp", threshold)
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.read.parquet(s"$base/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairs = pairSet()
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    val expected = simulate(batches.map(_.toSeq), pairs)
+    assert(got == expected,
+      s"admitted=${got.size} expected=${expected.size}; diff=${(got diff expected) ++ (expected diff got)}")
+    assert(got.size < ids.length, "some docs must have been rejected")
+
+    // Invariant: no verified near-dup pair survives inside the corpus.
+    assert(!pairs.exists { case (a, b) => got(a) && got(b) },
+      "corpus must be near-dup free under the engine's pair relation")
+
+    // Cross-batch rejection actually happened (not all dedup was gate 1):
+    // at least one pair spans a batch boundary in the fixture.
+    val batchOf = batches.zipWithIndex.flatMap { case (b, i) => b.map(_ -> i) }.toMap
+    assert(pairs.exists { case (a, b) => batchOf(a) != batchOf(b) },
+      "fixture should exercise the cross-batch gate")
+  }
+}
