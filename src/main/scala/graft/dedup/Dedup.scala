@@ -157,9 +157,16 @@ object Dedup {
     * partition-local; the only shuffles are the bucket join and the
     * candidate verification. */
   /** Input: the withMinhash output (doc_id, grams, sig, band_hash_*). */
-  def minhashPairs(mh: DataFrame, threshold: Double): DataFrame = {
+  /** (doc_id, band_idx, band_hash) — the exploded LSH band view of a
+    * withMinhash frame; the single definition of the banding layout
+    * (shared by the pair join and the incremental-dedup index). */
+  def bands(mh: DataFrame): DataFrame = {
     val bandCols = (0 until NumBands).map(b => s"band_hash_$b").mkString(", ")
-    val bands = mh.selectExpr("doc_id", s"posexplode(array($bandCols)) AS (band_idx, band_hash)")
+    mh.selectExpr("doc_id", s"posexplode(array($bandCols)) AS (band_idx, band_hash)")
+  }
+
+  def minhashPairs(mh: DataFrame, threshold: Double): DataFrame = {
+    val bands = this.bands(mh)
     val cands = bands.alias("a")
       .join(
         bands.alias("b"),

@@ -42,17 +42,24 @@ object IvfIndex {
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
     val wCell = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell").asc)
-    val probeCells = probes
+    // Probe→cell assignment is COLLECTED once (bounded by the probe
+    // count) and re-used both as the pruning IN-list and, rebuilt as a
+    // local frame, as the broadcast join side — computing the window
+    // twice would double the assignment work.
+    val probeRows = probes
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(centroids))
       .selectExpr("query_id", "q_emb", "cell", "cosine_sim(q_emb, c_emb) AS cos")
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") === 1)
       .select("query_id", "q_emb", "cell")
+    val collected = probeRows.collect()
+    val probeCells = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), probeRows.schema)
 
-    // The probed cell ids (bounded by the probe count) become a static
-    // IN-filter, so the scan prunes to those partition dirs before IO.
-    val cellIds = probeCells.select("cell").distinct().collect().map(_.getLong(0))
+    // The probed cell ids become a static IN-filter, so the scan prunes
+    // to those partition dirs before IO.
+    val cellIds = collected.map(_.getAs[Long]("cell")).distinct.toSeq
     // Filter BEFORE any cast: the predicate must sit directly on the
     // inferred partition column to prune, the long cast (for the join
     // with the centroid-derived cell) comes after.

@@ -47,17 +47,21 @@ object Compaction {
 
   private def marker(dir: String) = Paths.get(dir, "_COMPACTING")
 
-  /** Parquet data files under `dir` (any depth), excluding metadata. */
+  /** Parquet data files under `dir` (any depth), excluding metadata.
+    * Hidden/metadata segments are checked RELATIVE to `dir` — the walk
+    * root itself may legitimately be a dot-dir (the rewrite side dir). */
   def dataFiles(dir: String): Seq[Path] = {
-    val s = Files.walk(Paths.get(dir))
+    val root = Paths.get(dir)
+    val s = Files.walk(root)
     val all = try s.iterator().asScala.toSeq finally s.close()
     all
       .filter(Files.isRegularFile(_))
       .filter { p =>
         val name = p.getFileName.toString
         name.endsWith(".parquet") && !name.startsWith("_") && !name.startsWith(".") &&
-          !p.iterator().asScala.exists(seg => seg.toString == "_spark_metadata" ||
-            seg.toString.startsWith(".trash"))
+          !root.relativize(p).iterator().asScala.exists(seg =>
+            seg.toString == "_spark_metadata" ||
+              seg.toString.startsWith(".")) // hidden dirs: .trash-*, .compacting
       }
   }
 
@@ -97,14 +101,36 @@ object Compaction {
     * independently — each leaf is a flat parquet dir, so the rewrite
     * never sees (and can never flatten) the partition layout. This is
     * also the 100 TB shape: partitions compact in parallel maintenance
-    * jobs, touched partitions only. */
+    * jobs, touched partitions only.
+    *
+    * A root `_spark_metadata` sink log (partitioned STREAMING append) is
+    * retired first: uncommitted straggler files from a crashed stream
+    * are dropped and the log removed, exactly like the flat path — the
+    * per-leaf rewrites below are log-unaware, and leaving a log behind
+    * would point readers at files the rewrite deletes. */
   def compactPartitions(
       spark: SparkSession,
       dir: String,
-      targetBytes: Long = DefaultTargetBytes): Seq[(String, CompactionStats)] =
+      targetBytes: Long = DefaultTargetBytes): Seq[(String, CompactionStats)] = {
+    retireSinkLog(spark, dir)
     partitionDirs(dir).map { p =>
       Paths.get(dir).relativize(p).toString -> compact(spark, p.toString, targetBytes)
     }
+  }
+
+  /** Drop files the sink log never committed, then remove the log —
+    * after this the tree is a plain (partitioned) parquet dir. */
+  private def retireSinkLog(spark: SparkSession, dir: String): Unit = {
+    val metaLog = Paths.get(dir, "_spark_metadata")
+    if (!Files.exists(metaLog)) return
+    // Log-aware read: inputFiles is exactly the committed file set.
+    val committed = spark.read.parquet(dir).inputFiles
+      .map(u => Paths.get(java.net.URI.create(u)).toAbsolutePath.normalize).toSet
+    dataFiles(dir)
+      .filterNot(f => committed.contains(f.toAbsolutePath.normalize))
+      .foreach(Files.deleteIfExists(_))
+    VersionNames.deleteTree(metaLog)
+  }
 
   /** Bin-pack `dir` toward `targetBytes` per file. No-op when the
     * directory already meets the target file count. */
@@ -162,7 +188,12 @@ object Compaction {
       transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Int = {
     // Read through Spark: honors _spark_metadata (committed files only).
     val df = spark.read.parquet(dir)
-    val tmp = s"$dir.compacting"
+    // The side dir lives INSIDE the table as a dot-hidden child (ignored
+    // by every Spark file index and by dataFiles): a sibling name like
+    // "<leaf>.compacting" would sit inside the PARENT of a partition
+    // leaf, parse as a bogus partition value after a crash, and poison
+    // partition-type inference for the whole tree.
+    val tmp = s"$dir/.compacting"
     transform(df).write.mode("overwrite").parquet(tmp)
     val newFiles = dataFiles(tmp)
 

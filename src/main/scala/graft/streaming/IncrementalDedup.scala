@@ -29,29 +29,36 @@ import graft.dedup.Dedup
   * partitions by band_hash prefix and batches join against it with the
   * same plan. Single-writer by design (one stream owns the corpus),
   * like every merge sink in this engine.
+  *
+  * Exactly-once under foreachBatch's at-least-once retries: every
+  * output (corpus rows, band index, gram sets) writes to a
+  * batch-scoped partition `batch=<id>` with overwrite semantics, so a
+  * re-run of a crashed batch replaces its own partial output instead
+  * of appending duplicates — and the cross-batch gate excludes the
+  * current batch id from its index reads, so a prior partial attempt
+  * can never reject its own re-run.
   */
 object IncrementalDedup {
 
   final case class BatchStats(batchId: Long, incoming: Long, admitted: Long)
 
-  private def bandsOf(mh: DataFrame): DataFrame = {
-    val bandCols = (0 until Dedup.NumBands).map(b => s"band_hash_$b").mkString(", ")
-    mh.selectExpr("doc_id", s"posexplode(array($bandCols)) AS (band_idx, band_hash)")
-  }
+  private def bandsOf(mh: DataFrame): DataFrame = Dedup.bands(mh)
 
   private def hasParquet(dir: String): Boolean =
     Files.exists(Paths.get(dir)) && Compaction.dataFiles(dir).nonEmpty
 
   /** Admit one batch of (doc_id, text) into corpusDir/indexDir; returns
-    * per-batch stats. Deterministic for a given batch split. */
+    * per-batch stats. Deterministic for a given batch split and
+    * idempotent per batchId (see the exactly-once note above). */
   def admitBatch(
       spark: SparkSession,
       batch: DataFrame,
+      batchId: Long,
       corpusDir: String,
       indexDir: String,
       threshold: Double): BatchStats = {
     val n = batch.count()
-    if (n == 0) return BatchStats(-1, 0, 0)
+    if (n == 0) return BatchStats(batchId, 0, 0)
 
     val grams = Dedup.withGramsJvm(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -64,12 +71,21 @@ object IncrementalDedup {
     val survivors = mh.join(
       reps.filter(col("rep_id") === col("doc_id")).select("doc_id"), "doc_id")
 
-    // Gate 2 — banded candidate check against the admitted corpus.
+    // Gate 2 — banded candidate check against the admitted corpus
+    // (excluding any partial prior attempt of THIS batch).
+    // Both halves of the index must exist: a crash can leave bands
+    // without grams (or vice versa) for a batch that will be retried —
+    // an unverifiable candidate set means no admitted doc to collide
+    // with, so the empty-index path is the correct (and safe) answer.
     val admitted =
-      if (!hasParquet(s"$indexDir/bands")) survivors
+      if (!hasParquet(s"$indexDir/bands") || !hasParquet(s"$indexDir/grams")) survivors
       else {
         val idxBands = spark.read.parquet(s"$indexDir/bands")
+          .filter(col("batch") =!= batchId)
+          .select("doc_id", "band_idx", "band_hash")
         val idxGrams = spark.read.parquet(s"$indexDir/grams")
+          .filter(col("batch") =!= batchId)
+          .select("doc_id", "grams")
         val cands = bandsOf(survivors).alias("n")
           .join(idxBands.alias("o"),
             col("n.band_idx") === col("o.band_idx") &&
@@ -91,14 +107,16 @@ object IncrementalDedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nAdmitted = adm.count()
 
-    // Persist the new state: corpus rows, band index, gram sets.
+    // Persist the new state into batch-scoped partitions, overwrite
+    // semantics: a retried batch replaces its own output (idempotent).
     batch.join(adm.select("doc_id"), "doc_id")
-      .write.mode("append").parquet(s"$corpusDir")
-    bandsOf(adm).write.mode("append").parquet(s"$indexDir/bands")
-    adm.select("doc_id", "grams").write.mode("append").parquet(s"$indexDir/grams")
+      .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+    bandsOf(adm).write.mode("overwrite").parquet(s"$indexDir/bands/batch=$batchId")
+    adm.select("doc_id", "grams")
+      .write.mode("overwrite").parquet(s"$indexDir/grams/batch=$batchId")
 
     Seq(grams, mh, adm).foreach(_.unpersist())
-    BatchStats(-1, n, nAdmitted)
+    BatchStats(batchId, n, nAdmitted)
   }
 
   /** Streaming wrapper: foreachBatch over a (doc_id, text) stream. */
@@ -110,7 +128,7 @@ object IncrementalDedup {
       threshold: Double): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        admitBatch(batch.sparkSession, batch, corpusDir, indexDir, threshold)
+        admitBatch(batch.sparkSession, batch, batchId, corpusDir, indexDir, threshold)
         ()
       }
       .option("checkpointLocation", checkpointDir)

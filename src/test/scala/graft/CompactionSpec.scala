@@ -54,6 +54,35 @@ class CompactionSpec extends SparkSuite {
     assert(spark.read.parquet(dir).collect().map(_.toSeq.mkString("|")).sorted.toSeq == before)
   }
 
+  test("partitioned STREAMING sink: log retired, stragglers dropped, then per-leaf compaction") {
+    val base = Files.createTempDirectory("graft-compact-sink").toString
+    val src = graft.queries.EventsQueries.events(spark, sf0001)
+      .select("event_id", "ts", "event_type", "value")
+    src.coalesce(2).write.parquet(s"$base/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$base/in")
+    val q = graft.streaming.EventsStreaming.startPartitionedAppend(
+      stream, s"$base/out", s"$base/cp")
+    q.processAllAvailable(); q.stop()
+    assert(Files.exists(java.nio.file.Paths.get(s"$base/out/_spark_metadata")))
+
+    // Inject an uncommitted straggler (a crashed stream's orphan file):
+    // its rows are invisible to the log-aware read and must NOT be
+    // resurrected by compaction.
+    val committed = spark.read.parquet(s"$base/out").count()
+    val leaf = Compaction.partitionDirs(s"$base/out").head
+    val donor = Compaction.dataFiles(leaf.toString).head
+    Files.copy(donor, leaf.resolve("part-straggler.parquet"))
+    assert(spark.read.parquet(s"$base/out").count() == committed, "log hides the straggler")
+
+    val stats = Compaction.compactPartitions(spark, s"$base/out")
+    assert(stats.size == 30)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$base/out/_spark_metadata")),
+      "sink log must be retired — the compacted tree is a plain parquet dir")
+    assert(spark.read.parquet(s"$base/out").count() == committed,
+      "straggler rows must be dropped with the log, not resurrected")
+    assert(Compaction.partitionDirs(s"$base/out").size == 30)
+  }
+
   test("an interrupted compaction rolls back losslessly on the next run") {
     val dir = Files.createTempDirectory("graft-compact-crash").resolve("t").toString
     val s = spark

@@ -41,6 +41,36 @@ class IncrementalDedupSpec extends SparkSuite {
     corpus
   }
 
+  test("retrying a batch id is idempotent, including after a half-written crash") {
+    val base = Files.createTempDirectory("graft-incdedup-retry").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id", "text")
+    val b0 = docs.filter(col("doc_id") < 250)
+    val b1 = docs.filter(col("doc_id") >= 250)
+
+    val s0 = IncrementalDedup.admitBatch(spark, b0, 0L, s"$base/corpus", s"$base/index", threshold)
+    val s1 = IncrementalDedup.admitBatch(spark, b1, 1L, s"$base/corpus", s"$base/index", threshold)
+    def corpusIds() = spark.read.parquet(s"$base/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids = corpusIds()
+    assert(ids.distinct == ids, "no duplicate rows")
+
+    // Full at-least-once replay of batch 1: output replaced, not appended.
+    val s1r = IncrementalDedup.admitBatch(spark, b1, 1L, s"$base/corpus", s"$base/index", threshold)
+    assert(corpusIds() == ids && s1r.admitted == s1.admitted)
+
+    // Crash-shaped replay: batch 1's gram half is missing, bands remain.
+    {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(s"$base/index/grams/batch=1")
+      val w = Files.walk(root)
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    val s1c = IncrementalDedup.admitBatch(spark, b1, 1L, s"$base/corpus", s"$base/index", threshold)
+    assert(corpusIds() == ids && s1c.admitted == s1.admitted)
+    assert(s0.admitted > 0 && s1.admitted > 0)
+  }
+
   test("streamed corpus matches the simulated two-gate admission, no near-dup pairs inside") {
     val base = Files.createTempDirectory("graft-incdedup").toString
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
