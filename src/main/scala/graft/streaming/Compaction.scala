@@ -118,6 +118,21 @@ object Compaction {
     }
   }
 
+  /** Z-order every leaf partition independently (see zorder/
+    * compactPartitions): partition pruning handles the partition
+    * columns, the z-value handles the clustered columns WITHIN each
+    * partition — the standard two-level layout at 100 TB. */
+  def zorderPartitions(
+      spark: SparkSession,
+      dir: String,
+      cols: Seq[String],
+      targetBytes: Long = DefaultTargetBytes): Seq[(String, CompactionStats)] = {
+    retireSinkLog(spark, dir)
+    partitionDirs(dir).map { p =>
+      Paths.get(dir).relativize(p).toString -> zorder(spark, p.toString, cols, targetBytes)
+    }
+  }
+
   /** Drop files the sink log never committed, then remove the log —
     * after this the tree is a plain (partitioned) parquet dir. */
   private def retireSinkLog(spark: SparkSession, dir: String): Unit = {

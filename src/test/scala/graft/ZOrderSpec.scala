@@ -42,6 +42,24 @@ class ZOrderSpec extends SparkSuite {
     assert(zs.forall(_ == 0L))
   }
 
+  test("zorderPartitions clusters within each partition, layout survives") {
+    val dir = Files.createTempDirectory("graft-zorder-part").resolve("orders").toString
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice")
+    orders.repartition(6).write.partitionBy("o_orderstatus").parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val nParts = Compaction.partitionDirs(dir).size
+    assert(nParts == 3)
+
+    intercept[IllegalArgumentException]( // the flat entry must refuse the tree
+
+      Compaction.zorder(spark, dir, Seq("o_custkey", "o_totalprice")))
+    val perLeaf = Compaction.zorderPartitions(spark, dir, Seq("o_custkey", "o_totalprice"))
+    assert(perLeaf.size == 3 && perLeaf.forall(_._2.compacted))
+    assert(Compaction.partitionDirs(dir).size == 3, "layout must survive")
+    assert(spark.read.parquet(dir).collect().map(_.toSeq.mkString("|")).sorted.toSeq == before)
+  }
+
   test("zorder rewrite clusters both columns and preserves content") {
     val dir = Files.createTempDirectory("graft-zorder").resolve("orders").toString
     val orders = spark.read.parquet(s"$sf001/orders.parquet")
