@@ -19,6 +19,42 @@ object SimQueries extends QueryModule {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(tablePath(dir, "embeddings"))
 
+  private val idxSeed =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Persisted IVF index built once per (session, dir). */
+  private def ivfIndexDir(s: SparkSession, dir: String): String =
+    idxSeed.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-ivf-idx").resolve("index").toString
+      graft.sim.IvfIndex.build(s, emb(s, dir), numCells = 16, t)
+      t
+    })
+
+  /** The IVF top-k oracle — shared by the inline and persisted-index
+    * paths (same semantics, different IO layout). */
+  private lazy val ivfTopkOracle: String =
+    s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id < 16),
+       |p0 AS (SELECT e.vec_id, c.cell,
+       |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
+       |  FROM embeddings e CROSS JOIN c),
+       |a AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+       |    FROM p0) WHERE rn = 1),
+       |pr AS (SELECT q.vec_id AS query_id, q.embedding AS q_emb, a.cell
+       |  FROM embeddings q JOIN a ON a.vec_id = q.vec_id WHERE q.vec_id < 5),
+       |j AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
+       |    ${cosineDuck("pr.q_emb", "e.embedding")} AS cos
+       |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+       |  JOIN pr ON a.cell = pr.cell AND e.vec_id <> pr.query_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM j)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       |  round(cos, 6) AS cosine
+       |FROM r WHERE rank <= 3""".stripMargin
+
   override def queries: Seq[EngineQuery] = Seq(
 
     // Exact brute-force cosine top-k for a fixed probe set (the ANN
@@ -143,27 +179,20 @@ object SimQueries extends QueryModule {
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("cos"), 6).as("cosine"))
       },
-      Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
-              |  FROM embeddings WHERE vec_id < 16),
-              |p0 AS (SELECT e.vec_id, c.cell,
-              |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
-              |  FROM embeddings e CROSS JOIN c),
-              |a AS (SELECT vec_id, cell FROM (
-              |    SELECT vec_id, cell,
-              |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
-              |    FROM p0) WHERE rn = 1),
-              |pr AS (SELECT q.vec_id AS query_id, q.embedding AS q_emb, a.cell
-              |  FROM embeddings q JOIN a ON a.vec_id = q.vec_id WHERE q.vec_id < 5),
-              |j AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
-              |    ${cosineDuck("pr.q_emb", "e.embedding")} AS cos
-              |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
-              |  JOIN pr ON a.cell = pr.cell AND e.vec_id <> pr.query_id),
-              |r AS (SELECT query_id, neighbor_id, cos,
-              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-              |  FROM j)
-              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
-              |  round(cos, 6) AS cosine
-              |FROM r WHERE rank <= 3""".stripMargin)),
+      Some(ivfTopkOracle)),
+
+    // The SAME search over the PERSISTED index (sim/IvfIndex): centroids
+    // + cell-partitioned corpus materialized once on disk, probes read
+    // only their cell's partition dirs. Must hash-match the identical
+    // oracle as the inline path — the index adds IO layout, not
+    // semantics.
+    EngineQuery(
+      "sim_ivf_index_topk",
+      (s, dir) => {
+        val idx = ivfIndexDir(s, dir)
+        graft.sim.IvfIndex.search(s, idx, emb(s, dir).filter(col("vec_id") < 5), 3)
+      },
+      Some(ivfTopkOracle)),
 
     // Label centroid check: average embedding per label, report the fold
     // of the centroid's own norm — exercises vector aggregation
