@@ -33,7 +33,8 @@ object Bench {
       "build_order_stream" -> (() => { CdcPipeline.orderStreamCached(spark, sfDir); () }),
       "build_orders_current" -> (() => { graft.scd.ScdPipeline.ordersCurrent(spark, sfDir); () }),
       "build_storage_tables" -> (() => graft.queries.StorageQueries.ensureSeeded(spark, sfDir)),
-      "build_partitioned_events" -> (() => graft.queries.EventsQueries.ensureSeeded(spark, sfDir)))
+      "build_partitioned_events" -> (() => graft.queries.EventsQueries.ensureSeeded(spark, sfDir)),
+      "build_ivf_index" -> (() => graft.queries.SimQueries.ensureSeeded(spark, sfDir)))
 
     val results =
       builds.map { case (name, work) => name -> timed(work) } ++
