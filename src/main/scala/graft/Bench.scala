@@ -22,10 +22,17 @@ object Bench {
     // gate, graft.Verify, always runs the full JSON parse path).
     if (!sys.env.get("SPARK_GRAFT_FASTGEN").contains("0")) CdcPipeline.useFastGen = true
 
-    def timed(work: () => Unit): Double = {
+    // A query that throws must NOT masquerade as a (tiny) timing — a
+    // regression to "crashes instantly" would read as a 100× speedup.
+    // Failures are timed, kept out of no one's total, and reported in an
+    // explicit "errors" object keyed by entry name.
+    def timed(work: () => Unit): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      try work() catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val err = try { work(); None } catch {
+        case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+      ((System.nanoTime() - t0) / 1e9, err)
     }
 
     val builds: Seq[(String, () => Unit)] = Seq(
@@ -37,14 +44,23 @@ object Bench {
       "build_ivf_index" -> (() => graft.queries.SimQueries.ensureSeeded(spark, sfDir)))
 
     val results =
-      builds.map { case (name, work) => name -> timed(work) } ++
+      builds.map { case (name, work) => (name, timed(work)) } ++
         SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          name -> timed(() => { fn(spark, sfDir).count(); () })
+          (name, timed(() => { fn(spark, sfDir).count(); () }))
         }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, (_, Some(e))) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -120,6 +120,35 @@ object CdcQueries extends QueryModule {
              |  l_extendedprice * (1.0 - l_discount) AS itemAmount
              |FROM lineitem WHERE (l_orderkey // 5) % 11 <> 0""".stripMargin)),
 
+    // Two stacked LATERAL VIEW explodes in ONE select — the
+    // Generator-after-Generator plan shape (reference:
+    // db/query_table.sql:52-65, orders × orderDetails). Only base
+    // transactions carry both arrays non-empty, so update (txu-) and
+    // detail-only (txs-) rows drop out of the double explode, matching
+    // LATERAL VIEW's inner-join semantics.
+    EngineQuery(
+      "cdc_double_explode",
+      (s, dir) => {
+        CdcPipeline.orderStreamCached(s, dir).createOrReplaceTempView("order_stream")
+        s.sql(
+          """SELECT t.orderId,
+            |  o.orderRef, o.orderStatus,
+            |  d.shippingMethod, d.trackingNumber, d.carrier, d.deliveryStatus,
+            |  d.version AS detail_version
+            |FROM order_stream t
+            |LATERAL VIEW explode(t.orders) orders_table AS o
+            |LATERAL VIEW explode(t.orderDetails) details_table AS d""".stripMargin)
+      },
+      Some("""SELECT CAST(o_orderkey AS DOUBLE) AS orderId,
+             |  'ORD-' || CAST(o_orderkey AS VARCHAR) AS orderRef,
+             |  o_orderstatus AS orderStatus,
+             |  ['STANDARD','EXPRESS','OVERNIGHT','PICKUP'][CAST(o_orderkey % 4 AS INT) + 1] AS shippingMethod,
+             |  'TRK-' || CAST(o_orderkey AS VARCHAR) AS trackingNumber,
+             |  ['FEDEX','UPS','DHL','USPS'][CAST(o_orderkey % 4 AS INT) + 1] AS carrier,
+             |  ['PENDING','IN_TRANSIT','DELIVERED','RETURNED'][CAST(o_orderkey % 4 AS INT) + 1] AS deliveryStatus,
+             |  CAST(1.0 AS DOUBLE) AS detail_version
+             |FROM orders WHERE (o_orderkey // 5) % 11 <> 0""".stripMargin)),
+
     // Group emitted rows by transaction (Q5 multi-key group-by over the
     // stream table; every base tx covers 5 consecutive orders).
     EngineQuery(

@@ -32,19 +32,45 @@ object DedupQueries extends QueryModule {
       df
     })
 
-  private val jpCache =
+  private val mpCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
 
-  /** Verified Jaccard pairs memoized per (session, dir, threshold): the
-    * shared-gram join is the expensive verifier and three queries
-    * (pairs, cluster reps, corpus curation) consume the same result. */
-  def jaccardPairsCached(s: SparkSession, dir: String, threshold: Double): DataFrame =
-    jpCache.getOrElseUpdate((s, dir, threshold), {
-      val df = Dedup.jaccardPairs(grams(s, dir), threshold)
+  /** LSH-banded candidates verified by exact Jaccard, memoized per
+    * (session, dir, threshold): THE near-dup pair source — three queries
+    * (pairs, cluster reps, corpus curation) consume the same result. The
+    * quadratic all-pairs gram join (`Dedup.jaccardPairs`) stays confined
+    * to `dedup_jaccard_pairs`, which exists to measure LSH recall against
+    * ground truth — everything downstream rides the scale path. */
+  def minhashPairsCached(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    mpCache.getOrElseUpdate((s, dir, threshold), {
+      val df = Dedup.minhashPairs(minhash(s, dir), threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
     })
+
+  /** DuckDB CTE chain, appended after a `g`(doc_id, grams) CTE, deriving
+    * `lsh_pairs`(a_id, b_id, jaccard): banded LSH candidate generation +
+    * exact-Jaccard verification at `threshold` — the oracle dual of
+    * `Dedup.minhashPairs`, shared by every query that consumes the LSH
+    * candidate path (pairs, cluster reps, curation). */
+  def duckLshPairs(threshold: Double): String =
+    s"""s AS (SELECT doc_id, grams, ${minhashSigDuck(Dedup.NumHashes)} AS sig FROM g),
+       |s2 AS (SELECT doc_id, grams,
+       |  [${bandHashDuck(1, 4)}, ${bandHashDuck(5, 4)}, ${bandHashDuck(9, 4)}, ${bandHashDuck(13, 4)}] AS bhs
+       |  FROM s),
+       |b AS (SELECT doc_id, grams, i, bhs[i] AS band_hash
+       |  FROM s2 CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) idx),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+       |  FROM b a JOIN b b2
+       |    ON a.i = b2.i AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+       |v AS (SELECT a_id, b_id,
+       |    len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS inter,
+       |    len(ga.grams) AS na, len(gb.grams) AS nb
+       |  FROM cand JOIN g ga ON a_id = ga.doc_id JOIN g gb ON b_id = gb.doc_id),
+       |lsh_pairs AS (SELECT a_id, b_id,
+       |    round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+       |  FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold)""".stripMargin
 
   private val shCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -74,9 +100,11 @@ object DedupQueries extends QueryModule {
              |  CAST(count(*) AS BIGINT) AS n_docs
              |FROM documents GROUP BY md5(text)""".stripMargin)),
 
+    // Ground-truth all-pairs Jaccard — the recall yardstick for the LSH
+    // path (quadratic by design; the ONLY consumer of the all-pairs join).
     EngineQuery(
       "dedup_jaccard_pairs",
-      (s, dir) => jaccardPairsCached(s, dir, 0.8),
+      (s, dir) => Dedup.jaccardPairs(grams(s, dir), 0.8),
       Some(s"""$duckGrams,
               |p AS (
               |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -109,42 +137,25 @@ object DedupQueries extends QueryModule {
     // LSH candidates verified by exact Jaccard — end-to-end MinHash dedup.
     EngineQuery(
       "dedup_minhash_pairs",
-      (s, dir) => Dedup.minhashPairs(minhash(s, dir), 0.8),
+      (s, dir) => minhashPairsCached(s, dir, 0.8),
       Some(s"""$duckGrams,
-              |s AS (SELECT doc_id, grams, ${minhashSigDuck(Dedup.NumHashes)} AS sig FROM g),
-              |s2 AS (SELECT doc_id, grams,
-              |  [${bandHashDuck(1, 4)}, ${bandHashDuck(5, 4)}, ${bandHashDuck(9, 4)}, ${bandHashDuck(13, 4)}] AS bhs
-              |  FROM s),
-              |b AS (SELECT doc_id, grams, i, bhs[i] AS band_hash
-              |  FROM s2 CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) idx),
-              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
-              |  FROM b a JOIN b b2
-              |    ON a.i = b2.i AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
-              |v AS (SELECT a_id, b_id,
-              |    len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS inter,
-              |    len(ga.grams) AS na, len(gb.grams) AS nb
-              |  FROM cand JOIN g ga ON a_id = ga.doc_id JOIN g gb ON b_id = gb.doc_id)
-              |SELECT a_id, b_id,
-              |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
-              |FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""".stripMargin)),
+              |${duckLshPairs(0.8)}
+              |SELECT a_id, b_id, jaccard FROM lsh_pairs""".stripMargin)),
 
-    // Cluster-representative assignment over the verified LSH pairs:
-    // doc survives dedup iff rep_id == doc_id.
+    // Cluster-representative assignment over the verified LSH pairs —
+    // the candidate source here is minhashPairs (the 100 TB path), NOT
+    // the quadratic all-pairs verifier; the oracle runs the identical
+    // banded candidate generation, so an LSH recall miss can never show
+    // up as a hash mismatch.
     EngineQuery(
       "dedup_cluster_reps",
-      (s, dir) => Dedup.clusterReps(docs(s, dir), jaccardPairsCached(s, dir, 0.8)),
+      (s, dir) => Dedup.clusterReps(docs(s, dir), minhashPairsCached(s, dir, 0.8)),
       Some(s"""$duckGrams,
-              |p AS (
-              |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-              |    len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS inter,
-              |    len(a.grams) AS na, len(b.grams) AS nb
-              |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
-              |pairs AS (SELECT a_id, b_id FROM p
-              |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+              |${duckLshPairs(0.8)},
               |nb AS (
               |  SELECT doc_id, min(nb) AS min_nb FROM (
-              |    SELECT a_id AS doc_id, b_id AS nb FROM pairs
-              |    UNION ALL SELECT b_id, a_id FROM pairs) GROUP BY doc_id)
+              |    SELECT a_id AS doc_id, b_id AS nb FROM lsh_pairs
+              |    UNION ALL SELECT b_id, a_id FROM lsh_pairs) GROUP BY doc_id)
               |SELECT d.doc_id, least(d.doc_id, coalesce(min_nb, d.doc_id)) AS rep_id
               |FROM documents d LEFT JOIN nb ON d.doc_id = nb.doc_id""".stripMargin)),
 

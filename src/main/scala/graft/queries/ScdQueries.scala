@@ -90,6 +90,32 @@ object ScdQueries extends QueryModule {
         """SELECT CAST(count(*) AS BIGINT) AS n_orders,
           |  CAST(0 AS BIGINT) AS dup_orders FROM expected""".stripMargin)),
 
+    // The reference's own post-merge consistency probe (reference:
+    // db/query_scd1_table.sql:134-143): orders whose detail version or
+    // max line-item version disagrees with the parent version. SQL NULL
+    // semantics apply — a NULL child version (no detail merged, no line
+    // items) never satisfies `!=`, exactly as the reference's query
+    // evaluates it. Under this workload the probe fires for every
+    // order-updated row (children stay at version 1) and every
+    // detail-updated row without an order update (detail 2 vs parent 1).
+    EngineQuery(
+      "scd1_version_probe",
+      (s, dir) =>
+        ScdPipeline.ordersCurrent(s, dir)
+          .selectExpr(
+            "orderId",
+            "version AS order_version",
+            "orderDetails.version AS detail_version",
+            "aggregate(lineItems, CAST(0.0 AS DOUBLE), (acc, li) -> GREATEST(acc, li.version)) AS max_line_item_version")
+          .filter("detail_version != order_version OR max_line_item_version != order_version"),
+      Some(oracleCur +
+        """SELECT orderId, version AS order_version,
+          |  detailVersion AS detail_version,
+          |  CAST(CASE WHEN numLineItems IS NOT NULL THEN 1.0 END AS DOUBLE) AS max_line_item_version
+          |FROM expected
+          |WHERE detailVersion != version
+          |   OR (CASE WHEN numLineItems IS NOT NULL THEN 1.0 END) != version""".stripMargin)),
+
     // Tie/redelivery semantics end-to-end (reference:
     // ScdType1MergeApp.scala:219-244): a conflicting-redelivery wave
     // (same versions, changed content — the at-least-once shape) runs

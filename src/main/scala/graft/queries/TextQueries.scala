@@ -101,7 +101,10 @@ object TextQueries extends QueryModule {
     // The end-to-end curation pipeline: quality-score every document,
     // assign near-duplicate cluster representatives, keep one survivor
     // per cluster above the quality bar — the composed operator a
-    // training-data pipeline actually runs.
+    // training-data pipeline actually runs. Near-dup pairs come from the
+    // LSH candidate path (minhashPairsCached — the 100 TB plan); the
+    // oracle runs the identical banded generation, so candidate recall
+    // is pinned, not assumed.
     EngineQuery(
       "text_curate",
       (s, dir) => {
@@ -110,7 +113,7 @@ object TextQueries extends QueryModule {
           "doc_id", "lang",
           s"round(least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHits / CAST(size(toks) AS DOUBLE)) * 0.5, 4) AS quality")
         val reps = graft.dedup.Dedup.clusterReps(
-          d, DedupQueries.jaccardPairsCached(s, dir, 0.8))
+          d, DedupQueries.minhashPairsCached(s, dir, 0.8))
         scored.join(reps, Seq("doc_id"))
           .filter(col("rep_id") === col("doc_id") && col("quality") >= 0.35)
           .select(col("doc_id"), col("lang"), col("quality"))
@@ -120,15 +123,10 @@ object TextQueries extends QueryModule {
               |  round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHitsDuck / CAST(len(toks) AS DOUBLE)) * 0.5, 4) AS quality
               |  FROM tk),
               |g AS (SELECT doc_id, $grams3Duck AS grams FROM tk),
-              |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-              |    len(list_filter(a.grams, x -> list_contains(b.grams, x))) AS inter,
-              |    len(a.grams) AS na, len(b.grams) AS nb
-              |  FROM g a JOIN g b ON a.doc_id < b.doc_id),
-              |pairs AS (SELECT a_id, b_id FROM p
-              |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8),
+              |${DedupQueries.duckLshPairs(0.8)},
               |nbr AS (SELECT doc_id, min(nb) AS min_nb FROM (
-              |    SELECT a_id AS doc_id, b_id AS nb FROM pairs
-              |    UNION ALL SELECT b_id, a_id FROM pairs) GROUP BY doc_id),
+              |    SELECT a_id AS doc_id, b_id AS nb FROM lsh_pairs
+              |    UNION ALL SELECT b_id, a_id FROM lsh_pairs) GROUP BY doc_id),
               |reps AS (SELECT d.doc_id, least(d.doc_id, coalesce(min_nb, d.doc_id)) AS rep_id
               |  FROM documents d LEFT JOIN nbr ON d.doc_id = nbr.doc_id)
               |SELECT s.doc_id, s.lang, s.quality
