@@ -48,10 +48,49 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededRn =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Two-generation table spanning a RENAME COLUMN: even keys written
+    * with the original name `amount`, then the column is renamed to
+    * `total_amount` (metadata-only `_SCHEMA` manifest), then odd keys
+    * are appended under the NEW logical name (physically stored as
+    * `amount` — no file ever rewritten). */
+  private def renamedOrders(s: SparkSession, dir: String): String =
+    seededRn.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-rn")
+        .resolve("orders_renamed").toString
+      val orders = s.read.parquet(tablePath(dir, "orders"))
+      graft.tables.SchemaEvolution.appendEvolved(
+        s, orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("amount")), t)
+      graft.tables.SchemaEvolution.renameColumn(s, t, "amount", "total_amount")
+      graft.tables.SchemaEvolution.appendEvolved(
+        s, orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice").as("total_amount")), t)
+      t
+    })
+
+  private val seededCl =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Shallow clone of the versioned table, diverged copy-on-write: the
+    * clone's only local swap drops it to keys % 3 == 0; the source must
+    * still read every order. */
+  private def clonedOrders(s: SparkSession, dir: String): String =
+    seededCl.getOrElseUpdate((s, dir), {
+      val src = versionedOrders(s, dir)
+      val c = src + "_shallow"
+      ParquetTable.shallowClone(src, c)
+      ParquetTable.swap(s, ParquetTable.read(s, c).filter(col("o_orderkey") % 3 === 0), c)
+      c
+    })
+
   /** Pre-build the seeded tables (Bench times this as an explicit
     * `build_*` entry so query numbers measure only themselves). */
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
-    versionedOrders(s, dir); evolvedOrders(s, dir); ()
+    versionedOrders(s, dir); evolvedOrders(s, dir)
+    renamedOrders(s, dir); clonedOrders(s, dir); ()
   }
 
   override def queries: Seq[EngineQuery] = Seq(
@@ -73,6 +112,44 @@ object StorageQueries extends QueryModule {
              |  CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_flagged,
              |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 3 END) AS BIGINT) AS sum_flag
              |FROM orders GROUP BY 1""".stripMargin)),
+
+    // RENAME COLUMN via the column-mapping manifest: rows written before
+    // AND after the rename read back under the new logical name; the
+    // per-generation tallies prove the mapping applies across both file
+    // generations (a miss would null half the sums). 2-decimal source
+    // doubles make round(sum, 2) order-independent.
+    EngineQuery(
+      "se_renamed_column",
+      (s, dir) =>
+        graft.tables.SchemaEvolution.readEvolved(s, renamedOrders(s, dir))
+          .selectExpr("CAST(o_orderkey % 2 AS INT) AS gen", "total_amount")
+          .groupBy("gen")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum("total_amount"), 2).as("total_amount_sum")),
+      Some("""SELECT CAST(o_orderkey % 2 AS INT) AS gen,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS total_amount_sum
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // SHALLOW CLONE isolation: the clone reads the source's data with
+    // zero copied files, then diverges copy-on-write — after the
+    // clone-side swap the source still reads every order while the
+    // clone reads only its filtered snapshot.
+    EngineQuery(
+      "tt_shallow_clone",
+      (s, dir) => {
+        val c = clonedOrders(s, dir)
+        val src = ParquetTable.read(s, versionedOrders(s, dir))
+          .agg(lit("source").as("tbl"), count(lit(1)).as("n"))
+        val clone = ParquetTable.read(s, c)
+          .agg(lit("clone").as("tbl"), count(lit(1)).as("n"))
+        src.unionByName(clone)
+      },
+      Some("""SELECT 'source' AS tbl, CAST(count(*) AS BIGINT) AS n FROM orders
+             |UNION ALL
+             |SELECT 'clone', CAST(count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS BIGINT)
+             |FROM orders""".stripMargin)),
 
     // Per-status row counts of the PREVIOUS snapshot (VERSION AS OF
     // current-1) next to the current one; the oracle reconstructs the

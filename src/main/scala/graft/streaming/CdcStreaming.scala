@@ -185,9 +185,12 @@ object ParquetTable {
 
   def exists(dir: String): Boolean = Files.exists(pointer(dir))
 
+  /** Resolve the live snapshot dir: a bare version name is a local child
+    * dir; a path (contains "/") is a shallow-clone reference into another
+    * table and is followed as-is. */
   def currentPath(dir: String): String = {
     val v = Files.readString(pointer(dir)).trim
-    s"$dir/$v"
+    if (v.contains("/")) v else s"$dir/$v"
   }
 
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -242,6 +245,25 @@ object ParquetTable {
     * Delta DEEP CLONE, which copies data files but not history). */
   def deepClone(spark: SparkSession, srcDir: String, dstDir: String): Unit =
     swap(spark, read(spark, srcDir), dstDir)
+
+  /** SHALLOW CLONE: a new table whose `_CURRENT` points at the SOURCE
+    * table's live version directory — zero data files copied, O(1)
+    * regardless of table size (reference: db/table_maintenance.sql:
+    * 109-113). The clone diverges copy-on-write: its next `swap` writes
+    * a normal LOCAL version (a full snapshot, as every swap is) and
+    * repoints `_CURRENT` locally, leaving the source untouched. Like
+    * Delta, vacuuming the SOURCE can invalidate shallow clones that
+    * still reference it — `deepClone` is the vacuum-safe variant. */
+  def shallowClone(srcDir: String, dstDir: String): Unit = {
+    require(exists(srcDir), s"shallow clone source $srcDir is not a table")
+    Files.createDirectories(Paths.get(dstDir))
+    require(!exists(dstDir), s"shallow clone target $dstDir already exists")
+    val src = Paths.get(currentPath(srcDir)).toAbsolutePath.normalize
+    val tmp = Paths.get(dstDir, "_CURRENT.tmp")
+    Files.writeString(tmp, src.toString)
+    Files.move(tmp, pointer(dstDir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Drop superseded snapshots, keeping the newest `keep` (>=1). */
   def vacuum(dir: String, keep: Int = 1): Unit = {

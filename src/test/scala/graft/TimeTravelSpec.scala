@@ -72,6 +72,36 @@ class TimeTravelSpec extends SparkSuite {
     assert(ParquetTable.snapshots(cloneDir).size == 1, "clone starts with fresh history")
   }
 
+  test("SHALLOW CLONE copies zero data files and diverges copy-on-write") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-tt5").toString
+
+    ParquetTable.swap(spark, Seq(1, 2, 3).toDF("x"), dir)
+    val cloneDir = Files.createTempDirectory("graft-tt5c").resolve("clone").toString
+    ParquetTable.shallowClone(dir, cloneDir)
+
+    def parquetFiles(d: String): Seq[java.nio.file.Path] = {
+      val st = Files.walk(java.nio.file.Paths.get(d))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(p =>
+          Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet")).toSeq
+      } finally st.close()
+    }
+    assert(parquetFiles(cloneDir).isEmpty, "shallow clone copies ZERO data files")
+    assert(ParquetTable.read(spark, cloneDir).count() == 3, "clone reads the source snapshot")
+
+    // Copy-on-write divergence: the clone's first swap is local.
+    ParquetTable.swap(spark, Seq(9).toDF("x"), cloneDir)
+    assert(ParquetTable.read(spark, cloneDir).count() == 1)
+    assert(ParquetTable.read(spark, dir).count() == 3, "source is untouched by the clone's write")
+    assert(parquetFiles(cloneDir).nonEmpty, "post-divergence versions are local")
+
+    // Cloning onto an existing table is refused.
+    intercept[IllegalArgumentException] { ParquetTable.shallowClone(dir, cloneDir) }
+  }
+
   test("TIMESTAMP AS OF reads the newest snapshot published at or before ts") {
     val s = spark
     import s.implicits._
