@@ -115,11 +115,30 @@ object TxState {
   *  - Run streaming with the RocksDB state store provider for large key
   *    cardinality (see SparkSessions / app wiring).
   */
+/** One TTL-dropped buffered event, with full image payloads so a
+  * quarantined transaction can be inspected or replayed (the dead-letter
+  * record the reference leaves as an open risk —
+  * IMPLEMENTATION.md:177-183). */
+final case class DeadEvent(
+    xid: String,
+    csn: String,
+    table: String,
+    event_type: String,
+    before: String,
+    after: String,
+    reason: String)
+
+/** Union output row of the dead-letter variant: exactly one of
+  * `row`/`dead` is non-null (a streaming operator has one output — the
+  * split into main/quarantine sinks happens downstream in foreachBatch). */
+final case class BufferedOut(row: OrderStreamRow, dead: DeadEvent)
+
 object TxBuffer {
 
   implicit private val eventEnc: Encoder[UnifiedEvent] = Encoders.product[UnifiedEvent]
   implicit private val stateEnc: Encoder[TxState] = Encoders.product[TxState]
   implicit private val outEnc: Encoder[OrderStreamRow] = Encoders.product[OrderStreamRow]
+  implicit private val outDlEnc: Encoder[BufferedOut] = Encoders.product[BufferedOut]
   implicit private val keyEnc: Encoder[String] = Encoders.STRING
 
   /** Apply to a unified-envelope DataFrame (batch or streaming).
@@ -151,6 +170,41 @@ object TxBuffer {
         processTransaction(ts, stateTtl))
   }
 
+  /** Like `apply`, but TTL-expired incomplete transactions are EMITTED
+    * as dead-letter rows instead of silently dropped — the quarantine
+    * answer to the reference's unbounded-state risk. Split the union
+    * output downstream (`row` vs `dead`); see
+    * CdcStreaming.startIngestQuarantined for the two-sink wiring. */
+  def withDeadLetters(
+      unified: DataFrame,
+      processedTs: () => String = () => Instant.now().toString,
+      stateTtl: java.time.Duration): Dataset[BufferedOut] = {
+    val ts = processedTs
+    unified
+      .select("xid", "csn", "table", "before", "after",
+        "event_type", "expected_count", "data_collections")
+      .as[UnifiedEvent]
+      .groupByKey(e => e.xid + ":" + e.csn)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout())(
+        processTransactionDL(ts, stateTtl))
+  }
+
+  /** Fold this trigger's events into the transaction's state. */
+  private def foldEvents(
+      txKey: String,
+      events: Iterator[UnifiedEvent],
+      state: GroupState[TxState]): TxState = {
+    val (xid, csn) = txKey.split(":", 2) match {
+      case Array(x, c) => (x, c)
+      case _           => (txKey, "")
+    }
+    var st = state.getOption.getOrElse(TxState.empty(xid, csn))
+    events.foreach { e =>
+      st = if (e.event_type == "METADATA") st.withMetadata(e) else st.withEvent(e)
+    }
+    st
+  }
+
   private[buffering] def processTransaction(
       processedTs: () => String,
       stateTtl: Option[java.time.Duration] = None)(
@@ -159,28 +213,48 @@ object TxBuffer {
       state: GroupState[TxState]): Iterator[OrderStreamRow] = {
 
     if (state.hasTimedOut) {
-      // Incomplete past the TTL: drop (a dead-letter sink would hook in
-      // here — the events are in `state.get`).
+      // Incomplete past the TTL: drop (withDeadLetters is the variant
+      // that quarantines instead).
       state.remove()
       return Iterator.empty
     }
 
-    val (xid, csn) = txKey.split(":", 2) match {
-      case Array(x, c) => (x, c)
-      case _           => (txKey, "")
-    }
-
-    var st = state.getOption.getOrElse(TxState.empty(xid, csn))
-    events.foreach { e =>
-      st = if (e.event_type == "METADATA") st.withMetadata(e) else st.withEvent(e)
-    }
-
+    val st = foldEvents(txKey, events, state)
     if (st.isComplete) {
       state.remove()
       OrderAssembler.assemble(st, processedTs()).iterator
     } else {
       state.update(st)
       stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+      Iterator.empty
+    }
+  }
+
+  private[buffering] def processTransactionDL(
+      processedTs: () => String,
+      stateTtl: java.time.Duration)(
+      txKey: String,
+      events: Iterator[UnifiedEvent],
+      state: GroupState[TxState]): Iterator[BufferedOut] = {
+
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      val reason =
+        s"state TTL expired incomplete: orders ${st.orderEvents.size}/${st.expectedOrders}, " +
+          s"details ${st.detailEvents.size}/${st.expectedDetails}, " +
+          s"lineItems ${st.lineItemEvents.size}/${st.expectedLineItems}"
+      return (st.orderEvents ++ st.detailEvents ++ st.lineItemEvents).iterator.map(e =>
+        BufferedOut(null, DeadEvent(st.xid, st.csn, e.table, e.event_type, e.before, e.after, reason)))
+    }
+
+    val st = foldEvents(txKey, events, state)
+    if (st.isComplete) {
+      state.remove()
+      OrderAssembler.assemble(st, processedTs()).iterator.map(BufferedOut(_, null))
+    } else {
+      state.update(st)
+      state.setTimeoutDuration(stateTtl.toMillis)
       Iterator.empty
     }
   }

@@ -72,6 +72,46 @@ object CdcStreaming {
       .start()
   }
 
+  /** Pipeline 1 with a TTL + dead-letter quarantine: transactions still
+    * incomplete `stateTtl` after their last event are dropped from state
+    * AND their buffered events land in `quarantineDir` (instead of
+    * vanishing — the reference documents the silent-leak risk,
+    * IMPLEMENTATION.md:177-183). One stateful query, two sinks split in
+    * foreachBatch; both write batch-scoped overwrite partitions, so an
+    * at-least-once retry replaces its own output (idempotent). */
+  def startIngestQuarantined(
+      spark: SparkSession,
+      ordersDir: String,
+      detailsDir: String,
+      lineItemsDir: String,
+      metadataDir: String,
+      outDir: String,
+      quarantineDir: String,
+      checkpointDir: String,
+      stateTtl: java.time.Duration): StreamingQuery = {
+    val unified = CdcPipeline.unified(
+      fileValueStream(spark, ordersDir),
+      fileValueStream(spark, detailsDir),
+      fileValueStream(spark, lineItemsDir),
+      fileValueStream(spark, metadataDir))
+    graft.buffering.TxBuffer.withDeadLetters(unified, stateTtl = stateTtl)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.buffering.BufferedOut], batchId: Long) =>
+        val b = batch.persist()
+        try {
+          if (b.filter(col("row").isNotNull).limit(1).count() > 0)
+            b.filter(col("row").isNotNull).select("row.*")
+              .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          if (b.filter(col("dead").isNotNull).limit(1).count() > 0)
+            b.filter(col("dead").isNotNull).select("dead.*")
+              .write.mode("overwrite").parquet(s"$quarantineDir/batch=$batchId")
+        } finally { b.unpersist(); () }
+      }
+      .start()
+  }
+
   /** Pipeline 2: order_stream dir → merged orders_current snapshot. */
   def startScd1Merge(
       spark: SparkSession,

@@ -119,18 +119,83 @@ object IncrementalDedup {
     BatchStats(batchId, n, nAdmitted)
   }
 
-  /** Streaming wrapper: foreachBatch over a (doc_id, text) stream. */
+  /** Streaming wrapper: foreachBatch over a (doc_id, text) stream.
+    * `compactEvery` > 0 folds the index partitions every that-many
+    * batches (the maintenance hook — without it the index grows one
+    * `batch=<id>` partition per micro-batch forever). */
   def startIngest(
       docs: DataFrame,
       corpusDir: String,
       indexDir: String,
       checkpointDir: String,
-      threshold: Double): StreamingQuery =
+      threshold: Double,
+      compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(batch.sparkSession, batch, batchId, corpusDir, indexDir, threshold)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          compactIndex(batch.sparkSession, indexDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  /** Fold the per-batch index partitions into a consolidated base —
+    * the maintenance dual of Compaction for this index's layout.
+    *
+    * Why not plain `Compaction.compactPartitions`: bin-packing WITHIN
+    * each `batch=<id>` leaf still leaves one partition directory (and
+    * one file listing entry, one read task floor) per micro-batch
+    * forever. The fold instead rewrites all COMMITTED batches into a
+    * single negative-id base partition (`batch=-k`), which the gate's
+    * `batch =!= batchId` filter always includes (real ids are >= 0).
+    *
+    * Safety under foreachBatch's at-least-once contract:
+    *  - the HIGHEST real batch id is never folded — it may be a crashed
+    *    partial attempt that will be retried, and folding it would let
+    *    the retry's cross-batch gate see its own prior output (ids
+    *    strictly below the max are checkpoint-committed and can never
+    *    re-run);
+    *  - the new base is staged to a dot-dir (invisible to partition
+    *    discovery) and moved in BEFORE the folded sources are deleted —
+    *    a crash mid-fold leaves duplicate index rows, which the
+    *    existential candidate gate is insensitive to, and the next fold
+    *    absorbs them.
+    *
+    * Admission decisions are bit-identical before and after: the index
+    * CONTENT is unchanged, only its partition layout collapses. */
+  def compactIndex(
+      spark: SparkSession,
+      indexDir: String,
+      targetBytes: Long = Compaction.DefaultTargetBytes): Map[String, (Int, Int)] =
+    Seq("bands", "grams").flatMap { sub =>
+      val d = s"$indexDir/$sub"
+      if (!Files.exists(Paths.get(d))) None
+      else Some(sub -> foldPartitions(spark, d, targetBytes))
+    }.toMap
+
+  /** Fold one index half; returns (partitions before, after). */
+  private def foldPartitions(
+      spark: SparkSession, d: String, targetBytes: Long): (Int, Int) = {
+    def batchIds(): Seq[Long] =
+      VersionNames.childNames(Paths.get(d))
+        .filter(_.startsWith("batch="))
+        .flatMap(n => scala.util.Try(n.stripPrefix("batch=").toLong).toOption)
+    val ids = batchIds()
+    val (bases, real) = ids.partition(_ < 0)
+    if (real.isEmpty) return (ids.size, ids.size)
+    val foldable = bases ++ real.filter(_ != real.max)
+    if (foldable.size <= 1) return (ids.size, ids.size)
+
+    val src = foldable.map(i => s"$d/batch=$i")
+    val bytes = src.flatMap(Compaction.dataFiles).map(Files.size(_)).sum
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val staging = s"$d/.folding"
+    spark.read.parquet(src: _*).coalesce(nFiles)
+      .write.mode("overwrite").parquet(staging)
+    val newBase = bases.minOption.getOrElse(0L) - 1
+    Files.move(Paths.get(staging), Paths.get(s"$d/batch=$newBase"))
+    foldable.foreach(i => VersionNames.deleteTree(Paths.get(s"$d/batch=$i")))
+    (ids.size, batchIds().size)
+  }
 }

@@ -71,6 +71,57 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(s0.admitted > 0 && s1.admitted > 0)
   }
 
+  test("compactIndex folds committed batch partitions; admissions unchanged") {
+    import scala.jdk.CollectionConverters._
+    def copyTree(src: String, dst: String): Unit = {
+      val s = Files.walk(java.nio.file.Paths.get(src))
+      try s.iterator().asScala.foreach { p =>
+        val t = java.nio.file.Paths.get(dst).resolve(java.nio.file.Paths.get(src).relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t) else Files.copy(p, t)
+      } finally s.close()
+    }
+    def partDirs(d: String): Seq[String] = {
+      val p = java.nio.file.Paths.get(d)
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("batch=")).toSeq.sorted
+      finally s.close()
+    }
+
+    val a = Files.createTempDirectory("graft-incdedup-fold").toString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id", "text")
+    def slice(lo: Int, hi: Int) = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    (0 to 2).foreach { i =>
+      IncrementalDedup.admitBatch(
+        spark, slice(i * 125, (i + 1) * 125), i.toLong, s"$a/corpus", s"$a/index", threshold)
+    }
+    assert(partDirs(s"$a/index/bands").size == 3)
+
+    // Control: identical state, never compacted.
+    val b = Files.createTempDirectory("graft-incdedup-ctrl").toString
+    copyTree(a, b)
+
+    val stats = IncrementalDedup.compactIndex(spark, s"$a/index")
+    assert(stats("bands") == (3, 2) && stats("grams") == (3, 2),
+      s"batches 0+1 fold into a base, the max id stays own partition: $stats")
+    assert(partDirs(s"$a/index/bands").toSet == Set("batch=-1", "batch=2"))
+
+    // The next batch admits identically against folded and control index.
+    val last = slice(375, 500)
+    val sA = IncrementalDedup.admitBatch(spark, last, 3L, s"$a/corpus", s"$a/index", threshold)
+    val sB = IncrementalDedup.admitBatch(spark, last, 3L, s"$b/corpus", s"$b/index", threshold)
+    def ids(d: String) = spark.read.parquet(s"$d/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sA.admitted == sB.admitted && ids(a) == ids(b),
+      "folding the index must not change a single admission decision")
+    assert(sA.admitted < sA.incoming, "the probe batch must actually reject something")
+
+    // Folding again absorbs the old base AND the now-committed batch 2.
+    IncrementalDedup.compactIndex(spark, s"$a/index")
+    assert(partDirs(s"$a/index/bands").toSet == Set("batch=-2", "batch=3"))
+    val sA2 = IncrementalDedup.admitBatch(spark, last, 3L, s"$a/corpus", s"$a/index", threshold)
+    assert(sA2.admitted == sA.admitted, "refold keeps the retried batch idempotent")
+  }
+
   test("streamed corpus matches the simulated two-gate admission, no near-dup pairs inside") {
     val base = Files.createTempDirectory("graft-incdedup").toString
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")

@@ -127,4 +127,47 @@ class TxBufferSpec extends SparkSuite {
     val rows = spark.read.parquet(dir("out")).selectExpr("xid").collect().map(_.getString(0)).toSeq
     assert(rows == Seq("Y"), s"expected only Y to complete, got $rows")
   }
+
+  test("TTL-dropped transactions land in the quarantine dir with full payloads") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-dlq")
+    def dir(n: String) = { val d = root.resolve(n); Files.createDirectories(d); d.toString }
+    Seq("in/orders", "in/details", "in/lineitems", "in/metadata", "out", "quarantine", "ckpt")
+      .foreach(dir)
+
+    var fileNo = 0
+    def addFile(stream: String, lines: String*): Unit = {
+      fileNo += 1
+      Files.writeString(Paths.get(dir(s"in/$stream"), f"f$fileNo%03d.json"), lines.mkString("\n"))
+    }
+
+    // Continuous query: timeout batches only fire between triggers (same
+    // pacing rationale as the TTL test above).
+    val q = graft.streaming.CdcStreaming.startIngestQuarantined(
+      spark,
+      dir("in/orders"), dir("in/details"), dir("in/lineitems"), dir("in/metadata"),
+      dir("out"), dir("quarantine"), dir("ckpt"),
+      stateTtl = java.time.Duration.ofSeconds(1))
+    try {
+      // tx X announces 2 ORDERS events, only 1 arrives → TTL-dropped.
+      addFile("metadata", meta("X", "9", "ORDERS" -> 2))
+      addFile("orders", cdc("X", "9", "APPUSER.ORDERS", "I", orderAfter(10, 1)))
+      Thread.sleep(8000)
+      // tx Y completes normally and must reach the main sink.
+      addFile("metadata", meta("Y", "10", "ORDERS" -> 1))
+      addFile("orders", cdc("Y", "10", "APPUSER.ORDERS", "I", orderAfter(12, 1)))
+      Thread.sleep(8000)
+    } finally q.stop()
+
+    val dead = spark.read.parquet(dir("quarantine")).collect()
+    assert(dead.length == 1, s"exactly X's one buffered event is quarantined, got ${dead.length}")
+    val d = dead(0)
+    assert(d.getAs[String]("xid") == "X")
+    assert(d.getAs[String]("table") == "APPUSER.ORDERS")
+    assert(d.getAs[String]("after").contains("\"ORDER_ID\":\"10\""), "payload preserved for replay")
+    assert(d.getAs[String]("reason").contains("orders 1/2"), "reason records the completion gap")
+
+    val out = spark.read.parquet(dir("out")).selectExpr("xid").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("Y"), s"main sink carries only the completed tx, got $out")
+  }
 }
