@@ -41,7 +41,9 @@ object Bench {
       "build_orders_current" -> (() => { graft.scd.ScdPipeline.ordersCurrent(spark, sfDir); () }),
       "build_storage_tables" -> (() => graft.queries.StorageQueries.ensureSeeded(spark, sfDir)),
       "build_partitioned_events" -> (() => graft.queries.EventsQueries.ensureSeeded(spark, sfDir)),
-      "build_ivf_index" -> (() => graft.queries.SimQueries.ensureSeeded(spark, sfDir)))
+      "build_ivf_index" -> (() => graft.queries.SimQueries.ensureSeeded(spark, sfDir)),
+      "build_dedup_shared" -> (() => graft.queries.DedupQueries.ensureSeeded(spark, sfDir)),
+      "build_sql_views" -> (() => graft.queries.SqlSurfaceQueries.ensureSeeded(spark, sfDir)))
 
     val results =
       builds.map { case (name, work) => (name, timed(work)) } ++

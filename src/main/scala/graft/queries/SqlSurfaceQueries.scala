@@ -18,7 +18,9 @@ object SqlSurfaceQueries extends QueryModule {
   private val seeded =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
 
-  private def ensureSeeded(s: SparkSession, dir: String): Unit =
+  /** Dump + register the tables and views once per (session, dir);
+    * public so Bench can time it as an explicit `build_*` entry. */
+  def ensureSeeded(s: SparkSession, dir: String): Unit =
     seeded.getOrElseUpdate((s, dir), {
       val base = Files.createTempDirectory("graft-sql").toString
       CdcPipeline.orderStreamCached(s, dir)

@@ -136,12 +136,19 @@ object BucketedTable {
   /** Incremental merge: only buckets containing source keys are read,
     * merged and rewritten; the manifest flip publishes atomically. */
   def merge(spark: SparkSession, source: DataFrame, dir: String, keyCol: String, numBuckets: Int): Unit = {
+    // The source plan is evaluated twice (affected-bucket discovery, then
+    // the staged merge write) — persist it for the merge's duration so an
+    // expensive upstream (e.g. the batch flattener's windows) runs once.
+    // Micro-batch scale: bounded by the batch, not the table.
     val src = source.withColumn("bkt", bucketOf(keyCol, numBuckets))
-    val affected = src.select("bkt").distinct().collect().map(_.getInt(0)).sorted.toSeq
-    if (affected.isEmpty) return
-    val target = readBuckets(spark, dir, affected).getOrElse(source.limit(0))
-    val merged = MergeExecutor.merge(target, src.drop("bkt"))
-    writeManifest(dir, manifest(dir) ++ stage(merged, dir, keyCol, numBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val affected = src.select("bkt").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      if (affected.isEmpty) return
+      val target = readBuckets(spark, dir, affected).getOrElse(source.limit(0))
+      val merged = MergeExecutor.merge(target, src.drop("bkt"))
+      writeManifest(dir, manifest(dir) ++ stage(merged, dir, keyCol, numBuckets))
+    } finally { src.unpersist(blocking = false); () }
   }
 
   /** Drop every bucket version the manifest no longer references — the
