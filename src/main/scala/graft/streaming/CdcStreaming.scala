@@ -112,6 +112,29 @@ object CdcStreaming {
       .start()
   }
 
+  /** Rebuild the 12-column unified envelope from a quarantine dir so a
+    * TTL-dropped transaction can be RE-ADMITTED — union this with a
+    * later batch's parse output (or run it through TxBuffer in batch)
+    * once the missing events arrive; replayed events keep their
+    * original xid/csn and rejoin the same transaction key. The envelope
+    * context columns DeadEvent does not preserve (op_type/op_ts/
+    * current_ts/pos) are never read by the buffer; the images and
+    * routing metadata are intact. */
+  def quarantineAsUnified(spark: SparkSession, quarantineDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    spark.read.parquet(quarantineDir).select(
+      col("xid"), col("csn"), col("table"),
+      lit(null).cast("string").as("op_type"),
+      lit(null).cast("string").as("op_ts"),
+      lit(null).cast("string").as("current_ts"),
+      lit(null).cast("string").as("pos"),
+      col("before"), col("after"),
+      col("event_type"),
+      lit(null).cast("int").as("expected_count"),
+      lit(null).cast("array<struct<data_collection:string,event_count:int>>")
+        .as("data_collections"))
+  }
+
   /** Pipeline 2: order_stream dir → merged orders_current snapshot. */
   def startScd1Merge(
       spark: SparkSession,

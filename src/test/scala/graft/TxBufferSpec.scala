@@ -169,5 +169,22 @@ class TxBufferSpec extends SparkSuite {
 
     val out = spark.read.parquet(dir("out")).selectExpr("xid").collect().map(_.getString(0)).toSeq
     assert(out == Seq("Y"), s"main sink carries only the completed tx, got $out")
+
+    // Replay: rebuild the envelope from the quarantine, union with the
+    // redelivered missing event + metadata — the transaction that was
+    // TTL-dropped completes in one batch pass with BOTH its orders.
+    val s = spark
+    import s.implicits._
+    def valueDf(lines: String*) = lines.toDF("value")
+    val redelivered = graft.CdcPipeline.unified(
+      valueDf(cdc("X", "9", "APPUSER.ORDERS", "I", orderAfter(11, 1))),
+      valueDf(), valueDf(),
+      valueDf(meta("X", "9", "ORDERS" -> 2)))
+    val replayed = graft.streaming.CdcStreaming.quarantineAsUnified(spark, dir("quarantine"))
+    val completed = graft.buffering.TxBuffer(replayed.unionByName(redelivered), () => "t")
+      .toDF().selectExpr("xid", "orderId").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+    assert(completed == Seq(("X", 10.0), ("X", 11.0)),
+      s"replay + redelivery completes the quarantined tx, got $completed")
   }
 }
