@@ -253,10 +253,12 @@ object Dedup {
       .select(
         col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      .distinct()
+      // Verify BEFORE the distinct: the codegen'd bit_count runs map-side
+      // on the join output, so non-matching candidates never cross the
+      // dedup shuffle (the filter commutes with distinct).
       .selectExpr("a_id", "b_id", "CAST(bit_count(sa ^ sb) AS INT) AS hamming")
       .filter(col("hamming") <= maxHamming)
-      .select("a_id", "b_id", "hamming")
+      .distinct()
   }
 
   /** Cluster-representative assignment: every doc maps to the smallest
