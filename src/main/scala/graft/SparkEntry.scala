@@ -21,6 +21,7 @@ object SparkEntry {
     graft.queries.DedupQueries,
     graft.queries.SimQueries,
     graft.queries.EventsQueries,
+    graft.queries.JoinQueries,
     graft.queries.StorageQueries,
     graft.queries.MultimodalQueries,
     graft.queries.SqlSurfaceQueries

@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.join.TemporalJoins
+
+/** Temporal-join operators, oracle-gated: backward as-of join (union-window
+  * plan), banded equi+range join, and a pure interval join against a
+  * derived window table. These are beyond-reference additions — the
+  * training-data/feature-engineering joins (point-in-time correctness,
+  * attribution windows, calendar joins) a 100 TB pipeline needs.
+  *
+  * All timestamps are compared as epoch-millisecond BIGINTs on both the
+  * Spark and DuckDB sides so ordering and arithmetic are integer-exact.
+  */
+object JoinQueries extends QueryModule {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    EventsQueries.events(s, dir).withColumn("ms", unix_millis(col("ts")))
+
+  /** 72 h as-of tolerance — events are sparse in time, so hour-scale
+    * tolerances would null nearly every match. */
+  private val TolMs = 259200000L
+
+  override def queries: Seq[EngineQuery] = Seq(
+
+    // Backward as-of join: each purchase matched to the user's most
+    // recent click at-or-before it (ties: click at the same ms matches;
+    // among same-ms clicks the max event_id wins), nulled past 72 h.
+    EngineQuery(
+      "asof_purchase_click",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ms")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"), col("ms").as("cms"))
+        TemporalJoins.asOfJoinBackward(
+            purchases, clicks,
+            key = "user_id", leftTs = "ms", rightTs = "cms",
+            payload = Seq("click_id"), tieBreak = "click_id",
+            toleranceMs = Some(TolMs))
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("asof_click_id"), col("asof_gap_ms"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+             |u AS (
+             |  SELECT user_id, ms, 0 AS side, event_id AS click_id,
+             |         NULL::BIGINT AS purchase_id
+             |  FROM e WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT user_id, ms, 1, NULL, event_id
+             |  FROM e WHERE event_type = 'purchase'),
+             |f AS (
+             |  SELECT user_id, ms, side, purchase_id,
+             |    last_value(click_id IGNORE NULLS) OVER w AS asof_click_id,
+             |    last_value(CASE WHEN side = 0 THEN ms END IGNORE NULLS) OVER w AS asof_ms
+             |  FROM u
+             |  WINDOW w AS (
+             |    PARTITION BY user_id
+             |    ORDER BY ms, side, coalesce(click_id, -9223372036854775807 - 1)
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT purchase_id, user_id,
+             |  CASE WHEN ms - asof_ms <= $TolMs THEN asof_click_id END AS asof_click_id,
+             |  CASE WHEN ms - asof_ms <= $TolMs THEN ms - asof_ms END AS asof_gap_ms
+             |FROM f WHERE side = 1""".stripMargin)),
+
+    // Banded equi+range join (attribution window): per purchase, how many
+    // clicks by the same user in the preceding 24 h. With an equi key
+    // present, the right plan is a keyed shuffle join carrying the range
+    // as a join condition — no binning needed.
+    EngineQuery(
+      "range_band_join",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ms")
+        // Renamed columns (not df("col") refs): both sides derive from the
+        // same frame, and plain renames sidestep AMBIGUOUS_SELF_JOIN.
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_uid"), col("event_id").as("click_id"),
+            col("ms").as("cms"))
+        purchases
+          .join(clicks,
+            col("c_uid") === col("user_id") &&
+              col("cms") >= col("ms") - 86400000L && col("cms") < col("ms"),
+            "left")
+          .groupBy(col("event_id").as("purchase_id"), col("user_id"))
+          .agg(count(col("click_id")).as("n_clicks_24h"))
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events)
+             |SELECT p.event_id AS purchase_id, p.user_id,
+             |  CAST(count(c.event_id) AS BIGINT) AS n_clicks_24h
+             |FROM e p
+             |LEFT JOIN e c ON c.user_id = p.user_id AND c.event_type = 'click'
+             |  AND c.ms >= p.ms - 86400000 AND c.ms < p.ms
+             |WHERE p.event_type = 'purchase'
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Pure interval join: lineitem shipments falling inside
+    // busier-than-average order weeks. The window table is derived (weekly
+    // order counts, kept when strictly above the all-weeks mean — compared
+    // in exact integer arithmetic, n*weeks > total, so no float tie can
+    // flip a week between engines) and broadcast: the big side streams
+    // through a BroadcastNestedLoopJoin unshuffled. RangeJoinSpec pins the
+    // binned big-big variant equal to this plan on the same inputs.
+    EngineQuery(
+      "range_join_busy_weeks",
+      (s, dir) => {
+        val orders = s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
+        // TPC-H date columns are TIMESTAMP_NTZ; the session tz is UTC, so
+        // a TIMESTAMP cast yields the same epoch ms DuckDB's epoch_ms
+        // computes on the naive value.
+        val li = s.read.parquet(graft.SparkSessions.tablePath(dir, "lineitem"))
+          .withColumn("ship_ms", unix_millis(col("l_shipdate").cast("timestamp")))
+        val weekly = orders
+          .withColumn("wk", expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 604800000L"))
+          .groupBy("wk").agg(count(lit(1)).as("n_orders"))
+        val tot = weekly.agg(sum("n_orders").as("total"), count(lit(1)).as("n_weeks"))
+        val windows = weekly.crossJoin(tot)
+          .filter(col("n_orders") * col("n_weeks") > col("total"))
+          .select((col("wk") * 604800000L).as("w_start_ms"),
+            ((col("wk") + 1L) * 604800000L).as("w_end_ms"), col("n_orders"))
+        TemporalJoins.rangeJoinBroadcast(
+            li, windows, col("ship_ms"), col("w_start_ms"), col("w_end_ms"))
+          .groupBy("w_start_ms", "n_orders")
+          .agg(count(lit(1)).as("n_items"), round(sum("l_quantity"), 2).as("total_qty"))
+      },
+      Some("""WITH wkly AS (
+             |  SELECT epoch_ms(o_orderdate) // 604800000 AS wk, count(*) AS n_orders
+             |  FROM orders GROUP BY 1),
+             |tot AS (SELECT sum(n_orders) AS total, count(*) AS n_weeks FROM wkly),
+             |win AS (
+             |  SELECT wk * 604800000 AS w_start_ms, (wk + 1) * 604800000 AS w_end_ms,
+             |         n_orders
+             |  FROM wkly, tot WHERE n_orders * n_weeks > total)
+             |SELECT w.w_start_ms, w.n_orders, CAST(count(*) AS BIGINT) AS n_items,
+             |  round(sum(l.l_quantity), 2) AS total_qty
+             |FROM lineitem l JOIN win w
+             |  ON epoch_ms(l.l_shipdate) >= w.w_start_ms
+             | AND epoch_ms(l.l_shipdate) < w.w_end_ms
+             |GROUP BY 1, 2""".stripMargin))
+  )
+}
