@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.SimQueries,
     graft.queries.EventsQueries,
     graft.queries.JoinQueries,
+    graft.queries.SketchQueries,
     graft.queries.StorageQueries,
     graft.queries.MultimodalQueries,
     graft.queries.SqlSurfaceQueries

@@ -103,6 +103,24 @@ object GraftExtensions {
       CosineSim(children.head, children(1))
     })
 
-  def apply(ext: SparkSessionExtensions): Unit =
+  // The analyzer wraps a bare AggregateFunction from the registry in an
+  // AggregateExpression, same as built-in aggregates; k must be a literal
+  // because it sizes the aggregation buffer at plan time.
+  val kmvDistinctDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("kmv_distinct"),
+    new ExpressionInfo(classOf[graft.sketch.KmvDistinct].getName, "kmv_distinct"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "kmv_distinct takes exactly 2 arguments: (hash60, k)")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"kmv_distinct k must be an integer literal, got $other")
+      }
+      graft.sketch.KmvDistinct(children.head, k)
+    })
+
+  def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
+    ext.injectFunction(kmvDistinctDescriptor)
+  }
 }

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSessions.tablePath
+import graft.text.TextAnalysis.{hash60Duck, hash60Spark}
+
+/** Sketch operators, oracle-gated. Sketches use engine-private hash
+  * functions in stock Spark (`approx_count_distinct`, `approx_percentile`)
+  * which no external oracle can replay — these formulations keep the same
+  * bounded-state, mergeable shape while hashing through md5, so the
+  * estimates themselves sit behind the DuckDB correctness gate:
+  *
+  *  - KMV distinct-count, global: the k smallest distinct hashes via
+  *    sort-limit — Spark plans TakeOrderedAndProject (per-partition top-k,
+  *    merged on the driver: nothing shuffles but k values per partition).
+  *  - KMV distinct-count, per group: the custom `kmv_distinct` Catalyst
+  *    aggregate (graft.sketch.KmvDistinct) — bounded per-group state,
+  *    associative merge, map-side partial aggregation.
+  *  - Quantiles over a fixed-width histogram: unit-width value bins +
+  *    one cumulative window over the (bounded) histogram, reading three
+  *    quantiles in a single pass — the two-pass exact sort is replaced by
+  *    one narrow aggregation at 100 TB.
+  */
+object SketchQueries extends QueryModule {
+
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(tablePath(dir, "lineitem"))
+
+  /** 2^60 as an exact double; hashes are uniform on [0, 2^60). */
+  private val HashSpace = 1.152921504606846976e18
+
+  override def queries: Seq[EngineQuery] = Seq(
+
+    // Global KMV built from existing operators: distinct hashes -> global
+    // top-k (TakeOrderedAndProject) -> estimator. exact_distinct rides
+    // along to show the estimate lands near truth.
+    EngineQuery(
+      "sketch_kmv_distinct",
+      (s, dir) => {
+        val k = 1024
+        val li = lineitem(s, dir)
+        val kept = li
+          .selectExpr(s"${hash60Spark("CAST(l_orderkey AS STRING)")} AS h")
+          .distinct().orderBy("h").limit(k)
+        kept.agg(count(lit(1)).as("n_kept"), max("h").as("max_h"))
+          .crossJoin(li.agg(countDistinct("l_orderkey").as("exact_distinct")))
+          .select(
+            col("n_kept"),
+            when(col("n_kept") < k, col("n_kept").cast("double"))
+              .otherwise(lit((k - 1).toDouble * HashSpace) / col("max_h").cast("double"))
+              .as("est_distinct"),
+            col("exact_distinct"))
+      },
+      Some(s"""WITH h AS (
+             |  SELECT DISTINCT ${hash60Duck("CAST(l_orderkey AS VARCHAR)")} AS h
+             |  FROM lineitem),
+             |kept AS (SELECT h FROM h ORDER BY h LIMIT 1024),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS max_h FROM kept),
+             |e AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+             |      FROM lineitem)
+             |SELECT n_kept,
+             |  CASE WHEN n_kept < 1024 THEN CAST(n_kept AS DOUBLE)
+             |       ELSE (1023.0 * 1152921504606846976.0) / CAST(max_h AS DOUBLE) END
+             |    AS est_distinct,
+             |  exact_distinct
+             |FROM s, e""".stripMargin)),
+
+    // Per-group KMV through the custom Catalyst aggregate. The oracle
+    // replays the sketch exactly: k smallest distinct hashes per group via
+    // row_number, then the same estimator arithmetic.
+    EngineQuery(
+      "sketch_kmv_groups",
+      (s, dir) =>
+        lineitem(s, dir)
+          .withColumn("h", expr(hash60Spark("CAST(l_orderkey AS STRING)")))
+          .groupBy("l_returnflag")
+          .agg(
+            expr("kmv_distinct(h, 256)").as("est_distinct"),
+            countDistinct("l_orderkey").as("exact_distinct")),
+      Some(s"""WITH h AS (
+             |  SELECT DISTINCT l_returnflag AS g,
+             |    ${hash60Duck("CAST(l_orderkey AS VARCHAR)")} AS h
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+             |s AS (SELECT g, count(*) AS n, max(h) AS max_h FROM r WHERE rn <= 256 GROUP BY g),
+             |e AS (SELECT l_returnflag AS g, CAST(count(DISTINCT l_orderkey) AS BIGINT)
+             |        AS exact_distinct FROM lineitem GROUP BY 1)
+             |SELECT s.g AS l_returnflag,
+             |  CASE WHEN s.n < 256 THEN CAST(s.n AS DOUBLE)
+             |       ELSE (255.0 * 1152921504606846976.0) / CAST(max_h AS DOUBLE) END
+             |    AS est_distinct,
+             |  e.exact_distinct
+             |FROM s JOIN e ON s.g = e.g""".stripMargin)),
+
+    // Histogram-sketch quantiles: unit-width bins of l_extendedprice, one
+    // cumulative window over the bounded histogram, three quantiles read
+    // from the same cumulative counts. Quantile thresholds are cast to
+    // DOUBLE on both sides so p*n rounds identically (a DECIMAL literal in
+    // DuckDB would compare exactly where Spark's double rounds).
+    EngineQuery(
+      "sketch_quantile_bins",
+      (s, dir) => {
+        val li = lineitem(s, dir)
+        val hist = li
+          .groupBy(floor(col("l_extendedprice")).as("bin"))
+          .agg(count(lit(1)).as("c"))
+        val cum = hist
+          .withColumn("cum", sum("c").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(li.agg(count(lit(1)).as("n")))
+        val qs = s.range(1).select(
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+        cum.join(broadcast(qs), col("cum") >= col("p") * col("n"))
+          .groupBy("p").agg(min("bin").as("approx"))
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(floor(l_extendedprice) AS BIGINT) AS bin, count(*) AS c
+             |  FROM lineitem GROUP BY 1),
+             |cum AS (
+             |  SELECT bin, CAST(sum(c) OVER (ORDER BY bin
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |  FROM b),
+             |n AS (SELECT count(*) AS n FROM lineitem),
+             |q AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (0.5), (0.9), (0.99)) v(p))
+             |SELECT p, min(bin) AS approx
+             |FROM cum, n, q
+             |WHERE cum >= p * n
+             |GROUP BY p""".stripMargin))
+  )
+}
