@@ -23,6 +23,7 @@ object SparkEntry {
     graft.queries.EventsQueries,
     graft.queries.JoinQueries,
     graft.queries.SketchQueries,
+    graft.queries.SampleQueries,
     graft.queries.StorageQueries,
     graft.queries.MultimodalQueries,
     graft.queries.SqlSurfaceQueries

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSessions.tablePath
+import graft.sample.Sampling
+import graft.text.TextAnalysis.hash60Duck
+
+/** Deterministic sampling, oracle-gated. The oracle replays the exact
+  * kept-row set (hash predicate), not just expected rates — the point of
+  * content-stable sampling is that the row choice itself is reproducible. */
+object SampleQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(tablePath(dir, "documents"))
+
+  /** `en` is ~2.2× over-represented in the corpus; 0.35 brings it level
+    * with the other languages while they keep everything. */
+  private val EnRate = 0.35
+  private val BernoulliRate = 0.1
+
+  override def queries: Seq[EngineQuery] = Seq(
+
+    EngineQuery(
+      "sample_bernoulli_docs",
+      (s, dir) =>
+        Sampling.bernoulli(docs(s, dir), "CAST(doc_id AS STRING)", BernoulliRate)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars")),
+      Some(s"""SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE ${hash60Duck("CAST(doc_id AS VARCHAR)")} < ${Sampling.threshold(BernoulliRate)}
+             |GROUP BY source""".stripMargin)),
+
+    EngineQuery(
+      "sample_stratified_langs",
+      (s, dir) =>
+        Sampling.stratified(docs(s, dir), "CAST(doc_id AS STRING)", "lang",
+            rates = Map("en" -> EnRate), defaultFrac = 1.0)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars")),
+      Some(s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE ${hash60Duck("CAST(doc_id AS VARCHAR)")} <
+             |  CASE WHEN lang = 'en' THEN ${Sampling.threshold(EnRate)}
+             |       ELSE ${Sampling.threshold(1.0)} END
+             |GROUP BY lang""".stripMargin))
+  )
+}

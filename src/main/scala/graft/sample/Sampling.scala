@@ -1,0 +1,57 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis.hash60Spark
+
+/** Deterministic, content-stable sampling operators.
+  *
+  * Spark's `df.sample()` is seeded per-partition — the kept set changes
+  * with partitioning, retries, and scale-up, which is poison for training
+  * pipelines (a re-run of a 100 TB job must sample the SAME rows, and an
+  * oracle must be able to replay the choice). These operators decide
+  * per-row from an md5 hash of a stable key instead: keep iff
+  * hash60(key) < frac * 2^60. No RNG state, no partitioning sensitivity,
+  * identical row set on any cluster layout — and replayable in ANSI SQL.
+  *
+  * All predicates are narrow codegen'd expressions fused into the scan's
+  * codegen stage: sampling never shuffles and reads no column beyond the
+  * key and strata columns it hashes.
+  */
+object Sampling {
+
+  /** frac mapped onto the 60-bit hash space, exact at build time so the
+    * Spark predicate and the SQL oracle share one integer literal. */
+  def threshold(frac: Double): Long = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac out of range: $frac")
+    (frac * 1.152921504606846976e18).toLong
+  }
+
+  private def keep(keyExpr: String, thr: Long): Column =
+    expr(hash60Spark(keyExpr)) < lit(thr)
+
+  /** Bernoulli(frac) sample keyed on a stable column (cast to string for
+    * hashing). */
+  def bernoulli(df: DataFrame, keyExpr: String, frac: Double): DataFrame =
+    df.filter(keep(keyExpr, threshold(frac)))
+
+  /** Stratified sampling: a different keep-rate per stratum value —
+    * the source-rebalancing primitive for training mixes (downsample the
+    * over-represented stratum, keep the rest). Strata not in `rates` use
+    * `defaultFrac`. The rate choice compiles to a when-chain, so the
+    * whole predicate stays inside whole-stage codegen. */
+  def stratified(
+      df: DataFrame,
+      keyExpr: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultFrac: Double): DataFrame = {
+    val h = expr(hash60Spark(keyExpr))
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(threshold(defaultFrac))) {
+      case (acc, (stratum, frac)) =>
+        when(col(strataCol) === stratum, lit(threshold(frac))).otherwise(acc)
+    }
+    df.filter(h < thr)
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sample.Sampling
+
+/** Deterministic sampling must pick the SAME rows regardless of
+  * partitioning (the property Spark's seeded df.sample lacks), hit the
+  * requested rate, and stay a shuffle-free codegen'd filter. */
+class SamplingSpec extends SparkSuite {
+
+  private def docs = spark.read.parquet(s"$sf001/documents.parquet")
+
+  test("kept set is partition-invariant and rate is honored") {
+    def ids(parts: Int): Set[Long] =
+      Sampling.bernoulli(docs.repartition(parts), "CAST(doc_id AS STRING)", 0.1)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(1)
+    val b = ids(13)
+    assert(a == b && a.nonEmpty)
+    // 500 docs at 10%: binomial(500, 0.1) is within [20, 90] at ~6 sigma.
+    assert(a.size > 20 && a.size < 90, s"kept ${a.size} of 500")
+  }
+
+  test("stratified rates: non-target strata intact, target downsampled") {
+    val kept = Sampling.stratified(docs, "CAST(doc_id AS STRING)", "lang",
+        Map("en" -> 0.35), defaultFrac = 1.0)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.foreach { case (lang, n) =>
+      if (lang == "en") assert(kept(lang) < n && kept(lang) > n / 5)
+      else assert(kept(lang) == n, s"$lang should keep all rows")
+    }
+  }
+
+  test("sampling plan: no shuffle, filter fused into the scan's codegen stage") {
+    val plan = Sampling.bernoulli(docs, "CAST(doc_id AS STRING)", 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+    // Compact toString marks WholeStageCodegen stages with a "*(n)" prefix.
+    assert(plan.contains("*(1) Filter"), s"filter should codegen:\n$plan")
+  }
+}
