@@ -119,8 +119,22 @@ object GraftExtensions {
       graft.sketch.KmvDistinct(children.head, k)
     })
 
+  val mgCandidatesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("mg_candidates"),
+    new ExpressionInfo(classOf[graft.sketch.MgCandidates].getName, "mg_candidates"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "mg_candidates takes exactly 2 arguments: (value, k)")
+      val k = children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"mg_candidates k must be an integer literal, got $other")
+      }
+      graft.sketch.MgCandidates(children.head, k)
+    })
+
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
     ext.injectFunction(kmvDistinctDescriptor)
+    ext.injectFunction(mgCandidatesDescriptor)
   }
 }

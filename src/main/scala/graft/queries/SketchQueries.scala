@@ -96,6 +96,23 @@ object SketchQueries extends QueryModule {
              |  e.exact_distinct
              |FROM s JOIN e ON s.g = e.g""".stripMargin)),
 
+    // Heavy hitters via Misra-Gries candidates + exact verify (the
+    // candidates -> exact-verify pattern the LSH dedup path uses):
+    // languages above 1/4 of the corpus — only `en` (~44%) qualifies, so
+    // the exact pass genuinely prunes the candidates. Integer-exact
+    // threshold (c*4 > n): no float tie can flip a value between engines.
+    EngineQuery(
+      "sketch_heavy_hitters",
+      (s, dir) =>
+        graft.sketch.Sketches.heavyHitters(
+          s.read.parquet(graft.SparkSessions.tablePath(dir, "documents")),
+          col("lang"),
+          den = 4),
+      Some("""SELECT lang AS v, CAST(count(*) AS BIGINT) AS c
+             |FROM documents
+             |GROUP BY 1
+             |HAVING count(*) * 4 > (SELECT count(*) FROM documents)""".stripMargin)),
+
     // Histogram-sketch quantiles: unit-width bins of l_extendedprice, one
     // cumulative window over the bounded histogram, three quantiles read
     // from the same cumulative counts. Quantile thresholds are cast to
