@@ -74,10 +74,13 @@ object TemporalJoins {
         coalesce(col(tieBreak), lit(Long.MinValue)).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // One projection for every windowed column -> a single Window (and a
+    // single sort) in the physical plan.
+    val asofCols =
+      ("__asof_t", last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w)) +:
+        payload.map(p => (s"asof_$p", last(col(p), ignoreNulls = true).over(w)))
     val filled = u
-      .withColumn("__asof_t",
-        last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
-      .withColumns(payload.map(p => s"asof_$p" -> last(col(p), ignoreNulls = true).over(w)).toMap)
+      .select(u.columns.map(col) ++ asofCols.map { case (n, c) => c.as(n) }: _*)
       .filter(col("__side") === 1)
       .withColumn("asof_gap_ms", col("__t") - col("__asof_t"))
 

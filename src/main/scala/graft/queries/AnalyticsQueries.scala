@@ -189,6 +189,106 @@ object AnalyticsQueries extends QueryModule {
         a.unionByName(b)
       },
       Some("""SELECT 'orders' AS src, count(*) AS n FROM orders
-             |UNION ALL SELECT 'lineitem' AS src, count(*) AS n FROM lineitem""".stripMargin))
+             |UNION ALL SELECT 'lineitem' AS src, count(*) AS n FROM lineitem""".stripMargin)),
+
+    // Grouping sets family (the Expand operator): ROLLUP with grouping_id
+    // disambiguating subtotal rows from genuine NULL groups. Expand
+    // multiplies rows BEFORE the aggregate, but partial aggregation still
+    // applies per grouping set — one shuffle, map-side combined.
+    EngineQuery(
+      "q13_rollup",
+      (s, dir) =>
+        li(s, dir)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"),
+            grouping_id().as("gid")),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    EngineQuery(
+      "q14_cube",
+      (s, dir) =>
+        ord(s, dir)
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+            grouping_id().as("gid")),
+      Some("""SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS total,
+             |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // Pivot: one aggregate per pivoted value — compiles to a single-pass
+    // conditional aggregation (no self-joins), the shape the DuckDB dual
+    // spells out explicitly.
+    EngineQuery(
+      "q15_pivot",
+      (s, dir) =>
+        li(s, dir)
+          .groupBy("l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(round(sum("l_quantity"), 2)),
+      Some("""SELECT l_linestatus,
+             |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+             |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+             |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+             |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
+
+    // Ranking-window family beyond q8's row_number/lag: ntile buckets,
+    // percent_rank and cume_dist (both exact int/int divisions in double —
+    // identical IEEE results in both engines), aggregated so the output
+    // stays small while pinning every rank position.
+    EngineQuery(
+      "q16_ranking",
+      (s, dir) =>
+        ord(s, dir)
+          .withColumn("q4", ntile(4).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("o_orderpriority")
+              .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+          .withColumn("pr", percent_rank().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("o_orderpriority")
+              .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+          .groupBy("o_orderpriority", "q4")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"),
+            max("pr").as("max_pr")),
+      Some("""WITH r AS (
+             |  SELECT o_orderpriority, o_totalprice,
+             |    ntile(4) OVER w AS q4, percent_rank() OVER w AS pr
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |               ORDER BY o_totalprice DESC, o_orderkey))
+             |SELECT o_orderpriority, CAST(q4 AS INT) AS q4, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS total, max(pr) AS max_pr
+             |FROM r GROUP BY 1, 2""".stripMargin)),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS): customers with vs without
+    // urgent orders. Both plan as broadcast/shuffled semi joins — no
+    // row multiplication, no distinct needed.
+    EngineQuery(
+      "q17_semi_anti",
+      (s, dir) => {
+        val urgent = ord(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey")
+        val c = cust(s, dir)
+        val withU = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+          .agg(lit("with_urgent").as("side"), count(lit(1)).as("n"),
+            round(sum("c_acctbal"), 2).as("acctbal"))
+        val without = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+          .agg(lit("without_urgent").as("side"), count(lit(1)).as("n"),
+            round(sum("c_acctbal"), 2).as("acctbal"))
+        withU.unionByName(without)
+      },
+      Some("""SELECT 'with_urgent' AS side, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(c_acctbal), 2) AS acctbal
+             |FROM customer c WHERE EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+             |UNION ALL
+             |SELECT 'without_urgent' AS side, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(c_acctbal), 2) AS acctbal
+             |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin))
   )
 }
