@@ -289,6 +289,60 @@ object AnalyticsQueries extends QueryModule {
              |SELECT 'without_urgent' AS side, CAST(count(*) AS BIGINT) AS n,
              |  round(sum(c_acctbal), 2) AS acctbal
              |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o
-             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin))
+             |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')""".stripMargin)),
+
+    // Correlated scalar subquery — Catalyst decorrelates it into a left
+    // outer aggregate join (RewriteCorrelatedScalarSubquery), so the
+    // per-customer "subquery" costs one keyed aggregate, not N probes.
+    // Same SQL text runs on both engines.
+    EngineQuery(
+      "q18_corr_subquery",
+      (s, dir) => {
+        ord(s, dir).createOrReplaceTempView("q18_orders")
+        cust(s, dir).createOrReplaceTempView("q18_customer")
+        s.sql("""SELECT c_mktsegment,
+                |  CAST(count(*) AS BIGINT) AS n,
+                |  round(sum(max_order), 2) AS sum_max_order
+                |FROM (
+                |  SELECT c_mktsegment,
+                |    (SELECT max(o_totalprice) FROM q18_orders o
+                |     WHERE o.o_custkey = c.c_custkey) AS max_order
+                |  FROM q18_customer c)
+                |WHERE max_order IS NOT NULL
+                |GROUP BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(max_order), 2) AS sum_max_order
+             |FROM (
+             |  SELECT c_mktsegment,
+             |    (SELECT max(o_totalprice) FROM orders o
+             |     WHERE o.o_custkey = c.c_custkey) AS max_order
+             |  FROM customer c) t
+             |WHERE max_order IS NOT NULL
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // Set operators beyond UNION ALL: INTERSECT / EXCEPT (both dedup by
+    // definition; Spark plans them as left-semi / left-anti aggregates).
+    EngineQuery(
+      "q19_setops",
+      (s, dir) => {
+        val urgent = ord(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey")
+        val high = ord(s, dir).filter(col("o_totalprice") > 200000.0)
+          .select("o_custkey")
+        val both = urgent.intersect(high)
+          .agg(lit("urgent_and_high").as("side"), count(lit(1)).as("n"))
+        val onlyU = urgent.except(high)
+          .agg(lit("urgent_only").as("side"), count(lit(1)).as("n"))
+        both.unionByName(onlyU)
+      },
+      Some("""WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+             |h AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+             |SELECT 'urgent_and_high' AS side, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT * FROM u INTERSECT SELECT * FROM h)
+             |UNION ALL
+             |SELECT 'urgent_only' AS side, CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT * FROM u EXCEPT SELECT * FROM h)""".stripMargin))
   )
 }

@@ -157,6 +157,24 @@ object EventsQueries extends QueryModule {
              |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Sliding (hopping) window: 2 h windows advancing every 1 h — each
+    // event lands in exactly w/s = 2 windows. Spark's window() emits the
+    // per-event window structs directly; the DuckDB dual reconstructs the
+    // same window starts as the 1 h bucket at offsets {0, 1} hours
+    // (epoch-aligned in both engines).
+    EngineQuery(
+      "evt_sliding",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+          .select(col("w.start").as("win_ts"), col("event_type"), col("n"), col("total_value")),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) - j.off AS win_ts, event_type,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+             |FROM events
+             |CROSS JOIN (VALUES (INTERVAL '0 hour'), (INTERVAL '1 hour')) j(off)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Per-type value stats (sum rounded to the data's 2-decimal grain;
     // min/max are order-free).
     EngineQuery(
