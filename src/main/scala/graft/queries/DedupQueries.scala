@@ -170,6 +170,29 @@ object DedupQueries extends QueryModule {
               |SELECT d.doc_id, least(d.doc_id, coalesce(min_nb, d.doc_id)) AS rep_id
               |FROM documents d LEFT JOIN nb ON d.doc_id = nb.doc_id""".stripMargin)),
 
+    // Transitive cluster representatives: connected components over the
+    // LSH candidate pairs (iterative min-label propagation to fixpoint).
+    // Differs from dedup_cluster_reps exactly on chains (a-b, b-c): the
+    // one-hop policy leaves c pointing at b; CC converges c to a. The
+    // DuckDB dual computes the same fixpoint as a recursive-CTE closure.
+    EngineQuery(
+      "dedup_cc_reps",
+      (s, dir) =>
+        graft.dedup.ConnectedComponents.labels(
+            docs(s, dir).selectExpr("doc_id AS id"),
+            minhashPairsCached(s, dir, 0.8))
+          .selectExpr("id AS doc_id", "label AS rep_id"),
+      Some(s"""${duckGrams.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+              |${duckLshPairs(0.8)},
+              |e AS (
+              |  SELECT a_id AS a, b_id AS b FROM lsh_pairs
+              |  UNION SELECT b_id, a_id FROM lsh_pairs),
+              |reach(a, b) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+              |SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a""".stripMargin)),
+
     EngineQuery(
       "dedup_simhash",
       (s, dir) => simhashCached(s, dir),
