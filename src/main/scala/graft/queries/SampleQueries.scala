@@ -47,6 +47,26 @@ object SampleQueries extends QueryModule {
              |WHERE ${hash60Duck("CAST(doc_id AS VARCHAR)")} <
              |  CASE WHEN lang = 'en' THEN ${Sampling.threshold(EnRate)}
              |       ELSE ${Sampling.threshold(1.0)} END
-             |GROUP BY lang""".stripMargin))
+             |GROUP BY lang""".stripMargin)),
+
+    // Data-derived rebalance: every language downsampled to the smallest
+    // language's observed count — the "equal shares" pretraining mix,
+    // with no rate configured anywhere.
+    EngineQuery(
+      "sample_rebalance_langs",
+      (s, dir) =>
+        Sampling.rebalance(docs(s, dir), "CAST(doc_id AS STRING)", "lang")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars")),
+      Some(s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+             |r AS (SELECT lang,
+             |        CAST(min(cnt) OVER () AS DOUBLE) / CAST(cnt AS DOUBLE) AS rate
+             |      FROM c)
+             |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents d JOIN r ON d.lang = r.lang
+             |WHERE ${hash60Duck("CAST(doc_id AS VARCHAR)")} <
+             |  CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
+             |GROUP BY d.lang""".stripMargin))
   )
 }

@@ -36,6 +36,28 @@ object Sampling {
   def bernoulli(df: DataFrame, keyExpr: String, frac: Double): DataFrame =
     df.filter(keep(keyExpr, threshold(frac)))
 
+  /** Rebalance: downsample every stratum to the observed size of the
+    * smallest one (the "equal shares" training mix), with the rate
+    * DERIVED from the data rather than supplied. Fully declarative: the
+    * per-stratum counts aggregate (bounded by |strata|), a global-window
+    * min picks the floor, and the rate joins back as a broadcast — no
+    * driver collect at any cardinality. The rate arithmetic
+    * (min/cnt * 2^60, explicitly floor'd — Spark truncates double→long
+    * casts where DuckDB rounds, so the floor is load-bearing) is fixed
+    * IEEE order, replayable in SQL. */
+  def rebalance(df: DataFrame, keyExpr: String, strataCol: String): DataFrame = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("cnt"))
+    val rates = counts
+      .withColumn("min_cnt",
+        min("cnt").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col(strataCol),
+        (col("min_cnt").cast("double") / col("cnt").cast("double")).as("rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(expr(hash60Spark(keyExpr)) <
+        floor(col("rate") * lit(1.152921504606846976e18)).cast("long"))
+      .drop("rate")
+  }
+
   /** Stratified sampling: a different keep-rate per stratum value —
     * the source-rebalancing primitive for training mixes (downsample the
     * over-represented stratum, keep the rest). Strata not in `rates` use

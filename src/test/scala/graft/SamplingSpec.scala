@@ -35,6 +35,23 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("rebalance: smallest stratum intact, others near its size") {
+    val total = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minN = total.values.min
+    val kept = Sampling.rebalance(docs, "CAST(doc_id AS STRING)", "lang")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == total.keySet)
+    val minLang = total.minBy(_._2)._1
+    assert(kept(minLang) == minN, "rate-1.0 stratum must keep every row")
+    // Hash sampling is binomial around the target: +-50% covers 6 sigma
+    // at these sizes.
+    kept.foreach { case (lang, n) =>
+      assert(n > minN / 2 && n < minN * 3 / 2, s"$lang kept $n, target $minN")
+    }
+  }
+
   test("sampling plan: no shuffle, filter fused into the scan's codegen stage") {
     val plan = Sampling.bernoulli(docs, "CAST(doc_id AS STRING)", 0.1)
       .queryExecution.executedPlan.toString
