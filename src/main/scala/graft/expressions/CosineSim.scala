@@ -132,9 +132,23 @@ object GraftExtensions {
       graft.sketch.MgCandidates(children.head, k)
     })
 
+  val topKByDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_by"),
+    new ExpressionInfo(classOf[graft.sketch.TopKBy].getName, "topk_by"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "topk_by takes exactly 3 arguments: (score, id, k)")
+      val k = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"topk_by k must be an integer literal, got $other")
+      }
+      graft.sketch.TopKBy(children.head, children(1), k)
+    })
+
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
     ext.injectFunction(kmvDistinctDescriptor)
     ext.injectFunction(mgCandidatesDescriptor)
+    ext.injectFunction(topKByDescriptor)
   }
 }

@@ -343,6 +343,28 @@ object AnalyticsQueries extends QueryModule {
              |FROM (SELECT * FROM u INTERSECT SELECT * FROM h)
              |UNION ALL
              |SELECT 'urgent_only' AS side, CAST(count(*) AS BIGINT) AS n
-             |FROM (SELECT * FROM u EXCEPT SELECT * FROM h)""".stripMargin))
+             |FROM (SELECT * FROM u EXCEPT SELECT * FROM h)""".stripMargin)),
+
+    // Grouped top-k WITHOUT sorting the groups: the custom bounded-heap
+    // aggregate `topk_by` (sketch/TopKBy) keeps k pairs per group per
+    // partition and merges k-bounded — contrast with the window dual
+    // (row_number <= k) which sorts every group's full row set. The
+    // oracle IS that window dual; GroupedTopKSpec pins the two equal in
+    // Spark as well.
+    EngineQuery(
+      "q20_grouped_topk",
+      (s, dir) =>
+        cust(s, dir)
+          .groupBy("c_mktsegment")
+          .agg(expr("topk_by(c_acctbal, c_custkey, 3)").as("top"))
+          .select(col("c_mktsegment"), explode(col("top")).as("t"))
+          .select(col("c_mktsegment"), col("t.score").as("c_acctbal"),
+            col("t.id").as("c_custkey")),
+      Some("""SELECT c_mktsegment, c_acctbal, c_custkey FROM (
+             |  SELECT c_mktsegment, c_acctbal, c_custkey,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+             |  FROM customer)
+             |WHERE rn <= 3""".stripMargin))
   )
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** topk_by must equal the window formulation exactly (incl. score ties
+  * resolved by id), stay partition-invariant, and keep bounded state
+  * through partial aggregation. */
+class GroupedTopKSpec extends SparkSuite {
+
+  test("topk_by == row_number window dual, incl. ties, any partitioning") {
+    val s = spark
+    import s.implicits._
+    // Deliberate score collisions: 40 scores over 1000 rows, 5 groups.
+    val df = (0 until 1000).map { i =>
+      (s"g${i % 5}", (i * 7 % 40).toDouble, i.toLong)
+    }.toDF("g", "score", "id")
+
+    val win = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("score").desc, col("id").desc)))
+      .filter(col("rn") <= 10).drop("rn")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+
+    def agg(parts: Int) = df.repartition(parts)
+      .groupBy("g").agg(expr("topk_by(score, id, 10)").as("top"))
+      .select(col("g"), explode(col("top")).as("t"))
+      .select(col("g"), col("t.score"), col("t.id"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+
+    assert(win.size == 50)
+    assert(agg(1) == win)
+    assert(agg(17) == win)
+  }
+
+  test("per-group arrays come out sorted descending") {
+    val rows = spark.read.parquet(s"$sf001/customer.parquet")
+      .groupBy("c_mktsegment").agg(expr("topk_by(c_acctbal, c_custkey, 5)").as("top"))
+      .select("top").collect()
+    rows.foreach { r =>
+      val arr = r.getSeq[org.apache.spark.sql.Row](0)
+        .map(x => (x.getDouble(0), x.getLong(1)))
+      assert(arr.size == 5)
+      arr.sliding(2).foreach { case Seq(a, b) =>
+        assert(a._1 > b._1 || (a._1 == b._1 && a._2 > b._2), s"not descending: $arr")
+      }
+    }
+  }
+}
