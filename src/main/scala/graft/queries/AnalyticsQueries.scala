@@ -365,6 +365,32 @@ object AnalyticsQueries extends QueryModule {
              |    row_number() OVER (PARTITION BY c_mktsegment
              |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
              |  FROM customer)
-             |WHERE rn <= 3""".stripMargin))
+             |WHERE rn <= 3""".stripMargin)),
+
+    // Value-based RANGE frame (vs q8's row frames): for each order, how
+    // many orders in its segment price-band (totalprice within 10k below
+    // it) and their summed value. RANGE frames include ALL ties of the
+    // current value, so the result is deterministic without a tiebreak
+    // column; aggregated per band bucket to keep the output small.
+    EngineQuery(
+      "q21_range_frame",
+      (s, dir) =>
+        ord(s, dir)
+          .withColumn("band_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("o_orderpriority").orderBy("o_totalprice")
+              .rangeBetween(-10000L, 0L)))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), max("band_n").as("max_band"),
+            round(avg("band_n"), 4).as("avg_band")),
+      Some("""WITH b AS (
+             |  SELECT o_orderpriority,
+             |    count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+             |      RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS band_n
+             |  FROM orders)
+             |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(max(band_n) AS BIGINT) AS max_band,
+             |  round(avg(band_n), 4) AS avg_band
+             |FROM b GROUP BY 1""".stripMargin))
   )
 }
