@@ -116,6 +116,51 @@ object ScdQueries extends QueryModule {
           |WHERE detailVersion != version
           |   OR (CASE WHEN numLineItems IS NOT NULL THEN 1.0 END) != version""".stripMargin)),
 
+    // The reference's detail change-audit query (reference:
+    // db/query_scd1_table.sql:145-156): current vs previous shipping
+    // method / delivery status read from the before image NESTED inside
+    // the details struct — pins that child before-images survive the
+    // flatten + merge, not just the order-level one.
+    EngineQuery(
+      "scd1_detail_changes",
+      (s, dir) =>
+        ScdPipeline.ordersCurrent(s, dir)
+          .filter("orderDetails.before IS NOT NULL")
+          .selectExpr(
+            "orderId", "orderRef",
+            "orderDetails.shippingMethod AS current_shipping_method",
+            "orderDetails.before.shippingMethod AS previous_shipping_method",
+            "orderDetails.deliveryStatus AS current_delivery_status",
+            "orderDetails.before.deliveryStatus AS previous_delivery_status"),
+      Some(oracleCur +
+        """SELECT e.orderId, e.orderRef,
+          |  e.shippingMethod AS current_shipping_method,
+          |  c.smeth AS previous_shipping_method,
+          |  e.deliveryStatus AS current_delivery_status,
+          |  c.dst AS previous_delivery_status
+          |FROM expected e JOIN cur c ON e.orderId = CAST(c.k AS DOUBLE)
+          |WHERE e.detailHasBefore = 1""".stripMargin)),
+
+    // Null-safe equality (<=> / IS NOT DISTINCT FROM) vs plain = on the
+    // nullable detail version: the two differ exactly on the rows whose
+    // detail never merged (NULL child) — pins three-valued-logic handling
+    // through the merge output.
+    EngineQuery(
+      "scd1_null_semantics",
+      (s, dir) =>
+        ScdPipeline.ordersCurrent(s, dir)
+          .selectExpr(
+            "count(*) AS n",
+            "CAST(sum(CASE WHEN orderDetails.version <=> version THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq",
+            "CAST(sum(CASE WHEN orderDetails.version = version THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq",
+            "CAST(sum(CASE WHEN orderDetails.version IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_detail_null"),
+      Some(oracleCur +
+        """SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(CASE WHEN detailVersion IS NOT DISTINCT FROM version THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq,
+          |  CAST(sum(CASE WHEN detailVersion = version THEN 1 ELSE 0 END) AS BIGINT) AS n_plain_eq,
+          |  CAST(sum(CASE WHEN detailVersion IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_detail_null
+          |FROM expected""".stripMargin)),
+
     // Tie/redelivery semantics end-to-end (reference:
     // ScdType1MergeApp.scala:219-244): a conflicting-redelivery wave
     // (same versions, changed content — the at-least-once shape) runs

@@ -113,6 +113,42 @@ object SketchQueries extends QueryModule {
              |GROUP BY 1
              |HAVING count(*) * 4 > (SELECT count(*) FROM documents)""".stripMargin)),
 
+    // Grouped histogram quantiles: same bounded-histogram sketch, one
+    // cumulative window PER GROUP — grouped p50/p90/p99 in a single pass
+    // with state bounded by |groups| × |bins|, never a per-group sort.
+    EngineQuery(
+      "sketch_quantile_groups",
+      (s, dir) => {
+        val li = lineitem(s, dir)
+        val hist = li
+          .groupBy(col("l_returnflag"), floor(col("l_extendedprice")).as("bin"))
+          .agg(count(lit(1)).as("c"))
+        val cum = hist.withColumn("cum", sum("c").over(
+          Window.partitionBy("l_returnflag").orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val n = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        val qs = s.range(1).select(
+          explode(array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+        cum.join(n, "l_returnflag")
+          .join(broadcast(qs), col("cum") >= col("p") * col("n"))
+          .groupBy("l_returnflag", "p").agg(min("bin").as("approx"))
+      },
+      Some("""WITH b AS (
+             |  SELECT l_returnflag, CAST(floor(l_extendedprice) AS BIGINT) AS bin,
+             |    count(*) AS c
+             |  FROM lineitem GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT l_returnflag, bin, CAST(sum(c) OVER (PARTITION BY l_returnflag
+             |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum
+             |  FROM b),
+             |n AS (SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1),
+             |q AS (SELECT CAST(p AS DOUBLE) AS p FROM (VALUES (0.5), (0.9), (0.99)) v(p))
+             |SELECT c.l_returnflag, p, min(bin) AS approx
+             |FROM cum c JOIN n ON c.l_returnflag = n.l_returnflag CROSS JOIN q
+             |WHERE cum >= p * n.n
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Histogram-sketch quantiles: unit-width bins of l_extendedprice, one
     // cumulative window over the bounded histogram, three quantiles read
     // from the same cumulative counts. Quantile thresholds are cast to
