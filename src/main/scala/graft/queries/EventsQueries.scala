@@ -87,6 +87,38 @@ object EventsQueries extends QueryModule {
              |  CAST(sum(new_session) AS BIGINT) AS n_sessions
              |FROM x GROUP BY user_id""".stripMargin)),
 
+    // Native session_window operator (30 min inactivity gap) pinned
+    // against an INDEPENDENT formulation: the DuckDB dual rebuilds
+    // sessions from scratch with lag + cumulative session ids. Spark's
+    // session end = last event + gap, start = first event.
+    EngineQuery(
+      "evt_session_window",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+          .select(col("user_id"),
+            unix_millis(col("w.start")).as("session_start_ms"),
+            unix_millis(col("w.end")).as("session_end_ms"),
+            col("n_events"), col("total_value")),
+      Some("""WITH x AS (
+             |  SELECT user_id, epoch_ms(ts) AS ms, value,
+             |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+             |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ms, value,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ms
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM x)
+             |SELECT user_id, min(ms) AS session_start_ms,
+             |  max(ms) + 1800000 AS session_end_ms,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  round(sum(value), 2) AS total_value
+             |FROM s GROUP BY user_id, sid""".stripMargin)),
+
     // JSON property extraction + aggregation (props is a JSON string).
     EngineQuery(
       "evt_json_extract",

@@ -29,6 +29,22 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
       .select(col("w.start").as("hour_ts"), col("event_type"), col("n"), col("total_value"))
 
+  /** Sessionization as a streaming aggregate: native `session_window`
+    * with a 30-minute inactivity gap. Spark merges overlapping per-event
+    * windows into sessions in the state store; the watermark finalizes a
+    * session once event time passes its end + delay, so state per user is
+    * bounded by open sessions only. The batch dual is the oracle-gated
+    * `evt_session_window` query (EventsStreamingSpec pins stream==batch). */
+  def sessionAgg(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"), col("total_value"))
+
   /** Date-partitioned streaming append: land the raw event stream as a
     * hive-style `event_date=...` parquet tree with an exactly-once sink
     * log. Streaming ingest writing straight into the partition-pruned

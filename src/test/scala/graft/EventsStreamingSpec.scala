@@ -116,4 +116,32 @@ class EventsStreamingSpec extends SparkSuite {
     assert(streamed.subsetOf(batchPairs))
     assert(streamed.nonEmpty, "join emitted nothing")
   }
+
+  test("streaming session_window matches the batch sessionization") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select("ts", "user_id", "value")
+
+    val dir = Files.createTempDirectory("graft-sess").toString
+    src.coalesce(3).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$dir/in")
+
+    val q = EventsStreaming.sessionAgg(stream)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.mkString("|")).toSet
+    val streamed = key(spark.table("sess_out"))
+    val batch = key(EventsStreaming.sessionAgg(src))
+
+    // Append emits sessions finalized by the last watermark; the trailing
+    // (< delay) sessions may be withheld, never invented or split wrong.
+    assert(streamed.subsetOf(batch), "streamed sessions must agree with batch")
+    assert(streamed.size >= batch.size / 2 && streamed.nonEmpty,
+      s"most sessions should finalize: streamed=${streamed.size} batch=${batch.size}")
+  }
 }
