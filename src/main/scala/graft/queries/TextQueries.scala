@@ -133,6 +133,60 @@ object TextQueries extends QueryModule {
               |FROM scored s JOIN reps r ON s.doc_id = r.doc_id
               |WHERE r.rep_id = s.doc_id AND s.quality >= 0.35""".stripMargin)),
 
+    // The FULL curation pipeline in one DAG — quality gate → transitive
+    // near-dup dedup (connected components over the LSH candidates) →
+    // language rebalance (data-derived rates) → deterministic
+    // train/val/test split → per-(split, lang) rollup. Every stage is an
+    // operator this engine ships individually; this query pins that they
+    // COMPOSE, end-to-end, bit-for-bit against a single SQL replay
+    // (recursive closure + rate window + hash thresholds included).
+    EngineQuery(
+      "pipeline_curation",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = d.withColumn("toks", expr(toksSpark)).selectExpr(
+          "doc_id", "lang", "text",
+          s"round(least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHits / CAST(size(toks) AS DOUBLE)) * 0.5, 4) AS quality")
+        val cc = graft.dedup.ConnectedComponents.labels(
+            d.selectExpr("doc_id AS id"),
+            DedupQueries.minhashPairsCached(s, dir, 0.8))
+          .selectExpr("id AS doc_id", "label AS rep_id")
+        val kept = scored.join(cc, Seq("doc_id"))
+          .filter(col("rep_id") === col("doc_id") && col("quality") >= 0.35)
+          .select("doc_id", "lang", "text")
+        graft.sample.Sampling.rebalance(kept, "CAST(doc_id AS STRING)", "lang")
+          .selectExpr("lang", s"${splitSpark("doc_id")} AS split", "text")
+          .groupBy("split", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("n_chars"))
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, text, lang, $toksDuck AS toks FROM documents),
+              |scored AS (SELECT doc_id, lang, text,
+              |  round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHitsDuck / CAST(len(toks) AS DOUBLE)) * 0.5, 4) AS quality
+              |  FROM tk),
+              |g AS (SELECT doc_id, $grams3Duck AS grams FROM tk),
+              |${DedupQueries.duckLshPairs(0.8)},
+              |e AS (SELECT a_id AS a, b_id AS b FROM lsh_pairs
+              |      UNION SELECT b_id, a_id FROM lsh_pairs),
+              |reach(a, b) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+              |cc AS (SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a),
+              |kept AS (
+              |  SELECT s.doc_id, s.lang, s.text
+              |  FROM scored s JOIN cc r ON s.doc_id = r.doc_id
+              |  WHERE r.rep_id = s.doc_id AND s.quality >= 0.35),
+              |c AS (SELECT lang, count(*) AS cnt FROM kept GROUP BY lang),
+              |rt AS (SELECT lang, CAST(min(cnt) OVER () AS DOUBLE) / CAST(cnt AS DOUBLE) AS rate FROM c),
+              |bal AS (
+              |  SELECT k.* FROM kept k JOIN rt ON k.lang = rt.lang
+              |  WHERE ${hash60Duck("CAST(k.doc_id AS VARCHAR)")} <
+              |    CAST(floor(rate * 1152921504606846976.0) AS BIGINT))
+              |SELECT ${splitDuck("doc_id")} AS split, lang,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+              |FROM bal GROUP BY 1, 2""".stripMargin)),
+
     // Corpus-level n-gram statistics: top-20 word bigrams (explode →
     // count → total-ordered top-k). The corpus-wide dual of the per-doc
     // text operators; at 100 TB this is one shuffle with map-side combine.
