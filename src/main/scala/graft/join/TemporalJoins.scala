@@ -50,7 +50,36 @@ object TemporalJoins {
       rightTs: String,
       payload: Seq[String],
       tieBreak: String,
-      toleranceMs: Option[Long] = None): DataFrame = {
+      toleranceMs: Option[Long] = None): DataFrame =
+    asOfJoin(left, right, key, leftTs, rightTs, payload, tieBreak, toleranceMs,
+      forward = false)
+
+  /** Forward as-of join: the single EARLIEST right row with
+    * `rightTs >= leftTs` (inclusive) — conversion-latency / next-event
+    * semantics. Same plan, tie and tolerance contract as the backward
+    * variant; `asof_gap_ms` = matched rightTs - leftTs. */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tieBreak: String,
+      toleranceMs: Option[Long] = None): DataFrame =
+    asOfJoin(left, right, key, leftTs, rightTs, payload, tieBreak, toleranceMs,
+      forward = true)
+
+  private def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tieBreak: String,
+      toleranceMs: Option[Long],
+      forward: Boolean): DataFrame = {
     require(payload.contains(tieBreak), s"tieBreak $tieBreak must be a payload column")
     val clash = payload.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"payload columns clash with left columns: ${clash.mkString(",")}")
@@ -64,13 +93,16 @@ object TemporalJoins {
     // columns with the other side's types — no manual typed-null casts.
     val u = l.unionByName(r, allowMissingColumns = true)
 
-    // Right rows sort before left rows at equal __t (side 0 < 1) so the
-    // inclusive bound holds; among right ties the largest tieBreak is
-    // scanned last and wins. Left rows have a null tieBreak — coalesce
-    // keeps the sort key total so both engines order identically.
+    // Backward scans time ascending, forward descending; either way right
+    // rows sort before left rows at equal __t (side 0 < 1) so the
+    // inclusive bound holds, and among right ties the largest tieBreak is
+    // scanned last and wins (tieBreak ascending in BOTH directions). Left
+    // rows have a null tieBreak — coalesce keeps the sort key total so
+    // both engines order identically.
+    val tOrder = if (forward) col("__t").desc else col("__t").asc
     val w = Window
       .partitionBy(key)
-      .orderBy(col("__t").asc, col("__side").asc,
+      .orderBy(tOrder, col("__side").asc,
         coalesce(col(tieBreak), lit(Long.MinValue)).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
@@ -79,10 +111,12 @@ object TemporalJoins {
     val asofCols =
       ("__asof_t", last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w)) +:
         payload.map(p => (s"asof_$p", last(col(p), ignoreNulls = true).over(w)))
+    val gap =
+      if (forward) col("__asof_t") - col("__t") else col("__t") - col("__asof_t")
     val filled = u
       .select(u.columns.map(col) ++ asofCols.map { case (n, c) => c.as(n) }: _*)
       .filter(col("__side") === 1)
-      .withColumn("asof_gap_ms", col("__t") - col("__asof_t"))
+      .withColumn("asof_gap_ms", gap)
 
     val tol = toleranceMs.fold(filled) { t =>
       val keep = col("asof_gap_ms") <= t

@@ -67,6 +67,48 @@ object JoinQueries extends QueryModule {
              |  CASE WHEN ms - asof_ms <= $TolMs THEN ms - asof_ms END AS asof_gap_ms
              |FROM f WHERE side = 1""".stripMargin)),
 
+    // Forward as-of: each click matched to the user's NEXT purchase
+    // at-or-after it (conversion latency), nulled past 72 h. Same
+    // union-window plan scanning time descending.
+    EngineQuery(
+      "asof_click_purchase",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ms")
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ms").as("pms"))
+        TemporalJoins.asOfJoinForward(
+            clicks, purchases,
+            key = "user_id", leftTs = "ms", rightTs = "pms",
+            payload = Seq("purchase_id"), tieBreak = "purchase_id",
+            toleranceMs = Some(TolMs))
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("asof_purchase_id"), col("asof_gap_ms"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+             |u AS (
+             |  SELECT user_id, ms, 0 AS side, event_id AS purchase_id,
+             |         NULL::BIGINT AS click_id
+             |  FROM e WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, ms, 1, NULL, event_id
+             |  FROM e WHERE event_type = 'click'),
+             |f AS (
+             |  SELECT user_id, ms, side, click_id,
+             |    last_value(purchase_id IGNORE NULLS) OVER w AS asof_purchase_id,
+             |    last_value(CASE WHEN side = 0 THEN ms END IGNORE NULLS) OVER w AS asof_ms
+             |  FROM u
+             |  WINDOW w AS (
+             |    PARTITION BY user_id
+             |    ORDER BY ms DESC, side, coalesce(purchase_id, -9223372036854775807 - 1)
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT click_id, user_id,
+             |  CASE WHEN asof_ms - ms <= $TolMs THEN asof_purchase_id END AS asof_purchase_id,
+             |  CASE WHEN asof_ms - ms <= $TolMs THEN asof_ms - ms END AS asof_gap_ms
+             |FROM f WHERE side = 1""".stripMargin)),
+
     // Banded equi+range join (attribution window): per purchase, how many
     // clicks by the same user in the preceding 24 h. With an equi key
     // present, the right plan is a keyed shuffle join carrying the range

@@ -49,6 +49,27 @@ class TemporalJoinSpec extends SparkSuite {
     assert(out(13L) == ((None, None)))
   }
 
+  test("forward as-of: inclusive bound, max-id tie-break, next not prev") {
+    val left = df(Seq(
+      R(10L, 1L, 1000L), // matches click 3 (same ms, inclusive; beats 2)
+      R(11L, 1L, 1500L), // matches click 4 (next at 4000, skipping past)
+      R(12L, 1L, 9000L)  // nothing after -> nulls
+    ), "event_id BIGINT, user_id BIGINT, ms BIGINT")
+    val right = df(Seq(
+      R(1L, 2L, 1000L), // tie at 1000 with 3 -> 3 wins
+      R(1L, 3L, 1000L),
+      R(1L, 4L, 4000L),
+      R(1L, 9L, 500L)   // BEFORE every left row: must never match forward
+    ), "user_id BIGINT, click_id BIGINT, cms BIGINT")
+    val out = TemporalJoins.asOfJoinForward(
+        left, right, "user_id", "ms", "cms", Seq("click_id"), "click_id")
+      .select("event_id", "asof_click_id", "asof_gap_ms")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(10L) == ((Some(3L), Some(0L))))
+    assert(out(11L) == ((Some(4L), Some(2500L))))
+    assert(out(12L) == ((None, None)))
+  }
+
   test("as-of plan: ONE keyed shuffle, no join operator") {
     val e = graft.queries.EventsQueries.events(spark, sf0001)
       .withColumn("ms", unix_millis(col("ts")))
