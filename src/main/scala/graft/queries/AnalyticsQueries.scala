@@ -345,12 +345,12 @@ object AnalyticsQueries extends QueryModule {
              |SELECT 'urgent_only' AS side, CAST(count(*) AS BIGINT) AS n
              |FROM (SELECT * FROM u EXCEPT SELECT * FROM h)""".stripMargin)),
 
-    // Grouped top-k WITHOUT sorting the groups: the custom bounded-heap
-    // aggregate `topk_by` (sketch/TopKBy) keeps k pairs per group per
-    // partition and merges k-bounded — contrast with the window dual
-    // (row_number <= k) which sorts every group's full row set. The
-    // oracle IS that window dual; GroupedTopKSpec pins the two equal in
-    // Spark as well.
+    // Grouped top-k WITHOUT sorting: the custom bounded-heap aggregate
+    // `topk_by` (sketch/TopKBy) keeps k pairs per group per partition and
+    // merges k-bounded — the window dual (row_number <= k) still fully
+    // sorts each task's partition even under Spark 4's WindowGroupLimit.
+    // The oracle IS that window dual; GroupedTopKSpec pins the two equal
+    // in Spark as well.
     EngineQuery(
       "q20_grouped_topk",
       (s, dir) =>

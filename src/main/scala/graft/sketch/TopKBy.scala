@@ -13,13 +13,14 @@ import org.apache.spark.sql.types._
   * keeps the k largest (score, id) pairs per group.
   *
   * WHY: the idiomatic `row_number() OVER (PARTITION BY g ORDER BY s DESC)
-  * <= k` sorts EVERY group's full row set after the shuffle; only the
-  * global top-k case gets Spark's TakeOrderedAndProject treatment. This
-  * aggregate gives grouped top-k the same bounded shape: each partition
-  * keeps at most k pairs per group (map-side partial), merges are
-  * k-bounded, and nothing ever materializes or sorts a whole group. At
-  * 100 TB with heavy groups that is the difference between a bounded
-  * hash-aggregate and a full per-group sort.
+  * <= k` does get Spark 4's WindowGroupLimit treatment (a Partial limit
+  * before the shuffle trims what crosses it) — but each task still fully
+  * SORTS its partition on (g, s) first, O(n log n) per partition, before
+  * either limit applies. This aggregate keeps the k-bounded shuffle
+  * footprint while replacing the sort with O(n log k) per-group heap
+  * updates through the standard hash-aggregate path — no Sort operator
+  * anywhere in the plan. At 100 TB with wide partitions that sort is the
+  * dominant cost the heap removes.
   *
   * Ties are total-ordered by (score, id) — on equal scores the larger id
   * wins — so the result is deterministic and equals the window
