@@ -32,6 +32,22 @@ class GroupedTopKSpec extends SparkSuite {
     assert(agg(17) == win)
   }
 
+  test("topk_by plan has no Sort operator (the window dual always sorts)") {
+    val c = spark.read.parquet(s"$sf001/customer.parquet")
+    val agg = c.groupBy("c_mktsegment").agg(expr("topk_by(c_acctbal, c_custkey, 5)"))
+    assert(agg.count() > 0)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), s"heap top-k must not sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
+
+    val win = c.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").desc)))
+      .filter(col("rn") <= 5)
+    win.count()
+    assert(win.queryExecution.executedPlan.toString.contains("Sort"))
+  }
+
   test("per-group arrays come out sorted descending") {
     val rows = spark.read.parquet(s"$sf001/customer.parquet")
       .groupBy("c_mktsegment").agg(expr("topk_by(c_acctbal, c_custkey, 5)").as("top"))
