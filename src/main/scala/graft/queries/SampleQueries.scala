@@ -67,6 +67,29 @@ object SampleQueries extends QueryModule {
              |FROM documents d JOIN r ON d.lang = r.lang
              |WHERE ${hash60Duck("CAST(doc_id AS VARCHAR)")} <
              |  CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
+             |GROUP BY d.lang""".stripMargin)),
+
+    // Weight-budget rebalance: every language downsampled toward the
+    // smallest language's total CHARACTER budget (the equal-token-share
+    // pretraining mix), not its row count.
+    EngineQuery(
+      "sample_rebalance_chars",
+      (s, dir) =>
+        Sampling.rebalanceByWeight(docs(s, dir), "CAST(doc_id AS STRING)",
+            "lang", "n_chars")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("sum_chars")),
+      Some(s"""WITH c AS (
+             |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS wsum
+             |  FROM documents GROUP BY lang),
+             |r AS (SELECT lang,
+             |        CAST(min(wsum) OVER () AS DOUBLE) / CAST(wsum AS DOUBLE) AS rate
+             |      FROM c)
+             |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents d JOIN r ON d.lang = r.lang
+             |WHERE ${hash60Duck("CAST(doc_id AS VARCHAR)")} <
+             |  CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
              |GROUP BY d.lang""".stripMargin))
   )
 }

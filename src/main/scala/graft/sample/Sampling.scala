@@ -58,6 +58,27 @@ object Sampling {
       .drop("rate")
   }
 
+  /** Weight-budget rebalance: like [[rebalance]], but strata equalize on
+    * SUM(weight) (tokens, characters, bytes) instead of row count — the
+    * actual pretraining-mix primitive ("equal token share per source").
+    * Keep decisions are still per-row by hash, so each stratum's kept
+    * weight is binomially concentrated at the target. Weight sums are
+    * cast to BIGINT on both engines before the double division (DuckDB
+    * sums BIGINT into HUGEINT). */
+  def rebalanceByWeight(
+      df: DataFrame, keyExpr: String, strataCol: String, weightCol: String): DataFrame = {
+    val sums = df.groupBy(strataCol).agg(sum(weightCol).cast("bigint").as("wsum"))
+    val rates = sums
+      .withColumn("min_w",
+        min("wsum").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col(strataCol),
+        (col("min_w").cast("double") / col("wsum").cast("double")).as("rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(expr(hash60Spark(keyExpr)) <
+        floor(col("rate") * lit(1.152921504606846976e18)).cast("long"))
+      .drop("rate")
+  }
+
   /** Stratified sampling: a different keep-rate per stratum value —
     * the source-rebalancing primitive for training mixes (downsample the
     * over-represented stratum, keep the rest). Strata not in `rates` use

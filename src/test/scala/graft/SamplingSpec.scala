@@ -52,6 +52,20 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("weight rebalance: smallest-budget stratum intact, others near its budget") {
+    val totals = docs.groupBy("lang").agg(org.apache.spark.sql.functions.sum("n_chars").as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minW = totals.values.min
+    val kept = Sampling.rebalanceByWeight(docs, "CAST(doc_id AS STRING)", "lang", "n_chars")
+      .groupBy("lang").agg(org.apache.spark.sql.functions.sum("n_chars").as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minLang = totals.minBy(_._2)._1
+    assert(kept(minLang) == minW, "rate-1.0 stratum must keep its whole budget")
+    kept.foreach { case (lang, w) =>
+      assert(w > minW / 2 && w < minW * 3 / 2, s"$lang kept $w chars, target $minW")
+    }
+  }
+
   test("sampling plan: no shuffle, filter fused into the scan's codegen stage") {
     val plan = Sampling.bernoulli(docs, "CAST(doc_id AS STRING)", 0.1)
       .queryExecution.executedPlan.toString
