@@ -98,6 +98,70 @@ object TextQueries extends QueryModule {
               |  $fp5Duck AS shingle_fp
               |FROM documents""".stripMargin)),
 
+    // Repetition-based quality signals (the Gopher-family repetition
+    // filters): per-doc duplicate-token fraction, duplicate-bigram
+    // fraction, and most-frequent-token share. All integer-ratio
+    // arithmetic (exact in both engines), all partition-local — at 100 TB
+    // this is a narrow projection with zero shuffles.
+    EngineQuery(
+      "text_repetition",
+      (s, dir) =>
+        docs(s, dir).withColumn("toks", expr(toksSpark))
+          .withColumn("bg", expr(
+            "transform(sequence(1, greatest(size(toks) - 1, 1)), i -> concat_ws(' ', try_element_at(toks, i), try_element_at(toks, i + 1)))"))
+          .selectExpr(
+            "doc_id",
+            "CAST(size(toks) AS BIGINT) AS n_tokens",
+            "round((size(toks) - size(array_distinct(toks))) / CAST(size(toks) AS DOUBLE), 4) AS dup_token_ratio",
+            "round((size(bg) - size(array_distinct(bg))) / CAST(size(bg) AS DOUBLE), 4) AS dup_bigram_ratio",
+            "round(array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t)))) / CAST(size(toks) AS DOUBLE), 4) AS top_token_ratio"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+              |b AS (SELECT doc_id, toks,
+              |  [concat_ws(' ', toks[i], toks[i+1]) for i in range(1, greatest(len(toks) - 1, 1) + 1)] AS bg
+              |  FROM t)
+              |SELECT doc_id,
+              |  CAST(len(toks) AS BIGINT) AS n_tokens,
+              |  round((len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 4) AS dup_token_ratio,
+              |  round((len(bg) - len(list_distinct(bg))) / CAST(len(bg) AS DOUBLE), 4) AS dup_bigram_ratio,
+              |  round(list_max([len(list_filter(toks, x -> x = t)) for t in list_distinct(toks)]) / CAST(len(toks) AS DOUBLE), 4) AS top_token_ratio
+              |FROM b""".stripMargin)),
+
+    // Benchmark decontamination: find train-split documents sharing any
+    // word 5-gram with the held-out test split (the n-gram-overlap
+    // contamination check run before every pretraining job). The eval
+    // side is small by construction (10% here; a real eval suite is tiny
+    // vs the corpus), so its exploded grams BROADCAST — the 100 TB train
+    // side streams through a broadcast hash join with no shuffle; only
+    // the per-doc rollup shuffles, keyed on doc_id with partial agg.
+    EngineQuery(
+      "text_decontaminate",
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("toks", expr(toksSpark))
+          .selectExpr(
+            "doc_id",
+            s"${splitSpark("doc_id")} AS split",
+            s"${gramsNSpark(5)} AS grams")
+        val evalG = d.filter(col("split") === "test")
+          .selectExpr("doc_id AS eval_id", "explode(grams) AS gram")
+        val trainG = d.filter(col("split") === "train")
+          .selectExpr("doc_id", "explode(grams) AS gram")
+        trainG.join(broadcast(evalG), "gram")
+          .groupBy("doc_id")
+          .agg(
+            countDistinct("eval_id").as("n_eval_docs"),
+            countDistinct("gram").as("n_shared_grams"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, ${splitDuck("doc_id")} AS split, $toksDuck AS toks FROM documents),
+              |g0 AS (SELECT doc_id, split, ${gramsNDuck(5)} AS grams FROM t),
+              |g AS (SELECT doc_id, split, unnest(grams) AS gram FROM g0),
+              |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE split = 'test'),
+              |tr AS (SELECT doc_id, gram FROM g WHERE split = 'train')
+              |SELECT tr.doc_id,
+              |  CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs,
+              |  CAST(count(DISTINCT tr.gram) AS BIGINT) AS n_shared_grams
+              |FROM tr JOIN ev ON tr.gram = ev.gram
+              |GROUP BY tr.doc_id""".stripMargin)),
+
     // The end-to-end curation pipeline: quality-score every document,
     // assign near-duplicate cluster representatives, keep one survivor
     // per cluster above the quality bar — the composed operator a

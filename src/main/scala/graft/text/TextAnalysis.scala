@@ -80,15 +80,18 @@ object TextAnalysis {
     * end — ANSI-safe — and concat_ws skips the null tail; DuckDB list
     * indexing is NULL out-of-bounds, so both engines degrade
     * identically). */
-  val grams3Spark: String =
-    """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
-      | i -> concat_ws(' ', try_element_at(toks, i), try_element_at(toks, i + 1), try_element_at(toks, i + 2))))"""
-      .stripMargin.replace("\n", "")
+  def gramsNSpark(n: Int): String = {
+    val parts = (0 until n).map(k => s"try_element_at(toks, i + $k)").mkString(", ")
+    s"array_distinct(transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), i -> concat_ws(' ', $parts)))"
+  }
 
-  val grams3Duck: String =
-    """list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
-      | for i in range(1, greatest(len(toks) - 2, 1) + 1)])"""
-      .stripMargin.replace("\n", "")
+  def gramsNDuck(n: Int): String = {
+    val parts = (0 until n).map(k => s"toks[i+$k]").mkString(", ")
+    s"list_distinct([concat_ws(' ', $parts) for i in range(1, greatest(len(toks) - ${n - 1}, 1) + 1)])"
+  }
+
+  val grams3Spark: String = gramsNSpark(3)
+  val grams3Duck: String = gramsNDuck(3)
 
   /** Document fingerprint: minimum 60-bit hash over character 5-grams of
     * the lowercased text (the winnowing/rolling-hash family collapsed to
