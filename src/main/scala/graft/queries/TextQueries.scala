@@ -269,6 +269,30 @@ object TextQueries extends QueryModule {
               |FROM b GROUP BY bigram
               |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin)),
 
+    // Sequence packing: chunk the doc-ordered concatenated token stream
+    // into 256-token training sequences via the two-pass distributed
+    // prefix sum (SequencePack — no Window, no single-partition
+    // exchange). The oracle replays the same packing with the window
+    // cumsum DuckDB can afford at oracle scale; SequencePackSpec pins
+    // the plan shape (that the naive formulation is NOT what runs).
+    EngineQuery(
+      "pack_sequences",
+      (s, dir) =>
+        graft.text.SequencePack.packBins(
+          docs(s, dir).withColumn("toks", expr(toksSpark))
+            .selectExpr("doc_id", "CAST(size(toks) AS BIGINT) AS n_tokens"),
+          "doc_id", "n_tokens", budget = 256L, numParts = 32),
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($toksDuck) AS BIGINT) AS n FROM documents),
+              |o AS (SELECT doc_id, n,
+              |  COALESCE(CAST(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start
+              |  FROM t)
+              |SELECT start // 256 AS bin,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n) AS BIGINT) AS n_tokens,
+              |  min(doc_id) AS first_doc,
+              |  max(doc_id) AS last_doc
+              |FROM o GROUP BY 1""".stripMargin)),
+
     EngineQuery(
       "text_source_rollup",
       (s, dir) =>

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.SequencePack
+
+/** The two-pass distributed prefix sum must equal the naive global-window
+  * cumsum bit-for-bit at any partition count, while its physical plan
+  * carries neither a Window operator nor the single-partition Exchange the
+  * window formulation forces. */
+class SequencePackSpec extends SparkSuite {
+
+  private def tokenCounts = spark.read.parquet(s"$sf001/documents.parquet")
+    .selectExpr("doc_id",
+      "CAST(size(filter(split(trim(lower(text)), '\\\\s+'), t -> t != '')) AS BIGINT) AS n_tokens")
+
+  test("start offsets == global window cumsum, any partition count") {
+    val naive = tokenCounts
+      .withColumn("start_off",
+        coalesce(sum("n_tokens").over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    for (parts <- Seq(1, 8, 32)) {
+      val dist = SequencePack.withStartOffsets(tokenCounts, "doc_id", "n_tokens", parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(dist == naive, s"prefix sum diverged at numParts=$parts")
+    }
+  }
+
+  test("offset plan: no Window, no single-partition exchange; naive has both") {
+    val dist = SequencePack.withStartOffsets(tokenCounts, "doc_id", "n_tokens", 8)
+    dist.count()
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"distributed path must not plan a Window:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"distributed path must not serialize onto one partition:\n$plan")
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"expected a range shuffle:\n$plan")
+
+    val naive = tokenCounts.withColumn("start_off",
+      coalesce(sum("n_tokens").over(
+        Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    naive.count()
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("Window") && naivePlan.contains("SinglePartition"))
+  }
+
+  test("packBins: contiguous bins, budget respected at bin starts, totals conserved") {
+    val budget = 256L
+    val bins = SequencePack.packBins(tokenCounts, "doc_id", "n_tokens", budget, 8)
+      .orderBy("bin").collect()
+    val total = tokenCounts.agg(sum("n_tokens")).head.getLong(0)
+    val nDocs = tokenCounts.count()
+    assert(bins.map(_.getLong(1)).sum == nDocs)
+    assert(bins.map(_.getLong(2)).sum == total)
+    // Bin ids are exactly 0..ceil(total/budget)-1 with no gaps only when
+    // every bin start is occupied by some doc; what IS guaranteed: ids are
+    // strictly increasing and doc ranges tile without overlap.
+    val ids = bins.map(_.getLong(0))
+    assert(ids.toSeq == ids.sorted.toSeq && ids.distinct.length == ids.length)
+    bins.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) < b.getLong(3),
+        s"doc ranges overlap across bins: $a vs $b")
+      case _ =>
+    }
+  }
+}
