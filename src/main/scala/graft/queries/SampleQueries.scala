@@ -69,6 +69,21 @@ object SampleQueries extends QueryModule {
              |  CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
              |GROUP BY d.lang""".stripMargin)),
 
+    // Weighted sampling without replacement: 50 docs, selection biased
+    // toward long documents (weight = n_chars), via deterministic
+    // integer priorities. The plan is TakeOrderedAndProject (bounded
+    // per-partition heaps), never a global sort.
+    EngineQuery(
+      "sample_weighted",
+      (s, dir) =>
+        Sampling.weightedTopK(
+            docs(s, dir).select("doc_id", "lang", "n_chars"),
+            "CAST(doc_id AS STRING)", "n_chars", k = 50),
+      Some(s"""SELECT doc_id, lang, n_chars,
+             |  ${hash60Duck("CAST(doc_id AS VARCHAR)")} // n_chars AS priority
+             |FROM documents
+             |ORDER BY priority, doc_id LIMIT 50""".stripMargin)),
+
     // Weight-budget rebalance: every language downsampled toward the
     // smallest language's total CHARACTER budget (the equal-token-share
     // pretraining mix), not its row count.

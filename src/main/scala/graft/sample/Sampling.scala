@@ -79,6 +79,25 @@ object Sampling {
       .drop("rate")
   }
 
+  /** Weighted sampling without replacement: pick `k` rows with selection
+    * probability increasing in `weightCol`, deterministically. Each row
+    * gets priority = hash60(key) DIV weight — the integer-arithmetic
+    * analogue of the Efraimidis–Spiridakis exponential keys (rank by
+    * u^(1/w)): the hash is a fixed uniform draw in [0, 2^60) and dividing
+    * by the weight shrinks heavy rows' priorities, so the k smallest
+    * priorities are a weighted sample. Integer division instead of the
+    * float formula keeps the oracle replay exact. The global top-k by
+    * (priority, key) compiles to TakeOrderedAndProject — per-partition
+    * bounded heaps merged on the driver, no global sort, no shuffle of
+    * anything beyond k rows per partition at any corpus size. Weights
+    * must be >= 1. */
+  def weightedTopK(
+      df: DataFrame, keyExpr: String, weightCol: String, k: Int): DataFrame =
+    df.withColumn("priority",
+        expr(s"${hash60Spark(keyExpr)} DIV CAST($weightCol AS BIGINT)"))
+      .orderBy(col("priority"), expr(keyExpr))
+      .limit(k)
+
   /** Stratified sampling: a different keep-rate per stratum value —
     * the source-rebalancing primitive for training mixes (downsample the
     * over-represented stratum, keep the rest). Strata not in `rates` use

@@ -66,6 +66,22 @@ class SamplingSpec extends SparkSuite {
     }
   }
 
+  test("weighted top-k: biased toward heavy rows, bounded-heap plan") {
+    val sel = Sampling.weightedTopK(
+      docs.select("doc_id", "lang", "n_chars"), "CAST(doc_id AS STRING)", "n_chars", 50)
+    val rows = sel.collect()
+    assert(rows.length == 50)
+    val meanSel = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    val meanAll = docs.agg(org.apache.spark.sql.functions.avg("n_chars"))
+      .head.getDouble(0)
+    // P(select) ∝ n_chars, so the selected mean must sit well above the
+    // corpus mean (length-biased sampling pulls it toward E[w²]/E[w]).
+    assert(meanSel > meanAll * 1.1, s"no weight bias: sel=$meanSel corpus=$meanAll")
+    val plan = sel.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be heap-based, not a sort:\n$plan")
+  }
+
   test("sampling plan: no shuffle, filter fused into the scan's codegen stage") {
     val plan = Sampling.bernoulli(docs, "CAST(doc_id AS STRING)", 0.1)
       .queryExecution.executedPlan.toString
