@@ -61,6 +61,44 @@ object SimQueries extends QueryModule {
 
   override def queries: Seq[EngineQuery] = Seq(
 
+    // Int8 quantization (symmetric, per-vector max-abs scale) — the ANN
+    // index-compression primitive (4× smaller than float32 before the
+    // IVF/LSH layout). Narrow projection, zero shuffles at any scale.
+    // All float work is fixed-order IEEE (float→double casts, one
+    // divide, floor(x+0.5) instead of round so half-way ties break
+    // identically in both engines); the checksums over the quantized
+    // ints are exact integer folds.
+    EngineQuery(
+      "sim_quantize_int8",
+      (s, dir) =>
+        emb(s, dir)
+          .withColumn("xd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+          .withColumn("scale",
+            expr("array_max(transform(xd, x -> abs(x))) / CAST(127 AS DOUBLE)"))
+          .withColumn("qv",
+            expr("transform(xd, x -> CAST(floor(x / scale + 0.5D) AS BIGINT))"))
+          .selectExpr(
+            "vec_id", "scale",
+            "array_min(qv) AS q_min",
+            "array_max(qv) AS q_max",
+            "aggregate(qv, CAST(0 AS BIGINT), (a, v) -> a + v) AS q_sum",
+            "aggregate(qv, CAST(0 AS BIGINT), (a, v) -> a + v * v) AS q_ssq"),
+      Some("""WITH t AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+             |  FROM embeddings),
+             |m AS (SELECT vec_id, xd,
+             |    list_max(list_transform(xd, x -> abs(x))) / CAST(127 AS DOUBLE) AS scale
+             |  FROM t),
+             |q AS (SELECT vec_id, scale,
+             |    list_transform(xd, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+             |  FROM m)
+             |SELECT vec_id, scale,
+             |  CAST(list_min(qv) AS BIGINT) AS q_min,
+             |  CAST(list_max(qv) AS BIGINT) AS q_max,
+             |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |  CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS q_ssq
+             |FROM q""".stripMargin)),
+
     // Exact brute-force cosine top-k for a fixed probe set (the ANN
     // baseline): broadcast nested loop, no corpus shuffle.
     EngineQuery(

@@ -293,6 +293,22 @@ object TextQueries extends QueryModule {
               |  max(doc_id) AS last_doc
               |FROM o GROUP BY 1""".stripMargin)),
 
+    // Distributed ROW_NUMBER over a total order (content hash, doc_id
+    // tiebreak): the shuffle-sane dual of `row_number() OVER (ORDER BY
+    // ...)`, which Spark would otherwise execute on ONE partition. Same
+    // two-pass prefix-sum core as pack_sequences, weight 1.
+    EngineQuery(
+      "text_global_rank",
+      (s, dir) =>
+        graft.text.SequencePack.withGlobalRank(
+            docs(s, dir).selectExpr(
+              "doc_id", s"${hash60Spark("text")} AS content_hash"),
+            Seq("content_hash", "doc_id"), numParts = 32)
+          .select("doc_id", "content_hash", "global_rank"),
+      Some(s"""SELECT doc_id, ${hash60Duck("text")} AS content_hash,
+              |  CAST(row_number() OVER (ORDER BY ${hash60Duck("text")}, doc_id) AS BIGINT) AS global_rank
+              |FROM documents""".stripMargin)),
+
     EngineQuery(
       "text_source_rollup",
       (s, dir) =>

@@ -1,8 +1,8 @@
 package graft.text
 
-import org.apache.spark.TaskContext
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Sequence packing for pretraining: lay documents end-to-end in a
   * deterministic order and chunk the concatenated token stream into
@@ -25,56 +25,96 @@ import org.apache.spark.sql.functions._
   *   3. pass 2 re-walks each cached partition adding its exclusive
   *      partition offset — a narrow mapPartitions, no further shuffle.
   *
-  * Total cost at any scale: one range shuffle over (key, weight) pairs +
-  * two narrow scans of the cached pairs. SequencePackSpec pins both the
-  * bit-equality with the naive window and the absence of any Window /
-  * single-partition Exchange in this plan.
+  * Total cost at any scale: one range shuffle over (keys, weight) rows +
+  * two narrow scans of the cached rows. The same core gives a distributed
+  * ROW_NUMBER over a total order (weight = 1) — see `withGlobalRank`.
+  * SequencePackSpec pins both the bit-equality with the naive window and
+  * the absence of any Window / single-partition Exchange in this plan.
   */
 object SequencePack {
 
-  /** Annotate (orderCol, weightCol) rows with the exclusive prefix sum of
-    * weight in orderCol order. Output columns: doc_id, n_tokens,
-    * start_off (all BIGINT). Both inputs must be castable to long and
-    * orderCol must be unique (it is the total order).
-    */
+  /** Annotate rows with the exclusive prefix sum of `weightCol` in
+    * `orderCols` order. The combined key must be a total order (pass a
+    * unique tiebreak column last) and every order/weight value must be a
+    * non-null long-castable. Output: orderCols (cast to long) ++
+    * (weightCol cast to long) ++ start_off.
+    *
+    * Partition offsets are keyed by each partition's FIRST KEY, not by a
+    * runtime partition id: `TaskContext.getPartitionId()` lies when a
+    * downstream `coalesce` merges this stage into fewer tasks (every
+    * parent partition then reports the coalesced id), whereas boundary
+    * keys are data values — correct under coalesce, AQE re-planning, and
+    * even cache-eviction recompute. Pass 2 walks rows in order and
+    * resets its running total whenever it crosses a boundary key. */
   def withStartOffsets(
-      df: DataFrame, orderCol: String, weightCol: String, numParts: Int): DataFrame = {
+      df: DataFrame, orderCols: Seq[String], weightCol: String,
+      numParts: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val keys = orderCols.map(c => col(c).cast("long").as(c))
     val ranged = df
-      .select(col(orderCol).cast("long").as("doc_id"),
-        col(weightCol).cast("long").as("n_tokens"))
-      .repartitionByRange(numParts, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .as[(Long, Long)]
+      .select(keys :+ col(weightCol).cast("long").as(weightCol): _*)
+      .repartitionByRange(numParts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
       .persist()
-    // Pass 1: one partial sum per partition. Bounded by numParts — this
-    // collect is O(partitions), independent of row count.
-    val partSums: Array[(Int, Long)] = ranged
+    val wIdx = orderCols.length
+    def keyOf(r: Row): Seq[Long] = (0 until wIdx).map(r.getLong)
+    def cmp(a: Seq[Long], b: Seq[Long]): Int =
+      a.lazyZip(b).collectFirst { case (x, y) if x != y => java.lang.Long.compare(x, y) }
+        .getOrElse(0)
+    // Pass 1: (first key, partial sum) per non-empty partition. The
+    // collect is bounded by the partition count, never the data.
+    val partSums: Array[(Seq[Long], Long)] = ranged
       .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var s = 0L
-        it.foreach(s += _._2)
-        Iterator.single((pid, s))
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          var s = first.getLong(wIdx)
+          val k = keyOf(first)
+          it.foreach(s += _.getLong(wIdx))
+          Iterator.single((k, s))
+        }
       }
       .collect()
-    val offsets: Map[Int, Long] = {
+    // Exclusive prefix over boundary order = global key order.
+    val boundaries: Array[(Seq[Long], Long)] = {
       var acc = 0L
-      partSums.sortBy(_._1).map { case (pid, s) =>
-        val off = acc; acc += s; pid -> off
-      }.toMap
-    }
-    val bc = spark.sparkContext.broadcast(offsets)
-    // Pass 2: narrow re-walk of the SAME cached partitions (iterator order
-    // is the sortWithinPartitions order) adding the partition offset.
-    ranged
-      .mapPartitions { it =>
-        val pid = TaskContext.getPartitionId()
-        var run = bc.value(pid)
-        it.map { case (id, n) => val start = run; run += n; (id, n, start) }
+      partSums.sortWith((a, b) => cmp(a._1, b._1) < 0).map { case (k, s) =>
+        val off = acc; acc += s; k -> off
       }
-      .toDF("doc_id", "n_tokens", "start_off")
+    }
+    val bc = spark.sparkContext.broadcast(boundaries)
+    // Pass 2: narrow re-walk of the cached partitions (iterator order is
+    // the sortWithinPartitions order; under coalesce, parents concatenate
+    // in ascending range order) resetting at each boundary key.
+    implicit val outEnc = Encoders.row(ranged.schema.add("start_off", LongType))
+    ranged.mapPartitions { it =>
+      val bs = bc.value
+      var bi = -1
+      var run = 0L
+      it.map { r =>
+        val k = keyOf(r)
+        while (bi + 1 < bs.length && cmp(bs(bi + 1)._1, k) <= 0) {
+          bi += 1; run = bs(bi)._2
+        }
+        val start = run; run += r.getLong(wIdx)
+        Row.fromSeq(r.toSeq :+ start)
+      }
+    }
   }
+
+  def withStartOffsets(
+      df: DataFrame, orderCol: String, weightCol: String,
+      numParts: Int): DataFrame =
+    withStartOffsets(df, Seq(orderCol), weightCol, numParts)
+
+  /** Distributed ROW_NUMBER over a total order: global rank (1-based) by
+    * `orderCols` with no Window and no single-partition exchange — the
+    * prefix sum of weight 1. */
+  def withGlobalRank(df: DataFrame, orderCols: Seq[String], numParts: Int): DataFrame =
+    withStartOffsets(df.withColumn("__one", lit(1L)), orderCols, "__one", numParts)
+      .withColumn("global_rank", col("start_off") + 1)
+      .drop("__one", "start_off")
 
   /** Pack into fixed token-budget bins: per-bin doc count, token count and
     * doc-id range. Docs whose tokens straddle a bin boundary belong to the
@@ -84,12 +124,12 @@ object SequencePack {
   def packBins(
       df: DataFrame, orderCol: String, weightCol: String,
       budget: Long, numParts: Int): DataFrame =
-    withStartOffsets(df, orderCol, weightCol, numParts)
-      .selectExpr("doc_id", "n_tokens", s"start_off DIV $budget AS bin")
+    withStartOffsets(df, Seq(orderCol), weightCol, numParts)
+      .selectExpr(orderCol, weightCol, s"start_off DIV $budget AS bin")
       .groupBy("bin")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        min("doc_id").as("first_doc"),
-        max("doc_id").as("last_doc"))
+        sum(weightCol).as("n_tokens"),
+        min(orderCol).as("first_doc"),
+        max(orderCol).as("last_doc"))
 }

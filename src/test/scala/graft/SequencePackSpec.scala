@@ -47,6 +47,34 @@ class SequencePackSpec extends SparkSuite {
     assert(naivePlan.contains("Window") && naivePlan.contains("SinglePartition"))
   }
 
+  test("offsets survive a downstream coalesce(1) — boundary keys, not task ids") {
+    // Regression: TaskContext.getPartitionId() under coalesce reports the
+    // MERGED partition id for every parent, which zeroed all offsets and
+    // produced partition-local ranks. Offsets are keyed by range-boundary
+    // values now; a single-task write must see identical global offsets.
+    val naive = tokenCounts
+      .withColumn("start_off",
+        coalesce(sum("n_tokens").over(
+          Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = SequencePack.withStartOffsets(tokenCounts, "doc_id", "n_tokens", 8)
+      .coalesce(1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == naive, "coalesce(1) corrupted the prefix sum")
+  }
+
+  test("distributed global rank == row_number window, multi-column order key") {
+    val df = spark.read.parquet(s"$sf001/documents.parquet")
+      .selectExpr("doc_id", "n_chars")
+    val naive = df.withColumn("global_rank",
+        row_number().over(Window.orderBy("n_chars", "doc_id")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val dist = SequencePack.withGlobalRank(df, Seq("n_chars", "doc_id"), 8)
+      .select("doc_id", "n_chars", "global_rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist == naive)
+  }
+
   test("packBins: contiguous bins, budget respected at bin starts, totals conserved") {
     val budget = 256L
     val bins = SequencePack.packBins(tokenCounts, "doc_id", "n_tokens", budget, 8)
