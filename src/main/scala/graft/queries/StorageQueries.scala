@@ -86,11 +86,30 @@ object StorageQueries extends QueryModule {
       c
     })
 
+  private val seededDel =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Key-clustered table (range-partitioned files) with one copy-on-write
+    * DELETE applied: version 1 = all orders, current = keys >= 1000.
+    * The range layout means the delete rewrites only the low-key files
+    * and hard-links the rest forward. */
+  private def deletedOrders(s: SparkSession, dir: String): String =
+    seededDel.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-del")
+        .resolve("orders_deleted").toString
+      val orders = s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus")
+        .repartitionByRange(8, col("o_orderkey"))
+      ParquetTable.swap(s, orders, t)
+      ParquetTable.deleteWhere(s, t, "o_orderkey < 1000")
+      t
+    })
+
   /** Pre-build the seeded tables (Bench times this as an explicit
     * `build_*` entry so query numbers measure only themselves). */
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
     versionedOrders(s, dir); evolvedOrders(s, dir)
-    renamedOrders(s, dir); clonedOrders(s, dir); ()
+    renamedOrders(s, dir); clonedOrders(s, dir); deletedOrders(s, dir); ()
   }
 
   override def queries: Seq[EngineQuery] = Seq(
@@ -150,6 +169,30 @@ object StorageQueries extends QueryModule {
              |UNION ALL
              |SELECT 'clone', CAST(count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS BIGINT)
              |FROM orders""".stripMargin)),
+
+    // Copy-on-write DELETE WHERE: the current snapshot lost exactly the
+    // predicate's rows while the pre-delete snapshot (VERSION AS OF 1)
+    // still reads them — both reconstructed from the raw table by the
+    // oracle. File-level COW (touched files rewritten, rest hard-linked)
+    // is pinned by DeleteWhereSpec.
+    EngineQuery(
+      "tt_delete_where",
+      (s, dir) => {
+        val t = deletedOrders(s, dir)
+        val prev = ParquetTable.readSnapshot(s, t, 1)
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n_prev"))
+        val cur = ParquetTable.read(s, t)
+          .groupBy("o_orderstatus").agg(count(lit(1)).as("n_cur"))
+        prev.join(cur, Seq("o_orderstatus"), "left")
+          .select(
+            col("o_orderstatus"),
+            col("n_prev"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(count(*) AS BIGINT) AS n_prev,
+             |  CAST(count(CASE WHEN o_orderkey >= 1000 THEN 1 END) AS BIGINT) AS n_cur
+             |FROM orders GROUP BY 1""".stripMargin)),
 
     // Per-status row counts of the PREVIOUS snapshot (VERSION AS OF
     // current-1) next to the current one; the oracle reconstructs the

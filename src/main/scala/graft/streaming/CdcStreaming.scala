@@ -328,6 +328,54 @@ object ParquetTable {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** DELETE WHERE, copy-on-write at FILE granularity — how Delta executes
+    * row-level deletes without deletion vectors: only data files that
+    * CONTAIN matching rows are rewritten (minus their matches); every
+    * untouched file is carried into the new version as a hard link, zero
+    * bytes copied. With a selective predicate over a clustered layout
+    * (partitioning / z-order), a 100 TB delete rewrites only the files
+    * the predicate actually hits; the pre-delete snapshot stays readable
+    * (time travel) until vacuum. SQL DELETE semantics: rows where the
+    * predicate is NULL are KEPT. Returns the number of rows deleted. */
+  def deleteWhere(spark: SparkSession, dir: String, predicate: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+    val cur = Paths.get(currentPath(dir))
+    val df = spark.read.parquet(cur.toString)
+    val hit = coalesce(expr(predicate), lit(false))
+    // One pass finds both the touched files and the delete count; the
+    // collect is bounded by the file count, never the row count.
+    val hits = df.filter(hit)
+      .groupBy(col("_metadata.file_path").as("f"))
+      .count().collect()
+    if (hits.isEmpty) return 0L
+    val touched = hits
+      .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString)
+      .toSet
+    val deleted = hits.map(_.getLong(1)).sum
+    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+    val next = VersionNames.format(nextId)
+    val nextPath = Paths.get(dir, next)
+    Files.createDirectories(nextPath)
+    Files.list(cur).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !touched(n)
+      }
+      .foreach { p =>
+        val dst = nextPath.resolve(p.getFileName)
+        try Files.createLink(dst, p)
+        catch { case _: Exception => Files.copy(p, dst) }
+      }
+    // Rewrite ONLY the touched files, dropping their matching rows; the
+    // append lands new part files next to the links already in place.
+    val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
+    spark.read.parquet(touchedPaths: _*)
+      .filter(not(hit))
+      .write.mode("append").parquet(nextPath.toString)
+    publish(dir, next)
+    deleted
+  }
+
   /** Drop superseded snapshots, keeping the newest `keep` (>=1). */
   def vacuum(dir: String, keep: Int = 1): Unit = {
     val current = Files.readString(pointer(dir)).trim
@@ -344,6 +392,12 @@ object ParquetTable {
     val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
     val next = VersionNames.format(nextId)
     df.write.mode("overwrite").parquet(s"$dir/$next")
+    publish(dir, next)
+  }
+
+  /** Atomically repoint `_CURRENT` at a fully-written version dir, then
+    * append the history line. */
+  private def publish(dir: String, next: String): Unit = {
     val tmp = Paths.get(dir, "_CURRENT.tmp")
     Files.writeString(tmp, next)
     Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
