@@ -105,11 +105,30 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededUpd =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Key-clustered table with one copy-on-write UPDATE applied: orders
+    * with keys < 1000 re-flagged to status 'X' and their price zeroed. */
+  private def updatedOrders(s: SparkSession, dir: String): String =
+    seededUpd.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-upd")
+        .resolve("orders_updated").toString
+      val orders = s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+      ParquetTable.swap(s, orders, t)
+      ParquetTable.updateWhere(s, t, "o_orderkey < 1000",
+        Map("o_orderstatus" -> "'X'", "o_totalprice" -> "0.0D"))
+      t
+    })
+
   /** Pre-build the seeded tables (Bench times this as an explicit
     * `build_*` entry so query numbers measure only themselves). */
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
     versionedOrders(s, dir); evolvedOrders(s, dir)
-    renamedOrders(s, dir); clonedOrders(s, dir); deletedOrders(s, dir); ()
+    renamedOrders(s, dir); clonedOrders(s, dir)
+    deletedOrders(s, dir); updatedOrders(s, dir); ()
   }
 
   override def queries: Seq[EngineQuery] = Seq(
@@ -192,6 +211,23 @@ object StorageQueries extends QueryModule {
       Some("""SELECT o_orderstatus,
              |  CAST(count(*) AS BIGINT) AS n_prev,
              |  CAST(count(CASE WHEN o_orderkey >= 1000 THEN 1 END) AS BIGINT) AS n_cur
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // Copy-on-write UPDATE ... SET: matching rows re-flagged in place
+    // (status → 'X', price → 0), everything else untouched — replayed by
+    // the oracle as a CASE projection of the raw table. 2-decimal source
+    // doubles keep round(sum, 2) order-independent.
+    EngineQuery(
+      "tt_update_where",
+      (s, dir) =>
+        ParquetTable.read(s, updatedOrders(s, dir))
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total")),
+      Some("""SELECT CASE WHEN o_orderkey < 1000 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(CASE WHEN o_orderkey < 1000 THEN 0.0 ELSE o_totalprice END), 2) AS total
              |FROM orders GROUP BY 1""".stripMargin)),
 
     // Per-status row counts of the PREVIOUS snapshot (VERSION AS OF

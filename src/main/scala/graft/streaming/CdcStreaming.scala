@@ -376,6 +376,57 @@ object ParquetTable {
     deleted
   }
 
+  /** UPDATE ... SET, copy-on-write at FILE granularity (same machinery as
+    * [[deleteWhere]]): files containing matches are rewritten with the
+    * assignments applied to matching rows, everything else hard-links
+    * forward. Assignment expressions are cast back to the column's
+    * original type so rewritten and linked files keep one schema. Rows
+    * with a NULL predicate are untouched. Returns #rows updated. */
+  def updateWhere(
+      spark: SparkSession, dir: String, predicate: String,
+      sets: Map[String, String]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    val cur = Paths.get(currentPath(dir))
+    val df = spark.read.parquet(cur.toString)
+    val bad = sets.keySet -- df.columns.toSet
+    require(bad.isEmpty, s"UPDATE SET references missing columns: $bad")
+    val hit = coalesce(expr(predicate), lit(false))
+    val hits = df.filter(hit)
+      .groupBy(col("_metadata.file_path").as("f"))
+      .count().collect()
+    if (hits.isEmpty) return 0L
+    val touched = hits
+      .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString)
+      .toSet
+    val updated = hits.map(_.getLong(1)).sum
+    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+    val next = VersionNames.format(nextId)
+    val nextPath = Paths.get(dir, next)
+    Files.createDirectories(nextPath)
+    Files.list(cur).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !touched(n)
+      }
+      .foreach { p =>
+        val dst = nextPath.resolve(p.getFileName)
+        try Files.createLink(dst, p)
+        catch { case _: Exception => Files.copy(p, dst) }
+      }
+    val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
+    val touchedDf = spark.read.parquet(touchedPaths: _*)
+    val outCols = touchedDf.schema.fields.map { f =>
+      sets.get(f.name) match {
+        case Some(e) => when(hit, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None    => col(f.name)
+      }
+    }
+    touchedDf.select(outCols.toIndexedSeq: _*)
+      .write.mode("append").parquet(nextPath.toString)
+    publish(dir, next)
+    updated
+  }
+
   /** Drop superseded snapshots, keeping the newest `keep` (>=1). */
   def vacuum(dir: String, keep: Int = 1): Unit = {
     val current = Files.readString(pointer(dir)).trim

@@ -80,6 +80,25 @@ class DeleteWhereSpec extends SparkSuite {
     assert(ParquetTable.snapshots(t) == versionsBefore)
   }
 
+  test("update rewrites matching rows in place, links the rest, types preserved") {
+    val t = freshTable()
+    val before = ParquetTable.read(spark, t).count()
+    val expect = ParquetTable.read(spark, t).filter("o_orderkey < 1000").count()
+    val v1 = Paths.get(ParquetTable.currentPath(t))
+    val updated = ParquetTable.updateWhere(spark, t, "o_orderkey < 1000",
+      Map("o_orderstatus" -> "'X'"))
+    assert(updated == expect && expect > 0)
+    val cur = ParquetTable.read(spark, t)
+    assert(cur.count() == before, "UPDATE must not change the row count")
+    assert(cur.filter("o_orderkey < 1000 AND o_orderstatus <> 'X'").count() == 0)
+    assert(cur.filter("o_orderkey >= 1000 AND o_orderstatus = 'X'").count() == 0)
+    assert(cur.schema == ParquetTable.readSnapshot(spark, t, 1).schema)
+    val v2 = Paths.get(ParquetTable.currentPath(t))
+    val carried = dataFiles(v2).intersect(dataFiles(v1))
+    assert(carried.size >= 6 && carried.size < 8)
+    carried.foreach(f => assert(Files.isSameFile(v1.resolve(f), v2.resolve(f))))
+  }
+
   test("vacuum after delete drops the pre-delete snapshot, current unharmed") {
     val t = freshTable()
     val before = ParquetTable.read(spark, t).count()
