@@ -87,6 +87,29 @@ object EventsQueries extends QueryModule {
              |  CAST(sum(new_session) AS BIGINT) AS n_sessions
              |FROM x GROUP BY user_id""".stripMargin)),
 
+    // Cohort retention: users grouped by the epoch-week of their FIRST
+    // event, tallied by distinct activity in each subsequent week — the
+    // (cohort × offset) retention matrix. Integer epoch-week arithmetic
+    // (ms DIV week) is engine-exact. Both the first-event aggregate and
+    // the join back are keyed on user_id, so one hash partitioning
+    // carries through aggregate → join before the small final rollup.
+    EngineQuery(
+      "evt_retention",
+      (s, dir) => {
+        val e = events(s, dir)
+          .selectExpr("user_id", "unix_millis(ts) DIV 604800000 AS wk")
+        val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_week"))
+        e.join(cohort, "user_id")
+          .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+             |c AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1)
+             |SELECT cohort_week, wk - cohort_week AS week_offset,
+             |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+             |FROM e JOIN c ON e.user_id = c.user_id
+             |GROUP BY 1, 2""".stripMargin)),
+
     // Native session_window operator (30 min inactivity gap) pinned
     // against an INDEPENDENT formulation: the DuckDB dual rebuilds
     // sessions from scratch with lag + cumulative session ids. Spark's
