@@ -230,6 +230,33 @@ object StorageQueries extends QueryModule {
              |  round(sum(CASE WHEN o_orderkey < 1000 THEN 0.0 ELSE o_totalprice END), 2) AS total
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    // CHANGE DATA FEED by snapshot diff: the three seeded tables cover
+    // all three change classes — the versioned table's second swap
+    // inserted the odd keys, the deleted table lost keys < 1000, and the
+    // updated table rewrote them (emitting BOTH update images, like
+    // Delta CDF). Unchanged keys must emit nothing, which the oracle's
+    // exact counts enforce.
+    EngineQuery(
+      "tt_change_feed",
+      (s, dir) => {
+        def feed(t: String, tag: String) =
+          ParquetTable.changeFeed(s, t, 1, 0, Seq("o_orderkey"))
+            .select(lit(tag).as("tbl"), col("_change_type"))
+        feed(versionedOrders(s, dir), "versioned")
+          .unionByName(feed(deletedOrders(s, dir), "deleted"))
+          .unionByName(feed(updatedOrders(s, dir), "updated"))
+          .groupBy("tbl", "_change_type").agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT 'versioned' AS tbl, 'insert' AS _change_type,
+             |  CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n
+             |FROM orders
+             |UNION ALL SELECT 'deleted', 'delete',
+             |  CAST(count(CASE WHEN o_orderkey < 1000 THEN 1 END) AS BIGINT) FROM orders
+             |UNION ALL SELECT 'updated', 'update_preimage',
+             |  CAST(count(CASE WHEN o_orderkey < 1000 THEN 1 END) AS BIGINT) FROM orders
+             |UNION ALL SELECT 'updated', 'update_postimage',
+             |  CAST(count(CASE WHEN o_orderkey < 1000 THEN 1 END) AS BIGINT) FROM orders""".stripMargin)),
+
     // Per-status row counts of the PREVIOUS snapshot (VERSION AS OF
     // current-1) next to the current one; the oracle reconstructs the
     // v1 membership rule from the raw table.

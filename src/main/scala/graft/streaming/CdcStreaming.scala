@@ -427,6 +427,39 @@ object ParquetTable {
     updated
   }
 
+  /** CHANGE DATA FEED between two snapshots (Delta's `table_changes`
+    * equivalent, reconstructed by snapshot diff): a full-outer join on
+    * the row key classifies every key as insert / delete / update, and
+    * updates emit BOTH images (`update_preimage` + `update_postimage`),
+    * exactly like Delta CDF. Unchanged rows (null-safe struct equality
+    * over the non-key columns) emit nothing. Cost at any scale: one
+    * co-partitioned shuffle join keyed on the row key.
+    *
+    * Output: keyCols ++ data columns ++ `_change_type`. */
+  def changeFeed(
+      spark: SparkSession, dir: String, fromN: Int, toN: Int,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, struct, when}
+    val oldDf = readSnapshot(spark, dir, fromN)
+    val newDf = readSnapshot(spark, dir, toN)
+    val dataCols = oldDf.columns.filterNot(keyCols.contains).toSeq
+    def pack(df: DataFrame, as: String) =
+      df.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as(as): _*)
+    val j = pack(oldDf, "_old").join(pack(newDf, "_new"), keyCols, "full_outer")
+    def tagged(t: String, img: String) =
+      struct(lit(t).as("ct"), col(img).as("img"))
+    val changes = j.withColumn("_c",
+      when(col("_old").isNull, array(tagged("insert", "_new")))
+        .when(col("_new").isNull, array(tagged("delete", "_old")))
+        .when(!(col("_old") <=> col("_new")),
+          array(tagged("update_preimage", "_old"), tagged("update_postimage", "_new")))
+        .otherwise(lit(null))) // explode(null) emits nothing: unchanged keys vanish
+    changes
+      .select(keyCols.map(col) :+ explode(col("_c")).as("_e"): _*)
+      .select(keyCols.map(col) ++ dataCols.map(c => col(s"_e.img.$c").as(c))
+        :+ col("_e.ct").as("_change_type"): _*)
+  }
+
   /** Drop superseded snapshots, keeping the newest `keep` (>=1). */
   def vacuum(dir: String, keep: Int = 1): Unit = {
     val current = Files.readString(pointer(dir)).trim

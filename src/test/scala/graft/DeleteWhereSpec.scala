@@ -99,6 +99,21 @@ class DeleteWhereSpec extends SparkSuite {
     carried.foreach(f => assert(Files.isSameFile(v1.resolve(f), v2.resolve(f))))
   }
 
+  test("change feed: update images carry old and new values, keyed to the predicate") {
+    val t = freshTable()
+    ParquetTable.updateWhere(spark, t, "o_orderkey < 1000",
+      Map("o_orderstatus" -> "'X'"))
+    val feed = ParquetTable.changeFeed(spark, t, 1, 0, Seq("o_orderkey"))
+    val byType = feed.groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType.keySet == Set("update_preimage", "update_postimage"))
+    assert(byType("update_preimage") == byType("update_postimage"))
+    assert(feed.filter("_change_type = 'update_preimage' AND o_orderstatus = 'X'").count() == 0)
+    assert(feed.filter("_change_type = 'update_postimage' AND o_orderstatus <> 'X'").count() == 0)
+    assert(feed.filter("o_orderkey >= 1000").count() == 0,
+      "unchanged keys must emit no change rows")
+  }
+
   test("vacuum after delete drops the pre-delete snapshot, current unharmed") {
     val t = freshTable()
     val before = ParquetTable.read(spark, t).count()
