@@ -236,6 +236,36 @@ object SimQueries extends QueryModule {
       },
       Some(ivfTopkOracle)),
 
+    // One bit-deterministic Lloyd step of k-means centroid training
+    // (sim/Kmeans): argmax-cosine assignment to the 8 seed centroids,
+    // then per-cell mean with strict vec_id-ordered summation folds —
+    // the TRAINING stage the IVF index family seeds deterministically.
+    // The scalable iterative path (Kmeans.fit: broadcast assign +
+    // (cell,dim)-keyed sum, collect bounded by K×D) is spec-gated in
+    // KmeansSpec; this oracle pins one step's arithmetic bit-for-bit.
+    EngineQuery(
+      "sim_kmeans_step",
+      (s, dir) => graft.sim.Kmeans.stepDeterministic(s, emb(s, dir), 8, Dim),
+      Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 8),
+              |p AS (SELECT e.vec_id, e.embedding, c.cell,
+              |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
+              |  FROM embeddings e CROSS JOIN c),
+              |a AS (SELECT vec_id, embedding, cell FROM (
+              |    SELECT vec_id, embedding, cell,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              |    FROM p) WHERE rn = 1),
+              |g AS (SELECT cell, count(*) AS n_members,
+              |    list(list_transform(embedding, x -> CAST(x AS DOUBLE)) ORDER BY vec_id) AS vs
+              |  FROM a GROUP BY cell),
+              |m AS (SELECT cell, n_members,
+              |    list_reduce(vs, (x, y) -> [x[i] + y[i] for i in range(1, ${Dim + 1})]) AS sums
+              |  FROM g)
+              |SELECT cell, CAST(n_members AS BIGINT) AS n_members,
+              |  round(list_reduce([(sums[i] / n_members) * (sums[i] / n_members) for i in range(1, ${Dim + 1})], (x, y) -> x + y), 6) AS c_norm2,
+              |  round(list_reduce([sums[i] / n_members for i in range(1, ${Dim + 1})], (x, y) -> x + y), 6) AS c_sum
+              |FROM m""".stripMargin)),
+
     // Label centroid check: average embedding per label, report the fold
     // of the centroid's own norm — exercises vector aggregation
     // (element-wise array sum via reduce-by-key) deterministically:

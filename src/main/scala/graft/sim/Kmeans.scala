@@ -1,0 +1,153 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Similarity.{cosineJvm, IvfAssign, Vec}
+
+/** Distributed k-means (Lloyd's algorithm) over the embedding corpus —
+  * the centroid-TRAINING step the IVF index family (Similarity.ivfAssign,
+  * IvfIndex) deliberately seeds with fixed vectors. Spherical variant:
+  * points are assigned by maximum cosine (matching the assignment the IVF
+  * search path uses), centroids are per-cell arithmetic means.
+  *
+  * Scale shape per iteration — the canonical Spark pattern:
+  *   1. centroids (K×D doubles, tiny) broadcast to every executor;
+  *   2. assignment is one partition-local pass over the corpus (no
+  *      shuffle; same argmax + lowest-cell tie-break as ivfAssign);
+  *   3. the mean update is posexplode → one shuffle keyed (cell, dim)
+  *      with map-side partial sums → at most K×D aggregated rows, which
+  *      is the ONLY driver collect (bounded by K×D, never by corpus
+  *      size — same category as ivfAssign's seed-centroid collect).
+  *
+  * Determinism: `fit` sums each (cell, dim) with a commutative SQL sum —
+  * the right answer at scale, reproducible to ~1e-12 but not bit-pinned
+  * across partitionings. `stepDeterministic` is the oracle path: ONE
+  * Lloyd step whose per-cell sums run as strict vec_id-ordered left
+  * folds, bit-reproducible in any engine (same contract as
+  * Similarity's dot-product folds), at the price of buffering each
+  * cell's members in its aggregation group — use it for parity gates,
+  * `fit` for production scale.
+  */
+object Kmeans {
+
+  /** Assignment of every corpus vector to its argmax-cosine centroid.
+    * `centroids` are (cell id, mean vector) pairs, broadcast. Ties break
+    * to the lowest cell id, exactly like Similarity.ivfAssign. */
+  def assign(
+      spark: SparkSession,
+      corpus: DataFrame,
+      centroids: Array[(Long, Array[Double])]): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val vecEnc = Encoders.product[Vec]
+    implicit val asgEnc = Encoders.product[IvfAssign]
+    val sorted = centroids.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(sorted)
+    corpus.select(col("vec_id"), col("embedding")).as[Vec]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { v =>
+          var bestCell = -1L
+          var bestCos = Double.NegativeInfinity
+          cs.foreach { case (cell, cEmb) =>
+            val cos = cosineDJvm(v.embedding, cEmb)
+            if (cos > bestCos || (cos == bestCos && cell < bestCell)) {
+              bestCell = cell; bestCos = cos
+            }
+          }
+          IvfAssign(v.vec_id, bestCell, Similarity.round6(bestCos))
+        }
+      }
+      .toDF()
+  }
+
+  /** cosine(float vector, double centroid) with the same left-fold order
+    * as Similarity.cosineJvm. */
+  private def cosineDJvm(a: Array[Float], c: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nc = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * c(i)
+      na += a(i).toDouble * a(i).toDouble
+      nc += c(i) * c(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nc))
+  }
+
+  /** Seed centroids: the first K corpus vectors (the IVF family's
+    * deterministic seed set), widened to double. Collect bounded by K. */
+  def seedCentroids(corpus: DataFrame, k: Int): Array[(Long, Array[Double])] = {
+    import org.apache.spark.sql.Encoders
+    implicit val vecEnc = Encoders.product[Vec]
+    corpus.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("embedding")).as[Vec].collect()
+      .sortBy(_.vec_id)
+      .map(v => v.vec_id -> v.embedding.map(_.toDouble))
+  }
+
+  /** `iters` full Lloyd iterations from the seed set; returns the final
+    * centroids. Mean update: posexplode to (cell, dim, value) → one
+    * aggregation shuffle → collect of ≤ K×D rows. Cells that attract no
+    * members keep their previous centroid (the standard empty-cluster
+    * fallback). */
+  def fit(
+      spark: SparkSession,
+      corpus: DataFrame,
+      k: Int,
+      iters: Int): Array[(Long, Array[Double])] = {
+    var cs = seedCentroids(corpus, k)
+    val exploded = corpus
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
+    (1 to iters).foreach { _ =>
+      val asg = assign(spark, corpus, cs).select("vec_id", "cell")
+      val sums = exploded.join(asg, "vec_id")
+        .groupBy("cell", "dim")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getAs[Long]("cell"))
+      cs = cs.map { case (cell, prev) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val mean = prev.clone()
+            rows.foreach { r =>
+              mean(r.getAs[Int]("dim")) =
+                r.getAs[Double]("s") / r.getAs[Long]("n").toDouble
+            }
+            cell -> mean
+          case None => cell -> prev
+        }
+      }
+    }
+    cs
+  }
+
+  /** Mean within-cluster cosine of an assignment — the (spherical)
+    * k-means objective, for convergence checks. */
+  def meanAssignedCosine(assigned: DataFrame): Double =
+    assigned.agg(avg("cosine")).head.getDouble(0)
+
+  /** ONE bit-deterministic Lloyd step from the seed set, for the oracle
+    * gate: per-cell member count plus strict vec_id-ordered left-fold
+    * sums, reported as the centroid's fold-ordered norm² and component
+    * sum (rounded 6). Buffers each cell's members in its group — parity
+    * tool, not the scale path (that's `fit`). */
+  def stepDeterministic(spark: SparkSession, corpus: DataFrame, k: Int, dim: Int): DataFrame = {
+    val assigned = Similarity.ivfAssign(spark, corpus, k).select("vec_id", "cell")
+    corpus.select(col("vec_id"), col("embedding")).join(assigned, "vec_id")
+      .withColumn("xd", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_members"),
+        sort_array(collect_list(struct(col("vec_id"), col("xd")))).as("vs"))
+      .withColumn("sums", expr(
+        s"aggregate(vs, array_repeat(CAST(0.0 AS DOUBLE), $dim), " +
+          "(acc, e) -> zip_with(acc, e.xd, (a, b) -> a + b))"))
+      .selectExpr(
+        "cell",
+        "CAST(n_members AS BIGINT) AS n_members",
+        "round(aggregate(transform(sums, s -> (s / CAST(n_members AS DOUBLE)) * (s / CAST(n_members AS DOUBLE))), CAST(0.0 AS DOUBLE), (a, v) -> a + v), 6) AS c_norm2",
+        "round(aggregate(transform(sums, s -> s / CAST(n_members AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v), 6) AS c_sum")
+  }
+}
