@@ -20,6 +20,19 @@ object TextQueries extends QueryModule {
   private val enHits = profileHitsSpark(langProfiles.head._2)
   private val enHitsDuck = profileHitsDuck(langProfiles.head._2)
 
+  /** Fixed retrieval query for `text_bm25_topk` (terms from the corpus
+    * vocabulary with distinct document frequencies). */
+  private val bm25Terms = Seq("merge", "window", "customer")
+
+  /** BM25 (k1 = 1.2, b = 0.75) per-(doc, term) contribution — IDENTICAL
+    * text in Spark SQL and DuckDB so every IEEE op runs in the same
+    * order. idf stays the rational odds ratio (no ln — libm results are
+    * not bit-pinned across engines); tf/df/dl/n_docs are BIGINT, avgdl
+    * DOUBLE, so each mixed op promotes exactly. */
+  private val bm25ScoreSql =
+    "((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) * " +
+      "((tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * (dl / avgdl))))"
+
   /** Same text in Spark SQL and DuckDB: argmax by fixed preference order. */
   private val predictedCase =
     """CASE WHEN h_en >= greatest(h_es, h_de, h_fr, h_zh) THEN 'en'
@@ -308,6 +321,69 @@ object TextQueries extends QueryModule {
       Some(s"""SELECT doc_id, ${hash60Duck("text")} AS content_hash,
               |  CAST(row_number() OVER (ORDER BY ${hash60Duck("text")}, doc_id) AS BIGINT) AS global_rank
               |FROM documents""".stripMargin)),
+
+    // BM25-family ranked retrieval over the inverted-index shape: tf from
+    // one explode+count shuffle (only query-term postings survive the
+    // filter), df and corpus stats are tiny broadcast sides, and the
+    // per-(doc, term) score joins postings — never the corpus — so the
+    // work is proportional to the query terms' posting lists, exactly the
+    // property an inverted index gives at 100 TB. Top-k is one
+    // TakeOrdered. Cross-engine determinism: idf is kept as the rational
+    // odds ((N - df + .5)/(df + .5)) instead of its log — same monotone
+    // ranking, no libm in the hash-matched output — and the per-doc score
+    // sums its (≤3) term contributions in fixed textual order.
+    EngineQuery(
+      "text_bm25_topk",
+      (s, dir) => {
+        val toks = docs(s, dir).selectExpr("doc_id", s"$toksSpark AS toks")
+        val dl = toks.selectExpr("doc_id", "CAST(size(toks) AS BIGINT) AS dl")
+        val st = dl.agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+        val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+          .filter(col("term").isin(bm25Terms: _*))
+          .groupBy("doc_id", "term")
+          .agg(count(lit(1)).cast("long").as("tf"))
+        val dfreq = tf.groupBy("term")
+          .agg(countDistinct("doc_id").cast("long").as("df"))
+        val scored = tf
+          .join(broadcast(dfreq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(st))
+          .selectExpr("doc_id", "term", s"$bm25ScoreSql AS s")
+        val perDoc = scored.groupBy("doc_id").agg(
+          bm25Terms.map(t =>
+            coalesce(max(when(col("term") === t, col("s"))), lit(0.0)))
+            .reduceLeft(_ + _).as("score"))
+        // Top-k FIRST as TakeOrderedAndProject (no global shuffle-sort of
+        // the candidate set), then rank the 20 survivors — the single
+        // -partition window only ever sees k rows.
+        val top = perDoc.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)
+        top.withColumn("rank", row_number().over(w))
+          .select(col("doc_id"), col("rank"), round(col("score"), 6).as("score"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+              |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks),
+              |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+              |posting AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+              |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              |  FROM posting WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+              |  GROUP BY doc_id, term),
+              |dfreq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              |  FROM tf GROUP BY term),
+              |scored AS (SELECT tf.doc_id, tf.term, $bm25ScoreSql AS s
+              |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+              |perdoc AS (SELECT doc_id,
+              |    ${bm25Terms.map(t => s"coalesce(max(CASE WHEN term = '$t' THEN s END), 0.0)").mkString(" + ")} AS score
+              |  FROM scored GROUP BY doc_id),
+              |r AS (SELECT doc_id, score,
+              |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+              |  FROM perdoc)
+              |SELECT doc_id, CAST(rank AS INT) AS rank, round(score, 6) AS score
+              |FROM r WHERE rank <= 20""".stripMargin)),
 
     EngineQuery(
       "text_source_rollup",
