@@ -18,6 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** Salted large-large equi-join for a skewed key: every left row gets a
+    * deterministic salt in [0, salts) from a row-unique column, every
+    * right row is replicated once per salt value, and the join runs on
+    * (key, salt) — a hot key's probe rows split across `salts` reduce
+    * tasks instead of landing in one. The result is row-identical to the
+    * plain join (each left row meets each matching right row in exactly
+    * one salt group); the cost is a `salts`× replication of the right
+    * side, so salt the side whose partner is the smaller of the two.
+    * This is the STATIC skew recipe — AQE's runtime skew split
+    * (SkewJoinSpec) needs no replication but only triggers on observed
+    * partition stats; explicit salting is how you pin the plan when the
+    * skew is known in advance. */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String],
+      saltSource: Column,
+      salts: Int): DataFrame = {
+    val l = left.withColumn("_salt", pmod(hash(saltSource), lit(salts)))
+    val r = right.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    l.join(r, key :+ "_salt").drop("_salt")
+  }
+
   /** sum/count aggregate over `valueCol` grouped by `key`, salted into
     * `salts` sub-groups by a deterministic row hash. */
   def saltedSumCount(

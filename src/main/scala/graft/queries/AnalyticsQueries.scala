@@ -103,6 +103,30 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(count(*) AS BIGINT) AS n
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
+    // Skewed-key JOIN via explicit static salting (SkewOps.saltedJoin):
+    // lineitem keeps one deterministic salt per row, orders replicate
+    // across the 8 salt values, and the shuffle keys on (orderkey, salt)
+    // so a hot order's probe rows split across 8 reduce tasks. Must be
+    // row-identical to the plain join — the oracle IS the unsalted SQL.
+    // (Integral-valued quantity sums, so regrouped order cannot drift.)
+    EngineQuery(
+      "q22_salted_join",
+      (s, dir) => {
+        val o = ord(s, dir)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        graft.ops.SkewOps.saltedJoin(
+            li(s, dir).select("l_orderkey", "l_linenumber", "l_quantity"),
+            o, Seq("l_orderkey"),
+            col("l_orderkey") * 10 + col("l_linenumber"), 8)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum("l_quantity"), 2).as("sum_qty"))
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     // Five-way join through the dimension chain (TPC-H Q5 shape):
     // lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region, filter on region,
     // revenue by nation. Dimension sides broadcast; the two fact joins

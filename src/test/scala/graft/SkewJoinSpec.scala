@@ -62,4 +62,27 @@ class SkewJoinSpec extends SparkSuite {
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevAdvisory)
     }
   }
+
+  test("static salted join == plain join, shuffling on (key, salt)") {
+    val fact = spark.range(0, 50000)
+      .select(
+        when(col("id") % 10 =!= 0, lit(3L)).otherwise(col("id") % 100).as("k"),
+        col("id").as("rowid"))
+    val dim = spark.range(0, 100)
+      .select(col("id").as("k"), (col("id") * 7).as("attr"))
+
+    val salted = graft.ops.SkewOps.saltedJoin(fact, dim, Seq("k"), col("rowid"), 8)
+    val plain = fact.join(dim, "k")
+
+    // Row-identical result (the hot key k=3 meets its dim row in exactly
+    // one salt group per fact row).
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.mkString("|")
+    assert(salted.select("k", "rowid", "attr").collect().map(key).sorted.toSeq ==
+      plain.select("k", "rowid", "attr").collect().map(key).sorted.toSeq)
+
+    // The join really keys on the salt: _salt appears in the join keys of
+    // the physical plan (before the drop).
+    val planStr = salted.queryExecution.executedPlan.toString
+    assert(planStr.contains("_salt"), s"salt missing from join plan:\n$planStr")
+  }
 }
