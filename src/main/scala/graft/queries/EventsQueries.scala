@@ -246,6 +246,34 @@ object EventsQueries extends QueryModule {
       Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |  round(sum(value), 2) AS total_value, min(value) AS min_value,
              |  max(value) AS max_value, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-             |FROM events GROUP BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // Exponentially-decayed per-user value (EWMA family): one ordered
+    // left fold acc = acc·0.9 + value over each user's (ts, event_id)
+    // -sorted history — recency-weighted engagement, the time-decay
+    // feature a training pipeline derives per entity. The recurrence is
+    // inherently sequential, so it runs as ONE shuffle on user_id with
+    // the fold inside the aggregation group (state bounded by per-user
+    // history, the sessionization family's bound); both engines execute
+    // the identical IEEE sequence — no libm, no unordered float sums.
+    // (0.9^k scaling emerges from the fold itself; Spark's zero-init
+    // fold matches DuckDB's first-element init since 0.0·0.9 + v1 = v1.)
+    EngineQuery(
+      "evt_time_decay",
+      (s, dir) =>
+        events(s, dir)
+          .filter(col("value").isNotNull)
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
+              .as("vs"))
+          .selectExpr(
+            "user_id",
+            "CAST(n_events AS BIGINT) AS n_events",
+            "round(aggregate(vs, CAST(0.0 AS DOUBLE), (acc, e) -> acc * 0.9 + e.value), 6) AS decayed"),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  round(list_reduce(list(value ORDER BY ts, event_id), (x, y) -> x * 0.9 + y), 6) AS decayed
+             |FROM events WHERE value IS NOT NULL GROUP BY user_id""".stripMargin))
   )
 }
