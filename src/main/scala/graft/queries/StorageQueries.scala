@@ -123,15 +123,51 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededSk =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Range-clustered orders with a per-file min/max `_STATS` manifest
+    * (tables/StatsSkipping): 8 key-disjoint files + one zone-map line
+    * each. */
+  private def statsOrders(s: SparkSession, dir: String): String =
+    seededSk.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-skip")
+        .resolve("orders_stats").toString
+      graft.tables.StatsSkipping.writeWithStats(
+        s, s.read.parquet(tablePath(dir, "orders"))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "o_orderkey", t, numFiles = 8)
+      t
+    })
+
   /** Pre-build the seeded tables (Bench times this as an explicit
     * `build_*` entry so query numbers measure only themselves). */
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
     versionedOrders(s, dir); evolvedOrders(s, dir)
     renamedOrders(s, dir); clonedOrders(s, dir)
-    deletedOrders(s, dir); updatedOrders(s, dir); ()
+    deletedOrders(s, dir); updatedOrders(s, dir); statsOrders(s, dir); ()
   }
 
   override def queries: Seq[EngineQuery] = Seq(
+
+    // File-level zone-map skipping: the scan consults the `_STATS`
+    // manifest and opens ONLY the files whose [min, max] key range
+    // intersects the predicate — skipped files cost zero IO (not even a
+    // footer), the range-selective complement to hive partition pruning.
+    // Content must equal the plain filtered scan; StatsSkippingSpec pins
+    // the files-actually-read metric.
+    EngineQuery(
+      "store_stats_skipping",
+      (s, dir) =>
+        graft.tables.StatsSkipping
+          .scanRange(s, statsOrders(s, dir), "o_orderkey", 2000, 6000)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total_price")),
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS total_price
+             |FROM orders WHERE o_orderkey BETWEEN 2000 AND 6000
+             |GROUP BY o_orderstatus""".stripMargin)),
 
     // mergeSchema-on-read null-fill after an additive ADD COLUMN: rows
     // written before the evolution read back with NULL priority_flag,

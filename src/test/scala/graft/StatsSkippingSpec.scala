@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.tables.StatsSkipping
+
+/** Zone-map file skipping: a range scan over the `_STATS`-manifested
+  * table must read strictly fewer files than the table holds, return
+  * exactly the plain filter's rows, and read nothing when the range
+  * misses every file. */
+class StatsSkippingSpec extends SparkSuite {
+
+  test("range scan prunes files by manifest and preserves content") {
+    val dir = Files.createTempDirectory("graft-skip").resolve("t").toString
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    StatsSkipping.writeWithStats(spark, orders, "o_orderkey", dir, numFiles = 8)
+
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    val (lo, hi) = (maxKey / 4, maxKey / 2)
+
+    val pruned = StatsSkipping.scanRange(spark, dir, "o_orderkey", lo, hi)
+    val expected = orders.filter(col("o_orderkey").between(lo, hi))
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.mkString("|")
+    assert(pruned.collect().map(key).sorted.toSeq ==
+      expected.collect().map(key).sorted.toSeq)
+
+    // Manifest pruning really cut the file list (ranges are disjoint by
+    // construction, so a quarter-to-half window cannot need all 8).
+    val total = graft.streaming.Compaction.dataFiles(dir).size
+    val read = pruned.inputFiles.length
+    assert(read < total, s"read $read of $total files — no skipping")
+    assert(read == StatsSkipping.liveFiles(dir, lo, hi).size)
+
+    // A range beyond every max reads zero rows (and zero data files).
+    val empty = StatsSkipping.scanRange(spark, dir, "o_orderkey", maxKey + 10, maxKey + 20)
+    assert(empty.count() == 0)
+    assert(StatsSkipping.liveFiles(dir, maxKey + 10, maxKey + 20).isEmpty)
+  }
+}
