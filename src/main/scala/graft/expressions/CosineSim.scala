@@ -145,10 +145,24 @@ object GraftExtensions {
       graft.sketch.TopKBy(children.head, children(1), k)
     })
 
+  val cmsCountersDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("cms_counters"),
+    new ExpressionInfo(classOf[graft.sketch.CmsCounters].getName, "cms_counters"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "cms_counters takes exactly 3 arguments: (key, depth, width)")
+      val lits = children.tail.map {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"cms_counters depth/width must be integer literals, got $other")
+      }
+      graft.sketch.CmsCounters(children.head, lits(0), lits(1))
+    })
+
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
     ext.injectFunction(kmvDistinctDescriptor)
     ext.injectFunction(mgCandidatesDescriptor)
     ext.injectFunction(topKByDescriptor)
+    ext.injectFunction(cmsCountersDescriptor)
   }
 }

@@ -182,6 +182,45 @@ object SketchQueries extends QueryModule {
              |SELECT p, min(bin) AS approx
              |FROM cum, n, q
              |WHERE cum >= p * n
-             |GROUP BY p""".stripMargin))
+             |GROUP BY p""".stripMargin)),
+
+    // Count-Min point estimates, hash-checked INCLUDING the collisions:
+    // the custom `cms_counters` aggregate (sketch/CountMin — 4×64 longs,
+    // elementwise-add merge, so the state is partition-invariant) builds
+    // the matrix in one bounded-state pass; estimates for the probe keys
+    // read min-over-rows from the broadcast 1-row matrix. Row hashing is
+    // the public md5/hash60 recipe with a row tag, so the oracle rebuilds
+    // the IDENTICAL matrix from a plain GROUP BY — where the sketch
+    // over-counts (cms_n > exact_n), the oracle over-counts the same.
+    EngineQuery(
+      "sketch_cms_counts",
+      (s, dir) => {
+        val ev = EventsQueries.events(s, dir)
+        val counters = ev.agg(
+          expr("cms_counters(CAST(user_id AS STRING), 4, 64)").as("cnt"))
+        val probes = ev.filter(col("user_id") < 10)
+          .groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("exact_n"))
+        val h = hash60Spark("concat(CAST(r AS STRING), ':', CAST(user_id AS STRING))")
+        probes.crossJoin(broadcast(counters))
+          .selectExpr(
+            "user_id", "exact_n",
+            s"aggregate(sequence(0, 3), CAST(9223372036854775807 AS BIGINT), " +
+              s"(m, r) -> least(m, element_at(cnt, CAST(r * 64 + ($h % 64) AS INT) + 1))) AS cms_n")
+      },
+      Some(s"""WITH keys AS (SELECT CAST(user_id AS VARCHAR) AS k,
+              |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+              |cells AS (SELECT t.r,
+              |    (${hash60Duck("CAST(t.r AS VARCHAR) || ':' || k")} % 64) AS idx, n
+              |  FROM keys CROSS JOIN range(0, 4) t(r)),
+              |counters AS (SELECT r, idx, CAST(sum(n) AS BIGINT) AS cnt
+              |  FROM cells GROUP BY r, idx),
+              |probes AS (SELECT k, n FROM keys WHERE CAST(k AS BIGINT) < 10),
+              |pc AS (SELECT p.k, p.n, c.cnt
+              |  FROM probes p CROSS JOIN range(0, 4) t(r)
+              |  JOIN counters c ON c.r = t.r
+              |    AND c.idx = (${hash60Duck("CAST(t.r AS VARCHAR) || ':' || p.k")} % 64))
+              |SELECT CAST(k AS BIGINT) AS user_id, n AS exact_n, min(cnt) AS cms_n
+              |FROM pc GROUP BY k, n""".stripMargin))
   )
 }

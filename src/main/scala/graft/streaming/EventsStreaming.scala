@@ -66,6 +66,17 @@ object EventsStreaming {
       .outputMode("append")
       .start()
 
+  /** Stream-static broadcast enrichment: join the event stream against a
+    * static dimension on user_id. STATELESS — no watermark, no state
+    * store: the static side is (re)resolved per micro-batch and
+    * broadcast, the stream side never shuffles. This is the streaming
+    * dim-enrichment pattern at any scale (the static side just has to
+    * stay broadcastable; bucket both sides for the bigger case). Left
+    * join keeps unmatched events with null attributes rather than
+    * silently dropping them. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   /** Stream-stream interval join: per user, pair each error with the
     * clicks that follow it within `intervalSeconds`. Both sides carry
     * watermarks so join state is bounded (errors retained only until the

@@ -144,4 +144,38 @@ class EventsStreamingSpec extends SparkSuite {
     assert(streamed.size >= batch.size / 2 && streamed.nonEmpty,
       s"most sessions should finalize: streamed=${streamed.size} batch=${batch.size}")
   }
+
+  test("stream-static enrichment joins the broadcast dim statelessly") {
+    val src = graft.queries.EventsQueries.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = Files.createTempDirectory("graft-enrich").toString
+    src.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
+
+    // Static dim covering only even users — odd users must survive the
+    // left join with a null segment.
+    val dim = src.select("user_id").distinct()
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("segment", concat(lit("seg"), col("user_id") % 3))
+
+    val stream = spark.readStream.schema(src.schema).parquet(s"$dir/in")
+    val out = EventsStreaming.enrichWithDim(stream, dim)
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    q.processAllAvailable()
+
+    val streamed = spark.table("enriched")
+      .select("event_id", "user_id", "segment")
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val batch = EventsStreaming.enrichWithDim(src, dim)
+      .select("event_id", "user_id", "segment")
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(streamed == batch, "stream enrichment must equal the batch join")
+    assert(spark.table("enriched").filter(col("segment").isNull).count() > 0,
+      "unmatched (odd) users must be kept by the left join")
+
+    // Stateless: no state-store operators ever appear in the progress.
+    val stateOps = q.recentProgress.flatMap(_.stateOperators)
+    q.stop()
+    assert(stateOps.isEmpty, s"enrichment must be stateless: ${stateOps.mkString(",")}")
+  }
 }
