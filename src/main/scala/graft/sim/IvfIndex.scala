@@ -36,6 +36,39 @@ object IvfIndex {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
   }
 
+  /** Index build with TRAINED centroids (Kmeans.fit from the seed set)
+    * instead of the raw seeds: same two on-disk components, same search
+    * path — cells now follow the data's actual cluster structure, so a
+    * probe's single-cell scan captures more of its true neighbors
+    * (recall measured in IvfIndexSpec). Centroids narrow to float for
+    * the index layout (search scores via the float `cosine_sim`). */
+  def buildTrained(
+      spark: SparkSession,
+      corpus: DataFrame,
+      numCells: Int,
+      trainIters: Int,
+      dir: String): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val cs = Kmeans.fit(spark, corpus, numCells, trainIters)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    val rows = cs.map { case (cell, emb) =>
+      Row(cell, emb.map(_.toFloat).toSeq)
+    }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    // Assign the cells against the float-NARROWED centroids — the same
+    // values the search path scores with `cosine_sim` — so build-time
+    // and probe-time cell choice can never disagree on a borderline.
+    val floatCs = cs.map { case (c, e) => c -> e.map(x => x.toFloat.toDouble) }
+    val assigns = Kmeans.assign(spark, corpus, floatCs).select("vec_id", "cell")
+    corpus.select("vec_id", "embedding").join(assigns, "vec_id")
+      .select("cell", "vec_id", "embedding")
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
+  }
+
   /** Top-k neighbors per probe, reading only the probed cells'
     * partition directories. */
   def search(spark: SparkSession, dir: String, probes: DataFrame, k: Int): DataFrame = {
