@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkSessions.tablePath
@@ -102,6 +103,53 @@ object AnalyticsQueries extends QueryModule {
       Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // Distribution window functions: percent_rank / cume_dist / ntile
+    // over a priority-partitioned price ordering. All three are rational
+    // rank arithmetic (no float accumulation), so the doubles are
+    // bit-identical cross-engine; tie groups (equal prices) get
+    // identical values by the SQL definitions in both engines.
+    EngineQuery(
+      "q23_dist_windows",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        ord(s, dir)
+          .filter(col("o_custkey") < 50)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"),
+            ntile(4).over(w).as("quartile"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |  round(percent_rank() OVER w, 6) AS pct_rank,
+             |  round(cume_dist() OVER w, 6) AS cume,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile
+             |FROM orders WHERE o_custkey < 50
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)""".stripMargin)),
+
+    // Explicit GROUPING SETS (beyond ROLLUP/CUBE): the two single-key
+    // marginals without the grand total — only expressible as literal
+    // grouping sets. SQL-text surface, grouping() flags distinguish the
+    // all-rows NULL from a data NULL.
+    EngineQuery(
+      "q24_grouping_sets",
+      (s, dir) => {
+        li(s, dir).createOrReplaceTempView("q24_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  round(sum(l_quantity), 2) AS sum_qty,
+                |  CAST(count(*) AS BIGINT) AS n,
+                |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+                |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+                |FROM q24_lineitem
+                |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+             |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)),
 
     // Skewed-key JOIN via explicit static salting (SkewOps.saltedJoin):
     // lineitem keeps one deterministic salt per row, orders replicate

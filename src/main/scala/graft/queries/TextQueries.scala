@@ -282,6 +282,56 @@ object TextQueries extends QueryModule {
               |FROM b GROUP BY bigram
               |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin)),
 
+    // Collocation mining by PMI: bigram counts vs the independence
+    // expectation from unigram counts — the lexical-statistics operator
+    // for phrase discovery / tokenizer-merge candidates. The PMI is kept
+    // as the rational odds p(x,y)/(p(x)p(y)) = c_xy·N²/(N_bi·c_x·c_y)
+    // (a monotone transform of log-PMI — no libm in the gate) with a
+    // fixed multiply order in DOUBLE. Shape at scale: two explode+count
+    // shuffles (unigrams, bigrams), the ≥5-count filter shrinks the
+    // bigram side BEFORE its two vocabulary joins, top-k is TakeOrdered.
+    EngineQuery(
+      "text_collocations",
+      (s, dir) => {
+        val toks = docs(s, dir).withColumn("toks", expr(toksSpark))
+        val uni = toks.select(explode(col("toks")).as("w"))
+        val uc = uni.groupBy("w").agg(count(lit(1)).cast("long").as("c_w"))
+        val nu = uni.agg(count(lit(1)).cast("long").as("n_uni"))
+        val bc0 = toks
+          .selectExpr("explode(transform(sequence(1, greatest(size(toks) - 1, 1)), i -> concat_ws(' ', try_element_at(toks, i), try_element_at(toks, i + 1)))) AS bigram")
+          .groupBy("bigram").agg(count(lit(1)).cast("long").as("c_xy"))
+        val nb = bc0.agg(sum("c_xy").cast("long").as("n_bi"))
+        val sp = bc0.filter(col("c_xy") >= 5)
+          .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
+          .withColumn("w2", expr("element_at(split(bigram, ' '), 2)"))
+        sp
+          .join(uc.withColumnRenamed("w", "w1").withColumnRenamed("c_w", "c_x"), "w1")
+          .join(uc.withColumnRenamed("w", "w2").withColumnRenamed("c_w", "c_y"), "w2")
+          .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+          .selectExpr("bigram", "c_xy",
+            "((CAST(c_xy AS DOUBLE) * n_uni) * n_uni) / ((CAST(n_bi AS DOUBLE) * c_x) * c_y) AS pmi_odds")
+          .orderBy(col("pmi_odds").desc, col("bigram").asc)
+          .limit(20)
+          .select(col("bigram"), col("c_xy"), round(col("pmi_odds"), 6).as("pmi_odds"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+              |uni AS (SELECT unnest(toks) AS w FROM t),
+              |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM uni GROUP BY w),
+              |nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM uni),
+              |b AS (SELECT unnest([concat_ws(' ', toks[i], toks[i+1])
+              |    for i in range(1, greatest(len(toks) - 1, 1) + 1)]) AS bigram FROM t),
+              |bc0 AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM b GROUP BY bigram),
+              |nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM bc0),
+              |sp AS (SELECT bigram, c_xy, string_split(bigram, ' ')[1] AS w1,
+              |    string_split(bigram, ' ')[2] AS w2 FROM bc0 WHERE c_xy >= 5),
+              |j AS (SELECT sp.bigram, sp.c_xy, u1.c_w AS c_x, u2.c_w AS c_y
+              |  FROM sp JOIN uc u1 ON u1.w = sp.w1 JOIN uc u2 ON u2.w = sp.w2),
+              |s AS (SELECT bigram, c_xy,
+              |    ((CAST(c_xy AS DOUBLE) * n_uni) * n_uni) / ((CAST(n_bi AS DOUBLE) * c_x) * c_y) AS pmi_odds
+              |  FROM j CROSS JOIN nu CROSS JOIN nb)
+              |SELECT bigram, c_xy, round(pmi_odds, 6) AS pmi_odds
+              |FROM s ORDER BY s.pmi_odds DESC, bigram ASC LIMIT 20""".stripMargin)),
+
     // Sequence packing: chunk the doc-ordered concatenated token stream
     // into 256-token training sequences via the two-pass distributed
     // prefix sum (SequencePack — no Window, no single-partition
