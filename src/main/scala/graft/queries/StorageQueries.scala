@@ -140,12 +140,63 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededDv =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Key-clustered table with one merge-on-read DELETE applied as
+    * deletion vectors: every multiple-of-5 key masked, zero files
+    * rewritten (DeletionVectorSpec pins the hard-link property). */
+  private def dvOrders(s: SparkSession, dir: String): String =
+    seededDv.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-dv")
+        .resolve("orders_dv").toString
+      val orders = s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+      ParquetTable.swap(s, orders, t)
+      ParquetTable.deleteWhereDV(s, t, "o_orderkey % 5 = 0")
+      t
+    })
+
+  private val seededMi =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Key-clustered table with one generic MERGE INTO applied: %7 keys
+    * updated (status 'M', price+1000), %11 keys deleted (deletes win
+    * the %77 overlap), %13 keys re-inserted under fresh high keys with
+    * status 'N'. */
+  private def mergedOrders(s: SparkSession, dir: String): String =
+    seededMi.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-mi")
+        .resolve("orders_merged").toString
+      val orders = s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey"))
+      ParquetTable.swap(s, orders, t)
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      val updates = orders
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 11 =!= 0)
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("_deleted", lit(false))
+      val deletes = orders.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("_deleted", lit(true))
+      val inserts = orders.filter(col("o_orderkey") % 13 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("_deleted", lit(false))
+      ParquetTable.mergeInto(
+        s, t, updates.unionByName(deletes).unionByName(inserts), Seq("o_orderkey"))
+      t
+    })
+
   /** Pre-build the seeded tables (Bench times this as an explicit
     * `build_*` entry so query numbers measure only themselves). */
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
     versionedOrders(s, dir); evolvedOrders(s, dir)
     renamedOrders(s, dir); clonedOrders(s, dir)
-    deletedOrders(s, dir); updatedOrders(s, dir); statsOrders(s, dir); ()
+    deletedOrders(s, dir); updatedOrders(s, dir); statsOrders(s, dir)
+    dvOrders(s, dir); mergedOrders(s, dir); ()
   }
 
   override def queries: Seq[EngineQuery] = Seq(
@@ -160,14 +211,52 @@ object StorageQueries extends QueryModule {
       "store_stats_skipping",
       (s, dir) =>
         graft.tables.StatsSkipping
-          .scanRange(s, statsOrders(s, dir), "o_orderkey", 2000, 6000)
+          .scanRange(s, statsOrders(s, dir), "o_orderkey", 200, 900)
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"),
             round(sum("o_totalprice"), 2).as("total_price")),
       Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
              |  round(sum(o_totalprice), 2) AS total_price
-             |FROM orders WHERE o_orderkey BETWEEN 2000 AND 6000
+             |FROM orders WHERE o_orderkey BETWEEN 200 AND 900
              |GROUP BY o_orderstatus""".stripMargin)),
+
+    // Merge-on-read DELETE: the deletion vectors must make readMoR
+    // behave exactly like the filtered table while the data files stay
+    // byte-identical hard links (DeletionVectorSpec). The oracle is the
+    // plain NOT-predicate SQL.
+    EngineQuery(
+      "tt_delete_vectors",
+      (s, dir) =>
+        ParquetTable.readMoR(s, dvOrders(s, dir))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total_price")),
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS total_price
+             |FROM orders WHERE NOT (o_orderkey % 5 = 0)
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // Generic MERGE INTO (upsert + delete + insert in one source batch,
+    // file-granular copy-on-write): final table state hash-matched
+    // against a SQL reconstruction of the same merge.
+    EngineQuery(
+      "tt_merge_into",
+      (s, dir) =>
+        ParquetTable.read(s, mergedOrders(s, dir))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total_price")),
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+             |final AS (
+             |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+             |  FROM orders WHERE NOT (o_orderkey % 11 = 0)
+             |  UNION ALL
+             |  SELECT 'N' AS o_orderstatus, o_totalprice
+             |  FROM orders CROSS JOIN m WHERE o_orderkey % 13 = 0)
+             |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS total_price
+             |FROM final GROUP BY o_orderstatus""".stripMargin)),
 
     // mergeSchema-on-read null-fill after an additive ADD COLUMN: rows
     // written before the evolution read back with NULL priority_flag,

@@ -427,6 +427,167 @@ object ParquetTable {
     updated
   }
 
+  /** Generic MERGE INTO (the CDC-apply upsert for ANY table, not just
+    * the SCD1 pipeline), copy-on-write at FILE granularity: `source`
+    * carries the target's columns plus an optional `_deleted BOOLEAN`.
+    * Per source row, keyed on `keys`:
+    *   matched  + !_deleted → target row replaced by the source row;
+    *   matched  +  _deleted → target row dropped;
+    *   unmatched + !_deleted → inserted;
+    *   unmatched +  _deleted → no-op.
+    * Only files CONTAINING matched keys are rewritten (minus all matched
+    * rows); untouched files hard-link forward; the surviving source rows
+    * land as appended files. Source must be key-unique (dedup upstream —
+    * the SCD1 path's window dedup does exactly this). Returns
+    * (#upserts, #matched deletes). Pair with plain `read`; tables
+    * carrying deletion vectors should [[purgeDV]] first. */
+  def mergeInto(
+      spark: SparkSession, dir: String, source: DataFrame,
+      keys: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, expr, lit, not}
+    val cur = Paths.get(currentPath(dir))
+    val target = spark.read.parquet(cur.toString)
+    val hasDel = source.columns.contains("_deleted")
+    val src = (if (hasDel) source else source.withColumn("_deleted", lit(false)))
+      .persist()
+    try {
+      if (src.isEmpty) return (0L, 0L)
+      val dataCols = target.columns.toSeq
+      val missing = dataCols.toSet -- src.columns.toSet
+      require(missing.isEmpty, s"MERGE source missing target columns: $missing")
+      val srcKeys = src.select(keys.map(col): _*).distinct()
+      val tagged = target.withColumn("_file",
+        expr("regexp_extract(_metadata.file_path, '([^/]+)$', 1)"))
+      // Bounded by file count, never row count.
+      val touched = tagged.join(srcKeys, keys, "left_semi")
+        .select("_file").distinct().collect().map(_.getString(0)).toSet
+      val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+      val next = VersionNames.format(nextId)
+      val nextPath = Paths.get(dir, next)
+      Files.createDirectories(nextPath)
+      Files.list(cur).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !touched(n)
+        }
+        .foreach { p =>
+          val dst = nextPath.resolve(p.getFileName)
+          try Files.createLink(dst, p)
+          catch { case _: Exception => Files.copy(p, dst) }
+        }
+      if (touched.nonEmpty) {
+        val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
+        spark.read.parquet(touchedPaths: _*)
+          .join(srcKeys, keys, "left_anti")
+          .write.mode("append").parquet(nextPath.toString)
+      }
+      val upserts = src.filter(not(col("_deleted"))).select(dataCols.map(col): _*)
+      val nUp = upserts.count()
+      if (nUp > 0)
+        upserts.write.mode("append").parquet(nextPath.toString)
+      val nDel =
+        if (!hasDel) 0L
+        else src.filter(col("_deleted")).select(keys.map(col): _*)
+          .join(target.select(keys.map(col): _*), keys, "left_semi").count()
+      publish(dir, next)
+      (nUp, nDel)
+    } finally { src.unpersist(); () }
+  }
+
+  /** DELETE WHERE via DELETION VECTORS — merge-on-read, the write-cheap
+    * dual of [[deleteWhere]]'s copy-on-write: NO data file is rewritten,
+    * ever. The new version hard-links every data file forward and adds
+    * the matching (file, row_index) pairs to its `_dv` store (hidden
+    * from plain scans by the underscore prefix, like `_spark_metadata`).
+    * [[readMoR]] applies the vectors as a broadcast anti-join on the
+    * scan's `_metadata` row position. At 100 TB this turns a selective
+    * delete from "rewrite every touched 128 MB file" into "append a few
+    * KB of positions" — the read pays one small anti-join until
+    * [[purgeDV]] folds the vectors back into clean files. Repeated DV
+    * deletes compose (the predicate sees only still-live rows). SQL
+    * DELETE semantics: NULL predicate keeps the row. Returns #rows
+    * newly deleted. */
+  def deleteWhereDV(spark: SparkSession, dir: String, predicate: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit}
+    val cur = Paths.get(currentPath(dir))
+    val matches = liveRows(spark, cur)
+      .filter(coalesce(expr(predicate), lit(false)))
+      .select(col("_file").as("file"), col("_rid").as("row_index"))
+    val deleted = matches.count()
+    if (deleted == 0L) return 0L
+    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+    val next = VersionNames.format(nextId)
+    val nextPath = Paths.get(dir, next)
+    Files.createDirectories(nextPath)
+    Files.list(cur).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        val dst = nextPath.resolve(p.getFileName)
+        try Files.createLink(dst, p)
+        catch { case _: Exception => Files.copy(p, dst) }
+      }
+    val newDv = readDv(spark, cur) match {
+      case Some(old) => old.unionByName(matches)
+      case None      => matches
+    }
+    newDv.write.mode("overwrite").parquet(s"$nextPath/_dv")
+    publish(dir, next)
+    deleted
+  }
+
+  /** Merge-on-read scan: the current snapshot minus its deletion
+    * vectors (a broadcast anti-join on (file name, row position) — the
+    * DV side is KBs). Plain [[read]] on a DV-carrying table would
+    * resurrect deleted rows; use this wherever vectors may exist. */
+  def readMoR(spark: SparkSession, dir: String): DataFrame = {
+    val cur = Paths.get(currentPath(dir))
+    readDv(spark, cur) match {
+      case None => spark.read.parquet(cur.toString)
+      case Some(dv) =>
+        liveRowsWith(spark, cur, dv).drop("_file", "_rid")
+    }
+  }
+
+  /** Fold the deletion vectors back into clean data files: one rewrite
+    * of the surviving rows as a fresh version with an empty DV store —
+    * the maintenance step that caps read-side anti-join debt. */
+  def purgeDV(spark: SparkSession, dir: String): Unit =
+    swap(spark, readMoR(spark, dir), dir)
+
+  /** The version's DV store, if present (underscore-hidden from data
+    * scans). */
+  private def readDv(
+      spark: SparkSession, versionDir: java.nio.file.Path): Option[DataFrame] = {
+    val dv = versionDir.resolve("_dv")
+    if (Files.isDirectory(dv)) Some(spark.read.parquet(dv.toString)) else None
+  }
+
+  /** Snapshot rows tagged with (_file, _rid) scan positions, minus any
+    * deletion vectors. */
+  private def liveRows(spark: SparkSession, versionDir: java.nio.file.Path): DataFrame =
+    readDv(spark, versionDir) match {
+      case Some(dv) => liveRowsWith(spark, versionDir, dv)
+      case None     => taggedRows(spark, versionDir)
+    }
+
+  private def liveRowsWith(
+      spark: SparkSession, versionDir: java.nio.file.Path, dv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val tagged = taggedRows(spark, versionDir)
+    tagged.join(broadcast(dv),
+      tagged("_file") === dv("file") && tagged("_rid") === dv("row_index"),
+      "left_anti")
+  }
+
+  /** Rows with their scan position: file NAME (stable across the
+    * hard-link generations) + in-file row index. */
+  private def taggedRows(spark: SparkSession, versionDir: java.nio.file.Path): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    spark.read.parquet(versionDir.toString)
+      .withColumn("_file", expr("regexp_extract(_metadata.file_path, '([^/]+)$', 1)"))
+      .withColumn("_rid", col("_metadata.row_index"))
+  }
+
   /** CHANGE DATA FEED between two snapshots (Delta's `table_changes`
     * equivalent, reconstructed by snapshot diff): a full-outer join on
     * the row key classifies every key as insert / delete / update, and
