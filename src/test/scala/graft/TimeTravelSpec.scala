@@ -120,4 +120,25 @@ class TimeTravelSpec extends SparkSuite {
       ParquetTable.readAsOf(spark, dir, t0 - 1000)
     }
   }
+
+  test("snapshot isolation: a resolved reader never sees a concurrent swap") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-iso").resolve("t").toString
+    ParquetTable.swap(spark, (1 to 100).toDF("v"), dir)
+
+    // The reader resolves `_CURRENT` ONCE, at DataFrame creation — it is
+    // pinned to that version directory from then on.
+    val reader = ParquetTable.read(spark, dir)
+    ParquetTable.swap(spark, (1 to 250).toDF("v"), dir)
+
+    assert(reader.count() == 100,
+      "in-flight reader must keep seeing its resolved snapshot")
+    assert(ParquetTable.read(spark, dir).count() == 250,
+      "new readers must see the new version")
+    // The superseded version stays on disk (that's WHY isolation holds)
+    // until vacuum — which is the documented reader-lifetime hazard,
+    // exactly as in Delta.
+    assert(ParquetTable.snapshots(dir).size == 2)
+  }
 }
