@@ -140,6 +140,22 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededZk =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Z-ordered orders with a 2-dimension `_STATS` zone map
+    * (o_orderkey × o_custkey). */
+  private def zstatsOrders(s: SparkSession, dir: String): String =
+    seededZk.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-skipz")
+        .resolve("orders_zstats").toString
+      graft.tables.StatsSkipping.writeWithStats(
+        s, s.read.parquet(tablePath(dir, "orders"))
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        Seq("o_orderkey", "o_custkey"), t, numFiles = 16)
+      t
+    })
+
   private val seededDv =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
@@ -196,7 +212,7 @@ object StorageQueries extends QueryModule {
     versionedOrders(s, dir); evolvedOrders(s, dir)
     renamedOrders(s, dir); clonedOrders(s, dir)
     deletedOrders(s, dir); updatedOrders(s, dir); statsOrders(s, dir)
-    dvOrders(s, dir); mergedOrders(s, dir); ()
+    dvOrders(s, dir); mergedOrders(s, dir); zstatsOrders(s, dir); ()
   }
 
   override def queries: Seq[EngineQuery] = Seq(
@@ -218,6 +234,26 @@ object StorageQueries extends QueryModule {
       Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
              |  round(sum(o_totalprice), 2) AS total_price
              |FROM orders WHERE o_orderkey BETWEEN 200 AND 900
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // Multi-dimensional zone-map skipping over the Z-ORDERED layout: a
+    // box selective in BOTH o_orderkey and o_custkey opens only the
+    // manifest-qualified files — pruning in every z dimension, where a
+    // plain sort gives only its prefix column (StatsSkippingSpec pins
+    // files-read < total per dimension).
+    EngineQuery(
+      "store_zorder_skipping",
+      (s, dir) =>
+        graft.tables.StatsSkipping
+          .scanBox(s, zstatsOrders(s, dir),
+            Seq(("o_orderkey", 100L, 700L), ("o_custkey", 10L, 60L)))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total_price")),
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS total_price
+             |FROM orders
+             |WHERE o_orderkey BETWEEN 100 AND 700 AND o_custkey BETWEEN 10 AND 60
              |GROUP BY o_orderstatus""".stripMargin)),
 
     // Merge-on-read DELETE: the deletion vectors must make readMoR

@@ -8,79 +8,121 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** File-level min/max data skipping for unpartitioned tables — the
-  * lakehouse "zone map". Hive-style `part=` trees prune on exact
-  * partition values (tables/PartitionedTable); this is the complementary
-  * mechanism for a RANGE predicate on a non-partition column:
+/** File-level min/max data skipping — the lakehouse "zone map". Hive
+  * `part=` trees prune on exact partition values (tables/
+  * PartitionedTable); this is the complementary mechanism for RANGE
+  * predicates on non-partition columns:
   *
-  *  - `writeWithStats` clusters the data by the stat column
-  *    (`repartitionByRange`, so per-file value ranges are tight and
-  *    disjoint — the single-dimension analogue of the Z-order rewrite)
-  *    and records one `_STATS` manifest line per data file:
-  *    `relative-file \t min \t max \t rows`.
-  *  - `scanRange(lo, hi)` consults the manifest FIRST and hands Spark
-  *    only the files whose [min, max] intersects the predicate — skipped
-  *    files cost zero IO, not even a footer read (parquet row-group
-  *    pruning still applies inside the files that survive).
+  *  - `writeWithStats` clusters the data by the stat column(s) — a
+  *    range sort for one column, a Z-order (Morton) rewrite
+  *    (tables/ZOrder) for several, so per-file spans stay tight in
+  *    EVERY listed dimension — and records one `_STATS` manifest line
+  *    per data file: `file \t rows \t min/max per column`.
+  *  - `scanBox` consults the manifest FIRST and hands Spark ONLY the
+  *    files whose per-column [min, max] intersects every range of the
+  *    query box — skipped files cost zero IO, not even a footer read
+  *    (parquet row-group pruning still applies inside survivors).
   *
   * The manifest collect is bounded by the file count (one tiny row per
   * 128 MB-class file), never by table rows. At 100 TB this is the
   * difference between "open every footer" (row-group stats) and "open
-  * 1/N of the files" (file skip) for range-selective scans.
+  * 1/N of the files" (file skip) for range-selective scans — in any of
+  * the z-ordered dimensions, not just a sort prefix.
   */
 object StatsSkipping {
 
-  /** Range-cluster `df` by `statCol` (a long-typed column) into
-    * `numFiles` files under `dir`, then collect per-file min/max/rows
-    * into the `_STATS` manifest. */
+  /** Cluster `df` by `statCols` (long-typed) into `numFiles` files under
+    * `dir` — range sort for 1 column, Z-order for 2+ — then collect
+    * per-file min/max/rows into the `_STATS` manifest. */
   def writeWithStats(
       spark: SparkSession,
       df: DataFrame,
-      statCol: String,
+      statCols: Seq[String],
       dir: String,
       numFiles: Int): Unit = {
-    df.repartitionByRange(numFiles, col(statCol))
-      .write.mode("overwrite").parquet(dir)
+    require(statCols.nonEmpty, "need at least one stat column")
+    val clustered =
+      if (statCols.size == 1) df.repartitionByRange(numFiles, col(statCols.head))
+      else ZOrder.cluster(df, statCols, numFiles)
+    clustered.write.mode("overwrite").parquet(dir)
+    val aggs = statCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
     val stats = spark.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
-      .agg(min(statCol).as("mn"), max(statCol).as("mx"), count(lit(1)).as("rows"))
+      .agg(count(lit(1)).as("rows"), aggs: _*)
       .collect()
     val base = Paths.get(dir).toUri.toString
+    val header = ("#cols" +: statCols).mkString("\t")
     val lines = stats.map { r =>
       val rel = r.getString(0).stripPrefix(base).stripPrefix("/")
-      s"$rel\t${r.getLong(1)}\t${r.getLong(2)}\t${r.getLong(3)}"
+      val mm = statCols.indices.flatMap(i =>
+        Seq(r.getLong(2 + 2 * i).toString, r.getLong(3 + 2 * i).toString))
+      (Seq(rel, r.getLong(1).toString) ++ mm).mkString("\t")
     }.sorted.toSeq
     Files.write(Paths.get(dir, "_STATS"),
-      lines.asJava, StandardCharsets.UTF_8)
+      (header +: lines).asJava, StandardCharsets.UTF_8)
     ()
   }
 
-  private final case class FileStat(file: String, mn: Long, mx: Long, rows: Long)
+  /** Single-column convenience (the 1-dim zone map). */
+  def writeWithStats(
+      spark: SparkSession, df: DataFrame, statCol: String,
+      dir: String, numFiles: Int): Unit =
+    writeWithStats(spark, df, Seq(statCol), dir, numFiles)
 
-  private def manifest(dir: String): Seq[FileStat] =
-    Files.readAllLines(Paths.get(dir, "_STATS"), StandardCharsets.UTF_8)
-      .asScala.toSeq.filter(_.nonEmpty).map { l =>
-        val Array(f, mn, mx, rows) = l.split('\t')
-        FileStat(f, mn.toLong, mx.toLong, rows.toLong)
+  private final case class FileStat(file: String, rows: Long, mm: Map[String, (Long, Long)])
+
+  private def manifest(dir: String): (Seq[String], Seq[FileStat]) = {
+    val lines = Files.readAllLines(Paths.get(dir, "_STATS"), StandardCharsets.UTF_8)
+      .asScala.toSeq.filter(_.nonEmpty)
+    val cols = lines.head.split('\t').toSeq.tail
+    val stats = lines.tail.map { l =>
+      val parts = l.split('\t')
+      val mm = cols.zipWithIndex.map { case (c, i) =>
+        c -> (parts(2 + 2 * i).toLong, parts(3 + 2 * i).toLong)
+      }.toMap
+      FileStat(parts(0), parts(1).toLong, mm)
+    }
+    (cols, stats)
+  }
+
+  /** Files whose stats box intersects EVERY queried range. Ranges may
+    * cover any subset of the manifested columns. */
+  def liveFiles(dir: String, ranges: Seq[(String, Long, Long)]): Seq[String] = {
+    val (cols, stats) = manifest(dir)
+    val unknown = ranges.map(_._1).filterNot(cols.contains)
+    require(unknown.isEmpty, s"no stats for columns: $unknown")
+    stats.filter { s =>
+      ranges.forall { case (c, lo, hi) =>
+        val (mn, mx) = s.mm(c); mx >= lo && mn <= hi
       }
+    }.map(_.file)
+  }
 
-  /** Files whose [min, max] intersects [lo, hi] — what a scan must read. */
-  def liveFiles(dir: String, lo: Long, hi: Long): Seq[String] =
-    manifest(dir).filter(s => s.mx >= lo && s.mn <= hi).map(_.file)
+  /** Single-column convenience. */
+  def liveFiles(dir: String, lo: Long, hi: Long): Seq[String] = {
+    val (cols, _) = manifest(dir)
+    liveFiles(dir, Seq((cols.head, lo, hi)))
+  }
 
-  /** Range scan that reads ONLY the manifest-qualified files. The
-    * predicate is still applied (file grains are coarser than rows). */
-  def scanRange(
+  /** Box scan reading ONLY manifest-qualified files; the residual
+    * predicate still applies (file grains are coarser than rows). */
+  def scanBox(
       spark: SparkSession,
       dir: String,
-      statCol: String,
-      lo: Long,
-      hi: Long): DataFrame = {
-    val files = liveFiles(dir, lo, hi).map(f => s"$dir/$f")
-    val pred = col(statCol).between(lo, hi)
+      ranges: Seq[(String, Long, Long)]): DataFrame = {
+    val files = liveFiles(dir, ranges).map(f => s"$dir/$f")
+    val pred = ranges.map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .reduceLeft(_ && _)
     if (files.isEmpty)
       // Nothing qualifies: keep the schema (one footer read), no rows.
       spark.read.parquet(dir).filter(lit(false))
     else spark.read.parquet(files: _*).filter(pred)
   }
+
+  /** Single-column range scan. */
+  def scanRange(
+      spark: SparkSession, dir: String, statCol: String,
+      lo: Long, hi: Long): DataFrame =
+    scanBox(spark, dir, Seq((statCol, lo, hi)))
 }

@@ -39,4 +39,34 @@ class StatsSkippingSpec extends SparkSuite {
     assert(empty.count() == 0)
     assert(StatsSkipping.liveFiles(dir, maxKey + 10, maxKey + 20).isEmpty)
   }
+
+  test("multi-dim zone maps over a z-ordered layout prune in EVERY dimension") {
+    val dir = Files.createTempDirectory("graft-skipz").resolve("t").toString
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    StatsSkipping.writeWithStats(
+      spark, orders, Seq("o_orderkey", "o_custkey"), dir, numFiles = 16)
+
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    val maxCust = orders.agg(max("o_custkey")).head.getLong(0)
+    val total = graft.streaming.Compaction.dataFiles(dir).size
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.mkString("|")
+
+    // A box selective in BOTH dims, and each single-dim range alone,
+    // must all prune files — the single-sort layout can only do the
+    // first dimension; z-order gives all of them locality.
+    val cases = Seq(
+      Seq(("o_orderkey", maxKey / 4, maxKey / 2), ("o_custkey", maxCust / 4, maxCust / 2)),
+      Seq(("o_orderkey", maxKey / 4, maxKey / 2)),
+      Seq(("o_custkey", maxCust / 4, maxCust / 2)))
+    cases.foreach { ranges =>
+      val pruned = StatsSkipping.scanBox(spark, dir, ranges)
+      val expected = orders.filter(
+        ranges.map { case (c, lo, hi) => col(c).between(lo, hi) }.reduceLeft(_ && _))
+      assert(pruned.collect().map(key).sorted.toSeq ==
+        expected.collect().map(key).sorted.toSeq, s"content mismatch for $ranges")
+      val read = pruned.inputFiles.length
+      assert(read < total, s"$ranges read all $total files — no skipping")
+    }
+  }
 }
