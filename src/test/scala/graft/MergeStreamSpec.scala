@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{MergeStream, ParquetTable}
+
+/** Streaming apply-changes through the generic MERGE INTO: bootstrap on
+  * the first batch, per-batch upsert/delete/insert after, one table
+  * version per non-empty batch. */
+class MergeStreamSpec extends SparkSuite {
+
+  final case class Change(id: Long, value: String, _deleted: Boolean)
+
+  test("streamed change batches materialize the expected table state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val dir = Files.createTempDirectory("graft-ms").resolve("t").toString
+    val cp = Files.createTempDirectory("graft-ms-cp").toString
+
+    val src = MemoryStream[Change]
+    val q = MergeStream.start(spark, src.toDF(), dir, Seq("id"), cp)
+
+    // Batch 1 bootstraps (a _deleted row in the bootstrap is dropped).
+    src.addData((1L to 100L).map(i => Change(i, s"v$i", _deleted = false))
+      :+ Change(999L, "ghost", _deleted = true): _*)
+    q.processAllAvailable()
+    assert(ParquetTable.read(spark, dir).count() == 100)
+    assert(ParquetTable.snapshots(dir).size == 1)
+
+    // Batch 2: update 1-10, delete 91-100, insert 101-110.
+    src.addData(
+      (1L to 10L).map(i => Change(i, s"u$i", _deleted = false)) ++
+        (91L to 100L).map(i => Change(i, "x", _deleted = true)) ++
+        (101L to 110L).map(i => Change(i, s"v$i", _deleted = false)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = ParquetTable.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected =
+      ((11L to 90L) ++ (101L to 110L)).map(i => i -> s"v$i").toMap ++
+        (1L to 10L).map(i => i -> s"u$i").toMap
+    assert(got == expected)
+    assert(ParquetTable.snapshots(dir).size == 2, "one version per non-empty batch")
+  }
+}
