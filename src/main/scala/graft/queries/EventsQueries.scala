@@ -248,6 +248,37 @@ object EventsQueries extends QueryModule {
              |  max(value) AS max_value, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Z-score anomaly detection per event type: two aggregate passes
+    // (per-type moments broadcast back to the stream) flag |z| > 3
+    // events. Determinism contract: the raw sums are rounded back to the
+    // data's decimal grain (2 for Σv, 4 for Σv² — the true values have
+    // exactly those decimals, so both engines recover them bit-
+    // identically regardless of accumulation order), and every derived
+    // op (mean, variance, sqrt, z) is the same IEEE expression text.
+    EngineQuery(
+      "evt_outliers",
+      (s, dir) => {
+        val ev = events(s, dir).filter(col("value").isNotNull)
+        val stats = ev.groupBy("event_type").agg(
+          count(lit(1)).cast("long").as("n"),
+          round(sum("value"), 2).as("s1"),
+          round(sum(col("value") * col("value")), 4).as("s2"))
+          .selectExpr("event_type", "s1 / n AS mu",
+            "sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma")
+        ev.join(broadcast(stats), "event_type")
+          .filter(expr("abs((value - mu) / sigma) > 3.0"))
+          .selectExpr("event_id", "event_type", "value",
+            "round((value - mu) / sigma, 6) AS z")
+      },
+      Some("""WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    round(sum(value), 2) AS s1, round(sum(value * value), 4) AS s2
+             |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+             |m AS (SELECT event_type, s1 / n AS mu,
+             |    sqrt(s2 / n - (s1 / n) * (s1 / n)) AS sigma FROM s)
+             |SELECT event_id, event_type, value, round((value - mu) / sigma, 6) AS z
+             |FROM events JOIN m USING (event_type)
+             |WHERE value IS NOT NULL AND abs((value - mu) / sigma) > 3.0""".stripMargin)),
+
     // Exponentially-decayed per-user value (EWMA family): one ordered
     // left fold acc = acc·0.9 + value over each user's (ts, event_id)
     // -sorted history — recency-weighted engagement, the time-decay

@@ -236,6 +236,41 @@ object SimQueries extends QueryModule {
       },
       Some(ivfTopkOracle)),
 
+    // Multi-probe IVF over the SAME persisted index: each probe scans
+    // its 2 nearest cells — the recall knob (candidate pool strictly
+    // grows with nprobe since cells partition the corpus; recall
+    // monotonicity pinned in IvfIndexSpec). IO stays nprobe/numCells of
+    // the corpus via the same planning-time partition pruning.
+    EngineQuery(
+      "sim_ivf_multiprobe",
+      (s, dir) => {
+        val idx = ivfIndexDir(s, dir)
+        graft.sim.IvfIndex.searchMulti(
+          s, idx, emb(s, dir).filter(col("vec_id") < 5), 3, nprobe = 2)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 16),
+              |p0 AS (SELECT e.vec_id, c.cell,
+              |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
+              |  FROM embeddings e CROSS JOIN c),
+              |r0 AS (SELECT vec_id, cell,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              |  FROM p0),
+              |a AS (SELECT vec_id, cell FROM r0 WHERE rn = 1),
+              |pr AS (SELECT q.vec_id AS query_id, q.embedding AS q_emb, r0.cell
+              |  FROM embeddings q JOIN r0 ON r0.vec_id = q.vec_id
+              |  WHERE q.vec_id < 5 AND r0.rn <= 2),
+              |j AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
+              |    ${cosineDuck("pr.q_emb", "e.embedding")} AS cos
+              |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+              |  JOIN pr ON a.cell = pr.cell AND e.vec_id <> pr.query_id),
+              |r AS (SELECT query_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM j)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |  round(cos, 6) AS cosine
+              |FROM r WHERE rank <= 3""".stripMargin)),
+
     // One bit-deterministic Lloyd step of k-means centroid training
     // (sim/Kmeans): argmax-cosine assignment to the 8 seed centroids,
     // then per-cell mean with strict vec_id-ordered summation folds —

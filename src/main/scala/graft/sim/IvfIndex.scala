@@ -71,9 +71,21 @@ object IvfIndex {
 
   /** Top-k neighbors per probe, reading only the probed cells'
     * partition directories. */
-  def search(spark: SparkSession, dir: String, probes: DataFrame, k: Int): DataFrame = {
+  def search(spark: SparkSession, dir: String, probes: DataFrame, k: Int): DataFrame =
+    searchMulti(spark, dir, probes, k, nprobe = 1)
+
+  /** Multi-probe search — THE recall knob of IVF: each probe scans its
+    * `nprobe` nearest cells instead of one. Since every corpus vector
+    * lives in exactly one cell, the candidate sets of a probe's cells
+    * are disjoint, so raising nprobe strictly grows the candidate pool
+    * and recall@k is monotonically non-decreasing in nprobe (pinned in
+    * IvfIndexSpec); IO grows linearly as nprobe/numCells of the corpus.
+    * nprobe = numCells degenerates to exact brute force. */
+  def searchMulti(
+      spark: SparkSession, dir: String, probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val wCell = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell").asc)
     // Probe→cell assignment is COLLECTED once (bounded by the probe
     // count) and re-used both as the pruning IN-list and, rebuilt as a
@@ -84,7 +96,7 @@ object IvfIndex {
       .crossJoin(broadcast(centroids))
       .selectExpr("query_id", "q_emb", "cell", "cosine_sim(q_emb, c_emb) AS cos")
       .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select("query_id", "q_emb", "cell")
     val collected = probeRows.collect()
     val probeCells = spark.createDataFrame(

@@ -87,5 +87,22 @@ class IvfIndexSpec extends SparkSuite {
     assert(IvfIndex.search(spark, trainedDir, probes, k).count() == 10L * k)
     assert(trained >= seeded - 0.15, s"trained recall $trained collapsed vs seeded $seeded")
     assert(trained >= 0.6, s"trained single-cell recall too low: $trained")
+
+    // Multi-probe monotonicity: cells partition the corpus, so a bigger
+    // nprobe scans a strict superset of candidates — recall@k can only
+    // go up, reaching exact brute force at nprobe = numCells.
+    def recallMulti(dir: String, nprobe: Int): Double = {
+      val got = IvfIndex.searchMulti(spark, dir, probes, k, nprobe)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val byProbe = Seq(1, 2, 4, cells).map(np => recallMulti(trainedDir, np))
+    byProbe.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"recall dropped with more probes: $byProbe")
+    }
+    assert(byProbe.last == 1.0, s"nprobe=numCells must be exact: $byProbe")
+    assert(byProbe(1) > byProbe.head || byProbe.head == 1.0,
+      s"two probes should help on this corpus: $byProbe")
   }
 }
