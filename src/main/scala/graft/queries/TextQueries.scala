@@ -149,15 +149,19 @@ object TextQueries extends QueryModule {
     EngineQuery(
       "text_decontaminate",
       (s, dir) => {
-        val d = docs(s, dir).withColumn("toks", expr(toksSpark))
-          .selectExpr(
-            "doc_id",
-            s"${splitSpark("doc_id")} AS split",
-            s"${gramsNSpark(5)} AS grams")
-        val evalG = d.filter(col("split") === "test")
-          .selectExpr("doc_id AS eval_id", "explode(grams) AS gram")
-        val trainG = d.filter(col("split") === "train")
-          .selectExpr("doc_id", "explode(grams) AS gram")
+        // Exploded grams come from the JVM flatMap dual
+        // (TextAnalysis.explodedGramsJvm): explode(<gram-HOF>) lets
+        // Catalyst inline the gram chain into Generate, which re-runs it
+        // per EMITTED row — 20× the whole query's cost at sf0.1. Parity
+        // with the SQL/oracle gram derivation is pinned by
+        // GramParitySpec.
+        val g = graft.text.TextAnalysis.explodedGramsJvm(
+          docs(s, dir).selectExpr(
+            "doc_id", s"${splitSpark("doc_id")} AS tag", "text"), 5)
+        val evalG = g.filter(col("tag") === "test")
+          .selectExpr("doc_id AS eval_id", "gram")
+        val trainG = g.filter(col("tag") === "train")
+          .selectExpr("doc_id", "gram")
         trainG.join(broadcast(evalG), "gram")
           .groupBy("doc_id")
           .agg(
@@ -331,6 +335,52 @@ object TextQueries extends QueryModule {
               |  FROM j CROSS JOIN nu CROSS JOIN nb)
               |SELECT bigram, c_xy, round(pmi_odds, 6) AS pmi_odds
               |FROM s ORDER BY s.pmi_odds DESC, bigram ASC LIMIT 20""".stripMargin)),
+
+    // Statistical-LM fluency score: each document's mean corpus
+    // conditional bigram probability p(w2|w1) = c(w1 w2)/c(w1) — the
+    // perplexity-family quality signal computable without a neural LM
+    // (low scores flag token-soup / boilerplate-free-text mismatch).
+    // All probabilities are integer-count ratios; the per-doc mean sums
+    // them in POSITION order (posexplode → sorted in-group fold), so
+    // both engines run the identical IEEE sequence. Shape at scale: the
+    // bigram/unigram count shuffles, then the per-doc fold inside one
+    // doc_id-keyed group (state bounded by doc length).
+    EngineQuery(
+      "text_lm_score",
+      (s, dir) => {
+        val toks = docs(s, dir).withColumn("toks", expr(toksSpark))
+        val b = toks.selectExpr("doc_id",
+          "posexplode(transform(sequence(1, greatest(size(toks) - 1, 1)), i -> concat_ws(' ', try_element_at(toks, i), try_element_at(toks, i + 1)))) AS (pos, bigram)")
+        val bc = b.groupBy("bigram").agg(count(lit(1)).cast("long").as("c_xy"))
+        val uc = toks.select(explode(col("toks")).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).cast("long").as("c_w"))
+        b.join(bc, "bigram")
+          .withColumn("w1", expr("element_at(split(bigram, ' '), 1)"))
+          .join(uc, "w1")
+          .selectExpr("doc_id", "pos", "CAST(c_xy AS DOUBLE) / c_w AS p")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            sort_array(collect_list(struct(col("pos"), col("p")))).as("vs"))
+          .selectExpr("doc_id", "n_bigrams",
+            "round(aggregate(vs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.p) / n_bigrams, 6) AS fluency")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+              |b AS (SELECT doc_id,
+              |    unnest([i for i in range(1, greatest(len(toks) - 1, 1) + 1)]) AS pos,
+              |    unnest([concat_ws(' ', toks[i], toks[i+1])
+              |      for i in range(1, greatest(len(toks) - 1, 1) + 1)]) AS bigram
+              |  FROM t),
+              |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_xy FROM b GROUP BY bigram),
+              |uni AS (SELECT unnest(toks) AS w1 FROM t),
+              |uc AS (SELECT w1, CAST(count(*) AS BIGINT) AS c_w FROM uni GROUP BY w1),
+              |p AS (SELECT b.doc_id, b.pos, CAST(bc.c_xy AS DOUBLE) / uc.c_w AS p
+              |  FROM b JOIN bc USING (bigram)
+              |  JOIN uc ON uc.w1 = string_split(b.bigram, ' ')[1]),
+              |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |    list_reduce(list(p ORDER BY pos), (x, y) -> x + y) AS sp
+              |  FROM p GROUP BY doc_id)
+              |SELECT doc_id, n_bigrams, round(sp / n_bigrams, 6) AS fluency
+              |FROM g""".stripMargin)),
 
     // Sequence packing: chunk the doc-ordered concatenated token stream
     // into 256-token training sequences via the two-pass distributed

@@ -36,4 +36,31 @@ class GramParitySpec extends SparkSuite {
       (7L, null.asInstanceOf[String])).toDF("doc_id", "text")
     assert(gramsOf(Dedup.withGramsJvm(docs)) == gramsOf(Dedup.withGrams(docs)))
   }
+
+  test("explodedGramsJvm == explode(gramsNSpark(5)), real docs + degenerate docs") {
+    val s = spark
+    import s.implicits._
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    def sqlPath(docs: org.apache.spark.sql.DataFrame) =
+      docs.withColumn("toks", expr(graft.text.TextAnalysis.toksSpark))
+        .selectExpr("doc_id", "tag", s"${graft.text.TextAnalysis.gramsNSpark(5)} AS grams")
+        .selectExpr("doc_id", "tag", "explode(grams) AS gram")
+    def jvmPath(docs: org.apache.spark.sql.DataFrame) =
+      graft.text.TextAnalysis.explodedGramsJvm(
+        docs.select(col("doc_id"), col("tag"), col("text")), 5)
+
+    val real = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "source AS tag", "text")
+    assert(pairsOf(jvmPath(real)) == pairsOf(sqlPath(real)))
+
+    val edge = Seq(
+      (1L, "t", "one two three four five six seven"),
+      (2L, "t", "one two three"),
+      (3L, "t", "one"),
+      (4L, "t", "  Padded\tWITH   mixed\nWhitespace  "),
+      (5L, "t", "dup dup dup dup dup dup dup"),
+      (6L, "t", null.asInstanceOf[String])).toDF("doc_id", "tag", "text")
+    assert(pairsOf(jvmPath(edge)) == pairsOf(sqlPath(edge)))
+  }
 }
