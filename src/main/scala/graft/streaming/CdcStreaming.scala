@@ -631,7 +631,8 @@ object ParquetTable {
 
   /** Write a new snapshot version and atomically repoint `_CURRENT`.
     * Single-writer by design (one streaming query owns a table); readers
-    * are never blocked and never see a partial snapshot. */
+    * are never blocked and never see a partial snapshot. For multiple
+    * cooperating writers use [[swapIfCurrent]]. */
   def swap(spark: SparkSession, df: DataFrame, dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
     val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
@@ -639,6 +640,51 @@ object ParquetTable {
     df.write.mode("overwrite").parquet(s"$dir/$next")
     publish(dir, next)
   }
+
+  /** Thrown by [[swapIfCurrent]] when another writer published first. */
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
+  /** Optimistic-concurrency swap: the caller names the version its
+    * transformation READ (`expectedVersion`, from [[currentVersion]]);
+    * the publish is abandoned if any other writer committed in between —
+    * the lakehouse optimistic protocol (read snapshot → write files →
+    * validate → commit or retry). The stale version dir is removed, the
+    * caller re-reads and retries. Validation happens under a per-table
+    * JVM lock so two LOCAL writers cannot both pass; cross-process
+    * safety additionally rides on the atomic `_CURRENT` move. */
+  def swapIfCurrent(
+      spark: SparkSession, df: DataFrame, dir: String, expectedVersion: String): Unit = {
+    Files.createDirectories(Paths.get(dir))
+    // Write the candidate OUTSIDE the lock (the expensive part — holding
+    // it wouldn't lower conflict probability, only widen the window),
+    // into a writer-private dot-staging dir: concurrent writers can
+    // never collide on a version name they both computed early.
+    val staging = s".staging-${java.util.UUID.randomUUID}"
+    df.write.mode("overwrite").parquet(s"$dir/$staging")
+    val lock = occLocks.computeIfAbsent(
+      Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
+    lock.synchronized {
+      val cur = currentVersion(dir)
+      if (cur != expectedVersion) {
+        VersionNames.deleteTree(Paths.get(dir, staging))
+        throw new ConcurrentWriteException(
+          s"$dir moved $expectedVersion -> $cur while writing; re-read and retry")
+      }
+      // Version id assigned under the lock (validate → rename → commit).
+      val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+      val next = VersionNames.format(nextId)
+      Files.move(Paths.get(dir, staging), Paths.get(dir, next))
+      publish(dir, next)
+    }
+  }
+
+  /** The live version name (what [[swapIfCurrent]] wants as its
+    * expectation), or "" for a not-yet-created table. */
+  def currentVersion(dir: String): String =
+    if (exists(dir)) Files.readString(pointer(dir)).trim else ""
+
+  private val occLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Atomically repoint `_CURRENT` at a fully-written version dir, then
     * append the history line. */

@@ -70,6 +70,51 @@ object StatsSkipping {
       dir: String, numFiles: Int): Unit =
     writeWithStats(spark, df, Seq(statCol), dir, numFiles)
 
+  /** Incremental append: cluster ONLY the new batch by the manifested
+    * columns, land it as extra files, and extend `_STATS` with their
+    * stats — the steady-state ingest path (a full re-cluster stays a
+    * maintenance op, like OPTIMIZE). New files may overlap old ranges;
+    * skipping stays correct because pruning is per-file, it just gets
+    * gradually less selective until the next full rewrite. */
+  def appendWithStats(
+      spark: SparkSession,
+      df: DataFrame,
+      dir: String,
+      numFiles: Int): Unit = {
+    val (cols, existing) = manifest(dir)
+    val clustered =
+      if (cols.size == 1) df.repartitionByRange(numFiles, col(cols.head))
+      else ZOrder.cluster(df, cols, numFiles)
+    val before = dataFileNames(dir)
+    clustered.write.mode("append").parquet(dir)
+    val fresh = dataFileNames(dir) -- before
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val stats = spark.read.parquet(fresh.toSeq.sorted.map(f => s"$dir/$f"): _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"), aggs: _*)
+      .collect()
+    val base = Paths.get(dir).toUri.toString
+    val freshLines = stats.map { r =>
+      val rel = r.getString(0).stripPrefix(base).stripPrefix("/")
+      val mm = cols.indices.flatMap(i =>
+        Seq(r.getLong(2 + 2 * i).toString, r.getLong(3 + 2 * i).toString))
+      (Seq(rel, r.getLong(1).toString) ++ mm).mkString("\t")
+    }.toSeq
+    val oldLines = existing.map { s =>
+      val mm = cols.flatMap { c => val (mn, mx) = s.mm(c); Seq(mn.toString, mx.toString) }
+      (Seq(s.file, s.rows.toString) ++ mm).mkString("\t")
+    }
+    val header = ("#cols" +: cols).mkString("\t")
+    Files.write(Paths.get(dir, "_STATS"),
+      (header +: (oldLines ++ freshLines).sorted).asJava, StandardCharsets.UTF_8)
+    ()
+  }
+
+  private def dataFileNames(dir: String): Set[String] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+
   private final case class FileStat(file: String, rows: Long, mm: Map[String, (Long, Long)])
 
   private def manifest(dir: String): (Seq[String], Seq[FileStat]) = {

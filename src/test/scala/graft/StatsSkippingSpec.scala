@@ -40,6 +40,29 @@ class StatsSkippingSpec extends SparkSuite {
     assert(StatsSkipping.liveFiles(dir, maxKey + 10, maxKey + 20).isEmpty)
   }
 
+  test("incremental append extends the manifest; skipping spans both generations") {
+    val dir = Files.createTempDirectory("graft-skipa").resolve("t").toString
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val gen1 = orders.filter(col("o_orderkey") % 2 === 0)
+    val gen2 = orders.filter(col("o_orderkey") % 2 === 1)
+    StatsSkipping.writeWithStats(spark, gen1, "o_orderkey", dir, numFiles = 4)
+    val filesBefore = graft.streaming.Compaction.dataFiles(dir).size
+    StatsSkipping.appendWithStats(spark, gen2, dir, numFiles = 4)
+    val total = graft.streaming.Compaction.dataFiles(dir).size
+    assert(total > filesBefore, "append must land new files")
+
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    val (lo, hi) = (maxKey / 4, maxKey / 2)
+    val pruned = StatsSkipping.scanRange(spark, dir, "o_orderkey", lo, hi)
+    val expected = orders.filter(col("o_orderkey").between(lo, hi))
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.mkString("|")
+    assert(pruned.collect().map(key).sorted.toSeq ==
+      expected.collect().map(key).sorted.toSeq,
+      "scan must see both generations' rows")
+    assert(pruned.inputFiles.length < total, "append must not break pruning")
+  }
+
   test("multi-dim zone maps over a z-ordered layout prune in EVERY dimension") {
     val dir = Files.createTempDirectory("graft-skipz").resolve("t").toString
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
