@@ -105,6 +105,33 @@ object SampleQueries extends QueryModule {
              |FROM documents d JOIN r ON d.lang = r.lang
              |WHERE ${hash60Duck("CAST(doc_id AS VARCHAR)")} <
              |  CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
-             |GROUP BY d.lang""".stripMargin))
+             |GROUP BY d.lang""".stripMargin)),
+
+    // EXACTLY-k-per-group deterministic reservoir: the k smallest
+    // content hashes per stratum, computed with the bounded-heap
+    // `topk_by` aggregate — ≤ k pairs of state per group per partition,
+    // no per-group sort, no Window (q20's plan contrast). A
+    // fixed-sample-SIZE guarantee where the rate-based samplers give a
+    // fixed probability; same reproducibility contract (hash order is
+    // content-stable, so the chosen rows replay in any engine). The
+    // hash is folded to 50 bits so its DOUBLE cast (topk_by's score
+    // type) stays exact.
+    EngineQuery(
+      "sample_group_reservoir",
+      (s, dir) =>
+        docs(s, dir)
+          .selectExpr("lang", "doc_id",
+            s"${graft.text.TextAnalysis.hash60Spark("CAST(doc_id AS STRING)")} % 1125899906842624 AS draw")
+          .groupBy("lang")
+          .agg(expr("topk_by(-CAST(draw AS DOUBLE), doc_id, 5)").as("top"))
+          .select(col("lang"), explode(col("top")).as("t"))
+          .selectExpr("lang", "t.id AS doc_id", "CAST(-t.score AS BIGINT) AS draw"),
+      Some(s"""WITH h AS (SELECT lang, doc_id,
+             |    ${hash60Duck("CAST(doc_id AS VARCHAR)")} % 1125899906842624 AS draw
+             |  FROM documents),
+             |r AS (SELECT lang, doc_id, draw,
+             |    row_number() OVER (PARTITION BY lang ORDER BY draw ASC, doc_id DESC) AS rn
+             |  FROM h)
+             |SELECT lang, doc_id, draw FROM r WHERE rn <= 5""".stripMargin))
   )
 }
