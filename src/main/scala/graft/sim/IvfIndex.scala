@@ -69,6 +69,28 @@ object IvfIndex {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
   }
 
+  /** Incremental index maintenance: assign a DELTA of new vectors to
+    * the EXISTING centroids and append them to their cell partitions —
+    * no rebuild, no touch of resident cells' files. The index stays
+    * search-identical to a from-scratch build over base+delta as long
+    * as the centroid set is unchanged (IvfIndexSpec pins bit-equality);
+    * re-train + rebuild stays the maintenance op once drift accumulates
+    * (the OPTIMIZE analogue). Cost: one broadcast-assign pass over the
+    * delta + one partitioned append. */
+  def appendVectors(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.broadcast
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val wCell = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell").asc)
+    delta.select("vec_id", "embedding")
+      .crossJoin(broadcast(centroids))
+      .selectExpr("vec_id", "embedding", "cell", "cosine_sim(embedding, c_emb) AS cos")
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+      .select("cell", "vec_id", "embedding")
+      .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+  }
+
   /** Top-k neighbors per probe, reading only the probed cells'
     * partition directories. */
   def search(spark: SparkSession, dir: String, probes: DataFrame, k: Int): DataFrame =

@@ -105,4 +105,26 @@ class IvfIndexSpec extends SparkSuite {
     assert(byProbe(1) > byProbe.head || byProbe.head == 1.0,
       s"two probes should help on this corpus: $byProbe")
   }
+
+  test("incremental appendVectors == from-scratch build over base+delta") {
+    val corpus = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // Base half contains all 16 seed vectors, so both indexes share the
+    // exact centroid set — search must then be bit-identical.
+    val base = corpus.filter(col("vec_id") < 250)
+    val delta = corpus.filter(col("vec_id") >= 250)
+    val probes = corpus.filter(col("vec_id") < 10)
+
+    val incDir = Files.createTempDirectory("graft-ivf-inc").resolve("index").toString
+    IvfIndex.build(spark, base, numCells = 16, incDir)
+    IvfIndex.appendVectors(spark, incDir, delta)
+
+    val fullDir = Files.createTempDirectory("graft-ivf-full").resolve("index").toString
+    IvfIndex.build(spark, corpus, numCells = 16, fullDir)
+
+    def res(dir: String) = IvfIndex.search(spark, dir, probes, 3)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(res(incDir) == res(fullDir),
+      "append-maintained index must search identically to a rebuild")
+  }
 }

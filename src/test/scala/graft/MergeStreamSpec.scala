@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.{MergeStream, ParquetTable}
 
+object MergeStreamSpec {
+  final case class Change(id: Long, value: String, _deleted: Boolean)
+}
+
 /** Streaming apply-changes through the generic MERGE INTO: bootstrap on
   * the first batch, per-batch upsert/delete/insert after, one table
   * version per non-empty batch. */
 class MergeStreamSpec extends SparkSuite {
 
-  final case class Change(id: Long, value: String, _deleted: Boolean)
+  import MergeStreamSpec.Change
 
   test("streamed change batches materialize the expected table state") {
     val s = spark
@@ -46,5 +50,15 @@ class MergeStreamSpec extends SparkSuite {
         (1L to 10L).map(i => i -> s"u$i").toMap
     assert(got == expected)
     assert(ParquetTable.snapshots(dir).size == 2, "one version per non-empty batch")
+
+    // Replaying a batch (the foreachBatch retry story) is
+    // state-idempotent: an extra version publishes, content unchanged.
+    val batch2 = ((1L to 10L).map(i => Change(i, s"u$i", _deleted = false)) ++
+      (91L to 100L).map(i => Change(i, "x", _deleted = true)) ++
+      (101L to 110L).map(i => Change(i, s"v$i", _deleted = false))).toDF()
+    MergeStream.applyBatch(spark, batch2, dir, Seq("id"))
+    val replayed = ParquetTable.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(replayed == expected, "batch replay must not change table state")
   }
 }
