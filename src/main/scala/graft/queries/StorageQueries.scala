@@ -156,6 +156,23 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededBl =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Orderkey-clustered orders with a `_BLOOM` index on the SCATTERED
+    * o_custkey column (zone maps prune nothing for it). */
+  private def bloomOrders(s: SparkSession, dir: String): String =
+    seededBl.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-bloom")
+        .resolve("orders_bloom").toString
+      s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartitionByRange(16, col("o_orderkey"))
+        .write.mode("overwrite").parquet(t)
+      graft.tables.BloomSkipping.buildIndex(s, t, "o_custkey")
+      t
+    })
+
   private val seededDv =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
@@ -212,7 +229,8 @@ object StorageQueries extends QueryModule {
     versionedOrders(s, dir); evolvedOrders(s, dir)
     renamedOrders(s, dir); clonedOrders(s, dir)
     deletedOrders(s, dir); updatedOrders(s, dir); statsOrders(s, dir)
-    dvOrders(s, dir); mergedOrders(s, dir); zstatsOrders(s, dir); ()
+    dvOrders(s, dir); mergedOrders(s, dir); zstatsOrders(s, dir)
+    bloomOrders(s, dir); ()
   }
 
   override def queries: Seq[EngineQuery] = Seq(
@@ -255,6 +273,20 @@ object StorageQueries extends QueryModule {
              |FROM orders
              |WHERE o_orderkey BETWEEN 100 AND 700 AND o_custkey BETWEEN 10 AND 60
              |GROUP BY o_orderstatus""".stripMargin)),
+
+    // Per-file BLOOM-index point lookup on an UNCLUSTERED column: the
+    // equality complement to zone maps (every file's custkey [min,max]
+    // spans the domain, so range stats prune nothing — the bloom bitset
+    // still rules files out, no false negatives; BloomSkippingSpec pins
+    // the pruning + exactness over 20 keys).
+    EngineQuery(
+      "store_bloom_lookup",
+      (s, dir) =>
+        graft.tables.BloomSkipping
+          .scanKey(s, bloomOrders(s, dir), "o_custkey", "42")
+          .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+             |FROM orders WHERE o_custkey = 42""".stripMargin)),
 
     // Merge-on-read DELETE: the deletion vectors must make readMoR
     // behave exactly like the filtered table while the data files stay
