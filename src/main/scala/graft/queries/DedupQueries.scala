@@ -193,6 +193,43 @@ object DedupQueries extends QueryModule {
               |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
               |SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a""".stripMargin)),
 
+    // PageRank over the near-dup graph (3 iterations, damping 0.85):
+    // duplication-hub centrality — the curation signal for
+    // down-weighting mass-duplicated template content. Each iteration is
+    // one dst-keyed join+aggregate with a src-ordered contribution fold
+    // (bit-reproducible); the base constant is interpolated from the
+    // SAME Scala double into both engines so (1-d)/N can't drift by a
+    // parse ulp. CC answers "same content?", this ranks "how central".
+    EngineQuery(
+      "dedup_pagerank",
+      (s, dir) =>
+        graft.dedup.PageRank.ranks(
+            docs(s, dir).selectExpr("doc_id AS id"),
+            minhashPairsCached(s, dir, 0.8), iters = 3)
+          .selectExpr("id AS doc_id", "round(pr, 8) AS pr"),
+      Some {
+        val d = 0.85
+        val baseNum = (1.0 - d).toString // == Spark's lit((1.0-d)/n) numerator
+        def iter(prev: String, cur: String) =
+          s"""c$cur AS (SELECT e.dst, list($prev.pr / deg.d ORDER BY e.src) AS cs
+             |  FROM e JOIN $prev ON $prev.doc_id = e.src JOIN deg ON deg.src = e.src
+             |  GROUP BY e.dst),
+             |$cur AS (SELECT d.doc_id,
+             |    $baseNum / n.n + $d * coalesce(list_reduce(c$cur.cs, (x, y) -> x + y), 0.0) AS pr
+             |  FROM documents d CROSS JOIN n LEFT JOIN c$cur ON c$cur.dst = d.doc_id)""".stripMargin
+        s"""$duckGrams,
+           |${duckLshPairs(0.8)},
+           |e AS (SELECT a_id AS src, b_id AS dst FROM lsh_pairs
+           |  UNION ALL SELECT b_id, a_id FROM lsh_pairs),
+           |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+           |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+           |p0 AS (SELECT doc_id, 1.0 / n.n AS pr FROM documents CROSS JOIN n),
+           |${iter("p0", "p1")},
+           |${iter("p1", "p2")},
+           |${iter("p2", "p3")}
+           |SELECT doc_id, round(pr, 8) AS pr FROM p3""".stripMargin
+      }),
+
     EngineQuery(
       "dedup_simhash",
       (s, dir) => simhashCached(s, dir),
