@@ -224,14 +224,34 @@ object StorageQueries extends QueryModule {
     })
 
   /** Pre-build the seeded tables (Bench times this as an explicit
-    * `build_*` entry so query numbers measure only themselves). */
+    * `build_*` entry so query numbers measure only themselves). The
+    * builds are independent tables, so they submit as CONCURRENT Spark
+    * jobs: each job's stages run 8-16 tasks — far under the 32 cores —
+    * and the scheduler interleaves them, cutting the wall time roughly
+    * in half vs sequential actions (the standard many-small-jobs driver
+    * pattern at any scale). */
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
-    versionedOrders(s, dir); evolvedOrders(s, dir)
-    renamedOrders(s, dir); clonedOrders(s, dir)
-    deletedOrders(s, dir); updatedOrders(s, dir); statsOrders(s, dir)
-    dvOrders(s, dir); mergedOrders(s, dir); zstatsOrders(s, dir)
-    bloomOrders(s, dir); ()
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = seedEc
+    // clonedOrders shallow-clones versionedOrders — chain it so the
+    // memoized dependency is built exactly once.
+    val vo = Future { versionedOrders(s, dir) }
+    val cl = vo.map(_ => clonedOrders(s, dir))
+    val rest: Seq[() => Any] = Seq(
+      () => evolvedOrders(s, dir), () => renamedOrders(s, dir),
+      () => deletedOrders(s, dir), () => updatedOrders(s, dir),
+      () => statsOrders(s, dir), () => dvOrders(s, dir),
+      () => mergedOrders(s, dir), () => zstatsOrders(s, dir),
+      () => bloomOrders(s, dir))
+    Await.result(
+      Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
+      Duration.Inf)
+    ()
   }
+
+  private lazy val seedEc = scala.concurrent.ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newFixedThreadPool(6))
 
   override def queries: Seq[EngineQuery] = Seq(
 
