@@ -271,6 +271,61 @@ object SimQueries extends QueryModule {
               |  round(cos, 6) AS cosine
               |FROM r WHERE rank <= 3""".stripMargin)),
 
+    // Product-quantization encoding — the PQ half of IVF-PQ, the
+    // industry-standard ANN compression: 64 dims split into 8 subspaces
+    // × 16-entry codebooks (seed codebook = the first 16 vectors'
+    // subvectors, the IVF family's deterministic seed convention;
+    // Kmeans.fit per subspace is the training hook). Each vector
+    // compresses 256 bytes → 8 nibbles packed into one BIGINT, plus its
+    // total quantization error. Encode is O(M·K·subdim) per vector
+    // against a broadcast codebook — partition-local at any scale. All
+    // distances are strict left folds over the subspace dims; codes and
+    // packing are integer-exact; qerr sums subspace minima in m order.
+    EngineQuery(
+      "sim_pq_encode",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val seeds = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("j"), col("embedding").as("c_emb"))
+        val d2 = "aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE), (acc, i) -> " +
+          "acc + (CAST(element_at(embedding, m * 8 + i) AS DOUBLE) - CAST(element_at(c_emb, m * 8 + i) AS DOUBLE)) * " +
+          "(CAST(element_at(embedding, m * 8 + i) AS DOUBLE) - CAST(element_at(c_emb, m * 8 + i) AS DOUBLE)))"
+        val w = Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("j").asc)
+        e.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("embedding"), col("j"), col("c_emb"),
+            explode(expr("sequence(0, 7)")).as("m"))
+          .selectExpr("vec_id", "m", "j", s"$d2 AS d2")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("vec_id")
+          .agg(sort_array(collect_list(struct(col("m"), col("j"), col("d2")))).as("cs"))
+          .selectExpr(
+            "vec_id",
+            "aggregate(cs, CAST(0 AS BIGINT), (a, e) -> a + shiftleft(CAST(e.j AS BIGINT), CAST(e.m AS INT) * 4)) AS pq_code",
+            "round(aggregate(cs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.d2), 6) AS qerr")
+      },
+      Some("""WITH seeds AS (SELECT vec_id AS j, embedding AS c_emb
+             |  FROM embeddings WHERE vec_id < 16),
+             |d AS (SELECT e.vec_id, t.m, s.j,
+             |    list_reduce([
+             |      (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE)) *
+             |      (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE))
+             |      for i in range(1, 9)], (x, y) -> x + y) AS d2
+             |  FROM embeddings e CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m)),
+             |best AS (SELECT vec_id, m, j, d2 FROM (
+             |    SELECT vec_id, m, j, d2,
+             |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
+             |    FROM d) WHERE rn = 1),
+             |g AS (SELECT vec_id,
+             |    list(j ORDER BY m) AS js, list(d2 ORDER BY m) AS ds,
+             |    list(m ORDER BY m) AS ms
+             |  FROM best GROUP BY vec_id)
+             |SELECT vec_id,
+             |  CAST(list_reduce([js[i + 1] << (CAST(ms[i + 1] AS INT) * 4) for i in range(0, 8)],
+             |    (x, y) -> x + y) AS BIGINT) AS pq_code,
+             |  round(list_reduce([0.0] || ds, (x, y) -> x + y), 6) AS qerr
+             |FROM g""".stripMargin)),
+
     // One bit-deterministic Lloyd step of k-means centroid training
     // (sim/Kmeans): argmax-cosine assignment to the 8 seed centroids,
     // then per-cell mean with strict vec_id-ordered summation folds —
