@@ -326,6 +326,80 @@ object SimQueries extends QueryModule {
              |  round(list_reduce([0.0] || ds, (x, y) -> x + y), 6) AS qerr
              |FROM g""".stripMargin)),
 
+    // PQ asymmetric-distance search (ADC) — the query half of IVF-PQ:
+    // each probe precomputes an 8×16 distance TABLE against the
+    // codebook (one tiny broadcast), then every database vector's
+    // distance is just 8 table lookups via its stored codes — no float
+    // math against the raw vectors at scan time, which is what makes
+    // PQ scans memory-bandwidth-bound instead of FLOP-bound at scale.
+    // Top-k per probe by the ADC approximation (asc distance).
+    EngineQuery(
+      "sim_pq_adc",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val seeds = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("j"), col("embedding").as("c_emb"))
+        def d2(v: String) = "aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE), (acc, i) -> " +
+          s"acc + (CAST(element_at($v, m * 8 + i) AS DOUBLE) - CAST(element_at(c_emb, m * 8 + i) AS DOUBLE)) * " +
+          s"(CAST(element_at($v, m * 8 + i) AS DOUBLE) - CAST(element_at(c_emb, m * 8 + i) AS DOUBLE)))"
+        val wBest = Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("j").asc)
+        // Database codes: best codebook entry per (vector, subspace).
+        val codes = e.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("embedding"), col("j"), col("c_emb"),
+            explode(expr("sequence(0, 7)")).as("m"))
+          .selectExpr("vec_id", "m", "j", s"${d2("embedding")} AS d2")
+          .withColumn("rn", row_number().over(wBest))
+          .filter(col("rn") === 1)
+          .select("vec_id", "m", "j")
+        // Probe distance tables: d2(probe subvector, codebook entry).
+        val pdist = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+          .crossJoin(broadcast(seeds))
+          .select(col("query_id"), col("q_emb"), col("j"), col("c_emb"),
+            explode(expr("sequence(0, 7)")).as("m"))
+          .selectExpr("query_id", "m", "j", s"${d2("q_emb")} AS pd2")
+        val wTop = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
+        codes.join(broadcast(pdist), Seq("m", "j"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .groupBy("query_id", "vec_id")
+          .agg(sort_array(collect_list(struct(col("m"), col("pd2")))).as("cs"))
+          .selectExpr("query_id", "vec_id",
+            "aggregate(cs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.pd2) AS adc")
+          .withColumn("rank", row_number().over(wTop))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+            round(col("adc"), 6).as("adc"))
+      },
+      Some("""WITH seeds AS (SELECT vec_id AS j, embedding AS c_emb
+             |  FROM embeddings WHERE vec_id < 16),
+             |codes AS (SELECT vec_id, m, j FROM (
+             |    SELECT e.vec_id, t.m, s.j,
+             |      row_number() OVER (PARTITION BY e.vec_id, t.m ORDER BY
+             |        list_reduce([
+             |          (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE)) *
+             |          (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE))
+             |          for i in range(1, 9)], (x, y) -> x + y) ASC, s.j ASC) AS rn
+             |    FROM embeddings e CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m))
+             |  WHERE rn = 1),
+             |pdist AS (SELECT q.vec_id AS query_id, t.m, s.j,
+             |    list_reduce([
+             |      (CAST(q.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE)) *
+             |      (CAST(q.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE))
+             |      for i in range(1, 9)], (x, y) -> x + y) AS pd2
+             |  FROM embeddings q CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m)
+             |  WHERE q.vec_id < 5),
+             |a AS (SELECT p.query_id, c.vec_id,
+             |    list_reduce([0.0] || list(p.pd2 ORDER BY p.m), (x, y) -> x + y) AS adc
+             |  FROM codes c JOIN pdist p ON p.m = c.m AND p.j = c.j
+             |  WHERE c.vec_id <> p.query_id
+             |  GROUP BY p.query_id, c.vec_id),
+             |r AS (SELECT query_id, vec_id, adc,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
+             |  FROM a)
+             |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+             |  round(adc, 6) AS adc
+             |FROM r WHERE rank <= 3""".stripMargin)),
+
     // One bit-deterministic Lloyd step of k-means centroid training
     // (sim/Kmeans): argmax-cosine assignment to the 8 seed centroids,
     // then per-cell mean with strict vec_id-ordered summation folds —
