@@ -629,6 +629,29 @@ object ParquetTable {
     }
   }
 
+  /** VACUUM ... DRY RUN (reference db/table_maintenance.sql:13): the
+    * version names [[vacuum]] WOULD delete, without touching anything. */
+  def vacuumDryRun(dir: String, keep: Int = 1): Seq[String] = {
+    val current = Files.readString(pointer(dir)).trim
+    snapshots(dir).drop(math.max(keep, 1)).filter(_ != current)
+  }
+
+  /** Time-based retention — VACUUM ... RETAIN n HOURS (reference
+    * db/table_maintenance.sql:16, Delta's 168h default): drop superseded
+    * snapshots whose publish time (from `_HISTORY`) is older than
+    * `retainMillis` before `nowMillis`. The live version is always kept;
+    * versions missing a history line (torn write) are kept conservatively. */
+  def vacuumRetain(dir: String, retainMillis: Long, nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    val current = Files.readString(pointer(dir)).trim
+    val published = publishedVersions(dir).toMap
+    val cutoff = nowMillis - retainMillis
+    val doomed = snapshots(dir)
+      .filter(_ != current)
+      .filter(v => published.get(v).exists(_ < cutoff))
+    doomed.foreach(v => VersionNames.deleteTree(Paths.get(dir, v)))
+    doomed
+  }
+
   /** Write a new snapshot version and atomically repoint `_CURRENT`.
     * Single-writer by design (one streaming query owns a table); readers
     * are never blocked and never see a partial snapshot. For multiple

@@ -121,6 +121,29 @@ class TimeTravelSpec extends SparkSuite {
     }
   }
 
+  test("vacuum DRY RUN previews without deleting; RETAIN drops by publish age") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vac").resolve("t").toString
+    (1 to 3).foreach(i => ParquetTable.swap(spark, (1 to i * 10).toDF("v"), dir))
+    assert(ParquetTable.snapshots(dir).size == 3)
+
+    // DRY RUN: names the two superseded versions, deletes nothing.
+    val preview = ParquetTable.vacuumDryRun(dir, keep = 1)
+    assert(preview.size == 2)
+    assert(ParquetTable.snapshots(dir).size == 3, "dry run must not delete")
+
+    // RETAIN with a huge window keeps everything; with zero retention it
+    // drops exactly the superseded versions (never the live one).
+    assert(ParquetTable.vacuumRetain(dir, retainMillis = 7L * 24 * 3600 * 1000).isEmpty)
+    assert(ParquetTable.snapshots(dir).size == 3)
+    val dropped = ParquetTable.vacuumRetain(
+      dir, retainMillis = 0L, nowMillis = System.currentTimeMillis() + 1000)
+    assert(dropped.sorted == preview.sorted)
+    assert(ParquetTable.snapshots(dir).size == 1)
+    assert(ParquetTable.read(spark, dir).count() == 30, "live version untouched")
+  }
+
   test("snapshot isolation: a resolved reader never sees a concurrent swap") {
     val s = spark
     import s.implicits._
