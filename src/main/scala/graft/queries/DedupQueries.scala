@@ -193,6 +193,33 @@ object DedupQueries extends QueryModule {
               |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
               |SELECT a AS doc_id, min(b) AS rep_id FROM reach GROUP BY a""".stripMargin)),
 
+    // Edit-distance verification over the LSH candidate pairs: the
+    // third verify lens next to exact Jaccard and Hamming — candidates
+    // are already confined by banding (24 pairs here), so the O(L²)
+    // DP per pair runs on a bounded set, never all-pairs. Distances are
+    // exact integers on the lowercased 120-char prefixes (identical
+    // unit-cost Levenshtein in both engines).
+    EngineQuery(
+      "dedup_editdist_pairs",
+      (s, dir) => {
+        val d = docs(s, dir).selectExpr(
+          "doc_id", "lower(substring(text, 1, 120)) AS px")
+        minhashPairsCached(s, dir, 0.8)
+          .select("a_id", "b_id")
+          .join(d.withColumnRenamed("doc_id", "a_id").withColumnRenamed("px", "pa"), "a_id")
+          .join(d.withColumnRenamed("doc_id", "b_id").withColumnRenamed("px", "pb"), "b_id")
+          .selectExpr("a_id", "b_id",
+            "CAST(levenshtein(pa, pb) AS BIGINT) AS editdist")
+      },
+      Some(s"""$duckGrams,
+              |${duckLshPairs(0.8)},
+              |p AS (SELECT doc_id, lower(substring(text, 1, 120)) AS px FROM documents)
+              |SELECT l.a_id, l.b_id,
+              |  CAST(levenshtein(pa.px, pb.px) AS BIGINT) AS editdist
+              |FROM lsh_pairs l
+              |JOIN p pa ON pa.doc_id = l.a_id
+              |JOIN p pb ON pb.doc_id = l.b_id""".stripMargin)),
+
     // PageRank over the near-dup graph (3 iterations, damping 0.85):
     // duplication-hub centrality — the curation signal for
     // down-weighting mass-duplicated template content. Each iteration is

@@ -248,6 +248,44 @@ object EventsQueries extends QueryModule {
              |  max(value) AS max_value, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Pearson correlation of value vs hour-of-day per event type — the
+    // CORR aggregate made cross-engine-deterministic: every raw moment
+    // is either integer-exact (hour sums) or rounded back to its
+    // decimal grain (Σv to 2, Σv², Σv·h to their product grains), and
+    // all derived arithmetic (means, covariance, sigmas, ratio) is the
+    // same IEEE expression text in both engines. One aggregate pass,
+    // map-side combined.
+    EngineQuery(
+      "evt_value_hour_corr",
+      (s, dir) =>
+        events(s, dir).filter(col("value").isNotNull)
+          .selectExpr("event_type", "value",
+            "CAST(hour(ts) AS BIGINT) AS h")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).cast("long").as("n"),
+            round(sum("value"), 2).as("sx"),
+            sum("h").cast("long").as("sy"),
+            round(sum(col("value") * col("value")), 4).as("sxx"),
+            sum(col("h") * col("h")).cast("long").as("syy"),
+            round(sum(col("value") * col("h")), 2).as("sxy"))
+          .selectExpr("event_type", "n",
+            "round((sxy / n - (sx / n) * (CAST(sy AS DOUBLE) / n)) / " +
+              "(sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))), 6) AS corr"),
+      Some("""WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    round(sum(value), 2) AS sx,
+             |    CAST(sum(h) AS BIGINT) AS sy,
+             |    round(sum(value * value), 4) AS sxx,
+             |    CAST(sum(h * h) AS BIGINT) AS syy,
+             |    round(sum(value * h), 2) AS sxy
+             |  FROM (SELECT event_type, value, CAST(hour(ts) AS BIGINT) AS h
+             |        FROM events WHERE value IS NOT NULL)
+             |  GROUP BY event_type)
+             |SELECT event_type, n,
+             |  round((sxy / n - (sx / n) * (CAST(sy AS DOUBLE) / n)) /
+             |    (sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n))), 6) AS corr
+             |FROM m""".stripMargin)),
+
     // Z-score anomaly detection per event type: two aggregate passes
     // (per-type moments broadcast back to the stream) flag |z| > 3
     // events. Determinism contract: the raw sums are rounded back to the
