@@ -151,6 +151,35 @@ object AnalyticsQueries extends QueryModule {
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)),
 
+    // Correlated EXISTS / NOT EXISTS in SQL text (the subquery spelling
+    // of q17's semi/anti joins — Catalyst rewrites both to the same
+    // left-semi/left-anti physical joins): customers with an URGENT
+    // order but no F-status order.
+    EngineQuery(
+      "q25_exists",
+      (s, dir) => {
+        ord(s, dir).createOrReplaceTempView("q25_orders")
+        cust(s, dir).createOrReplaceTempView("q25_customer")
+        s.sql("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+                |FROM q25_customer c
+                |WHERE EXISTS (SELECT 1 FROM q25_orders o
+                |              WHERE o.o_custkey = c.c_custkey
+                |                AND o.o_orderpriority = '1-URGENT')
+                |  AND NOT EXISTS (SELECT 1 FROM q25_orders o
+                |                  WHERE o.o_custkey = c.c_custkey
+                |                    AND o.o_orderstatus = 'F')
+                |GROUP BY c_mktsegment""".stripMargin)
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_orderpriority = '1-URGENT')
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey
+             |                    AND o.o_orderstatus = 'F')
+             |GROUP BY c_mktsegment""".stripMargin)),
+
     // Skewed-key JOIN via explicit static salting (SkewOps.saltedJoin):
     // lineitem keeps one deterministic salt per row, orders replicate
     // across the 8 salt values, and the shuffle keys on (orderkey, salt)
