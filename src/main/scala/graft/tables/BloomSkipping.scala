@@ -90,6 +90,8 @@ object BloomSkipping {
     val files = candidateFiles(dir, key).map(f => s"$dir/$f")
     if (files.isEmpty) spark.read.parquet(dir).filter(lit(false))
     else spark.read.parquet(files: _*)
-      .filter(expr(s"CAST($keyCol AS STRING) = '$key'"))
+      // Column predicate, not SQL-text splicing — key content can't
+      // alter the expression.
+      .filter(col(keyCol).cast("string") === lit(key))
   }
 }
