@@ -151,6 +151,32 @@ object AnalyticsQueries extends QueryModule {
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)),
 
+    // max_by / min_by (argmax aggregates): which order carries each
+    // priority's highest/lowest price. Plain max_by ties are
+    // engine-nondeterministic, so the ordering key is the composite
+    // BIGINT price·100 (exact — 2-decimal grain) ·1e9 + orderkey:
+    // totally ordered, ties impossible, same argument in both engines.
+    EngineQuery(
+      "q26_minmax_by",
+      (s, dir) =>
+        ord(s, dir)
+          .selectExpr("o_orderpriority", "o_orderkey", "o_totalprice",
+            "CAST(round(o_totalprice * 100, 0) AS BIGINT) * 1000000000 + o_orderkey AS ordkey")
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).cast("long").as("n"),
+            expr("max_by(o_orderkey, ordkey)").as("top_order"),
+            expr("min_by(o_orderkey, ordkey)").as("bottom_order"),
+            round(max("o_totalprice"), 2).as("top_price")),
+      Some("""WITH t AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) * 1000000000 + o_orderkey AS ordkey
+             |  FROM orders)
+             |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  max_by(o_orderkey, ordkey) AS top_order,
+             |  min_by(o_orderkey, ordkey) AS bottom_order,
+             |  round(max(o_totalprice), 2) AS top_price
+             |FROM t GROUP BY o_orderpriority""".stripMargin)),
+
     // Correlated EXISTS / NOT EXISTS in SQL text (the subquery spelling
     // of q17's semi/anti joins — Catalyst rewrites both to the same
     // left-semi/left-anti physical joins): customers with an URGENT

@@ -248,6 +248,42 @@ object EventsQueries extends QueryModule {
              |  max(value) AS max_value, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // DAU / trailing-7-day WAU / stickiness — the product-analytics
+    // engagement rollup. Sliding DISTINCT can't ride a window frame, so
+    // each event CONTRIBUTES itself to the 7 days it keeps a user
+    // "weekly active" for (one ×7 explode, one shuffle, map-side
+    // partial distinct) — the scale-honest dual of a per-day self-join
+    // over the full week of events. Counts are integers; stickiness is
+    // one exact division.
+    EngineQuery(
+      "evt_dau_wau",
+      (s, dir) => {
+        val ev = events(s, dir).select(to_date(col("ts")).as("day"), col("user_id"))
+        val days = ev.select("day").distinct()
+        val dau = ev.groupBy("day")
+          .agg(countDistinct("user_id").cast("long").as("dau"))
+        val wau = ev
+          .select(explode(expr("sequence(0, 6)")).as("i"), col("day"), col("user_id"))
+          .select(expr("date_add(day, i)").as("day"), col("user_id"))
+          .join(days, "day")
+          .groupBy("day")
+          .agg(countDistinct("user_id").cast("long").as("wau"))
+        days.join(dau, "day").join(wau, "day")
+          .selectExpr("day", "dau", "wau",
+            "round(CAST(dau AS DOUBLE) / wau, 4) AS stickiness")
+      },
+      Some("""WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+             |dau AS (SELECT CAST(ts AS DATE) AS day,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+             |  FROM events GROUP BY 1),
+             |contrib AS (SELECT CAST(ts AS DATE) + CAST(i AS INTEGER) AS day, user_id
+             |  FROM events CROSS JOIN range(0, 7) t(i)),
+             |wau AS (SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+             |  FROM contrib c JOIN d ON d.day = c.day GROUP BY c.day)
+             |SELECT d.day, dau.dau, wau.wau,
+             |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+             |FROM d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day""".stripMargin)),
+
     // Pearson correlation of value vs hour-of-day per event type — the
     // CORR aggregate made cross-engine-deterministic: every raw moment
     // is either integer-exact (hour sums) or rounded back to its
