@@ -221,6 +221,52 @@ object ScdQueries extends QueryModule {
           |            WHEN n_li > 0 THEN q_li + 1000.0 * n_li END AS DOUBLE) AS totalQty
           |FROM cur""".stripMargin)),
 
+    // Explicit SCD2 effective-dating over the append-only history: each
+    // order's change rows get a version sequence, a valid_to pointer to
+    // the superseding row (NULL = open), and an is_current flag — the
+    // effective-dated dimension view warehouses derive from a change
+    // stream. NULL parent versions (detail-only txs rows) order FIRST
+    // explicitly: Spark and DuckDB default NULL sort order differ, so
+    // the window pins NULLS FIRST in both engines.
+    EngineQuery(
+      "scd2_effective_ranges",
+      (s, dir) => {
+        graft.CdcPipeline.orderStreamCached(s, dir)
+          .createOrReplaceTempView("scd2_stream")
+        s.sql("""WITH t AS (SELECT orderId, xid,
+                |    try_element_at(orders, 1).version AS version,
+                |    row_number() OVER (PARTITION BY orderId
+                |      ORDER BY try_element_at(orders, 1).version ASC NULLS FIRST, xid ASC) AS seq
+                |  FROM scd2_stream)
+                |SELECT orderId, xid, version, CAST(seq AS INT) AS seq,
+                |  CAST(lead(seq) OVER (PARTITION BY orderId ORDER BY seq) AS INT) AS valid_to_seq,
+                |  CAST(CASE WHEN lead(seq) OVER (PARTITION BY orderId ORDER BY seq) IS NULL
+                |       THEN 1 ELSE 0 END AS INT) AS is_current
+                |FROM t""".stripMargin)
+      },
+      Some("""WITH rows0 AS (
+             |  SELECT CAST(o_orderkey AS DOUBLE) AS orderId,
+             |    'tx-' || CAST(o_orderkey // 5 AS VARCHAR) AS xid,
+             |    CAST(1.0 AS DOUBLE) AS version
+             |  FROM orders WHERE (o_orderkey // 5) % 11 <> 0
+             |  UNION ALL
+             |  SELECT CAST(o_orderkey AS DOUBLE),
+             |    'txu-' || CAST(o_orderkey AS VARCHAR), CAST(2.0 AS DOUBLE)
+             |  FROM orders WHERE o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT CAST(o_orderkey AS DOUBLE),
+             |    'txs-' || CAST(o_orderkey AS VARCHAR), CAST(NULL AS DOUBLE)
+             |  FROM orders WHERE o_orderkey % 9 = 0),
+             |t AS (SELECT orderId, xid, version,
+             |    row_number() OVER (PARTITION BY orderId
+             |      ORDER BY version ASC NULLS FIRST, xid ASC) AS seq
+             |  FROM rows0)
+             |SELECT orderId, xid, version, CAST(seq AS INT) AS seq,
+             |  CAST(lead(seq) OVER (PARTITION BY orderId ORDER BY seq) AS INT) AS valid_to_seq,
+             |  CAST(CASE WHEN lead(seq) OVER (PARTITION BY orderId ORDER BY seq) IS NULL
+             |       THEN 1 ELSE 0 END AS INT) AS is_current
+             |FROM t""".stripMargin)),
+
     // SCD1-vs-SCD2 count comparison (reference: db/query_scd1_table.sql:70-79,
     // Q12 UNION ALL).
     EngineQuery(
