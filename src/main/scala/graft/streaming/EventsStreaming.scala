@@ -88,7 +88,26 @@ object EventsStreaming {
   def errorClickJoin(
       events: DataFrame,
       intervalSeconds: Long,
-      watermarkDelay: String = "2 hours"): DataFrame = {
+      watermarkDelay: String = "2 hours"): DataFrame =
+    errorClickJoinTyped(events, intervalSeconds, watermarkDelay, "inner")
+
+  /** LEFT OUTER variant: errors with NO click inside the interval are
+    * still emitted (null click columns) once the click-side watermark
+    * passes their join horizon — the stream-stream formulation of
+    * "which errors went unresolved". The watermark is what makes the
+    * null verdict SAFE to emit: no future click can match anymore, so
+    * state stays bounded AND the absence is final. */
+  def errorClickJoinOuter(
+      events: DataFrame,
+      intervalSeconds: Long,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    errorClickJoinTyped(events, intervalSeconds, watermarkDelay, "left_outer")
+
+  private def errorClickJoinTyped(
+      events: DataFrame,
+      intervalSeconds: Long,
+      watermarkDelay: String,
+      joinType: String): DataFrame = {
     val errors = events.filter(col("event_type") === "error")
       .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
         col("event_id").as("error_id"))
@@ -101,7 +120,8 @@ object EventsStreaming {
       clicks,
       col("e_user") === col("c_user") &&
         col("c_ts") > col("e_ts") &&
-        col("c_ts") <= col("e_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"))
+        col("c_ts") <= col("e_ts") + expr(s"INTERVAL $intervalSeconds SECONDS"),
+      joinType)
       .select(col("e_user").as("user_id"), col("error_id"), col("click_id"),
         col("e_ts"), col("c_ts"))
   }

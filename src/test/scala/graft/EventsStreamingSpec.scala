@@ -117,6 +117,45 @@ class EventsStreamingSpec extends SparkSuite {
     assert(streamed.nonEmpty, "join emitted nothing")
   }
 
+  test("left-outer stream-stream join emits watermark-finalized unmatched errors") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssjo").toString
+    src.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(src.schema).parquet(s"$dir/in")
+
+    // Short interval + short watermark so most null verdicts finalize
+    // inside the replayed event-time range.
+    val interval = 600L
+    val q = EventsStreaming.errorClickJoinOuter(stream, interval, "30 minutes")
+      .writeStream.format("memory").queryName("ssjo_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+
+    val streamed = spark.table("ssjo_out")
+      .selectExpr("error_id", "click_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toSet
+    val batch = EventsStreaming.errorClickJoin(src, interval)
+      .selectExpr("error_id", "click_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString)).toSet
+
+    // Matched pairs agree with the batch inner join; unmatched errors
+    // surface with a null click — and only for errors the batch join
+    // really never matched (no invented nulls).
+    val (matched, unmatched) = streamed.partition(_._2.isDefined)
+    assert(matched.subsetOf(batch), "matched pairs must agree with batch")
+    assert(unmatched.nonEmpty, "watermark must finalize some unmatched errors")
+    val batchMatchedIds = batch.map(_._1)
+    unmatched.foreach { case (errId, _) =>
+      assert(!batchMatchedIds.contains(errId),
+        s"error $errId emitted null but has a real match")
+    }
+  }
+
   test("streaming session_window matches the batch sessionization") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.read.parquet(s"$sf0001/events.parquet")
