@@ -151,6 +151,61 @@ object AnalyticsQueries extends QueryModule {
              |FROM lineitem
              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)),
 
+    // TPC-H Q3 (shipping priority): revenue of unshipped orders for one
+    // market segment — the classic 3-way join + group + top-k. Both
+    // fact joins shuffle on their keys, customer broadcasts, top-10 is
+    // TakeOrderedAndProject. Revenue = 2-decimal-grain sums, rounded.
+    EngineQuery(
+      "q27_tpch_q3",
+      (s, dir) => {
+        val c = cust(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = ord(s, dir).filter(col("o_orderdate") < "1995-03-15")
+        val l = li(s, dir).filter(col("l_shipdate") > "1995-03-15")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < DATE '1995-03-15'
+             |  AND l_shipdate > DATE '1995-03-15'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin)),
+
+    // TPC-H Q10 (returned items): revenue lost to returns per customer,
+    // top 20 — fact-fact join + broadcast dim + top-k.
+    EngineQuery(
+      "q28_tpch_q10",
+      (s, dir) => {
+        val l = li(s, dir).filter(col("l_returnflag") === "R")
+        val o = ord(s, dir)
+        val c = cust(s, dir)
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_custkey", "c_mktsegment")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_mktsegment,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE l_returnflag = 'R'
+             |GROUP BY c_custkey, c_mktsegment
+             |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)),
+
     // max_by / min_by (argmax aggregates): which order carries each
     // priority's highest/lowest price. Plain max_by ties are
     // engine-nondeterministic, so the ordering key is the composite
