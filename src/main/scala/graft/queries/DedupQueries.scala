@@ -98,7 +98,7 @@ object DedupQueries extends QueryModule {
   }
 
   /** DuckDB CTE producing (doc_id, toks, grams). */
-  private val duckGrams =
+  val duckGrams =
     s"""WITH tk AS (SELECT doc_id, text, $toksDuck AS toks FROM documents),
        |g AS (SELECT doc_id, $grams3Duck AS grams FROM tk)""".stripMargin
 

@@ -336,6 +336,40 @@ object TextQueries extends QueryModule {
               |SELECT bigram, c_xy, round(pmi_odds, 6) AS pmi_odds
               |FROM s ORDER BY s.pmi_odds DESC, bigram ASC LIMIT 20""".stripMargin)),
 
+    // Cross-split leakage audit: LSH-verified near-dup pairs whose two
+    // documents landed in DIFFERENT train/val/test splits — the split-
+    // hygiene metric (a test doc near-duplicating a train doc leaks the
+    // benchmark). Pairs come from the banded candidate path; the
+    // cross-tab is one tiny aggregate over them. Diagonal rows = safe
+    // in-split duplication; off-diagonal = leakage to fix by splitting
+    // on the CLUSTER representative instead of the raw doc.
+    EngineQuery(
+      "text_split_leakage",
+      (s, dir) => {
+        val splits = docs(s, dir)
+          .selectExpr("doc_id", s"${splitSpark("doc_id")} AS split")
+        DedupQueries.minhashPairsCached(s, dir, 0.8)
+          .select("a_id", "b_id")
+          .join(splits.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("split", "split_a"), "a_id")
+          .join(splits.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("split", "split_b"), "b_id")
+          .selectExpr("least(split_a, split_b) AS s1",
+            "greatest(split_a, split_b) AS s2")
+          .groupBy("s1", "s2")
+          .agg(count(lit(1)).cast("long").as("n_pairs"))
+      },
+      Some(s"""${graft.queries.DedupQueries.duckGrams},
+              |${graft.queries.DedupQueries.duckLshPairs(0.8)},
+              |sp AS (SELECT doc_id, ${splitDuck("doc_id")} AS split FROM documents)
+              |SELECT least(sa.split, sb.split) AS s1,
+              |  greatest(sa.split, sb.split) AS s2,
+              |  CAST(count(*) AS BIGINT) AS n_pairs
+              |FROM lsh_pairs l
+              |JOIN sp sa ON sa.doc_id = l.a_id
+              |JOIN sp sb ON sb.doc_id = l.b_id
+              |GROUP BY 1, 2""".stripMargin)),
+
     // Statistical-LM fluency score: each document's mean corpus
     // conditional bigram probability p(w2|w1) = c(w1 w2)/c(w1) — the
     // perplexity-family quality signal computable without a neural LM
