@@ -250,8 +250,14 @@ object StorageQueries extends QueryModule {
     ()
   }
 
+  // Daemon threads: an idle seeding pool must never hold the JVM open
+  // after a Verify/Bench main returns.
   private lazy val seedEc = scala.concurrent.ExecutionContext.fromExecutor(
-    java.util.concurrent.Executors.newFixedThreadPool(6))
+    java.util.concurrent.Executors.newFixedThreadPool(6, { (r: Runnable) =>
+      val t = new Thread(r, "graft-seed")
+      t.setDaemon(true)
+      t
+    }))
 
   override def queries: Seq[EngineQuery] = Seq(
 

@@ -340,6 +340,7 @@ object ParquetTable {
   def deleteWhere(spark: SparkSession, dir: String, predicate: String): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val cur = Paths.get(currentPath(dir))
+    requireNoDv(cur, "deleteWhere")
     val df = spark.read.parquet(cur.toString)
     val hit = coalesce(expr(predicate), lit(false))
     // One pass finds both the touched files and the delete count; the
@@ -387,6 +388,7 @@ object ParquetTable {
       sets: Map[String, String]): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     val cur = Paths.get(currentPath(dir))
+    requireNoDv(cur, "updateWhere")
     val df = spark.read.parquet(cur.toString)
     val bad = sets.keySet -- df.columns.toSet
     require(bad.isEmpty, s"UPDATE SET references missing columns: $bad")
@@ -446,6 +448,7 @@ object ParquetTable {
       keys: Seq[String]): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, expr, lit, not}
     val cur = Paths.get(currentPath(dir))
+    requireNoDv(cur, "mergeInto")
     val target = spark.read.parquet(cur.toString)
     val hasDel = source.columns.contains("_deleted")
     val src = (if (hasDel) source else source.withColumn("_deleted", lit(false)))
@@ -553,6 +556,14 @@ object ParquetTable {
     * the maintenance step that caps read-side anti-join debt. */
   def purgeDV(spark: SparkSession, dir: String): Unit =
     swap(spark, readMoR(spark, dir), dir)
+
+  /** The plain-file DML paths (deleteWhere / updateWhere / mergeInto)
+    * hard-link data files forward WITHOUT the `_dv` store — running them
+    * over a DV-carrying snapshot would silently RESURRECT every
+    * vector-deleted row in the new version. Refuse loudly instead. */
+  private def requireNoDv(versionDir: java.nio.file.Path, op: String): Unit =
+    require(!Files.isDirectory(versionDir.resolve("_dv")),
+      s"$op on a snapshot carrying deletion vectors would resurrect deleted rows — purgeDV first")
 
   /** The version's DV store, if present (underscore-hidden from data
     * scans). */

@@ -70,4 +70,30 @@ class DeletionVectorSpec extends SparkSuite {
     assert(ParquetTable.deleteWhereDV(spark, dir, "o_orderkey < 0") == 0L)
     assert(ParquetTable.snapshots(dir).size == before)
   }
+
+  test("plain-file DML refuses to run over a DV-carrying snapshot") {
+    val dir = Files.createTempDirectory("graft-dvguard").resolve("t").toString
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderstatus")
+      .repartitionByRange(4, col("o_orderkey"))
+    ParquetTable.swap(spark, orders, dir)
+    ParquetTable.deleteWhereDV(spark, dir, "o_orderkey < 100")
+
+    // Each COW path would hard-link files forward WITHOUT the vectors —
+    // resurrecting the deleted rows. All three must refuse.
+    intercept[IllegalArgumentException] {
+      ParquetTable.deleteWhere(spark, dir, "o_orderkey < 10")
+    }
+    intercept[IllegalArgumentException] {
+      ParquetTable.updateWhere(spark, dir, "o_orderkey < 10",
+        Map("o_orderstatus" -> "'X'"))
+    }
+    intercept[IllegalArgumentException] {
+      ParquetTable.mergeInto(spark, dir,
+        orders.filter(col("o_orderkey") < 10), Seq("o_orderkey"))
+    }
+    // After purge they work again.
+    ParquetTable.purgeDV(spark, dir)
+    assert(ParquetTable.deleteWhere(spark, dir, "o_orderkey >= 1400") >= 0L)
+  }
 }
