@@ -158,8 +158,23 @@ object GraftExtensions {
       graft.sketch.CmsCounters(children.head, lits(0), lits(1))
     })
 
+  val l2SqRangeDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("l2_sq_range"),
+    new ExpressionInfo(classOf[L2SqRange].getName, "l2_sq_range"),
+    (children: Seq[Expression]) => {
+      require(children.size == 4,
+        "l2_sq_range takes exactly 4 arguments: (a, b, offset, len)")
+      val len = children(3) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"l2_sq_range len must be an integer literal, got $other")
+      }
+      L2SqRange(children.head, children(1), children(2), len)
+    })
+
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
+    ext.injectFunction(l2SqRangeDescriptor)
     ext.injectFunction(kmvDistinctDescriptor)
     ext.injectFunction(mgCandidatesDescriptor)
     ext.injectFunction(topKByDescriptor)

@@ -37,14 +37,14 @@ object SimQueries extends QueryModule {
       val e = emb(s, dir)
       val seeds = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("j"), col("embedding").as("c_emb"))
-      val d2 = "aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE), (acc, i) -> " +
-        "acc + (CAST(element_at(embedding, m * 8 + i) AS DOUBLE) - CAST(element_at(c_emb, m * 8 + i) AS DOUBLE)) * " +
-        "(CAST(element_at(embedding, m * 8 + i) AS DOUBLE) - CAST(element_at(c_emb, m * 8 + i) AS DOUBLE)))"
+      // Codegen'd subspace L2 (expressions/L2SqRange) — bit-identical to
+      // the HOF fold the oracle mirrors, fused into the scan stage.
       val w = Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("j").asc)
       val df = e.crossJoin(broadcast(seeds))
         .select(col("vec_id"), col("embedding"), col("j"), col("c_emb"),
           explode(expr("sequence(0, 7)")).as("m"))
-        .selectExpr("vec_id", "m", "j", s"$d2 AS d2")
+        .selectExpr("vec_id", "m", "j",
+          "l2_sq_range(embedding, c_emb, m * 8 + 1, 8) AS d2")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("vec_id", "m", "j", "d2")
@@ -357,9 +357,6 @@ object SimQueries extends QueryModule {
         val e = emb(s, dir)
         val seeds = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("j"), col("embedding").as("c_emb"))
-        def d2(v: String) = "aggregate(sequence(1, 8), CAST(0.0 AS DOUBLE), (acc, i) -> " +
-          s"acc + (CAST(element_at($v, m * 8 + i) AS DOUBLE) - CAST(element_at(c_emb, m * 8 + i) AS DOUBLE)) * " +
-          s"(CAST(element_at($v, m * 8 + i) AS DOUBLE) - CAST(element_at(c_emb, m * 8 + i) AS DOUBLE)))"
         // Database codes: shared with sim_pq_encode (memoized argmin).
         val codes = pqCodesCached(s, dir).select("vec_id", "m", "j")
         // Probe distance tables: d2(probe subvector, codebook entry).
@@ -368,7 +365,8 @@ object SimQueries extends QueryModule {
           .crossJoin(broadcast(seeds))
           .select(col("query_id"), col("q_emb"), col("j"), col("c_emb"),
             explode(expr("sequence(0, 7)")).as("m"))
-          .selectExpr("query_id", "m", "j", s"${d2("q_emb")} AS pd2")
+          .selectExpr("query_id", "m", "j",
+            "l2_sq_range(q_emb, c_emb, m * 8 + 1, 8) AS pd2")
         val wTop = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
         codes.join(broadcast(pdist), Seq("m", "j"))
           .filter(col("vec_id") =!= col("query_id"))
