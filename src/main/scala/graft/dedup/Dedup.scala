@@ -275,4 +275,37 @@ object Dedup {
       .join(neighborMin, Seq("doc_id"), "left")
       .selectExpr("doc_id", "least(doc_id, coalesce(min_nb, doc_id)) AS rep_id")
   }
+
+  /** Triangle count over an undirected edge list (canonical `a_id <
+    * b_id` rows): the clustering-coefficient numerator of the near-dup
+    * graph — how "clique-like" duplicate clusters are.
+    *
+    * Degree-ordered orientation (the standard distributed algorithm):
+    * orient every edge from its (degree, id)-smaller endpoint to the
+    * larger; each triangle then has exactly ONE vertex with two
+    * out-edges, so pairing out-neighbors (the wedge self-join) and
+    * probing the closing edge counts each triangle once. The orientation
+    * caps out-degree at O(√|E|), bounding the wedge join — the reason
+    * this survives hub-heavy graphs where a naive wedge join on the
+    * unoriented list explodes quadratically on high-degree nodes. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.select("a_id", "b_id")
+    val deg = und.select(col("a_id").as("v")).unionByName(und.select(col("b_id").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("v").as("a_id"), col("d").as("da")), Seq("a_id"))
+      .join(deg.select(col("v").as("b_id"), col("d").as("db")), Seq("b_id"))
+      .selectExpr(
+        "CASE WHEN da < db OR (da = db AND a_id < b_id) THEN a_id ELSE b_id END AS src",
+        "CASE WHEN da < db OR (da = db AND a_id < b_id) THEN b_id ELSE a_id END AS dst")
+    val wedges = oriented.alias("x").join(
+        oriented.alias("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("u"), col("y.dst").as("v"))
+    // u < v by construction, so the closing probe hits the canonical row.
+    val closed = wedges.join(und,
+      wedges("u") === und("a_id") && wedges("v") === und("b_id"))
+    closed.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+  }
 }

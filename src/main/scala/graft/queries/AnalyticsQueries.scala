@@ -573,6 +573,78 @@ object AnalyticsQueries extends QueryModule {
              |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
              |  CAST(max(band_n) AS BIGINT) AS max_band,
              |  round(avg(band_n), 4) AS avg_band
-             |FROM b GROUP BY 1""".stripMargin))
+             |FROM b GROUP BY 1""".stripMargin)),
+
+    // 2-D Pareto frontier (skyline): parts no other part beats on BOTH
+    // (cheaper-or-equal price, larger-or-equal size, one strict). The
+    // oracle spells the quadratic NOT EXISTS; the engine reduces each
+    // price group to its max size (one map-side-combining shuffle), then
+    // one price-ordered running max decides domination: p is dominated
+    // iff a strictly-cheaper group reaches its size (m1 >= p_size) or a
+    // same-or-cheaper group strictly exceeds it (m2 > p_size). The
+    // ordered window runs over DISTINCT prices only — the compressed
+    // domain, tiny at any SF (and a prefix max decomposes into a
+    // per-partition two-pass scan if the domain ever outgrows one task).
+    EngineQuery(
+      "q29_skyline",
+      (s, dir) => {
+        val pts = t(s, dir, "part").select("p_partkey", "p_retailprice", "p_size")
+        val g = pts.groupBy("p_retailprice").agg(max("p_size").as("gmax"))
+        val wPrev = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
+        val wCur = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, 0)
+        val gm = g.withColumn("m1", max("gmax").over(wPrev))
+          .withColumn("m2", max("gmax").over(wCur))
+        pts.join(gm, Seq("p_retailprice"))
+          .filter(!(coalesce(col("m1") >= col("p_size"), lit(false)) ||
+            col("m2") > col("p_size")))
+          .select("p_partkey", "p_retailprice", "p_size")
+      },
+      Some("""SELECT p_partkey, p_retailprice, p_size FROM part p
+             |WHERE NOT EXISTS (SELECT 1 FROM part q
+             |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+             |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))""".stripMargin)),
+
+    // Exact per-group median (percentile with linear interpolation).
+    // Medians of 2-decimal prices land on at most 3 decimals, so the
+    // 4-decimal round is never on a rounding boundary — engine-exact.
+    // (At 100 TB the exact percentile buffers each group; the sketch
+    // path is sketch_quantile_groups.)
+    EngineQuery(
+      "q30_brand_median",
+      (s, dir) =>
+        t(s, dir, "part").groupBy("p_brand")
+          .agg(round(expr("percentile(p_retailprice, 0.5)"), 4).as("median_price"),
+            count(lit(1)).as("n")),
+      Some("""SELECT p_brand, round(quantile_cont(p_retailprice, 0.5), 4) AS median_price,
+             |  CAST(count(*) AS BIGINT) AS n FROM part GROUP BY 1""".stripMargin)),
+
+    // Single-pass data-quality profile: null count, exact distinct count,
+    // min/max for each measure column, emitted one row per column via
+    // stack(). One scan, one aggregate (Catalyst expands the distinct
+    // counts into an Expand + two-phase agg); at 100 TB swap the exact
+    // distincts for approx_count_distinct and the plan collapses to a
+    // single partial-aggregable pass.
+    EngineQuery(
+      "dq_profile",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val aggs = cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nn"),
+            count_distinct(col(c)).as(s"${c}_nd"),
+            min(col(c)).as(s"${c}_mn"),
+            max(col(c)).as(s"${c}_mx"))
+        }
+        val one = li(s, dir).agg(aggs.head, aggs.tail: _*)
+        val stackArgs = cols.map(c => s"'$c', ${c}_nn, ${c}_nd, ${c}_mn, ${c}_mx").mkString(", ")
+        one.selectExpr(
+          s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, n_distinct, min_v, max_v)")
+      },
+      Some(Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  min($c) AS min_v, max($c) AS max_v FROM lineitem""".stripMargin
+      }.mkString("\nUNION ALL\n")))
   )
 }

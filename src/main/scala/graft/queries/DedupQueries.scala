@@ -276,6 +276,32 @@ object DedupQueries extends QueryModule {
               |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
               |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
               |FROM f a JOIN f b ON a.doc_id < b.doc_id
-              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin))
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin)),
+
+    // Triangle count over the STRICT simhash near-dup graph (hamming
+    // ≤ 2): Dedup.triangleCount's degree-ordered orientation vs the
+    // oracle's quadratic a<b<c triple join. Measures how clique-like
+    // duplicate clusters are — dense triangles justify the one-hop
+    // min-id rep collapse. Strict threshold deliberately: near-dup
+    // graphs are clique-heavy, and |triangles| grows cubically in
+    // clique size (the ham ≤ 6 graph at sf0.1 already holds 290M
+    // triangles) — exact enumeration is for the verification tier;
+    // on looser graphs, count per-cluster via the rep sizes instead.
+    EngineQuery(
+      "dedup_triangles",
+      (s, dir) => graft.dedup.Dedup.triangleCount(
+        graft.dedup.Dedup.simhashPairs(s, simhashCached(s, dir), 2)),
+      Some(s"""WITH tk AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+              |h AS (SELECT doc_id, $tokenHashesDuck AS th FROM tk),
+              |f AS (SELECT doc_id, $simhash32Duck AS simhash FROM h),
+              |e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+              |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+              |tr AS (SELECT count(*) AS n FROM e e1
+              |  JOIN e e2 ON e2.a_id = e1.a_id AND e2.b_id > e1.b_id
+              |  JOIN e e3 ON e3.a_id = e1.b_id AND e3.b_id = e2.b_id)
+              |SELECT CAST(tr.n AS BIGINT) AS n_triangles,
+              |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges
+              |FROM tr""".stripMargin))
   )
 }

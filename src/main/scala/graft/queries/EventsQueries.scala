@@ -379,6 +379,67 @@ object EventsQueries extends QueryModule {
             "round(aggregate(vs, CAST(0.0 AS DOUBLE), (acc, e) -> acc * 0.9 + e.value), 6) AS decayed"),
       Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
              |  round(list_reduce(list(value ORDER BY ts, event_id), (x, y) -> x * 0.9 + y), 6) AS decayed
-             |FROM events WHERE value IS NOT NULL GROUP BY user_id""".stripMargin))
+             |FROM events WHERE value IS NOT NULL GROUP BY user_id""".stripMargin)),
+
+    // Peak concurrency via interval sweep: gap-sessionize (same 30-min
+    // rule as evt_sessions), collapse each session to [start_ms, end_ms],
+    // then count starts/ends PER MILLISECOND and walk a running sum. The
+    // per-ms pre-aggregation makes the sweep order-free within a
+    // timestamp (peak at t = active_before + starts(t), so touching
+    // sessions count as overlapping — pinned identically in the oracle),
+    // and shrinks the ordered window to distinct boundary timestamps.
+    // That window is a single global prefix sum — at 100 TB it
+    // decomposes into the standard two-pass per-partition scan (partial
+    // sums, broadcast offsets); here the boundary domain is tiny.
+    EngineQuery(
+      "evt_max_concurrency",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = events(s, dir)
+          .withColumn("ms", unix_millis(col("ts")))
+          .withColumn("prev_ms", lag("ms", 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum("new_s").over(w))
+          .groupBy("user_id", "sid")
+          .agg(min("ms").as("s_ms"), max("ms").as("e_ms"))
+        val pts = sess.select(col("s_ms").as("ms"), lit(1L).as("st"), lit(0L).as("en"))
+          .unionAll(sess.select(col("e_ms").as("ms"), lit(0L).as("st"), lit(1L).as("en")))
+          .groupBy("ms").agg(sum("st").as("n_start"), sum("en").as("n_end"))
+        val wo = Window.orderBy("ms").rowsBetween(Window.unboundedPreceding, 0)
+        val sweep = pts
+          .withColumn("cum_after", sum(col("n_start") - col("n_end")).over(wo))
+          .withColumn("peak", col("cum_after") + col("n_end"))
+        val mx = sweep.agg(max("peak").as("mp"))
+        sweep.join(broadcast(mx)).filter(col("peak") === col("mp"))
+          .agg(max("peak").as("max_concurrent"), count(lit(1)).as("n_peaks"),
+            min("ms").as("first_peak_ms"))
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, event_id, epoch_ms(ts) AS ms,
+             |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+             |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sid AS (SELECT user_id, ms,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM x),
+             |sess AS (SELECT user_id, sid, min(ms) AS s_ms, max(ms) AS e_ms
+             |  FROM sid GROUP BY 1, 2),
+             |pts AS (SELECT ms, sum(st) AS n_start, sum(en) AS n_end FROM (
+             |    SELECT s_ms AS ms, 1 AS st, 0 AS en FROM sess
+             |    UNION ALL
+             |    SELECT e_ms AS ms, 0 AS st, 1 AS en FROM sess) u GROUP BY 1),
+             |sweep AS (SELECT ms,
+             |    sum(n_start - n_end) OVER (ORDER BY ms
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + n_end AS peak
+             |  FROM pts)
+             |SELECT CAST(max(peak) AS BIGINT) AS max_concurrent,
+             |  CAST(count(*) AS BIGINT) AS n_peaks,
+             |  CAST(min(ms) AS BIGINT) AS first_peak_ms
+             |FROM sweep WHERE peak = (SELECT max(peak) FROM sweep)""".stripMargin))
   )
 }

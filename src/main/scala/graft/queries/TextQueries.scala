@@ -533,6 +533,35 @@ object TextQueries extends QueryModule {
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
              |  round(avg(n_chars), 4) AS avg_chars,
              |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-             |FROM documents GROUP BY source""".stripMargin))
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // One BPE-training merge step: tokenize with the BPE-ish pre-token
+    // regex (same class split as text_stats' token counter), then count
+    // adjacent CHARACTER pairs inside each pre-token — the top pair is
+    // the merge a byte-pair-encoding trainer would apply next, and the
+    // top-k table is the candidate queue. Shape at scale: explode →
+    // hash-aggregate with map-side combine (pair domain is bounded by
+    // the alphabet², so partial aggregation collapses almost all of the
+    // exploded volume before the shuffle); top-k is TakeOrdered. The
+    // per-token pair array is cheap to build (substring over short
+    // tokens), so the Generate-inlining re-evaluation is harmless here —
+    // see TextAnalysis.explodedGramsJvm for the expensive-array variant.
+    EngineQuery(
+      "text_bpe_pairs",
+      (s, dir) =>
+        docs(s, dir)
+          .selectExpr(s"explode(regexp_extract_all(lower(text), '$bpePattern', 0)) AS tok")
+          .filter(length(col("tok")) >= 2)
+          .selectExpr("explode(transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))) AS pair")
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(20),
+      Some("""WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+             |  FROM documents),
+             |p AS (SELECT substr(tok, CAST(unnest(range(1, CAST(length(tok) AS BIGINT))) AS INT), 2) AS pair
+             |  FROM tk WHERE length(tok) >= 2)
+             |SELECT pair, CAST(count(*) AS BIGINT) AS n
+             |FROM p GROUP BY pair
+             |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin))
   )
 }
