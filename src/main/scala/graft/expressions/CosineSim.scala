@@ -179,5 +179,6 @@ object GraftExtensions {
     ext.injectFunction(mgCandidatesDescriptor)
     ext.injectFunction(topKByDescriptor)
     ext.injectFunction(cmsCountersDescriptor)
+    ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
   }
 }

@@ -184,6 +184,55 @@ object JoinQueries extends QueryModule {
              |FROM lineitem l JOIN win w
              |  ON epoch_ms(l.l_shipdate) >= w.w_start_ms
              | AND epoch_ms(l.l_shipdate) < w.w_end_ms
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // The NAIVE interval-join spelling, auto-rewritten: events joined to
+    // derived busier-than-average hour windows with nothing but the two
+    // inequalities — the shape Spark plans as a nested loop — while
+    // graft.plans.RangeBinJoinRule (enabled here via its bin-size conf,
+    // hour-wide bins) rewrites it into a binned equi-join at
+    // optimization time. RangeBinJoinSpec pins the plan shape and
+    // equivalence; this query pins the RESULT against DuckDB running
+    // the same naive SQL. Memoized+persisted so the conf toggle scopes
+    // to the one optimization pass.
+    EngineQuery(
+      "range_autobin_join",
+      (s, dir) => autobinCache.getOrElseUpdate((s, dir), {
+        val e = ev(s, dir)
+        val hourly = e.withColumn("hr", expr("ms DIV 3600000L"))
+          .groupBy("hr").agg(count(lit(1)).as("n_ev"))
+        val tot = hourly.agg(sum("n_ev").as("total"), count(lit(1)).as("n_hours"))
+        val windows = hourly.crossJoin(tot)
+          .filter(col("n_ev") * col("n_hours") > col("total"))
+          .select((col("hr") * 3600000L).as("h_start_ms"),
+            ((col("hr") + 1L) * 3600000L).as("h_end_ms"), col("n_ev"))
+        val prev = s.conf.getOption(graft.plans.RangeBinJoinRule.ConfKey)
+        s.conf.set(graft.plans.RangeBinJoinRule.ConfKey, "3600000")
+        try {
+          val joined = e
+            .join(windows, col("ms") >= col("h_start_ms") && col("ms") < col("h_end_ms"))
+            .groupBy("h_start_ms", "n_ev")
+            .agg(count(lit(1)).as("n_in_window"), countDistinct("user_id").as("n_users"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          joined.count()
+          joined
+        } finally prev match {
+          case Some(v) => s.conf.set(graft.plans.RangeBinJoinRule.ConfKey, v)
+          case None => s.conf.unset(graft.plans.RangeBinJoinRule.ConfKey)
+        }
+      }),
+      Some("""WITH e AS (SELECT epoch_ms(ts) AS ms, user_id FROM events),
+             |hr AS (SELECT ms // 3600000 AS hr, count(*) AS n_ev FROM e GROUP BY 1),
+             |tot AS (SELECT sum(n_ev) AS total, count(*) AS n_hours FROM hr),
+             |win AS (
+             |  SELECT hr * 3600000 AS h_start_ms, (hr + 1) * 3600000 AS h_end_ms, n_ev
+             |  FROM hr, tot WHERE n_ev * n_hours > total)
+             |SELECT w.h_start_ms, w.n_ev, CAST(count(*) AS BIGINT) AS n_in_window,
+             |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+             |FROM e JOIN win w ON e.ms >= w.h_start_ms AND e.ms < w.h_end_ms
              |GROUP BY 1, 2""".stripMargin))
   )
+
+  private val autobinCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 }
