@@ -11,6 +11,13 @@ object SparkTestBase {
     val s = SparkSessions.builder("local[8]", 8)
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // The 4.1 checkpoint checksum writer deadlocks under RocksDB
+      // snapshot upload with several state partitions closing zip
+      // streams at once (each close() awaits a checksum future that
+      // can't get a pool thread). Observed wedging transformWithState
+      // commits in TxBufferV2Spec; checksums add nothing to local
+      // test checkpoints, so turn the feature off for the test JVM.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
