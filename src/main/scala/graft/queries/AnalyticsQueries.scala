@@ -645,6 +645,26 @@ object AnalyticsQueries extends QueryModule {
            |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
            |  min($c) AS min_v, max($c) AS max_v FROM lineitem""".stripMargin
-      }.mkString("\nUNION ALL\n")))
+      }.mkString("\nUNION ALL\n"))),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT (top-2 orders
+    // per customer), in SQL text: Catalyst decorrelates the per-row
+    // subquery into a window top-k over ONE orders shuffle — no
+    // per-customer re-execution (the row_number plan q20 spells by hand,
+    // reached here from the declarative spelling).
+    EngineQuery(
+      "q31_lateral_topn",
+      (s, dir) => s.sql(
+        s"""SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+           |FROM parquet.`${tablePath(dir, "customer")}` c,
+           |LATERAL (SELECT o_orderkey, o_totalprice
+           |         FROM parquet.`${tablePath(dir, "orders")}` o
+           |         WHERE o.o_custkey = c.c_custkey
+           |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin),
+      Some("""SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             |         WHERE o.o_custkey = c.c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin))
   )
 }

@@ -221,6 +221,69 @@ object SketchQueries extends QueryModule {
               |  JOIN counters c ON c.r = t.r
               |    AND c.idx = (${hash60Duck("CAST(t.r AS VARCHAR) || ':' || p.k")} % 64))
               |SELECT CAST(k AS BIGINT) AS user_id, n AS exact_n, min(cnt) AS cms_n
-              |FROM pc GROUP BY k, n""".stripMargin))
+              |FROM pc GROUP BY k, n""".stripMargin)),
+
+    // KMV set-OVERLAP estimation: |clickers ∩ purchasers| from two KMV
+    // sketches alone (the sketch-algebra composition: union sketch =
+    // k smallest of merged kept-sets; ρ = members of the union sketch
+    // present in BOTH kept-sets; est∩ = ρ/|union sketch| · est∪). The
+    // audience-overlap estimator — at 100 TB the two kept-sets are the
+    // only state exchanged (k hashes each, broadcastable), never the
+    // user sets themselves. exact_intersection rides along as truth.
+    EngineQuery(
+      "sketch_kmv_overlap",
+      (s, dir) => {
+        val k = 64 // << |users|: the ESTIMATOR branch, not the exact small-set branch, is what the oracle pins
+        val ev = EventsQueries.events(s, dir)
+        def kept(t: String) = ev.filter(col("event_type") === t)
+          .selectExpr(s"${hash60Spark("CAST(user_id AS STRING)")} AS h")
+          .distinct().orderBy("h").limit(k)
+        val ka = kept("click")
+        val kb = kept("purchase")
+        val ku = ka.unionByName(kb).distinct().orderBy("h").limit(k)
+        val su = ku.agg(count(lit(1)).as("n_u"), max("h").as("max_u"))
+        val nboth = ku.join(ka, Seq("h"), "left_semi").join(kb, Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("n_both"))
+        val exact = ev.filter(col("event_type").isin("click", "purchase"))
+          .groupBy("user_id")
+          .agg(
+            max(when(col("event_type") === "click", 1).otherwise(0)).as("c"),
+            max(when(col("event_type") === "purchase", 1).otherwise(0)).as("p"))
+          .filter(col("c") === 1 && col("p") === 1)
+          .agg(count(lit(1)).as("exact_intersection"))
+        // Identical expression TEXT on both engines: the single double
+        // division and multiply execute in the same IEEE order.
+        val estU = s"CASE WHEN n_u < $k THEN CAST(n_u AS DOUBLE) " +
+          s"ELSE (${k - 1}.0 * 1152921504606846976.0) / CAST(max_u AS DOUBLE) END"
+        su.crossJoin(nboth).crossJoin(exact).selectExpr(
+          "n_u", "n_both",
+          s"round($estU, 6) AS est_union",
+          s"round((CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE)) * ($estU), 6) AS est_intersection",
+          "exact_intersection")
+      },
+      Some(s"""WITH ka AS (SELECT DISTINCT ${hash60Duck("CAST(user_id AS VARCHAR)")} AS h
+             |    FROM events WHERE event_type = 'click' ORDER BY h LIMIT 64),
+             |kb AS (SELECT DISTINCT ${hash60Duck("CAST(user_id AS VARCHAR)")} AS h
+             |    FROM events WHERE event_type = 'purchase' ORDER BY h LIMIT 64),
+             |ku AS (SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+             |    ORDER BY h LIMIT 64),
+             |su AS (SELECT CAST(count(*) AS BIGINT) AS n_u, max(h) AS max_u FROM ku),
+             |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM ku
+             |    WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+             |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+             |    SELECT user_id,
+             |      max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+             |      max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+             |    FROM events WHERE event_type IN ('click', 'purchase')
+             |    GROUP BY user_id) t WHERE c = 1 AND p = 1)
+             |SELECT n_u, n_both,
+             |  round(CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+             |    ELSE (63.0 * 1152921504606846976.0) / CAST(max_u AS DOUBLE) END, 6) AS est_union,
+             |  round((CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE)) *
+             |    (CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+             |     ELSE (63.0 * 1152921504606846976.0) / CAST(max_u AS DOUBLE) END), 6)
+             |    AS est_intersection,
+             |  exact_intersection
+             |FROM su, nb, ex""".stripMargin))
   )
 }
