@@ -440,6 +440,43 @@ object EventsQueries extends QueryModule {
              |SELECT CAST(max(peak) AS BIGINT) AS max_concurrent,
              |  CAST(count(*) AS BIGINT) AS n_peaks,
              |  CAST(min(ms) AS BIGINT) AS first_peak_ms
-             |FROM sweep WHERE peak = (SELECT max(peak) FROM sweep)""".stripMargin))
+             |FROM sweep WHERE peak = (SELECT max(peak) FROM sweep)""".stripMargin)),
+
+    // Time-series gap filling: a dense hourly spine (every hour between
+    // the corpus min and max, per event type) left-joined to the actual
+    // hourly counts, empty hours zero-filled — the resample/densify step
+    // before any rolling-window feature. The spine GENERATES (types ×
+    // hours) from two tiny broadcast inputs instead of scanning, so the
+    // only full-data work is one hourly pre-aggregation; integer-exact
+    // throughout. Output pins the fill: total hours, zero-filled hours,
+    // and event mass per type.
+    EngineQuery(
+      "evt_gapfill",
+      (s, dir) => {
+        val e = events(s, dir)
+          .withColumn("hr", expr("unix_millis(ts) DIV 3600000L"))
+        val bounds = e.agg(min("hr").as("lo"), max("hr").as("hi"))
+        val types = e.select("event_type").distinct()
+        val spine = types.crossJoin(broadcast(bounds))
+          .selectExpr("event_type", "explode(sequence(lo, hi)) AS hr")
+        val counts = e.groupBy("event_type", "hr").agg(count(lit(1)).as("n"))
+        spine.join(counts, Seq("event_type", "hr"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_hours"),
+            sum(when(col("n") === 0L, 1L).otherwise(0L)).as("n_gap_hours"),
+            sum("n").as("n_events"))
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hr FROM events),
+             |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+             |t AS (SELECT DISTINCT event_type FROM e),
+             |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hr FROM t, b),
+             |c AS (SELECT event_type, hr, count(*) AS n FROM e GROUP BY 1, 2),
+             |f AS (SELECT s.event_type, s.hr, coalesce(c.n, 0) AS n
+             |  FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.hr = c.hr)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+             |  CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_hours,
+             |  CAST(sum(n) AS BIGINT) AS n_events
+             |FROM f GROUP BY 1""".stripMargin))
   )
 }
