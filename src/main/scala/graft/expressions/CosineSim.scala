@@ -172,9 +172,24 @@ object GraftExtensions {
       L2SqRange(children.head, children(1), children(2), len)
     })
 
+  val hilbertXYDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hilbert_xy"),
+    new ExpressionInfo(classOf[HilbertXY].getName, "hilbert_xy"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "hilbert_xy takes exactly 3 arguments: (x, y, bits)")
+      val bits = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"hilbert_xy bits must be an integer literal, got $other")
+      }
+      HilbertXY(children.head, children(1), bits)
+    })
+
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
     ext.injectFunction(l2SqRangeDescriptor)
+    ext.injectFunction(hilbertXYDescriptor)
     ext.injectFunction(kmvDistinctDescriptor)
     ext.injectFunction(mgCandidatesDescriptor)
     ext.injectFunction(topKByDescriptor)

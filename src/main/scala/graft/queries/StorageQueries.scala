@@ -156,6 +156,23 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededHk =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Same table, same stat columns, HILBERT-clustered — store_hilbert_skipping
+    * pins the curve-agnostic pruning path; HilbertOrderSpec measures the
+    * file-count advantage over the Morton layout. */
+  private def hstatsOrders(s: SparkSession, dir: String): String =
+    seededHk.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-skiph")
+        .resolve("orders_hstats").toString
+      graft.tables.StatsSkipping.writeWithStats(
+        s, s.read.parquet(tablePath(dir, "orders"))
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+        Seq("o_orderkey", "o_custkey"), t, numFiles = 16, curve = "hilbert")
+      t
+    })
+
   private val seededBl =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
@@ -243,7 +260,7 @@ object StorageQueries extends QueryModule {
       () => deletedOrders(s, dir), () => updatedOrders(s, dir),
       () => statsOrders(s, dir), () => dvOrders(s, dir),
       () => mergedOrders(s, dir), () => zstatsOrders(s, dir),
-      () => bloomOrders(s, dir))
+      () => hstatsOrders(s, dir), () => bloomOrders(s, dir))
     Await.result(
       Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
       Duration.Inf)
@@ -298,6 +315,25 @@ object StorageQueries extends QueryModule {
              |  round(sum(o_totalprice), 2) AS total_price
              |FROM orders
              |WHERE o_orderkey BETWEEN 100 AND 700 AND o_custkey BETWEEN 10 AND 60
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // The SAME pruned-scan contract on the Hilbert layout (a different
+    // box than the z query, so both pin their own file survivors): the
+    // manifest format and scanBox are curve-agnostic — only the per-file
+    // envelopes differ. HilbertOrderSpec holds the head-to-head count.
+    EngineQuery(
+      "store_hilbert_skipping",
+      (s, dir) =>
+        graft.tables.StatsSkipping
+          .scanBox(s, hstatsOrders(s, dir),
+            Seq(("o_orderkey", 200L, 900L), ("o_custkey", 20L, 80L)))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total_price")),
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS total_price
+             |FROM orders
+             |WHERE o_orderkey BETWEEN 200 AND 900 AND o_custkey BETWEEN 20 AND 80
              |GROUP BY o_orderstatus""".stripMargin)),
 
     // Per-file BLOOM-index point lookup on an UNCLUSTERED column: the

@@ -32,17 +32,23 @@ import org.apache.spark.sql.functions._
 object StatsSkipping {
 
   /** Cluster `df` by `statCols` (long-typed) into `numFiles` files under
-    * `dir` — range sort for 1 column, Z-order for 2+ — then collect
-    * per-file min/max/rows into the `_STATS` manifest. */
+    * `dir` — range sort for 1 column, a space-filling curve for 2+
+    * (`curve`: "z" = Morton interleave, "hilbert" = Hilbert walk, 2-D
+    * only) — then collect per-file min/max/rows into the `_STATS`
+    * manifest. Pruning reads only the manifest, so the curve choice is
+    * invisible to scanBox — it just changes how many files survive. */
   def writeWithStats(
       spark: SparkSession,
       df: DataFrame,
       statCols: Seq[String],
       dir: String,
-      numFiles: Int): Unit = {
+      numFiles: Int,
+      curve: String = "z"): Unit = {
     require(statCols.nonEmpty, "need at least one stat column")
+    require(curve == "z" || curve == "hilbert", s"unknown curve: $curve")
     val clustered =
       if (statCols.size == 1) df.repartitionByRange(numFiles, col(statCols.head))
+      else if (curve == "hilbert") HilbertOrder.cluster(df, statCols, numFiles)
       else ZOrder.cluster(df, statCols, numFiles)
     clustered.write.mode("overwrite").parquet(dir)
     val aggs = statCols.flatMap(c =>

@@ -40,13 +40,12 @@ object ZOrder {
     }
   }
 
-  /** The interleaved z-value as a codegen-friendly LONG column. NULLs
-    * rank lowest (coalesced to the column minimum). */
-  def zvalue(bs: Seq[ColBounds], bits: Int = DefaultBits): Column = {
-    require(bs.nonEmpty, "zorder needs at least one column")
-    require(bs.size * bits <= 62, s"${bs.size} cols x $bits bits overflows LONG")
+  /** Min-max normalized `bits`-wide integer rank per bounded column —
+    * the shared grid for any space-filling curve (Morton here, Hilbert
+    * in [[HilbertOrder]]). NULLs rank lowest (coalesced to the min). */
+  def ranks(bs: Seq[ColBounds], bits: Int = DefaultBits): Seq[Column] = {
     val maxRank = (1L << bits) - 1
-    val ranks: Seq[Column] = bs.map { b =>
+    bs.map { b =>
       val c = coalesce(col(b.name).cast("double"), lit(b.min))
       val span = b.max - b.min
       if (span <= 0) lit(0L)
@@ -55,11 +54,18 @@ object ZOrder {
           lit(maxRank),
           greatest(lit(0L), floor((c - lit(b.min)) / lit(span) * lit(maxRank.toDouble)).cast("long")))
     }
+  }
+
+  /** The interleaved z-value as a codegen-friendly LONG column. */
+  def zvalue(bs: Seq[ColBounds], bits: Int = DefaultBits): Column = {
+    require(bs.nonEmpty, "zorder needs at least one column")
+    require(bs.size * bits <= 62, s"${bs.size} cols x $bits bits overflows LONG")
+    val rs = ranks(bs, bits)
     val n = bs.size
     val terms = for {
       bit <- 0 until bits
       j <- 0 until n
-    } yield shiftleft(shiftright(ranks(j), bit).bitwiseAND(lit(1L)), bit * n + j)
+    } yield shiftleft(shiftright(rs(j), bit).bitwiseAND(lit(1L)), bit * n + j)
     terms.reduce(_.bitwiseOR(_))
   }
 
