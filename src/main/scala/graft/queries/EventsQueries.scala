@@ -477,6 +477,41 @@ object EventsQueries extends QueryModule {
              |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
              |  CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_hours,
              |  CAST(sum(n) AS BIGINT) AS n_events
-             |FROM f GROUP BY 1""".stripMargin))
+             |FROM f GROUP BY 1""".stripMargin)),
+
+    // LOCF imputation (last observation carried forward): each user's
+    // sparse signal — the value of their PURCHASE events — forward-
+    // filled onto every subsequent event via an IGNORE NULLS running
+    // last_value. The feature-imputation step for irregular sensors /
+    // sparse labels: one user_id shuffle, one ordered window, no
+    // self-join. Carried values are raw 2-decimal doubles, so the
+    // per-user sum rounds back exactly on both engines.
+    EngineQuery(
+      "evt_locf_impute",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .withColumn("carried",
+            last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+              .over(w))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("carried").isNotNull && col("event_type") =!= "purchase", 1L)
+              .otherwise(0L)).as("n_imputed"),
+            round(sum("carried"), 2).as("total_carried"))
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, event_type,
+             |    last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+             |  FROM events)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN carried IS NOT NULL AND event_type <> 'purchase'
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+             |  round(sum(carried), 2) AS total_carried
+             |FROM x GROUP BY user_id""".stripMargin))
   )
 }
