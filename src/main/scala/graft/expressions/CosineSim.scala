@@ -195,5 +195,6 @@ object GraftExtensions {
     ext.injectFunction(topKByDescriptor)
     ext.injectFunction(cmsCountersDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRule)
   }
 }

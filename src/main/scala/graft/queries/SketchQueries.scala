@@ -284,6 +284,49 @@ object SketchQueries extends QueryModule {
              |     ELSE (63.0 * 1152921504606846976.0) / CAST(max_u AS DOUBLE) END), 6)
              |    AS est_intersection,
              |  exact_intersection
-             |FROM su, nb, ex""".stripMargin))
+             |FROM su, nb, ex""".stripMargin)),
+
+    // The AQP rewrite end-to-end (plans/ApproxDistinctRule): a plain
+    // count(DISTINCT …) aggregation, with the conf opting the plan into
+    // the KMV sketch — the oracle replays the SKETCH (row_number over
+    // distinct hashes + the same estimator arithmetic + the same
+    // rounding), so a silent failure to rewrite would hash-MISMATCH
+    // (the exact answers differ from the estimates at k=128).
+    // Memoized+persisted so the conf toggle scopes to this one plan.
+    EngineQuery(
+      "sketch_approx_rewrite",
+      (s, dir) => arCache.getOrElseUpdate((s, dir), {
+        val prev = s.conf.getOption(graft.plans.ApproxDistinctRule.ConfKey)
+        s.conf.set(graft.plans.ApproxDistinctRule.ConfKey, "128")
+        try {
+          val df = lineitem(s, dir)
+            .groupBy("l_linestatus")
+            .agg(countDistinct(col("l_partkey")).as("nd_est"),
+              count(lit(1)).as("n"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          df
+        } finally prev match {
+          case Some(v) => s.conf.set(graft.plans.ApproxDistinctRule.ConfKey, v)
+          case None => s.conf.unset(graft.plans.ApproxDistinctRule.ConfKey)
+        }
+      }),
+      Some(s"""WITH h AS (
+             |  SELECT DISTINCT l_linestatus AS g,
+             |    ${hash60Duck("CAST(l_partkey AS VARCHAR)")} AS h
+             |  FROM lineitem),
+             |r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM h),
+             |s AS (SELECT g, count(*) AS n_kept, max(h) AS max_h FROM r WHERE rn <= 128 GROUP BY g),
+             |c AS (SELECT l_linestatus AS g, CAST(count(*) AS BIGINT) AS n
+             |  FROM lineitem GROUP BY 1)
+             |SELECT s.g AS l_linestatus,
+             |  CAST(round(CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+             |    ELSE (127.0 * 1152921504606846976.0) / CAST(max_h AS DOUBLE) END, 0) AS BIGINT)
+             |    AS nd_est,
+             |  c.n
+             |FROM s JOIN c ON s.g = c.g""".stripMargin))
   )
+
+  private val arCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 }
