@@ -109,6 +109,7 @@ object DedupQueries extends QueryModule {
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
     minhashPairsCached(s, dir, 0.8).count()
     simhashCached(s, dir).count()
+    strictPairsCached(s, dir).count()
     ()
   }
 
@@ -316,6 +317,45 @@ object DedupQueries extends QueryModule {
               |  JOIN e e3 ON e3.a_id = e1.b_id AND e3.b_id = e2.b_id)
               |SELECT CAST(tr.n AS BIGINT) AS n_triangles,
               |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges
-              |FROM tr""".stripMargin))
+              |FROM tr""".stripMargin)),
+
+    // WITH RECURSIVE on the SQL surface (Spark 4's recursive CTEs):
+    // depth-bounded reachability over the ASCENDING-oriented strict
+    // near-dup edges. Orientation makes the graph a DAG (Spark recursion
+    // is UNION ALL-only — a cycle would never terminate) and the ≤3-hop
+    // bound caps path multiplicity, so the recursion's working set stays
+    // proportional to paths-within-3-hops; the outer DISTINCT collapses
+    // multi-path revisits. Seeds = the 3 smallest edge sources. The
+    // cached edge view keeps each recursion step a scan of the
+    // in-memory edge list, never a re-run of the band join.
+    EngineQuery(
+      "dedup_recursive_reach",
+      (s, dir) => {
+        strictPairsCached(s, dir).createOrReplaceTempView("strict_edges_v")
+        s.sql("""WITH RECURSIVE reach(seed, v, depth) AS (
+                |  SELECT a_id, a_id, 0 FROM (
+                |    SELECT DISTINCT a_id FROM strict_edges_v ORDER BY a_id LIMIT 3)
+                |  UNION ALL
+                |  SELECT r.seed, e.b_id, r.depth + 1
+                |  FROM reach r JOIN strict_edges_v e ON e.a_id = r.v
+                |  WHERE r.depth < 3)
+                |SELECT seed, CAST(count(DISTINCT v) - 1 AS BIGINT) AS n_reach_3hop
+                |FROM reach GROUP BY seed""".stripMargin)
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+              |h AS (SELECT doc_id, $tokenHashesDuck AS th FROM tk),
+              |f AS (SELECT doc_id, $simhash32Duck AS simhash FROM h),
+              |e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+              |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+              |reach(seed, v, depth) AS (
+              |  SELECT a_id, a_id, 0 FROM (
+              |    SELECT DISTINCT a_id FROM e ORDER BY a_id LIMIT 3) s
+              |  UNION ALL
+              |  SELECT r.seed, e.b_id, r.depth + 1
+              |  FROM reach r JOIN e ON e.a_id = r.v
+              |  WHERE r.depth < 3)
+              |SELECT seed, CAST(count(DISTINCT v) - 1 AS BIGINT) AS n_reach_3hop
+              |FROM reach GROUP BY seed""".stripMargin))
   )
 }
