@@ -158,6 +158,31 @@ object EventsQueries extends QueryModule {
              |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // The same extraction through Spark 4's VARIANT type (parse once,
+    // typed path access — the semi-structured column format that
+    // replaces per-query JSON string re-parsing; at scale the parsed
+    // variant is what you'd persist). Distinct outputs from
+    // evt_json_extract: typed min/max and a missing-path count (variant
+    // null-safety), aggregated so no VARIANT reaches the output schema.
+    EngineQuery(
+      "evt_variant_extract",
+      (s, dir) =>
+        events(s, dir)
+          .withColumn("v", expr("parse_json(props)"))
+          .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+          .withColumn("missing", expr("variant_get(v, '$.absent', 'int')"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            min("k").as("min_k"), max("k").as("max_k"),
+            sum(when(col("missing").isNull, 1L).otherwise(0L)).as("n_missing_path")),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+             |  CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+             |  CAST(sum(CASE WHEN json_extract_string(props, '$.absent') IS NULL
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_path
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // Funnel: users whose first 'error' is followed by a 'click' within
     // 24 hours (sequential pattern via per-user window functions; events
     // are sparse in time, so a short window matches nothing).
