@@ -455,6 +455,50 @@ object SimQueries extends QueryModule {
             max("vec_id").as("max_vec")),
       Some("""SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
              |  CAST(min(vec_id) AS BIGINT) AS min_vec, CAST(max(vec_id) AS BIGINT) AS max_vec
-             |FROM embeddings GROUP BY label""".stripMargin))
+             |FROM embeddings GROUP BY label""".stripMargin)),
+
+    // Matryoshka retrieval: rank neighbors by cosine over the FIRST 16
+    // dims (cosine renormalizes, so truncation needs no explicit
+    // re-norm) and measure top-5 overlap against the full 64-dim
+    // ranking — the quality check behind truncated-embedding cheap
+    // retrieval (prefix search → full-dim re-rank). Both rankings come
+    // from ONE scored pass (two codegen'd cosine_sim columns over the
+    // same broadcast-probe join), outputs are pure ids/counts.
+    EngineQuery(
+      "sim_matryoshka",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+        val scored = e.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("qid"))
+          .selectExpr("qid", "vec_id",
+            "cosine_sim(q_emb, embedding) AS cf",
+            "cosine_sim(slice(q_emb, 1, 16), slice(embedding, 1, 16)) AS ct")
+        val wf = Window.partitionBy("qid").orderBy(col("cf").desc, col("vec_id").asc)
+        val wt = Window.partitionBy("qid").orderBy(col("ct").desc, col("vec_id").asc)
+        scored
+          .withColumn("rf", row_number().over(wf))
+          .withColumn("rt", row_number().over(wt))
+          .groupBy(col("qid").as("query_id"))
+          .agg(
+            sum(when(col("rf") <= 5 && col("rt") <= 5, 1L).otherwise(0L)).as("overlap_at_5"),
+            max(when(col("rt") === 1, col("vec_id"))).as("trunc_top1"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT q.vec_id AS qid, c.vec_id AS vid,
+              |    ${cosineDuck("q.embedding", "c.embedding")} AS cf,
+              |    ${cosineDuck("q.embedding[1:16]", "c.embedding[1:16]")} AS ct
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 5),
+              |r AS (SELECT qid, vid,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cf DESC, vid ASC) AS rf,
+              |    row_number() OVER (PARTITION BY qid ORDER BY ct DESC, vid ASC) AS rt
+              |  FROM p)
+              |SELECT qid AS query_id,
+              |  CAST(sum(CASE WHEN rf <= 5 AND rt <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS overlap_at_5,
+              |  CAST(max(CASE WHEN rt = 1 THEN vid END) AS BIGINT) AS trunc_top1
+              |FROM r GROUP BY qid""".stripMargin))
   )
 }
