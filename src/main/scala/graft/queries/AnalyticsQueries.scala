@@ -665,6 +665,47 @@ object AnalyticsQueries extends QueryModule {
              |FROM customer c,
              |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
              |         WHERE o.o_custkey = c.c_custkey
-             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin))
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t""".stripMargin)),
+
+    // Robust outlier detection via MAD (median absolute deviation) — the
+    // median-based twin of evt_outliers' z-scores, immune to the outliers
+    // it hunts. Integer quantities keep every stage engine-exact: group
+    // medians land on .0/.5, deviations on multiples of 0.5, the MAD on
+    // multiples of 0.25 (4-decimal rounds never sit on a tie), and the
+    // 1.5·MAD fence compares exactly-representable doubles computed
+    // identically on both engines (ties resolve the same way). Two grouped exact
+    // percentiles + one broadcast join back — the sketch path at 100 TB
+    // swaps in the bounded histogram (sketch_quantile_groups).
+    EngineQuery(
+      "q33_robust_mad",
+      (s, dir) => {
+        val med = li(s, dir).groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+        val dev = li(s, dir).join(broadcast(med), "l_returnflag")
+          .withColumn("adev", abs(col("l_quantity") - col("med")))
+        val mad = dev.groupBy("l_returnflag")
+          .agg(expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(broadcast(mad), "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(
+            round(max("med"), 4).as("median_qty"),
+            round(max("mad"), 4).as("mad"),
+            sum(when(col("adev") > lit(1.5) * col("mad"), 1L).otherwise(0L))
+              .as("n_outliers"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag AS g, quantile_cont(l_quantity, 0.5) AS med
+             |  FROM lineitem GROUP BY 1),
+             |d AS (SELECT l.l_returnflag AS g, abs(l.l_quantity - m.med) AS adev, m.med
+             |  FROM lineitem l JOIN m ON l.l_returnflag = m.g),
+             |md AS (SELECT g, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY g)
+             |SELECT d.g AS l_returnflag,
+             |  round(max(d.med), 4) AS median_qty,
+             |  round(max(md.mad), 4) AS mad,
+             |  CAST(sum(CASE WHEN d.adev > 1.5 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM d JOIN md ON d.g = md.g GROUP BY 1""".stripMargin))
   )
 }
