@@ -537,6 +537,57 @@ object EventsQueries extends QueryModule {
              |  CAST(sum(CASE WHEN carried IS NOT NULL AND event_type <> 'purchase'
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
              |  round(sum(carried), 2) AS total_carried
-             |FROM x GROUP BY user_id""".stripMargin))
+             |FROM x GROUP BY user_id""".stripMargin)),
+
+    // Path analysis: the most-travelled 3-step event-type sequences
+    // WITHIN a session (24 H gap — events are hours apart in this
+    // corpus, so the 30-min web rule would leave only singleton
+    // sessions; the operator shape is identical) — the
+    // navigation-pattern mining behind funnel discovery. Trigrams come from two lags inside the session window
+    // (order-safe — no collect_list whose struct comparison could
+    // diverge), so the whole thing is one user_id shuffle, the
+    // session-window pass, and a bounded count: |event_types|³ keys at
+    // most, collapsed map-side.
+    EngineQuery(
+      "evt_top_paths",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wsid = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+        events(s, dir)
+          .withColumn("ms", unix_millis(col("ts")))
+          .withColumn("prev_ms", lag("ms", 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 86400000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum("new_s").over(w))
+          .withColumn("t2", lag("event_type", 2).over(wsid))
+          .withColumn("t1", lag("event_type", 1).over(wsid))
+          .filter(col("t2").isNotNull)
+          .select(concat_ws(">", col("t2"), col("t1"), col("event_type")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path").asc)
+          .limit(5)
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, event_id, event_type, epoch_ms(ts) AS ms,
+             |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+             |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 86400000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sid AS (SELECT user_id, ts, event_id, event_type,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM x),
+             |tri AS (SELECT
+             |    lag(event_type, 2) OVER ws AS t2,
+             |    lag(event_type, 1) OVER ws AS t1,
+             |    event_type
+             |  FROM sid
+             |  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+             |SELECT concat_ws('>', t2, t1, event_type) AS path,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM tri WHERE t2 IS NOT NULL
+             |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 5""".stripMargin))
   )
 }
