@@ -187,6 +187,37 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT over the same LSH candidate set: inter /
+    * min(|A|, |B|) — the sub-document duplication detector (boilerplate,
+    * quoted passages, truncated variants score high containment while
+    * their symmetric Jaccard stays low because the size difference
+    * inflates the union). Same banded candidate generation, same single
+    * integer-ratio division; only the denominator changes. */
+  def containmentPairs(mh: DataFrame, threshold: Double): DataFrame = {
+    val bands = this.bands(mh)
+    val cands = bands.alias("a")
+      .join(
+        bands.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val gramSets = mh.select(col("doc_id"), col("grams"))
+    cands
+      .join(gramSets.alias("ga"), col("a_id") === col("ga.doc_id"))
+      .join(gramSets.alias("gb"), col("b_id") === col("gb.doc_id"))
+      .withColumn("inter", size(array_intersect(col("ga.grams"), col("gb.grams"))))
+      .withColumn("containment",
+        col("inter").cast("double") /
+          least(size(col("ga.grams")), size(col("gb.grams"))))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        round(col("containment"), 6).as("containment"),
+        round(col("inter").cast("double") /
+          (size(col("ga.grams")) + size(col("gb.grams")) - col("inter")), 6).as("jaccard"))
+  }
+
   final case class TokensRow(doc_id: Long, toks: Seq[String])
 
   /** doc_id, simhash (32-bit fingerprint as BIGINT). JVM loop,

@@ -54,7 +54,9 @@ object DedupQueries extends QueryModule {
     * exact-Jaccard verification at `threshold` — the oracle dual of
     * `Dedup.minhashPairs`, shared by every query that consumes the LSH
     * candidate path (pairs, cluster reps, curation). */
-  def duckLshPairs(threshold: Double): String =
+  /** The banded candidate-generation prefix alone (`cand`(a_id, b_id)),
+    * shared by the Jaccard-verified pairs and the containment variant. */
+  def duckLshCandidates: String =
     s"""s AS (SELECT doc_id, grams, ${minhashSigDuck(Dedup.NumHashes)} AS sig FROM g),
        |s2 AS (SELECT doc_id, grams,
        |  [${bandHashDuck(1, 4)}, ${bandHashDuck(5, 4)}, ${bandHashDuck(9, 4)}, ${bandHashDuck(13, 4)}] AS bhs
@@ -63,7 +65,10 @@ object DedupQueries extends QueryModule {
        |  FROM s2 CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) idx),
        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
        |  FROM b a JOIN b b2
-       |    ON a.i = b2.i AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),
+       |    ON a.i = b2.i AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),""".stripMargin
+
+  def duckLshPairs(threshold: Double): String =
+    s"""$duckLshCandidates
        |v AS (SELECT a_id, b_id,
        |    len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS inter,
        |    len(ga.grams) AS na, len(gb.grams) AS nb
@@ -318,6 +323,27 @@ object DedupQueries extends QueryModule {
               |SELECT CAST(tr.n AS BIGINT) AS n_triangles,
               |  CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges
               |FROM tr""".stripMargin)),
+
+    // Asymmetric containment (inter / min(|A|,|B|)) over the SAME banded
+    // candidates — flags sub-document duplication (boilerplate, quotes,
+    // truncations) whose symmetric Jaccard stays low because the size
+    // gap inflates the union. Both ratios emitted so the asymmetry is
+    // visible in the gated result (this corpus's near-dup families are
+    // same-size, so containment saturates at 1.0 while jaccard sits at
+    // 0.90-0.99 — the pair SETS coincide here, the ratios don't).
+    EngineQuery(
+      "dedup_containment_pairs",
+      (s, dir) => Dedup.containmentPairs(minhash(s, dir), 0.7),
+      Some(s"""$duckGrams,
+              |${duckLshCandidates}
+              |v AS (SELECT a_id, b_id,
+              |    len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS inter,
+              |    len(ga.grams) AS na, len(gb.grams) AS nb
+              |  FROM cand JOIN g ga ON a_id = ga.doc_id JOIN g gb ON b_id = gb.doc_id)
+              |SELECT a_id, b_id,
+              |  round(CAST(inter AS DOUBLE) / least(na, nb), 6) AS containment,
+              |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+              |FROM v WHERE CAST(inter AS DOUBLE) / least(na, nb) >= 0.7""".stripMargin)),
 
     // WITH RECURSIVE on the SQL surface (Spark 4's recursive CTEs):
     // depth-bounded reachability over the ASCENDING-oriented strict
