@@ -588,6 +588,39 @@ object EventsQueries extends QueryModule {
              |SELECT concat_ws('>', t2, t1, event_type) AS path,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM tri WHERE t2 IS NOT NULL
-             |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 5""".stripMargin))
+             |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 5""".stripMargin)),
+
+    // Welch's t-statistic per event type against the 'view' baseline —
+    // the A/B-experiment readout. Determinism via the decimal-grain
+    // moment technique (evt_value_hour_corr): Σv rounded to 2 and Σv²
+    // to 4 decimals are EXACT (2-decimal values), then both engines
+    // derive mean/variance/t from identical expression text — sqrt is
+    // correctly rounded under IEEE-754, so the doubles match bitwise.
+    // One aggregation pass, baseline broadcast back.
+    EngineQuery(
+      "evt_ab_welch",
+      (s, dir) => {
+        val a = events(s, dir).filter(col("value").isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum("value"), 2).as("s1"),
+            round(sum(col("value") * col("value")), 4).as("s2"))
+        val base = a.filter(col("event_type") === "view")
+          .select(col("n").as("bn"), col("s1").as("bs1"), col("s2").as("bs2"))
+        a.filter(col("event_type") =!= "view")
+          .crossJoin(broadcast(base))
+          .selectExpr("event_type", "n",
+            "round(s1 / n - bs1 / bn, 6) AS mean_diff",
+            "round((s1 / n - bs1 / bn) / sqrt(((s2 - s1 * s1 / n) / (n - 1)) / n + ((bs2 - bs1 * bs1 / bn) / (bn - 1)) / bn), 6) AS welch_t")
+      },
+      Some("""WITH a AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    round(sum(value), 2) AS s1, round(sum(value * value), 4) AS s2
+             |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+             |b AS (SELECT n AS bn, s1 AS bs1, s2 AS bs2 FROM a WHERE event_type = 'view')
+             |SELECT event_type, n,
+             |  round(s1 / n - bs1 / bn, 6) AS mean_diff,
+             |  round((s1 / n - bs1 / bn) / sqrt(((s2 - s1 * s1 / n) / (n - 1)) / n + ((bs2 - bs1 * bs1 / bn) / (bn - 1)) / bn), 6) AS welch_t
+             |FROM a, b WHERE event_type <> 'view'""".stripMargin))
   )
 }
