@@ -621,6 +621,68 @@ object EventsQueries extends QueryModule {
              |SELECT event_type, n,
              |  round(s1 / n - bs1 / bn, 6) AS mean_diff,
              |  round((s1 / n - bs1 / bn) / sqrt(((s2 - s1 * s1 / n) / (n - 1)) / n + ((bs2 - bs1 * bs1 / bn) / (bn - 1)) / bn), 6) AS welch_t
-             |FROM a, b WHERE event_type <> 'view'""".stripMargin))
+             |FROM a, b WHERE event_type <> 'view'""".stripMargin)),
+
+    // Distribution-drift detection: χ² distance between each variant's
+    // unit-bin value histogram and the 'view' baseline — the monitoring
+    // check a training pipeline runs before trusting a new data slice.
+    // Every probability is a ratio of integer counts (identical division
+    // text both engines) and the per-bin terms sum through a
+    // bin-ordered strict fold (sort_array + aggregate vs list ORDER BY
+    // + list_reduce; 0.0-init == first-element-init because 0.0+x = x),
+    // so the doubles match bitwise. Spine = variants × observed bins,
+    // generated from two tiny aggregates — the full-data work is one
+    // (type, bin) count.
+    EngineQuery(
+      "evt_drift_chi2",
+      (s, dir) => {
+        val e = events(s, dir).filter(col("value").isNotNull)
+          .withColumn("b", floor(col("value")).cast("long"))
+        val counts = e.groupBy("event_type", "b").agg(count(lit(1)).as("c"))
+        val tot = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val vb = counts.filter(col("event_type") === "view")
+          .select(col("b"), col("c").as("cv"))
+        val nv = tot.filter(col("event_type") === "view")
+          .select(col("n").as("n_v"))
+        val spine = counts.select("event_type").distinct()
+          .filter(col("event_type") =!= "view")
+          .crossJoin(counts.select("b").distinct())
+        val terms = spine
+          .join(counts, Seq("event_type", "b"), "left")
+          .join(vb, Seq("b"), "left")
+          .join(broadcast(tot), Seq("event_type"))
+          .crossJoin(broadcast(nv))
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .withColumn("cv", coalesce(col("cv"), lit(0L)))
+          .filter(col("c") + col("cv") > 0)
+          .selectExpr("event_type", "b",
+            "(CAST(c AS DOUBLE) / n - CAST(cv AS DOUBLE) / n_v) * (CAST(c AS DOUBLE) / n - CAST(cv AS DOUBLE) / n_v) / (CAST(c AS DOUBLE) / n + CAST(cv AS DOUBLE) / n_v) AS term")
+        terms.groupBy("event_type")
+          .agg(count(lit(1)).as("n_bins"),
+            sort_array(collect_list(struct(col("b"), col("term")))).as("ts"))
+          .selectExpr("event_type", "n_bins",
+            "round(aggregate(ts, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term), 6) AS chi2")
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS b
+             |  FROM events WHERE value IS NOT NULL),
+             |counts AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS c
+             |  FROM e GROUP BY 1, 2),
+             |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+             |vb AS (SELECT b, c AS cv FROM counts WHERE event_type = 'view'),
+             |nv AS (SELECT n AS n_v FROM tot WHERE event_type = 'view'),
+             |spine AS (SELECT t.event_type, ab.b FROM
+             |  (SELECT DISTINCT event_type FROM counts WHERE event_type <> 'view') t
+             |  CROSS JOIN (SELECT DISTINCT b FROM counts) ab),
+             |terms AS (SELECT s.event_type, s.b,
+             |    (CAST(coalesce(c.c, 0) AS DOUBLE) / tot.n - CAST(coalesce(vb.cv, 0) AS DOUBLE) / nv.n_v) * (CAST(coalesce(c.c, 0) AS DOUBLE) / tot.n - CAST(coalesce(vb.cv, 0) AS DOUBLE) / nv.n_v) / (CAST(coalesce(c.c, 0) AS DOUBLE) / tot.n + CAST(coalesce(vb.cv, 0) AS DOUBLE) / nv.n_v) AS term
+             |  FROM spine s
+             |  LEFT JOIN counts c ON c.event_type = s.event_type AND c.b = s.b
+             |  LEFT JOIN vb ON vb.b = s.b
+             |  JOIN tot ON tot.event_type = s.event_type
+             |  CROSS JOIN nv
+             |  WHERE coalesce(c.c, 0) + coalesce(vb.cv, 0) > 0)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins,
+             |  round(list_reduce(list(term ORDER BY b), (x, y) -> x + y), 6) AS chi2
+             |FROM terms GROUP BY event_type""".stripMargin))
   )
 }
