@@ -132,6 +132,60 @@ object SampleQueries extends QueryModule {
              |r AS (SELECT lang, doc_id, draw,
              |    row_number() OVER (PARTITION BY lang ORDER BY draw ASC, doc_id DESC) AS rn
              |  FROM h)
-             |SELECT lang, doc_id, draw FROM r WHERE rn <= 5""".stripMargin))
+             |SELECT lang, doc_id, draw FROM r WHERE rn <= 5""".stripMargin)),
+
+    // Sampler-quality audit: the Kolmogorov–Smirnov statistic between
+    // the 10% hash-sample's price ECDF and the full ECDF, per return
+    // flag — validates that content-stable sampling preserves the value
+    // DISTRIBUTION, not just the rate. Both ECDFs come from one
+    // (flag, price) count with a sampled-subcount column, one ordered
+    // cumulative window per flag, and integer-ratio ECDFs — the max
+    // |difference| is a max over identically-computed doubles. A small
+    // KS (vs the ~0.01 sampling noise floor at this n) is the pass
+    // signal; the oracle pins the exact value.
+    EngineQuery(
+      "sample_ks_check",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = s.read.parquet(tablePath(dir, "lineitem"))
+        val thr = Sampling.threshold(BernoulliRate)
+        val keySpark = "CONCAT(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))"
+        val flagged = li.withColumn("in_samp",
+          (expr(graft.text.TextAnalysis.hash60Spark(keySpark)) < lit(thr)).cast("long"))
+        val perPrice = flagged.groupBy("l_returnflag", "l_extendedprice")
+          .agg(count(lit(1)).as("c_full"), sum("in_samp").as("c_samp"))
+        val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = perPrice.groupBy("l_returnflag")
+          .agg(sum("c_full").as("n_full"), sum("c_samp").as("n_samp"))
+        perPrice
+          .withColumn("cum_full", sum("c_full").over(w))
+          .withColumn("cum_samp", sum("c_samp").over(w))
+          .join(broadcast(tot), "l_returnflag")
+          .selectExpr("l_returnflag", "n_full", "n_samp",
+            "abs(CAST(cum_full AS DOUBLE) / n_full - CAST(cum_samp AS DOUBLE) / n_samp) AS d")
+          .groupBy("l_returnflag")
+          .agg(max("n_full").as("n_full"), max("n_samp").as("n_samp"),
+            round(max("d"), 6).as("ks"))
+      },
+      Some(s"""WITH f AS (SELECT l_returnflag, l_extendedprice,
+             |    CASE WHEN ${hash60Duck("CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")} < ${Sampling.threshold(BernoulliRate)}
+             |      THEN 1 ELSE 0 END AS in_samp
+             |  FROM lineitem),
+             |p AS (SELECT l_returnflag, l_extendedprice,
+             |    CAST(count(*) AS BIGINT) AS c_full, CAST(sum(in_samp) AS BIGINT) AS c_samp
+             |  FROM f GROUP BY 1, 2),
+             |cum AS (SELECT l_returnflag,
+             |    sum(c_full) OVER w AS cum_full, sum(c_samp) OVER w AS cum_samp
+             |  FROM p
+             |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |tot AS (SELECT l_returnflag, CAST(sum(c_full) AS BIGINT) AS n_full,
+             |    CAST(sum(c_samp) AS BIGINT) AS n_samp
+             |  FROM p GROUP BY 1)
+             |SELECT c.l_returnflag, max(t.n_full) AS n_full, max(t.n_samp) AS n_samp,
+             |  round(max(abs(CAST(cum_full AS DOUBLE) / t.n_full - CAST(cum_samp AS DOUBLE) / t.n_samp)), 6) AS ks
+             |FROM cum c JOIN tot t ON c.l_returnflag = t.l_returnflag
+             |GROUP BY 1""".stripMargin))
   )
 }
