@@ -590,6 +590,54 @@ object EventsQueries extends QueryModule {
              |FROM tri WHERE t2 IS NOT NULL
              |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 5""".stripMargin)),
 
+    // First-order Markov transition matrix over the same 24H-gap
+    // sessions: P(next_type | cur_type) from one lag inside the session
+    // window — the generative model behind the path mining (user-journey
+    // simulation, next-event prediction baselines). Probabilities are
+    // single integer-count ratios; the matrix is |types|² rows.
+    EngineQuery(
+      "evt_markov_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wsid = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+        val pairs = events(s, dir)
+          .withColumn("ms", unix_millis(col("ts")))
+          .withColumn("prev_ms", lag("ms", 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 86400000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid", sum("new_s").over(w))
+          .withColumn("cur_type", lag("event_type", 1).over(wsid))
+          .filter(col("cur_type").isNotNull)
+          .select(col("cur_type"), col("event_type").as("next_type"))
+        val counts = pairs.groupBy("cur_type", "next_type").agg(count(lit(1)).as("n"))
+        val tot = counts.groupBy("cur_type").agg(sum("n").as("row_n"))
+        counts.join(broadcast(tot), "cur_type")
+          .selectExpr("cur_type", "next_type", "n",
+            "round(CAST(n AS DOUBLE) / row_n, 6) AS p")
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, event_id, event_type, epoch_ms(ts) AS ms,
+             |    CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+             |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 86400000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sid AS (SELECT user_id, ts, event_id, event_type,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM x),
+             |pr AS (SELECT
+             |    lag(event_type, 1) OVER ws AS cur_type, event_type AS next_type
+             |  FROM sid
+             |  WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id)),
+             |c AS (SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM pr WHERE cur_type IS NOT NULL GROUP BY 1, 2),
+             |t AS (SELECT cur_type, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY 1)
+             |SELECT c.cur_type, c.next_type, c.n,
+             |  round(CAST(c.n AS DOUBLE) / t.row_n, 6) AS p
+             |FROM c JOIN t ON c.cur_type = t.cur_type""".stripMargin)),
+
     // Welch's t-statistic per event type against the 'view' baseline —
     // the A/B-experiment readout. Determinism via the decimal-grain
     // moment technique (evt_value_hour_corr): Σv rounded to 2 and Σv²
