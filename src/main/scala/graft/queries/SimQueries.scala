@@ -66,7 +66,9 @@ object SimQueries extends QueryModule {
 
   /** The IVF top-k oracle — shared by the inline and persisted-index
     * paths (same semantics, different IO layout). */
-  private lazy val ivfTopkOracle: String =
+  /** The IVF search CTE chain through `r`(query_id, neighbor_id, cos,
+    * rank) — shared by the top-k projection and the recall audit. */
+  private lazy val ivfRankCtes: String =
     s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
        |  FROM embeddings WHERE vec_id < 16),
        |p0 AS (SELECT e.vec_id, c.cell,
@@ -84,7 +86,10 @@ object SimQueries extends QueryModule {
        |  JOIN pr ON a.cell = pr.cell AND e.vec_id <> pr.query_id),
        |r AS (SELECT query_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-       |  FROM j)
+       |  FROM j)""".stripMargin
+
+  private lazy val ivfTopkOracle: String =
+    s"""$ivfRankCtes
        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
        |  round(cos, 6) AS cosine
        |FROM r WHERE rank <= 3""".stripMargin
@@ -252,6 +257,57 @@ object SimQueries extends QueryModule {
             round(col("cos"), 6).as("cosine"))
       },
       Some(ivfTopkOracle)),
+
+    // Recall@3 of the IVF search against brute force, per probe — THE
+    // ANN quality number (nprobe=1 here; sim_ivf_multiprobe is the
+    // recall knob). Both rankings run in-engine (cell-pruned candidates
+    // vs full corpus), the hit count is a semi-join on (query, neighbor)
+    // — and the oracle recomputes BOTH searches, so a recall regression
+    // in either path hash-mismatches.
+    EngineQuery(
+      "sim_ivf_recall",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val assigns = ivfAssign(s, e, 16).select(col("vec_id"), col("cell"))
+        val probes = e.filter(col("vec_id") < 5)
+          .join(assigns, "vec_id")
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+        val cands = e.select(col("vec_id"), col("embedding")).join(assigns, "vec_id")
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        val ivf3 = cands.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .selectExpr("query_id", "vec_id AS neighbor_id", "cosine_sim(q_emb, embedding) AS cos")
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+          .select("query_id", "neighbor_id")
+        val probesB = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        val brute3 = e.crossJoin(broadcast(probesB))
+          .filter(col("vec_id") =!= col("query_id"))
+          .selectExpr("query_id", "vec_id AS neighbor_id", "cosine_sim(q_emb, embedding) AS cos")
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+          .select("query_id", "neighbor_id")
+        brute3.join(ivf3.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .selectExpr("query_id", "hits",
+            "round(CAST(hits AS DOUBLE) / 3, 6) AS recall_at_3")
+      },
+      Some(s"""$ivfRankCtes,
+              |i3 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+              |bj AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |    ${cosineDuck("q.embedding", "e.embedding")} AS cos
+              |  FROM embeddings e JOIN embeddings q
+              |    ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+              |br AS (SELECT query_id, neighbor_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM bj),
+              |b3 AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 3)
+              |SELECT b3.query_id,
+              |  CAST(count(i3.neighbor_id) AS BIGINT) AS hits,
+              |  round(CAST(count(i3.neighbor_id) AS DOUBLE) / 3, 6) AS recall_at_3
+              |FROM b3 LEFT JOIN i3
+              |  ON i3.query_id = b3.query_id AND i3.neighbor_id = b3.neighbor_id
+              |GROUP BY 1""".stripMargin)),
 
     // The SAME search over the PERSISTED index (sim/IvfIndex): centroids
     // + cell-partitioned corpus materialized once on disk, probes read
