@@ -412,10 +412,12 @@ object EventsQueries extends QueryModule {
     // per-ms pre-aggregation makes the sweep order-free within a
     // timestamp (peak at t = active_before + starts(t), so touching
     // sessions count as overlapping — pinned identically in the oracle),
-    // and shrinks the ordered window to distinct boundary timestamps.
-    // That window is a single global prefix sum — at 100 TB it
-    // decomposes into the standard two-pass per-partition scan (partial
-    // sums, broadcast offsets); here the boundary domain is tiny.
+    // and shrinks the sweep domain to distinct boundary timestamps. The
+    // running sum itself is SequencePack.withStartOffsets — the
+    // distributed two-pass prefix sum (range partition on ms, partial
+    // sums, broadcast offsets) — so no unpartitioned Window appears
+    // anywhere: the inclusive running sum of delta=(n_start-n_end) plus
+    // n_end collapses to start_off + n_start.
     EngineQuery(
       "evt_max_concurrency",
       (s, dir) => {
@@ -432,10 +434,10 @@ object EventsQueries extends QueryModule {
         val pts = sess.select(col("s_ms").as("ms"), lit(1L).as("st"), lit(0L).as("en"))
           .unionAll(sess.select(col("e_ms").as("ms"), lit(0L).as("st"), lit(1L).as("en")))
           .groupBy("ms").agg(sum("st").as("n_start"), sum("en").as("n_end"))
-        val wo = Window.orderBy("ms").rowsBetween(Window.unboundedPreceding, 0)
-        val sweep = pts
-          .withColumn("cum_after", sum(col("n_start") - col("n_end")).over(wo))
-          .withColumn("peak", col("cum_after") + col("n_end"))
+          .withColumn("delta", col("n_start") - col("n_end"))
+        val sweep = graft.text.SequencePack
+          .withStartOffsets(pts, Seq("ms"), "delta", 32, keepCols = Seq("n_start"))
+          .withColumn("peak", col("start_off") + col("n_start"))
         val mx = sweep.agg(max("peak").as("mp"))
         sweep.join(broadcast(mx)).filter(col("peak") === col("mp"))
           .agg(max("peak").as("max_concurrent"), count(lit(1)).as("n_peaks"),

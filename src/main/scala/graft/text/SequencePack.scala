@@ -37,7 +37,8 @@ object SequencePack {
     * `orderCols` order. The combined key must be a total order (pass a
     * unique tiebreak column last) and every order/weight value must be a
     * non-null long-castable. Output: orderCols (cast to long) ++
-    * (weightCol cast to long) ++ start_off.
+    * (weightCol cast to long) ++ keepCols (passed through untyped) ++
+    * start_off.
     *
     * Partition offsets are keyed by each partition's FIRST KEY, not by a
     * runtime partition id: `TaskContext.getPartitionId()` lies when a
@@ -48,12 +49,12 @@ object SequencePack {
     * resets its running total whenever it crosses a boundary key. */
   def withStartOffsets(
       df: DataFrame, orderCols: Seq[String], weightCol: String,
-      numParts: Int): DataFrame = {
+      numParts: Int, keepCols: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val keys = orderCols.map(c => col(c).cast("long").as(c))
     val ranged = df
-      .select(keys :+ col(weightCol).cast("long").as(weightCol): _*)
+      .select(keys ++ (col(weightCol).cast("long").as(weightCol) +: keepCols.map(col)): _*)
       .repartitionByRange(numParts, orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
       .persist()

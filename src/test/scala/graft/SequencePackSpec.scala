@@ -94,4 +94,27 @@ class SequencePackSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("keepCols pass through the two passes untouched") {
+    val withExtra = tokenCounts.withColumn("n2", col("n_tokens") * 2)
+    val dist = SequencePack
+      .withStartOffsets(withExtra, Seq("doc_id"), "n_tokens", 8, keepCols = Seq("n2"))
+      .collect()
+    assert(dist.nonEmpty)
+    dist.foreach(r => assert(r.getLong(2) == 2 * r.getLong(1)))
+    // offsets unchanged vs the no-keepCols call
+    val plain = SequencePack.withStartOffsets(tokenCounts, "doc_id", "n_tokens", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    dist.foreach(r => assert(r.getLong(3) == plain(r.getLong(0))))
+  }
+
+  test("evt_max_concurrency sweep plans no ms-ordered (unpartitioned) Window") {
+    val df = graft.SparkEntry.queries("evt_max_concurrency")(spark, sf001)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // The only Window allowed is the user_id-partitioned sessionization
+    // pass; the boundary sweep must run through the two-pass prefix sum.
+    assert(!plan.contains("windowspecdefinition(ms"),
+      s"global ms-ordered Window crept back into the sweep:\n$plan")
+  }
 }
