@@ -43,6 +43,7 @@ object Bench {
       "build_partitioned_events" -> (() => graft.queries.EventsQueries.ensureSeeded(spark, sfDir)),
       "build_ivf_index" -> (() => graft.queries.SimQueries.ensureSeeded(spark, sfDir)),
       "build_dedup_shared" -> (() => graft.queries.DedupQueries.ensureSeeded(spark, sfDir)),
+      "build_text_grams" -> (() => graft.queries.TextQueries.ensureSeeded(spark, sfDir)),
       "build_sql_views" -> (() => graft.queries.SqlSurfaceQueries.ensureSeeded(spark, sfDir)))
 
     val results =

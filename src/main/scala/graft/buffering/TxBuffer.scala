@@ -133,7 +133,46 @@ final case class DeadEvent(
   * split into main/quarantine sinks happens downstream in foreachBatch). */
 final case class BufferedOut(row: OrderStreamRow, dead: DeadEvent)
 
+/** Per-transaction buffering progress, reported for every transaction
+  * still incomplete at the end of a trigger — the operational signal an
+  * operator stares at during an incident (reference:
+  * processor/TransactionState.scala:64-67 logs the same counts).
+  * `expected* == -1` means the METADATA event has not arrived yet. */
+final case class TxProgress(
+    xid: String,
+    csn: String,
+    orders: Int,
+    expectedOrders: Int,
+    details: Int,
+    expectedDetails: Int,
+    lineItems: Int,
+    expectedLineItems: Int) {
+  def render: String = {
+    def part(n: Int, exp: Int) = if (exp < 0) s"$n/?" else s"$n/$exp"
+    s"tx $xid:$csn buffering orders=${part(orders, expectedOrders)} " +
+      s"details=${part(details, expectedDetails)} " +
+      s"lineItems=${part(lineItems, expectedLineItems)}"
+  }
+}
+
 object TxBuffer {
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Progress hook, invoked ON THE EXECUTOR once per still-incomplete
+    * transaction per trigger (the stateful lambda is the only place the
+    * counts exist). Default logs at INFO, mirroring the reference's
+    * worker-side progress strings; swappable (e.g. to a metrics client,
+    * or a collector in specs — see TxBufferSpec). Looked up at call
+    * time, not captured, so each executor JVM resolves its own. */
+  @volatile var onProgress: TxProgress => Unit = p => log.info(p.render)
+
+  private def reportProgress(st: TxState): Unit =
+    onProgress(TxProgress(
+      st.xid, st.csn,
+      st.orderEvents.size, st.expectedOrders,
+      st.detailEvents.size, st.expectedDetails,
+      st.lineItemEvents.size, st.expectedLineItems))
 
   implicit private val eventEnc: Encoder[UnifiedEvent] = Encoders.product[UnifiedEvent]
   implicit private val stateEnc: Encoder[TxState] = Encoders.product[TxState]
@@ -226,6 +265,7 @@ object TxBuffer {
     } else {
       state.update(st)
       stateTtl.foreach(d => state.setTimeoutDuration(d.toMillis))
+      reportProgress(st)
       Iterator.empty
     }
   }
@@ -255,6 +295,7 @@ object TxBuffer {
     } else {
       state.update(st)
       state.setTimeoutDuration(stateTtl.toMillis)
+      reportProgress(st)
       Iterator.empty
     }
   }

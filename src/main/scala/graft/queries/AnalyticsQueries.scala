@@ -105,27 +105,32 @@ object AnalyticsQueries extends QueryModule {
              |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // Distribution window functions: percent_rank / cume_dist / ntile
-    // over a priority-partitioned price ordering. All three are rational
-    // rank arithmetic (no float accumulation), so the doubles are
-    // bit-identical cross-engine; tie groups (equal prices) get
-    // identical values by the SQL definitions in both engines.
+    // over a priority-partitioned price ordering. percent_rank/cume_dist
+    // are rational rank arithmetic over the price-only ordering (tie
+    // groups get identical values by the SQL definitions in both
+    // engines); ntile is NOT tie-stable — equal prices land in arbitrary
+    // quartiles — so it runs over a second, totally-ordered window
+    // (price, orderkey tiebreak), mirrored in the oracle.
     EngineQuery(
       "q23_dist_windows",
       (s, dir) => {
         val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        val wt = Window.partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
         ord(s, dir)
           .filter(col("o_custkey") < 50)
           .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
             round(percent_rank().over(w), 6).as("pct_rank"),
             round(cume_dist().over(w), 6).as("cume"),
-            ntile(4).over(w).as("quartile"))
+            ntile(4).over(wt).as("quartile"))
       },
       Some("""SELECT o_orderkey, o_orderpriority, o_totalprice,
              |  round(percent_rank() OVER w, 6) AS pct_rank,
              |  round(cume_dist() OVER w, 6) AS cume,
-             |  CAST(ntile(4) OVER w AS INT) AS quartile
+             |  CAST(ntile(4) OVER wt AS INT) AS quartile
              |FROM orders WHERE o_custkey < 50
-             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)""".stripMargin)),
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice),
+             |  wt AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)""".stripMargin)),
 
     // Explicit GROUPING SETS (beyond ROLLUP/CUBE): the two single-key
     // marginals without the grand total — only expressible as literal

@@ -193,12 +193,17 @@ object JoinQueries extends QueryModule {
     // hour-wide bins) rewrites it into a binned equi-join at
     // optimization time. RangeBinJoinSpec pins the plan shape and
     // equivalence; this query pins the RESULT against DuckDB running
-    // the same naive SQL. Memoized+persisted so the conf toggle scopes
-    // to the one optimization pass.
+    // the same naive SQL. The semantics-changing conf is set on a
+    // CLONED session (s.newSession() — own SQLConf, shared
+    // context/cache/extensions), so concurrently-compiling queries on
+    // the shared session can never pick up the rewrite;
+    // memoized+persisted as before.
     EngineQuery(
       "range_autobin_join",
       (s, dir) => autobinCache.getOrElseUpdate((s, dir), {
-        val e = ev(s, dir)
+        val s2 = s.newSession()
+        s2.conf.set(graft.plans.RangeBinJoinRule.ConfKey, "3600000")
+        val e = ev(s2, dir)
         val hourly = e.withColumn("hr", expr("ms DIV 3600000L"))
           .groupBy("hr").agg(count(lit(1)).as("n_ev"))
         val tot = hourly.agg(sum("n_ev").as("total"), count(lit(1)).as("n_hours"))
@@ -206,20 +211,13 @@ object JoinQueries extends QueryModule {
           .filter(col("n_ev") * col("n_hours") > col("total"))
           .select((col("hr") * 3600000L).as("h_start_ms"),
             ((col("hr") + 1L) * 3600000L).as("h_end_ms"), col("n_ev"))
-        val prev = s.conf.getOption(graft.plans.RangeBinJoinRule.ConfKey)
-        s.conf.set(graft.plans.RangeBinJoinRule.ConfKey, "3600000")
-        try {
-          val joined = e
-            .join(windows, col("ms") >= col("h_start_ms") && col("ms") < col("h_end_ms"))
-            .groupBy("h_start_ms", "n_ev")
-            .agg(count(lit(1)).as("n_in_window"), countDistinct("user_id").as("n_users"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          joined.count()
-          joined
-        } finally prev match {
-          case Some(v) => s.conf.set(graft.plans.RangeBinJoinRule.ConfKey, v)
-          case None => s.conf.unset(graft.plans.RangeBinJoinRule.ConfKey)
-        }
+        val joined = e
+          .join(windows, col("ms") >= col("h_start_ms") && col("ms") < col("h_end_ms"))
+          .groupBy("h_start_ms", "n_ev")
+          .agg(count(lit(1)).as("n_in_window"), countDistinct("user_id").as("n_users"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        joined.count()
+        joined
       }),
       Some("""WITH e AS (SELECT epoch_ms(ts) AS ms, user_id FROM events),
              |hr AS (SELECT ms // 3600000 AS hr, count(*) AS n_ev FROM e GROUP BY 1),

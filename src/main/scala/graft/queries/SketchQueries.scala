@@ -292,24 +292,22 @@ object SketchQueries extends QueryModule {
     // distinct hashes + the same estimator arithmetic + the same
     // rounding), so a silent failure to rewrite would hash-MISMATCH
     // (the exact answers differ from the estimates at k=128).
-    // Memoized+persisted so the conf toggle scopes to this one plan.
+    // The semantics-changing conf is set on a CLONED session
+    // (s.newSession() — own SQLConf, shared context/cache/extensions),
+    // so concurrently-compiling queries on the shared session can never
+    // pick up the rewrite; memoized+persisted as before.
     EngineQuery(
       "sketch_approx_rewrite",
       (s, dir) => arCache.getOrElseUpdate((s, dir), {
-        val prev = s.conf.getOption(graft.plans.ApproxDistinctRule.ConfKey)
-        s.conf.set(graft.plans.ApproxDistinctRule.ConfKey, "128")
-        try {
-          val df = lineitem(s, dir)
-            .groupBy("l_linestatus")
-            .agg(countDistinct(col("l_partkey")).as("nd_est"),
-              count(lit(1)).as("n"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          df.count()
-          df
-        } finally prev match {
-          case Some(v) => s.conf.set(graft.plans.ApproxDistinctRule.ConfKey, v)
-          case None => s.conf.unset(graft.plans.ApproxDistinctRule.ConfKey)
-        }
+        val s2 = s.newSession()
+        s2.conf.set(graft.plans.ApproxDistinctRule.ConfKey, "128")
+        val df = lineitem(s2, dir)
+          .groupBy("l_linestatus")
+          .agg(countDistinct(col("l_partkey")).as("nd_est"),
+            count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        df
       }),
       Some(s"""WITH h AS (
              |  SELECT DISTINCT l_linestatus AS g,

@@ -17,6 +17,33 @@ object TextQueries extends QueryModule {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(tablePath(dir, "documents"))
 
+  private val tgCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), DataFrame]
+
+  /** Memoized + persisted split-tagged exploded n-grams per
+    * (session, dir, n): the JVM gram derivation is the expensive narrow
+    * stage of the decontamination family and was previously recomputed
+    * once per split filter — compute it once per JVM and let Bench time
+    * it as the explicit `build_text_grams` entry. */
+  def taggedGramsCached(s: SparkSession, dir: String, n: Int): DataFrame =
+    tgCache.getOrElseUpdate((s, dir, n), {
+      val df = graft.text.TextAnalysis.explodedGramsJvm(
+          docs(s, dir).selectExpr(
+            "doc_id", s"${splitSpark("doc_id")} AS tag", "text"), n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
+  /** Pre-build the memoized text-family shared state (the 5-gram
+    * derivation feeding decontamination) so Bench charges it to
+    * `build_text_grams`, not to whichever text query runs first. The LSH
+    * candidate build is already itemized as `build_dedup_shared`. */
+  def ensureSeeded(s: SparkSession, dir: String): Unit = {
+    taggedGramsCached(s, dir, 5).count()
+    ()
+  }
+
   private val enHits = profileHitsSpark(langProfiles.head._2)
   private val enHitsDuck = profileHitsDuck(langProfiles.head._2)
 
@@ -154,10 +181,9 @@ object TextQueries extends QueryModule {
         // Catalyst inline the gram chain into Generate, which re-runs it
         // per EMITTED row — 20× the whole query's cost at sf0.1. Parity
         // with the SQL/oracle gram derivation is pinned by
-        // GramParitySpec.
-        val g = graft.text.TextAnalysis.explodedGramsJvm(
-          docs(s, dir).selectExpr(
-            "doc_id", s"${splitSpark("doc_id")} AS tag", "text"), 5)
+        // GramParitySpec. Memoized+persisted so the two split filters
+        // share one derivation (and Bench itemizes it).
+        val g = taggedGramsCached(s, dir, 5)
         val evalG = g.filter(col("tag") === "test")
           .selectExpr("doc_id AS eval_id", "gram")
         val trainG = g.filter(col("tag") === "train")

@@ -89,13 +89,26 @@ case class CmsCounters(
 
 object CountMin {
 
+  private val localMd = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** hash60 (first 15 md5 hex digits as a long — TextAnalysis's SQL
-    * recipe, bit-identical on the JVM) of "r:key", mod width. */
+    * recipe, bit-identical on the JVM) of "r:key", mod width. Runs
+    * depth× per input row inside CmsCounters.update, so the digest is
+    * thread-local (reset per call) and the 60-bit value comes straight
+    * from the digest bytes — the first 15 hex digits are bytes 0..6 plus
+    * the high nibble of byte 7, no intermediate hex string. */
   def rowIndex(r: Int, key: String, width: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$r:$key".getBytes("UTF-8"))
-      .take(8).map(b => f"${b & 0xff}%02x").mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % width).toInt
+    val md = localMd.get()
+    md.reset()
+    val b = md.digest(s"$r:$key".getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (b(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((b(7) & 0xf0L) >> 4)
+    (v % width).toInt
   }
 
   /** JVM point estimate over an eval'd counter array. */

@@ -53,8 +53,10 @@ object Constraints {
     * if any check fails. */
   def validate(df: DataFrame, cs: Seq[(String, String)]): Option[String] = {
     if (cs.isEmpty) return None
+    // coalesce(sum, 0): sum() is NULL over an empty batch, and an empty
+    // batch violates nothing — it must publish, not NPE on getLong.
     val counters = cs.map { case (n, e) =>
-      sum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L)).as(n)
+      coalesce(sum(when(not(coalesce(expr(e), lit(true))), 1L).otherwise(0L)), lit(0L)).as(n)
     }
     val row = df.agg(counters.head, counters.tail: _*).head()
     val bad = cs.zipWithIndex.collect {

@@ -58,7 +58,9 @@ object StatsSkipping {
       .agg(count(lit(1)).as("rows"), aggs: _*)
       .collect()
     val base = Paths.get(dir).toUri.toString
-    val header = ("#cols" +: statCols).mkString("\t")
+    // The layout curve rides in the header so appends replay it instead
+    // of silently re-clustering a Hilbert table with Morton.
+    val header = (("#cols" +: statCols) :+ s"#curve=$curve").mkString("\t")
     val lines = stats.map { r =>
       val rel = r.getString(0).stripPrefix(base).stripPrefix("/")
       val mm = statCols.indices.flatMap(i =>
@@ -87,9 +89,10 @@ object StatsSkipping {
       df: DataFrame,
       dir: String,
       numFiles: Int): Unit = {
-    val (cols, existing) = manifest(dir)
+    val (cols, curve, existing) = manifest(dir)
     val clustered =
       if (cols.size == 1) df.repartitionByRange(numFiles, col(cols.head))
+      else if (curve == "hilbert") HilbertOrder.cluster(df, cols, numFiles)
       else ZOrder.cluster(df, cols, numFiles)
     val before = dataFileNames(dir)
     clustered.write.mode("append").parquet(dir)
@@ -111,7 +114,7 @@ object StatsSkipping {
       val mm = cols.flatMap { c => val (mn, mx) = s.mm(c); Seq(mn.toString, mx.toString) }
       (Seq(s.file, s.rows.toString) ++ mm).mkString("\t")
     }
-    val header = ("#cols" +: cols).mkString("\t")
+    val header = (("#cols" +: cols) :+ s"#curve=$curve").mkString("\t")
     Files.write(Paths.get(dir, "_STATS"),
       (header +: (oldLines ++ freshLines).sorted).asJava, StandardCharsets.UTF_8)
     ()
@@ -123,10 +126,14 @@ object StatsSkipping {
 
   private final case class FileStat(file: String, rows: Long, mm: Map[String, (Long, Long)])
 
-  private def manifest(dir: String): (Seq[String], Seq[FileStat]) = {
+  private def manifest(dir: String): (Seq[String], String, Seq[FileStat]) = {
     val lines = Files.readAllLines(Paths.get(dir, "_STATS"), StandardCharsets.UTF_8)
       .asScala.toSeq.filter(_.nonEmpty)
-    val cols = lines.head.split('\t').toSeq.tail
+    val headerToks = lines.head.split('\t').toSeq.tail
+    val cols = headerToks.filterNot(_.startsWith("#curve="))
+    val curve = headerToks.collectFirst {
+      case t if t.startsWith("#curve=") => t.stripPrefix("#curve=")
+    }.getOrElse("z") // pre-r5 manifests carried no curve token
     val stats = lines.tail.map { l =>
       val parts = l.split('\t')
       val mm = cols.zipWithIndex.map { case (c, i) =>
@@ -134,13 +141,13 @@ object StatsSkipping {
       }.toMap
       FileStat(parts(0), parts(1).toLong, mm)
     }
-    (cols, stats)
+    (cols, curve, stats)
   }
 
   /** Files whose stats box intersects EVERY queried range. Ranges may
     * cover any subset of the manifested columns. */
   def liveFiles(dir: String, ranges: Seq[(String, Long, Long)]): Seq[String] = {
-    val (cols, stats) = manifest(dir)
+    val (cols, _, stats) = manifest(dir)
     val unknown = ranges.map(_._1).filterNot(cols.contains)
     require(unknown.isEmpty, s"no stats for columns: $unknown")
     stats.filter { s =>
@@ -152,7 +159,7 @@ object StatsSkipping {
 
   /** Single-column convenience. */
   def liveFiles(dir: String, lo: Long, hi: Long): Seq[String] = {
-    val (cols, _) = manifest(dir)
+    val (cols, _, _) = manifest(dir)
     liveFiles(dir, Seq((cols.head, lo, hi)))
   }
 

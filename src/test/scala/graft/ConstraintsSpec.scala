@@ -45,5 +45,11 @@ class ConstraintsSpec extends SparkSuite {
       Constraints.addCheck(spark, dir, "big_ids", "id >= 100")
     }
     assert(Constraints.checks(dir).map(_._1) == Seq("price_nonneg", "status_known"))
+
+    // An EMPTY batch violates nothing and must publish (sum() over zero
+    // rows is NULL — regression: NPE instead of a clean swap).
+    val empty = Seq.empty[(Long, Double, String)].toDF("id", "price", "status")
+    Constraints.checkedSwap(spark, empty, dir)
+    assert(ParquetTable.read(spark, dir).count() == 0)
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.tables.StatsSkipping
@@ -91,5 +93,39 @@ class StatsSkippingSpec extends SparkSuite {
       val read = pruned.inputFiles.length
       assert(read < total, s"$ranges read all $total files — no skipping")
     }
+  }
+
+  test("append replays the recorded curve — a hilbert table stays hilbert") {
+    val dir = Files.createTempDirectory("graft-skiph").resolve("t").toString
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val gen1 = orders.filter(col("o_orderkey") % 2 === 0)
+    val gen2 = orders.filter(col("o_orderkey") % 2 === 1)
+    StatsSkipping.writeWithStats(spark, gen1, Seq("o_orderkey", "o_custkey"), dir,
+      numFiles = 4, curve = "hilbert")
+    val header = Files.readAllLines(java.nio.file.Paths.get(dir, "_STATS")).get(0)
+    assert(header.contains("#curve=hilbert"), s"curve not recorded: $header")
+    val gen1Files = Files.readAllLines(java.nio.file.Paths.get(dir, "_STATS")).asScala
+      .toSeq.tail.map(_.split('\t').head).toSet
+
+    StatsSkipping.appendWithStats(spark, gen2, dir, numFiles = 4)
+    val header2 = Files.readAllLines(java.nio.file.Paths.get(dir, "_STATS")).get(0)
+    assert(header2.contains("#curve=hilbert"), s"append lost the curve: $header2")
+
+    // The appended generation must be clustered with the SAME curve: its
+    // per-file boxes must match a fresh hilbert clustering of gen2, not a
+    // morton one (the curves produce different file→box assignments).
+    val hdir = Files.createTempDirectory("graft-skiph2").resolve("t").toString
+    StatsSkipping.writeWithStats(spark, gen2, Seq("o_orderkey", "o_custkey"), hdir,
+      numFiles = 4, curve = "hilbert")
+    // boxes of the appended files == boxes of a standalone hilbert write
+    val freshBoxes =
+      Files.readAllLines(java.nio.file.Paths.get(hdir, "_STATS")).asScala.toSeq.tail
+        .map(_.split('\t').drop(2).mkString(",")).toSet
+    val appended = Files.readAllLines(java.nio.file.Paths.get(dir, "_STATS")).asScala
+      .toSeq.tail.filterNot(l => gen1Files.contains(l.split('\t').head))
+    assert(appended.nonEmpty)
+    assert(appended.map(_.split('\t').drop(2).mkString(",")).toSet == freshBoxes,
+      "appended files were not clustered with the recorded hilbert curve")
   }
 }

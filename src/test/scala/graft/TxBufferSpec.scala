@@ -82,6 +82,49 @@ class TxBufferSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("progress hook reports buffered/expected counts for incomplete transactions") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[graft.buffering.TxProgress]()
+    val prevHook = graft.buffering.TxBuffer.onProgress
+    graft.buffering.TxBuffer.onProgress = p => { seen.add(p); () }
+
+    val orders = MemoryStream[String]
+    val details = MemoryStream[String]
+    val lineItems = MemoryStream[String]
+    val metadata = MemoryStream[String]
+    val out = CdcPipeline.orderStream(
+      orders.toDF().select(col("value")),
+      details.toDF().select(col("value")),
+      lineItems.toDF().select(col("value")),
+      metadata.toDF().select(col("value")))
+    val q = out.writeStream.format("memory").queryName("txbuf_prog").outputMode("append").start()
+
+    try {
+      // Metadata announces 2 ORDERS; only 1 arrives → incomplete, so the
+      // trigger must report 1/2 buffered for the transaction.
+      metadata.addData(meta("P", "7", "ORDERS" -> 2))
+      orders.addData(cdc("P", "7", "APPUSER.ORDERS", "I", orderAfter(20, 1)))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val p = seen.asScala.filter(x => x.xid == "P" && x.csn == "7").lastOption
+      assert(p.isDefined, s"no progress reported for incomplete tx P, saw: ${seen.asScala.toSeq}")
+      assert(p.get.orders == 1 && p.get.expectedOrders == 2, s"wrong counts: ${p.get}")
+      assert(p.get.render.contains("orders=1/2"), p.get.render)
+
+      // Completing the transaction stops the progress reports.
+      seen.clear()
+      orders.addData(cdc("P", "7", "APPUSER.ORDERS", "I", orderAfter(21, 1)))
+      q.processAllAvailable()
+      assert(!seen.asScala.exists(_.xid == "P"), "completed tx must not report progress")
+    } finally {
+      q.stop()
+      graft.buffering.TxBuffer.onProgress = prevHook
+    }
+  }
+
   test("state TTL drops transactions that stay incomplete past the deadline") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft-ttl")
