@@ -71,6 +71,38 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededWd =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Two-generation table spanning TWO type widens: even keys written
+    * with qty INT + shipped_at STRING, then ALTER COLUMN TYPE to
+    * DOUBLE/TIMESTAMP (read-time, zero rewrites), then odd keys appended
+    * already typed. Old files upcast at scan (qty) / cast in the
+    * projection (shipped_at). */
+  private def widenedOrders(s: SparkSession, dir: String): String =
+    seededWd.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-wd")
+        .resolve("orders_widened").toString
+      val orders = s.read.parquet(tablePath(dir, "orders"))
+      graft.tables.SchemaEvolution.appendEvolved(
+        s, orders.filter(col("o_orderkey") % 2 === 0).selectExpr(
+          "o_orderkey",
+          "CAST(o_orderkey % 97 AS INT) AS qty",
+          "concat('2024-01-', lpad(CAST(1 + o_orderkey % 28 AS STRING), 2, '0'), ' 08:30:00') AS shipped_at"),
+        t)
+      graft.tables.SchemaEvolution.widenColumn(s, t, "qty",
+        org.apache.spark.sql.types.DoubleType)
+      graft.tables.SchemaEvolution.widenColumn(s, t, "shipped_at",
+        org.apache.spark.sql.types.TimestampType)
+      graft.tables.SchemaEvolution.appendEvolved(
+        s, orders.filter(col("o_orderkey") % 2 === 1).selectExpr(
+          "o_orderkey",
+          "CAST(o_orderkey % 97 AS DOUBLE) + 0.5 AS qty",
+          "CAST(concat('2024-02-', lpad(CAST(1 + o_orderkey % 28 AS STRING), 2, '0'), ' 08:30:00') AS TIMESTAMP) AS shipped_at"),
+        t)
+      t
+    })
+
   private val seededCl =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
@@ -532,6 +564,98 @@ object StorageQueries extends QueryModule {
       Some("""SELECT o_orderstatus,
              |  CAST(count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT) AS n_prev,
              |  CAST(count(*) AS BIGINT) AS n_cur
-             |FROM orders GROUP BY 1""".stripMargin))
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // The SQL spelling a spark-sql user of the reference pastes
+    // (db/query_table.sql:4-5): DESCRIBE HISTORY through the GraftSql
+    // statement shim. The deterministic projection (version id, liveness,
+    // row count) is oracle-gated; wall-clock publish timestamps and
+    // layout-dependent file counts stay out of the hash.
+    EngineQuery(
+      "tt_describe_history",
+      (s, dir) => {
+        val t = versionedOrders(s, dir)
+        graft.tables.GraftSql.register(s, "orders_versioned", t, Seq("o_orderkey"))
+        graft.tables.GraftSql.sql(s, "DESCRIBE HISTORY orders_versioned LIMIT 10")
+          .select(col("version"), col("is_current"), col("n_rows"))
+      },
+      Some("""SELECT CAST(2 AS BIGINT) AS version, true AS is_current,
+             |  CAST(count(*) AS BIGINT) AS n_rows FROM orders
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), false,
+             |  CAST(count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT)
+             |FROM orders""".stripMargin)),
+
+    // DESCRIBE DETAIL (db/query_table.sql:7-8): one-row live-snapshot
+    // summary, deterministic columns oracle-gated.
+    EngineQuery(
+      "tt_describe_detail",
+      (s, dir) => {
+        val t = versionedOrders(s, dir)
+        graft.tables.GraftSql.register(s, "orders_versioned", t, Seq("o_orderkey"))
+        graft.tables.GraftSql.sql(s, "DESCRIBE DETAIL orders_versioned")
+          .select(col("format"), col("name"), col("current_version"),
+            col("n_snapshots"), col("n_rows"))
+      },
+      Some("""SELECT 'parquet' AS format, 'orders_versioned' AS name,
+             |  CAST(2 AS BIGINT) AS current_version,
+             |  CAST(2 AS BIGINT) AS n_snapshots,
+             |  CAST(count(*) AS BIGINT) AS n_rows
+             |FROM orders""".stripMargin)),
+
+    // table_changes(...) as a composable TABLE-VALUED call inside plain
+    // SQL (db/query_scd1_table.sql:157-158): the shim materializes the
+    // call as a view and spark.sql runs the surrounding aggregate — the
+    // v1→v2 diff of the versioned table is exactly the odd-key inserts.
+    EngineQuery(
+      "tt_table_changes",
+      (s, dir) => {
+        val t = versionedOrders(s, dir)
+        graft.tables.GraftSql.register(s, "orders_versioned", t, Seq("o_orderkey"))
+        graft.tables.GraftSql.sql(s,
+          """SELECT _change_type, _commit_version,
+            |  CAST(count(*) AS BIGINT) AS n,
+            |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+            |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+            |FROM table_changes('orders_versioned', 1, 2)
+            |GROUP BY _change_type, _commit_version""".stripMargin)
+      },
+      Some("""SELECT 'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+             |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+             |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)),
+
+    // Type widening read path end-to-end (reference
+    // db/schema_evolution.sql:52-105): both file generations of the
+    // widened table aggregate as the WIDE types — INT files upcast in
+    // the parquet reader, STRING dates cast in the projection — and the
+    // oracle reconstructs the expected numbers from the raw table. qty
+    // values are integers and exact halves, so the unordered double sum
+    // is exact cross-engine.
+    EngineQuery(
+      "se_widened_type",
+      (s, dir) =>
+        graft.tables.SchemaEvolution.readEvolved(s, widenedOrders(s, dir))
+          .selectExpr(
+            "CAST(month(shipped_at) AS BIGINT) AS m",
+            "CAST(day(shipped_at) AS BIGINT) AS d",
+            "qty")
+          .groupBy("m")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum("qty"), 2).as("sum_qty"),
+            min("d").as("min_d"),
+            max("d").as("max_d")),
+      Some("""WITH g AS (
+             |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS m,
+             |    1 + o_orderkey % 28 AS d,
+             |    CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey % 97 AS DOUBLE)
+             |         ELSE o_orderkey % 97 + 0.5 END AS qty
+             |  FROM orders)
+             |SELECT CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(qty), 2) AS sum_qty,
+             |  CAST(min(d) AS BIGINT) AS min_d, CAST(max(d) AS BIGINT) AS max_d
+             |FROM g GROUP BY 1""".stripMargin))
   )
 }

@@ -12,7 +12,7 @@ import graft.scd.MergeExecutor
   * ordered numerically (immune to digit-count differences between naming
   * epochs). One definition for ParquetTable and BucketedTable — the two
   * must never disagree on what a version dir is called. */
-private[streaming] object VersionNames {
+private[graft] object VersionNames {
   def isVersionDir(name: String): Boolean =
     name.startsWith("v") && name.length > 1 && name.drop(1).forall(_.isDigit)
   def idOf(name: String): Long = name.drop(1).toLong

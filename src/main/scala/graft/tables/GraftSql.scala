@@ -1,0 +1,161 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.streaming.ParquetTable
+
+/** SQL-statement spellings for the versioned-table utilities — the lines
+  * a `spark-sql` user of the reference pastes verbatim
+  * (reference: db/query_table.sql:4-9 `DESCRIBE HISTORY` /
+  * `DESCRIBE DETAIL`, db/query_scd1_table.sql:157-158 `table_changes`).
+  *
+  * `DESCRIBE HISTORY` / `DESCRIBE DETAIL` are whole statements (as in
+  * Delta); `table_changes('t', v1, v2)` is a table-valued call that can
+  * appear anywhere in a query's FROM — the shim materializes each call
+  * as a temp view and hands the rewritten statement to `spark.sql`, so
+  * the full SQL surface (projections, filters, aggregates, joins)
+  * composes for free instead of this object growing a parser.
+  *
+  * Tables are name→directory registrations per session; `keyCols` is
+  * required for `table_changes` (the change feed diffs snapshots by
+  * key — CdcStreaming.changeFeed).
+  */
+object GraftSql {
+
+  final case class TableRef(dir: String, keyCols: Seq[String])
+
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), TableRef]
+
+  def register(s: SparkSession, name: String, dir: String,
+      keyCols: Seq[String] = Nil): Unit = {
+    registry.put((s, name), TableRef(dir, keyCols))
+    ()
+  }
+
+  private def resolve(s: SparkSession, name: String): TableRef =
+    registry.getOrElse((s, name),
+      throw new IllegalArgumentException(
+        s"table '$name' is not registered with GraftSql.register"))
+
+  private val DescribeHistory =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
+  private val DescribeDetail =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val TableChanges =
+    """(?i)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+
+  /** Run one statement: the two DESCRIBE spellings directly, anything
+    * else through `spark.sql` with `table_changes(...)` calls rewritten
+    * to materialized temp views. */
+  def sql(s: SparkSession, statement: String): DataFrame = statement match {
+    case DescribeHistory(name, limit) =>
+      val df = describeHistory(s, resolve(s, name).dir)
+      Option(limit).map(n => df.limit(n.toInt)).getOrElse(df)
+    case DescribeDetail(name) =>
+      describeDetail(s, name, resolve(s, name).dir)
+    case _ =>
+      val rewritten = TableChanges.replaceAllIn(statement, m => {
+        val (name, v1, v2) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
+        val view = s"__graft_tc_${name}_${v1}_$v2"
+        tableChanges(s, name, v1, v2).createOrReplaceTempView(view)
+        view
+      })
+      s.sql(rewritten)
+  }
+
+  /** One row per snapshot, newest first: version id, publish timestamp
+    * (NULL for a torn/missing `_HISTORY` line), whether it is the live
+    * version, and per-snapshot file/row/byte tallies. Row counts come
+    * from parquet footers (a metadata-only Spark count), so the whole
+    * statement is manifest+footer reads — no data scan. */
+  def describeHistory(s: SparkSession, dir: String): DataFrame = {
+    val published = ParquetTable.publishedVersions(dir).toMap
+    val current = java.nio.file.Paths.get(ParquetTable.currentPath(dir))
+      .getFileName.toString
+    val rows = ParquetTable.snapshots(dir).map { v =>
+      val (nFiles, bytes) = snapshotFiles(s"$dir/$v")
+      Row(
+        graft.streaming.VersionNames.idOf(v),
+        v,
+        published.get(v).map(ms => new java.sql.Timestamp(ms)).orNull,
+        v == current,
+        s.read.parquet(s"$dir/$v").count(),
+        nFiles,
+        bytes)
+    }
+    s.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("version_name", StringType, nullable = false),
+        StructField("timestamp", TimestampType, nullable = true),
+        StructField("is_current", BooleanType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("size_bytes", LongType, nullable = false))))
+  }
+
+  /** One row describing the live snapshot (Delta's DESCRIBE DETAIL
+    * shape: format/location/counts). */
+  def describeDetail(s: SparkSession, name: String, dir: String): DataFrame = {
+    val snaps = ParquetTable.snapshots(dir)
+    val cur = java.nio.file.Paths.get(ParquetTable.currentPath(dir))
+      .getFileName.toString
+    val (nFiles, bytes) = snapshotFiles(ParquetTable.currentPath(dir))
+    val row = Row(
+      "parquet",
+      name,
+      dir,
+      graft.streaming.VersionNames.idOf(cur),
+      snaps.size.toLong,
+      ParquetTable.read(s, dir).count(),
+      nFiles,
+      bytes)
+    s.createDataFrame(
+      java.util.Collections.singletonList(row),
+      StructType(Seq(
+        StructField("format", StringType, nullable = false),
+        StructField("name", StringType, nullable = false),
+        StructField("location", StringType, nullable = false),
+        StructField("current_version", LongType, nullable = false),
+        StructField("n_snapshots", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("size_bytes", LongType, nullable = false))))
+  }
+
+  /** `table_changes(name, v1, v2)`: the key-wise diff between the
+    * snapshots with ABSOLUTE version ids v1 and v2 (insert / delete /
+    * update_pre+postimage, Delta CDF's shape), with `_commit_version` =
+    * v2. Intermediate versions are not replayed individually — a
+    * snapshot-per-swap table's feed between two versions IS the diff of
+    * its endpoints. */
+  def tableChanges(s: SparkSession, name: String, v1: Long, v2: Long): DataFrame = {
+    val ref = resolve(s, name)
+    require(ref.keyCols.nonEmpty,
+      s"table_changes needs key columns: register '$name' with keyCols")
+    val names = ParquetTable.snapshots(ref.dir)
+    def idx(v: Long): Int = {
+      val i = names.indexWhere(graft.streaming.VersionNames.idOf(_) == v)
+      require(i >= 0, s"table '$name' has no version $v (have: ${names.map(graft.streaming.VersionNames.idOf)})")
+      i
+    }
+    ParquetTable.changeFeed(s, ref.dir, idx(v1), idx(v2), ref.keyCols)
+      .withColumn("_commit_version", lit(v2))
+  }
+
+  private def snapshotFiles(path: String): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isDirectory(p)) return (0L, 0L)
+    val st = java.nio.file.Files.list(p)
+    try {
+      val fs = st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      (fs.size.toLong, fs.map(java.nio.file.Files.size).sum)
+    } finally st.close()
+  }
+}

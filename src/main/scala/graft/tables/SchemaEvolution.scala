@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** Schema evolution for parquet append tables (the reference documents
   * ADD/RENAME COLUMN plus enforcement on Delta,
@@ -26,7 +26,17 @@ import org.apache.spark.sql.types.StructType
   *    physical name — immutable parquet files mean the bytes stay).
   *  - Changing a column's type is REJECTED at write time (enforcement) —
   *    parquet files are immutable, so an incompatible writer would
-  *    poison every future read instead of failing fast here.
+  *    poison every future read instead of failing fast here. The
+  *    sanctioned exception is `widenColumn` (reference:
+  *    db/schema_evolution.sql:52-105): an explicit LOSSLESS type change
+  *    applied at read time, no file rewritten. Numeric widens
+  *    (int→long, int→double, float→double, long→double) ride the
+  *    parquet reader's vectorized type promotion — the manifest records
+  *    the authoritative physical schema and old files upcast at scan;
+  *    string→timestamp (not a reader promotion) is a projection cast,
+  *    with appends writing the ISO string physical form. After a widen,
+  *    appends of the PRE-widen type still land (upcast on write), so
+  *    old writers keep working — Delta type-widening's contract.
   *
   * Scale notes: schema validation reads footer metadata only (one file
   * listing, no data IO), and the manifest is a single tiny file read
@@ -56,9 +66,28 @@ object SchemaEvolution {
 
   private def schemaPath(dir: String) = Paths.get(dir, "_SCHEMA")
 
-  /** The manifest, if one exists (tables never renamed/dropped have none
-    * and behave identity-mapped). */
-  def mappingOf(dir: String): Option[ColumnMapping] = {
+  /** Full `_SCHEMA` manifest: name mapping + tombstones, plus (after the
+    * first widen) the authoritative PHYSICAL read schema (`ptype` lines,
+    * one per live physical column, manifest order) and the read-time
+    * cast targets for non-promotable widens (`widen` lines). */
+  final case class Manifest(
+      mapping: ColumnMapping,
+      ptypes: Seq[(String, DataType)],
+      widens: Map[String, DataType]) {
+    def physicalReadSchema: Option[StructType] =
+      if (ptypes.isEmpty) None
+      else Some(StructType(ptypes.map { case (p, t) =>
+        StructField(p, t, nullable = true)
+      }))
+    def ptypeOf(physical: String): Option[DataType] =
+      ptypes.find(_._1.equalsIgnoreCase(physical)).map(_._2)
+    def widenOf(physical: String): Option[DataType] =
+      widens.find(_._1.equalsIgnoreCase(physical)).map(_._2)
+  }
+
+  private def parseDdl(s: String): DataType = DataType.fromDDL(s)
+
+  def manifestOf(dir: String): Option[Manifest] = {
     if (!Files.exists(schemaPath(dir))) return None
     val lines = Files.readAllLines(schemaPath(dir)).asScala.filter(_.nonEmpty)
     val cols = lines.collect { case l if l.startsWith("col\t") =>
@@ -67,16 +96,41 @@ object SchemaEvolution {
     val dropped = lines.collect { case l if l.startsWith("drop\t") =>
       l.split("\t", 2)(1)
     }
-    Some(ColumnMapping(cols.toSeq, dropped.toSeq))
+    val ptypes = lines.collect { case l if l.startsWith("ptype\t") =>
+      val Array(_, p, ddl) = l.split("\t", 3); p -> parseDdl(ddl)
+    }
+    val widens = lines.collect { case l if l.startsWith("widen\t") =>
+      val Array(_, p, ddl) = l.split("\t", 3); p -> parseDdl(ddl)
+    }
+    Some(Manifest(ColumnMapping(cols.toSeq, dropped.toSeq),
+      ptypes.toSeq, widens.toMap))
   }
 
-  private def writeMapping(dir: String, m: ColumnMapping): Unit = {
-    val body = (m.cols.map { case (l, p) => s"col\t$l\t$p" } ++
-      m.dropped.map(p => s"drop\t$p")).mkString("\n")
+  /** The manifest, if one exists (tables never renamed/dropped have none
+    * and behave identity-mapped). */
+  def mappingOf(dir: String): Option[ColumnMapping] = manifestOf(dir).map(_.mapping)
+
+  private def writeManifest(dir: String, mf: Manifest): Unit = {
+    val body = (mf.mapping.cols.map { case (l, p) => s"col\t$l\t$p" } ++
+      mf.mapping.dropped.map(p => s"drop\t$p") ++
+      mf.ptypes.map { case (p, t) => s"ptype\t$p\t${t.sql}" } ++
+      mf.widens.toSeq.sortBy(_._1).map { case (p, t) => s"widen\t$p\t${t.sql}" })
+      .mkString("\n")
     val tmp = Paths.get(dir, "_SCHEMA.tmp")
     Files.writeString(tmp, body)
     Files.move(tmp, schemaPath(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def writeMapping(dir: String, m: ColumnMapping): Unit = {
+    val prior = manifestOf(dir)
+      .getOrElse(Manifest(m, Seq.empty, Map.empty))
+    // Keep ptype entries consistent with the surviving physical columns.
+    val livePhysical = m.cols.map(_._2.toLowerCase).toSet
+    writeManifest(dir, Manifest(
+      m,
+      prior.ptypes.filter { case (p, _) => livePhysical.contains(p.toLowerCase) },
+      prior.widens.filter { case (p, _) => livePhysical.contains(p.toLowerCase) }))
   }
 
   /** The table's current mapping, materializing the identity mapping
@@ -117,6 +171,55 @@ object SchemaEvolution {
       m.dropped :+ physical))
   }
 
+  /** Lossless numeric widenings the parquet vectorized reader promotes
+    * at scan time (the Delta type-widening set this engine supports). */
+  private val promotable: Set[(DataType, DataType)] = Set(
+    (IntegerType, LongType), (IntegerType, DoubleType),
+    (LongType, DoubleType), (FloatType, DoubleType))
+
+  /** ALTER COLUMN ... TYPE — read-time widen, zero files rewritten
+    * (reference db/schema_evolution.sql:52-105). Numeric widens record
+    * the target as the authoritative physical type: old files upcast in
+    * the parquet reader, new appends write the target type.
+    * STRING→TIMESTAMP keeps the string physical form (the reader cannot
+    * promote it) and applies a projection cast at read; appends of
+    * timestamp data are written as their ISO string image. On the first
+    * widen the manifest snapshots the full physical schema (`ptype`
+    * lines), after which reads never re-derive schema from footers —
+    * at 100 TB that is the difference between one manifest read and a
+    * distributed footer-merge job per query. */
+  def widenColumn(spark: SparkSession, dir: String, name: String, newType: DataType): Unit = {
+    val mf0 = manifestOf(dir).getOrElse(Manifest(
+      ColumnMapping(
+        physicalSchema(spark, dir).fieldNames.toSeq.map(n => n -> n), Seq.empty),
+      Seq.empty, Map.empty))
+    val m = mf0.mapping
+    val physical = m.physicalOf(name).getOrElse(
+      sys.error(s"ALTER COLUMN TYPE: no column $name in $dir"))
+    val basePtypes: Seq[(String, DataType)] =
+      if (mf0.ptypes.nonEmpty) mf0.ptypes
+      else {
+        val ps = physicalSchema(spark, dir)
+        m.cols.map { case (_, p) =>
+          p -> ps.find(_.name.equalsIgnoreCase(p)).map(_.dataType)
+            .getOrElse(sys.error(s"no physical column $p in $dir"))
+        }
+      }
+    val cur = mf0.widenOf(physical)
+      .getOrElse(basePtypes.find(_._1.equalsIgnoreCase(physical)).get._2)
+    val castBased = cur == StringType && newType == TimestampType
+    require(promotable.contains((cur, newType)) || castBased,
+      s"unsupported type change ${cur.simpleString} -> ${newType.simpleString} " +
+        s"(lossless widens only: int->long/double, long->double, float->double, string->timestamp)")
+    val ptypes = basePtypes.map {
+      case (p, t) if p.equalsIgnoreCase(physical) =>
+        p -> (if (castBased) t else newType)
+      case other => other
+    }
+    writeManifest(dir, mf0.copy(mapping = m, ptypes = ptypes,
+      widens = mf0.widens + (physical -> newType)))
+  }
+
   /** Violations of additive evolution going from `current` to
     * `incoming` (both in LOGICAL names); empty = compatible. */
   def validateEvolution(current: StructType, incoming: StructType): Seq[String] =
@@ -150,31 +253,67 @@ object SchemaEvolution {
     if (!hasData) { df.write.mode("append").parquet(dir); return }
 
     val current = readEvolved(spark, dir).schema
-    val violations = validateEvolution(current, df.schema)
+    val mfOpt = manifestOf(dir)
+    // A widened column additionally accepts its PRE-widen shapes: any
+    // type that upcasts losslessly into the current logical type, or
+    // the recorded physical form (string for a string→timestamp widen) —
+    // old writers keep working after the widen.
+    def widenAllows(logical: String, incoming: DataType, currentT: DataType): Boolean =
+      mfOpt.exists { mf =>
+        mf.mapping.physicalOf(logical).exists { p =>
+          mf.widenOf(p).isDefined && (
+            mf.ptypeOf(p).contains(incoming) ||
+              org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(incoming, currentT))
+        }
+      }
+    val violations = current.fields.toSeq.flatMap { f =>
+      df.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
+        case None =>
+          Some(s"column ${f.name} would be dropped (additive evolution only)")
+        case Some(g) if g.dataType != f.dataType &&
+            !widenAllows(f.name, g.dataType, f.dataType) =>
+          Some(s"column ${f.name} would change type " +
+            s"${f.dataType.simpleString} -> ${g.dataType.simpleString}")
+        case _ => None
+      }
+    }
     require(violations.isEmpty,
       s"schema evolution rejected for $dir:\n  ${violations.mkString("\n  ")}")
 
-    mappingOf(dir) match {
+    mfOpt match {
       case None => df.write.mode("append").parquet(dir)
-      case Some(m0) =>
+      case Some(mf0) =>
         // Translate logical→physical. A NEW column defaults to physical
         // = logical, unless that physical name is reserved (live under
         // another logical name, or tombstoned by a drop) — then a fresh
-        // suffixed physical name is minted and registered.
-        var m = m0
-        val physCols: Seq[Column] = df.schema.fieldNames.toSeq.map { logical =>
+        // suffixed physical name is minted and registered. Columns with
+        // an authoritative physical type are cast to it on write (the
+        // widen write path: int batches land as double, timestamps as
+        // their string image).
+        var m = mf0.mapping
+        var ptypes = mf0.ptypes
+        val physCols: Seq[Column] = df.schema.fields.toSeq.map { field =>
+          val logical = field.name
           m.physicalOf(logical) match {
-            case Some(p) => col(logical).as(p)
+            case Some(p) =>
+              val pt = ptypes.find(_._1.equalsIgnoreCase(p)).map(_._2)
+              val c = pt match {
+                case Some(t) if t != field.dataType => col(logical).cast(t)
+                case _ => col(logical)
+              }
+              c.as(p)
             case None =>
               val fresh =
                 if (!m.physicalNames.contains(logical.toLowerCase)) logical
                 else Iterator.from(1).map(i => s"${logical}_c$i")
                   .find(c => !m.physicalNames.contains(c.toLowerCase)).get
               m = m.copy(cols = m.cols :+ (logical -> fresh))
+              if (ptypes.nonEmpty) ptypes = ptypes :+ (fresh -> field.dataType)
               col(logical).as(fresh)
           }
         }
-        if (m ne m0) writeMapping(dir, m)
+        if ((m ne mf0.mapping) || (ptypes ne mf0.ptypes))
+          writeManifest(dir, mf0.copy(mapping = m, ptypes = ptypes))
         df.select(physCols: _*).write.mode("append").parquet(dir)
     }
   }
@@ -183,16 +322,31 @@ object SchemaEvolution {
     * manifest applied — renamed columns surface under their logical
     * name across every file generation, dropped columns are excluded,
     * files written before an ADD COLUMN null-fill the added columns. */
-  def readEvolved(spark: SparkSession, dir: String): DataFrame = {
-    val raw = spark.read.option("mergeSchema", "true").parquet(dir)
-    mappingOf(dir) match {
-      case None => raw
-      case Some(m) =>
+  def readEvolved(spark: SparkSession, dir: String): DataFrame =
+    manifestOf(dir) match {
+      case None => spark.read.option("mergeSchema", "true").parquet(dir)
+      case Some(mf) =>
+        // With an authoritative physical schema (post-widen) the scan
+        // uses it directly — pre-widen files upcast in the reader,
+        // missing later-added columns null-fill, and no footer merge
+        // ever runs again. Without one, mergeSchema derives the union.
+        val raw = mf.physicalReadSchema match {
+          case Some(ps) => spark.read.schema(ps).parquet(dir)
+          case None => spark.read.option("mergeSchema", "true").parquet(dir)
+        }
+        val m = mf.mapping
         val cols = raw.schema.fieldNames.toSeq.flatMap { physical =>
           if (m.isDropped(physical)) None
-          else Some(m.logicalOf(physical).map(l => col(physical).as(l)).getOrElse(col(physical)))
+          else {
+            val base = (mf.widenOf(physical), mf.ptypeOf(physical)) match {
+              // Cast-based widen (string→timestamp): physical stays the
+              // narrow type, the logical view casts.
+              case (Some(t), Some(pt)) if t != pt => col(physical).cast(t)
+              case _ => col(physical)
+            }
+            Some(base.as(m.logicalOf(physical).getOrElse(physical)))
+          }
         }
         raw.select(cols: _*)
     }
-  }
 }

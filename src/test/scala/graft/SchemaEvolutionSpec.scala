@@ -82,4 +82,86 @@ class SchemaEvolutionSpec extends SparkSuite {
     assert(revived.filter("id = 1").collect()(0).isNullAt(revived.columns.indexOf("total_amount")),
       "pre-drop rows null-fill the re-added column (old bytes stay tombstoned)")
   }
+
+  test("widenColumn: INT->DOUBLE upcast spans generations; pre-widen writers still land") {
+    import org.apache.spark.sql.types._
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-widen").resolve("t").toString
+
+    SchemaEvolution.appendEvolved(spark, Seq((1L, 10), (2L, 20)).toDF("id", "qty"), dir)
+    // Pre-widen: a double batch is rejected (strict enforcement).
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.appendEvolved(spark, Seq((3L, 30.5)).toDF("id", "qty"), dir)
+    }
+
+    SchemaEvolution.widenColumn(spark, dir, "qty", DoubleType)
+    // Post-widen: doubles land, and an OLD writer's int batch still lands.
+    SchemaEvolution.appendEvolved(spark, Seq((3L, 30.5)).toDF("id", "qty"), dir)
+    SchemaEvolution.appendEvolved(spark, Seq((4L, 40)).toDF("id", "qty"), dir)
+
+    val read = SchemaEvolution.readEvolved(spark, dir)
+    assert(read.schema("qty").dataType == DoubleType)
+    val byId = read.collect().map(r => r.getLong(read.columns.indexOf("id")) ->
+      r.getDouble(read.columns.indexOf("qty"))).toMap
+    assert(byId == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.5, 4L -> 40.0),
+      s"old int files must upcast at scan: $byId")
+
+    // Unrelated columns stay strictly enforced after the widen.
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.appendEvolved(spark, Seq(("x", 1.0)).toDF("id", "qty"), dir)
+    }
+    // Narrowing is never a widen.
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.widenColumn(spark, dir, "qty", IntegerType)
+    }
+  }
+
+  test("widenColumn: STRING->TIMESTAMP via projection cast, ISO-string physical form") {
+    import org.apache.spark.sql.types._
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-widents").resolve("t").toString
+
+    SchemaEvolution.appendEvolved(spark,
+      Seq((1L, "2024-01-05 10:30:00")).toDF("id", "shipped_at"), dir)
+    SchemaEvolution.widenColumn(spark, dir, "shipped_at", TimestampType)
+
+    // New writers append typed timestamps; physically they land as strings.
+    SchemaEvolution.appendEvolved(spark,
+      Seq((2L, java.sql.Timestamp.valueOf("2024-02-06 11:45:00")))
+        .toDF("id", "shipped_at"), dir)
+
+    val read = SchemaEvolution.readEvolved(spark, dir)
+    assert(read.schema("shipped_at").dataType == TimestampType)
+    val months = read.selectExpr("id", "month(shipped_at) AS m").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(months == Map(1L -> 1, 2L -> 2), s"both generations read as timestamps: $months")
+
+    // An old writer's string batch still lands post-widen.
+    SchemaEvolution.appendEvolved(spark,
+      Seq((3L, "2024-03-07 09:00:00")).toDF("id", "shipped_at"), dir)
+    assert(SchemaEvolution.readEvolved(spark, dir)
+      .selectExpr("month(shipped_at)").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("widen composes with rename and ADD COLUMN") {
+    import org.apache.spark.sql.types._
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-widenmix").resolve("t").toString
+
+    SchemaEvolution.appendEvolved(spark, Seq((1L, 5)).toDF("id", "amount"), dir)
+    SchemaEvolution.renameColumn(spark, dir, "amount", "total")
+    SchemaEvolution.widenColumn(spark, dir, "total", LongType)
+    SchemaEvolution.appendEvolved(spark,
+      Seq((2L, 7L, "eu")).toDF("id", "total", "region"), dir)
+
+    val read = SchemaEvolution.readEvolved(spark, dir)
+    assert(read.schema("total").dataType == LongType)
+    assert(read.columns.sorted.toSeq == Seq("id", "region", "total"))
+    val rows = read.selectExpr("id", "total", "region").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(rows == Set((1L, 5L, null), (2L, 7L, "eu")))
+  }
 }
