@@ -588,6 +588,248 @@ object TextQueries extends QueryModule {
              |  FROM tk WHERE length(tok) >= 2)
              |SELECT pair, CAST(count(*) AS BIGINT) AS n
              |FROM p GROUP BY pair
-             |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin))
+             |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin)),
+
+    // Gopher/C4-family repetition quality rules: per doc, the fraction
+    // of 2-gram occurrences covered by the single most frequent 2-gram
+    // (templated boilerplate) and the duplicate-3-gram fraction
+    // (1 - distinct/total — loops and copy-paste). POSITIONAL grams from
+    // the JVM dual (the distinct-gram pathology applies here too); one
+    // (doc, gram)-keyed count with map-side combine per order, one
+    // doc_id rollup, flags decided by INTEGER cross-multiplication
+    // (5·max > tot ⟺ frac > 0.2) so no float compare ever runs.
+    EngineQuery(
+      "text_rep_flags",
+      (s, dir) => {
+        def perDoc(n: Int, tot: String, mx: String, nd: String) =
+          graft.text.TextAnalysis.explodedGramsPosJvm(
+            docs(s, dir).selectExpr("doc_id", "lang AS tag", "text"), n)
+            .groupBy("doc_id", "tag", "gram").agg(count(lit(1)).as("c"))
+            .groupBy("doc_id", "tag")
+            .agg(sum("c").as(tot), max("c").as(mx), count(lit(1)).as(nd))
+        val d2 = perDoc(2, "tot2", "max2", "nd2")
+        val d3 = perDoc(3, "tot3", "max3", "nd3").drop("tag")
+        d2.join(d3, "doc_id")
+          .groupBy(col("tag").as("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("max2") * 5 > col("tot2"), 1L).otherwise(0L)).as("n_top2_flagged"),
+            sum(when((col("tot3") - col("nd3")) * 5 > col("tot3"), 1L).otherwise(0L)).as("n_dup3_flagged"),
+            round(sum("max2").cast("double") / sum("tot2"), 6).as("corpus_top2_frac"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
+              |g2 AS (SELECT doc_id, lang, unnest(${gramsNPosDuck(2)}) AS gram FROM tk),
+              |g3 AS (SELECT doc_id, unnest(${gramsNPosDuck(3)}) AS gram FROM tk),
+              |c2 AS (SELECT doc_id, lang, count(*) AS c FROM g2 GROUP BY doc_id, lang, gram),
+              |c3 AS (SELECT doc_id, count(*) AS c FROM g3 GROUP BY doc_id, gram),
+              |d2 AS (SELECT doc_id, lang, sum(c) AS tot2, max(c) AS max2 FROM c2 GROUP BY 1, 2),
+              |d3 AS (SELECT doc_id, sum(c) AS tot3, count(*) AS nd3 FROM c3 GROUP BY 1)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(CASE WHEN max2 * 5 > tot2 THEN 1 END) AS BIGINT) AS n_top2_flagged,
+              |  CAST(count(CASE WHEN (tot3 - nd3) * 5 > tot3 THEN 1 END) AS BIGINT) AS n_dup3_flagged,
+              |  round(CAST(sum(max2) AS DOUBLE) / sum(tot2), 6) AS corpus_top2_frac
+              |FROM d2 JOIN d3 USING (doc_id)
+              |GROUP BY lang""".stripMargin)),
+
+    // PII scrubbing: deterministic synthetic PII (an email and a phone
+    // derived from doc_id — the raw corpus is word soup) appended to
+    // each document, then redacted with the regex family a real scrubber
+    // runs. Partition-local regexp work at any scale (one projection, no
+    // shuffle before the rollup); counts and redacted lengths are
+    // integers, so the gate pins both the match counts AND the exact
+    // byte effect of the replacements in both engines.
+    EngineQuery(
+      "text_pii_scrub",
+      (s, dir) => {
+        val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\\\.[a-z]{2,}"
+        val phonePat = "\\\\+1-[0-9]{3}-[0-9]{4}"
+        docs(s, dir)
+          .selectExpr("doc_id", "lang",
+            "concat(text, ' contact user', CAST(doc_id AS STRING), '@mail.example.com or +1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) AS base")
+          .selectExpr("lang", "length(base) AS raw_len",
+            s"size(regexp_extract_all(base, '$emailPat', 0)) AS n_email",
+            s"size(regexp_extract_all(base, '$phonePat', 0)) AS n_phone",
+            s"length(regexp_replace(regexp_replace(base, '$emailPat', '<EMAIL>'), '$phonePat', '<PHONE>')) AS scrub_len")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_email").as("emails"),
+            sum("n_phone").as("phones"),
+            sum("raw_len").as("raw_chars"),
+            sum("scrub_len").as("scrub_chars"))
+      },
+      Some("""WITH b AS (SELECT doc_id, lang,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS base
+             |  FROM documents),
+             |m AS (SELECT lang, length(base) AS raw_len,
+             |    len(regexp_extract_all(base, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+             |    len(regexp_extract_all(base, '\+1-[0-9]{3}-[0-9]{4}')) AS n_phone,
+             |    length(regexp_replace(regexp_replace(base, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'), '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_len
+             |  FROM b)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_email) AS BIGINT) AS emails,
+             |  CAST(sum(n_phone) AS BIGINT) AS phones,
+             |  CAST(sum(raw_len) AS BIGINT) AS raw_chars,
+             |  CAST(sum(scrub_len) AS BIGINT) AS scrub_chars
+             |FROM m GROUP BY lang""".stripMargin)),
+
+    // Domain-mixture planning (the DoReMi/Pile-style data-mixing step):
+    // given target language weights and a half-corpus token budget,
+    // derive per-language available tokens, required tokens, sampling
+    // rate and epoch count. One aggregation pass + a broadcast scalar
+    // total; ALL arithmetic is integer (weights as percents, required =
+    // budget·w DIV 100) except the final display-rounded rate, so the
+    // plan is bit-stable cross-engine. Rates > 1 mean up-sampling
+    // (epochs > 1) — exactly how low-resource languages are mixed.
+    EngineQuery(
+      "text_mixture_plan",
+      (s, dir) => {
+        val weights = "CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 20 WHEN 'de' THEN 15 WHEN 'fr' THEN 10 ELSE 5 END"
+        val avail = docs(s, dir)
+          .selectExpr("lang", s"CAST(size($toksSpark) AS BIGINT) AS n_tok")
+          .groupBy("lang").agg(sum("n_tok").as("avail"))
+        val tot = avail.agg(sum("avail").as("total"))
+        avail.join(broadcast(tot))
+          .selectExpr("lang", "avail", s"$weights AS w", "total DIV 2 AS budget")
+          .selectExpr("lang", "avail", "(budget * w) DIV 100 AS required")
+          .selectExpr("lang", "avail", "required",
+            "round(CAST(required AS DOUBLE) / avail, 6) AS rate",
+            "(required + avail - 1) DIV avail AS epochs")
+      },
+      Some("""WITH a AS (SELECT lang, sum(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != ''))) AS avail
+             |  FROM documents GROUP BY lang),
+             |t AS (SELECT sum(avail) AS total FROM a),
+             |p AS (SELECT lang, avail,
+             |    ((total // 2) * CASE lang WHEN 'en' THEN 50 WHEN 'es' THEN 20 WHEN 'de' THEN 15 WHEN 'fr' THEN 10 ELSE 5 END) // 100 AS required
+             |  FROM a, t)
+             |SELECT lang, CAST(avail AS BIGINT) AS avail,
+             |  CAST(required AS BIGINT) AS required,
+             |  round(CAST(required AS DOUBLE) / avail, 6) AS rate,
+             |  CAST((required + avail - 1) // avail AS BIGINT) AS epochs
+             |FROM p""".stripMargin)),
+
+    // Winnowing fingerprints (Schleimer et al., the MOSS algorithm): the
+    // distinct set of per-window minima over the positional 3-gram hash
+    // sequence (window w = 4). Guarantees any shared run ≥ w+n-1 tokens
+    // yields at least one shared fingerprint — the partial-overlap
+    // detector the single min-hash fingerprint can't provide. Pure
+    // per-doc HOF projection (no explode, no shuffle before the rollup);
+    // the window-min/distinct runs on a short per-doc array.
+    EngineQuery(
+      "text_winnow",
+      (s, dir) => {
+        val h = graft.text.TextAnalysis.hash60Spark("g")
+        docs(s, dir)
+          .withColumn("toks", expr(toksSpark))
+          .selectExpr("doc_id", "lang",
+            s"transform(${graft.text.TextAnalysis.gramsNPosSpark(3)}, g -> $h) AS gh")
+          .selectExpr("doc_id", "lang",
+            "CAST(size(array_distinct(transform(sequence(1, greatest(size(gh) - 3, 1)), j -> array_min(slice(gh, j, 4))))) AS BIGINT) AS n_fp",
+            "array_min(gh) AS min_h")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_fp").as("total_fps"),
+            min("min_h").as("corpus_min_hash"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
+              |gh AS (SELECT doc_id, lang,
+              |    list_transform(${gramsNPosDuck(3)}, g -> ${graft.text.TextAnalysis.hash60Duck("g")}) AS gh
+              |  FROM tk),
+              |fp AS (SELECT doc_id, lang,
+              |    len(list_distinct([list_min(gh[j:j+3]) for j in range(1, greatest(len(gh) - 3, 1) + 1)])) AS n_fp,
+              |    list_min(gh) AS min_h
+              |  FROM gh)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_fp) AS BIGINT) AS total_fps,
+              |  CAST(min(min_h) AS BIGINT) AS corpus_min_hash
+              |FROM fp GROUP BY lang""".stripMargin)),
+
+    // Feature-hashed linear quality scorer (the fastText trick that makes
+    // model-based filtering run at corpus scale): every token hashes into
+    // 64 buckets, each bucket carries a fixed integer weight, a doc's
+    // score is the weight sum — one partition-local projection per doc,
+    // NO vocabulary join, no model server. Integer weights keep the
+    // fold order-free and the gate exact; a trained float model swaps in
+    // by replacing the weight table.
+    EngineQuery(
+      "text_hashed_features",
+      (s, dir) => {
+        val bucket = s"${graft.text.TextAnalysis.hash60Spark("t")} % 64"
+        docs(s, dir)
+          .withColumn("toks", expr(toksSpark))
+          .selectExpr("doc_id", "lang",
+            s"coalesce(aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc + (($bucket) % 7 - 3)), CAST(0 AS BIGINT)) AS score")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_positive"),
+            sum("score").as("sum_score"),
+            min("score").as("min_score"),
+            max("score").as("max_score"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
+              |sc AS (SELECT doc_id, lang,
+              |    coalesce(list_sum(list_transform(toks, t -> (${graft.text.TextAnalysis.hash60Duck("t")} % 64) % 7 - 3)), 0) AS score
+              |  FROM tk)
+              |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(CASE WHEN score > 0 THEN 1 END) AS BIGINT) AS n_positive,
+              |  CAST(sum(score) AS BIGINT) AS sum_score,
+              |  CAST(min(score) AS BIGINT) AS min_score,
+              |  CAST(max(score) AS BIGINT) AS max_score
+              |FROM sc GROUP BY lang""".stripMargin)),
+
+    // Quality-aware dedup keep-policy: within each near-dup group (the
+    // one-hop min-label over the LSH candidate path, as text_curate),
+    // keep the HIGHEST-QUALITY member instead of the smallest id — the
+    // policy real curation runs (min-id throws away the best copy).
+    // The argmax rides one max_by over a total-ordered integer key
+    // (quality at 1e-4 grain · 1e9 + reversed doc_id), so group ties are
+    // impossible and the gate is exact; quality sums are integer-grain.
+    EngineQuery(
+      "dedup_keep_best",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val scored = d.withColumn("toks", expr(toksSpark)).selectExpr(
+          "doc_id", "lang",
+          s"round(least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHits / CAST(size(toks) AS DOUBLE)) * 0.5, 4) AS quality")
+        val reps = graft.dedup.Dedup.clusterReps(
+          d, DedupQueries.minhashPairsCached(s, dir, 0.8))
+        scored.join(reps, Seq("doc_id"))
+          .selectExpr("doc_id", "lang", "rep_id",
+            "CAST(round(quality * 10000, 0) AS BIGINT) AS q10k")
+          .withColumn("ord", col("q10k") * 1000000000L + (lit(999999999L) - col("doc_id")))
+          .groupBy("rep_id")
+          .agg(
+            expr("max_by(doc_id, ord)").as("kept_id"),
+            expr("max_by(lang, ord)").as("kept_lang"),
+            max("q10k").as("kept_q10k"))
+          .groupBy(col("kept_lang").as("lang"))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            sum(when(col("kept_id") =!= col("rep_id"), 1L).otherwise(0L)).as("n_better_than_minid"),
+            sum("kept_q10k").as("sum_kept_q10k"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, text, lang, $toksDuck AS toks FROM documents),
+              |scored AS (SELECT doc_id, lang,
+              |  CAST(round(round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHitsDuck / CAST(len(toks) AS DOUBLE)) * 0.5, 4) * 10000, 0) AS BIGINT) AS q10k
+              |  FROM tk),
+              |g AS (SELECT doc_id, $grams3Duck AS grams FROM tk),
+              |${DedupQueries.duckLshPairs(0.8)},
+              |nbr AS (SELECT doc_id, min(nb) AS min_nb FROM (
+              |    SELECT a_id AS doc_id, b_id AS nb FROM lsh_pairs
+              |    UNION ALL SELECT b_id, a_id FROM lsh_pairs) GROUP BY doc_id),
+              |reps AS (SELECT d.doc_id, least(d.doc_id, coalesce(min_nb, d.doc_id)) AS rep_id
+              |  FROM documents d LEFT JOIN nbr ON d.doc_id = nbr.doc_id),
+              |j AS (SELECT s.doc_id, s.lang, r.rep_id, s.q10k,
+              |    s.q10k * 1000000000 + (999999999 - s.doc_id) AS ord
+              |  FROM scored s JOIN reps r ON s.doc_id = r.doc_id),
+              |k AS (SELECT rep_id, arg_max(doc_id, ord) AS kept_id,
+              |    arg_max(lang, ord) AS kept_lang, max(q10k) AS kept_q10k
+              |  FROM j GROUP BY rep_id)
+              |SELECT kept_lang AS lang, CAST(count(*) AS BIGINT) AS n_groups,
+              |  CAST(count(CASE WHEN kept_id <> rep_id THEN 1 END) AS BIGINT) AS n_better_than_minid,
+              |  CAST(sum(kept_q10k) AS BIGINT) AS sum_kept_q10k
+              |FROM k GROUP BY kept_lang""".stripMargin))
   )
 }

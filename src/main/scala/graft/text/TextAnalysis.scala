@@ -93,6 +93,47 @@ object TextAnalysis {
   val grams3Spark: String = gramsNSpark(3)
   val grams3Duck: String = gramsNDuck(3)
 
+  /** POSITIONAL n-grams — the full occurrence sequence, no distinct.
+    * Winnowing and repetition statistics need every occurrence in
+    * position order, not the set. Same degenerate-doc behavior as the
+    * distinct variant (short docs yield one truncated gram, empty docs
+    * one empty string). */
+  def gramsNPosSpark(n: Int): String = {
+    val parts = (0 until n).map(k => s"try_element_at(toks, i + $k)").mkString(", ")
+    s"transform(sequence(1, greatest(size(toks) - ${n - 1}, 1)), i -> concat_ws(' ', $parts))"
+  }
+
+  def gramsNPosDuck(n: Int): String = {
+    val parts = (0 until n).map(k => s"toks[i+$k]").mkString(", ")
+    s"[concat_ws(' ', $parts) for i in range(1, greatest(len(toks) - ${n - 1}, 1) + 1)]"
+  }
+
+  /** JVM dual of `explode(gramsNPosSpark(n))`: one row per gram
+    * OCCURRENCE (positional, duplicates kept), with a per-doc `tag`.
+    * Same rationale as [[explodedGramsJvm]] — Catalyst inlines the gram
+    * HOF into Generate and re-evaluates it per emitted row; the typed
+    * flatMap is the optimizer-proof boundary. Parity with the SQL
+    * positional expression is pinned by GramParitySpec. */
+  def explodedGramsPosJvm(tagged: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.STRING)
+    implicit val outEnc = Encoders.product[DocTagGram]
+    tagged.as[(Long, String, String)].mapPartitions { it =>
+      it.flatMap { case (docId, tag, text) =>
+        if (text == null) Iterator.single(DocTagGram(docId, tag, ""))
+        else {
+          val toks = text.toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          val upper = math.max(toks.length - (n - 1), 1)
+          Iterator.range(0, upper).map { i =>
+            val end = math.min(i + n, toks.length)
+            DocTagGram(docId, tag, toks.slice(i, end).mkString(" "))
+          }
+        }
+      }
+    }.toDF()
+  }
+
   final case class DocTagGram(doc_id: Long, tag: String, gram: String)
 
   /** JVM dual of `explode(gramsNSpark(n))`, one output row per distinct

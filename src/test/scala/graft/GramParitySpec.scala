@@ -63,4 +63,31 @@ class GramParitySpec extends SparkSuite {
       (6L, "t", null.asInstanceOf[String])).toDF("doc_id", "tag", "text")
     assert(pairsOf(jvmPath(edge)) == pairsOf(sqlPath(edge)))
   }
+
+  test("explodedGramsPosJvm == explode(gramsNPosSpark(2)), occurrences kept") {
+    val s = spark
+    import s.implicits._
+    // Positional parity must compare MULTISETS (duplicates matter).
+    def bagOf(df: org.apache.spark.sql.DataFrame): Map[(Long, String, String), Long] =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def sqlPath(docs: org.apache.spark.sql.DataFrame) =
+      docs.withColumn("toks", expr(graft.text.TextAnalysis.toksSpark))
+        .selectExpr("doc_id", "tag",
+          s"explode(${graft.text.TextAnalysis.gramsNPosSpark(2)}) AS gram")
+    def jvmPath(docs: org.apache.spark.sql.DataFrame) =
+      graft.text.TextAnalysis.explodedGramsPosJvm(
+        docs.select(col("doc_id"), col("tag"), col("text")), 2)
+
+    val real = spark.read.parquet(s"$sf0001/documents.parquet")
+      .selectExpr("doc_id", "lang AS tag", "text")
+    assert(bagOf(jvmPath(real)) == bagOf(sqlPath(real)))
+
+    val edge = Seq(
+      (1L, "t", "a b a b a"),
+      (2L, "t", "one"),
+      (3L, "t", "   "),
+      (4L, "t", null.asInstanceOf[String])).toDF("doc_id", "tag", "text")
+    assert(bagOf(jvmPath(edge)) == bagOf(sqlPath(edge)))
+  }
 }
