@@ -465,6 +465,71 @@ object SimQueries extends QueryModule {
              |  round(adc, 6) AS adc
              |FROM r WHERE rank <= 3""".stripMargin)),
 
+    // The composed IVF-PQ search — the standard billion-scale ANN
+    // architecture end-to-end: the IVF stage prunes the scan to each
+    // probe's nearest cell partition (reading only vec_id — column
+    // pruning skips every raw embedding), and the PQ stage ranks those
+    // candidates by asymmetric distance: per-probe 8×16 subspace tables
+    // against the broadcast codebook, candidate distance = 8 lookups
+    // through the stored codes. Query-time cost per probe: nprobe/K of
+    // the CODES (bytes per vector), zero embedding IO. The oracle
+    // replays both stages (cell assignment + table-lookup ADC) in SQL.
+    EngineQuery(
+      "sim_ivfpq_search",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val codebook = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("j"), col("embedding").as("c_emb"))
+        graft.sim.IvfIndex.searchAdc(
+          s, ivfIndexDir(s, dir), e.filter(col("vec_id") < 5),
+          pqCodesCached(s, dir).select("vec_id", "m", "j"), codebook,
+          numSubspaces = 8, subDim = 8, k = 3, nprobe = 1)
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 16),
+              |p0 AS (SELECT e.vec_id, c.cell,
+              |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
+              |  FROM embeddings e CROSS JOIN c),
+              |r0 AS (SELECT vec_id, cell,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              |  FROM p0),
+              |a AS (SELECT vec_id, cell FROM r0 WHERE rn = 1),
+              |pr AS (SELECT vec_id AS query_id, cell FROM r0
+              |  WHERE vec_id < 5 AND rn = 1),
+              |seeds AS (SELECT vec_id AS j, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 16),
+              |codes AS (SELECT vec_id, m, j FROM (
+              |    SELECT e.vec_id, t.m, s.j,
+              |      row_number() OVER (PARTITION BY e.vec_id, t.m ORDER BY
+              |        list_reduce([
+              |          (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE)) *
+              |          (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE))
+              |          for i in range(1, 9)], (x, y) -> x + y) ASC, s.j ASC) AS rn
+              |    FROM embeddings e CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m))
+              |  WHERE rn = 1),
+              |pdist AS (SELECT q.vec_id AS query_id, t.m, s.j,
+              |    list_reduce([
+              |      (CAST(q.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE)) *
+              |      (CAST(q.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE))
+              |      for i in range(1, 9)], (x, y) -> x + y) AS pd2
+              |  FROM embeddings q CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m)
+              |  WHERE q.vec_id < 5),
+              |cand AS (SELECT pr.query_id, a.vec_id
+              |  FROM a JOIN pr ON a.cell = pr.cell
+              |  WHERE a.vec_id <> pr.query_id),
+              |ad AS (SELECT cd.query_id, cd.vec_id,
+              |    list_reduce([0.0] || list(p.pd2 ORDER BY p.m), (x, y) -> x + y) AS adc
+              |  FROM cand cd
+              |  JOIN codes c2 ON c2.vec_id = cd.vec_id
+              |  JOIN pdist p ON p.query_id = cd.query_id AND p.m = c2.m AND p.j = c2.j
+              |  GROUP BY cd.query_id, cd.vec_id),
+              |r AS (SELECT query_id, vec_id, adc,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
+              |  FROM ad)
+              |SELECT query_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id,
+              |  round(adc, 6) AS adc
+              |FROM r WHERE rank <= 3""".stripMargin)),
+
     // One bit-deterministic Lloyd step of k-means centroid training
     // (sim/Kmeans): argmax-cosine assignment to the 8 seed centroids,
     // then per-cell mean with strict vec_id-ordered summation folds —

@@ -143,4 +143,71 @@ object IvfIndex {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
   }
+
+  /** IVF-PQ search — the standard billion-scale ANN composition: the
+    * IVF stage prunes IO to the probed cells' partition dirs (reading
+    * ONLY vec_id — column pruning skips the raw embeddings entirely),
+    * and the PQ stage scores candidates by asymmetric distance (ADC):
+    * per-probe subspace distance tables against the broadcast codebook,
+    * candidate distance = M table lookups through the stored codes. No
+    * raw-vector float math touches a database vector at query time —
+    * the scan cost is codes (a few bytes/vector), not embeddings.
+    *
+    * @param codes    (vec_id, m, j) PQ code rows (e.g. PqCodec output)
+    * @param codebook (j, c_emb) shared per-subspace codebook
+    * @param subDim   dims per subspace (M·subDim = full dim)
+    */
+  def searchAdc(
+      spark: SparkSession, dir: String, probes: DataFrame,
+      codes: DataFrame, codebook: DataFrame, numSubspaces: Int, subDim: Int,
+      k: Int, nprobe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+    val wCell = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell").asc)
+    val probeRows = probes
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .selectExpr("query_id", "q_emb", "cell", "cosine_sim(q_emb, c_emb) AS cos")
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "q_emb", "cell")
+    val collected = probeRows.collect()
+    val probeCells = spark.createDataFrame(
+      java.util.Arrays.asList(collected: _*), probeRows.schema)
+    val cellIds = collected.map(_.getAs[Long]("cell")).distinct.toSeq
+
+    // Candidates: vec_id ONLY from the probed partitions.
+    val cands = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(cellIds: _*))
+      .withColumn("cell", col("cell").cast("long"))
+      .select("cell", "vec_id")
+
+    // Probe distance tables: nprobe·M·K rows — broadcast-sized.
+    val pdist = probeCells.select("query_id", "q_emb").distinct()
+      .crossJoin(broadcast(codebook))
+      .select(col("query_id"), col("q_emb"), col("j"), col("c_emb"),
+        explode(expr(s"sequence(0, ${numSubspaces - 1})")).as("m"))
+      .selectExpr("query_id", "m", "j",
+        s"l2_sq_range(q_emb, c_emb, m * $subDim + 1, $subDim) AS pd2")
+
+    // Each query's candidate set = the vectors of ITS probed cells.
+    val qCands = cands
+      .join(broadcast(probeCells.select("query_id", "cell").distinct()), Seq("cell"))
+      .select("query_id", "vec_id")
+
+    // ADC: M lookups per (query, candidate); the m-sorted fold keeps the
+    // float sum order-deterministic.
+    val wTop = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
+    qCands.join(codes, Seq("vec_id"))
+      .join(broadcast(pdist), Seq("query_id", "m", "j"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("pd2")))).as("cs"))
+      .selectExpr("query_id", "vec_id",
+        "aggregate(cs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.pd2) AS adc")
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("adc"), 6).as("adc"))
+  }
 }

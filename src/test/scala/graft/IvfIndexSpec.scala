@@ -127,4 +127,33 @@ class IvfIndexSpec extends SparkSuite {
     assert(res(incDir) == res(fullDir),
       "append-maintained index must search identically to a rebuild")
   }
+
+  test("IVF-PQ searchAdc reads NO embedding bytes from the cells tree") {
+    val dir = Files.createTempDirectory("graft-ivfpq").resolve("index").toString
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    IvfIndex.build(spark, corpus, numCells = 16, dir)
+
+    val codebook = corpus.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("j"), col("embedding").as("c_emb"))
+    // Trivial codes (every subspace -> codeword j = vec_id % 16) — this
+    // test pins the IO shape, not ADC quality.
+    val codes = corpus.select(col("vec_id"))
+      .withColumn("m", explode(expr("sequence(0, 7)")))
+      .withColumn("j", col("vec_id") % 16)
+    val out = IvfIndex.searchAdc(spark, dir, corpus.filter(col("vec_id") < 3),
+      codes, codebook, numSubspaces = 8, subDim = 8, k = 3, nprobe = 1)
+    out.collect()
+
+    // The PQ contract: candidate scanning touches codes only. Every scan
+    // of the cells tree in the (AQE-final) plan must read just vec_id.
+    val cellScanLines = out.queryExecution.executedPlan.toString
+      .split('\n').filter(l => l.contains("FileScan") && l.contains("cells"))
+    assert(cellScanLines.nonEmpty, "expected a pruned scan of the cells tree")
+    cellScanLines.foreach { l =>
+      assert(!l.contains("embedding"),
+        s"ADC path must not read raw embeddings from the cells tree: $l")
+    }
+    assert(out.columns.toSeq == Seq("query_id", "rank", "neighbor_id", "adc"))
+  }
 }
