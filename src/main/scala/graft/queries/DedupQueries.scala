@@ -147,6 +147,74 @@ object DedupQueries extends QueryModule {
               |  round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
               |FROM p WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8""".stripMargin)),
 
+    // Prefix-filtered all-pairs similarity join (the ppjoin family) —
+    // the LSH alternative for near-dup candidate generation, here over
+    // the 3-gram sets at Jaccard >= 0.8. Grams sort by (global df, gram)
+    // — rarest first — and only each doc's PREFIX (n - ceil(0.8n) + 1
+    // grams, integer ceil = (4n+4) DIV 5) explodes into the candidate
+    // equi-join: completeness is the pigeonhole bound (two sets with
+    // J >= t MUST share a prefix token under a shared total order), and
+    // the prefix grams are by construction the rarest, so the join is
+    // confined where LSH banding confines by hash collision. Exact
+    // verification runs only on candidates. Sums stay integer; the one
+    // double ratio is a single division, rounded.
+    EngineQuery(
+      "dedup_prefix_pairs",
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val tok = grams(s, dir).select(col("doc_id"), explode(col("grams")).as("t"))
+        val dfq = tok.groupBy("t").agg(count(lit(1)).as("df"))
+        val ordered = tok.join(dfq, "t")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("ord"))
+          .selectExpr("doc_id", "CAST(size(ord) AS BIGINT) AS n",
+            "transform(ord, e -> e.t) AS gs")
+          .selectExpr("doc_id", "n", "gs",
+            "slice(gs, 1, CAST(n - (4 * n + 4) DIV 5 + 1 AS INT)) AS prefix")
+        val pre = ordered.selectExpr("doc_id", "explode(prefix) AS pt")
+        val cand = pre.alias("a")
+          .join(pre.alias("b"),
+            col("a.pt") === col("b.pt") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+          .distinct()
+        cand
+          .join(ordered.selectExpr("doc_id AS a_id", "gs AS ga", "n AS na"), "a_id")
+          .join(ordered.selectExpr("doc_id AS b_id", "gs AS gb", "n AS nb"), "b_id")
+          .selectExpr("a_id", "b_id",
+            "CAST(size(array_intersect(ga, gb)) AS BIGINT) AS inter", "na", "nb")
+          .filter("CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8")
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum("inter").as("sum_inter"),
+            sum(expr("na + nb - inter")).as("sum_union"),
+            round(sum("inter").cast("double") / sum(expr("na + nb - inter")), 6)
+              .as("overlap_ratio"))
+      },
+      Some(s"""$duckGrams,
+              |tok AS (SELECT doc_id, unnest(grams) AS t FROM g),
+              |dfq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+              |ordered AS (SELECT doc_id, list(t ORDER BY df, t) AS gs,
+              |    CAST(count(*) AS BIGINT) AS n
+              |  FROM tok JOIN dfq USING (t) GROUP BY doc_id),
+              |pre AS (SELECT doc_id,
+              |    unnest(gs[1:CAST(n - (4 * n + 4) // 5 + 1 AS BIGINT)]) AS pt
+              |  FROM ordered),
+              |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM pre a JOIN pre b ON a.pt = b.pt AND a.doc_id < b.doc_id),
+              |p AS (SELECT a_id, b_id,
+              |    CAST(len(list_filter(oa.gs, x -> list_contains(ob.gs, x))) AS BIGINT) AS inter,
+              |    oa.n AS na, ob.n AS nb
+              |  FROM cand
+              |  JOIN ordered oa ON oa.doc_id = a_id
+              |  JOIN ordered ob ON ob.doc_id = b_id),
+              |v AS (SELECT * FROM p
+              |  WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8)
+              |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              |  CAST(sum(inter) AS BIGINT) AS sum_inter,
+              |  CAST(sum(na + nb - inter) AS BIGINT) AS sum_union,
+              |  round(CAST(sum(inter) AS DOUBLE) / sum(na + nb - inter), 6) AS overlap_ratio
+              |FROM v""".stripMargin)),
+
     // Per-doc MinHash signature + LSH band hashes (the partition-local
     // stage of the scale path, checked value-by-value).
     EngineQuery(

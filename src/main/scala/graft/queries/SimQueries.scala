@@ -530,6 +530,91 @@ object SimQueries extends QueryModule {
               |  round(adc, 6) AS adc
               |FROM r WHERE rank <= 3""".stripMargin)),
 
+    // Retrieve-then-rerank — the two-stage serving pipeline every
+    // production retrieval system runs: stage 1 is the CHEAP approximate
+    // pass (IVF-PQ top-10: pruned partitions, code lookups, zero
+    // embedding IO), stage 2 re-scores ONLY those 10 candidates with the
+    // exact metric over raw embeddings (here codegen'd cosine standing in
+    // for the cross-encoder) and re-ranks to a final top-3. The
+    // expensive exact scoring is confined to k·probes rows no matter the
+    // corpus size — that confinement IS the architecture. ADC and cosine
+    // order differ (L2-on-codes vs exact angle), so the oracle would
+    // catch a rerank that silently passed stage-1 order through.
+    EngineQuery(
+      "sim_rerank",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val codebook = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("j"), col("embedding").as("c_emb"))
+        val stage1 = graft.sim.IvfIndex.searchAdc(
+          s, ivfIndexDir(s, dir), e.filter(col("vec_id") < 5),
+          pqCodesCached(s, dir).select("vec_id", "m", "j"), codebook,
+          numSubspaces = 8, subDim = 8, k = 10, nprobe = 1)
+        val wR = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        stage1.select("query_id", "neighbor_id")
+          .join(e.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), "query_id")
+          .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb")), "neighbor_id")
+          .selectExpr("query_id", "neighbor_id", "cosine_sim(q_emb, n_emb) AS cos")
+          .withColumn("rank", row_number().over(wR))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("cos"), 6).as("cosine"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 16),
+              |p0 AS (SELECT e.vec_id, c.cell,
+              |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
+              |  FROM embeddings e CROSS JOIN c),
+              |r0 AS (SELECT vec_id, cell,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              |  FROM p0),
+              |a AS (SELECT vec_id, cell FROM r0 WHERE rn = 1),
+              |pr AS (SELECT vec_id AS query_id, cell FROM r0
+              |  WHERE vec_id < 5 AND rn = 1),
+              |seeds AS (SELECT vec_id AS j, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 16),
+              |codes AS (SELECT vec_id, m, j FROM (
+              |    SELECT e.vec_id, t.m, s.j,
+              |      row_number() OVER (PARTITION BY e.vec_id, t.m ORDER BY
+              |        list_reduce([
+              |          (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE)) *
+              |          (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE))
+              |          for i in range(1, 9)], (x, y) -> x + y) ASC, s.j ASC) AS rn
+              |    FROM embeddings e CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m))
+              |  WHERE rn = 1),
+              |pdist AS (SELECT q.vec_id AS query_id, t.m, s.j,
+              |    list_reduce([
+              |      (CAST(q.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE)) *
+              |      (CAST(q.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE))
+              |      for i in range(1, 9)], (x, y) -> x + y) AS pd2
+              |  FROM embeddings q CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m)
+              |  WHERE q.vec_id < 5),
+              |cand AS (SELECT pr.query_id, a.vec_id
+              |  FROM a JOIN pr ON a.cell = pr.cell
+              |  WHERE a.vec_id <> pr.query_id),
+              |ad AS (SELECT cd.query_id, cd.vec_id,
+              |    list_reduce([0.0] || list(p.pd2 ORDER BY p.m), (x, y) -> x + y) AS adc
+              |  FROM cand cd
+              |  JOIN codes c2 ON c2.vec_id = cd.vec_id
+              |  JOIN pdist p ON p.query_id = cd.query_id AND p.m = c2.m AND p.j = c2.j
+              |  GROUP BY cd.query_id, cd.vec_id),
+              |s1 AS (SELECT query_id, vec_id AS neighbor_id FROM (
+              |    SELECT query_id, vec_id, row_number() OVER (
+              |      PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
+              |    FROM ad) WHERE rank <= 10),
+              |rr AS (SELECT s1.query_id, s1.neighbor_id,
+              |    ${cosineDuck("q.embedding", "n.embedding")} AS cos
+              |  FROM s1
+              |  JOIN embeddings q ON q.vec_id = s1.query_id
+              |  JOIN embeddings n ON n.vec_id = s1.neighbor_id),
+              |fin AS (SELECT query_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM rr)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |  round(cos, 6) AS cosine
+              |FROM fin WHERE rank <= 3""".stripMargin)),
+
     // One bit-deterministic Lloyd step of k-means centroid training
     // (sim/Kmeans): argmax-cosine assignment to the 8 seed centroids,
     // then per-cell mean with strict vec_id-ordered summation folds —
