@@ -615,6 +615,45 @@ object SimQueries extends QueryModule {
               |  round(cos, 6) AS cosine
               |FROM fin WHERE rank <= 3""".stripMargin)),
 
+    // Mean-pooling chunk embeddings into document embeddings — the
+    // aggregation every chunked-embedding pipeline runs (doc vector =
+    // mean of its chunks' vectors). Grouped elementwise sum via a
+    // vec_id-ordered fold (the KmeansSpec determinism convention:
+    // zero-init + ordered adds = DuckDB's first-element-init reduce,
+    // since 0.0 + x = x), divide by the count, then report the
+    // component sum and L2 norm (IEEE sqrt is correctly rounded — safe
+    // cross-engine). State per group is ONE 64-float vector.
+    EngineQuery(
+      "sim_mean_pool",
+      (s, dir) =>
+        emb(s, dir)
+          .withColumn("grp", expr("vec_id DIV 10"))
+          .groupBy("grp")
+          .agg(
+            count(lit(1)).as("n"),
+            sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+          .selectExpr("grp", "CAST(n AS BIGINT) AS n",
+            s"aggregate(vs, array_repeat(CAST(0.0 AS DOUBLE), $Dim), (acc, v) -> zip_with(acc, v.embedding, (a, b) -> a + CAST(b AS DOUBLE))) AS sums")
+          .selectExpr("grp", "n", "transform(sums, x -> x / n) AS mean")
+          .selectExpr("grp", "n",
+            "round(aggregate(mean, CAST(0.0 AS DOUBLE), (a, x) -> a + x), 6) AS mean_sum",
+            "round(sqrt(aggregate(mean, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)), 6) AS mean_norm"),
+      Some(s"""WITH e AS (SELECT vec_id, vec_id // 10 AS grp,
+              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+              |  FROM embeddings),
+              |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+              |    list(emb ORDER BY vec_id) AS vs
+              |  FROM e GROUP BY grp),
+              |m AS (SELECT grp, n,
+              |    list_transform(
+              |      list_reduce(vs, (x, y) -> [x[i] + y[i] for i in range(1, ${Dim + 1})]),
+              |      x -> x / n) AS mean
+              |  FROM g)
+              |SELECT grp, n,
+              |  round(list_reduce([0.0] || mean, (a, x) -> a + x), 6) AS mean_sum,
+              |  round(sqrt(list_reduce([0.0] || list_transform(mean, x -> x * x), (a, x) -> a + x)), 6) AS mean_norm
+              |FROM m""".stripMargin)),
+
     // One bit-deterministic Lloyd step of k-means centroid training
     // (sim/Kmeans): argmax-cosine assignment to the 8 seed centroids,
     // then per-cell mean with strict vec_id-ordered summation folds —

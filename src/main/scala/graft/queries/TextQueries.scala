@@ -830,6 +830,81 @@ object TextQueries extends QueryModule {
               |SELECT kept_lang AS lang, CAST(count(*) AS BIGINT) AS n_groups,
               |  CAST(count(CASE WHEN kept_id <> rep_id THEN 1 END) AS BIGINT) AS n_better_than_minid,
               |  CAST(sum(kept_q10k) AS BIGINT) AS sum_kept_q10k
-              |FROM k GROUP BY kept_lang""".stripMargin))
+              |FROM k GROUP BY kept_lang""".stripMargin)),
+
+    // RAG-ingestion chunking: fixed-size overlapping token windows
+    // (size 32, stride 24 — 8-token overlap) per document, the split a
+    // retrieval pipeline runs before embedding. Chunk starts come from
+    // one integer sequence per doc (no explode of anything expensive);
+    // the rollup pins chunk counts, the double-counted overlap total
+    // (sum of chunk lengths − corpus tokens) and the per-doc maximum —
+    // all integers.
+    EngineQuery(
+      "text_chunking",
+      (s, dir) =>
+        docs(s, dir)
+          .withColumn("toks", expr(toksSpark))
+          .selectExpr("doc_id", "lang", "CAST(size(toks) AS BIGINT) AS n")
+          .selectExpr("doc_id", "lang", "n",
+            "transform(sequence(0, greatest(n, 1) - 1, 24), st -> least(32, n - st)) AS lens")
+          .selectExpr("doc_id", "lang", "n",
+            "CAST(size(lens) AS BIGINT) AS n_chunks",
+            "aggregate(lens, CAST(0 AS BIGINT), (a, x) -> a + x) AS sum_len")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_chunks").as("total_chunks"),
+            sum(expr("sum_len - n")).as("overlap_tokens"),
+            max("n_chunks").as("max_chunks_per_doc")),
+      Some("""WITH tk AS (SELECT doc_id, lang,
+             |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t != '')) AS BIGINT) AS n
+             |  FROM documents),
+             |ch AS (SELECT doc_id, lang, n,
+             |    [least(32, n - st) for st in range(0, greatest(n, 1), 24)] AS lens
+             |  FROM tk),
+             |d AS (SELECT doc_id, lang, n,
+             |    CAST(len(lens) AS BIGINT) AS n_chunks,
+             |    CAST(list_sum(lens) AS BIGINT) AS sum_len
+             |  FROM ch)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+             |  CAST(sum(sum_len - n) AS BIGINT) AS overlap_tokens,
+             |  CAST(max(n_chunks) AS BIGINT) AS max_chunks_per_doc
+             |FROM d GROUP BY lang""".stripMargin)),
+
+    // The corpus data card in ONE DAG: per (source, lang) — documents,
+    // tokens, exact-duplicate docs (md5 groups with >1 member), and the
+    // integer-grain mean quality. The composition a dataset release
+    // ships next to the data; every stat is an operator this engine
+    // gates individually, composed here end-to-end.
+    EngineQuery(
+      "pipeline_datacard",
+      (s, dir) => {
+        val d = docs(s, dir).withColumn("toks", expr(toksSpark))
+          .selectExpr("doc_id", "source", "lang", "md5(text) AS h",
+            "CAST(size(toks) AS BIGINT) AS n_tok",
+            s"CAST(round(round(least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHits / CAST(size(toks) AS DOUBLE)) * 0.5, 4) * 10000, 0) AS BIGINT) AS q10k")
+        val dupes = d.groupBy("h").agg(count(lit(1)).as("n_same"))
+        d.join(dupes, "h")
+          .groupBy("source", "lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tok").as("n_tokens"),
+            sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_exact_dup"),
+            round(sum("q10k").cast("double") / count(lit(1)) / 10000.0, 6)
+              .as("mean_quality"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source, lang, md5(text) AS h, $toksDuck AS toks FROM documents),
+              |d AS (SELECT doc_id, source, lang, h,
+              |    CAST(len(toks) AS BIGINT) AS n_tok,
+              |    CAST(round(round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHitsDuck / CAST(len(toks) AS DOUBLE)) * 0.5, 4) * 10000, 0) AS BIGINT) AS q10k
+              |  FROM tk),
+              |dup AS (SELECT h, count(*) AS n_same FROM d GROUP BY h)
+              |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              |  CAST(count(CASE WHEN n_same > 1 THEN 1 END) AS BIGINT) AS n_exact_dup,
+              |  round(CAST(sum(q10k) AS DOUBLE) / count(*) / 10000.0, 6) AS mean_quality
+              |FROM d JOIN dup USING (h)
+              |GROUP BY source, lang""".stripMargin))
   )
 }
