@@ -103,6 +103,28 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededMt =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** A dedicated two-version table taken through the SQL maintenance
+    * lifecycle (OPTIMIZE → RESTORE TO VERSION AS OF 1) via GraftSql —
+    * its own seed so the statements never mutate `versionedOrders`,
+    * which other oracles read. */
+  private def maintainedOrders(s: SparkSession, dir: String): String =
+    seededMt.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-mt")
+        .resolve("orders_maint").toString
+      val orders = s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      ParquetTable.swap(s, orders.filter(col("o_orderkey") % 2 === 0), t)
+      ParquetTable.swap(s, orders, t)
+      graft.tables.GraftSql.register(s, "orders_maint", t, Seq("o_orderkey"))
+      graft.tables.GraftSql.sql(s, "OPTIMIZE orders_maint").collect()
+      graft.tables.GraftSql.sql(s,
+        "RESTORE TABLE orders_maint TO VERSION AS OF 1").collect()
+      t
+    })
+
   private val seededCl =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
@@ -625,6 +647,32 @@ object StorageQueries extends QueryModule {
              |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
              |  CAST(max(o_orderkey) AS BIGINT) AS max_key
              |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)),
+
+    // The maintenance statements a spark-sql user pastes from the
+    // reference's db/table_maintenance.sql, run through the GraftSql
+    // shim as one lifecycle: OPTIMIZE commits a bin-packed NEW version
+    // (content invariant), RESTORE TO VERSION AS OF 1 commits the
+    // rollback as another version. The gate pins the post-restore
+    // CONTENT (v1 = even keys, reconstructed by the oracle) plus the
+    // version count the lifecycle must have produced (2 seeds +
+    // OPTIMIZE + RESTORE = 4).
+    EngineQuery(
+      "tt_sql_maintenance",
+      (s, dir) => {
+        val t = maintainedOrders(s, dir)
+        graft.tables.GraftSql.register(s, "orders_maint", t, Seq("o_orderkey"))
+        val nVersions = graft.streaming.ParquetTable.snapshots(t).size.toLong
+        graft.streaming.ParquetTable.read(s, t)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("sum_price"))
+          .withColumn("n_versions", lit(nVersions))
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS sum_price,
+             |  CAST(4 AS BIGINT) AS n_versions
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |GROUP BY o_orderstatus""".stripMargin)),
 
     // Type widening read path end-to-end (reference
     // db/schema_evolution.sql:52-105): both file generations of the

@@ -653,14 +653,22 @@ object ParquetTable {
     * `retainMillis` before `nowMillis`. The live version is always kept;
     * versions missing a history line (torn write) are kept conservatively. */
   def vacuumRetain(dir: String, retainMillis: Long, nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
+    val doomed = vacuumRetainDryRun(dir, retainMillis, nowMillis)
+    doomed.foreach(v => VersionNames.deleteTree(Paths.get(dir, v)))
+    doomed
+  }
+
+  /** VACUUM ... RETAIN n HOURS DRY RUN: the names [[vacuumRetain]]
+    * would delete, without touching anything. */
+  def vacuumRetainDryRun(
+      dir: String, retainMillis: Long,
+      nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
     val current = Files.readString(pointer(dir)).trim
     val published = publishedVersions(dir).toMap
     val cutoff = nowMillis - retainMillis
-    val doomed = snapshots(dir)
+    snapshots(dir)
       .filter(_ != current)
       .filter(v => published.get(v).exists(_ < cutoff))
-    doomed.foreach(v => VersionNames.deleteTree(Paths.get(dir, v)))
-    doomed
   }
 
   /** Write a new snapshot version and atomically repoint `_CURRENT`.

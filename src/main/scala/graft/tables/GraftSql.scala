@@ -44,18 +44,33 @@ object GraftSql {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
   private val DescribeDetail =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val Optimize =
+    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val Vacuum =
+    """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
+  private val Restore =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
   private val TableChanges =
     """(?i)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
-  /** Run one statement: the two DESCRIBE spellings directly, anything
-    * else through `spark.sql` with `table_changes(...)` calls rewritten
-    * to materialized temp views. */
+  /** Run one statement: the DESCRIBE / OPTIMIZE / VACUUM / RESTORE
+    * maintenance spellings directly (reference db/table_maintenance.sql
+    * lines a spark-sql user pastes), anything else through `spark.sql`
+    * with `table_changes(...)` calls rewritten to materialized temp
+    * views. */
   def sql(s: SparkSession, statement: String): DataFrame = statement match {
     case DescribeHistory(name, limit) =>
       val df = describeHistory(s, resolve(s, name).dir)
       Option(limit).map(n => df.limit(n.toInt)).getOrElse(df)
     case DescribeDetail(name) =>
       describeDetail(s, name, resolve(s, name).dir)
+    case Optimize(name, zcols) =>
+      optimize(s, name, Option(zcols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty))
+    case Vacuum(name, hours, dry) =>
+      vacuum(s, name, Option(hours).map(_.toLong), dry != null)
+    case Restore(name, version) =>
+      restoreTo(s, name, version.toLong)
     case _ =>
       val rewritten = TableChanges.replaceAllIn(statement, m => {
         val (name, v1, v2) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
@@ -64,6 +79,79 @@ object GraftSql {
         view
       })
       s.sql(rewritten)
+  }
+
+  /** OPTIMIZE [ZORDER BY (...)]: republish the live snapshot bin-packed
+    * toward the 128 MB file-health target (optionally Z-order-clustered)
+    * as a NEW version — Delta's OPTIMIZE commits, it never rewrites
+    * history, so concurrent time-travel readers are untouched. Returns
+    * the one-row metrics Delta users expect. */
+  def optimize(s: SparkSession, name: String, zorderCols: Option[Seq[String]]): DataFrame = {
+    val ref = resolve(s, name)
+    val (nFilesBefore, bytes) = snapshotFiles(ParquetTable.currentPath(ref.dir))
+    val target = math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
+    val cur = ParquetTable.read(s, ref.dir)
+    val packed = zorderCols match {
+      case Some(cols) => graft.tables.ZOrder.cluster(cur, cols, target)
+      case None => cur.coalesce(target)
+    }
+    ParquetTable.swap(s, packed, ref.dir)
+    val (nFilesAfter, _) = snapshotFiles(ParquetTable.currentPath(ref.dir))
+    val cv = graft.streaming.VersionNames.idOf(
+      java.nio.file.Paths.get(ParquetTable.currentPath(ref.dir)).getFileName.toString)
+    singleRow(s, Seq(
+      "name" -> name, "new_version" -> cv,
+      "n_files_before" -> nFilesBefore, "n_files_after" -> nFilesAfter,
+      "zorder_by" -> zorderCols.map(_.mkString(",")).getOrElse("")))
+  }
+
+  private val TargetFileBytes = 128L * 1024 * 1024
+
+  /** VACUUM [RETAIN n HOURS] [DRY RUN]: one row per dropped (or
+    * would-drop) superseded version name. */
+  def vacuum(s: SparkSession, name: String, retainHours: Option[Long], dryRun: Boolean): DataFrame = {
+    val ref = resolve(s, name)
+    val versions = (retainHours, dryRun) match {
+      case (Some(h), true)  => ParquetTable.vacuumRetainDryRun(ref.dir, h * 3600000L)
+      case (Some(h), false) => ParquetTable.vacuumRetain(ref.dir, h * 3600000L)
+      case (None, true)     => ParquetTable.vacuumDryRun(ref.dir)
+      case (None, false)    =>
+        val doomed = ParquetTable.vacuumDryRun(ref.dir)
+        ParquetTable.vacuum(ref.dir); doomed
+    }
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      versions.map(v => Row(v, graft.streaming.VersionNames.idOf(v), dryRun)).asJava,
+      StructType(Seq(
+        StructField("version_name", StringType, nullable = false),
+        StructField("version", LongType, nullable = false),
+        StructField("dry_run", BooleanType, nullable = false))))
+  }
+
+  /** RESTORE TABLE t TO VERSION AS OF v (absolute id): committed as a
+    * new version, history preserved for forensics until vacuum. */
+  def restoreTo(s: SparkSession, name: String, version: Long): DataFrame = {
+    val ref = resolve(s, name)
+    val names = ParquetTable.snapshots(ref.dir)
+    val i = names.indexWhere(graft.streaming.VersionNames.idOf(_) == version)
+    require(i >= 0, s"table '$name' has no version $version")
+    ParquetTable.restore(s, ref.dir, i)
+    val cv = graft.streaming.VersionNames.idOf(
+      java.nio.file.Paths.get(ParquetTable.currentPath(ref.dir)).getFileName.toString)
+    singleRow(s, Seq(
+      "name" -> name, "restored_from" -> version, "new_version" -> cv,
+      "n_rows" -> ParquetTable.read(s, ref.dir).count()))
+  }
+
+  private def singleRow(s: SparkSession, fields: Seq[(String, Any)]): DataFrame = {
+    val schema = StructType(fields.map {
+      case (n, _: String) => StructField(n, StringType, nullable = false)
+      case (n, _: Long)   => StructField(n, LongType, nullable = false)
+      case (n, _: Int)    => StructField(n, IntegerType, nullable = false)
+      case (n, v) => throw new IllegalArgumentException(s"unsupported field $n: $v")
+    })
+    s.createDataFrame(
+      java.util.Collections.singletonList(Row.fromSeq(fields.map(_._2))), schema)
   }
 
   /** One row per snapshot, newest first: version id, publish timestamp

@@ -66,6 +66,39 @@ class GraftSqlSpec extends SparkSuite {
     assert(ins.head.getLong(1) == 3L)
   }
 
+  test("OPTIMIZE / VACUUM / RESTORE statements run the table lifecycle") {
+    val dir = seedTable() // versions 1, 2, 3
+    GraftSql.register(spark, "gsql_m", dir, Seq("id"))
+
+    val contentBefore = ParquetTable.read(spark, dir)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val opt = GraftSql.sql(spark, "OPTIMIZE gsql_m").collect().head
+    assert(opt.getAs[Long]("new_version") == 4L)
+    assert(ParquetTable.read(spark, dir)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq == contentBefore,
+      "OPTIMIZE must preserve content")
+
+    val dry = GraftSql.sql(spark, "VACUUM gsql_m DRY RUN").collect()
+    assert(dry.map(_.getAs[Long]("version")).sorted.toSeq == Seq(1L, 2L, 3L),
+      "dry run lists every superseded version, deletes nothing")
+    assert(ParquetTable.snapshots(dir).size == 4)
+
+    // RESTORE to the first version commits the rollback as version 5.
+    val rst = GraftSql.sql(spark, "RESTORE TABLE gsql_m TO VERSION AS OF 1").collect().head
+    assert(rst.getAs[Long]("new_version") == 5L && rst.getAs[Long]("n_rows") == 2L)
+    assert(ParquetTable.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+
+    // ZORDER spelling commits another version, content preserved.
+    GraftSql.sql(spark, "OPTIMIZE gsql_m ZORDER BY (id)").collect()
+    assert(ParquetTable.read(spark, dir).count() == 2)
+
+    val gone = GraftSql.sql(spark, "VACUUM gsql_m").collect()
+    assert(gone.nonEmpty && ParquetTable.snapshots(dir).size == 1,
+      "VACUUM keeps only the live version")
+    assert(ParquetTable.read(spark, dir).count() == 2, "live snapshot untouched")
+  }
+
   test("unregistered table and missing version fail loudly") {
     intercept[IllegalArgumentException] {
       GraftSql.sql(spark, "DESCRIBE HISTORY never_registered")
