@@ -50,6 +50,11 @@ object GraftSql {
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val Restore =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val SetProps =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*;?\s*$""".r
+  private val ShowProps =
+    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val PropPair = """'([^']+)'\s*=\s*'([^']*)'""".r
   private val TableChanges =
     """(?i)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
 
@@ -71,6 +76,12 @@ object GraftSql {
       vacuum(s, name, Option(hours).map(_.toLong), dry != null)
     case Restore(name, version) =>
       restoreTo(s, name, version.toLong)
+    case SetProps(name, body) =>
+      val pairs = PropPair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toSeq
+      require(pairs.nonEmpty, s"no 'k' = 'v' pairs in TBLPROPERTIES: $body")
+      setProperties(s, name, pairs)
+    case ShowProps(name) =>
+      showProperties(s, name)
     case _ =>
       val rewritten = TableChanges.replaceAllIn(statement, m => {
         val (name, v1, v2) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
@@ -141,6 +152,43 @@ object GraftSql {
     singleRow(s, Seq(
       "name" -> name, "restored_from" -> version, "new_version" -> cv,
       "n_rows" -> ParquetTable.read(s, ref.dir).count()))
+  }
+
+  /** ALTER TABLE ... SET TBLPROPERTIES: merged into the table's `_PROPS`
+    * manifest (one tiny key=value file, atomic replace — reference
+    * db/table_maintenance.sql:69-75). The engine stores them verbatim;
+    * components read the keys they understand. */
+  def setProperties(s: SparkSession, name: String, pairs: Seq[(String, String)]): DataFrame = {
+    val ref = resolve(s, name)
+    val merged = properties(ref.dir) ++ pairs
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k\t$v" }.mkString("\n")
+    val p = java.nio.file.Paths.get(ref.dir, "_PROPS")
+    val tmp = java.nio.file.Paths.get(ref.dir, "_PROPS.tmp")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    showProperties(s, name)
+  }
+
+  def showProperties(s: SparkSession, name: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = properties(resolve(s, name).dir).toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
+    s.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("key", StringType, nullable = false),
+      StructField("value", StringType, nullable = false))))
+  }
+
+  def properties(dir: String): Map[String, String] = {
+    val p = java.nio.file.Paths.get(dir, "_PROPS")
+    if (!java.nio.file.Files.exists(p)) return Map.empty
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(p).asScala
+      .filter(_.contains("\t"))
+      .map { l => val Array(k, v) = l.split("\t", 2); k -> v }
+      .toMap
   }
 
   private def singleRow(s: SparkSession, fields: Seq[(String, Any)]): DataFrame = {

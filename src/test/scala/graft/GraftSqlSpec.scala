@@ -99,6 +99,19 @@ class GraftSqlSpec extends SparkSuite {
     assert(ParquetTable.read(spark, dir).count() == 2, "live snapshot untouched")
   }
 
+  test("SET/SHOW TBLPROPERTIES merge into the _PROPS manifest") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_p", dir, Seq("id"))
+    GraftSql.sql(spark,
+      "ALTER TABLE gsql_p SET TBLPROPERTIES ('graft.autoOptimize' = 'true', 'owner' = 'ingest')")
+    GraftSql.sql(spark,
+      "ALTER TABLE gsql_p SET TBLPROPERTIES ('owner' = 'curation')")
+    val props = GraftSql.sql(spark, "SHOW TBLPROPERTIES gsql_p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props == Map("graft.autoOptimize" -> "true", "owner" -> "curation"),
+      s"later SET must merge-overwrite: $props")
+  }
+
   test("unregistered table and missing version fail loudly") {
     intercept[IllegalArgumentException] {
       GraftSql.sql(spark, "DESCRIBE HISTORY never_registered")
