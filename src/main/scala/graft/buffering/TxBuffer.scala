@@ -133,11 +133,17 @@ final case class DeadEvent(
   * split into main/quarantine sinks happens downstream in foreachBatch). */
 final case class BufferedOut(row: OrderStreamRow, dead: DeadEvent)
 
-/** Per-transaction buffering progress, reported for every transaction
-  * still incomplete at the end of a trigger — the operational signal an
+/** Per-transaction buffering progress — the operational signal an
   * operator stares at during an incident (reference:
   * processor/TransactionState.scala:64-67 logs the same counts).
-  * `expected* == -1` means the METADATA event has not arrived yet. */
+  * Reported whenever the stateful lambda runs for a group that stays
+  * incomplete: on every trigger that DELIVERS events for the
+  * transaction, and (with a TTL configured) on its timeout — not on
+  * event-less triggers in between, since flatMapGroupsWithState only
+  * visits groups with input or expired timers. For stall detection,
+  * configure the TTL: the quarantine/timeout path is the wake-up that
+  * fires without new events. `expected* == -1` means the METADATA event
+  * has not arrived yet. */
 final case class TxProgress(
     xid: String,
     csn: String,

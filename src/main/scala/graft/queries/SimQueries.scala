@@ -16,6 +16,62 @@ object SimQueries extends QueryModule {
   private val Dim = 64
   private val LshBits = 6 // 64 buckets — bucket-local NN stays non-trivial at test SF
 
+  /** DuckDB subspace-m L2² between two embedding columns (strict
+    * position-ordered fold — the oracle dual of `l2_sq_range`). */
+  private def duckSubL2(e1: String, e2: String): String =
+    s"""list_reduce([
+       |      (CAST($e1[t.m * 8 + i] AS DOUBLE) - CAST($e2[t.m * 8 + i] AS DOUBLE)) *
+       |      (CAST($e1[t.m * 8 + i] AS DOUBLE) - CAST($e2[t.m * 8 + i] AS DOUBLE))
+       |      for i in range(1, 9)], (x, y) -> x + y)""".stripMargin
+
+  /** Shared PQ oracle fragments (after a `seeds`(j, c_emb) CTE):
+    * `codes`(vec_id, m, j) — per-subspace argmin codeword; `pdist`
+    * (query_id, m, j, pd2) — per-probe distance tables for queries
+    * vec_id < 5. One definition for the three PQ-family oracles
+    * (sim_pq_adc, sim_ivfpq_search, sim_rerank) so they cannot drift. */
+  private val duckPqCodes =
+    s"""codes AS (SELECT vec_id, m, j FROM (
+       |    SELECT e.vec_id, t.m, s.j,
+       |      row_number() OVER (PARTITION BY e.vec_id, t.m ORDER BY
+       |        ${duckSubL2("e.embedding", "s.c_emb")} ASC, s.j ASC) AS rn
+       |    FROM embeddings e CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m))
+       |  WHERE rn = 1)""".stripMargin
+
+  private val duckPqPdist =
+    s"""pdist AS (SELECT q.vec_id AS query_id, t.m, s.j,
+       |    ${duckSubL2("q.embedding", "s.c_emb")} AS pd2
+       |  FROM embeddings q CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m)
+       |  WHERE q.vec_id < 5)""".stripMargin
+
+  /** The full IVF-PQ oracle prefix ending in `ad`(query_id, vec_id, adc):
+    * cell assignment (16 seed centroids), nprobe=1 probes for queries
+    * vec_id < 5, PQ codes + probe tables, cell-confined ADC. */
+  private def duckIvfPqPrefix: String =
+    s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id < 16),
+       |p0 AS (SELECT e.vec_id, c.cell,
+       |    ${graft.sim.Similarity.cosineDuck("e.embedding", "c.c_emb")} AS cos
+       |  FROM embeddings e CROSS JOIN c),
+       |r0 AS (SELECT vec_id, cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+       |  FROM p0),
+       |a AS (SELECT vec_id, cell FROM r0 WHERE rn = 1),
+       |pr AS (SELECT vec_id AS query_id, cell FROM r0
+       |  WHERE vec_id < 5 AND rn = 1),
+       |seeds AS (SELECT vec_id AS j, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id < 16),
+       |$duckPqCodes,
+       |$duckPqPdist,
+       |cand AS (SELECT pr.query_id, a.vec_id
+       |  FROM a JOIN pr ON a.cell = pr.cell
+       |  WHERE a.vec_id <> pr.query_id),
+       |ad AS (SELECT cd.query_id, cd.vec_id,
+       |    list_reduce([0.0] || list(p.pd2 ORDER BY p.m), (x, y) -> x + y) AS adc
+       |  FROM cand cd
+       |  JOIN codes c2 ON c2.vec_id = cd.vec_id
+       |  JOIN pdist p ON p.query_id = cd.query_id AND p.m = c2.m AND p.j = c2.j
+       |  GROUP BY cd.query_id, cd.vec_id)""".stripMargin
+
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(tablePath(dir, "embeddings"))
 
@@ -435,24 +491,10 @@ object SimQueries extends QueryModule {
           .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
             round(col("adc"), 6).as("adc"))
       },
-      Some("""WITH seeds AS (SELECT vec_id AS j, embedding AS c_emb
+      Some(s"""WITH seeds AS (SELECT vec_id AS j, embedding AS c_emb
              |  FROM embeddings WHERE vec_id < 16),
-             |codes AS (SELECT vec_id, m, j FROM (
-             |    SELECT e.vec_id, t.m, s.j,
-             |      row_number() OVER (PARTITION BY e.vec_id, t.m ORDER BY
-             |        list_reduce([
-             |          (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE)) *
-             |          (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE))
-             |          for i in range(1, 9)], (x, y) -> x + y) ASC, s.j ASC) AS rn
-             |    FROM embeddings e CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m))
-             |  WHERE rn = 1),
-             |pdist AS (SELECT q.vec_id AS query_id, t.m, s.j,
-             |    list_reduce([
-             |      (CAST(q.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE)) *
-             |      (CAST(q.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE))
-             |      for i in range(1, 9)], (x, y) -> x + y) AS pd2
-             |  FROM embeddings q CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m)
-             |  WHERE q.vec_id < 5),
+             |$duckPqCodes,
+             |$duckPqPdist,
              |a AS (SELECT p.query_id, c.vec_id,
              |    list_reduce([0.0] || list(p.pd2 ORDER BY p.m), (x, y) -> x + y) AS adc
              |  FROM codes c JOIN pdist p ON p.m = c.m AND p.j = c.j
@@ -485,44 +527,7 @@ object SimQueries extends QueryModule {
           pqCodesCached(s, dir).select("vec_id", "m", "j"), codebook,
           numSubspaces = 8, subDim = 8, k = 3, nprobe = 1)
       },
-      Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
-              |  FROM embeddings WHERE vec_id < 16),
-              |p0 AS (SELECT e.vec_id, c.cell,
-              |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
-              |  FROM embeddings e CROSS JOIN c),
-              |r0 AS (SELECT vec_id, cell,
-              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
-              |  FROM p0),
-              |a AS (SELECT vec_id, cell FROM r0 WHERE rn = 1),
-              |pr AS (SELECT vec_id AS query_id, cell FROM r0
-              |  WHERE vec_id < 5 AND rn = 1),
-              |seeds AS (SELECT vec_id AS j, embedding AS c_emb
-              |  FROM embeddings WHERE vec_id < 16),
-              |codes AS (SELECT vec_id, m, j FROM (
-              |    SELECT e.vec_id, t.m, s.j,
-              |      row_number() OVER (PARTITION BY e.vec_id, t.m ORDER BY
-              |        list_reduce([
-              |          (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE)) *
-              |          (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE))
-              |          for i in range(1, 9)], (x, y) -> x + y) ASC, s.j ASC) AS rn
-              |    FROM embeddings e CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m))
-              |  WHERE rn = 1),
-              |pdist AS (SELECT q.vec_id AS query_id, t.m, s.j,
-              |    list_reduce([
-              |      (CAST(q.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE)) *
-              |      (CAST(q.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE))
-              |      for i in range(1, 9)], (x, y) -> x + y) AS pd2
-              |  FROM embeddings q CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m)
-              |  WHERE q.vec_id < 5),
-              |cand AS (SELECT pr.query_id, a.vec_id
-              |  FROM a JOIN pr ON a.cell = pr.cell
-              |  WHERE a.vec_id <> pr.query_id),
-              |ad AS (SELECT cd.query_id, cd.vec_id,
-              |    list_reduce([0.0] || list(p.pd2 ORDER BY p.m), (x, y) -> x + y) AS adc
-              |  FROM cand cd
-              |  JOIN codes c2 ON c2.vec_id = cd.vec_id
-              |  JOIN pdist p ON p.query_id = cd.query_id AND p.m = c2.m AND p.j = c2.j
-              |  GROUP BY cd.query_id, cd.vec_id),
+      Some(s"""$duckIvfPqPrefix,
               |r AS (SELECT query_id, vec_id, adc,
               |    row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank
               |  FROM ad)
@@ -561,44 +566,7 @@ object SimQueries extends QueryModule {
           .select(col("query_id"), col("rank"), col("neighbor_id"),
             round(col("cos"), 6).as("cosine"))
       },
-      Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
-              |  FROM embeddings WHERE vec_id < 16),
-              |p0 AS (SELECT e.vec_id, c.cell,
-              |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
-              |  FROM embeddings e CROSS JOIN c),
-              |r0 AS (SELECT vec_id, cell,
-              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
-              |  FROM p0),
-              |a AS (SELECT vec_id, cell FROM r0 WHERE rn = 1),
-              |pr AS (SELECT vec_id AS query_id, cell FROM r0
-              |  WHERE vec_id < 5 AND rn = 1),
-              |seeds AS (SELECT vec_id AS j, embedding AS c_emb
-              |  FROM embeddings WHERE vec_id < 16),
-              |codes AS (SELECT vec_id, m, j FROM (
-              |    SELECT e.vec_id, t.m, s.j,
-              |      row_number() OVER (PARTITION BY e.vec_id, t.m ORDER BY
-              |        list_reduce([
-              |          (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE)) *
-              |          (CAST(e.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE))
-              |          for i in range(1, 9)], (x, y) -> x + y) ASC, s.j ASC) AS rn
-              |    FROM embeddings e CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m))
-              |  WHERE rn = 1),
-              |pdist AS (SELECT q.vec_id AS query_id, t.m, s.j,
-              |    list_reduce([
-              |      (CAST(q.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE)) *
-              |      (CAST(q.embedding[t.m * 8 + i] AS DOUBLE) - CAST(s.c_emb[t.m * 8 + i] AS DOUBLE))
-              |      for i in range(1, 9)], (x, y) -> x + y) AS pd2
-              |  FROM embeddings q CROSS JOIN seeds s CROSS JOIN range(0, 8) t(m)
-              |  WHERE q.vec_id < 5),
-              |cand AS (SELECT pr.query_id, a.vec_id
-              |  FROM a JOIN pr ON a.cell = pr.cell
-              |  WHERE a.vec_id <> pr.query_id),
-              |ad AS (SELECT cd.query_id, cd.vec_id,
-              |    list_reduce([0.0] || list(p.pd2 ORDER BY p.m), (x, y) -> x + y) AS adc
-              |  FROM cand cd
-              |  JOIN codes c2 ON c2.vec_id = cd.vec_id
-              |  JOIN pdist p ON p.query_id = cd.query_id AND p.m = c2.m AND p.j = c2.j
-              |  GROUP BY cd.query_id, cd.vec_id),
+      Some(s"""$duckIvfPqPrefix,
               |s1 AS (SELECT query_id, vec_id AS neighbor_id FROM (
               |    SELECT query_id, vec_id, row_number() OVER (
               |      PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rank

@@ -47,6 +47,18 @@ object TextQueries extends QueryModule {
   private val enHits = profileHitsSpark(langProfiles.head._2)
   private val enHitsDuck = profileHitsDuck(langProfiles.head._2)
 
+  /** The corpus quality score (length/stopword composite, rounded to the
+    * 1e-4 grain) — ONE definition per engine; every consumer (stats,
+    * curation, keep-policy, data card) interpolates these so the formula
+    * cannot drift between oracles. `q10k*` is the integer-grain form
+    * (quality·10⁴) used wherever quality is summed or totally ordered. */
+  private val qualitySpark =
+    s"round(least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHits / CAST(size(toks) AS DOUBLE)) * 0.5, 4)"
+  private val qualityDuck =
+    s"round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHitsDuck / CAST(len(toks) AS DOUBLE)) * 0.5, 4)"
+  private val q10kSpark = s"CAST(round($qualitySpark * 10000, 0) AS BIGINT)"
+  private val q10kDuck = s"CAST(round($qualityDuck * 10000, 0) AS BIGINT)"
+
   /** Fixed retrieval query for `text_bm25_topk` (terms from the corpus
     * vocabulary with distinct document frequencies). */
   private val bm25Terms = Seq("merge", "window", "customer")
@@ -97,14 +109,14 @@ object TextQueries extends QueryModule {
           s"$bpeSpark AS bpe_tokens",
           "round(aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t)) / CAST(size(toks) AS DOUBLE), 4) AS avg_token_len",
           s"round($enHits / CAST(size(toks) AS DOUBLE), 4) AS stop_ratio",
-          s"round(least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHits / CAST(size(toks) AS DOUBLE)) * 0.5, 4) AS quality"),
+          s"$qualitySpark AS quality"),
       Some(s"""WITH t AS (SELECT doc_id, text, $toksDuck AS toks FROM documents)
               |SELECT doc_id,
               |  CAST(len(toks) AS BIGINT) AS n_tokens,
               |  $bpeDuck AS bpe_tokens,
               |  round(CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
               |  round($enHitsDuck / CAST(len(toks) AS DOUBLE), 4) AS stop_ratio,
-              |  round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHitsDuck / CAST(len(toks) AS DOUBLE)) * 0.5, 4) AS quality
+              |  $qualityDuck AS quality
               |FROM t""".stripMargin)),
 
     // Language-ID: stopword-profile hit counts per language; prediction by
@@ -218,7 +230,7 @@ object TextQueries extends QueryModule {
         val d = docs(s, dir)
         val scored = d.withColumn("toks", expr(toksSpark)).selectExpr(
           "doc_id", "lang",
-          s"round(least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHits / CAST(size(toks) AS DOUBLE)) * 0.5, 4) AS quality")
+          s"$qualitySpark AS quality")
         val reps = graft.dedup.Dedup.clusterReps(
           d, DedupQueries.minhashPairsCached(s, dir, 0.8))
         scored.join(reps, Seq("doc_id"))
@@ -227,7 +239,7 @@ object TextQueries extends QueryModule {
       },
       Some(s"""WITH tk AS (SELECT doc_id, text, lang, $toksDuck AS toks FROM documents),
               |scored AS (SELECT doc_id, lang,
-              |  round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHitsDuck / CAST(len(toks) AS DOUBLE)) * 0.5, 4) AS quality
+              |  $qualityDuck AS quality
               |  FROM tk),
               |g AS (SELECT doc_id, $grams3Duck AS grams FROM tk),
               |${DedupQueries.duckLshPairs(0.8)},
@@ -253,7 +265,7 @@ object TextQueries extends QueryModule {
         val d = docs(s, dir)
         val scored = d.withColumn("toks", expr(toksSpark)).selectExpr(
           "doc_id", "lang", "text",
-          s"round(least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHits / CAST(size(toks) AS DOUBLE)) * 0.5, 4) AS quality")
+          s"$qualitySpark AS quality")
         val cc = graft.dedup.ConnectedComponents.labels(
             d.selectExpr("doc_id AS id"),
             DedupQueries.minhashPairsCached(s, dir, 0.8))
@@ -268,7 +280,7 @@ object TextQueries extends QueryModule {
       },
       Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, text, lang, $toksDuck AS toks FROM documents),
               |scored AS (SELECT doc_id, lang, text,
-              |  round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHitsDuck / CAST(len(toks) AS DOUBLE)) * 0.5, 4) AS quality
+              |  $qualityDuck AS quality
               |  FROM tk),
               |g AS (SELECT doc_id, $grams3Duck AS grams FROM tk),
               |${DedupQueries.duckLshPairs(0.8)},
@@ -792,7 +804,7 @@ object TextQueries extends QueryModule {
         val d = docs(s, dir)
         val scored = d.withColumn("toks", expr(toksSpark)).selectExpr(
           "doc_id", "lang",
-          s"round(least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHits / CAST(size(toks) AS DOUBLE)) * 0.5, 4) AS quality")
+          s"$qualitySpark AS quality")
         val reps = graft.dedup.Dedup.clusterReps(
           d, DedupQueries.minhashPairsCached(s, dir, 0.8))
         scored.join(reps, Seq("doc_id"))
@@ -812,7 +824,7 @@ object TextQueries extends QueryModule {
       },
       Some(s"""WITH tk AS (SELECT doc_id, text, lang, $toksDuck AS toks FROM documents),
               |scored AS (SELECT doc_id, lang,
-              |  CAST(round(round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHitsDuck / CAST(len(toks) AS DOUBLE)) * 0.5, 4) * 10000, 0) AS BIGINT) AS q10k
+              |  $q10kDuck AS q10k
               |  FROM tk),
               |g AS (SELECT doc_id, $grams3Duck AS grams FROM tk),
               |${DedupQueries.duckLshPairs(0.8)},
@@ -883,7 +895,7 @@ object TextQueries extends QueryModule {
         val d = docs(s, dir).withColumn("toks", expr(toksSpark))
           .selectExpr("doc_id", "source", "lang", "md5(text) AS h",
             "CAST(size(toks) AS BIGINT) AS n_tok",
-            s"CAST(round(round(least(CAST(size(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHits / CAST(size(toks) AS DOUBLE)) * 0.5, 4) * 10000, 0) AS BIGINT) AS q10k")
+            s"$q10kSpark AS q10k")
         val dupes = d.groupBy("h").agg(count(lit(1)).as("n_same"))
         d.join(dupes, "h")
           .groupBy("source", "lang")
@@ -897,7 +909,7 @@ object TextQueries extends QueryModule {
       Some(s"""WITH tk AS (SELECT doc_id, source, lang, md5(text) AS h, $toksDuck AS toks FROM documents),
               |d AS (SELECT doc_id, source, lang, h,
               |    CAST(len(toks) AS BIGINT) AS n_tok,
-              |    CAST(round(round(least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) * 0.5 + ($enHitsDuck / CAST(len(toks) AS DOUBLE)) * 0.5, 4) * 10000, 0) AS BIGINT) AS q10k
+              |    $q10kDuck AS q10k
               |  FROM tk),
               |dup AS (SELECT h, count(*) AS n_same FROM d GROUP BY h)
               |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,

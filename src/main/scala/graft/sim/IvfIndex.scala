@@ -96,23 +96,23 @@ object IvfIndex {
   def search(spark: SparkSession, dir: String, probes: DataFrame, k: Int): DataFrame =
     searchMulti(spark, dir, probes, k, nprobe = 1)
 
-  /** Multi-probe search — THE recall knob of IVF: each probe scans its
-    * `nprobe` nearest cells instead of one. Since every corpus vector
-    * lives in exactly one cell, the candidate sets of a probe's cells
-    * are disjoint, so raising nprobe strictly grows the candidate pool
-    * and recall@k is monotonically non-decreasing in nprobe (pinned in
-    * IvfIndexSpec); IO grows linearly as nprobe/numCells of the corpus.
-    * nprobe = numCells degenerates to exact brute force. */
-  def searchMulti(
-      spark: SparkSession, dir: String, probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+  /** Shared probe prologue of every search variant: assign each probe
+    * its `nprobe` nearest cells and open the pruned candidate scan.
+    * Probe→cell assignment is COLLECTED once (bounded by the probe
+    * count) and re-used both as the pruning IN-list and, rebuilt as a
+    * local frame, as the broadcast join side — computing the window
+    * twice would double the assignment work. The cell filter sits
+    * BEFORE any cast: the predicate must touch the inferred partition
+    * column directly to prune; the long cast (for the join with the
+    * centroid-derived cell) comes after.
+    * @return (probeCells(query_id, q_emb, cell), cands = pruned cells scan) */
+  private def probeAssignments(
+      spark: SparkSession, dir: String, probes: DataFrame,
+      nprobe: Int): (DataFrame, DataFrame) = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val centroids = spark.read.parquet(s"$dir/centroids")
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val wCell = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell").asc)
-    // Probe→cell assignment is COLLECTED once (bounded by the probe
-    // count) and re-used both as the pruning IN-list and, rebuilt as a
-    // local frame, as the broadcast join side — computing the window
-    // twice would double the assignment work.
     val probeRows = probes
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(centroids))
@@ -123,17 +123,23 @@ object IvfIndex {
     val collected = probeRows.collect()
     val probeCells = spark.createDataFrame(
       java.util.Arrays.asList(collected: _*), probeRows.schema)
-
-    // The probed cell ids become a static IN-filter, so the scan prunes
-    // to those partition dirs before IO.
     val cellIds = collected.map(_.getAs[Long]("cell")).distinct.toSeq
-    // Filter BEFORE any cast: the predicate must sit directly on the
-    // inferred partition column to prune, the long cast (for the join
-    // with the centroid-derived cell) comes after.
     val cands = spark.read.parquet(s"$dir/cells")
       .filter(col("cell").isin(cellIds: _*))
       .withColumn("cell", col("cell").cast("long"))
+    (probeCells, cands)
+  }
 
+  /** Multi-probe search — THE recall knob of IVF: each probe scans its
+    * `nprobe` nearest cells instead of one. Since every corpus vector
+    * lives in exactly one cell, the candidate sets of a probe's cells
+    * are disjoint, so raising nprobe strictly grows the candidate pool
+    * and recall@k is monotonically non-decreasing in nprobe (pinned in
+    * IvfIndexSpec); IO grows linearly as nprobe/numCells of the corpus.
+    * nprobe = numCells degenerates to exact brute force. */
+  def searchMulti(
+      spark: SparkSession, dir: String, probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val (probeCells, cands) = probeAssignments(spark, dir, probes, nprobe)
     val wTopK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     cands.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -161,26 +167,10 @@ object IvfIndex {
       spark: SparkSession, dir: String, probes: DataFrame,
       codes: DataFrame, codebook: DataFrame, numSubspaces: Int, subDim: Int,
       k: Int, nprobe: Int): DataFrame = {
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-    val wCell = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell").asc)
-    val probeRows = probes
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(centroids))
-      .selectExpr("query_id", "q_emb", "cell", "cosine_sim(q_emb, c_emb) AS cos")
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") <= nprobe)
-      .select("query_id", "q_emb", "cell")
-    val collected = probeRows.collect()
-    val probeCells = spark.createDataFrame(
-      java.util.Arrays.asList(collected: _*), probeRows.schema)
-    val cellIds = collected.map(_.getAs[Long]("cell")).distinct.toSeq
-
-    // Candidates: vec_id ONLY from the probed partitions.
-    val cands = spark.read.parquet(s"$dir/cells")
-      .filter(col("cell").isin(cellIds: _*))
-      .withColumn("cell", col("cell").cast("long"))
-      .select("cell", "vec_id")
+    val (probeCells, candsAll) = probeAssignments(spark, dir, probes, nprobe)
+    // Candidates: vec_id ONLY from the probed partitions (column pruning
+    // drops the embeddings from the scan — the PQ IO contract).
+    val cands = candsAll.select("cell", "vec_id")
 
     // Probe distance tables: nprobe·M·K rows — broadcast-sized.
     val pdist = probeCells.select("query_id", "q_emb").distinct()

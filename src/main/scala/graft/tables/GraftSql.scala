@@ -65,8 +65,7 @@ object GraftSql {
     * views. */
   def sql(s: SparkSession, statement: String): DataFrame = statement match {
     case DescribeHistory(name, limit) =>
-      val df = describeHistory(s, resolve(s, name).dir)
-      Option(limit).map(n => df.limit(n.toInt)).getOrElse(df)
+      describeHistory(s, resolve(s, name).dir, Option(limit).map(_.toInt))
     case DescribeDetail(name) =>
       describeDetail(s, name, resolve(s, name).dir)
     case Optimize(name, zcols) =>
@@ -85,9 +84,12 @@ object GraftSql {
     case _ =>
       val rewritten = TableChanges.replaceAllIn(statement, m => {
         val (name, v1, v2) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
-        val view = s"__graft_tc_${name}_${v1}_$v2"
+        // View names must be valid identifiers whatever the registered
+        // name contains; quoteReplacement guards the Matcher's $/\
+        // substitution rules on the returned string.
+        val view = s"__graft_tc_${name.replaceAll("[^A-Za-z0-9_]", "_")}_${v1}_$v2"
         tableChanges(s, name, v1, v2).createOrReplaceTempView(view)
-        view
+        scala.util.matching.Regex.quoteReplacement(view)
       })
       s.sql(rewritten)
   }
@@ -206,18 +208,23 @@ object GraftSql {
     * (NULL for a torn/missing `_HISTORY` line), whether it is the live
     * version, and per-snapshot file/row/byte tallies. Row counts come
     * from parquet footers (a metadata-only Spark count), so the whole
-    * statement is manifest+footer reads — no data scan. */
-  def describeHistory(s: SparkSession, dir: String): DataFrame = {
+    * statement is manifest+footer reads — no data scan; a LIMIT bounds
+    * the per-version work, not just the output. Liveness compares full
+    * resolved paths, so a shallow clone (whose `_CURRENT` points into
+    * ANOTHER table) marks no local version current instead of
+    * mislabeling a same-named one. */
+  def describeHistory(s: SparkSession, dir: String, limit: Option[Int] = None): DataFrame = {
     val published = ParquetTable.publishedVersions(dir).toMap
     val current = java.nio.file.Paths.get(ParquetTable.currentPath(dir))
-      .getFileName.toString
-    val rows = ParquetTable.snapshots(dir).map { v =>
+      .toAbsolutePath.normalize
+    val names = ParquetTable.snapshots(dir)
+    val rows = limit.fold(names)(names.take).map { v =>
       val (nFiles, bytes) = snapshotFiles(s"$dir/$v")
       Row(
         graft.streaming.VersionNames.idOf(v),
         v,
         published.get(v).map(ms => new java.sql.Timestamp(ms)).orNull,
-        v == current,
+        java.nio.file.Paths.get(dir, v).toAbsolutePath.normalize == current,
         s.read.parquet(s"$dir/$v").count(),
         nFiles,
         bytes)

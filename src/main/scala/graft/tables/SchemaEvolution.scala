@@ -221,13 +221,19 @@ object SchemaEvolution {
   }
 
   /** Violations of additive evolution going from `current` to
-    * `incoming` (both in LOGICAL names); empty = compatible. */
-  def validateEvolution(current: StructType, incoming: StructType): Seq[String] =
+    * `incoming` (both in LOGICAL names); empty = compatible.
+    * `typeAllowed(logical, incomingType, currentType)` grants per-column
+    * type-change exceptions — the widen path passes the manifest check;
+    * the default grants none (strict enforcement). */
+  def validateEvolution(
+      current: StructType, incoming: StructType,
+      typeAllowed: (String, DataType, DataType) => Boolean = (_, _, _) => false): Seq[String] =
     current.fields.toSeq.flatMap { f =>
       incoming.fields.find(_.name.equalsIgnoreCase(f.name)) match {
         case None =>
           Some(s"column ${f.name} would be dropped (additive evolution only)")
-        case Some(g) if g.dataType != f.dataType =>
+        case Some(g) if g.dataType != f.dataType &&
+            !typeAllowed(f.name, g.dataType, f.dataType) =>
           Some(s"column ${f.name} would change type " +
             s"${f.dataType.simpleString} -> ${g.dataType.simpleString}")
         case _ => None
@@ -266,17 +272,7 @@ object SchemaEvolution {
               org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(incoming, currentT))
         }
       }
-    val violations = current.fields.toSeq.flatMap { f =>
-      df.schema.fields.find(_.name.equalsIgnoreCase(f.name)) match {
-        case None =>
-          Some(s"column ${f.name} would be dropped (additive evolution only)")
-        case Some(g) if g.dataType != f.dataType &&
-            !widenAllows(f.name, g.dataType, f.dataType) =>
-          Some(s"column ${f.name} would change type " +
-            s"${f.dataType.simpleString} -> ${g.dataType.simpleString}")
-        case _ => None
-      }
-    }
+    val violations = validateEvolution(current, df.schema, widenAllows)
     require(violations.isEmpty,
       s"schema evolution rejected for $dir:\n  ${violations.mkString("\n  ")}")
 
