@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** PLANS.md's "rules this repo holds itself to", as a TEST: headline
+  * queries must never plan a cartesian/nested-loop join, and no Window
+  * may sit on a single-partition exchange (the canonical 100 TB
+  * scale-killer this repo twice removed — pack_sequences in r4,
+  * evt_max_concurrency in r5). Runs with AQE off on a cloned session so
+  * the physical tree is traversable directly. */
+class PlanInvariantsSpec extends SparkSuite {
+
+  // Cheap queries spanning every family; the deliberate quadratic
+  // yardsticks (dedup_jaccard_pairs, sim brute-force baselines) are the
+  // documented exceptions and stay out of this list.
+  private val guarded = Seq(
+    "q1_agg", "q2_topk", "q7_multiway_join", "q23_dist_windows",
+    "text_split", "text_chunking", "text_rep_flags", "text_mixture_plan",
+    "evt_max_concurrency", "evt_sessions", "sim_mean_pool",
+    "dedup_prefix_pairs", "sample_bernoulli_docs")
+
+  private def planOf(name: String): SparkPlan = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = SparkEntry.queries(name)(s2, sf0001)
+    df.queryExecution.executedPlan
+  }
+
+  test("no cartesian or nested-loop join in any guarded query") {
+    for (name <- guarded) {
+      val plan = planOf(name)
+      val bad = plan.collect {
+        case c: CartesianProductExec => c
+        case b: BroadcastNestedLoopJoinExec
+            // single-row scalar broadcasts (count/total cross joins) are
+            // bounded by construction — the rule targets data×data loops
+            if b.left.collectLeaves().nonEmpty && b.right.collectLeaves().nonEmpty &&
+              !isScalarSide(b.left) && !isScalarSide(b.right) => b
+      }
+      assert(bad.isEmpty,
+        s"$name plans a quadratic join:\n${bad.map(_.nodeName).mkString(", ")}")
+    }
+  }
+
+  /** An aggregate with no grouping keys produces exactly one row — the
+    * broadcast scalar-join pattern (total counts, corpus stats). */
+  private def isScalarSide(p: SparkPlan): Boolean =
+    p.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if a.groupingExpressions.isEmpty => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+          if a.groupingExpressions.isEmpty => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+          if a.groupingExpressions.isEmpty => a
+    }.isDefined
+
+  test("no Window over a single-partition exchange in any guarded query") {
+    for (name <- guarded) {
+      val plan = planOf(name)
+      plan.collect { case w: WindowExec => w }.foreach { w =>
+        val firstExchange = w.child.collectFirst { case e: ShuffleExchangeExec => e }
+        firstExchange.foreach { e =>
+          assert(e.outputPartitioning != SinglePartition,
+            s"$name: Window fed by Exchange SinglePartition — the whole " +
+              s"window serializes into one task:\n$w")
+        }
+      }
+    }
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planOf("q2_topk").toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("multiway join pushes filters into the scans") {
+    val plan = planOf("q7_multiway_join").toString
+    assert(plan.contains("PushedFilters: [Is") || plan.contains("PushedFilters: [*"),
+      s"expected pushed filters in the fact scans:\n$plan")
+  }
+}
