@@ -306,6 +306,51 @@ object TextQueries extends QueryModule {
               |  CAST(sum(length(text)) AS BIGINT) AS n_chars
               |FROM bal GROUP BY 1, 2""".stripMargin)),
 
+    // Leakage-PROOF splitting — the fix text_split_leakage's off-diagonal
+    // rows demand: assign train/val/test by the hash of the TRANSITIVE
+    // near-dup cluster label (connected components over the LSH
+    // candidates), so every member of a cluster lands in the same split
+    // by construction. The cross-tab of near-dup pairs by their ends'
+    // splits must then be purely diagonal — one-hop reps would NOT give
+    // this guarantee (a chain a-b-c can split reps across b and c); the
+    // closure does, and the oracle replays it recursively.
+    EngineQuery(
+      "text_split_safe",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val cc = graft.dedup.ConnectedComponents.labels(
+            d.selectExpr("doc_id AS id"),
+            DedupQueries.minhashPairsCached(s, dir, 0.8))
+          .selectExpr("id AS doc_id", "label")
+        val splits = cc.selectExpr("doc_id", s"${splitSpark("label")} AS split")
+        val tallies = splits.groupBy("split").agg(count(lit(1)).as("n_docs_a"))
+        DedupQueries.minhashPairsCached(s, dir, 0.8)
+          .join(splits.selectExpr("doc_id AS a_id", "split AS split_a"), "a_id")
+          .join(splits.selectExpr("doc_id AS b_id", "split AS split_b"), "b_id")
+          .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+          .join(tallies.withColumnRenamed("split", "split_a"), "split_a")
+      },
+      Some(s"""WITH RECURSIVE tk AS (SELECT doc_id, text, $toksDuck AS toks FROM documents),
+              |g AS (SELECT doc_id, $grams3Duck AS grams FROM tk),
+              |${DedupQueries.duckLshPairs(0.8)},
+              |e AS (SELECT a_id AS a, b_id AS b FROM lsh_pairs
+              |      UNION SELECT b_id, a_id FROM lsh_pairs),
+              |reach(a, b) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+              |cc AS (SELECT a AS doc_id, min(b) AS label FROM reach GROUP BY a),
+              |sp AS (SELECT doc_id, ${splitDuck("label")} AS split FROM cc),
+              |ct AS (SELECT a.split AS split_a, b.split AS split_b,
+              |    CAST(count(*) AS BIGINT) AS n_pairs
+              |  FROM lsh_pairs p
+              |  JOIN sp a ON p.a_id = a.doc_id
+              |  JOIN sp b ON p.b_id = b.doc_id
+              |  GROUP BY 1, 2),
+              |tl AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs_a FROM sp GROUP BY 1)
+              |SELECT split_a, split_b, n_pairs, n_docs_a
+              |FROM ct JOIN tl ON tl.split = ct.split_a""".stripMargin)),
+
     // Corpus-level n-gram statistics: top-20 word bigrams (explode →
     // count → total-ordered top-k). The corpus-wide dual of the per-doc
     // text operators; at 100 TB this is one shuffle with map-side combine.
