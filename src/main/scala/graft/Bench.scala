@@ -46,9 +46,17 @@ object Bench {
       "build_text_grams" -> (() => graft.queries.TextQueries.ensureSeeded(spark, sfDir)),
       "build_sql_views" -> (() => graft.queries.SqlSurfaceQueries.ensureSeeded(spark, sfDir)))
 
+    // SPARK_GRAFT_BENCH_ONLY=prefix1,prefix2 restricts the run to entries
+    // whose name starts with any prefix — the isolation lever for per-family
+    // regression hunts (a family timed alone vs timed after 160 other
+    // queries separates plan cost from accumulated session state).
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
+
     val results =
-      builds.map { case (name, work) => (name, timed(work)) } ++
-        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      builds.filter(b => keep(b._1)).map { case (name, work) => (name, timed(work)) } ++
+        SparkEntry.queries.toSeq.sortBy(_._1).filter(q => keep(q._1)).map { case (name, fn) =>
           (name, timed(() => { fn(spark, sfDir).count(); () }))
         }
     def jstr(s: String): String =

@@ -314,7 +314,8 @@ object StorageQueries extends QueryModule {
       () => deletedOrders(s, dir), () => updatedOrders(s, dir),
       () => statsOrders(s, dir), () => dvOrders(s, dir),
       () => mergedOrders(s, dir), () => zstatsOrders(s, dir),
-      () => hstatsOrders(s, dir), () => bloomOrders(s, dir))
+      () => hstatsOrders(s, dir), () => bloomOrders(s, dir),
+      () => widenedOrders(s, dir), () => maintainedOrders(s, dir))
     Await.result(
       Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
       Duration.Inf)

@@ -193,6 +193,11 @@ object IvfIndex {
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy("query_id", "vec_id")
       .agg(sort_array(collect_list(struct(col("m"), col("pd2")))).as("cs"))
+      // Completeness guard: a candidate missing code rows for some
+      // subspace would sum a truncated ADC and silently rank too high —
+      // drop it here so a malformed code table skews nothing (the m-join
+      // can only lose rows, never duplicate them, so == is the check).
+      .filter(size(col("cs")) === numSubspaces)
       .selectExpr("query_id", "vec_id",
         "aggregate(cs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.pd2) AS adc")
       .withColumn("rank", row_number().over(wTop))

@@ -632,12 +632,15 @@ object ParquetTable {
         :+ col("_e.ct").as("_change_type"): _*)
   }
 
-  /** Drop superseded snapshots, keeping the newest `keep` (>=1). */
-  def vacuum(dir: String, keep: Int = 1): Unit = {
-    val current = Files.readString(pointer(dir)).trim
-    snapshots(dir).drop(math.max(keep, 1)).filter(_ != current).foreach { v =>
-      VersionNames.deleteTree(Paths.get(dir, v))
-    }
+  /** Drop superseded snapshots, keeping the newest `keep` (>=1).
+    * Returns the version names actually deleted — callers reporting the
+    * drop list must use this return, not a separate [[vacuumDryRun]]
+    * call (a concurrent swap between the two would make the report
+    * diverge from what was deleted). */
+  def vacuum(dir: String, keep: Int = 1): Seq[String] = {
+    val doomed = vacuumDryRun(dir, keep)
+    doomed.foreach(v => VersionNames.deleteTree(Paths.get(dir, v)))
+    doomed
   }
 
   /** VACUUM ... DRY RUN (reference db/table_maintenance.sql:13): the

@@ -128,9 +128,7 @@ object GraftSql {
       case (Some(h), true)  => ParquetTable.vacuumRetainDryRun(ref.dir, h * 3600000L)
       case (Some(h), false) => ParquetTable.vacuumRetain(ref.dir, h * 3600000L)
       case (None, true)     => ParquetTable.vacuumDryRun(ref.dir)
-      case (None, false)    =>
-        val doomed = ParquetTable.vacuumDryRun(ref.dir)
-        ParquetTable.vacuum(ref.dir); doomed
+      case (None, false)    => ParquetTable.vacuum(ref.dir)
     }
     import scala.jdk.CollectionConverters._
     s.createDataFrame(
@@ -161,6 +159,15 @@ object GraftSql {
     * db/table_maintenance.sql:69-75). The engine stores them verbatim;
     * components read the keys they understand. */
   def setProperties(s: SparkSession, name: String, pairs: Seq[(String, String)]): DataFrame = {
+    // The manifest is line-oriented with a tab separator: a tab in a key
+    // or a newline in either side would corrupt neighboring entries (and
+    // be silently dropped on read) — refuse loudly instead.
+    pairs.foreach { case (k, v) =>
+      require(!k.exists(c => c == '\t' || c == '\n' || c == '\r'),
+        s"TBLPROPERTIES key may not contain tab/newline: ${k.take(40)}")
+      require(!v.exists(c => c == '\n' || c == '\r'),
+        s"TBLPROPERTIES value may not contain newline (key $k)")
+    }
     val ref = resolve(s, name)
     val merged = properties(ref.dir) ++ pairs
     val body = merged.toSeq.sortBy(_._1)

@@ -30,7 +30,7 @@ import org.apache.spark.sql.types._
   *    sanctioned exception is `widenColumn` (reference:
   *    db/schema_evolution.sql:52-105): an explicit LOSSLESS type change
   *    applied at read time, no file rewritten. Numeric widens
-  *    (int→long, int→double, float→double, long→double) ride the
+  *    (int→long, int→double, float→double) ride the
   *    parquet reader's vectorized type promotion — the manifest records
   *    the authoritative physical schema and old files upcast at scan;
   *    string→timestamp (not a reader promotion) is a projection cast,
@@ -172,10 +172,55 @@ object SchemaEvolution {
   }
 
   /** Lossless numeric widenings the parquet vectorized reader promotes
-    * at scan time (the Delta type-widening set this engine supports). */
+    * at scan time (the Delta type-widening set this engine supports).
+    * long→double is deliberately ABSENT: the shipped vectorized reader
+    * has no Long→Double updater (only IntegerToLong, IntegerToDouble,
+    * FloatToDouble), so an authoritative DOUBLE physical schema would
+    * make every pre-widen INT64 file throw at scan — and the conversion
+    * is lossy above 2^53 anyway, violating the lossless contract (Delta
+    * type widening excludes it for the same reasons). */
   private val promotable: Set[(DataType, DataType)] = Set(
     (IntegerType, LongType), (IntegerType, DoubleType),
-    (LongType, DoubleType), (FloatType, DoubleType))
+    (FloatType, DoubleType))
+
+  /** ADD COLUMNS — metadata-only, zero files touched (reference
+    * db/schema_evolution.sql:9-19): the manifest registers each new
+    * logical column with a physical name and its type; existing files
+    * null-fill it at read (the scan's explicit read schema makes the
+    * parquet reader emit nulls for absent columns), later appends carry
+    * it. Like [[widenColumn]], the first metadata DDL snapshots the
+    * authoritative physical schema (`ptype` lines) so reads stop
+    * deriving schema from footers. A reserved physical name (tombstoned
+    * by an earlier DROP, or live under another logical name) mints a
+    * fresh suffixed physical name. */
+  def addColumns(spark: SparkSession, dir: String, newCols: Seq[(String, DataType)]): Unit = {
+    require(newCols.nonEmpty, "ADD COLUMNS: no columns given")
+    val mf0 = manifestOf(dir).getOrElse(Manifest(
+      ColumnMapping(
+        physicalSchema(spark, dir).fieldNames.toSeq.map(n => n -> n), Seq.empty),
+      Seq.empty, Map.empty))
+    var m = mf0.mapping
+    var ptypes: Seq[(String, DataType)] =
+      if (mf0.ptypes.nonEmpty) mf0.ptypes
+      else {
+        val ps = physicalSchema(spark, dir)
+        m.cols.map { case (_, p) =>
+          p -> ps.find(_.name.equalsIgnoreCase(p)).map(_.dataType)
+            .getOrElse(sys.error(s"no physical column $p in $dir"))
+        }
+      }
+    newCols.foreach { case (logical, t) =>
+      require(m.physicalOf(logical).isEmpty,
+        s"ADD COLUMNS: column $logical already exists in $dir")
+      val fresh =
+        if (!m.physicalNames.contains(logical.toLowerCase)) logical
+        else Iterator.from(1).map(i => s"${logical}_c$i")
+          .find(c => !m.physicalNames.contains(c.toLowerCase)).get
+      m = m.copy(cols = m.cols :+ (logical -> fresh))
+      ptypes = ptypes :+ (fresh -> t)
+    }
+    writeManifest(dir, mf0.copy(mapping = m, ptypes = ptypes))
+  }
 
   /** ALTER COLUMN ... TYPE — read-time widen, zero files rewritten
     * (reference db/schema_evolution.sql:52-105). Numeric widens record
@@ -210,7 +255,7 @@ object SchemaEvolution {
     val castBased = cur == StringType && newType == TimestampType
     require(promotable.contains((cur, newType)) || castBased,
       s"unsupported type change ${cur.simpleString} -> ${newType.simpleString} " +
-        s"(lossless widens only: int->long/double, long->double, float->double, string->timestamp)")
+        s"(lossless widens only: int->long/double, float->double, string->timestamp)")
     val ptypes = basePtypes.map {
       case (p, t) if p.equalsIgnoreCase(physical) =>
         p -> (if (castBased) t else newType)
