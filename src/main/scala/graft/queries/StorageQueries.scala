@@ -294,6 +294,35 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededDl =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Two-generation table whose whole evolution ran through GraftSql DDL
+    * SPELLINGS (reference db/schema_evolution.sql:9-31): even keys
+    * written as (o_orderkey, amount), then RENAME COLUMN amount →
+    * total_amount, ADD COLUMNS flag (plus a junk column added and
+    * DROPPED — the tombstone path), then odd keys appended under the
+    * post-DDL logical schema. */
+  private def ddlOrders(s: SparkSession, dir: String): String =
+    seededDl.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-ddl")
+        .resolve("orders_ddl").toString
+      val orders = s.read.parquet(tablePath(dir, "orders"))
+      graft.tables.SchemaEvolution.appendEvolved(
+        s, orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("amount")), t)
+      graft.tables.GraftSql.register(s, "orders_ddl", t, Seq("o_orderkey"))
+      def ddl(st: String) = graft.tables.GraftSql.sql(s, st).collect()
+      ddl("ALTER TABLE orders_ddl RENAME COLUMN amount TO total_amount")
+      ddl("ALTER TABLE orders_ddl ADD COLUMNS (flag BIGINT COMMENT 'parity flag', junk INT)")
+      ddl("ALTER TABLE orders_ddl DROP COLUMN junk")
+      graft.tables.SchemaEvolution.appendEvolved(
+        s, orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice").as("total_amount"),
+            (col("o_orderkey") % 3).cast("long").as("flag")), t)
+      t
+    })
+
   /** Pre-build the seeded tables (Bench times this as an explicit
     * `build_*` entry so query numbers measure only themselves). The
     * builds are independent tables, so they submit as CONCURRENT Spark
@@ -315,7 +344,8 @@ object StorageQueries extends QueryModule {
       () => statsOrders(s, dir), () => dvOrders(s, dir),
       () => mergedOrders(s, dir), () => zstatsOrders(s, dir),
       () => hstatsOrders(s, dir), () => bloomOrders(s, dir),
-      () => widenedOrders(s, dir), () => maintainedOrders(s, dir))
+      () => widenedOrders(s, dir), () => maintainedOrders(s, dir),
+      () => ddlOrders(s, dir))
     Await.result(
       Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
       Duration.Inf)
@@ -674,6 +704,80 @@ object StorageQueries extends QueryModule {
              |  CAST(4 AS BIGINT) AS n_versions
              |FROM orders WHERE o_orderkey % 2 = 0
              |GROUP BY o_orderstatus""".stripMargin)),
+
+    // The time-travel SELECT spelling a spark-sql user pastes (reference
+    // db/query_table.sql:173-175): `FROM t VERSION AS OF n` inside plain
+    // SQL — the shim materializes the absolute-id snapshot as a temp
+    // view and spark.sql runs the surrounding aggregate. v1 = the even
+    // keys, reconstructed exactly by the oracle.
+    EngineQuery(
+      "tt_select_version_as_of",
+      (s, dir) => {
+        val t = versionedOrders(s, dir)
+        graft.tables.GraftSql.register(s, "orders_versioned", t, Seq("o_orderkey"))
+        graft.tables.GraftSql.sql(s,
+          """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+            |  round(sum(o_totalprice), 2) AS total_price
+            |FROM orders_versioned VERSION AS OF 1
+            |GROUP BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS total_price
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // `FROM t TIMESTAMP AS OF 'ts'` (reference db/query_table.sql:
+    // 177-178): the literal is derived from the table's own _HISTORY —
+    // one millisecond before v2's publish — so the newest snapshot at or
+    // before it is deterministically v1, whatever wall clock the seed
+    // ran at. Publishes are full parquet writes (>> 1 ms apart); the
+    // require guards the theoretical same-millisecond tie.
+    EngineQuery(
+      "tt_select_timestamp_as_of",
+      (s, dir) => {
+        val t = versionedOrders(s, dir)
+        graft.tables.GraftSql.register(s, "orders_versioned", t, Seq("o_orderkey"))
+        val p = ParquetTable.publishedVersions(t)
+          .map { case (v, ms) => graft.streaming.VersionNames.idOf(v) -> ms }.toMap
+        require(p(1L) < p(2L), s"v1/v2 published in the same millisecond: $p")
+        val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+        fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+        val ts = fmt.format(new java.util.Date(p(2L) - 1))
+        graft.tables.GraftSql.sql(s,
+          s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_key
+             |FROM orders_versioned TIMESTAMP AS OF '$ts'
+             |GROUP BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_key
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // Schema evolution driven END-TO-END by the SQL DDL spellings
+    // (reference db/schema_evolution.sql:9-31): RENAME COLUMN applies
+    // across both file generations (a mapping miss would null the even
+    // half of amount_sum), ADD COLUMNS null-fills the pre-DDL files
+    // (n_flag counts only the odd generation), and the dropped junk
+    // column surfaces nowhere. 2-decimal source doubles keep
+    // round(sum, 2) order-independent.
+    EngineQuery(
+      "se_sql_ddl",
+      (s, dir) =>
+        graft.tables.SchemaEvolution.readEvolved(s, ddlOrders(s, dir))
+          .selectExpr("CAST(o_orderkey % 2 AS INT) AS gen", "total_amount", "flag")
+          .groupBy("gen")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum("total_amount"), 2).as("amount_sum"),
+            count(col("flag")).as("n_flag"),
+            sum("flag").as("sum_flag")),
+      Some("""SELECT CAST(o_orderkey % 2 AS INT) AS gen,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS amount_sum,
+             |  CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_flag,
+             |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 3 END) AS BIGINT) AS sum_flag
+             |FROM orders GROUP BY 1""".stripMargin)),
 
     // Type widening read path end-to-end (reference
     // db/schema_evolution.sql:52-105): both file generations of the

@@ -50,6 +50,18 @@ object GraftSql {
     """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
   private val Restore =
     """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+  private val RestoreTs =
+    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+  private val AddColumns =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$""".r
+  private val RenameCol =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val DropCol =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+COLUMNS?\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)?\s*;?\s*$""".r
+  private val AlterColType =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TYPE\s+(.+?)\s*;?\s*$""".r
+  private val CloneTable =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+(SHALLOW|DEEP)\s+CLONE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val SetProps =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*;?\s*$""".r
   private val ShowProps =
@@ -57,6 +69,14 @@ object GraftSql {
   private val PropPair = """'([^']+)'\s*=\s*'([^']*)'""".r
   private val TableChanges =
     """(?i)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  // Time-travel FROM phrases inside an otherwise-plain query (reference
+  // db/query_table.sql:173-178). Statement-level RESTORE spellings never
+  // reach these (their cases match first), so "TO VERSION AS OF" cannot
+  // false-positive on the "TO" token.
+  private val VersionAsOf =
+    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val TimestampAsOf =
+    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
 
   /** Run one statement: the DESCRIBE / OPTIMIZE / VACUUM / RESTORE
     * maintenance spellings directly (reference db/table_maintenance.sql
@@ -75,14 +95,32 @@ object GraftSql {
       vacuum(s, name, Option(hours).map(_.toLong), dry != null)
     case Restore(name, version) =>
       restoreTo(s, name, version.toLong)
+    case RestoreTs(name, ts) =>
+      restoreToTimestamp(s, name, ts)
     case SetProps(name, body) =>
       val pairs = PropPair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toSeq
       require(pairs.nonEmpty, s"no 'k' = 'v' pairs in TBLPROPERTIES: $body")
       setProperties(s, name, pairs)
     case ShowProps(name) =>
       showProperties(s, name)
+    case AddColumns(name, body) =>
+      val cols = parseColumnDefs(body)
+      SchemaEvolution.addColumns(s, resolve(s, name).dir, cols)
+      singleRow(s, Seq("name" -> name,
+        "added" -> cols.map { case (n, t) => s"$n ${t.simpleString}" }.mkString(", ")))
+    case RenameCol(name, from, to) =>
+      SchemaEvolution.renameColumn(s, resolve(s, name).dir, from, to)
+      singleRow(s, Seq("name" -> name, "renamed" -> s"$from -> $to"))
+    case DropCol(name, colName) =>
+      SchemaEvolution.dropColumn(s, resolve(s, name).dir, colName)
+      singleRow(s, Seq("name" -> name, "dropped" -> colName))
+    case AlterColType(name, colName, ddl) =>
+      SchemaEvolution.widenColumn(s, resolve(s, name).dir, colName, DataType.fromDDL(ddl))
+      singleRow(s, Seq("name" -> name, "widened" -> s"$colName -> ${ddl.trim}"))
+    case CloneTable(newName, kind, srcName) =>
+      cloneTable(s, newName, kind.equalsIgnoreCase("SHALLOW"), srcName)
     case _ =>
-      val rewritten = TableChanges.replaceAllIn(statement, m => {
+      var rewritten = TableChanges.replaceAllIn(statement, m => {
         val (name, v1, v2) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
         // View names must be valid identifiers whatever the registered
         // name contains; quoteReplacement guards the Matcher's $/\
@@ -91,7 +129,109 @@ object GraftSql {
         tableChanges(s, name, v1, v2).createOrReplaceTempView(view)
         scala.util.matching.Regex.quoteReplacement(view)
       })
+      // Time-travel FROM phrases: each `t VERSION AS OF n` /
+      // `t TIMESTAMP AS OF 'ts'` over a REGISTERED table materializes the
+      // selected snapshot as a temp view; unregistered identifiers (SQL
+      // that happens to shape-match) pass through untouched. Full SQL
+      // around the phrase composes via spark.sql, same as table_changes.
+      rewritten = VersionAsOf.replaceAllIn(rewritten, m => {
+        val (name, v) = (m.group(1), m.group(2).toLong)
+        if (!registry.contains((s, name))) m.matched
+        else {
+          val view = s"__graft_v_${name}_$v"
+          snapshotAt(s, name, v).createOrReplaceTempView(view)
+          scala.util.matching.Regex.quoteReplacement(view)
+        }
+      })
+      rewritten = TimestampAsOf.replaceAllIn(rewritten, m => {
+        val (name, ts) = (m.group(1), m.group(2))
+        if (!registry.contains((s, name))) m.matched
+        else {
+          val millis = parseTsUtc(ts)
+          val view = s"__graft_t_${name}_$millis"
+          ParquetTable.readAsOf(s, resolve(s, name).dir, millis)
+            .createOrReplaceTempView(view)
+          scala.util.matching.Regex.quoteReplacement(view)
+        }
+      })
       s.sql(rewritten)
+  }
+
+  /** Snapshot with ABSOLUTE version id `v` of a registered table. */
+  private def snapshotAt(s: SparkSession, name: String, v: Long): DataFrame = {
+    val ref = resolve(s, name)
+    val names = ParquetTable.snapshots(ref.dir)
+    val i = names.indexWhere(graft.streaming.VersionNames.idOf(_) == v)
+    require(i >= 0, s"table '$name' has no version $v " +
+      s"(have: ${names.map(graft.streaming.VersionNames.idOf)})")
+    ParquetTable.readSnapshot(s, ref.dir, i)
+  }
+
+  /** 'yyyy-MM-dd[ HH:mm:ss[.SSS]]' (or ISO 'T' form) as UTC epoch millis —
+    * the session timezone is pinned to UTC, so AS OF literals are too. */
+  private def parseTsUtc(ts: String): Long = {
+    val t = ts.trim.replace('T', ' ')
+    val full = if (t.length == 10) s"$t 00:00:00" else t
+    val fmt = new java.text.SimpleDateFormat(
+      if (full.contains(".")) "yyyy-MM-dd HH:mm:ss.SSS" else "yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    fmt.setLenient(false)
+    fmt.parse(full).getTime
+  }
+
+  /** RESTORE ... TO TIMESTAMP AS OF: roll back to the newest snapshot
+    * published at or before the literal, committed as a NEW version
+    * (reference db/table_maintenance.sql:101). */
+  def restoreToTimestamp(s: SparkSession, name: String, ts: String): DataFrame = {
+    val ref = resolve(s, name)
+    val millis = parseTsUtc(ts)
+    val candidates = ParquetTable.publishedVersions(ref.dir).filter(_._2 <= millis)
+    require(candidates.nonEmpty, s"table '$name' has no snapshot at or before $ts")
+    restoreTo(s, name, graft.streaming.VersionNames.idOf(candidates.head._1))
+  }
+
+  /** CREATE TABLE new SHALLOW|DEEP CLONE src (reference
+    * db/table_maintenance.sql:81-90): the clone lands as a sibling
+    * directory of the source table and is registered under its new name
+    * with the source's key columns. */
+  def cloneTable(s: SparkSession, newName: String, shallow: Boolean, srcName: String): DataFrame = {
+    val src = resolve(s, srcName)
+    val dst = java.nio.file.Paths.get(src.dir).toAbsolutePath.normalize
+      .resolveSibling(newName).toString
+    if (shallow) ParquetTable.shallowClone(src.dir, dst)
+    else ParquetTable.deepClone(s, src.dir, dst)
+    register(s, newName, dst, src.keyCols)
+    singleRow(s, Seq(
+      "name" -> newName, "kind" -> (if (shallow) "shallow" else "deep"),
+      "source" -> srcName, "location" -> dst))
+  }
+
+  /** Top-level split of `name TYPE [COMMENT '...']` defs — commas inside
+    * DECIMAL(p,s) / STRUCT<...> / quoted comments don't split. */
+  private def parseColumnDefs(body: String): Seq[(String, DataType)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    body.foreach { c =>
+      c match {
+        case '\'' => inQuote = !inQuote; cur += c
+        case '(' | '<' if !inQuote => depth += 1; cur += c
+        case ')' | '>' if !inQuote => depth -= 1; cur += c
+        case ',' if depth == 0 && !inQuote => parts += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty).map { defn =>
+      require(!"""(?i)\bDEFAULT\b""".r.findFirstIn(defn).isDefined,
+        s"ADD COLUMNS with DEFAULT is not supported: $defn")
+      val noComment = """(?is)\s+COMMENT\s+'[^']*'\s*$""".r.replaceAllIn(defn, "")
+      val sp = noComment.indexWhere(_.isWhitespace)
+      require(sp > 0, s"expected 'name TYPE' in ADD COLUMNS: $defn")
+      val (n, ddl) = (noComment.substring(0, sp), noComment.substring(sp + 1).trim)
+      n -> DataType.fromDDL(ddl)
+    }
   }
 
   /** OPTIMIZE [ZORDER BY (...)]: republish the live snapshot bin-packed

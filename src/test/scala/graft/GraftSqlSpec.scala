@@ -122,4 +122,94 @@ class GraftSqlSpec extends SparkSuite {
       GraftSql.sql(spark, "SELECT * FROM table_changes('gsql_e', 1, 9)")
     }
   }
+
+  test("VERSION AS OF / TIMESTAMP AS OF rewrite inside plain SQL") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_tt", dir, Seq("id"))
+    val v1 = GraftSql.sql(spark,
+      "SELECT count(*) AS n, max(id) AS mx FROM gsql_tt VERSION AS OF 1").collect().head
+    assert((v1.getLong(0), v1.getLong(1)) == (2L, 2L))
+    // The AS-OF literal comes from the table's own publish history: one
+    // ms before v3's publish must read v2.
+    val p = ParquetTable.publishedVersions(dir)
+      .map { case (v, ms) => graft.streaming.VersionNames.idOf(v) -> ms }.toMap
+    assume(p(2L) < p(3L), "publishes in the same millisecond")
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val ts = fmt.format(new java.util.Date(p(3L) - 1))
+    val v2 = GraftSql.sql(spark,
+      s"SELECT count(*) AS n, min(id) AS mn FROM gsql_tt TIMESTAMP AS OF '$ts'").collect().head
+    assert((v2.getLong(0), v2.getLong(1)) == (3L, 1L), "one ms before v3 reads v2")
+    // An UNREGISTERED identifier in the same shape passes through to
+    // spark.sql untouched (and fails there, not in the shim).
+    intercept[Exception] {
+      GraftSql.sql(spark, "SELECT * FROM not_registered VERSION AS OF 1")
+    }
+  }
+
+  test("CREATE TABLE ... SHALLOW/DEEP CLONE register and diverge") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_src", dir, Seq("id"))
+    GraftSql.sql(spark, "CREATE TABLE gsql_sc SHALLOW CLONE gsql_src")
+    GraftSql.sql(spark, "CREATE TABLE gsql_dc DEEP CLONE gsql_src")
+    assert(GraftSql.sql(spark, "DESCRIBE DETAIL gsql_sc").collect().head.getLong(5) == 3L)
+    assert(GraftSql.sql(spark, "DESCRIBE DETAIL gsql_dc").collect().head.getLong(5) == 3L)
+    // Divergence: dropping a row in the shallow clone leaves the source.
+    val scDir = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+      .resolveSibling("gsql_sc").toString
+    ParquetTable.swap(spark, ParquetTable.read(spark, scDir).filter(col("id") =!= 2L), scDir)
+    assert(ParquetTable.read(spark, scDir).count() == 2L)
+    assert(ParquetTable.read(spark, dir).count() == 3L)
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF rolls back to the newest covered snapshot") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_rt", dir, Seq("id"))
+    val p = ParquetTable.publishedVersions(dir)
+      .map { case (v, ms) => graft.streaming.VersionNames.idOf(v) -> ms }.toMap
+    assume(p(1L) < p(2L), "publishes in the same millisecond")
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val ts = fmt.format(new java.util.Date(p(2L) - 1))
+    val r = GraftSql.sql(spark,
+      s"RESTORE TABLE gsql_rt TO TIMESTAMP AS OF '$ts'").collect().head
+    assert(r.getLong(1) == 1L, s"restored_from v1, got $r")
+    assert(ParquetTable.read(spark, dir).count() == 2L, "v1 content is live again")
+    assert(ParquetTable.snapshots(dir).size == 4, "restore commits, never rewrites history")
+  }
+
+  test("schema DDL spellings: ADD COLUMNS, RENAME, DROP, ALTER COLUMN TYPE") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gsql-ddl")
+      .resolve("t").toString
+    Seq((1, 10), (2, 20)).toDF("id", "qty").write.parquet(dir)
+    GraftSql.register(spark, "gsql_ddl", dir)
+    GraftSql.sql(spark, "ALTER TABLE gsql_ddl RENAME COLUMN qty TO quantity")
+    GraftSql.sql(spark,
+      "ALTER TABLE gsql_ddl ADD COLUMNS (note STRING COMMENT 'free text', score DOUBLE)")
+    GraftSql.sql(spark, "ALTER TABLE gsql_ddl DROP COLUMN note")
+    GraftSql.sql(spark, "ALTER TABLE gsql_ddl ALTER COLUMN quantity TYPE BIGINT")
+    val out = graft.tables.SchemaEvolution.readEvolved(spark, dir)
+    assert(out.columns.toSeq == Seq("id", "quantity", "score"),
+      s"renamed + added - dropped: ${out.columns.toSeq}")
+    assert(out.schema("quantity").dataType.simpleString == "bigint")
+    assert(out.filter(col("score").isNotNull).count() == 0, "pre-DDL files null-fill")
+    assert(out.agg(sum("quantity")).collect().head.getLong(0) == 30L)
+    // DEFAULT clauses are rejected, not silently dropped.
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "ALTER TABLE gsql_ddl ADD COLUMNS (v STRING DEFAULT '1.0')")
+    }
+  }
+
+  test("TBLPROPERTIES with tab/newline are rejected before corrupting the manifest") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_bad", dir, Seq("id"))
+    intercept[IllegalArgumentException] {
+      GraftSql.setProperties(spark, "gsql_bad", Seq("a\tb" -> "v"))
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.setProperties(spark, "gsql_bad", Seq("k" -> "line1\nline2"))
+    }
+  }
 }

@@ -164,4 +164,18 @@ class SchemaEvolutionSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) null else r.getString(2))).toSet
     assert(rows == Set((1L, 5L, null), (2L, 7L, "eu")))
   }
+
+  test("widenColumn: long->double is rejected (no reader promotion, lossy above 2^53)") {
+    import org.apache.spark.sql.types._
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-widenrej").resolve("t").toString
+    SchemaEvolution.appendEvolved(spark, Seq((1L, 5L)).toDF("id", "big"), dir)
+    val e = intercept[IllegalArgumentException] {
+      SchemaEvolution.widenColumn(spark, dir, "big", DoubleType)
+    }
+    assert(e.getMessage.contains("unsupported type change"))
+    // The table stays readable with its original type after the rejection.
+    assert(SchemaEvolution.readEvolved(spark, dir).schema("big").dataType == LongType)
+  }
 }
