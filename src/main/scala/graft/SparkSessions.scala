@@ -31,6 +31,18 @@ object SparkSessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // RocksDB state store, as the reference runs it (reference.conf:14).
+      // Required by the state-v2 operators (transformWithState needs a
+      // provider with column-family support — the HDFS-backed default
+      // throws CANNOT_LOAD_STATE_STORE, in batch mode too); v1 batch
+      // paths never open a store, so this only enables, never changes.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // The 4.1 checkpoint checksum writer deadlocks under RocksDB
+      // snapshot upload with several state partitions closing zip
+      // streams at once — harmless to disable for local checkpoints
+      // (see SparkTestBase for the full account).
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
 
   /** Path of a testdata table under an sf dir. */
   def tablePath(sfDir: String, name: String): String = {
