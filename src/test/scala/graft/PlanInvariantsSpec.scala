@@ -21,7 +21,25 @@ class PlanInvariantsSpec extends SparkSuite {
     "q1_agg", "q2_topk", "q7_multiway_join", "q23_dist_windows",
     "text_split", "text_chunking", "text_rep_flags", "text_mixture_plan",
     "evt_max_concurrency", "evt_sessions", "sim_mean_pool",
-    "dedup_prefix_pairs", "sample_bernoulli_docs")
+    "dedup_prefix_pairs", "sample_bernoulli_docs",
+    // Covered by the join rule; their global-window exception is below.
+    "q29_skyline", "sketch_quantile_bins",
+    // Round-6 additions: the SQL-spelling and state-v2 paths.
+    "tt_select_version_as_of", "se_sql_ddl")
+
+  /** The ONLY sanctioned Window-on-SinglePartition sites, each with a
+    * written bound on the serialized domain. A global ordered window is
+    * fine when it runs over a COMPRESSED domain that stays tiny at any
+    * SF — these two run over distinct-value groups, not rows:
+    *  - q29_skyline: distinct p_retailprice values (TPC-H retail prices
+    *    are generated from a fixed formula — ~100k distinct values at
+    *    ANY scale factor; the running max is a prefix max that
+    *    decomposes into the two-pass SequencePack scan if the domain
+    *    ever outgrows one task);
+    *  - sketch_quantile_bins: floor(price) histogram bins (same fixed
+    *    price domain — bounded by the price range, not row count).
+    * Anything else on SinglePartition fails the window test. */
+  private val boundedGlobalWindow = Set("q29_skyline", "sketch_quantile_bins")
 
   private def planOf(name: String): SparkPlan = {
     val s2 = spark.newSession()
@@ -59,7 +77,7 @@ class PlanInvariantsSpec extends SparkSuite {
     }.isDefined
 
   test("no Window over a single-partition exchange in any guarded query") {
-    for (name <- guarded) {
+    for (name <- guarded if !boundedGlobalWindow(name)) {
       val plan = planOf(name)
       plan.collect { case w: WindowExec => w }.foreach { w =>
         val firstExchange = w.child.collectFirst { case e: ShuffleExchangeExec => e }
