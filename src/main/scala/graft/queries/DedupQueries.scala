@@ -171,10 +171,18 @@ object DedupQueries extends QueryModule {
             "transform(ord, e -> e.t) AS gs")
           .selectExpr("doc_id", "n", "gs",
             "slice(gs, 1, CAST(n - (4 * n + 4) DIV 5 + 1 AS INT)) AS prefix")
-        val pre = ordered.selectExpr("doc_id", "explode(prefix) AS pt")
+        // ppjoin's LENGTH filter rides the candidate join: J >= 0.8
+        // forces min(na,nb)/max(na,nb) >= 0.8 (intersection is bounded
+        // by the smaller set), so 5*least >= 4*greatest prunes pairs
+        // that cannot verify — integer-exact, provably output-invariant.
+        // On a size-skewed corpus this is the second confinement axis
+        // next to prefix-gram collision (sf1 smoke: candidate volume is
+        // the whole cost of this operator at high corpus density).
+        val pre = ordered.selectExpr("doc_id", "n", "explode(prefix) AS pt")
         val cand = pre.alias("a")
           .join(pre.alias("b"),
-            col("a.pt") === col("b.pt") && col("a.doc_id") < col("b.doc_id"))
+            col("a.pt") === col("b.pt") && col("a.doc_id") < col("b.doc_id") &&
+              expr("5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)"))
           .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
           .distinct()
         cand
@@ -196,11 +204,12 @@ object DedupQueries extends QueryModule {
               |ordered AS (SELECT doc_id, list(t ORDER BY df, t) AS gs,
               |    CAST(count(*) AS BIGINT) AS n
               |  FROM tok JOIN dfq USING (t) GROUP BY doc_id),
-              |pre AS (SELECT doc_id,
+              |pre AS (SELECT doc_id, n,
               |    unnest(gs[1:CAST(n - (4 * n + 4) // 5 + 1 AS BIGINT)]) AS pt
               |  FROM ordered),
               |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-              |  FROM pre a JOIN pre b ON a.pt = b.pt AND a.doc_id < b.doc_id),
+              |  FROM pre a JOIN pre b ON a.pt = b.pt AND a.doc_id < b.doc_id
+              |    AND 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)),
               |p AS (SELECT a_id, b_id,
               |    CAST(len(list_filter(oa.gs, x -> list_contains(ob.gs, x))) AS BIGINT) AS inter,
               |    oa.n AS na, ob.n AS nb
@@ -426,11 +435,17 @@ object DedupQueries extends QueryModule {
       "dedup_recursive_reach",
       (s, dir) => {
         strictPairsCached(s, dir).createOrReplaceTempView("strict_edges_v")
+        // DISTINCT in the recursive step bounds each level at
+        // (seed × node × depth) rows instead of PATH multiplicity —
+        // without it a clique-dense graph multiplies paths per hop and
+        // trips the engine's recursion row limit (found empirically at
+        // the sf1 smoke: 1M+ path rows from 3 seeds on the 10× graph).
+        // The final count(DISTINCT v) is unchanged.
         s.sql("""WITH RECURSIVE reach(seed, v, depth) AS (
                 |  SELECT a_id, a_id, 0 FROM (
                 |    SELECT DISTINCT a_id FROM strict_edges_v ORDER BY a_id LIMIT 3)
                 |  UNION ALL
-                |  SELECT r.seed, e.b_id, r.depth + 1
+                |  SELECT DISTINCT r.seed, e.b_id, r.depth + 1
                 |  FROM reach r JOIN strict_edges_v e ON e.a_id = r.v
                 |  WHERE r.depth < 3)
                 |SELECT seed, CAST(count(DISTINCT v) - 1 AS BIGINT) AS n_reach_3hop
@@ -446,7 +461,7 @@ object DedupQueries extends QueryModule {
               |  SELECT a_id, a_id, 0 FROM (
               |    SELECT DISTINCT a_id FROM e ORDER BY a_id LIMIT 3) s
               |  UNION ALL
-              |  SELECT r.seed, e.b_id, r.depth + 1
+              |  SELECT DISTINCT r.seed, e.b_id, r.depth + 1
               |  FROM reach r JOIN e ON e.a_id = r.v
               |  WHERE r.depth < 3)
               |SELECT seed, CAST(count(DISTINCT v) - 1 AS BIGINT) AS n_reach_3hop
