@@ -51,8 +51,12 @@ object Bench {
     // whose name starts with any prefix — the isolation lever for per-family
     // regression hunts (a family timed alone vs timed after 160 other
     // queries separates plan cost from accumulated session state).
+    // An empty/blank value is treated as unset — a silently-empty bench
+    // (zero entries, green exit) would defeat the regression tripwire.
     val only: Option[Seq[String]] =
-      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
     def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
 
     val results =

@@ -59,10 +59,10 @@ object ScaleGen {
     // plain INT64 ts column, which the same read path handles untouched.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
-    val evOff = math.pow(10, math.ceil(math.log10(
-      ev.agg(max("event_id")).head.getLong(0) + 2))).toLong
-    val userOff = math.pow(10, math.ceil(math.log10(
-      ev.agg(max("user_id")).head.getLong(0) + 2))).toLong
+    // One pass over the biggest table for both maxima.
+    val evMaxes = ev.agg(max("event_id"), max("user_id")).head
+    val evOff = math.pow(10, math.ceil(math.log10(evMaxes.getLong(0) + 2))).toLong
+    val userOff = math.pow(10, math.ceil(math.log10(evMaxes.getLong(1) + 2))).toLong
     replicate(ev, Map("event_id" -> evOff, "user_id" -> userOff))
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 

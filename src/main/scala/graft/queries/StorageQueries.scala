@@ -311,11 +311,16 @@ object StorageQueries extends QueryModule {
       graft.tables.SchemaEvolution.appendEvolved(
         s, orders.filter(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey"), col("o_totalprice").as("amount")), t)
-      graft.tables.GraftSql.register(s, "orders_ddl", t, Seq("o_orderkey"))
+      // The DDL statements run against a BUILD-UNIQUE registered name:
+      // getOrElseUpdate may race-evaluate this builder twice, and a
+      // session-global name would let one build's ALTERs resolve to the
+      // other's directory mid-flight. The loser's dir is simply orphaned.
+      val tmpName = s"orders_ddl_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      graft.tables.GraftSql.register(s, tmpName, t, Seq("o_orderkey"))
       def ddl(st: String) = graft.tables.GraftSql.sql(s, st).collect()
-      ddl("ALTER TABLE orders_ddl RENAME COLUMN amount TO total_amount")
-      ddl("ALTER TABLE orders_ddl ADD COLUMNS (flag BIGINT COMMENT 'parity flag', junk INT)")
-      ddl("ALTER TABLE orders_ddl DROP COLUMN junk")
+      ddl(s"ALTER TABLE $tmpName RENAME COLUMN amount TO total_amount")
+      ddl(s"ALTER TABLE $tmpName ADD COLUMNS (flag BIGINT COMMENT 'parity flag', junk INT)")
+      ddl(s"ALTER TABLE $tmpName DROP COLUMN junk")
       graft.tables.SchemaEvolution.appendEvolved(
         s, orders.filter(col("o_orderkey") % 2 === 1)
           .select(col("o_orderkey"), col("o_totalprice").as("total_amount"),

@@ -134,49 +134,62 @@ object GraftSql {
       // selected snapshot as a temp view; unregistered identifiers (SQL
       // that happens to shape-match) pass through untouched. Full SQL
       // around the phrase composes via spark.sql, same as table_changes.
+      // quoteReplacement on BOTH arms: the pass-through literal may
+      // contain '$'/'\' (e.g. inside a TIMESTAMP AS OF string), which
+      // Matcher.appendReplacement would otherwise interpret.
       rewritten = VersionAsOf.replaceAllIn(rewritten, m => {
         val (name, v) = (m.group(1), m.group(2).toLong)
-        if (!registry.contains((s, name))) m.matched
-        else {
-          val view = s"__graft_v_${name}_$v"
-          snapshotAt(s, name, v).createOrReplaceTempView(view)
-          scala.util.matching.Regex.quoteReplacement(view)
-        }
+        scala.util.matching.Regex.quoteReplacement(
+          if (!registry.contains((s, name))) m.matched
+          else {
+            val view = s"__graft_v_${name}_$v"
+            snapshotAt(s, name, v).createOrReplaceTempView(view)
+            view
+          })
       })
       rewritten = TimestampAsOf.replaceAllIn(rewritten, m => {
         val (name, ts) = (m.group(1), m.group(2))
-        if (!registry.contains((s, name))) m.matched
-        else {
-          val millis = parseTsUtc(ts)
-          val view = s"__graft_t_${name}_$millis"
-          ParquetTable.readAsOf(s, resolve(s, name).dir, millis)
-            .createOrReplaceTempView(view)
-          scala.util.matching.Regex.quoteReplacement(view)
-        }
+        scala.util.matching.Regex.quoteReplacement(
+          if (!registry.contains((s, name))) m.matched
+          else {
+            val millis = parseTsUtc(ts)
+            val view = s"__graft_t_${name}_$millis"
+            ParquetTable.readAsOf(s, resolve(s, name).dir, millis)
+              .createOrReplaceTempView(view)
+            view
+          })
       })
       s.sql(rewritten)
+  }
+
+  /** Resolve an ABSOLUTE version id to its version directory name — the
+    * one listing is reused by every caller (a second listing could see a
+    * concurrent publish and shift newest-first indices under us). */
+  private def versionNameOf(name: String, dir: String, v: Long): String = {
+    val names = ParquetTable.snapshots(dir)
+    val i = names.indexWhere(graft.streaming.VersionNames.idOf(_) == v)
+    require(i >= 0, s"table '$name' has no version $v " +
+      s"(have: ${names.map(graft.streaming.VersionNames.idOf)})")
+    names(i)
   }
 
   /** Snapshot with ABSOLUTE version id `v` of a registered table. */
   private def snapshotAt(s: SparkSession, name: String, v: Long): DataFrame = {
     val ref = resolve(s, name)
-    val names = ParquetTable.snapshots(ref.dir)
-    val i = names.indexWhere(graft.streaming.VersionNames.idOf(_) == v)
-    require(i >= 0, s"table '$name' has no version $v " +
-      s"(have: ${names.map(graft.streaming.VersionNames.idOf)})")
-    ParquetTable.readSnapshot(s, ref.dir, i)
+    s.read.parquet(s"${ref.dir}/${versionNameOf(name, ref.dir, v)}")
   }
 
-  /** 'yyyy-MM-dd[ HH:mm:ss[.SSS]]' (or ISO 'T' form) as UTC epoch millis —
-    * the session timezone is pinned to UTC, so AS OF literals are too. */
+  /** 'yyyy-MM-dd[ HH:mm:ss[.fraction]]' (or ISO 'T' form) as UTC epoch
+    * millis — the session timezone is pinned to UTC, so AS OF literals
+    * are too. java.time's ISO parser handles 0-9 fraction digits with
+    * correct place value (SimpleDateFormat's 'SSS' would read '.5' as
+    * 5 ms and reject microsecond literals outright). */
   private def parseTsUtc(ts: String): Long = {
-    val t = ts.trim.replace('T', ' ')
-    val full = if (t.length == 10) s"$t 00:00:00" else t
-    val fmt = new java.text.SimpleDateFormat(
-      if (full.contains(".")) "yyyy-MM-dd HH:mm:ss.SSS" else "yyyy-MM-dd HH:mm:ss")
-    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
-    fmt.setLenient(false)
-    fmt.parse(full).getTime
+    val t = ts.trim.replace(' ', 'T')
+    val ldt =
+      if (t.length == 10) java.time.LocalDate.parse(t).atStartOfDay()
+      else java.time.LocalDateTime.parse(t)
+    ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
   }
 
   /** RESTORE ... TO TIMESTAMP AS OF: roll back to the newest snapshot
@@ -224,11 +237,13 @@ object GraftSql {
     }
     if (cur.nonEmpty) parts += cur.toString
     parts.toSeq.map(_.trim).filter(_.nonEmpty).map { defn =>
-      require(!"""(?i)\bDEFAULT\b""".r.findFirstIn(defn).isDefined,
-        s"ADD COLUMNS with DEFAULT is not supported: $defn")
       val noComment = """(?is)\s+COMMENT\s+'[^']*'\s*$""".r.replaceAllIn(defn, "")
       val sp = noComment.indexWhere(_.isWhitespace)
       require(sp > 0, s"expected 'name TYPE' in ADD COLUMNS: $defn")
+      // Checked AFTER the comment strip: a COMMENT mentioning the word
+      // "default" must not reject valid DDL.
+      require(!"""(?i)\bDEFAULT\b""".r.findFirstIn(noComment).isDefined,
+        s"ADD COLUMNS with DEFAULT is not supported: $defn")
       val (n, ddl) = (noComment.substring(0, sp), noComment.substring(sp + 1).trim)
       n -> DataType.fromDDL(ddl)
     }
@@ -283,10 +298,11 @@ object GraftSql {
     * new version, history preserved for forensics until vacuum. */
   def restoreTo(s: SparkSession, name: String, version: Long): DataFrame = {
     val ref = resolve(s, name)
-    val names = ParquetTable.snapshots(ref.dir)
-    val i = names.indexWhere(graft.streaming.VersionNames.idOf(_) == version)
-    require(i >= 0, s"table '$name' has no version $version")
-    ParquetTable.restore(s, ref.dir, i)
+    // Resolve the id to a version NAME once and swap that snapshot in —
+    // an index-based restore would re-list and could shift under a
+    // concurrent publish.
+    val vname = versionNameOf(name, ref.dir, version)
+    ParquetTable.swap(s, s.read.parquet(s"${ref.dir}/$vname"), ref.dir)
     val cv = graft.streaming.VersionNames.idOf(
       java.nio.file.Paths.get(ParquetTable.currentPath(ref.dir)).getFileName.toString)
     singleRow(s, Seq(

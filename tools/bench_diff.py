@@ -26,6 +26,8 @@ def load(path):
         d = json.loads(text)
     except json.JSONDecodeError:
         m = re.search(r'\{"metric".*', text)
+        if m is None:
+            raise SystemExit(f"no bench JSON found in {path}")
         d = json.loads(m.group(0))
     if "queries" in d and isinstance(d["queries"], dict):
         return d["queries"]
@@ -60,14 +62,16 @@ def main():
     print(f"compared {len(shared)} shared entries "
           f"({len(old)} old, {len(new)} new), threshold {threshold}x, "
           f"noise floor {NOISE_FLOOR}s")
+    # A vanished entry is the WORST regression class (crashed, renamed,
+    # silently dropped) — it must fail the diff, not just print.
     missing = sorted(set(old) - set(new))
     if missing:
-        print(f"entries gone in new run: {', '.join(missing)}")
+        print(f"MISSING in new run: {', '.join(missing)}")
     for ratio, k, a, b in sorted(flagged, reverse=True):
         print(f"REGRESSION {k}: {a:.2f}s -> {b:.2f}s ({ratio:.1f}x)")
-    if not flagged:
+    if not flagged and not missing:
         print("no regressions flagged")
-    sys.exit(1 if flagged else 0)
+    sys.exit(1 if (flagged or missing) else 0)
 
 
 if __name__ == "__main__":
