@@ -255,6 +255,52 @@ object SimQueries extends QueryModule {
               |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
               |SELECT a_id, b_id, round(cos, 6) AS cosine FROM p WHERE cos >= 0.4""".stripMargin)),
 
+    // SemDeDup-style semantic pruning: cluster the embedding space (here
+    // the deterministic 16-seed IVF assignment — production would use
+    // k-means with K ∝ N / target-cell-size), then inside each cluster
+    // drop every vector that has a LOWER-id near-twin at cosine >= 0.3,
+    // keeping one representative per twin-group. The quadratic cosine
+    // scan is CLUSTER-confined (the whole point: candidate pairs live
+    // where the cluster says they live, never corpus-wide), riding the
+    // same bucket-group machinery as the LSH near-dup path. Output: per
+    // cluster, members / pruned / kept.
+    EngineQuery(
+      "sim_semdedup",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val assigned = ivfAssign(s, e, 16).select("vec_id", "cell")
+          .join(e.select("vec_id", "embedding"), "vec_id")
+        val dropped = bucketPairsJvm(
+            s, assigned.selectExpr("vec_id", "embedding", "cell AS bucket"), 0.3)
+          .select(col("b_id").as("vec_id")).distinct()
+          .withColumn("is_dup", lit(1L))
+        assigned.join(dropped, Seq("vec_id"), "left")
+          .groupBy("cell")
+          .agg(
+            count(lit(1)).as("n_vectors"),
+            sum(coalesce(col("is_dup"), lit(0L))).as("n_pruned"))
+          .withColumn("n_kept", col("n_vectors") - col("n_pruned"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 16),
+              |p AS (SELECT e.vec_id, c.cell,
+              |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
+              |  FROM embeddings e CROSS JOIN c),
+              |r AS (SELECT vec_id, cell,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              |  FROM p),
+              |a AS (SELECT vec_id, cell FROM r WHERE rn = 1),
+              |d AS (SELECT DISTINCT y.vec_id
+              |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+              |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+              |  JOIN embeddings eb ON eb.vec_id = y.vec_id
+              |  WHERE ${cosineDuck("ea.embedding", "eb.embedding")} >= 0.3)
+              |SELECT a.cell, CAST(count(*) AS BIGINT) AS n_vectors,
+              |  CAST(count(d.vec_id) AS BIGINT) AS n_pruned,
+              |  CAST(count(*) - count(d.vec_id) AS BIGINT) AS n_kept
+              |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
+              |GROUP BY a.cell""".stripMargin)),
+
     // IVF cell assignment (the other ANN scale path next to LSH):
     // deterministic seed centroids, argmax-cosine assignment.
     EngineQuery(

@@ -934,6 +934,52 @@ object TextQueries extends QueryModule {
     // integer-grain mean quality. The composition a dataset release
     // ships next to the data; every stat is an operator this engine
     // gates individually, composed here end-to-end.
+    // Mixture EXECUTION (the take to text_mixture_plan's plan): each
+    // source contributes its best documents — quality-ranked, doc_id
+    // tiebreak — until a fixed per-source token budget is exhausted
+    // (whole-doc take: a doc is kept iff it fits entirely). The
+    // per-source greedy cumsum rides the two-pass SequencePack prefix
+    // sum over the (source-hash, quality-desc, doc_id) total order —
+    // within-source offsets fall out by subtracting each source's first
+    // global offset (one #sources-row broadcast join) — so there is no
+    // per-source ordered Window to serialize a 100 TB source into one
+    // task.
+    EngineQuery(
+      "text_mixture_take",
+      (s, dir) => {
+        val t = docs(s, dir).withColumn("toks", expr(toksSpark)).selectExpr(
+          "doc_id", "source",
+          s"${hash60Spark("source")} AS src_key",
+          s"10000 - $q10kSpark AS negq",
+          "CAST(size(toks) AS BIGINT) AS n_toks")
+        val off = graft.text.SequencePack.withStartOffsets(
+          t, Seq("src_key", "negq", "doc_id"), "n_toks", numParts = 32,
+          keepCols = Seq("source"))
+        val base = off.groupBy("source").agg(min("start_off").as("src_start"))
+        off.join(broadcast(base), Seq("source"))
+          .withColumn("kept",
+            col("start_off") - col("src_start") + col("n_toks") <= lit(600L))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("tokens_kept"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source, $toksDuck AS toks FROM documents),
+              |d AS (SELECT doc_id, source,
+              |    CAST(len(toks) AS BIGINT) AS n_toks,
+              |    10000 - $q10kDuck AS negq
+              |  FROM tk),
+              |o AS (SELECT source, n_toks,
+              |    COALESCE(CAST(sum(n_toks) OVER (PARTITION BY source
+              |      ORDER BY negq, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS loc
+              |  FROM d)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(CASE WHEN loc + n_toks <= 600 THEN 1 END) AS BIGINT) AS n_kept,
+              |  CAST(COALESCE(sum(CASE WHEN loc + n_toks <= 600 THEN n_toks END), 0) AS BIGINT) AS tokens_kept
+              |FROM o GROUP BY source""".stripMargin)),
+
     EngineQuery(
       "pipeline_datacard",
       (s, dir) => {

@@ -24,8 +24,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "dedup_prefix_pairs", "sample_bernoulli_docs",
     // Covered by the join rule; their global-window exception is below.
     "q29_skyline", "sketch_quantile_bins",
-    // Round-6 additions: the SQL-spelling and state-v2 paths.
-    "tt_select_version_as_of", "se_sql_ddl")
+    // Round-6 additions: the SQL-spelling, state-v2, and new operator paths.
+    "tt_select_version_as_of", "se_sql_ddl", "sim_semdedup", "text_mixture_take")
 
   /** The ONLY sanctioned Window-on-SinglePartition sites, each with a
     * written bound on the serialized domain. A global ordered window is
