@@ -196,10 +196,15 @@ class GraftSqlSpec extends SparkSuite {
     assert(out.schema("quantity").dataType.simpleString == "bigint")
     assert(out.filter(col("score").isNotNull).count() == 0, "pre-DDL files null-fill")
     assert(out.agg(sum("quantity")).collect().head.getLong(0) == 30L)
-    // DEFAULT clauses are rejected, not silently dropped.
+    // DEFAULT clauses are rejected, not silently dropped...
     intercept[IllegalArgumentException] {
       GraftSql.sql(spark, "ALTER TABLE gsql_ddl ADD COLUMNS (v STRING DEFAULT '1.0')")
     }
+    // ...but the word inside a COMMENT string must not trip the check.
+    GraftSql.sql(spark,
+      "ALTER TABLE gsql_ddl ADD COLUMNS (memo STRING COMMENT 'defaults to empty')")
+    assert(graft.tables.SchemaEvolution.readEvolved(spark, dir)
+      .columns.contains("memo"))
   }
 
   test("TBLPROPERTIES with tab/newline are rejected before corrupting the manifest") {
