@@ -2,50 +2,49 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Runtime Bloom-filter join pruning (InjectRuntimeFilter): when a large
-  * shuffle join's build side is selectively filtered, Catalyst plants a
-  * bloom_filter_agg on the build side and a might_contain probe on the
-  * stream side's SCAN, discarding non-joining rows before the shuffle —
-  * at 100 TB this is the difference between shuffling the whole fact
-  * table and shuffling only the ~matching fraction. Local thresholds are
-  * tuned down (the heuristics are sized for clusters); the PLAN SHAPE is
-  * what this pins. */
+/** Pins that Spark's InjectRuntimeFilter actually plants a bloom filter
+  * for the q30 shape: the dim's non-key predicate is not statically
+  * inferable onto the fact side, so with the conf on, the fact filter
+  * must carry `might_contain(<bloom_filter_agg subquery>)`. Without the
+  * plan assertion the query would hash-match even if injection silently
+  * stopped firing (it is semantics-preserving) — this spec is the teeth
+  * behind the PLANS.md claim. */
 class RuntimeFilterSpec extends SparkSuite {
 
-  test("selective shuffle join injects a bloom probe on the stream side") {
-    val s = spark
-    val defaults = Seq(
-      "spark.sql.autoBroadcastJoinThreshold" ->
-        s.conf.get("spark.sql.autoBroadcastJoinThreshold"),
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
-        s.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"),
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
-        s.conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"))
-    try {
-      // Force a shuffle join (no broadcast) and drop the size heuristics
-      // that assume cluster-scale inputs.
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+  private def plan(enabled: Boolean): String = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", enabled.toString)
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = s2.read.parquet(s"$sf0001/lineitem.parquet")
+    val o = s2.read.parquet(s"$sf0001/orders.parquet")
+      .filter("o_orderpriority = '1-URGENT'")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)))
+      .queryExecution.optimizedPlan.toString
+  }
 
-      val lineitem = s.read.parquet(s"$sf001/lineitem.parquet")
-      val orders = s.read.parquet(s"$sf001/orders.parquet")
-        .filter(col("o_orderpriority") === "1-URGENT")
-      val joined = lineitem.join(orders,
-        lineitem("l_orderkey") === orders("o_orderkey"))
-        .groupBy("o_orderpriority").count()
+  test("bloom filter injected on the fact side when enabled, absent when off") {
+    val on = plan(enabled = true)
+    assert(on.contains("might_contain") && on.contains("bloom_filter_agg"),
+      s"expected a runtime bloom filter in:\n${on.take(1200)}")
+    val off = plan(enabled = false)
+    assert(!off.contains("might_contain"), "conf off must mean no injection")
+  }
 
-      val optimized = joined.queryExecution.optimizedPlan.toString
-      assert(optimized.contains("might_contain"),
-        s"no bloom probe injected:\n$optimized")
-      assert(optimized.contains("bloom_filter_agg"),
-        s"no bloom build side:\n$optimized")
-      // And it still computes the right answer with the filter in place.
-      val n = joined.collect().map(_.getLong(1)).sum
-      val o2 = s.read.parquet(s"$sf001/orders.parquet")
-        .filter(col("o_orderpriority") === "1-URGENT")
-      val expected = lineitem.join(o2, lineitem("l_orderkey") === o2("o_orderkey")).count()
-      assert(n == expected && n > 0)
-    } finally defaults.foreach { case (k, v) => s.conf.set(k, v) }
+  test("injected filter preserves the join result") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def agg(s: org.apache.spark.sql.SparkSession) = {
+      val li = s.read.parquet(s"$sf0001/lineitem.parquet")
+      val o = s.read.parquet(s"$sf0001/orders.parquet")
+        .filter("o_orderpriority = '1-URGENT'")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    assert(agg(s2) == agg(spark))
   }
 }
