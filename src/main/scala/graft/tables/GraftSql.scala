@@ -60,6 +60,8 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+COLUMNS?\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)?\s*;?\s*$""".r
   private val AlterColType =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TYPE\s+(.+?)\s*;?\s*$""".r
+  private val AlterColComment =
+    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+COMMENT\s+'([^']*)'\s*;?\s*$""".r
   private val CloneTable =
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+(SHALLOW|DEEP)\s+CLONE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val SetProps =
@@ -105,15 +107,22 @@ object GraftSql {
       showProperties(s, name)
     case AddColumns(name, body) =>
       val cols = parseColumnDefs(body)
-      SchemaEvolution.addColumns(s, resolve(s, name).dir, cols)
+      val dir = resolve(s, name).dir
+      SchemaEvolution.addColumns(s, dir, cols.map { case (n, t, _) => n -> t })
+      cols.foreach { case (n, _, c) =>
+        c.foreach(SchemaEvolution.setColumnComment(s, dir, n, _))
+      }
       singleRow(s, Seq("name" -> name,
-        "added" -> cols.map { case (n, t) => s"$n ${t.simpleString}" }.mkString(", ")))
+        "added" -> cols.map { case (n, t, _) => s"$n ${t.simpleString}" }.mkString(", ")))
     case RenameCol(name, from, to) =>
       SchemaEvolution.renameColumn(s, resolve(s, name).dir, from, to)
       singleRow(s, Seq("name" -> name, "renamed" -> s"$from -> $to"))
     case DropCol(name, colName) =>
       SchemaEvolution.dropColumn(s, resolve(s, name).dir, colName)
       singleRow(s, Seq("name" -> name, "dropped" -> colName))
+    case AlterColComment(name, colName, text) =>
+      SchemaEvolution.setColumnComment(s, resolve(s, name).dir, colName, text)
+      singleRow(s, Seq("name" -> name, "column" -> colName, "comment" -> text))
     case AlterColType(name, colName, ddl) =>
       SchemaEvolution.widenColumn(s, resolve(s, name).dir, colName, DataType.fromDDL(ddl))
       singleRow(s, Seq("name" -> name, "widened" -> s"$colName -> ${ddl.trim}"))
@@ -220,8 +229,9 @@ object GraftSql {
   }
 
   /** Top-level split of `name TYPE [COMMENT '...']` defs — commas inside
-    * DECIMAL(p,s) / STRUCT<...> / quoted comments don't split. */
-  private def parseColumnDefs(body: String): Seq[(String, DataType)] = {
+    * DECIMAL(p,s) / STRUCT<...> / quoted comments don't split. Returns
+    * (name, type, optional comment). */
+  private def parseColumnDefs(body: String): Seq[(String, DataType, Option[String])] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
@@ -236,8 +246,10 @@ object GraftSql {
       }
     }
     if (cur.nonEmpty) parts += cur.toString
+    val CommentClause = """(?is)\s+COMMENT\s+'([^']*)'\s*$""".r
     parts.toSeq.map(_.trim).filter(_.nonEmpty).map { defn =>
-      val noComment = """(?is)\s+COMMENT\s+'[^']*'\s*$""".r.replaceAllIn(defn, "")
+      val comment = CommentClause.findFirstMatchIn(defn).map(_.group(1))
+      val noComment = CommentClause.replaceAllIn(defn, "")
       val sp = noComment.indexWhere(_.isWhitespace)
       require(sp > 0, s"expected 'name TYPE' in ADD COLUMNS: $defn")
       // Checked AFTER the comment strip: a COMMENT mentioning the word
@@ -245,7 +257,7 @@ object GraftSql {
       require(!"""(?i)\bDEFAULT\b""".r.findFirstIn(noComment).isDefined,
         s"ADD COLUMNS with DEFAULT is not supported: $defn")
       val (n, ddl) = (noComment.substring(0, sp), noComment.substring(sp + 1).trim)
-      n -> DataType.fromDDL(ddl)
+      (n, DataType.fromDDL(ddl), comment)
     }
   }
 

@@ -73,7 +73,8 @@ object SchemaEvolution {
   final case class Manifest(
       mapping: ColumnMapping,
       ptypes: Seq[(String, DataType)],
-      widens: Map[String, DataType]) {
+      widens: Map[String, DataType],
+      comments: Map[String, String] = Map.empty) {
     def physicalReadSchema: Option[StructType] =
       if (ptypes.isEmpty) None
       else Some(StructType(ptypes.map { case (p, t) =>
@@ -102,8 +103,12 @@ object SchemaEvolution {
     val widens = lines.collect { case l if l.startsWith("widen\t") =>
       val Array(_, p, ddl) = l.split("\t", 3); p -> parseDdl(ddl)
     }
+    val comments = lines.collect { case l if l.startsWith("comment\t") =>
+      // limit 3: the comment text itself may contain tabs.
+      val Array(_, p, text) = l.split("\t", 3); p -> text
+    }
     Some(Manifest(ColumnMapping(cols.toSeq, dropped.toSeq),
-      ptypes.toSeq, widens.toMap))
+      ptypes.toSeq, widens.toMap, comments.toMap))
   }
 
   /** The manifest, if one exists (tables never renamed/dropped have none
@@ -114,7 +119,8 @@ object SchemaEvolution {
     val body = (mf.mapping.cols.map { case (l, p) => s"col\t$l\t$p" } ++
       mf.mapping.dropped.map(p => s"drop\t$p") ++
       mf.ptypes.map { case (p, t) => s"ptype\t$p\t${t.sql}" } ++
-      mf.widens.toSeq.sortBy(_._1).map { case (p, t) => s"widen\t$p\t${t.sql}" })
+      mf.widens.toSeq.sortBy(_._1).map { case (p, t) => s"widen\t$p\t${t.sql}" } ++
+      mf.comments.toSeq.sortBy(_._1).map { case (p, c) => s"comment\t$p\t$c" })
       .mkString("\n")
     val tmp = Paths.get(dir, "_SCHEMA.tmp")
     Files.writeString(tmp, body)
@@ -125,12 +131,14 @@ object SchemaEvolution {
   private def writeMapping(dir: String, m: ColumnMapping): Unit = {
     val prior = manifestOf(dir)
       .getOrElse(Manifest(m, Seq.empty, Map.empty))
-    // Keep ptype entries consistent with the surviving physical columns.
+    // Keep ptype/widen/comment entries consistent with the surviving
+    // physical columns.
     val livePhysical = m.cols.map(_._2.toLowerCase).toSet
     writeManifest(dir, Manifest(
       m,
       prior.ptypes.filter { case (p, _) => livePhysical.contains(p.toLowerCase) },
-      prior.widens.filter { case (p, _) => livePhysical.contains(p.toLowerCase) }))
+      prior.widens.filter { case (p, _) => livePhysical.contains(p.toLowerCase) },
+      prior.comments.filter { case (p, _) => livePhysical.contains(p.toLowerCase) }))
   }
 
   /** The table's current mapping, materializing the identity mapping
@@ -220,6 +228,22 @@ object SchemaEvolution {
       ptypes = ptypes :+ (fresh -> t)
     }
     writeManifest(dir, mf0.copy(mapping = m, ptypes = ptypes))
+  }
+
+  /** ALTER COLUMN ... COMMENT — metadata-only (reference
+    * db/schema_evolution.sql:27): the comment is keyed by PHYSICAL name
+    * in the manifest, so it survives later renames of the logical name;
+    * [[readEvolved]] surfaces it as the field's metadata comment. */
+  def setColumnComment(spark: SparkSession, dir: String, name: String, comment: String): Unit = {
+    require(!comment.exists(c => c == '\n' || c == '\r'),
+      "column comment may not contain newlines (line-oriented manifest)")
+    val mf0 = manifestOf(dir).getOrElse(Manifest(
+      ColumnMapping(
+        physicalSchema(spark, dir).fieldNames.toSeq.map(n => n -> n), Seq.empty),
+      Seq.empty, Map.empty))
+    val physical = mf0.mapping.physicalOf(name).getOrElse(
+      sys.error(s"ALTER COLUMN COMMENT: no column $name in $dir"))
+    writeManifest(dir, mf0.copy(comments = mf0.comments + (physical -> comment)))
   }
 
   /** ALTER COLUMN ... TYPE — read-time widen, zero files rewritten
@@ -385,7 +409,12 @@ object SchemaEvolution {
               case (Some(t), Some(pt)) if t != pt => col(physical).cast(t)
               case _ => col(physical)
             }
-            Some(base.as(m.logicalOf(physical).getOrElse(physical)))
+            val logical = m.logicalOf(physical).getOrElse(physical)
+            Some(mf.comments.find(_._1.equalsIgnoreCase(physical)) match {
+              case Some((_, text)) =>
+                base.as(logical, new MetadataBuilder().putString("comment", text).build())
+              case None => base.as(logical)
+            })
           }
         }
         raw.select(cols: _*)

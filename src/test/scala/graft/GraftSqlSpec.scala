@@ -207,6 +207,27 @@ class GraftSqlSpec extends SparkSuite {
       .columns.contains("memo"))
   }
 
+  test("column comments: ADD COLUMNS captures them; ALTER COLUMN COMMENT sets and survives RENAME") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gsql-cc")
+      .resolve("t").toString
+    Seq((1, 10)).toDF("id", "qty").write.parquet(dir)
+    GraftSql.register(spark, "gsql_cc", dir)
+    GraftSql.sql(spark,
+      "ALTER TABLE gsql_cc ADD COLUMNS (note STRING COMMENT 'free-form note')")
+    GraftSql.sql(spark, "ALTER TABLE gsql_cc ALTER COLUMN qty COMMENT 'unit count'")
+    def commentOf(c: String): String = {
+      val f = graft.tables.SchemaEvolution.readEvolved(spark, dir).schema(c)
+      if (f.metadata.contains("comment")) f.metadata.getString("comment") else ""
+    }
+    assert(commentOf("note") == "free-form note")
+    assert(commentOf("qty") == "unit count")
+    // The comment is keyed by PHYSICAL name: a rename keeps it.
+    GraftSql.sql(spark, "ALTER TABLE gsql_cc RENAME COLUMN qty TO quantity")
+    assert(commentOf("quantity") == "unit count")
+  }
+
   test("TBLPROPERTIES with tab/newline are rejected before corrupting the manifest") {
     val dir = seedTable()
     GraftSql.register(spark, "gsql_bad", dir, Seq("id"))
