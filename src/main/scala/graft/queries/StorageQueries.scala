@@ -328,6 +328,28 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededCi =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** The reference's type-change recipe run end-to-end through SQL
+    * (db/schema_evolution.sql:52-105): CREATE TABLE with the desired
+    * DECIMAL schema, then INSERT INTO ... SELECT the cast transform.
+    * Returns the created table's location. */
+  private def createdInsertedOrders(s: SparkSession, dir: String): String =
+    seededCi.getOrElseUpdate((s, dir), {
+      val name = s"orders_ci_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      s.read.parquet(tablePath(dir, "orders")).createOrReplaceTempView("orders_src_v")
+      val loc = graft.tables.GraftSql.sql(s,
+        s"CREATE TABLE $name (o_orderkey BIGINT COMMENT 'key', prio STRING, amount DECIMAL(20,4))")
+        .collect().head.getString(1)
+      graft.tables.GraftSql.sql(s,
+        s"""INSERT INTO $name
+           |SELECT o_orderkey, o_orderpriority AS prio,
+           |  CAST(o_totalprice AS DECIMAL(20,4)) AS amount
+           |FROM orders_src_v""".stripMargin).collect()
+      loc
+    })
+
   /** Pre-build the seeded tables (Bench times this as an explicit
     * `build_*` entry so query numbers measure only themselves). The
     * builds are independent tables, so they submit as CONCURRENT Spark
@@ -350,7 +372,7 @@ object StorageQueries extends QueryModule {
       () => mergedOrders(s, dir), () => zstatsOrders(s, dir),
       () => hstatsOrders(s, dir), () => bloomOrders(s, dir),
       () => widenedOrders(s, dir), () => maintainedOrders(s, dir),
-      () => ddlOrders(s, dir))
+      () => ddlOrders(s, dir), () => createdInsertedOrders(s, dir))
     Await.result(
       Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
       Duration.Inf)
@@ -782,6 +804,23 @@ object StorageQueries extends QueryModule {
              |  round(sum(o_totalprice), 2) AS amount_sum,
              |  CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT) AS n_flag,
              |  CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 3 END) AS BIGINT) AS sum_flag
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // CREATE TABLE (typed schema) + INSERT INTO ... SELECT, the
+    // reference's sanctioned recipe for a non-widening type change
+    // (db/schema_evolution.sql:52-105): the DECIMAL target table is
+    // declared empty (manifest-only), the INSERT is schema-enforced
+    // against it, and the exact decimal sums gate the round trip.
+    EngineQuery(
+      "se_create_insert",
+      (s, dir) =>
+        graft.tables.SchemaEvolution.readEvolved(s, createdInsertedOrders(s, dir))
+          .groupBy("prio")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum("amount").cast("double"), 2).as("total")),
+      Some("""SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2) AS total
              |FROM orders GROUP BY 1""".stripMargin)),
 
     // Type widening read path end-to-end (reference

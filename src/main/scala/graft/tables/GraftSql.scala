@@ -64,6 +64,10 @@ object GraftSql {
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+COMMENT\s+'([^']*)'\s*;?\s*$""".r
   private val CloneTable =
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+(SHALLOW|DEEP)\s+CLONE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val CreateTable =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r
+  private val InsertInto =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(SELECT\b.*)$""".r
   private val SetProps =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*;?\s*$""".r
   private val ShowProps =
@@ -128,6 +132,30 @@ object GraftSql {
       singleRow(s, Seq("name" -> name, "widened" -> s"$colName -> ${ddl.trim}"))
     case CloneTable(newName, kind, srcName) =>
       cloneTable(s, newName, kind.equalsIgnoreCase("SHALLOW"), srcName)
+    case CreateTable(name, body) =>
+      // The reference's type-change recipe, step 1 (db/schema_evolution
+      // .sql:52-72): declare the target schema before any data exists.
+      val cols = parseColumnDefs(body)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ct")
+        .resolve(name).toString
+      SchemaEvolution.createTable(s, dir, cols.map { case (n, t, _) => n -> t })
+      cols.foreach { case (n, _, c) =>
+        c.foreach(SchemaEvolution.setColumnComment(s, dir, n, _))
+      }
+      register(s, name, dir)
+      singleRow(s, Seq("name" -> name, "location" -> dir,
+        "columns" -> cols.map { case (n, t, _) => s"$n ${t.simpleString}" }.mkString(", ")))
+    case InsertInto(name, select) =>
+      // Step 2: INSERT INTO ... SELECT — the SELECT goes back through
+      // sql() so table_changes()/AS-OF rewrites compose; the append is
+      // schema-enforced against the declared (or evolved) columns.
+      val dir = resolve(s, name).dir
+      val result = sql(s, select).persist()
+      try {
+        val n = result.count()
+        SchemaEvolution.appendEvolved(s, result, dir)
+        singleRow(s, Seq("name" -> name, "n_inserted" -> n))
+      } finally { result.unpersist(); () }
     case _ =>
       var rewritten = TableChanges.replaceAllIn(statement, m => {
         val (name, v1, v2) = (m.group(1), m.group(2).toLong, m.group(3).toLong)

@@ -230,6 +230,33 @@ object SchemaEvolution {
     writeManifest(dir, mf0.copy(mapping = m, ptypes = ptypes))
   }
 
+  /** CREATE TABLE (cols) — materialize an EMPTY manifest-only table:
+    * col + ptype lines define the schema before any file exists, so
+    * [[readEvolved]] returns an empty typed frame (explicit read schema
+    * needs no files) and the first [[appendEvolved]] is schema-checked
+    * against the declared columns rather than inferring from data —
+    * the reference's "create the table with the desired schema, then
+    * INSERT the transform" recipe (db/schema_evolution.sql:52-105). */
+  def createTable(spark: SparkSession, dir: String, cols: Seq[(String, DataType)]): Unit = {
+    require(cols.nonEmpty, "CREATE TABLE: no columns")
+    Files.createDirectories(Paths.get(dir))
+    require(manifestOf(dir).isEmpty && !hasParquetData(dir),
+      s"CREATE TABLE: $dir already holds a table")
+    writeManifest(dir, Manifest(
+      ColumnMapping(cols.map { case (n, _) => n -> n }, Seq.empty),
+      cols, Map.empty))
+  }
+
+  private def hasParquetData(dir: String): Boolean = {
+    val p = Paths.get(dir)
+    Files.exists(p) && {
+      val s = Files.walk(p)
+      try s.iterator().asScala.exists { f =>
+        Files.isRegularFile(f) && f.getFileName.toString.endsWith(".parquet")
+      } finally s.close()
+    }
+  }
+
   /** ALTER COLUMN ... COMMENT — metadata-only (reference
     * db/schema_evolution.sql:27): the comment is keyed by PHYSICAL name
     * in the manifest, so it survives later renames of the logical name;
@@ -315,17 +342,12 @@ object SchemaEvolution {
   def appendEvolved(spark: SparkSession, df: DataFrame, dir: String): Unit = {
     // Guard on actual parquet data, not bare directory existence — a
     // pre-created empty dir must behave like a first write.
-    val hasData = {
-      val p = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.exists(p) && {
-        val s = java.nio.file.Files.walk(p)
-        try s.iterator().asScala.exists { f =>
-          java.nio.file.Files.isRegularFile(f) &&
-            f.getFileName.toString.endsWith(".parquet")
-        } finally s.close()
-      }
+    // A CREATE TABLE'd (manifest-only, zero-file) table must still take
+    // the validated manifest path — only a truly schema-less target gets
+    // the bare first write.
+    if (!hasParquetData(dir) && manifestOf(dir).isEmpty) {
+      df.write.mode("append").parquet(dir); return
     }
-    if (!hasData) { df.write.mode("append").parquet(dir); return }
 
     val current = readEvolved(spark, dir).schema
     val mfOpt = manifestOf(dir)

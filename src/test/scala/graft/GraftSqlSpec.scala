@@ -228,6 +228,34 @@ class GraftSqlSpec extends SparkSuite {
     assert(commentOf("quantity") == "unit count")
   }
 
+  test("CREATE TABLE (cols) + INSERT INTO SELECT: the type-change recipe") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "2.5"), (2L, "7.25")).toDF("id", "amount_str")
+      .createOrReplaceTempView("gsql_src_v")
+    val created = GraftSql.sql(spark,
+      "CREATE TABLE gsql_ct (id BIGINT COMMENT 'key', amount DECIMAL(20,4))")
+      .collect().head
+    // Empty declared table reads back typed with zero rows.
+    val loc = created.getString(1)
+    val empty = graft.tables.SchemaEvolution.readEvolved(spark, loc)
+    assert(empty.count() == 0)
+    assert(empty.schema("amount").dataType.simpleString == "decimal(20,4)")
+    val r = GraftSql.sql(spark,
+      "INSERT INTO gsql_ct SELECT id, CAST(amount_str AS DECIMAL(20,4)) AS amount FROM gsql_src_v")
+      .collect().head
+    assert(r.getLong(1) == 2L, s"n_inserted: $r")
+    val back = graft.tables.SchemaEvolution.readEvolved(spark, loc)
+    assert(back.schema("id").metadata.getString("comment") == "key")
+    assert(back.selectExpr("CAST(sum(amount) AS STRING)").collect().head.getString(0)
+      == "9.7500")
+    // Type enforcement: inserting the WRONG type is rejected loudly.
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "INSERT INTO gsql_ct SELECT id, CAST(1.5 AS DOUBLE) AS amount FROM gsql_src_v")
+    }
+  }
+
   test("TBLPROPERTIES with tab/newline are rejected before corrupting the manifest") {
     val dir = seedTable()
     GraftSql.register(spark, "gsql_bad", dir, Seq("id"))
