@@ -246,6 +246,10 @@ object JoinQueries extends QueryModule {
         val s2 = s.newSession()
         s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        // The 10 MB creation-side default would silently stop injection
+        // just above current data sizes (sf1 orders is already 8.7 MB)
+        // and nothing would notice — the filter is semantics-preserving.
+        s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
         s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         val li = s2.read.parquet(graft.SparkSessions.tablePath(dir, "lineitem"))
         val o = s2.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))

@@ -337,8 +337,14 @@ object StorageQueries extends QueryModule {
     * Returns the created table's location. */
   private def createdInsertedOrders(s: SparkSession, dir: String): String =
     seededCi.getOrElseUpdate((s, dir), {
-      val name = s"orders_ci_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-      s.read.parquet(tablePath(dir, "orders")).createOrReplaceTempView("orders_src_v")
+      // Build-unique names for BOTH the table and the source view: the
+      // getOrElseUpdate builder may race-evaluate (see ddlOrders), and a
+      // shared view name would let one build's INSERT read the other's
+      // source dir.
+      val uid = java.util.UUID.randomUUID.toString.replace("-", "")
+      val name = s"orders_ci_$uid"
+      val view = s"orders_src_v_$uid"
+      s.read.parquet(tablePath(dir, "orders")).createOrReplaceTempView(view)
       val loc = graft.tables.GraftSql.sql(s,
         s"CREATE TABLE $name (o_orderkey BIGINT COMMENT 'key', prio STRING, amount DECIMAL(20,4))")
         .collect().head.getString(1)
@@ -346,7 +352,7 @@ object StorageQueries extends QueryModule {
         s"""INSERT INTO $name
            |SELECT o_orderkey, o_orderpriority AS prio,
            |  CAST(o_totalprice AS DECIMAL(20,4)) AS amount
-           |FROM orders_src_v""".stripMargin).collect()
+           |FROM $view""".stripMargin).collect()
       loc
     })
 

@@ -112,6 +112,13 @@ object GraftSql {
     case AddColumns(name, body) =>
       val cols = parseColumnDefs(body)
       val dir = resolve(s, name).dir
+      // Validate EVERYTHING before the first mutation — a comment
+      // rejected after addColumns would leave the table half-altered
+      // (and the user's retry failing with "column already exists").
+      cols.foreach { case (n, _, c) =>
+        c.foreach(text => require(!text.exists(ch => ch == '\n' || ch == '\r'),
+          s"column comment may not contain newlines (column $n)"))
+      }
       SchemaEvolution.addColumns(s, dir, cols.map { case (n, t, _) => n -> t })
       cols.foreach { case (n, _, c) =>
         c.foreach(SchemaEvolution.setColumnComment(s, dir, n, _))
@@ -135,6 +142,11 @@ object GraftSql {
     case CreateTable(name, body) =>
       // The reference's type-change recipe, step 1 (db/schema_evolution
       // .sql:52-72): declare the target schema before any data exists.
+      // A re-run must fail loudly — an unconditional re-register would
+      // shadow the existing table with a fresh empty dir and orphan its
+      // data.
+      require(!registry.contains((s, name)),
+        s"CREATE TABLE: '$name' is already registered — DROP/unregister it first")
       val cols = parseColumnDefs(body)
       val dir = java.nio.file.Files.createTempDirectory("graft-ct")
         .resolve(name).toString
@@ -152,6 +164,15 @@ object GraftSql {
       val dir = resolve(s, name).dir
       val result = sql(s, select).persist()
       try {
+        // SQL INSERT arity: the SELECT must produce exactly the target's
+        // logical columns (by name, any order). Without this, an extra
+        // column would ride appendEvolved's additive-evolution path and
+        // permanently widen the table from a typo.
+        val target = SchemaEvolution.readEvolved(s, dir).columns.map(_.toLowerCase).toSet
+        val incoming = result.columns.map(_.toLowerCase).toSet
+        require(incoming == target,
+          s"INSERT INTO $name: SELECT columns ${incoming.toSeq.sorted.mkString(",")} " +
+            s"must exactly match the table's ${target.toSeq.sorted.mkString(",")}")
         val n = result.count()
         SchemaEvolution.appendEvolved(s, result, dir)
         singleRow(s, Seq("name" -> name, "n_inserted" -> n))

@@ -239,6 +239,8 @@ object SchemaEvolution {
     * INSERT the transform" recipe (db/schema_evolution.sql:52-105). */
   def createTable(spark: SparkSession, dir: String, cols: Seq[(String, DataType)]): Unit = {
     require(cols.nonEmpty, "CREATE TABLE: no columns")
+    val dups = cols.groupBy(_._1.toLowerCase).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"CREATE TABLE: duplicate column names: ${dups.mkString(", ")}")
     Files.createDirectories(Paths.get(dir))
     require(manifestOf(dir).isEmpty && !hasParquetData(dir),
       s"CREATE TABLE: $dir already holds a table")

@@ -254,6 +254,16 @@ class GraftSqlSpec extends SparkSuite {
       GraftSql.sql(spark,
         "INSERT INTO gsql_ct SELECT id, CAST(1.5 AS DOUBLE) AS amount FROM gsql_src_v")
     }
+    // Arity enforcement: an extra SELECT column must not silently widen
+    // the table through the additive-evolution path.
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "INSERT INTO gsql_ct SELECT id, CAST(amount_str AS DECIMAL(20,4)) AS amount, 1 AS junk FROM gsql_src_v")
+    }
+    // Re-running CREATE must fail loudly, not shadow the table.
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "CREATE TABLE gsql_ct (id BIGINT, amount DECIMAL(20,4))")
+    }
   }
 
   test("TBLPROPERTIES with tab/newline are rejected before corrupting the manifest") {
