@@ -41,6 +41,48 @@ object SkewOps {
     l.join(r, key :+ "_salt").drop("_salt")
   }
 
+  /** The SIZE-AWARE mode decision for a skewed equi-join, derived from
+    * the optimizer's estimate of the replicated-side size (file
+    * statistics × selectivity — no job runs):
+    *
+    *  - `"broadcast"`: the dim side fits the session broadcast threshold
+    *    → a broadcast-hash join has NO shuffle and therefore no hot
+    *    reduce key; salting would pay `salts`× replication for nothing.
+    *  - `"aqe-smj"`: the dim side is too big to broadcast → static
+    *    replication would multiply the DOMINANT shuffle by `salts`
+    *    on top of the sort-merge join it was meant to avoid (the q22
+    *    sf1 16.5× flip). The join runs plain and AQE's runtime skew
+    *    split (`spark.sql.adaptive.skewJoin`) handles observed hot
+    *    partitions with zero replication.
+    *
+    * Static salting ([[saltedJoin]]) remains the explicit-opt-in recipe
+    * for skew that is KNOWN in advance on a broadcast-sized dim. */
+  def skewJoinMode(right: DataFrame): String = {
+    val spark = right.sparkSession
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // Bare numbers (including the disabling "-1") are legal conf values
+    // that JavaUtils' suffixed-byte-string parser rejects.
+    val threshold = scala.util.Try(raw.trim.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+    val est = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold >= 0 && est <= BigInt(threshold)) "broadcast" else "aqe-smj"
+  }
+
+  /** Size-aware skewed equi-join: picks the physical strategy from the
+    * measured build side via [[skewJoinMode]] instead of betting
+    * statically. Row-identical to `left.join(right, key)` in both modes.
+    * Note the UNREPLICATED dim is what broadcasts — the static salted
+    * path's 8×-replicated broadcast side is exactly what flipped q22 to
+    * sort-merge at sf1 (the replication ate the threshold headroom). */
+  def adaptiveSkewJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: Seq[String]): DataFrame =
+    skewJoinMode(right) match {
+      case "broadcast" => left.join(broadcast(right), key)
+      case _           => left.join(right, key)
+    }
+
   /** sum/count aggregate over `valueCol` grouped by `key`, salted into
     * `salts` sub-groups by a deterministic row hash. */
   def saltedSumCount(

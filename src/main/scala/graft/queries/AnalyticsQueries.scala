@@ -266,21 +266,26 @@ object AnalyticsQueries extends QueryModule {
              |                    AND o.o_orderstatus = 'F')
              |GROUP BY c_mktsegment""".stripMargin)),
 
-    // Skewed-key JOIN via explicit static salting (SkewOps.saltedJoin):
-    // lineitem keeps one deterministic salt per row, orders replicate
-    // across the 8 salt values, and the shuffle keys on (orderkey, salt)
-    // so a hot order's probe rows split across 8 reduce tasks. Must be
-    // row-identical to the plain join — the oracle IS the unsalted SQL.
-    // (Integral-valued quantity sums, so regrouped order cannot drift.)
+    // Skewed-key JOIN, SIZE-AWARE (SkewOps.adaptiveSkewJoin): the mode
+    // derives from the optimizer's estimate of the dim side instead of
+    // a static bet — broadcast-hash (no shuffle, so no hot reduce key)
+    // while the dim fits the session threshold; plain shuffle join
+    // under AQE's runtime skew split once it doesn't. The old static
+    // salted spelling broadcast an 8×-REPLICATED dim side: it silently
+    // flipped to sort-merge at sf1 and paid the replication on top
+    // (16.5× on 10× data). Explicit static salting survives as
+    // SkewOps.saltedJoin for skew known in advance (SkewJoinSpec).
+    // Must be row-identical to the plain join — the oracle IS the
+    // unsalted SQL. (Integral-valued quantity sums, so regrouped order
+    // cannot drift.)
     EngineQuery(
       "q22_salted_join",
       (s, dir) => {
         val o = ord(s, dir)
           .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-        graft.ops.SkewOps.saltedJoin(
+        graft.ops.SkewOps.adaptiveSkewJoin(
             li(s, dir).select("l_orderkey", "l_linenumber", "l_quantity"),
-            o, Seq("l_orderkey"),
-            col("l_orderkey") * 10 + col("l_linenumber"), 8)
+            o, Seq("l_orderkey"))
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_items"),
             round(sum("l_quantity"), 2).as("sum_qty"))

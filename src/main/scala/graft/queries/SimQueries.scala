@@ -75,6 +75,18 @@ object SimQueries extends QueryModule {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(tablePath(dir, "embeddings"))
 
+  private val cellsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+
+  /** The IVF/semdedup cell count for this corpus — `IvfIndex.autoCells`
+    * over the vector count (memoized; the count is one footer-only job).
+    * Yields exactly the 16 cells the DuckDB duals pin at the oracle
+    * scales (N=500 → 16, N=2000 → 16) and grows ∝ N beyond (sf1's 20k
+    * vectors → 160 cells), keeping per-cell scan cost flat. */
+  private def autoK(s: SparkSession, dir: String): Int =
+    cellsCache.getOrElseUpdate((s, dir),
+      graft.sim.IvfIndex.autoCells(emb(s, dir).count()))
+
   /** Pre-build the persisted IVF index (Bench times this as an explicit
     * `build_*` entry so the search query measures only itself). */
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
@@ -116,7 +128,7 @@ object SimQueries extends QueryModule {
   private def ivfIndexDir(s: SparkSession, dir: String): String =
     idxSeed.getOrElseUpdate((s, dir), {
       val t = java.nio.file.Files.createTempDirectory("graft-ivf-idx").resolve("index").toString
-      graft.sim.IvfIndex.build(s, emb(s, dir), numCells = 16, t)
+      graft.sim.IvfIndex.build(s, emb(s, dir), numCells = autoK(s, dir), t)
       t
     })
 
@@ -268,7 +280,7 @@ object SimQueries extends QueryModule {
       "sim_semdedup",
       (s, dir) => {
         val e = emb(s, dir)
-        val assigned = ivfAssign(s, e, 16).select("vec_id", "cell")
+        val assigned = ivfAssign(s, e, autoK(s, dir)).select("vec_id", "cell")
           .join(e.select("vec_id", "embedding"), "vec_id")
         val dropped = bucketPairsJvm(
             s, assigned.selectExpr("vec_id", "embedding", "cell AS bucket"), 0.3)
@@ -305,7 +317,7 @@ object SimQueries extends QueryModule {
     // deterministic seed centroids, argmax-cosine assignment.
     EngineQuery(
       "sim_ivf_assign",
-      (s, dir) => ivfAssign(s, emb(s, dir), 16),
+      (s, dir) => ivfAssign(s, emb(s, dir), autoK(s, dir)),
       Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
               |  FROM embeddings WHERE vec_id < 16),
               |p AS (SELECT e.vec_id, c.cell,
@@ -341,7 +353,7 @@ object SimQueries extends QueryModule {
       "sim_ivf_topk",
       (s, dir) => {
         val e = emb(s, dir)
-        val assigns = ivfAssign(s, e, 16).select(col("vec_id"), col("cell"))
+        val assigns = ivfAssign(s, e, autoK(s, dir)).select(col("vec_id"), col("cell"))
         val probes = e.filter(col("vec_id") < 5)
           .join(assigns, "vec_id")
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
@@ -370,7 +382,7 @@ object SimQueries extends QueryModule {
       "sim_ivf_recall",
       (s, dir) => {
         val e = emb(s, dir)
-        val assigns = ivfAssign(s, e, 16).select(col("vec_id"), col("cell"))
+        val assigns = ivfAssign(s, e, autoK(s, dir)).select(col("vec_id"), col("cell"))
         val probes = e.filter(col("vec_id") < 5)
           .join(assigns, "vec_id")
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))

@@ -35,12 +35,39 @@ object TextQueries extends QueryModule {
       df
     })
 
+  private val repStatsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), DataFrame]
+
+  /** Memoized per-doc POSITIONAL n-gram repetition stats (tag = lang):
+    * total occurrences, max single-gram count, distinct grams. The n=2
+    * and n=3 positional derivations are the narrow heavy stage of
+    * `text_rep_flags`; deriving them inline made that query's bench
+    * number an artifact of run order (three rounds of phantom
+    * "regressions"). One row per doc after aggregation, so the persist
+    * is tiny even though the exploded intermediate is not. */
+  def repGramStatsCached(s: SparkSession, dir: String, n: Int): DataFrame =
+    repStatsCache.getOrElseUpdate((s, dir, n), {
+      val df = graft.text.TextAnalysis.explodedGramsPosJvm(
+          docs(s, dir).selectExpr("doc_id", "lang AS tag", "text"), n)
+        .groupBy("doc_id", "tag", "gram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "tag")
+        .agg(sum("c").as(s"tot$n"), max("c").as(s"max$n"),
+          count(lit(1)).as(s"nd$n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
   /** Pre-build the memoized text-family shared state (the 5-gram
-    * derivation feeding decontamination) so Bench charges it to
-    * `build_text_grams`, not to whichever text query runs first. The LSH
-    * candidate build is already itemized as `build_dedup_shared`. */
+    * derivation feeding decontamination, and the n=2/n=3 positional
+    * repetition stats feeding `text_rep_flags`) so Bench charges all
+    * gram derivations to `build_text_grams`, not to whichever text query
+    * runs first. The LSH candidate build is already itemized as
+    * `build_dedup_shared`. */
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
     taggedGramsCached(s, dir, 5).count()
+    repGramStatsCached(s, dir, 2)
+    repGramStatsCached(s, dir, 3)
     ()
   }
 
@@ -658,14 +685,11 @@ object TextQueries extends QueryModule {
     EngineQuery(
       "text_rep_flags",
       (s, dir) => {
-        def perDoc(n: Int, tot: String, mx: String, nd: String) =
-          graft.text.TextAnalysis.explodedGramsPosJvm(
-            docs(s, dir).selectExpr("doc_id", "lang AS tag", "text"), n)
-            .groupBy("doc_id", "tag", "gram").agg(count(lit(1)).as("c"))
-            .groupBy("doc_id", "tag")
-            .agg(sum("c").as(tot), max("c").as(mx), count(lit(1)).as(nd))
-        val d2 = perDoc(2, "tot2", "max2", "nd2")
-        val d3 = perDoc(3, "tot3", "max3", "nd3").drop("tag")
+        // Per-doc positional gram stats come from the memoized build
+        // (repGramStatsCached) so this query times only the join + final
+        // lang rollup — the derivation is itemized as build_text_grams.
+        val d2 = repGramStatsCached(s, dir, 2)
+        val d3 = repGramStatsCached(s, dir, 3).drop("tag")
         d2.join(d3, "doc_id")
           .groupBy(col("tag").as("lang"))
           .agg(

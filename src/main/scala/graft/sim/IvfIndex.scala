@@ -23,6 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
+  /** Per-cell membership the cell count aims at: a probe's scan cost is
+    * one cell, so the cell SIZE (not count) is what must stay bounded as
+    * the corpus grows. */
+  val TargetCellSize = 125L
+
+  /** Cell count scaled to the corpus: K = max(16, ⌈N / TargetCellSize⌉).
+    * K was a constant 16 through round 6 — fine at the oracle scales
+    * (this formula still yields 16 at N=500 and N=2000, where the DuckDB
+    * duals pin the 16 seed centroids) but a scale hazard beyond: a fixed
+    * K means cell size grows ∝ N and the "one cell per probe" scan
+    * quietly degenerates toward brute force. AutoCellsSpec pins the
+    * bound at two scales. */
+  def autoCells(n: Long): Int =
+    math.max(16L, (n + TargetCellSize - 1) / TargetCellSize).toInt
+
   /** One-time index build: O(corpus × K) assignment + one partitioned
     * write; rebuild when the corpus or K changes. */
   def build(spark: SparkSession, corpus: DataFrame, numCells: Int, dir: String): Unit = {

@@ -179,13 +179,17 @@ object GraftSql {
       } finally { result.unpersist(); () }
     case _ =>
       var rewritten = TableChanges.replaceAllIn(statement, m => {
-        val (name, v1, v2) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
-        // View names must be valid identifiers whatever the registered
-        // name contains; quoteReplacement guards the Matcher's $/\
-        // substitution rules on the returned string.
-        val view = s"__graft_tc_${name.replaceAll("[^A-Za-z0-9_]", "_")}_${v1}_$v2"
-        tableChanges(s, name, v1, v2).createOrReplaceTempView(view)
-        scala.util.matching.Regex.quoteReplacement(view)
+        if (inLiteral(statement, m.start))
+          scala.util.matching.Regex.quoteReplacement(m.matched)
+        else {
+          val (name, v1, v2) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
+          // View names must be valid identifiers whatever the registered
+          // name contains; quoteReplacement guards the Matcher's $/\
+          // substitution rules on the returned string.
+          val view = s"__graft_tc_${name.replaceAll("[^A-Za-z0-9_]", "_")}_${v1}_$v2"
+          tableChanges(s, name, v1, v2).createOrReplaceTempView(view)
+          scala.util.matching.Regex.quoteReplacement(view)
+        }
       })
       // Time-travel FROM phrases: each `t VERSION AS OF n` /
       // `t TIMESTAMP AS OF 'ts'` over a REGISTERED table materializes the
@@ -195,29 +199,46 @@ object GraftSql {
       // quoteReplacement on BOTH arms: the pass-through literal may
       // contain '$'/'\' (e.g. inside a TIMESTAMP AS OF string), which
       // Matcher.appendReplacement would otherwise interpret.
-      rewritten = VersionAsOf.replaceAllIn(rewritten, m => {
+      val afterTc = rewritten
+      rewritten = VersionAsOf.replaceAllIn(afterTc, m => {
         val (name, v) = (m.group(1), m.group(2).toLong)
         scala.util.matching.Regex.quoteReplacement(
-          if (!registry.contains((s, name))) m.matched
+          if (inLiteral(afterTc, m.start) || !registry.contains((s, name))) m.matched
           else {
             val view = s"__graft_v_${name}_$v"
             snapshotAt(s, name, v).createOrReplaceTempView(view)
             view
           })
       })
-      rewritten = TimestampAsOf.replaceAllIn(rewritten, m => {
+      val afterV = rewritten
+      rewritten = TimestampAsOf.replaceAllIn(afterV, m => {
         val (name, ts) = (m.group(1), m.group(2))
         scala.util.matching.Regex.quoteReplacement(
-          if (!registry.contains((s, name))) m.matched
+          if (inLiteral(afterV, m.start) || !registry.contains((s, name))) m.matched
           else {
             val millis = parseTsUtc(ts)
             val view = s"__graft_t_${name}_$millis"
-            ParquetTable.readAsOf(s, resolve(s, name).dir, millis)
-              .createOrReplaceTempView(view)
+            snapshotAsOf(s, name, millis).createOrReplaceTempView(view)
             view
           })
       })
       s.sql(rewritten)
+  }
+
+  /** True when `pos` falls inside a single-quoted SQL literal of `text`,
+    * tracked by quote parity up to `pos` (a doubled '' escape toggles
+    * twice and nets out). The in-query rewrites (table_changes, VERSION/
+    * TIMESTAMP AS OF) must skip such matches: a registered table name
+    * followed by an AS-OF phrase INSIDE a string literal is data, and
+    * rewriting it would corrupt the literal. */
+  private def inLiteral(text: String, pos: Int): Boolean = {
+    var q = false
+    var i = 0
+    while (i < pos) {
+      if (text.charAt(i) == '\'') q = !q
+      i += 1
+    }
+    q
   }
 
   /** Resolve an ABSOLUTE version id to its version directory name — the
@@ -231,10 +252,25 @@ object GraftSql {
     names(i)
   }
 
-  /** Snapshot with ABSOLUTE version id `v` of a registered table. */
+  /** Snapshot with ABSOLUTE version id `v` of a registered table —
+    * through the table's CURRENT `_SCHEMA` manifest when one exists, so
+    * a renamed/widened table time-travels under its logical column
+    * names and types (Delta column-mapping semantics), not the physical
+    * parquet names of the old snapshot. */
   private def snapshotAt(s: SparkSession, name: String, v: Long): DataFrame = {
     val ref = resolve(s, name)
-    s.read.parquet(s"${ref.dir}/${versionNameOf(name, ref.dir, v)}")
+    SchemaEvolution.readEvolvedAt(
+      s, ref.dir, s"${ref.dir}/${versionNameOf(name, ref.dir, v)}")
+  }
+
+  /** TIMESTAMP AS OF twin of [[snapshotAt]]: newest snapshot published
+    * at or before `millis`, read through the current manifest. */
+  private def snapshotAsOf(s: SparkSession, name: String, millis: Long): DataFrame = {
+    val ref = resolve(s, name)
+    val candidates = ParquetTable.publishedVersions(ref.dir).filter(_._2 <= millis)
+    require(candidates.nonEmpty,
+      s"table '$name' has no snapshot at or before epoch-millis $millis")
+    SchemaEvolution.readEvolvedAt(s, ref.dir, s"${ref.dir}/${candidates.head._1}")
   }
 
   /** 'yyyy-MM-dd[ HH:mm:ss[.fraction]]' (or ISO 'T' form) as UTC epoch
@@ -269,6 +305,14 @@ object GraftSql {
     val src = resolve(s, srcName)
     val dst = java.nio.file.Paths.get(src.dir).toAbsolutePath.normalize
       .resolveSibling(newName).toString
+    // Mirror the CREATE TABLE re-run guard: without these, a re-run (or
+    // a same-named unrelated sibling dir) of DEEP CLONE would silently
+    // swap() a new version ONTO the existing table instead of failing
+    // the way CREATE TABLE and shallowClone's !exists guard do.
+    require(!registry.contains((s, newName)),
+      s"CREATE TABLE ... CLONE: '$newName' is already registered — DROP/unregister it first")
+    require(!ParquetTable.exists(dst),
+      s"CREATE TABLE ... CLONE: destination already holds a table: $dst")
     if (shallow) ParquetTable.shallowClone(src.dir, dst)
     else ParquetTable.deepClone(s, src.dir, dst)
     register(s, newName, dst, src.keyCols)
@@ -301,13 +345,41 @@ object GraftSql {
       val noComment = CommentClause.replaceAllIn(defn, "")
       val sp = noComment.indexWhere(_.isWhitespace)
       require(sp > 0, s"expected 'name TYPE' in ADD COLUMNS: $defn")
-      // Checked AFTER the comment strip: a COMMENT mentioning the word
-      // "default" must not reject valid DDL.
-      require(!"""(?i)\bDEFAULT\b""".r.findFirstIn(noComment).isDefined,
+      // Checked AFTER the comment strip, and only at TOP LEVEL (outside
+      // <...>/(...) nesting): a COMMENT mentioning "default" or a struct
+      // FIELD named 'default' (meta STRUCT<default: INT>) is valid DDL;
+      // only a DEFAULT clause in the def itself is unsupported.
+      require(!topLevelWord(noComment, "DEFAULT"),
         s"ADD COLUMNS with DEFAULT is not supported: $defn")
       val (n, ddl) = (noComment.substring(0, sp), noComment.substring(sp + 1).trim)
       (n, DataType.fromDDL(ddl), comment)
     }
+  }
+
+  /** Whole-word, case-insensitive occurrence of `word` in `text` at
+    * NESTING DEPTH ZERO — outside every '<...>'/'(...)' pair and outside
+    * quoted strings. The DEFAULT-clause rejection anchors here so a
+    * nested struct field or parenthesized type named like the keyword
+    * cannot false-positive. */
+  private def topLevelWord(text: String, word: String): Boolean = {
+    var depth = 0
+    var inQuote = false
+    var i = 0
+    val n = text.length
+    val w = word.length
+    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'') inQuote = !inQuote
+      else if (!inQuote && (c == '(' || c == '<')) depth += 1
+      else if (!inQuote && (c == ')' || c == '>')) depth -= 1
+      else if (!inQuote && depth == 0 && text.regionMatches(true, i, word, 0, w) &&
+          (i == 0 || !isWordChar(text.charAt(i - 1))) &&
+          (i + w >= n || !isWordChar(text.charAt(i + w))))
+        return true
+      i += 1
+    }
+    false
   }
 
   /** OPTIMIZE [ZORDER BY (...)]: republish the live snapshot bin-packed

@@ -412,16 +412,26 @@ object SchemaEvolution {
     * name across every file generation, dropped columns are excluded,
     * files written before an ADD COLUMN null-fill the added columns. */
   def readEvolved(spark: SparkSession, dir: String): DataFrame =
-    manifestOf(dir) match {
-      case None => spark.read.option("mergeSchema", "true").parquet(dir)
+    readEvolvedAt(spark, dir, dir)
+
+  /** [[readEvolved]] generalized to a data path that differs from the
+    * manifest's home: time-travel reads (`VERSION/TIMESTAMP AS OF` over
+    * a versioned table whose root carries a `_SCHEMA`) must surface the
+    * table's CURRENT logical view — renames, drops, widens — over the
+    * selected snapshot's files, exactly as Delta's column-mapping time
+    * travel does. `manifestDir` is the table root; `dataPath` the
+    * snapshot directory (or the root itself for plain reads). */
+  def readEvolvedAt(spark: SparkSession, manifestDir: String, dataPath: String): DataFrame =
+    manifestOf(manifestDir) match {
+      case None => spark.read.option("mergeSchema", "true").parquet(dataPath)
       case Some(mf) =>
         // With an authoritative physical schema (post-widen) the scan
         // uses it directly — pre-widen files upcast in the reader,
         // missing later-added columns null-fill, and no footer merge
         // ever runs again. Without one, mergeSchema derives the union.
         val raw = mf.physicalReadSchema match {
-          case Some(ps) => spark.read.schema(ps).parquet(dir)
-          case None => spark.read.option("mergeSchema", "true").parquet(dir)
+          case Some(ps) => spark.read.schema(ps).parquet(dataPath)
+          case None => spark.read.option("mergeSchema", "true").parquet(dataPath)
         }
         val m = mf.mapping
         val cols = raw.schema.fieldNames.toSeq.flatMap { physical =>

@@ -16,9 +16,43 @@ import org.apache.spark.sql.SparkSession
   * creates the endpoint on first touch); both members are
   * `private[sql]`, hence this shim lives under `org.apache.spark.sql`.
   * Touching it is idempotent and costs one no-op RPC registration.
+  *
+  * Because the shim reaches into `private[sql]` internals, a Spark
+  * minor bump can break it SILENTLY (the lazy val moves / the classic
+  * session type changes) — without the wrap below that surfaces as
+  * `RpcEndpointNotFoundException` from every task with no hint of the
+  * cause. Any failure of the touch is re-thrown as a loud, versioned
+  * error naming this file and the fallback (StateInitSpec pins the
+  * message).
   */
 object StateInit {
-  def ensureStateStoreCoordinator(spark: SparkSession): Unit =
+
+  /** The raw `private[sql]` touch — isolated so the error wrap is
+    * testable without simulating a Spark upgrade. */
+  private[graft] def coordinatorTouch(spark: SparkSession): Unit = {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.streamingQueryManager.stateStoreCoordinator
+    ()
+  }
+
+  def ensureStateStoreCoordinator(
+      spark: SparkSession,
+      touch: SparkSession => Unit = coordinatorTouch): Unit =
+    try touch(spark)
+    catch {
+      // LinkageError (NoSuchMethodError / NoClassDefFoundError) is
+      // exactly what a binary-incompatible Spark bump throws — it must
+      // not escape as-is.
+      case e @ (_: LinkageError | _: RuntimeException | _: ClassCastException) =>
+        throw new IllegalStateException(
+          "graft StateInit: registering the StateStoreCoordinator via " +
+            "private[sql] internals failed on Spark " +
+            org.apache.spark.SPARK_VERSION + ". This shim " +
+            "(org/apache/spark/sql/graft/StateInit.scala) was written " +
+            "against Spark 4.1.x; batch transformWithState (TxBufferV2) " +
+            "needs the coordinator endpoint that only streaming startup " +
+            "registers. Re-pin the shim against this Spark version, or " +
+            "use the flatMapGroupsWithState path (TxBuffer v1) for batch.",
+          e)
+    }
 }

@@ -101,4 +101,28 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(plan.contains("PushedFilters: [Is") || plan.contains("PushedFilters: [*"),
       s"expected pushed filters in the fact scans:\n$plan")
   }
+
+  test("q22 skew join mode is size-aware: broadcast small dim, AQE-SMJ big dim") {
+    // Small dim (test SF under the session threshold): the UNREPLICATED
+    // orders side must broadcast-hash — no shuffle, no hot reduce key,
+    // and crucially no static salt replication anywhere in the plan.
+    val small = planOf("q22_salted_join").toString
+    assert(small.contains("BroadcastHashJoin"),
+      s"q22 should broadcast the sub-threshold dim side:\n$small")
+    assert(!small.contains("_salt"),
+      s"the size-aware path must not replicate statically:\n$small")
+
+    // Dim side over the threshold (forced with -1): the SAME code must
+    // flip to a plain shuffle join (AQE skew split handles hot keys at
+    // runtime, SkewJoinSpec) — again without salt replication, which is
+    // exactly what the old static spelling paid on top of its sf1 SMJ.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val big = SparkEntry.queries("q22_salted_join")(s2, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(big.contains("SortMergeJoin"),
+      s"q22 over-threshold should shuffle-join under AQE skew handling:\n$big")
+    assert(!big.contains("_salt") && !big.contains("BroadcastHashJoin"), big)
+  }
 }

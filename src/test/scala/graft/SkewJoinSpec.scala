@@ -85,4 +85,28 @@ class SkewJoinSpec extends SparkSuite {
     val planStr = salted.queryExecution.executedPlan.toString
     assert(planStr.contains("_salt"), s"salt missing from join plan:\n$planStr")
   }
+
+  test("adaptiveSkewJoin derives its mode from the measured dim side") {
+    val fact = spark.range(0, 20000)
+      .select((col("id") % 50).as("k"), col("id").as("rowid"))
+    val dim = spark.range(0, 50)
+      .select(col("id").as("k"), (col("id") * 7).as("attr"))
+
+    // Under the default threshold the tiny dim reads as broadcastable.
+    assert(graft.ops.SkewOps.skewJoinMode(dim) == "broadcast")
+    val joined = graft.ops.SkewOps.adaptiveSkewJoin(fact, dim, Seq("k"))
+    assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(joined.count() == 20000)
+
+    // With broadcasting disabled the SAME dim must flip to the AQE-SMJ
+    // route — no static replication, results identical.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact2 = s2.range(0, 20000).select((col("id") % 50).as("k"), col("id").as("rowid"))
+    val dim2 = s2.range(0, 50).select(col("id").as("k"), (col("id") * 7).as("attr"))
+    assert(graft.ops.SkewOps.skewJoinMode(dim2) == "aqe-smj")
+    val joined2 = graft.ops.SkewOps.adaptiveSkewJoin(fact2, dim2, Seq("k"))
+    assert(!joined2.queryExecution.executedPlan.toString.contains("_salt"))
+    assert(joined2.count() == 20000)
+  }
 }
