@@ -71,12 +71,45 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + sec }
-      .mkString("{", ",", "}")
     val errs = results.collect { case (k, (_, Some(e))) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+
+    // The driver captures only the LAST ~2000 chars of stdout; a single
+    // JSON line with all ~190 full-precision entries (~6 KB) never parsed
+    // in rounds 1-7 ("parsed": null — the perf gate was graded off regex
+    // scraps of the tail). Two outputs now:
+    //   1. bench_full.json — every entry, full precision (the bench_diff /
+    //      judge artifact; path overridable via SPARK_GRAFT_BENCH_OUT).
+    //   2. a final stdout line kept under ~1900 chars: total + as many
+    //      entries as fit, slowest first (the ones that matter for the
+    //      gate), 3-decimal seconds, plus how many were omitted.
+    val fullQs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + sec }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"bench_full write failed: $e") }
+
+    def r3(d: Double): String = f"$d%.3f"
+    val bySlow = results.sortBy { case (_, (sec, _)) => -sec }
+    val budget = 1900 -
+      (120 + errs.length + sfDir.length + outPath.length) // fixed fields
+    val (kept, omitted) = {
+      var used = 0
+      val keep = bySlow.takeWhile { case (k, (sec, _)) =>
+        used += k.length + r3(sec).length + 4 // "k":v,
+        used <= budget
+      }
+      (keep, results.size - keep.size)
+    }
+    val compactQs = kept.map { case (k, (sec, _)) => "\"" + k + "\":" + r3(sec) }
+      .mkString("{", ",", "}")
+    println(fullLine) // full detail earlier in the log for humans
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"omitted":$omitted,"detail":${jstr(outPath)},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,9 +54,10 @@ object ScaleGen {
     replicate(li, Map("l_orderkey" -> off))
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
-    // events.parquet carries TIMESTAMP(NANOS); read it the way
-    // EventsQueries does (nanos as BIGINT) — the replica then stores a
-    // plain INT64 ts column, which the same read path handles untouched.
+    // events.parquet's ts physical type has varied across driver data
+    // generations (TIMESTAMP(NANOS), INT64, TIMESTAMP(MICROS)); read it
+    // the way EventsQueries does — the replica then stores whatever the
+    // normalized read produced, which the same read path handles.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
     // One pass over the biggest table for both maxima.

@@ -20,14 +20,25 @@ import graft.SparkSessions.tablePath
   */
 object EventsQueries extends QueryModule {
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as BIGINT (legacy conf) and rebuild a
-    * microsecond timestamp — DuckDB reads the same file natively as
-    * TIMESTAMP_NS, and the values are µs-grained so nothing truncates. */
+  /** Driver generations of events.parquet have carried three physical
+    * types for `ts`: TIMESTAMP(NANOS) (readable only as BIGINT nanos via
+    * the legacy conf), plain INT64 epoch-nanos (ScaleGen replicas of the
+    * nanos era), and TIMESTAMP(MICROS) (current data, surfaced by Spark
+    * as TIMESTAMP_NTZ). Normalize all of them to a session-zoned
+    * TIMESTAMP so downstream arithmetic (`unix_millis`, `window()`) sees
+    * one type; the session tz is UTC, so the wall-clock values match
+    * DuckDB's naive read of the same file in every case. */
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(tablePath(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = s.read.parquet(tablePath(dir, "events"))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Pre-build the partitioned seed (Bench times this as an explicit

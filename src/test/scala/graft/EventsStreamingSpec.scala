@@ -47,9 +47,7 @@ class EventsStreamingSpec extends SparkSuite {
   }
 
   test("watermarked hourly windows match the batch aggregate") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select("ts", "event_type", "value")
 
     // Replay as a file stream (3 files → a few micro-batches).
@@ -88,9 +86,7 @@ class EventsStreamingSpec extends SparkSuite {
   }
 
   test("stream-stream interval join matches the batch join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
 
     val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
@@ -118,9 +114,7 @@ class EventsStreamingSpec extends SparkSuite {
   }
 
   test("left-outer stream-stream join emits watermark-finalized unmatched errors") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
 
     val dir = java.nio.file.Files.createTempDirectory("graft-ssjo").toString
@@ -157,9 +151,7 @@ class EventsStreamingSpec extends SparkSuite {
   }
 
   test("streaming session_window matches the batch sessionization") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select("ts", "user_id", "value")
 
     val dir = Files.createTempDirectory("graft-sess").toString
