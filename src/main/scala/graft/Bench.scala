@@ -68,11 +68,25 @@ object Bench {
       "\"" + s.flatMap {
         case '"' => "\\\""
         case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c if c < ' ' =>
+          String.format(java.util.Locale.ROOT, "\\u%04x", Int.box(c.toInt))
         case c => c.toString
       } + "\""
     val errs = results.collect { case (k, (_, Some(e))) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
+    // The compact stdout line must stay parseable even when MANY entries
+    // fail (each error is up to ~200 chars — a dozen failures would blow
+    // the ~1900-char tail budget exactly when errors most need to
+    // surface). Inline: the count plus the first error; the full errors
+    // object goes to bench_full.json with everything else.
+    val compactErrs = {
+      val all = results.collect { case (k, (_, Some(e))) => (k, e) }
+      if (all.isEmpty) "{}"
+      else {
+        val (k, e) = all.head
+        s"""{"n_errors":${all.size},"first":{${jstr(k)}:${jstr(e)}}}"""
+      }
+    }
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
 
     // The driver captures only the LAST ~2000 chars of stdout; a single
@@ -94,10 +108,13 @@ object Bench {
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"bench_full write failed: $e") }
 
-    def r3(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: under a comma-decimal default locale (de_DE etc.)
+    // f"%.3f" would print "1,234" and the compact line stops being JSON.
+    def r3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val bySlow = results.sortBy { case (_, (sec, _)) => -sec }
     val budget = 1900 -
-      (120 + errs.length + sfDir.length + outPath.length) // fixed fields
+      (120 + compactErrs.length + sfDir.length + outPath.length) // fixed fields
     val (kept, omitted) = {
       var used = 0
       val keep = bySlow.takeWhile { case (k, (sec, _)) =>
@@ -109,7 +126,7 @@ object Bench {
     val compactQs = kept.map { case (k, (sec, _)) => "\"" + k + "\":" + r3(sec) }
       .mkString("{", ",", "}")
     println(fullLine) // full detail earlier in the log for humans
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"omitted":$omitted,"detail":${jstr(outPath)},"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"omitted":$omitted,"detail":${jstr(outPath)},"errors":$compactErrs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -55,9 +55,12 @@ object ScaleGen {
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
     // events.parquet's ts physical type has varied across driver data
-    // generations (TIMESTAMP(NANOS), INT64, TIMESTAMP(MICROS)); read it
-    // the way EventsQueries does — the replica then stores whatever the
-    // normalized read produced, which the same read path handles.
+    // generations (TIMESTAMP(NANOS), INT64, TIMESTAMP(MICROS)); the
+    // nanosAsLong conf makes the RAW read succeed on all of them. The
+    // replica stores that raw-read type (INT64 nanos or TIMESTAMP_NTZ,
+    // NOT the normalized session-zoned TIMESTAMP) — EventsQueries
+    // .events() normalizes either shape on read, so consumers see the
+    // same column both ways.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$src/events.parquet")
     // One pass over the biggest table for both maxima.

@@ -363,6 +363,30 @@ object StorageQueries extends QueryModule {
     * and the scheduler interleaves them, cutting the wall time roughly
     * in half vs sequential actions (the standard many-small-jobs driver
     * pattern at any scale). */
+  private val seededAn =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  /** ANALYZE seeds: a fact-side orders table plus a 25-row nation dim,
+    * both registered with GraftSql; the dim is ANALYZE'd at seed time so
+    * every later statement that mentions it gets the stats-driven
+    * broadcast mount (TableStats.broadcastWorthy — fresh stats, 25 rows,
+    * well under any threshold). */
+  private def analyzedTables(s: SparkSession, dir: String): (String, String) =
+    seededAn.getOrElseUpdate((s, dir), {
+      val base = java.nio.file.Files.createTempDirectory("graft-an")
+      val ot = base.resolve("orders_analyzed").toString
+      ParquetTable.swap(s,
+        s.read.parquet(tablePath(dir, "orders"))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"), ot)
+      graft.tables.GraftSql.register(s, "orders_analyzed", ot, Seq("o_orderkey"))
+      val nt = base.resolve("nation_dim").toString
+      ParquetTable.swap(s, s.read.parquet(tablePath(dir, "nation")), nt)
+      graft.tables.GraftSql.register(s, "nation_dim", nt, Seq("n_nationkey"))
+      graft.tables.GraftSql.sql(s,
+        "ANALYZE TABLE nation_dim COMPUTE STATISTICS FOR ALL COLUMNS").collect()
+      (ot, nt)
+    })
+
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -378,7 +402,8 @@ object StorageQueries extends QueryModule {
       () => mergedOrders(s, dir), () => zstatsOrders(s, dir),
       () => hstatsOrders(s, dir), () => bloomOrders(s, dir),
       () => widenedOrders(s, dir), () => maintainedOrders(s, dir),
-      () => ddlOrders(s, dir), () => createdInsertedOrders(s, dir))
+      () => ddlOrders(s, dir), () => createdInsertedOrders(s, dir),
+      () => analyzedTables(s, dir))
     Await.result(
       Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
       Duration.Inf)
@@ -859,6 +884,58 @@ object StorageQueries extends QueryModule {
              |SELECT CAST(m AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n,
              |  round(sum(qty), 2) AS sum_qty,
              |  CAST(min(d) AS BIGINT) AS min_d, CAST(max(d) AS BIGINT) AS max_d
-             |FROM g GROUP BY 1""".stripMargin))
+             |FROM g GROUP BY 1""".stripMargin)),
+
+    // ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS (reference
+    // db/table_maintenance.sql:38-41) through the GraftSql shim: the
+    // distributed one-pass stats computation itself is the oracle-gated
+    // artifact — exact row count / NDV / null count / min / max per
+    // column, reproduced by DuckDB's aggregates over the same rows. The
+    // persisted `_TABLE_STATS` manifest and the plan-side consumption
+    // are pinned by AnalyzeSpec (broadcast flip + freshness
+    // invalidation).
+    EngineQuery(
+      "store_analyze_stats",
+      (s, dir) => {
+        analyzedTables(s, dir)
+        graft.tables.GraftSql.sql(s,
+          "ANALYZE TABLE orders_analyzed COMPUTE STATISTICS " +
+            "FOR COLUMNS o_orderkey, o_orderstatus")
+      },
+      Some("""SELECT 'o_orderkey' AS col_name, CAST(count(*) AS BIGINT) AS row_count,
+             |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+             |  CAST(count(*) - count(o_orderkey) AS BIGINT) AS null_count,
+             |  CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+             |  CAST(max(o_orderkey) AS VARCHAR) AS max_val
+             |FROM orders
+             |UNION ALL
+             |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+             |  CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             |  CAST(count(*) - count(o_orderstatus) AS BIGINT),
+             |  CAST(min(o_orderstatus) AS VARCHAR),
+             |  CAST(max(o_orderstatus) AS VARCHAR)
+             |FROM orders""".stripMargin)),
+
+    // Plain SQL over REGISTERED tables through the shim: nation_dim was
+    // ANALYZE'd at seed time, so its mention mounts it broadcast-hinted
+    // (the stats-driven plan change; AnalyzeSpec pins the physical-plan
+    // flip) — this gate pins that the hinted plan's ANSWER is still
+    // exactly the plain join's.
+    EngineQuery(
+      "store_analyze_join",
+      (s, dir) => {
+        analyzedTables(s, dir)
+        s.read.parquet(tablePath(dir, "customer"))
+          .createOrReplaceTempView("an_customer")
+        graft.tables.GraftSql.sql(s,
+          """SELECT d.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+            |  CAST(min(c.c_custkey) AS BIGINT) AS min_cust
+            |FROM an_customer c JOIN nation_dim d ON c.c_nationkey = d.n_nationkey
+            |GROUP BY d.n_name""".stripMargin)
+      },
+      Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+             |  CAST(min(c_custkey) AS BIGINT) AS min_cust
+             |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |GROUP BY n_name""".stripMargin))
   )
 }

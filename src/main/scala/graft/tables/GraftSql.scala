@@ -68,6 +68,8 @@ object GraftSql {
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r
   private val InsertInto =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(SELECT\b.*)$""".r
+  private val AnalyzeTable =
+    """(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+?)))?\s*;?\s*$""".r
   private val SetProps =
     """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*;?\s*$""".r
   private val ShowProps =
@@ -103,6 +105,22 @@ object GraftSql {
       restoreTo(s, name, version.toLong)
     case RestoreTs(name, ts) =>
       restoreToTimestamp(s, name, ts)
+    case AnalyzeTable(name, all, colList) =>
+      // Reference db/table_maintenance.sql:38-41. The pass runs over the
+      // current snapshot; results persist to `_TABLE_STATS` and feed the
+      // fallback's broadcast decision (TableStats.broadcastWorthy) until
+      // the next version move invalidates them.
+      val ref = resolve(s, name)
+      val schema = TableStats.readCurrent(s, ref.dir).schema
+      val cols: Seq[String] =
+        if (all != null) TableStats.atomicColumns(schema)
+        else if (colList != null)
+          colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        else Nil
+      require(all == null || cols.nonEmpty,
+        s"ANALYZE $name FOR ALL COLUMNS: table has no atomic columns")
+      val st = TableStats.analyze(s, ref.dir, cols)
+      TableStats.resultFrame(s, name, st, cols)
     case SetProps(name, body) =>
       val pairs = PropPair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toSeq
       require(pairs.nonEmpty, s"no 'k' = 'v' pairs in TBLPROPERTIES: $body")
@@ -222,7 +240,57 @@ object GraftSql {
             view
           })
       })
+      // Plain references to REGISTERED tables: each name mentioned in the
+      // (rewritten) statement materializes as a temp view of its current
+      // evolved snapshot, so `SELECT ... FROM t JOIN u ...` works through
+      // the shim without the caller pre-creating views. A table with
+      // FRESH ANALYZE stats that clear the broadcast bar mounts with a
+      // `broadcast()` hint — the stats-driven plan change, made where a
+      // catalog would make it (CBO over pinned row counts, not the
+      // file-size proxy). Registered names take precedence over
+      // same-named user temp views inside GraftSql.sql. The AS-OF /
+      // table_changes rewrites above produced `__graft_*` view tokens,
+      // which cannot word-match a registered name.
+      registry.keysIterator
+        .collect { case (sess, name) if sess eq s => name }
+        .filter(wordOutsideQuotes(rewritten, _))
+        .foreach { name =>
+          val dir = resolve(s, name).dir
+          try {
+            val df = TableStats.readCurrent(s, dir)
+            val mounted =
+              if (TableStats.broadcastWorthy(s, dir, df.schema)) broadcast(df)
+              else df
+            mounted.createOrReplaceTempView(name)
+          } catch {
+            case e: Throwable => throw new IllegalStateException(
+              s"GraftSql: failed to mount registered table '$name' at $dir", e)
+          }
+        }
       s.sql(rewritten)
+  }
+
+  /** Case-insensitive whole-word occurrence of `word` outside
+    * single-quoted literals, at ANY nesting depth (unlike
+    * [[topLevelWord]], which is depth-0 only) — a registered table name
+    * inside a subquery still counts; one inside a string literal is
+    * data. */
+  private def wordOutsideQuotes(text: String, word: String): Boolean = {
+    var inQuote = false
+    var i = 0
+    val n = text.length
+    val w = word.length
+    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'') inQuote = !inQuote
+      else if (!inQuote && text.regionMatches(true, i, word, 0, w) &&
+          (i == 0 || !isWordChar(text.charAt(i - 1))) &&
+          (i + w >= n || !isWordChar(text.charAt(i + w))))
+        return true
+      i += 1
+    }
+    false
   }
 
   /** True when `pos` falls inside a single-quoted SQL literal of `text`,
