@@ -165,18 +165,47 @@ object Dedup {
     mh.selectExpr("doc_id", s"posexplode(array($bandCols)) AS (band_idx, band_hash)")
   }
 
-  def minhashPairs(mh: DataFrame, threshold: Double): DataFrame = {
-    val bands = this.bands(mh)
-    val cands = bands.alias("a")
+  /** Per-bucket candidate-volume cap, in effect on every banded
+    * candidate join unless overridden. 10k anchors × bucket size bounds
+    * the worst bucket at s·10k pairs instead of s²/2 — non-binding on
+    * organic corpora (sf1's densest bucket is far smaller), it exists
+    * for the adversarial tail: one boilerplate-dominated bucket of 1M
+    * docs at 100 TB would otherwise emit 5·10¹¹ pairs from a single
+    * reduce task. */
+  val DefaultMaxBucket = 10000
+
+  /** Banded candidate pairs with the ANCHOR cap: bucket members rank by
+    * doc_id (one window over the same (band_idx, band_hash) key the
+    * join shuffles on), and a pair survives iff its SMALLER side ranks
+    * ≤ `maxBucket`. Since `a.doc_id < b.doc_id` forces `a.rk < b.rk`,
+    * that is a pre-filter on the join's left input — per-bucket output
+    * is bounded by s·maxBucket, and for buckets ≤ maxBucket EVERY rank
+    * qualifies, so a non-binding cap is pair-for-pair identical to the
+    * uncapped join (DedupCapSpec pins both directions). Connectivity
+    * survives capping: every member still pairs with the bucket's
+    * lowest-id anchors, so transitive-closure consumers (connected
+    * components, keep-best, leakage-safe split) see the same clusters
+    * even where the cap bites — what is sacrificed is completeness of
+    * the PAIR list, which `dedup_bucket_audit` quantifies. */
+  def bandCandidates(mh: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = bands(mh).withColumn("rk",
+      row_number().over(
+        Window.partitionBy("band_idx", "band_hash").orderBy("doc_id")))
+    ranked.filter(col("rk") <= maxBucket).alias("a")
       .join(
-        bands.alias("b"),
+        ranked.alias("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
+  }
+
+  def minhashPairs(mh: DataFrame, threshold: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val gramSets = mh.select(col("doc_id"), col("grams"))
-    cands
+    bandCandidates(mh, maxBucket)
       .join(gramSets.alias("ga"), col("a_id") === col("ga.doc_id"))
       .join(gramSets.alias("gb"), col("b_id") === col("gb.doc_id"))
       .withColumn("inter", size(array_intersect(col("ga.grams"), col("gb.grams"))))
@@ -193,18 +222,10 @@ object Dedup {
     * their symmetric Jaccard stays low because the size difference
     * inflates the union). Same banded candidate generation, same single
     * integer-ratio division; only the denominator changes. */
-  def containmentPairs(mh: DataFrame, threshold: Double): DataFrame = {
-    val bands = this.bands(mh)
-    val cands = bands.alias("a")
-      .join(
-        bands.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+  def containmentPairs(mh: DataFrame, threshold: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val gramSets = mh.select(col("doc_id"), col("grams"))
-    cands
+    bandCandidates(mh, maxBucket)
       .join(gramSets.alias("ga"), col("a_id") === col("ga.doc_id"))
       .join(gramSets.alias("gb"), col("b_id") === col("gb.doc_id"))
       .withColumn("inter", size(array_intersect(col("ga.grams"), col("gb.grams"))))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, expr, lit, max, sum, when}
 
 import graft.SparkSessions.tablePath
 import graft.dedup.Dedup
@@ -55,20 +56,34 @@ object DedupQueries extends QueryModule {
     * `Dedup.minhashPairs`, shared by every query that consumes the LSH
     * candidate path (pairs, cluster reps, curation). */
   /** The banded candidate-generation prefix alone (`cand`(a_id, b_id)),
-    * shared by the Jaccard-verified pairs and the containment variant. */
-  def duckLshCandidates: String =
+    * shared by the Jaccard-verified pairs and the containment variant.
+    * Mirrors `Dedup.bandCandidates`' anchor cap exactly: a pair
+    * survives iff its smaller doc_id ranks ≤ maxBucket within its
+    * bucket (the smaller side always holds the smaller rank, so the
+    * one-sided predicate is the whole rule). At the default cap this is
+    * equivalent to the uncapped join on any bucket ≤ 10k docs. */
+  /** The banding CTEs alone (`b`(doc_id, i, band_hash)) — shared by the
+    * candidate join and the bucket-size audit. */
+  def duckLshBands: String =
     s"""s AS (SELECT doc_id, grams, ${minhashSigDuck(Dedup.NumHashes)} AS sig FROM g),
        |s2 AS (SELECT doc_id, grams,
        |  [${bandHashDuck(1, 4)}, ${bandHashDuck(5, 4)}, ${bandHashDuck(9, 4)}, ${bandHashDuck(13, 4)}] AS bhs
        |  FROM s),
        |b AS (SELECT doc_id, grams, i, bhs[i] AS band_hash
-       |  FROM s2 CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) idx),
-       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
-       |  FROM b a JOIN b b2
-       |    ON a.i = b2.i AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id),""".stripMargin
+       |  FROM s2 CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) idx)""".stripMargin
 
-  def duckLshPairs(threshold: Double): String =
-    s"""$duckLshCandidates
+  def duckLshCandidates(maxBucket: Int = Dedup.DefaultMaxBucket): String =
+    s"""$duckLshBands,
+       |br AS (SELECT doc_id, i, band_hash,
+       |  row_number() OVER (PARTITION BY i, band_hash ORDER BY doc_id) AS rk
+       |  FROM b),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b2.doc_id AS b_id
+       |  FROM br a JOIN br b2
+       |    ON a.i = b2.i AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id
+       |  WHERE a.rk <= $maxBucket),""".stripMargin
+
+  def duckLshPairs(threshold: Double, maxBucket: Int = Dedup.DefaultMaxBucket): String =
+    s"""${duckLshCandidates(maxBucket)}
        |v AS (SELECT a_id, b_id,
        |    len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS inter,
        |    len(ga.grams) AS na, len(gb.grams) AS nb
@@ -412,7 +427,7 @@ object DedupQueries extends QueryModule {
       "dedup_containment_pairs",
       (s, dir) => Dedup.containmentPairs(minhash(s, dir), 0.7),
       Some(s"""$duckGrams,
-              |${duckLshCandidates}
+              |${duckLshCandidates()}
               |v AS (SELECT a_id, b_id,
               |    len(list_filter(ga.grams, x -> list_contains(gb.grams, x))) AS inter,
               |    len(ga.grams) AS na, len(gb.grams) AS nb
@@ -465,6 +480,51 @@ object DedupQueries extends QueryModule {
               |  FROM reach r JOIN e ON e.a_id = r.v
               |  WHERE r.depth < 3)
               |SELECT seed, CAST(count(DISTINCT v) - 1 AS BIGINT) AS n_reach_3hop
-              |FROM reach GROUP BY seed""".stripMargin))
+              |FROM reach GROUP BY seed""".stripMargin)),
+
+    // The candidate-volume audit behind the anchor cap: per-band-bucket
+    // size distribution and the exact pair volumes a given cap admits.
+    // This is the number to watch as corpora densify (the one
+    // data-dependent cost of the LSH path) — pairs_capped_1 uses cap=1
+    // (a cap c only binds on buckets of size ≥ c+2, and sf0.01's densest
+    // bucket holds 3 docs) so the capped arithmetic is exercised where
+    // it BITES, while the production default (10k) stays non-binding.
+    EngineQuery(
+      "dedup_bucket_audit",
+      (s, dir) => {
+        Dedup.bands(minhash(s, dir))
+          .groupBy("band_idx", "band_hash")
+          .agg(count(lit(1)).as("cnt"))
+          .agg(
+            count(lit(1)).as("n_buckets"),
+            max("cnt").as("max_bucket"),
+            sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_multi"),
+            sum(expr("cnt * (cnt - 1) div 2")).as("pairs_uncapped"),
+            sum(expr(
+              "CASE WHEN cnt <= 2 THEN cnt * (cnt - 1) div 2 ELSE cnt - 1 END"))
+              .as("pairs_capped_1"))
+      },
+      Some(s"""$duckGrams,
+              |$duckLshBands,
+              |bs AS (SELECT i, band_hash, count(*) AS cnt FROM b GROUP BY 1, 2)
+              |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+              |  CAST(max(cnt) AS BIGINT) AS max_bucket,
+              |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+              |  CAST(sum((cnt * (cnt - 1)) // 2) AS BIGINT) AS pairs_uncapped,
+              |  CAST(sum(CASE WHEN cnt <= 2 THEN (cnt * (cnt - 1)) // 2
+              |           ELSE cnt - 1 END) AS BIGINT) AS pairs_capped_1
+              |FROM bs""".stripMargin)),
+
+    // The anchor cap where it BINDS: verified near-dup pairs at
+    // maxBucket=1 — both engines must implement the identical rule
+    // (pair survives iff its smaller doc_id ranks FIRST in its bucket),
+    // hash-gated pair for pair. The default-cap path's equivalence to
+    // the uncapped join is pinned by DedupCapSpec.
+    EngineQuery(
+      "dedup_capped_pairs",
+      (s, dir) => Dedup.minhashPairs(minhash(s, dir), 0.8, maxBucket = 1),
+      Some(s"""$duckGrams,
+              |${duckLshPairs(0.8, 1)}
+              |SELECT a_id, b_id, jaccard FROM lsh_pairs""".stripMargin))
   )
 }
