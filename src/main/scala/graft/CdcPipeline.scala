@@ -94,7 +94,23 @@ object CdcPipeline {
   /** The same order_stream computed by the state-v2 buffer
     * (`transformWithState`, [[graft.buffering.TxBufferV2]]) — memoized
     * separately so the hash-gated v1/v2 equivalence query measures only
-    * itself in the bench (`build_order_stream_v2`). */
+    * itself in the bench (`build_order_stream_v2`).
+    *
+    * DEFAULT DECISION (recorded): v1 (`flatMapGroupsWithState`,
+    * [[TxBuffer]]) remains the engine default for `orderStream`; v2 is
+    * the recommended spelling where its timer contract matters. Why:
+    * (1) v1's batch mode is pure public API, while batch
+    * `transformWithState` needs the `StateInit` shim to stand up the
+    * StateStoreCoordinator — the default path should not depend on a
+    * `private[sql]` seam; (2) v1 benches consistently faster in this
+    * single-JVM harness (build_order_stream vs build_order_stream_v2:
+    * the v2 RocksDB provider pays per-key column-family overhead in
+    * batch); (3) both spellings are now hash-gated against the same
+    * DuckDB oracle in BOTH modes — batch (`cdc_order_stream_flat_v2`)
+    * and real streaming (`cdc_order_stream_flat_v2_streamed`) — so the
+    * choice is operational, not correctness. Pick v2 when TTL must fire
+    * without traffic (explicit timers, TxBufferV2Spec) or when state
+    * schema evolution / multiple state variables are needed. */
   def orderStreamV2Cached(spark: SparkSession, sfDir: String): DataFrame =
     cacheV2.getOrElseUpdate((spark, sfDir), {
       // Batch transformWithState needs the StateStoreCoordinator driver
@@ -102,6 +118,56 @@ object CdcPipeline {
       org.apache.spark.sql.graft.StateInit.ensureStateStoreCoordinator(spark)
       val df = graft.buffering.TxBufferV2(unifiedCached(spark, sfDir), () => FixedTs)
         .toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
+  private val cacheV2Streamed =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** order_stream computed by TxBufferV2 running as a REAL STREAM — the
+    * reference's actual operating mode, end to end: the four CDC value
+    * streams are staged once as JSON-line text files, read back through
+    * the file source (`CdcStreaming.fileValueStream`), parsed + unioned
+    * + buffered by `transformWithState` in STREAMING mode (RocksDB
+    * state store, checkpointed), and sunk to parquet under
+    * `Trigger.AvailableNow`. Always the full JSON render+parse path —
+    * the bench fast lane does not apply, because what this entry
+    * measures IS the streaming ingest. Emissions are batch-identical
+    * (the per-key fold is arrival-order-insensitive and a transaction
+    * split across microbatches completes in the later one), which the
+    * shared DuckDB oracle then hash-gates. */
+  def orderStreamV2StreamedCached(spark: SparkSession, sfDir: String): DataFrame =
+    cacheV2Streamed.getOrElseUpdate((spark, sfDir), {
+      import graft.streaming.CdcStreaming
+      val base = java.nio.file.Files.createTempDirectory("graft-v2s")
+      val srcs = CdcEventGen.fromTpch(spark, sfDir)
+      val dirs = Seq(
+        "orders" -> srcs.orders, "details" -> srcs.details,
+        "lineitems" -> srcs.lineItems, "metadata" -> srcs.metadata).map {
+        case (n, df) =>
+          val d = base.resolve(n).toString
+          df.select("value").write.mode("overwrite").text(d)
+          d
+      }
+      val streamed = unified(
+        CdcStreaming.fileValueStream(spark, dirs(0)),
+        CdcStreaming.fileValueStream(spark, dirs(1)),
+        CdcStreaming.fileValueStream(spark, dirs(2)),
+        CdcStreaming.fileValueStream(spark, dirs(3)))
+      val out = base.resolve("out").toString
+      val q = graft.buffering.TxBufferV2(streamed, () => FixedTs)
+        .toDF()
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val df = spark.read.parquet(out)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df

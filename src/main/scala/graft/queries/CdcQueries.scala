@@ -19,122 +19,93 @@ import graft.CdcPipeline
   */
 object CdcQueries extends QueryModule {
 
+  /** The flagship flatten of an order_stream frame — one row per
+    * emitted (transaction × order), scalars via try_element_at
+    * (R17/Q7), size (Q7) and aggregate HOF (Q8). Shared by the v1,
+    * v2-batch and v2-streamed gates, which must all hash-match the
+    * same [[flatOracle]]. */
+  private def flatten(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+    "xid",
+    "orderId",
+    "try_element_at(orders, 1).orderRef AS orderRef",
+    "try_element_at(orders, 1).orderStatus AS orderStatus",
+    "try_element_at(orders, 1).orderDate AS orderDate",
+    "try_element_at(orders, 1).version AS version",
+    "CAST(size(lineItems) AS BIGINT) AS numLineItems",
+    "round(aggregate(lineItems, CAST(0.0 AS DOUBLE), (acc, li) -> acc + li.itemQty), 2) AS totalQty",
+    "round(try_element_at(orders, 1).totalAmount, 2) AS totalAmount",
+    "CAST(CASE WHEN try_element_at(orders, 1).before IS NOT NULL THEN 1 ELSE 0 END AS INT) AS hasBefore")
+
+  private val flatOracle = Some(
+    """WITH li AS (
+      |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS q
+      |  FROM lineitem GROUP BY l_orderkey)
+      |SELECT 'tx-' || CAST(o_orderkey // 5 AS VARCHAR) AS xid,
+      |  CAST(o_orderkey AS DOUBLE) AS orderId,
+      |  'ORD-' || CAST(o_orderkey AS VARCHAR) AS orderRef,
+      |  o_orderstatus AS orderStatus,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderDate,
+      |  CAST(1.0 AS DOUBLE) AS version,
+      |  CAST(coalesce(n, 0) AS BIGINT) AS numLineItems,
+      |  CAST(coalesce(q, 0.0) AS DOUBLE) AS totalQty,
+      |  round(o_totalprice, 2) AS totalAmount,
+      |  CAST(0 AS INT) AS hasBefore
+      |FROM orders LEFT JOIN li ON l_orderkey = o_orderkey
+      |WHERE (o_orderkey // 5) % 11 <> 0
+      |UNION ALL
+      |SELECT 'txu-' || CAST(o_orderkey AS VARCHAR),
+      |  CAST(o_orderkey AS DOUBLE),
+      |  'ORD-' || CAST(o_orderkey AS VARCHAR),
+      |  'UPDATED-' || o_orderstatus,
+      |  strftime(o_orderdate, '%Y-%m-%d'),
+      |  CAST(2.0 AS DOUBLE),
+      |  CAST(0 AS BIGINT),
+      |  CAST(0.0 AS DOUBLE),
+      |  round(o_totalprice, 2),
+      |  CAST(1 AS INT)
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |UNION ALL
+      |SELECT 'txs-' || CAST(o_orderkey AS VARCHAR),
+      |  CAST(o_orderkey AS DOUBLE),
+      |  CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS VARCHAR),
+      |  CAST(NULL AS DOUBLE),
+      |  CAST(0 AS BIGINT),
+      |  CAST(0.0 AS DOUBLE),
+      |  CAST(NULL AS DOUBLE),
+      |  CAST(0 AS INT)
+      |FROM orders WHERE o_orderkey % 9 = 0""".stripMargin)
+
   override def queries: Seq[EngineQuery] = Seq(
 
-    // Flagship: one row per emitted (transaction × order), flattened to
-    // scalars via try_element_at (R17/Q7), size (Q7) and aggregate HOF (Q8).
+    // Flagship: the v1 (flatMapGroupsWithState) batch spelling.
     EngineQuery(
       "cdc_order_stream_flat",
-      (s, dir) =>
-        CdcPipeline.orderStreamCached(s, dir).selectExpr(
-          "xid",
-          "orderId",
-          "try_element_at(orders, 1).orderRef AS orderRef",
-          "try_element_at(orders, 1).orderStatus AS orderStatus",
-          "try_element_at(orders, 1).orderDate AS orderDate",
-          "try_element_at(orders, 1).version AS version",
-          "CAST(size(lineItems) AS BIGINT) AS numLineItems",
-          "round(aggregate(lineItems, CAST(0.0 AS DOUBLE), (acc, li) -> acc + li.itemQty), 2) AS totalQty",
-          "round(try_element_at(orders, 1).totalAmount, 2) AS totalAmount",
-          "CAST(CASE WHEN try_element_at(orders, 1).before IS NOT NULL THEN 1 ELSE 0 END AS INT) AS hasBefore"),
-      Some("""WITH li AS (
-             |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS q
-             |  FROM lineitem GROUP BY l_orderkey)
-             |SELECT 'tx-' || CAST(o_orderkey // 5 AS VARCHAR) AS xid,
-             |  CAST(o_orderkey AS DOUBLE) AS orderId,
-             |  'ORD-' || CAST(o_orderkey AS VARCHAR) AS orderRef,
-             |  o_orderstatus AS orderStatus,
-             |  strftime(o_orderdate, '%Y-%m-%d') AS orderDate,
-             |  CAST(1.0 AS DOUBLE) AS version,
-             |  CAST(coalesce(n, 0) AS BIGINT) AS numLineItems,
-             |  CAST(coalesce(q, 0.0) AS DOUBLE) AS totalQty,
-             |  round(o_totalprice, 2) AS totalAmount,
-             |  CAST(0 AS INT) AS hasBefore
-             |FROM orders LEFT JOIN li ON l_orderkey = o_orderkey
-             |WHERE (o_orderkey // 5) % 11 <> 0
-             |UNION ALL
-             |SELECT 'txu-' || CAST(o_orderkey AS VARCHAR),
-             |  CAST(o_orderkey AS DOUBLE),
-             |  'ORD-' || CAST(o_orderkey AS VARCHAR),
-             |  'UPDATED-' || o_orderstatus,
-             |  strftime(o_orderdate, '%Y-%m-%d'),
-             |  CAST(2.0 AS DOUBLE),
-             |  CAST(0 AS BIGINT),
-             |  CAST(0.0 AS DOUBLE),
-             |  round(o_totalprice, 2),
-             |  CAST(1 AS INT)
-             |FROM orders WHERE o_orderkey % 7 = 0
-             |UNION ALL
-             |SELECT 'txs-' || CAST(o_orderkey AS VARCHAR),
-             |  CAST(o_orderkey AS DOUBLE),
-             |  CAST(NULL AS VARCHAR),
-             |  CAST(NULL AS VARCHAR),
-             |  CAST(NULL AS VARCHAR),
-             |  CAST(NULL AS DOUBLE),
-             |  CAST(0 AS BIGINT),
-             |  CAST(0.0 AS DOUBLE),
-             |  CAST(NULL AS DOUBLE),
-             |  CAST(0 AS INT)
-             |FROM orders WHERE o_orderkey % 9 = 0""".stripMargin)),
+      (s, dir) => flatten(CdcPipeline.orderStreamCached(s, dir)),
+      flatOracle),
 
     // The SAME flagship flatten computed by the state-v2 buffer
     // (`transformWithState` + named ValueState, TxBufferV2) against the
     // SAME DuckDB oracle — hash-gating the Spark-4-native spelling of
     // R6/R7 to byte-identical emissions with the v1
-    // flatMapGroupsWithState path (which stays the default).
+    // flatMapGroupsWithState path (which stays the default —
+    // CdcPipeline.orderStreamV2Cached records the decision).
     EngineQuery(
       "cdc_order_stream_flat_v2",
-      (s, dir) =>
-        CdcPipeline.orderStreamV2Cached(s, dir).selectExpr(
-          "xid",
-          "orderId",
-          "try_element_at(orders, 1).orderRef AS orderRef",
-          "try_element_at(orders, 1).orderStatus AS orderStatus",
-          "try_element_at(orders, 1).orderDate AS orderDate",
-          "try_element_at(orders, 1).version AS version",
-          "CAST(size(lineItems) AS BIGINT) AS numLineItems",
-          "round(aggregate(lineItems, CAST(0.0 AS DOUBLE), (acc, li) -> acc + li.itemQty), 2) AS totalQty",
-          "round(try_element_at(orders, 1).totalAmount, 2) AS totalAmount",
-          "CAST(CASE WHEN try_element_at(orders, 1).before IS NOT NULL THEN 1 ELSE 0 END AS INT) AS hasBefore"),
-      Some("""WITH li AS (
-             |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS q
-             |  FROM lineitem GROUP BY l_orderkey)
-             |SELECT 'tx-' || CAST(o_orderkey // 5 AS VARCHAR) AS xid,
-             |  CAST(o_orderkey AS DOUBLE) AS orderId,
-             |  'ORD-' || CAST(o_orderkey AS VARCHAR) AS orderRef,
-             |  o_orderstatus AS orderStatus,
-             |  strftime(o_orderdate, '%Y-%m-%d') AS orderDate,
-             |  CAST(1.0 AS DOUBLE) AS version,
-             |  CAST(coalesce(n, 0) AS BIGINT) AS numLineItems,
-             |  CAST(coalesce(q, 0.0) AS DOUBLE) AS totalQty,
-             |  round(o_totalprice, 2) AS totalAmount,
-             |  CAST(0 AS INT) AS hasBefore
-             |FROM orders LEFT JOIN li ON l_orderkey = o_orderkey
-             |WHERE (o_orderkey // 5) % 11 <> 0
-             |UNION ALL
-             |SELECT 'txu-' || CAST(o_orderkey AS VARCHAR),
-             |  CAST(o_orderkey AS DOUBLE),
-             |  'ORD-' || CAST(o_orderkey AS VARCHAR),
-             |  'UPDATED-' || o_orderstatus,
-             |  strftime(o_orderdate, '%Y-%m-%d'),
-             |  CAST(2.0 AS DOUBLE),
-             |  CAST(0 AS BIGINT),
-             |  CAST(0.0 AS DOUBLE),
-             |  round(o_totalprice, 2),
-             |  CAST(1 AS INT)
-             |FROM orders WHERE o_orderkey % 7 = 0
-             |UNION ALL
-             |SELECT 'txs-' || CAST(o_orderkey AS VARCHAR),
-             |  CAST(o_orderkey AS DOUBLE),
-             |  CAST(NULL AS VARCHAR),
-             |  CAST(NULL AS VARCHAR),
-             |  CAST(NULL AS VARCHAR),
-             |  CAST(NULL AS DOUBLE),
-             |  CAST(0 AS BIGINT),
-             |  CAST(0.0 AS DOUBLE),
-             |  CAST(NULL AS DOUBLE),
-             |  CAST(0 AS INT)
-             |FROM orders WHERE o_orderkey % 9 = 0""".stripMargin)),
+      (s, dir) => flatten(CdcPipeline.orderStreamV2Cached(s, dir)),
+      flatOracle),
+
+    // The v2 buffer in its REAL operating mode: a streaming query over
+    // file sources (JSON-line values → parse → union →
+    // transformWithState on RocksDB → checkpointed parquet sink,
+    // Trigger.AvailableNow) — the full reference pipeline shape,
+    // hash-gated against the SAME oracle. Closes the gap where the
+    // streaming spelling was spec-only while batch carried the oracle.
+    EngineQuery(
+      "cdc_order_stream_flat_v2_streamed",
+      (s, dir) => flatten(CdcPipeline.orderStreamV2StreamedCached(s, dir)),
+      flatOracle),
 
     // The unified envelope surface alone (R1-R5): event counts per type
     // after parse + normalize + union + null-key guard.
