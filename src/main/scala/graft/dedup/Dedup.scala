@@ -284,6 +284,26 @@ object Dedup {
     * shuffles are the band join and the pair distinct; no driver
     * collect, no broadcast — candidate bucket sizes (not the corpus)
     * bound executor memory. */
+  final case class SimhashBandRow(band_idx: Int, band_val: Long, doc_id: Long, simhash: Long)
+  final case class SimhashPairRow(a_id: Long, b_id: Long, hamming: Int)
+
+  /** Exact hamming-≤-k pairs via pigeonhole banding (k+1 disjoint bit
+    * ranges — a true pair shares at least one exact band). The in-bucket
+    * pairing runs as a TIGHT JVM LOOP per band bucket, not a self-join:
+    * with k=6 a 32-bit fingerprint gives only 16-32 distinct values per
+    * band, so on a dense corpus each bucket holds thousands of docs and
+    * a join would materialize every candidate ROW through shuffle +
+    * codegen machinery (observed 10⁸ candidate rows and a 100× slowdown
+    * at the sf1 smoke on the regenerated corpus). Instead: one shuffle
+    * of the (k+1)·n band rows partitioned by (band_idx, band_val),
+    * sorted within partitions so each bucket is a contiguous run, then
+    * an O(s²) xor/bit-count loop per bucket that EMITS only verified
+    * pairs — candidates never exist as rows. The quadratic is inherent
+    * to exact hamming search at this fingerprint density (every engine
+    * pays the comparisons); what this removes is the per-candidate
+    * row/shuffle overhead, and per-bucket memory is 16 B × s (the one
+    * bucket currently scanned). Results are pair-identical to the old
+    * join formulation (PairOpsPropSpec: banded == naive all-pairs). */
   def simhashPairs(spark: org.apache.spark.sql.SparkSession, fingerprints: DataFrame, maxHamming: Int): DataFrame = {
     val nb = maxHamming + 1
     require(nb >= 1 && nb <= 32, s"maxHamming must be in [0, 31], got $maxHamming")
@@ -293,24 +313,88 @@ object Dedup {
       val width = bounds(b + 1) - lo
       s"shiftright(simhash, $lo) & ${(1L << width) - 1}L"
     }
-    val bands = fingerprints.selectExpr(
-      "doc_id", "simhash",
-      s"posexplode(array(${bandExprs.mkString(", ")})) AS (band_idx, band_val)")
-    bands.alias("a")
-      .join(
-        bands.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-      // Verify BEFORE the distinct: the codegen'd bit_count runs map-side
-      // on the join output, so non-matching candidates never cross the
-      // dedup shuffle (the filter commutes with distinct).
-      .selectExpr("a_id", "b_id", "CAST(bit_count(sa ^ sb) AS INT) AS hamming")
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    import org.apache.spark.sql.Encoders
+    implicit val inEnc = Encoders.product[SimhashBandRow]
+    implicit val outEnc = Encoders.product[SimhashPairRow]
+    val maxH = maxHamming
+    fingerprints.selectExpr(
+        "doc_id", "simhash",
+        s"posexplode(array(${bandExprs.mkString(", ")})) AS (band_idx, band_val)")
+      .selectExpr("band_idx", "band_val", "doc_id", "simhash")
+      .as[SimhashBandRow]
+      .repartition(col("band_idx"), col("band_val"))
+      .sortWithinPartitions(col("band_idx"), col("band_val"), col("doc_id"))
+      .mapPartitions { it =>
+        val bit = it.buffered
+        val los = bounds.toArray
+        // Buckets arrive as contiguous runs (partition-sorted); the
+        // ascending doc_id sort makes ids(i) < ids(j) for i < j, which
+        // reproduces the join's `a.doc_id < b.doc_id` orientation.
+        // EXACTLY-ONCE WITHOUT distinct(): a pair collides in every band
+        // its fingerprints share, so emit only from the FIRST matching
+        // band (both fingerprints are in hand — checking the earlier
+        // bands is a few shift/compares). With quadratic-dense output
+        // (the regenerated corpus yields 166M true pairs at sf1) the
+        // distinct() this replaces was a full shuffle of the entire
+        // result; canonical-band emission makes the output exact by
+        // construction and COUNT/aggregate consumers never shuffle a
+        // single pair row.
+        def firstMatchingBand(a: Long, b: Long): Int = {
+          var k = 0
+          while (k < nb) {
+            val lo = los(k)
+            val width = los(k + 1) - lo
+            val mask = (1L << width) - 1
+            if (((a >>> lo) & mask) == ((b >>> lo) & mask)) return k
+            k += 1
+          }
+          nb // unreachable for rows sharing this bucket
+        }
+        def bucketPairs(): Iterator[SimhashPairRow] = {
+          val head = bit.head
+          val idsB = new scala.collection.mutable.ArrayBuilder.ofLong
+          val fpsB = new scala.collection.mutable.ArrayBuilder.ofLong
+          var n = 0
+          while (bit.hasNext && bit.head.band_idx == head.band_idx &&
+              bit.head.band_val == head.band_val) {
+            val r = bit.next(); idsB += r.doc_id; fpsB += r.simhash; n += 1
+          }
+          if (n < 2) Iterator.empty
+          else {
+            val ids = idsB.result()
+            val fps = fpsB.result()
+            val m = n
+            val band = head.band_idx
+            new Iterator[SimhashPairRow] {
+              private var i = 0
+              private var j = 1
+              private var ready: SimhashPairRow = _
+              private def advance(): Unit = {
+                ready = null
+                while (ready == null && i < m - 1) {
+                  val fa = fps(i)
+                  val fb = fps(j)
+                  if (java.lang.Long.bitCount(fa ^ fb) <= maxH &&
+                      firstMatchingBand(fa, fb) == band)
+                    ready = SimhashPairRow(ids(i), ids(j),
+                      java.lang.Long.bitCount(fa ^ fb))
+                  j += 1
+                  if (j >= m) { i += 1; j = i + 1 }
+                }
+              }
+              advance()
+              override def hasNext: Boolean = ready != null
+              override def next(): SimhashPairRow = {
+                val out = ready; advance(); out
+              }
+            }
+          }
+        }
+        Iterator.continually(if (bit.hasNext) bucketPairs() else null)
+          .takeWhile(_ != null)
+          .flatten
+      }
+      .toDF()
   }
 
   /** Cluster-representative assignment: every doc maps to the smallest

@@ -387,6 +387,42 @@ object StorageQueries extends QueryModule {
       (ot, nt)
     })
 
+  private val seededCdf =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** STREAMING change-feed seed: a dedicated table published twice
+    * through `ChangeFeedTable.publish` (change files written at commit),
+    * then consumed by the streaming file source under AvailableNow into
+    * a parquet sink. v1 = even keys; v2 drops keys %14==0, flips status
+    * on keys %10==0, adds the odd keys — so the feed carries all four
+    * change classes with exactly-reconstructible membership. */
+  private def cdfStreamedSink(s: SparkSession, dir: String): DataFrame =
+    seededCdf.getOrElseUpdate((s, dir), {
+      val base = java.nio.file.Files.createTempDirectory("graft-cdfs")
+      val t = base.resolve("orders_cdf").toString
+      val sink = base.resolve("sink").toString
+      val orders = s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.streaming.ChangeFeedTable.publish(
+        s, orders.filter(col("o_orderkey") % 2 === 0), t, Seq("o_orderkey"))
+      val v2 = orders.filter(col("o_orderkey") % 14 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 10 === 0, concat(lit("X"), col("o_orderstatus")))
+            .otherwise(col("o_orderstatus")))
+      graft.streaming.ChangeFeedTable.publish(s, v2, t, Seq("o_orderkey"))
+      val q = graft.streaming.ChangeFeedTable.changeFeedStream(s, t)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", base.resolve("cp").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val df = s.read.parquet(sink)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -403,7 +439,7 @@ object StorageQueries extends QueryModule {
       () => hstatsOrders(s, dir), () => bloomOrders(s, dir),
       () => widenedOrders(s, dir), () => maintainedOrders(s, dir),
       () => ddlOrders(s, dir), () => createdInsertedOrders(s, dir),
-      () => analyzedTables(s, dir))
+      () => analyzedTables(s, dir), () => cdfStreamedSink(s, dir))
     Await.result(
       Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
       Duration.Inf)
@@ -936,6 +972,38 @@ object StorageQueries extends QueryModule {
       Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
              |  CAST(min(c_custkey) AS BIGINT) AS min_cust
              |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-             |GROUP BY n_name""".stripMargin))
+             |GROUP BY n_name""".stripMargin)),
+
+    // The STREAMING change data feed (Delta readChangeFeed streaming
+    // semantics): change files written AT COMMIT by
+    // ChangeFeedTable.publish, consumed by the streaming file source
+    // into a parquet sink, then rolled up per (commit, change class).
+    // The oracle reconstructs every class's membership from the raw
+    // table: v1 bootstrap inserts = even keys; v2 deletes = keys %14==0;
+    // v2 updates (both images) = keys %10==0 not deleted; v2 inserts =
+    // odd keys. Restart/exactly-once is pinned by ChangeFeedStreamSpec.
+    EngineQuery(
+      "tt_change_feed_streamed",
+      (s, dir) =>
+        cdfStreamedSink(s, dir)
+          .groupBy("_commit_version", "_change_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("o_orderkey").as("key_sum")),
+      Some("""SELECT CAST(1 AS BIGINT) AS _commit_version, 'insert' AS _change_type,
+             |  CAST(count(*) AS BIGINT) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM orders WHERE o_orderkey % 2 = 0
+             |UNION ALL
+             |SELECT 2, 'insert', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 2 = 1
+             |UNION ALL
+             |SELECT 2, 'delete', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 14 = 0
+             |UNION ALL
+             |SELECT 2, 'update_preimage', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 14 <> 0
+             |UNION ALL
+             |SELECT 2, 'update_postimage', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
+             |FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 14 <> 0""".stripMargin))
   )
 }
