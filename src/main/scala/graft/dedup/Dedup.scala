@@ -181,12 +181,15 @@ object Dedup {
     * that is a pre-filter on the join's left input — per-bucket output
     * is bounded by s·maxBucket, and for buckets ≤ maxBucket EVERY rank
     * qualifies, so a non-binding cap is pair-for-pair identical to the
-    * uncapped join (DedupCapSpec pins both directions). Connectivity
-    * survives capping: every member still pairs with the bucket's
-    * lowest-id anchors, so transitive-closure consumers (connected
-    * components, keep-best, leakage-safe split) see the same clusters
-    * even where the cap bites — what is sacrificed is completeness of
-    * the PAIR list, which `dedup_bucket_audit` quantifies. */
+    * uncapped join (DedupCapSpec pins both directions). CANDIDATE
+    * connectivity survives capping: every member still pairs with the
+    * bucket's lowest-id anchors. Note the limit of that guarantee:
+    * downstream VERIFICATION (Jaccard ≥ t) can reject an anchor pair
+    * while a cap-dropped pair would have verified, so under a BINDING
+    * cap the verified-pair graph — and therefore clusters — can differ
+    * from the uncapped path's; the cap trades that recall tail for the
+    * s² bound, and `dedup_bucket_audit` quantifies how much volume a
+    * given cap drops. */
   def bandCandidates(mh: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = bands(mh).withColumn("rk",
@@ -355,9 +358,17 @@ object Dedup {
           val idsB = new scala.collection.mutable.ArrayBuilder.ofLong
           val fpsB = new scala.collection.mutable.ArrayBuilder.ofLong
           var n = 0
+          var lastId = Long.MinValue
           while (bit.hasNext && bit.head.band_idx == head.band_idx &&
               bit.head.band_val == head.band_val) {
-            val r = bit.next(); idsB += r.doc_id; fpsB += r.simhash; n += 1
+            val r = bit.next()
+            // Input hygiene matching the old join: duplicate doc_id rows
+            // (e.g. a union of fingerprint batches with overlap) must
+            // not yield (x, x) self-pairs or double emissions — the
+            // id-sorted run makes duplicates adjacent, keep the first.
+            if (r.doc_id != lastId) {
+              idsB += r.doc_id; fpsB += r.simhash; n += 1; lastId = r.doc_id
+            }
           }
           if (n < 2) Iterator.empty
           else {

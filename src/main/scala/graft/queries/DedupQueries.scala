@@ -50,20 +50,9 @@ object DedupQueries extends QueryModule {
       df
     })
 
-  /** DuckDB CTE chain, appended after a `g`(doc_id, grams) CTE, deriving
-    * `lsh_pairs`(a_id, b_id, jaccard): banded LSH candidate generation +
-    * exact-Jaccard verification at `threshold` — the oracle dual of
-    * `Dedup.minhashPairs`, shared by every query that consumes the LSH
-    * candidate path (pairs, cluster reps, curation). */
-  /** The banded candidate-generation prefix alone (`cand`(a_id, b_id)),
-    * shared by the Jaccard-verified pairs and the containment variant.
-    * Mirrors `Dedup.bandCandidates`' anchor cap exactly: a pair
-    * survives iff its smaller doc_id ranks ≤ maxBucket within its
-    * bucket (the smaller side always holds the smaller rank, so the
-    * one-sided predicate is the whole rule). At the default cap this is
-    * equivalent to the uncapped join on any bucket ≤ 10k docs. */
-  /** The banding CTEs alone (`b`(doc_id, i, band_hash)) — shared by the
-    * candidate join and the bucket-size audit. */
+  /** The banding CTEs alone (`b`(doc_id, i, band_hash)), appended after
+    * a `g`(doc_id, grams) CTE — shared by the candidate join and the
+    * bucket-size audit. */
   def duckLshBands: String =
     s"""s AS (SELECT doc_id, grams, ${minhashSigDuck(Dedup.NumHashes)} AS sig FROM g),
        |s2 AS (SELECT doc_id, grams,
@@ -72,6 +61,13 @@ object DedupQueries extends QueryModule {
        |b AS (SELECT doc_id, grams, i, bhs[i] AS band_hash
        |  FROM s2 CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) idx)""".stripMargin
 
+  /** The banded candidate-generation prefix (`cand`(a_id, b_id)),
+    * shared by the Jaccard-verified pairs and the containment variant.
+    * Mirrors `Dedup.bandCandidates`' anchor cap exactly: a pair
+    * survives iff its smaller doc_id ranks ≤ maxBucket within its
+    * bucket (the smaller side always holds the smaller rank, so the
+    * one-sided predicate is the whole rule). At the default cap this is
+    * equivalent to the uncapped join on any bucket ≤ 10k docs. */
   def duckLshCandidates(maxBucket: Int = Dedup.DefaultMaxBucket): String =
     s"""$duckLshBands,
        |br AS (SELECT doc_id, i, band_hash,
@@ -82,6 +78,10 @@ object DedupQueries extends QueryModule {
        |    ON a.i = b2.i AND a.band_hash = b2.band_hash AND a.doc_id < b2.doc_id
        |  WHERE a.rk <= $maxBucket),""".stripMargin
 
+  /** Full oracle dual of `Dedup.minhashPairs`: the capped candidate
+    * prefix + exact-Jaccard verification at `threshold`, deriving
+    * `lsh_pairs`(a_id, b_id, jaccard) — shared by every query that
+    * consumes the LSH pair path (pairs, cluster reps, curation). */
   def duckLshPairs(threshold: Double, maxBucket: Int = Dedup.DefaultMaxBucket): String =
     s"""${duckLshCandidates(maxBucket)}
        |v AS (SELECT a_id, b_id,

@@ -364,15 +364,28 @@ object StorageQueries extends QueryModule {
     * in half vs sequential actions (the standard many-small-jobs driver
     * pattern at any scale). */
   private val seededAn =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, String, String)]
 
   /** ANALYZE seeds: a fact-side orders table plus a 25-row nation dim,
     * both registered with GraftSql; the dim is ANALYZE'd at seed time so
     * every later statement that mentions it gets the stats-driven
     * broadcast mount (TableStats.broadcastWorthy — fresh stats, 25 rows,
-    * well under any threshold). */
-  private def analyzedTables(s: SparkSession, dir: String): (String, String) =
-    seededAn.getOrElseUpdate((s, dir), {
+    * well under any threshold). Keyed by SESSION, not (session, dir):
+    * the registered names are session-global, and re-seeding them from a
+    * second sfDir would silently repoint the first dir's queries at the
+    * second's data — refuse loudly instead. */
+  private def analyzedTables(s: SparkSession, dir: String): (String, String) = {
+    val (seededDir, ot, nt) = seededAn.getOrElseUpdate(s, {
+      val (o, n) = seedAnalyzed(s, dir)
+      (dir, o, n)
+    })
+    require(seededDir == dir,
+      s"ANALYZE seeds already registered for $seededDir in this session; " +
+        s"a second sfDir ($dir) would repoint the session-global names")
+    (ot, nt)
+  }
+
+  private def seedAnalyzed(s: SparkSession, dir: String): (String, String) = {
       val base = java.nio.file.Files.createTempDirectory("graft-an")
       val ot = base.resolve("orders_analyzed").toString
       ParquetTable.swap(s,
@@ -385,7 +398,7 @@ object StorageQueries extends QueryModule {
       graft.tables.GraftSql.sql(s,
         "ANALYZE TABLE nation_dim COMPUTE STATISTICS FOR ALL COLUMNS").collect()
       (ot, nt)
-    })
+    }
 
   private val seededCdf =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]

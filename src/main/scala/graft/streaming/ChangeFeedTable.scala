@@ -13,13 +13,19 @@ import org.apache.spark.sql.functions._
   * WRITTEN AT COMMIT, and a streaming reader discovers them as files.
   *
   *  - [[publish]] commits `df` as the table's next version (the normal
-  *    `ParquetTable.swap`) and, in the same publish, writes that
-  *    version's key-wise diff vs the previous snapshot under
-  *    `dir/_cdf/v<id>/` — staged to a scratch dir and MOVED into place,
-  *    so the file-source listing never sees a half-written change set.
-  *    The diff reuses the batch differ (`ParquetTable.changeFeed`), so
-  *    the streamed rows are definitionally consistent with the batch
-  *    `table_changes()` surface.
+  *    `ParquetTable.swap`) and writes that version's key-wise diff vs
+  *    the previous snapshot under `dir/_cdf/v<id>/` — staged to a
+  *    scratch dir and MOVED into place, so the file-source listing
+  *    never sees a half-written change set. The diff reuses the batch
+  *    differ (`ParquetTable.changeFeed`), so the streamed rows are
+  *    definitionally consistent with the batch `table_changes()`
+  *    surface. The two directory operations cannot be one atomic
+  *    commit without a Delta-style log, so the feed is SELF-HEALING
+  *    instead: every publish first backfills change files for any
+  *    already-committed version that lacks them (a crash between swap
+  *    and move leaves a gap only until the next publish), and a failed
+  *    change-file write cleans up its staging dir and raises rather
+  *    than leaving junk beside the table.
   *  - [[changeFeedStream]] is just `spark.readStream.parquet` over the
   *    `_cdf` tree: Spark's file source gives exactly-once delivery per
   *    change file via the checkpoint's seen-files log — restart-safe,
@@ -38,32 +44,64 @@ object ChangeFeedTable {
 
   private def cdfDir(dir: String) = Paths.get(dir, "_cdf")
 
-  /** Commit `df` as the next version and write its change files. */
+  /** Commit `df` as the next version and write its change files. Also
+    * backfills change files for any earlier committed version that
+    * lacks them (the crash-window repair — see the object doc). */
   def publish(spark: SparkSession, df: DataFrame, dir: String,
       keyCols: Seq[String]): Long = {
     val hadPrev = ParquetTable.exists(dir)
+    if (hadPrev) backfillMissing(spark, dir, keyCols)
     ParquetTable.swap(spark, df, dir)
     val vName = Paths.get(ParquetTable.currentPath(dir)).getFileName.toString
+    writeChangeFiles(spark, dir, keyCols, vName, bootstrap = !hadPrev)
+    VersionNames.idOf(vName)
+  }
+
+  /** Write `_cdf/v<name>` for the snapshot version `vName` (which must
+    * exist). `bootstrap` = emit the whole snapshot as inserts (Delta
+    * CDF's convention for the feed's first version); otherwise the diff
+    * vs the immediately older snapshot. */
+  private def writeChangeFiles(spark: SparkSession, dir: String,
+      keyCols: Seq[String], vName: String, bootstrap: Boolean): Unit = {
+    val names = ParquetTable.snapshots(dir)
+    val idx = names.indexOf(vName)
+    require(idx >= 0, s"no snapshot $vName under $dir")
     val vId = VersionNames.idOf(vName)
     val changes =
-      if (!hadPrev)
-        // Bootstrap commit: every row is an insert (Delta CDF emits the
-        // initial snapshot as inserts when the feed starts at version 0).
-        ParquetTable.read(spark, dir).withColumn("_change_type", lit("insert"))
+      if (bootstrap)
+        spark.read.parquet(s"$dir/$vName").withColumn("_change_type", lit("insert"))
       else
-        ParquetTable.changeFeed(spark, dir, 1, 0, keyCols)
+        ParquetTable.changeFeed(spark, dir, idx + 1, idx, keyCols)
     val staged = Files.createTempDirectory(Paths.get(dir), "_cdf-stage-")
-    val stagedOut = staged.resolve("out")
-    changes.withColumn("_commit_version", lit(vId))
-      .write.parquet(stagedOut.toString)
-    val target = cdfDir(dir).resolve(s"v$vName")
-    Files.createDirectories(cdfDir(dir))
-    // One rename publishes the whole change set: the streaming file
-    // source lists `_cdf/*/*.parquet`, so nothing under the staging
-    // path (a sibling of `_cdf`, not inside it) is ever visible early.
-    Files.move(stagedOut, target, StandardCopyOption.ATOMIC_MOVE)
-    Files.deleteIfExists(staged)
-    vId
+    try {
+      val stagedOut = staged.resolve("out")
+      changes.withColumn("_commit_version", lit(vId))
+        .write.parquet(stagedOut.toString)
+      val target = cdfDir(dir).resolve(s"v$vName")
+      Files.createDirectories(cdfDir(dir))
+      // One rename publishes the whole change set: the streaming file
+      // source lists `_cdf/*/*.parquet`, so nothing under the staging
+      // path (a sibling of `_cdf`, not inside it) is ever visible early.
+      Files.move(stagedOut, target, StandardCopyOption.ATOMIC_MOVE)
+    } finally {
+      // Success leaves an empty scratch dir; failure leaves partial
+      // parquet — delete the tree either way, then rethrow naturally.
+      VersionNames.deleteTree(staged)
+    }
+  }
+
+  /** Backfill change files for committed versions that lack them —
+    * repairs the swap-vs-move crash window so the feed never carries a
+    * permanent silent gap. Oldest-first so a reader that starts midway
+    * still sees commits in order. */
+  private def backfillMissing(spark: SparkSession, dir: String,
+      keyCols: Seq[String]): Unit = {
+    val names = ParquetTable.snapshots(dir) // newest first
+    names.zipWithIndex.reverse.foreach { case (vName, idx) =>
+      if (!Files.isDirectory(cdfDir(dir).resolve(s"v$vName")))
+        writeChangeFiles(spark, dir, keyCols, vName,
+          bootstrap = idx == names.size - 1)
+    }
   }
 
   /** The streaming change feed: every change file ever committed, then

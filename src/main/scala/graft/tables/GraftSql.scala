@@ -111,15 +111,19 @@ object GraftSql {
       // fallback's broadcast decision (TableStats.broadcastWorthy) until
       // the next version move invalidates them.
       val ref = resolve(s, name)
-      val schema = TableStats.readCurrent(s, ref.dir).schema
+      val current = TableStats.readCurrent(s, ref.dir)
       val cols: Seq[String] =
-        if (all != null) TableStats.atomicColumns(schema)
+        if (all != null) TableStats.atomicColumns(current.schema)
         else if (colList != null)
           colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         else Nil
       require(all == null || cols.nonEmpty,
         s"ANALYZE $name FOR ALL COLUMNS: table has no atomic columns")
-      val st = TableStats.analyze(s, ref.dir, cols)
+      // A FOR COLUMNS list that trims to nothing is a typo, not a
+      // request for table-only stats — degrade loudly, not silently.
+      require(colList == null || cols.nonEmpty,
+        s"ANALYZE $name FOR COLUMNS: empty column list")
+      val st = TableStats.analyze(s, ref.dir, cols, Some(current))
       TableStats.resultFrame(s, name, st, cols)
     case SetProps(name, body) =>
       val pairs = PropPair.findAllMatchIn(body).map(m => m.group(1) -> m.group(2)).toSeq
@@ -247,15 +251,19 @@ object GraftSql {
       // FRESH ANALYZE stats that clear the broadcast bar mounts with a
       // `broadcast()` hint — the stats-driven plan change, made where a
       // catalog would make it (CBO over pinned row counts, not the
-      // file-size proxy). Registered names take precedence over
-      // same-named user temp views inside GraftSql.sql. The AS-OF /
-      // table_changes rewrites above produced `__graft_*` view tokens,
+      // file-size proxy). Mounts are STATEMENT-SCOPED: registered names
+      // win inside GraftSql.sql, but a pre-existing same-named user temp
+      // view is restored afterwards (and a mount that shadowed nothing
+      // is dropped), so the session catalog is left as found. The AS-OF
+      // / table_changes rewrites above produced `__graft_*` view tokens,
       // which cannot word-match a registered name.
-      registry.keysIterator
+      val restores = registry.keysIterator
         .collect { case (sess, name) if sess eq s => name }
         .filter(wordOutsideQuotes(rewritten, _))
-        .foreach { name =>
+        .map { name =>
           val dir = resolve(s, name).dir
+          val priorTemp = scala.util.Try(s.catalog.getTable(name)).toOption
+            .filter(_.isTemporary).map(_ => s.table(name))
           try {
             val df = TableStats.readCurrent(s, dir)
             val mounted =
@@ -266,8 +274,15 @@ object GraftSql {
             case e: Throwable => throw new IllegalStateException(
               s"GraftSql: failed to mount registered table '$name' at $dir", e)
           }
-        }
-      s.sql(rewritten)
+          () => priorTemp match {
+            case Some(saved) => saved.createOrReplaceTempView(name)
+            case None => s.catalog.dropTempView(name); ()
+          }
+        }.toSeq
+      // s.sql analyzes eagerly, so the returned frame's plan has already
+      // captured the mounted views — restoring afterwards cannot change
+      // its meaning.
+      try s.sql(rewritten) finally restores.foreach(_())
   }
 
   /** Case-insensitive whole-word occurrence of `word` outside

@@ -121,8 +121,9 @@ object TableStats {
     * `dir`; `columns` = Nil analyzes table-level stats only, Some list
     * analyzes those columns, FOR ALL COLUMNS passes every atomic one.
     * Persists `_TABLE_STATS` and returns the computed [[Stats]]. */
-  def analyze(s: SparkSession, dir: String, columns: Seq[String]): Stats = {
-    val df = readCurrent(s, dir)
+  def analyze(s: SparkSession, dir: String, columns: Seq[String],
+      pre: Option[DataFrame] = None): Stats = {
+    val df = pre.getOrElse(readCurrent(s, dir))
     val byName = df.schema.fields.map(f => f.name -> f).toMap
     columns.foreach { c =>
       val f = byName.getOrElse(c, throw new IllegalArgumentException(
@@ -202,8 +203,14 @@ object TableStats {
     val lines = Files.readAllLines(p).asScala.toSeq
     val tbl = lines.collect {
       case l if l.startsWith("table\t") =>
-        val Array(_, k, v) = l.split("\t", 3); k -> v
+        l.split("\t", 3) match {
+          case Array(_, k, v) => k -> v
+          case _ => throw new IllegalStateException(
+            s"malformed _TABLE_STATS table line in $p: ${l.take(80)}")
+        }
     }.toMap
+    def req(k: String): String = tbl.getOrElse(k,
+      throw new IllegalStateException(s"_TABLE_STATS at $p missing '$k'"))
     val cols = lines.collect {
       case l if l.startsWith("col\t") =>
         l.split("\t", -1) match {
@@ -215,8 +222,8 @@ object TableStats {
         }
     }.toMap
     Some(Stats(
-      dec(tbl("stamp")), tbl("row_count").toLong,
-      tbl("size_bytes").toLong, cols))
+      dec(req("stamp")), req("row_count").toLong,
+      req("size_bytes").toLong, cols))
   }
 
   /** Stats only if they measured the CURRENT snapshot — any OPTIMIZE /

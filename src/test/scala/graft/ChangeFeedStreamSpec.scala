@@ -67,6 +67,26 @@ class ChangeFeedStreamSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("a missing change set (swap-vs-move crash window) backfills on next publish") {
+    val s = spark
+    import s.implicits._
+    val (dir, _) = freshDirs()
+    ChangeFeedTable.publish(s, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, Seq("k"))
+    ChangeFeedTable.publish(s, Seq((1L, "a"), (2L, "B")).toDF("k", "v"), dir, Seq("k"))
+    // Simulate the crash: v2 committed but its change files lost.
+    val v2name = graft.streaming.ParquetTable.snapshots(dir).head
+    graft.streaming.VersionNames.deleteTree(
+      java.nio.file.Paths.get(dir, "_cdf", s"v$v2name"))
+
+    ChangeFeedTable.publish(s, Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v"),
+      dir, Seq("k"))
+    val byVersion = ChangeFeedTable.changeFeedBatch(s, dir)
+      .groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // v2's update images reappear (backfilled), v3's insert is present.
+    assert(byVersion == Map(1L -> 2L, 2L -> 2L, 3L -> 1L), s"got $byVersion")
+  }
+
   test("streamed changes equal the batch differ's") {
     val s = spark
     import s.implicits._

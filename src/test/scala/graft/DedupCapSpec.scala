@@ -11,9 +11,11 @@ import graft.dedup.Dedup
   *  1. a NON-BINDING cap is pair-for-pair identical to the uncapped
   *     join (so the production default changes nothing on sane data);
   *  2. a binding cap yields a subset, bounded per bucket by s·cap;
-  *  3. connectivity survives: every bucket member still pairs with the
-  *     bucket's lowest doc_id, so transitive-closure consumers see the
-  *     same clusters even where the cap bites.
+  *  3. CANDIDATE connectivity survives: every bucket member still
+  *     pairs with the bucket's lowest doc_id. (Verified-pair clusters
+  *     can still differ under a binding cap when verification rejects
+  *     anchor pairs — this fixture's cluster is all-identical text, so
+  *     here anchors always verify and the doc sets match.)
   */
 class DedupCapSpec extends SparkSuite {
 
