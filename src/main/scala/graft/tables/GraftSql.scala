@@ -68,6 +68,8 @@ object GraftSql {
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r
   private val InsertInto =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(SELECT\b.*)$""".r
+  private val DropTable =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val AnalyzeTable =
     """(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+?)))?\s*;?\s*$""".r
   private val SetProps =
@@ -105,6 +107,16 @@ object GraftSql {
       restoreTo(s, name, version.toLong)
     case RestoreTs(name, ts) =>
       restoreToTimestamp(s, name, ts)
+    case DropTable(ifExists, name) =>
+      // EXTERNAL-table semantics (the registry is a name→path map, not
+      // ownership): unregister the name, never touch files — the
+      // CREATE TABLE / CLONE re-run guards say "DROP it first", and
+      // this is that spelling. IF EXISTS makes a missing name a no-op.
+      val existed = registry.remove((s, name)).isDefined
+      require(existed || ifExists != null,
+        s"DROP TABLE: '$name' is not registered (use IF EXISTS for a no-op)")
+      singleRow(s, Seq("name" -> name,
+        "dropped" -> (if (existed) "true" else "false")))
     case AnalyzeTable(name, all, colList) =>
       // Reference db/table_maintenance.sql:38-41. The pass runs over the
       // current snapshot; results persist to `_TABLE_STATS` and feed the

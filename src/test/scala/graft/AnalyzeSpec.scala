@@ -126,6 +126,25 @@ class AnalyzeSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("approxNdv conf flips exact count_distinct to HLL (the 100 TB lever)") {
+    val s = spark; import s.implicits._
+    val df = (1L to 5000L).map(i => (i, s"s${i % 1000}")).toDF("k", "s")
+    val dir = freshTable("an_approx", df)
+    try {
+      spark.conf.set("spark.graft.analyze.approxNdv", "true")
+      GraftSql.sql(spark, "ANALYZE TABLE an_approx COMPUTE STATISTICS FOR COLUMNS k, s")
+      val st = TableStats.read(dir).get
+      // HLL at default precision: within a few percent, not exact.
+      assert(math.abs(st.cols("k").ndv - 5000L) < 500,
+        s"approx ndv(k)=${st.cols("k").ndv}")
+      assert(math.abs(st.cols("s").ndv - 1000L) < 100,
+        s"approx ndv(s)=${st.cols("s").ndv}")
+      // Null/min/max stay exact regardless of the NDV estimator.
+      assert(st.cols("k").nullCount == 0L)
+      assert(st.cols("k").min == "1" && st.cols("k").max == "5000")
+    } finally spark.conf.unset("spark.graft.analyze.approxNdv")
+  }
+
   test("re-ANALYZE of a column subset merges at same version") {
     val s = spark; import s.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "s")

@@ -266,6 +266,50 @@ class GraftSqlSpec extends SparkSuite {
     }
   }
 
+  test("DROP TABLE unregisters (files untouched); IF EXISTS is a no-op; plain SELECT and DESCRIBE work over mounts") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_drop", dir, Seq("id"))
+
+    // The fallback mounts registered names for plain SQL — SELECT and
+    // DESCRIBE (reference db/table_maintenance.sql DESCRIBE spellings)
+    // both resolve without the caller creating views.
+    assert(GraftSql.sql(spark,
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM gsql_drop").head().getLong(0) == 3L)
+    val desc = GraftSql.sql(spark, "DESCRIBE gsql_drop")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("id", "status").subsetOf(desc))
+    // Statement-scoped mount: the view is gone from the session after.
+    assert(!spark.catalog.tableExists("gsql_drop"))
+
+    val d = GraftSql.sql(spark, "DROP TABLE gsql_drop").head()
+    assert(d.getString(1) == "true")
+    val e = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "DESCRIBE DETAIL gsql_drop"))
+    assert(e.getMessage.contains("not registered"))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)),
+      "DROP is registry-only; files stay (external-table semantics)")
+    // IF EXISTS: missing name is a quiet no-op; bare DROP is loud.
+    assert(GraftSql.sql(spark, "DROP TABLE IF EXISTS gsql_drop")
+      .head().getString(1) == "false")
+    val e2 = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "DROP TABLE gsql_drop"))
+    assert(e2.getMessage.contains("not registered"))
+    // A pre-existing user temp view with the registered name is restored
+    // after a mount, not clobbered.
+    val s = spark
+    import s.implicits._
+    GraftSql.register(spark, "gsql_drop", dir, Seq("id"))
+    Seq((99L, "U")).toDF("id", "status").createOrReplaceTempView("gsql_drop")
+    assert(GraftSql.sql(spark,
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM gsql_drop").head().getLong(0) == 3L,
+      "registered table wins inside GraftSql.sql")
+    assert(spark.sql("SELECT count(*) FROM gsql_drop").head().getLong(0) == 1L,
+      "the user view is restored afterwards")
+    GraftSql.sql(spark, "DROP TABLE gsql_drop")
+    spark.catalog.dropTempView("gsql_drop")
+    ()
+  }
+
   test("TBLPROPERTIES with tab/newline are rejected before corrupting the manifest") {
     val dir = seedTable()
     GraftSql.register(spark, "gsql_bad", dir, Seq("id"))
