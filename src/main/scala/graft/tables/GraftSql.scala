@@ -68,6 +68,14 @@ object GraftSql {
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r
   private val InsertInto =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(SELECT\b.*)$""".r
+  private val CreateTableAs =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(SELECT\b.*)$""".r
+  private val Reorg =
+    """(?is)^\s*REORG\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
+  private val ShowPartitions =
+    """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val CommentOnTable =
+    """(?is)^\s*COMMENT\s+ON\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+IS\s+'([^']*)'\s*;?\s*$""".r
   private val DropTable =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
   private val AnalyzeTable =
