@@ -436,6 +436,74 @@ object StorageQueries extends QueryModule {
       df
     })
 
+  private val seededCtas =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** CTAS under a SCHEMA-QUALIFIED name: `mart.orders_ctas` lands via
+    * the one-statement CREATE TABLE ... AS SELECT arm and is read back
+    * through the backquoted spelling — one seed covers both the CTAS
+    * path and the dotted-identifier surface. */
+  private def ctasOrders(s: SparkSession, dir: String): String =
+    seededCtas.getOrElseUpdate((s, dir), {
+      s.read.parquet(tablePath(dir, "orders"))
+        .createOrReplaceTempView("ctas_src")
+      graft.tables.GraftSql.sql(s,
+        """CREATE TABLE mart.orders_ctas AS
+          |SELECT o_orderkey, o_orderstatus, o_totalprice
+          |FROM ctas_src WHERE o_orderkey % 4 = 0""".stripMargin).collect()
+      "mart.orders_ctas"
+    })
+
+  private val seededRg =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** REORG seed: versioned orders table, a deletion-vector DELETE
+    * (hard-links + `_dv`, zero rewrites), then REORG APPLY (PURGE) —
+    * the statement must physically fold the vectors into clean files. */
+  private def reorgedOrders(s: SparkSession, dir: String): String =
+    seededRg.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-rg")
+        .resolve("orders_reorg").toString
+      ParquetTable.swap(s,
+        s.read.parquet(tablePath(dir, "orders"))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"), t)
+      ParquetTable.deleteWhereDV(s, t, "o_orderkey % 7 = 0")
+      graft.tables.GraftSql.register(s, "orders_reorg", t, Seq("o_orderkey"))
+      graft.tables.GraftSql.sql(s, "REORG TABLE orders_reorg APPLY (PURGE)").collect()
+      t
+    })
+
+  private val seededSp =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Hive-partitioned copy of orders (by status) for SHOW PARTITIONS. */
+  private def partitionedOrders(s: SparkSession, dir: String): String =
+    seededSp.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-sp")
+        .resolve("orders_parted").toString
+      s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus")
+        .write.partitionBy("o_orderstatus").parquet(t)
+      graft.tables.GraftSql.register(s, "orders_parted", t)
+      t
+    })
+
+  private val seededCm =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** COMMENT ON TABLE seed — its own tiny table so the `_PROPS` write
+    * never races another oracle's property reads. */
+  private def commentedNation(s: SparkSession, dir: String): String =
+    seededCm.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-cm")
+        .resolve("nation_commented").toString
+      ParquetTable.swap(s, s.read.parquet(tablePath(dir, "nation")), t)
+      graft.tables.GraftSql.register(s, "nation_commented", t, Seq("n_nationkey"))
+      graft.tables.GraftSql.sql(s,
+        "COMMENT ON TABLE nation_commented IS 'the ''nations'' dimension'").collect()
+      t
+    })
+
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -452,7 +520,9 @@ object StorageQueries extends QueryModule {
       () => hstatsOrders(s, dir), () => bloomOrders(s, dir),
       () => widenedOrders(s, dir), () => maintainedOrders(s, dir),
       () => ddlOrders(s, dir), () => createdInsertedOrders(s, dir),
-      () => analyzedTables(s, dir), () => cdfStreamedSink(s, dir))
+      () => analyzedTables(s, dir), () => cdfStreamedSink(s, dir),
+      () => ctasOrders(s, dir), () => reorgedOrders(s, dir),
+      () => partitionedOrders(s, dir), () => commentedNation(s, dir))
     Await.result(
       Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
       Duration.Inf)
@@ -1017,6 +1087,69 @@ object StorageQueries extends QueryModule {
              |FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 14 <> 0
              |UNION ALL
              |SELECT 2, 'update_postimage', CAST(count(*) AS BIGINT), CAST(sum(o_orderkey) AS BIGINT)
-             |FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 14 <> 0""".stripMargin))
+             |FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 14 <> 0""".stripMargin)),
+
+    // CREATE TABLE ... AS SELECT through the GraftSql shim, under a
+    // SCHEMA-QUALIFIED name, read back through the BACKQUOTED spelling:
+    // the one-statement CTAS arm must land exactly the SELECT's rows in
+    // a registered, versioned-queryable table, and `db.t` /
+    // `` `db`.`t` `` must canonicalize to the same registration.
+    EngineQuery(
+      "store_ctas_qualified",
+      (s, dir) => {
+        ctasOrders(s, dir)
+        graft.tables.GraftSql.sql(s,
+          """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+            |  round(sum(o_totalprice), 2) AS total
+            |FROM `mart`.`orders_ctas` GROUP BY o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey % 4 = 0
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // REORG TABLE ... APPLY (PURGE) after a deletion-vector DELETE: the
+    // check reads the post-REORG snapshot PHYSICALLY (plain parquet, no
+    // merge-on-read) — if the purge failed to fold the vectors in, the
+    // resurrected `% 7` keys break the hash against the oracle.
+    EngineQuery(
+      "store_reorg_purge",
+      (s, dir) => {
+        val t = reorgedOrders(s, dir)
+        s.read.parquet(ParquetTable.currentPath(t))
+          .groupBy("o_orderstatus")
+          .agg(
+            count(lit(1)).as("n"),
+            sum("o_orderkey").as("key_sum"),
+            round(sum("o_totalprice"), 2).as("total"))
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderkey % 7 <> 0
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // SHOW PARTITIONS over a hive-partitioned registration: the listing
+    // (no data IO) must name exactly the distinct partition values.
+    EngineQuery(
+      "store_show_partitions",
+      (s, dir) => {
+        partitionedOrders(s, dir)
+        graft.tables.GraftSql.sql(s, "SHOW PARTITIONS orders_parted")
+          .select(col("partition").as("part_dir"))
+      },
+      Some("""SELECT DISTINCT 'o_orderstatus=' || o_orderstatus AS part_dir
+             |FROM orders""".stripMargin)),
+
+    // COMMENT ON TABLE round-trips through the `_PROPS` manifest and
+    // surfaces under SHOW TBLPROPERTIES' reserved 'comment' key; the
+    // doubled-quote literal must unescape identically cross-engine.
+    EngineQuery(
+      "store_comment_on",
+      (s, dir) => {
+        commentedNation(s, dir)
+        graft.tables.GraftSql.sql(s, "SHOW TBLPROPERTIES nation_commented")
+      },
+      Some("SELECT 'comment' AS key, 'the ''nations'' dimension' AS value"))
   )
 }

@@ -542,14 +542,30 @@ object ParquetTable {
     * vectors (a broadcast anti-join on (file name, row position) — the
     * DV side is KBs). Plain [[read]] on a DV-carrying table would
     * resurrect deleted rows; use this wherever vectors may exist. */
-  def readMoR(spark: SparkSession, dir: String): DataFrame = {
+  def readMoR(spark: SparkSession, dir: String): DataFrame =
+    readMoR(spark, dir, None)
+
+  /** [[readMoR]] with an explicit PHYSICAL read schema — required when
+    * the snapshot's files carry mixed footer types (appends after a
+    * column widen): single-footer inference could misread or fail on
+    * the older files, while the caller's `_SCHEMA` ptype lines are
+    * authoritative. */
+  def readMoR(spark: SparkSession, dir: String,
+      readSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val cur = Paths.get(currentPath(dir))
     readDv(spark, cur) match {
-      case None => spark.read.parquet(cur.toString)
+      case None => plainRead(spark, cur, readSchema)
       case Some(dv) =>
-        liveRowsWith(spark, cur, dv).drop("_file", "_rid")
+        liveRowsWith(spark, cur, dv, readSchema).drop("_file", "_rid")
     }
   }
+
+  private def plainRead(spark: SparkSession, versionDir: java.nio.file.Path,
+      readSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    readSchema match {
+      case Some(sch) => spark.read.schema(sch).parquet(versionDir.toString)
+      case None      => spark.read.parquet(versionDir.toString)
+    }
 
   /** Fold the deletion vectors back into clean data files: one rewrite
     * of the surviving rows as a fresh version with an empty DV store —
@@ -582,9 +598,10 @@ object ParquetTable {
     }
 
   private def liveRowsWith(
-      spark: SparkSession, versionDir: java.nio.file.Path, dv: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    val tagged = taggedRows(spark, versionDir)
+      spark: SparkSession, versionDir: java.nio.file.Path, dv: DataFrame,
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val tagged = taggedRows(spark, versionDir, readSchema)
     tagged.join(broadcast(dv),
       tagged("_file") === dv("file") && tagged("_rid") === dv("row_index"),
       "left_anti")
@@ -592,9 +609,10 @@ object ParquetTable {
 
   /** Rows with their scan position: file NAME (stable across the
     * hard-link generations) + in-file row index. */
-  private def taggedRows(spark: SparkSession, versionDir: java.nio.file.Path): DataFrame = {
+  private def taggedRows(spark: SparkSession, versionDir: java.nio.file.Path,
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    spark.read.parquet(versionDir.toString)
+    plainRead(spark, versionDir, readSchema)
       .withColumn("_file", expr("regexp_extract(_metadata.file_path, '([^/]+)$', 1)"))
       .withColumn("_rid", col("_metadata.row_index"))
   }

@@ -29,72 +29,104 @@ object GraftSql {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), TableRef]
 
+  /** Canonical registry key for an identifier as a user may spell it:
+    * backquotes stripped, whitespace around dots dropped, parts joined
+    * with '.'. `db.t`, `` `db`.`t` `` and `` db.`t` `` all key the same
+    * table. The registry is a FLAT namespace: a backquoted single-part
+    * name containing a literal dot (`` `db.t` ``) canonicalizes to the
+    * same key as the qualified two-part spelling — same trade Delta
+    * path tables make (the path, not the catalog, is the identity). */
+  private[tables] def normalizeIdent(raw: String): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inBq = false
+    raw.trim.foreach {
+      case '`' => inBq = !inBq
+      case '.' if !inBq => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    parts += cur.toString
+    parts.map(_.trim).mkString(".")
+  }
+
   def register(s: SparkSession, name: String, dir: String,
       keyCols: Seq[String] = Nil): Unit = {
-    registry.put((s, name), TableRef(dir, keyCols))
+    registry.put((s, normalizeIdent(name)), TableRef(dir, keyCols))
     ()
   }
 
-  private def resolve(s: SparkSession, name: String): TableRef =
-    registry.getOrElse((s, name),
+  private def resolve(s: SparkSession, name: String): TableRef = {
+    val key = normalizeIdent(name)
+    registry.getOrElse((s, key),
       throw new IllegalArgumentException(
-        s"table '$name' is not registered with GraftSql.register"))
+        s"table '$key' is not registered with GraftSql.register"))
+  }
 
+  /** Table identifier as a SQL user spells it: bare, backquoted, or a
+    * dotted chain of either (`db.t`, `` `db`.`t` ``, `catalog.db.t`) —
+    * Delta users coming from a catalog write qualified names habitually.
+    * Matched names canonicalize through [[normalizeIdent]] before any
+    * registry lookup. */
+  private val IdPat =
+    """(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)(?:\s*\.\s*(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*))*"""
   private val DescribeHistory =
-    """(?is)^\s*DESCRIBE\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""".r
+    ("""(?is)^\s*DESCRIBE\s+HISTORY\s+(""" + IdPat + """)(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
   private val DescribeDetail =
-    """(?is)^\s*DESCRIBE\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    ("""(?is)^\s*DESCRIBE\s+DETAIL\s+(""" + IdPat + """)\s*;?\s*$""").r
   private val Optimize =
-    """(?is)^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""".r
+    ("""(?is)^\s*OPTIMIZE\s+(""" + IdPat + """)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val Vacuum =
-    """(?is)^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+(""" + IdPat + """)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val Restore =
-    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""".r
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(""" + IdPat + """)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
   private val RestoreTs =
-    """(?is)^\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""".r
+    ("""(?is)^\s*RESTORE\s+(?:TABLE\s+)?(""" + IdPat + """)\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
   private val AddColumns =
-    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$""".r
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$""").r
   private val RenameCol =
-    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
   private val DropCol =
-    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+COLUMNS?\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)?\s*;?\s*$""".r
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+DROP\s+COLUMNS?\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)?\s*;?\s*$""").r
   private val AlterColType =
-    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TYPE\s+(.+?)\s*;?\s*$""".r
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TYPE\s+(.+?)\s*;?\s*$""").r
   private val AlterColComment =
-    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+COMMENT\s+'([^']*)'\s*;?\s*$""".r
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+COMMENT\s+'((?:[^']|'')*)'\s*;?\s*$""").r
   private val CloneTable =
-    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+(SHALLOW|DEEP)\s+CLONE\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    ("""(?is)^\s*CREATE\s+TABLE\s+(""" + IdPat + """)\s+(SHALLOW|DEEP)\s+CLONE\s+(""" + IdPat + """)\s*;?\s*$""").r
   private val CreateTable =
-    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*$""".r
+    ("""(?is)^\s*CREATE\s+TABLE\s+(""" + IdPat + """)\s*\((.*)\)\s*;?\s*$""").r
   private val InsertInto =
-    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(SELECT\b.*)$""".r
+    ("""(?is)^\s*INSERT\s+INTO\s+(""" + IdPat + """)\s+(SELECT\b.*)$""").r
   private val CreateTableAs =
-    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(SELECT\b.*)$""".r
+    ("""(?is)^\s*CREATE\s+TABLE\s+(""" + IdPat + """)\s+AS\s+(SELECT\b.*)$""").r
   private val Reorg =
-    """(?is)^\s*REORG\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""".r
+    ("""(?is)^\s*REORG\s+TABLE\s+(""" + IdPat + """)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
   private val ShowPartitions =
-    """(?is)^\s*SHOW\s+PARTITIONS\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    ("""(?is)^\s*SHOW\s+PARTITIONS\s+(""" + IdPat + """)\s*;?\s*$""").r
   private val CommentOnTable =
-    """(?is)^\s*COMMENT\s+ON\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+IS\s+'([^']*)'\s*;?\s*$""".r
+    ("""(?is)^\s*COMMENT\s+ON\s+TABLE\s+(""" + IdPat + """)\s+IS\s+'((?:[^']|'')*)'\s*;?\s*$""").r
   private val DropTable =
-    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    ("""(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(""" + IdPat + """)\s*;?\s*$""").r
   private val AnalyzeTable =
-    """(?is)^\s*ANALYZE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+?)))?\s*;?\s*$""".r
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+(""" + IdPat + """)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+?)))?\s*;?\s*$""").r
   private val SetProps =
-    """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*;?\s*$""".r
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+SET\s+TBLPROPERTIES\s*\((.*)\)\s*;?\s*$""").r
   private val ShowProps =
-    """(?is)^\s*SHOW\s+TBLPROPERTIES\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+    ("""(?is)^\s*SHOW\s+TBLPROPERTIES\s+(""" + IdPat + """)\s*;?\s*$""").r
   private val PropPair = """'([^']+)'\s*=\s*'([^']*)'""".r
   private val TableChanges =
     """(?i)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   // Time-travel FROM phrases inside an otherwise-plain query (reference
   // db/query_table.sql:173-178). Statement-level RESTORE spellings never
   // reach these (their cases match first), so "TO VERSION AS OF" cannot
-  // false-positive on the "TO" token.
+  // false-positive on the "TO" token. The lookbehind excludes '.' and
+  // '`' so the trailing part of a qualified name someone ELSE owns
+  // (`other_db.t` when only bare `t` is registered) can never match as
+  // the bare name — the full dotted spelling matches, or nothing does.
   private val VersionAsOf =
-    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    ("""(?i)(?<![A-Za-z0-9_`.])(""" + IdPat + """)\s+VERSION\s+AS\s+OF\s+(\d+)""").r
   private val TimestampAsOf =
-    """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
+    ("""(?i)(?<![A-Za-z0-9_`.])(""" + IdPat + """)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""").r
 
   /** Run one statement: the DESCRIBE / OPTIMIZE / VACUUM / RESTORE
     * maintenance spellings directly (reference db/table_maintenance.sql
@@ -115,11 +147,12 @@ object GraftSql {
       restoreTo(s, name, version.toLong)
     case RestoreTs(name, ts) =>
       restoreToTimestamp(s, name, ts)
-    case DropTable(ifExists, name) =>
+    case DropTable(ifExists, rawName) =>
       // EXTERNAL-table semantics (the registry is a name→path map, not
       // ownership): unregister the name, never touch files — the
       // CREATE TABLE / CLONE re-run guards say "DROP it first", and
       // this is that spelling. IF EXISTS makes a missing name a no-op.
+      val name = normalizeIdent(rawName)
       val existed = registry.remove((s, name)).isDefined
       require(existed || ifExists != null,
         s"DROP TABLE: '$name' is not registered (use IF EXISTS for a no-op)")
@@ -173,7 +206,9 @@ object GraftSql {
     case DropCol(name, colName) =>
       SchemaEvolution.dropColumn(s, resolve(s, name).dir, colName)
       singleRow(s, Seq("name" -> name, "dropped" -> colName))
-    case AlterColComment(name, colName, text) =>
+    case AlterColComment(name, colName, rawText) =>
+      // SQL literal rules: a doubled '' inside the comment is one quote.
+      val text = rawText.replace("''", "'")
       SchemaEvolution.setColumnComment(s, resolve(s, name).dir, colName, text)
       singleRow(s, Seq("name" -> name, "column" -> colName, "comment" -> text))
     case AlterColType(name, colName, ddl) =>
@@ -181,17 +216,18 @@ object GraftSql {
       singleRow(s, Seq("name" -> name, "widened" -> s"$colName -> ${ddl.trim}"))
     case CloneTable(newName, kind, srcName) =>
       cloneTable(s, newName, kind.equalsIgnoreCase("SHALLOW"), srcName)
-    case CreateTable(name, body) =>
+    case CreateTable(rawName, body) =>
       // The reference's type-change recipe, step 1 (db/schema_evolution
       // .sql:52-72): declare the target schema before any data exists.
       // A re-run must fail loudly — an unconditional re-register would
       // shadow the existing table with a fresh empty dir and orphan its
       // data.
+      val name = normalizeIdent(rawName)
       require(!registry.contains((s, name)),
         s"CREATE TABLE: '$name' is already registered — DROP/unregister it first")
       val cols = parseColumnDefs(body)
       val dir = java.nio.file.Files.createTempDirectory("graft-ct")
-        .resolve(name).toString
+        .resolve(dirNameFor(name)).toString
       SchemaEvolution.createTable(s, dir, cols.map { case (n, t, _) => n -> t })
       cols.foreach { case (n, _, c) =>
         c.foreach(SchemaEvolution.setColumnComment(s, dir, n, _))
@@ -217,8 +253,42 @@ object GraftSql {
             s"must exactly match the table's ${target.toSeq.sorted.mkString(",")}")
         val n = result.count()
         SchemaEvolution.appendEvolved(s, result, dir)
+        TableStats.reanalyzeOnPublish(s, dir)
         singleRow(s, Seq("name" -> name, "n_inserted" -> n))
       } finally { result.unpersist(); () }
+    case CreateTableAs(rawName, select) =>
+      // CTAS = CREATE TABLE (schema from the SELECT) + INSERT INTO in
+      // one statement. Mirrors both arms' guards: re-run fails loudly
+      // instead of shadowing, and the SELECT goes back through sql() so
+      // table_changes()/AS-OF phrases compose.
+      val name = normalizeIdent(rawName)
+      require(!registry.contains((s, name)),
+        s"CREATE TABLE AS: '$name' is already registered — DROP/unregister it first")
+      val result = sql(s, select).persist()
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft-ctas")
+          .resolve(dirNameFor(name)).toString
+        SchemaEvolution.createTable(s, dir,
+          result.schema.fields.map(f => f.name -> f.dataType).toSeq)
+        val n = result.count()
+        SchemaEvolution.appendEvolved(s, result, dir)
+        // Register only after data landed: a failing SELECT/write must
+        // not leave a registered empty shell behind.
+        register(s, name, dir)
+        singleRow(s, Seq("name" -> name, "location" -> dir, "n_rows" -> n))
+      } finally { result.unpersist(); () }
+    case Reorg(rawName) =>
+      reorgPurge(s, normalizeIdent(rawName))
+    case ShowPartitions(rawName) =>
+      showPartitions(s, normalizeIdent(rawName))
+    case CommentOnTable(rawName, rawText) =>
+      // Stored under the reserved 'comment' table property (where Delta
+      // keeps it; SHOW TBLPROPERTIES surfaces it). Doubled '' is one
+      // literal quote, per SQL string rules.
+      val name = normalizeIdent(rawName)
+      val text = rawText.replace("''", "'")
+      setProperties(s, name, Seq("comment" -> text))
+      singleRow(s, Seq("name" -> name, "comment" -> text))
     case _ =>
       var rewritten = TableChanges.replaceAllIn(statement, m => {
         if (inLiteral(statement, m.start))
@@ -243,27 +313,51 @@ object GraftSql {
       // Matcher.appendReplacement would otherwise interpret.
       val afterTc = rewritten
       rewritten = VersionAsOf.replaceAllIn(afterTc, m => {
-        val (name, v) = (m.group(1), m.group(2).toLong)
+        val (key, v) = (normalizeIdent(m.group(1)), m.group(2).toLong)
         scala.util.matching.Regex.quoteReplacement(
-          if (inLiteral(afterTc, m.start) || !registry.contains((s, name))) m.matched
+          if (inLiteral(afterTc, m.start) || !registry.contains((s, key))) m.matched
           else {
-            val view = s"__graft_v_${name}_$v"
-            snapshotAt(s, name, v).createOrReplaceTempView(view)
+            val view = s"__graft_v_${viewToken(key)}_$v"
+            snapshotAt(s, key, v).createOrReplaceTempView(view)
             view
           })
       })
       val afterV = rewritten
       rewritten = TimestampAsOf.replaceAllIn(afterV, m => {
-        val (name, ts) = (m.group(1), m.group(2))
+        val (key, ts) = (normalizeIdent(m.group(1)), m.group(2))
         scala.util.matching.Regex.quoteReplacement(
-          if (inLiteral(afterV, m.start) || !registry.contains((s, name))) m.matched
+          if (inLiteral(afterV, m.start) || !registry.contains((s, key))) m.matched
           else {
             val millis = parseTsUtc(ts)
-            val view = s"__graft_t_${name}_$millis"
-            snapshotAsOf(s, name, millis).createOrReplaceTempView(view)
+            val view = s"__graft_t_${viewToken(key)}_$millis"
+            snapshotAsOf(s, key, millis).createOrReplaceTempView(view)
             view
           })
       })
+      // Dotted registered names cannot mount under their own spelling
+      // (a temp view name is single-part): every occurrence — bare,
+      // backquoted, or mixed per part — rewrites to a sanitized mount
+      // token first. Longest names first, so `a.b.c` never half-matches
+      // as `a.b`. Runs BEFORE the plain mounts below: once `db.t` has
+      // become a token, a plain registered `t` can no longer word-match
+      // inside it.
+      val dottedRestores = registry.keysIterator
+        .collect { case (sess, name) if (sess eq s) && name.contains(".") => name }
+        .toSeq.sortBy(-_.length)
+        .flatMap { name =>
+          val before = rewritten
+          var found = false
+          val token = s"__graft_n_${viewToken(name)}"
+          rewritten = dottedIdentRegex(name).replaceAllIn(before, m =>
+            scala.util.matching.Regex.quoteReplacement(
+              if (inLiteral(before, m.start)) m.matched
+              else { found = true; token }))
+          if (!found) None
+          else {
+            mountFrame(s, name).createOrReplaceTempView(token)
+            Some(() => { s.catalog.dropTempView(token); () })
+          }
+        }
       // Plain references to REGISTERED tables: each name mentioned in the
       // (rewritten) statement materializes as a temp view of its current
       // evolved snapshot, so `SELECT ... FROM t JOIN u ...` works through
@@ -278,22 +372,12 @@ object GraftSql {
       // / table_changes rewrites above produced `__graft_*` view tokens,
       // which cannot word-match a registered name.
       val restores = registry.keysIterator
-        .collect { case (sess, name) if sess eq s => name }
+        .collect { case (sess, name) if (sess eq s) && !name.contains(".") => name }
         .filter(wordOutsideQuotes(rewritten, _))
         .map { name =>
-          val dir = resolve(s, name).dir
           val priorTemp = scala.util.Try(s.catalog.getTable(name)).toOption
             .filter(_.isTemporary).map(_ => s.table(name))
-          try {
-            val df = TableStats.readCurrent(s, dir)
-            val mounted =
-              if (TableStats.broadcastWorthy(s, dir, df.schema)) broadcast(df)
-              else df
-            mounted.createOrReplaceTempView(name)
-          } catch {
-            case e: Throwable => throw new IllegalStateException(
-              s"GraftSql: failed to mount registered table '$name' at $dir", e)
-          }
+          mountFrame(s, name).createOrReplaceTempView(name)
           () => priorTemp match {
             case Some(saved) => saved.createOrReplaceTempView(name)
             case None => s.catalog.dropTempView(name); ()
@@ -302,7 +386,44 @@ object GraftSql {
       // s.sql analyzes eagerly, so the returned frame's plan has already
       // captured the mounted views — restoring afterwards cannot change
       // its meaning.
-      try s.sql(rewritten) finally restores.foreach(_())
+      try s.sql(rewritten) finally (dottedRestores ++ restores).foreach(_())
+  }
+
+  /** A registered table's current evolved snapshot, wrapped in a
+    * `broadcast()` hint when FRESH ANALYZE stats clear the bar — the
+    * one mount frame both the plain and dotted paths share. */
+  private def mountFrame(s: SparkSession, name: String): DataFrame = {
+    val dir = resolve(s, name).dir
+    try {
+      val df = TableStats.readCurrent(s, dir)
+      if (TableStats.broadcastWorthy(s, dir, df.schema)) broadcast(df) else df
+    } catch {
+      case e: Throwable => throw new IllegalStateException(
+        s"GraftSql: failed to mount registered table '$name' at $dir", e)
+    }
+  }
+
+  /** Temp-view-safe token for a canonical name: word chars pass, dots
+    * (and anything else) become '_', with a hash tail so distinct
+    * canonical names can never collide after sanitization (`a.b` vs
+    * `a_b`). */
+  private def viewToken(key: String): String = {
+    val clean = key.replaceAll("[^A-Za-z0-9_]", "_")
+    if (clean == key) key else s"${clean}_${key.hashCode & 0x7fffffff}"
+  }
+
+  /** Filesystem dir segment for a (possibly dotted) canonical name. */
+  private def dirNameFor(name: String): String = viewToken(name)
+
+  /** Regex matching every SQL spelling of the canonical dotted `name`:
+    * each part bare or backquoted, optional whitespace around dots,
+    * case-insensitive, not touching a longer identifier on either side. */
+  private def dottedIdentRegex(name: String): scala.util.matching.Regex = {
+    val q = java.util.regex.Pattern.quote _
+    val body = name.split('.')
+      .map(p => s"(?:${q(p)}|`${q(p)}`)")
+      .mkString("""\s*\.\s*""")
+    ("(?i)(?<![A-Za-z0-9_`.])" + body + "(?![A-Za-z0-9_`.])").r
   }
 
   /** Case-insensitive whole-word occurrence of `word` outside
@@ -405,23 +526,82 @@ object GraftSql {
     * directory of the source table and is registered under its new name
     * with the source's key columns. */
   def cloneTable(s: SparkSession, newName: String, shallow: Boolean, srcName: String): DataFrame = {
+    val name = normalizeIdent(newName)
     val src = resolve(s, srcName)
     val dst = java.nio.file.Paths.get(src.dir).toAbsolutePath.normalize
-      .resolveSibling(newName).toString
+      .resolveSibling(dirNameFor(name)).toString
     // Mirror the CREATE TABLE re-run guard: without these, a re-run (or
     // a same-named unrelated sibling dir) of DEEP CLONE would silently
     // swap() a new version ONTO the existing table instead of failing
     // the way CREATE TABLE and shallowClone's !exists guard do.
-    require(!registry.contains((s, newName)),
-      s"CREATE TABLE ... CLONE: '$newName' is already registered — DROP/unregister it first")
+    require(!registry.contains((s, name)),
+      s"CREATE TABLE ... CLONE: '$name' is already registered — DROP/unregister it first")
     require(!ParquetTable.exists(dst),
       s"CREATE TABLE ... CLONE: destination already holds a table: $dst")
     if (shallow) ParquetTable.shallowClone(src.dir, dst)
     else ParquetTable.deepClone(s, src.dir, dst)
-    register(s, newName, dst, src.keyCols)
+    register(s, name, dst, src.keyCols)
     singleRow(s, Seq(
-      "name" -> newName, "kind" -> (if (shallow) "shallow" else "deep"),
-      "source" -> srcName, "location" -> dst))
+      "name" -> name, "kind" -> (if (shallow) "shallow" else "deep"),
+      "source" -> normalizeIdent(srcName), "location" -> dst))
+  }
+
+  /** REORG TABLE t APPLY (PURGE) — the physical-purge maintenance
+    * statement (Delta's spelling): rewrite the live snapshot so
+    * soft-deleted state is physically gone. Deletion-vector rows fold
+    * in (the rewrite reads merge-on-read) and tombstoned dropped
+    * columns' DATA stops being carried; the result commits bin-packed
+    * to the file-health target as a NEW version. The `_SCHEMA` manifest
+    * is deliberately untouched: physical names stay stable (earlier
+    * snapshots still time-travel through the current manifest) and drop
+    * tombstones keep reserving their names — same contract as Delta
+    * REORG, which purges files but never resets column mapping. */
+  def reorgPurge(s: SparkSession, name: String): DataFrame = {
+    val ref = resolve(s, name)
+    require(ParquetTable.exists(ref.dir),
+      s"REORG TABLE: '$name' is not a versioned table")
+    val curPath = ParquetTable.currentPath(ref.dir)
+    val (nFilesBefore, bytes) = snapshotFiles(curPath)
+    val hadDv = java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(curPath, "_dv"))
+    val mf = SchemaEvolution.manifestOf(ref.dir)
+    // Widened tables carry mixed footer types; the manifest's ptype
+    // lines are the authoritative physical read schema — without them a
+    // single-footer inference could misread (or fail on) older files.
+    var df = ParquetTable.readMoR(s, ref.dir, mf.flatMap(_.physicalReadSchema))
+    val purgedCols = mf.toSeq.flatMap(_.mapping.dropped)
+      .filter(p => df.columns.exists(_.equalsIgnoreCase(p)))
+    if (purgedCols.nonEmpty) df = df.drop(purgedCols: _*)
+    val target = math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
+    ParquetTable.swap(s, df.coalesce(target), ref.dir)
+    TableStats.reanalyzeOnPublish(s, ref.dir)
+    val (nFilesAfter, _) = snapshotFiles(ParquetTable.currentPath(ref.dir))
+    val cv = graft.streaming.VersionNames.idOf(
+      java.nio.file.Paths.get(ParquetTable.currentPath(ref.dir)).getFileName.toString)
+    singleRow(s, Seq(
+      "name" -> name, "new_version" -> cv,
+      "n_files_before" -> nFilesBefore, "n_files_after" -> nFilesAfter,
+      "purged_dv" -> (if (hadDv) "true" else "false"),
+      "purged_columns" -> purgedCols.mkString(",")))
+  }
+
+  /** SHOW PARTITIONS t: one row per hive-style leaf partition of the
+    * table's data tree (the CURRENT snapshot for a versioned table),
+    * sorted. Listing-only — no data IO. A non-partitioned table is an
+    * error, matching Spark's own statement. */
+  def showPartitions(s: SparkSession, name: String): DataFrame = {
+    val ref = resolve(s, name)
+    val dataDir =
+      if (ParquetTable.exists(ref.dir)) ParquetTable.currentPath(ref.dir) else ref.dir
+    val root = java.nio.file.Paths.get(dataDir)
+    val parts = graft.streaming.Compaction.partitionDirs(dataDir)
+      .map(p => root.relativize(p).toString).sorted
+    require(parts.nonEmpty,
+      s"SHOW PARTITIONS: table '$name' is not partitioned")
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      new java.util.ArrayList[Row](parts.map(Row(_)).asJava),
+      StructType(Seq(StructField("partition", StringType, nullable = false))))
   }
 
   /** Top-level split of `name TYPE [COMMENT '...']` defs — commas inside
@@ -500,6 +680,7 @@ object GraftSql {
       case None => cur.coalesce(target)
     }
     ParquetTable.swap(s, packed, ref.dir)
+    TableStats.reanalyzeOnPublish(s, ref.dir)
     val (nFilesAfter, _) = snapshotFiles(ParquetTable.currentPath(ref.dir))
     val cv = graft.streaming.VersionNames.idOf(
       java.nio.file.Paths.get(ParquetTable.currentPath(ref.dir)).getFileName.toString)
@@ -539,6 +720,7 @@ object GraftSql {
     // concurrent publish.
     val vname = versionNameOf(name, ref.dir, version)
     ParquetTable.swap(s, s.read.parquet(s"${ref.dir}/$vname"), ref.dir)
+    TableStats.reanalyzeOnPublish(s, ref.dir)
     val cv = graft.streaming.VersionNames.idOf(
       java.nio.file.Paths.get(ParquetTable.currentPath(ref.dir)).getFileName.toString)
     singleRow(s, Seq(

@@ -147,9 +147,17 @@ object SchemaEvolution {
     mappingOf(dir).getOrElse(
       ColumnMapping(physicalSchema(spark, dir).fieldNames.toSeq.map(n => n -> n), Seq.empty))
 
-  /** Union of all file footer schemas — physical names, no mapping. */
-  private def physicalSchema(spark: SparkSession, dir: String): StructType =
-    spark.read.option("mergeSchema", "true").parquet(dir).schema
+  /** Union of all file footer schemas — physical names, no mapping.
+    * For a swap-versioned table (no data at the root, `_CURRENT`
+    * pointing into a version dir) the footers of the LIVE snapshot are
+    * the physical truth — a root read would find nothing to infer from. */
+  private def physicalSchema(spark: SparkSession, dir: String): StructType = {
+    val dataPath =
+      if (graft.streaming.ParquetTable.exists(dir))
+        graft.streaming.ParquetTable.currentPath(dir)
+      else dir
+    spark.read.option("mergeSchema", "true").parquet(dataPath).schema
+  }
 
   /** RENAME COLUMN old→new: metadata-only manifest update, zero files
     * touched (reference: db/schema_evolution.sql rename + column

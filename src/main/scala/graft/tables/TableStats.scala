@@ -233,6 +233,24 @@ object TableStats {
   def fresh(dir: String): Option[Stats] =
     read(dir).filter(_.stamp == currentStamp(dir))
 
+  /** Opt-in ANALYZE auto-refresh (`spark.graft.analyze.onPublish=true`):
+    * after a version-moving statement (OPTIMIZE / RESTORE / REORG /
+    * INSERT INTO), re-run the analysis over the SAME column set the
+    * table was last ANALYZE'd with, so the staleness gate never leaves
+    * a maintained table without plan stats. Off by default — the
+    * re-analysis is a full aggregation pass, and maintenance windows at
+    * 100 TB should schedule it, not pay it inline by surprise. A table
+    * never ANALYZE'd (no `_TABLE_STATS`) is untouched, and still-fresh
+    * stats (publish that didn't move the stamp) are not recomputed. */
+  def reanalyzeOnPublish(s: SparkSession, dir: String): Unit =
+    if (s.conf.getOption("spark.graft.analyze.onPublish").contains("true"))
+      read(dir).foreach { prev =>
+        if (prev.stamp != currentStamp(dir)) {
+          analyze(s, dir, prev.cols.keys.toSeq.sorted)
+          ()
+        }
+      }
+
   /** CBO-style logical size estimate: rowCount × (8B row overhead +
     * per-column width), widths from analyzed avg string lengths where
     * present, type default sizes otherwise (Catalyst EstimationUtils'

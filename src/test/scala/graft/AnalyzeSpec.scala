@@ -154,4 +154,27 @@ class AnalyzeSpec extends SparkSuite {
     val st = TableStats.read(dir).get
     assert(st.cols.keySet == Set("k", "s"), "same-version subset analyses merge")
   }
+
+  test("analyze.onPublish keeps stats fresh across OPTIMIZE and RESTORE without a manual re-ANALYZE") {
+    val s = spark; import s.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+    val dir = freshTable("an_auto", df)
+    GraftSql.sql(spark, "ANALYZE TABLE an_auto COMPUTE STATISTICS FOR COLUMNS k, s")
+    assert(TableStats.fresh(dir).isDefined)
+    try {
+      spark.conf.set("spark.graft.analyze.onPublish", "true")
+      GraftSql.sql(spark, "OPTIMIZE an_auto")
+      val st = TableStats.fresh(dir)
+      assert(st.isDefined, "OPTIMIZE re-analyzed under onPublish")
+      assert(st.get.cols.keySet == Set("k", "s"), "the previously-analyzed column set")
+      assert(st.get.rowCount == 3L)
+      GraftSql.sql(spark, "RESTORE TABLE an_auto TO VERSION AS OF 1")
+      assert(TableStats.fresh(dir).isDefined, "RESTORE re-analyzed under onPublish")
+    } finally spark.conf.unset("spark.graft.analyze.onPublish")
+    // With the conf off again, a version move stales the stats — the
+    // default behavior is unchanged.
+    GraftSql.sql(spark, "OPTIMIZE an_auto")
+    assert(TableStats.fresh(dir).isEmpty, "no auto-refresh without the conf")
+    assert(TableStats.read(dir).isDefined, "stale stats remain readable")
+  }
 }

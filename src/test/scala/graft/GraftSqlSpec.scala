@@ -320,4 +320,118 @@ class GraftSqlSpec extends SparkSuite {
       GraftSql.setProperties(spark, "gsql_bad", Seq("k" -> "line1\nline2"))
     }
   }
+
+  test("CREATE TABLE AS SELECT lands a registered, queryable, appendable table") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_src", dir, Seq("id"))
+    val r = GraftSql.sql(spark,
+      "CREATE TABLE gsql_ctas AS SELECT id, status FROM gsql_src WHERE id >= 3").head()
+    assert(r.getAs[Long]("n_rows") == 2L)
+    assert(GraftSql.sql(spark,
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM gsql_ctas").head().getLong(0) == 2L)
+    // Re-run guard: CTAS over an existing name must fail loudly, not
+    // shadow the table with a fresh dir.
+    val e = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "CREATE TABLE gsql_ctas AS SELECT * FROM gsql_src"))
+    assert(e.getMessage.contains("already registered"))
+    // The CTAS table is a first-class registry member: INSERT INTO works.
+    GraftSql.sql(spark, "INSERT INTO gsql_ctas SELECT id, status FROM gsql_src WHERE id = 2")
+    assert(GraftSql.sql(spark,
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM gsql_ctas").head().getLong(0) == 3L)
+    GraftSql.sql(spark, "DROP TABLE gsql_ctas")
+    GraftSql.sql(spark, "DROP TABLE gsql_src")
+    ()
+  }
+
+  test("REORG APPLY (PURGE) folds deletion vectors and dropped-column data into clean files") {
+    val dir = seedTable() // v1..v3; v3 = (2,X),(3,C),(4,D)
+    GraftSql.register(spark, "gsql_r", dir, Seq("id"))
+    GraftSql.sql(spark, "ALTER TABLE gsql_r DROP COLUMN status")
+    assert(ParquetTable.deleteWhereDV(spark, dir, "id = 2") == 1L) // v4, hard-links + _dv
+    val v4 = java.nio.file.Paths.get(ParquetTable.currentPath(dir))
+    assert(java.nio.file.Files.isDirectory(v4.resolve("_dv")), "precondition: DV present")
+
+    val rr = GraftSql.sql(spark, "REORG TABLE gsql_r APPLY (PURGE)").head()
+    assert(rr.getAs[Long]("new_version") == 5L)
+    assert(rr.getAs[String]("purged_dv") == "true")
+    assert(rr.getAs[String]("purged_columns") == "status")
+    val v5 = java.nio.file.Paths.get(ParquetTable.currentPath(dir))
+    assert(!java.nio.file.Files.isDirectory(v5.resolve("_dv")),
+      "vectors are folded in, not carried forward")
+    // Physical purge: the rewritten files no longer carry the dropped
+    // column's data, and the DV-deleted row is physically gone.
+    val phys = spark.read.parquet(v5.toString)
+    assert(phys.columns.toSeq == Seq("id"))
+    assert(phys.collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+    // Logical view unchanged vs the pre-REORG merge-on-read state.
+    assert(GraftSql.sql(spark, "SELECT CAST(id AS BIGINT) AS id FROM gsql_r ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    GraftSql.sql(spark, "DROP TABLE gsql_r")
+    ()
+  }
+
+  test("SHOW PARTITIONS lists hive leaves; non-partitioned tables error") {
+    val s = spark
+    import s.implicits._
+    val pdir = java.nio.file.Files.createTempDirectory("graft-gsql-p")
+      .resolve("p").toString
+    Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"))
+      .toDF("v", "dt").write.partitionBy("dt").parquet(pdir)
+    GraftSql.register(spark, "gsql_parts", pdir)
+    assert(GraftSql.sql(spark, "SHOW PARTITIONS gsql_parts")
+      .collect().map(_.getString(0)).toSeq ==
+      Seq("dt=2024-01-01", "dt=2024-01-02"))
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_flat", dir, Seq("id"))
+    val e = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "SHOW PARTITIONS gsql_flat"))
+    assert(e.getMessage.contains("not partitioned"))
+    GraftSql.sql(spark, "DROP TABLE gsql_parts")
+    GraftSql.sql(spark, "DROP TABLE gsql_flat")
+    ()
+  }
+
+  test("COMMENT ON TABLE persists under the comment property; doubled quotes unescape") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_cm", dir, Seq("id"))
+    val r = GraftSql.sql(spark, "COMMENT ON TABLE gsql_cm IS 'it''s the orders table'").head()
+    assert(r.getString(1) == "it's the orders table")
+    val props = GraftSql.sql(spark, "SHOW TBLPROPERTIES gsql_cm").collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(props("comment") == "it's the orders table")
+    GraftSql.sql(spark, "DROP TABLE gsql_cm")
+    ()
+  }
+
+  test("schema-qualified and backquoted identifiers resolve across the statement surface") {
+    val dir = seedTable()
+    GraftSql.register(spark, "db1.tq", dir, Seq("id"))
+    // Statement-level spellings: every quoting of the parts keys the
+    // same registration.
+    assert(GraftSql.sql(spark, "DESCRIBE HISTORY `db1`.`tq`").count() == 3)
+    assert(GraftSql.sql(spark,
+      "ANALYZE TABLE db1.`tq` COMPUTE STATISTICS FOR COLUMNS id").count() == 1)
+    // Time-travel phrase inside a query, bare-dotted spelling.
+    assert(GraftSql.sql(spark,
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM db1.tq VERSION AS OF 1")
+      .head().getLong(0) == 2L)
+    // Plain mount, backquoted spelling, composing with a WHERE.
+    assert(GraftSql.sql(spark,
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM `db1`.`tq` WHERE id >= 3")
+      .head().getLong(0) == 2L)
+    // A registered BARE name must never capture the tail of someone
+    // else's qualified name: other_db.tq stays unresolved and errors in
+    // spark.sql instead of silently reading the bare table's snapshot.
+    GraftSql.register(spark, "tq", dir, Seq("id"))
+    intercept[Exception](
+      GraftSql.sql(spark, "SELECT * FROM other_db.tq VERSION AS OF 1").collect())
+    assert(GraftSql.sql(spark, "OPTIMIZE db1.tq").head()
+      .getAs[Long]("new_version") == 4L)
+    GraftSql.sql(spark, "DROP TABLE `db1`.`tq`")
+    val e = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "DESCRIBE DETAIL db1.tq"))
+    assert(e.getMessage.contains("not registered"))
+    GraftSql.sql(spark, "DROP TABLE tq")
+    ()
+  }
 }
