@@ -12,9 +12,25 @@ import org.apache.spark.sql.SparkSession
   * The total still includes everything.
   */
 object Bench {
+  /** 1/5/15-minute load averages — the run's contention stamp. Three
+    * consecutive rounds (r7-r9) of driver-vs-judge bench adjudication
+    * came down to "was the box busy?"; recording the answer inside the
+    * artifact makes a contaminated run self-identifying. */
+  private def loadavg(): String =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .trim.split("\\s+").take(3).mkString(" ")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Run provenance: every invocation gets a tag (SPARK_GRAFT_RUN_TAG,
+    // else a wall-clock stamp) and writes a PER-RUN detail file — a
+    // rerun can never overwrite the artifact an earlier round committed.
+    val runTag = sys.env.getOrElse("SPARK_GRAFT_RUN_TAG",
+      java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")))
+    val loadStart = loadavg()
     val spark = SparkSessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Bench measures the operators, not the JSON parser: generate the
@@ -99,11 +115,14 @@ object Bench {
     //   2. a final stdout line kept under ~1900 chars: total + as many
     //      entries as fit, slowest first (the ones that matter for the
     //      gate), 3-decimal seconds, plus how many were omitted.
+    val loadEnd = loadavg()
+    val stamp =
+      s""""run_tag":${jstr(runTag)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)}"""
     val fullQs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"$sfDir",$stamp}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench_full_$runTag.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fullLine + "\n").getBytes("UTF-8"))
@@ -115,7 +134,8 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val bySlow = results.sortBy { case (_, (sec, _)) => -sec }
     val budget = 1900 -
-      (120 + compactErrs.length + sfDir.length + outPath.length) // fixed fields
+      (120 + compactErrs.length + sfDir.length + outPath.length +
+        stamp.length + 1) // fixed fields incl. the provenance stamp
     val (kept, omitted) = {
       var used = 0
       val keep = bySlow.takeWhile { case (k, (sec, _)) =>
@@ -127,7 +147,7 @@ object Bench {
     val compactQs = kept.map { case (k, (sec, _)) => "\"" + k + "\":" + r3(sec) }
       .mkString("{", ",", "}")
     println(fullLine) // full detail earlier in the log for humans
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"omitted":$omitted,"detail":${jstr(outPath)},"errors":$compactErrs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$compactQs,"omitted":$omitted,"detail":${jstr(outPath)},"errors":$compactErrs,"sf":"$sfDir",$stamp}""")
     spark.stop()
   }
 }
