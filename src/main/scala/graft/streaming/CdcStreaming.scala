@@ -658,6 +658,7 @@ object ParquetTable {
   def vacuum(dir: String, keep: Int = 1): Seq[String] = {
     val doomed = vacuumDryRun(dir, keep)
     doomed.foreach(v => VersionNames.deleteTree(Paths.get(dir, v)))
+    ChangeFeedTable.onVersionsVacuumed(dir, doomed)
     doomed
   }
 
@@ -676,6 +677,7 @@ object ParquetTable {
   def vacuumRetain(dir: String, retainMillis: Long, nowMillis: Long = System.currentTimeMillis()): Seq[String] = {
     val doomed = vacuumRetainDryRun(dir, retainMillis, nowMillis)
     doomed.foreach(v => VersionNames.deleteTree(Paths.get(dir, v)))
+    ChangeFeedTable.onVersionsVacuumed(dir, doomed)
     doomed
   }
 

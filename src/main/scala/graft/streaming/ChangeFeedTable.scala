@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -108,11 +110,31 @@ object ChangeFeedTable {
     * new ones as [[publish]] commits them. Schema = table columns +
     * `_change_type` + `_commit_version`. Exactly-once per file via the
     * checkpoint's file log; resume after restart picks up only unseen
-    * commits (ChangeFeedStreamSpec). */
-  def changeFeedStream(spark: SparkSession, dir: String): DataFrame = {
+    * commits (ChangeFeedStreamSpec).
+    *
+    * A feed whose head was RETIRED by vacuum (`_TRUNCATED` marker) no
+    * longer replays a consistent full history — a fresh reader starting
+    * here would see diffs with no base. Refuse loudly and point at
+    * [[changeFeedStreamFromSnapshot]], which is how Delta's streaming
+    * CDF default handles the same situation (initial snapshot as
+    * inserts, then the tail). ALREADY-RUNNING readers are unaffected by
+    * retirement: the file source never re-lists files its checkpoint
+    * has seen, so deleting consumed change files is invisible to them. */
+  def changeFeedStream(spark: SparkSession, dir: String,
+      resume: Boolean = false): DataFrame = {
     val p = cdfDir(dir)
     require(Files.isDirectory(p),
       s"no change feed at $dir — publish through ChangeFeedTable.publish")
+    // `resume = true` is the caller's assertion that an existing
+    // checkpoint has already consumed past the truncation point — the
+    // plan is built before any checkpoint is visible, so the reader has
+    // to say which case it is. A fresh reader must not silently start
+    // mid-history.
+    require(resume || !Files.exists(truncatedMarker(dir)),
+      s"change feed at $dir was truncated by vacuum — a fresh reader cannot " +
+        "replay full history; start with changeFeedStreamFromSnapshot " +
+        "(current snapshot as inserts + tail), or pass resume=true when " +
+        "restarting on a checkpoint that predates the truncation")
     // `_cdf`'s children are vNNN dirs (not key=value partitions), so the
     // schema probe must glob into them — a read of the root finds no
     // footers.
@@ -120,8 +142,79 @@ object ChangeFeedTable {
     spark.readStream.schema(schema).parquet(s"${p.toString}/*")
   }
 
+  /** Fresh-reader start over a (possibly truncated) feed — Delta's
+    * streaming-CDF default semantics: the CURRENT snapshot arrives as
+    * one batch of `insert` rows stamped with its commit version, then
+    * only commits AFTER it stream from the change files. Union of two
+    * file sources: the pinned snapshot dir (immutable — emitted once,
+    * never again) and the `_cdf` tree filtered to later commits; the
+    * pin means no overlap and no gap even if a publish races the start.
+    * Contract (same as Delta): the bootstrap snapshot dir must stay
+    * within the vacuum retention window while this stream runs. */
+  def changeFeedStreamFromSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val p = cdfDir(dir)
+    require(Files.isDirectory(p),
+      s"no change feed at $dir — publish through ChangeFeedTable.publish")
+    val curPath = ParquetTable.currentPath(dir)
+    val curId = VersionNames.idOf(
+      Paths.get(curPath).getFileName.toString)
+    val snapSchema = spark.read.parquet(curPath).schema
+    val boot = spark.readStream.schema(snapSchema).parquet(curPath)
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(curId))
+    val feedSchema = spark.read.parquet(s"${p.toString}/*").schema
+    val tail = spark.readStream.schema(feedSchema).parquet(s"${p.toString}/*")
+      .filter(col("_commit_version") > curId)
+    boot.unionByName(tail)
+  }
+
   /** Batch view of the same change files (the `table_changes` dual over
     * the at-commit feed — no snapshot diffing at read time). */
   def changeFeedBatch(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"${cdfDir(dir).toString}/*")
+
+  private def truncatedMarker(dir: String) = cdfDir(dir).resolve("_TRUNCATED")
+
+  /** Retention hook, called by `ParquetTable.vacuum*` with the snapshot
+    * version names it deleted: retire those versions' change dirs and
+    * drop the `_TRUNCATED` marker recording the highest retired id.
+    * Underscore-prefixed, so neither the streaming glob nor the batch
+    * read ever lists it as data. No feed → no-op. */
+  def onVersionsVacuumed(dir: String, droppedVersionNames: Seq[String]): Unit = {
+    if (!Files.isDirectory(cdfDir(dir))) return
+    val retired = droppedVersionNames
+      .map(v => cdfDir(dir).resolve(s"v$v"))
+      .filter(Files.isDirectory(_))
+    if (retired.isEmpty) return
+    retired.foreach(VersionNames.deleteTree)
+    val highest = droppedVersionNames.map(VersionNames.idOf).max
+    val prior = if (Files.exists(truncatedMarker(dir)))
+      scala.util.Try(Files.readString(truncatedMarker(dir)).trim.toLong).getOrElse(0L)
+    else 0L
+    val tmp = cdfDir(dir).resolve("_TRUNCATED.tmp")
+    Files.writeString(tmp, math.max(prior, highest).toString)
+    Files.move(tmp, truncatedMarker(dir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Bin-pack each retained change dir toward the file-health target
+    * (streaming writers leave one file set per trigger/partition; the
+    * feed's read cost at 100 TB is open/seek per file, same as any
+    * table). Reuses the crash-recoverable `Compaction.compact` rewrite
+    * per commit dir — commit boundaries are never merged. Contract
+    * (same as vacuum's): run it for change sets all live readers have
+    * already passed — a rewritten dir presents NEW file names, which a
+    * checkpoint that had consumed the old ones would re-emit. */
+  def compactFeed(spark: SparkSession, dir: String,
+      targetBytes: Long = Compaction.DefaultTargetBytes): Seq[(String, Compaction.CompactionStats)] = {
+    val p = cdfDir(dir)
+    if (!Files.isDirectory(p)) return Seq.empty
+    val st = Files.list(p)
+    val dirs = try st.iterator().asScala.toSeq finally st.close()
+    dirs.filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("v"))
+      .sortBy(_.getFileName.toString)
+      .map(d => d.getFileName.toString ->
+        Compaction.compact(spark, d.toString, targetBytes))
+  }
 }

@@ -113,4 +113,114 @@ class ChangeFeedStreamSpec extends SparkSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("vacuum retires consumed change dirs; running stream unaffected; fresh reader bootstraps from snapshot") {
+    val s = spark
+    import s.implicits._
+    val (dir, cp) = freshDirs()
+    val out = java.nio.file.Paths.get(dir).resolveSibling("sink").toString
+
+    // v1 (bootstrap: k=1,2), v2 (update k=2, insert k=3), v3 (insert k=4).
+    ChangeFeedTable.publish(s, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, Seq("k"))
+    ChangeFeedTable.publish(s, Seq((1L, "a"), (2L, "B"), (3L, "c")).toDF("k", "v"), dir, Seq("k"))
+    ChangeFeedTable.publish(s, Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")).toDF("k", "v"), dir, Seq("k"))
+
+    // Reader A consumes the full history, then stays down during vacuum.
+    val q1 = ChangeFeedTable.changeFeedStream(s, dir)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(s.read.parquet(out).count() == 6L) // 2 boot + 3 (v2) + 1 (v3)
+
+    // Retention: superseded snapshots v1, v2 AND their change dirs go.
+    val dropped = ParquetTable.vacuum(dir)
+    assert(dropped.size == 2)
+    dropped.foreach { v =>
+      assert(!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(dir, "_cdf", s"v$v")), s"change dir v$v retired")
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_cdf", "_TRUNCATED")))
+
+    // v4 publishes after the vacuum; reader A restarts on its checkpoint
+    // and sees ONLY v4 — the retirement of files it already consumed is
+    // invisible to it.
+    ChangeFeedTable.publish(s,
+      Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D")).toDF("k", "v"), dir, Seq("k"))
+    val q2 = ChangeFeedTable.changeFeedStream(s, dir, resume = true)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", cp).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val resumed = s.read.parquet(out).collect()
+    assert(resumed.length == 8, s"6 + v4's 2 update images: ${resumed.length}")
+    assert(resumed.count(_.getAs[Long]("_commit_version") == 4L) == 2)
+
+    // A FRESH plain reader must refuse the truncated feed loudly...
+    val e = intercept[IllegalArgumentException](
+      ChangeFeedTable.changeFeedStream(s, dir))
+    assert(e.getMessage.contains("changeFeedStreamFromSnapshot"))
+
+    // ...and the snapshot-bootstrap start sees a CONSISTENT history:
+    // current snapshot (v4 state) as inserts + only commits after v4.
+    val (cp2, out2) = (java.nio.file.Paths.get(dir).resolveSibling("cp2").toString,
+      java.nio.file.Paths.get(dir).resolveSibling("sink2").toString)
+    val q3 = ChangeFeedTable.changeFeedStreamFromSnapshot(s, dir)
+      .writeStream.format("parquet").option("path", out2)
+      .option("checkpointLocation", cp2).start()
+    try {
+      q3.processAllAvailable()
+      val boot = s.read.parquet(out2).collect()
+      assert(boot.length == 4, s"v4 snapshot as inserts: ${boot.length}")
+      assert(boot.forall(r => r.getAs[String]("_change_type") == "insert" &&
+        r.getAs[Long]("_commit_version") == 4L))
+      // v5 while running: only its diff arrives (no snapshot re-emit).
+      ChangeFeedTable.publish(s,
+        Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D"), (5L, "e")).toDF("k", "v"),
+        dir, Seq("k"))
+      q3.processAllAvailable()
+      val withTail = s.read.parquet(out2).collect()
+      assert(withTail.length == 5, s"4 boot + 1 v5 insert: ${withTail.length}")
+      val v5 = withTail.filter(_.getAs[Long]("_commit_version") == 5L)
+      assert(v5.map(r => (r.getAs[Long]("k"), r.getAs[String]("_change_type"))).toSeq ==
+        Seq((5L, "insert")))
+      // Replaying boot + tail reconstructs exactly the live table state.
+      val replayed = withTail.filter(_.getAs[String]("_change_type") != "update_preimage")
+        .filter(_.getAs[String]("_change_type") != "delete")
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap
+      assert(replayed == ParquetTable.read(s, dir).collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[String]("v")).toMap)
+    } finally q3.stop()
+  }
+
+  test("compactFeed bin-packs change dirs; batch view and a fresh consumer are unchanged") {
+    val s = spark
+    import s.implicits._
+    val (dir, cp) = freshDirs()
+    // Many-partition writes leave many small files per change dir.
+    ChangeFeedTable.publish(s,
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v").repartition(8), dir, Seq("k"))
+    ChangeFeedTable.publish(s,
+      (1L to 44L).map(i => (i, if (i % 4 == 0) s"V$i" else s"v$i")).toDF("k", "v")
+        .repartition(8), dir, Seq("k"))
+    val before = ChangeFeedTable.changeFeedBatch(s, dir).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+
+    val stats = ChangeFeedTable.compactFeed(s, dir)
+    assert(stats.size == 2)
+    assert(stats.forall { case (_, st) => st.filesAfter <= st.filesBefore })
+    assert(stats.exists { case (_, st) => st.compacted && st.filesAfter == 1 },
+      s"small change sets pack to one file: $stats")
+
+    assert(ChangeFeedTable.changeFeedBatch(s, dir).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq == before,
+      "compaction must not change the feed's content")
+    // A fresh stream over the compacted feed replays the same history.
+    val q = ChangeFeedTable.changeFeedStream(s, dir)
+      .writeStream.format("memory").queryName("cdf_compacted")
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(s.sql("SELECT * FROM cdf_compacted").collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq == before)
+  }
 }
