@@ -497,6 +497,31 @@ object ParquetTable {
     } finally { src.unpersist(); () }
   }
 
+  /** INSERT INTO append commit: every current data file hard-links into
+    * the next version, the batch lands as new part files beside them —
+    * an O(new-data) commit like Delta's blind append, never a table
+    * rewrite. Creates version 1 on a missing table. Tables carrying
+    * deletion vectors must [[purgeDV]] first (same contract as the
+    * other plain-file DML paths). */
+  def append(spark: SparkSession, df: DataFrame, dir: String): Unit = {
+    if (!exists(dir)) { swap(spark, df, dir); return }
+    val cur = Paths.get(currentPath(dir))
+    requireNoDv(cur, "append")
+    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+    val next = VersionNames.format(nextId)
+    val nextPath = Paths.get(dir, next)
+    Files.createDirectories(nextPath)
+    Files.list(cur).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach { p =>
+        val dst = nextPath.resolve(p.getFileName)
+        try Files.createLink(dst, p)
+        catch { case _: Exception => Files.copy(p, dst) }
+      }
+    df.write.mode("append").parquet(nextPath.toString)
+    publish(dir, next)
+  }
+
   /** DELETE WHERE via DELETION VECTORS — merge-on-read, the write-cheap
     * dual of [[deleteWhere]]'s copy-on-write: NO data file is rewritten,
     * ever. The new version hard-links every data file forward and adds

@@ -43,6 +43,23 @@ object Constraints {
     ()
   }
 
+  /** Remove a named CHECK (ALTER TABLE ... DROP CONSTRAINT). Unknown
+    * names fail loudly — a typo must not silently leave the real
+    * constraint in force while the user believes it gone. */
+  def dropCheck(dir: String, name: String): Unit = {
+    val existing = checks(dir)
+    require(existing.exists(_._1 == name), s"no such check: $name")
+    val remaining = existing.filterNot(_._1 == name)
+    val tmp = Paths.get(dir, "_CHECKS.tmp")
+    Files.writeString(tmp,
+      remaining.map { case (n, e) => s"$n\t$e" }.mkString("", "\n", if (remaining.isEmpty) "" else "\n"),
+      StandardCharsets.UTF_8)
+    Files.move(tmp, manifest(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
   def checks(dir: String): Seq[(String, String)] =
     if (!Files.exists(manifest(dir))) Seq.empty
     else Files.readAllLines(manifest(dir), StandardCharsets.UTF_8).asScala.toSeq

@@ -107,6 +107,23 @@ object GraftSql {
     ("""(?is)^\s*COMMENT\s+ON\s+TABLE\s+(""" + IdPat + """)\s+IS\s+'((?:[^']|'')*)'\s*;?\s*$""").r
   private val DropTable =
     ("""(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(""" + IdPat + """)\s*;?\s*$""").r
+  // Row-level DML on registered versioned tables (Delta's DELETE /
+  // UPDATE / MERGE INTO statement surface). The WHERE / SET bodies are
+  // handed to Catalyst as expression strings — the regexes only find the
+  // clause boundaries. Caveat (documented, matches the shim's style
+  // elsewhere): a string LITERAL containing the bare word WHERE inside a
+  // SET expression would split early — parenthesize or rephrase.
+  private val DeleteFrom =
+    ("""(?is)^\s*DELETE\s+FROM\s+(""" + IdPat + """)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
+  private val UpdateTable =
+    ("""(?is)^\s*UPDATE\s+(""" + IdPat + """)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""").r
+  private val MergeIntoHead =
+    ("""(?is)^\s*MERGE\s+INTO\s+(""" + IdPat +
+      """)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_][A-Za-z0-9_]*))?\s+USING\s+(.*?)\s*;?\s*$""").r
+  private val AddConstraint =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val DropConstraint =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
   private val AnalyzeTable =
     ("""(?is)^\s*ANALYZE\s+TABLE\s+(""" + IdPat + """)\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:(ALL)\s+COLUMNS|COLUMNS\s+(.+?)))?\s*;?\s*$""").r
   private val SetProps =
@@ -246,13 +263,30 @@ object GraftSql {
         // logical columns (by name, any order). Without this, an extra
         // column would ride appendEvolved's additive-evolution path and
         // permanently widen the table from a typo.
-        val target = SchemaEvolution.readEvolved(s, dir).columns.map(_.toLowerCase).toSet
+        val versioned = ParquetTable.exists(dir)
+        val targetSchema =
+          if (versioned) dmlTable(s, normalizeIdent(name))._2.schema
+          else SchemaEvolution.readEvolved(s, dir).schema
+        val target = targetSchema.fields.map(_.name.toLowerCase).toSet
         val incoming = result.columns.map(_.toLowerCase).toSet
         require(incoming == target,
           s"INSERT INTO $name: SELECT columns ${incoming.toSeq.sorted.mkString(",")} " +
             s"must exactly match the table's ${target.toSeq.sorted.mkString(",")}")
+        // Write-time CHECK enforcement (Delta parity): a violating batch
+        // never lands — the table keeps its pre-INSERT state.
+        Constraints.validate(result, Constraints.checks(dir)).foreach(m =>
+          throw new IllegalStateException(
+            s"INSERT INTO $name rejected by CHECK constraint: $m"))
         val n = result.count()
-        SchemaEvolution.appendEvolved(s, result, dir)
+        if (versioned) {
+          // Append COMMIT: current files hard-link into the next version,
+          // the batch lands beside them, cast to the table's column
+          // order/types so every file generation shares one schema.
+          val byLower = result.columns.map(c => c.toLowerCase -> c).toMap
+          val aligned = result.select(targetSchema.fields.map(f =>
+            col(byLower(f.name.toLowerCase)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          ParquetTable.append(s, aligned, dir)
+        } else SchemaEvolution.appendEvolved(s, result, dir)
         TableStats.reanalyzeOnPublish(s, dir)
         singleRow(s, Seq("name" -> name, "n_inserted" -> n))
       } finally { result.unpersist(); () }
@@ -289,6 +323,27 @@ object GraftSql {
       val text = rawText.replace("''", "'")
       setProperties(s, name, Seq("comment" -> text))
       singleRow(s, Seq("name" -> name, "comment" -> text))
+    case DeleteFrom(rawName, pred) =>
+      deleteFromSql(s, normalizeIdent(rawName), Option(pred))
+    case UpdateTable(rawName, setBody, pred) =>
+      updateSql(s, normalizeIdent(rawName), setBody, Option(pred))
+    case MergeIntoHead(rawName, tgtAlias, tail) =>
+      mergeIntoSql(s, normalizeIdent(rawName), Option(tgtAlias), tail)
+    case AddConstraint(rawName, cname, checkExpr) =>
+      val name = normalizeIdent(rawName)
+      val dir = resolve(s, name).dir
+      Constraints.addCheck(s, dir, cname, checkExpr.trim)
+      // Mirrored into TBLPROPERTIES under the reserved prefix (where
+      // Delta surfaces constraints), so SHOW TBLPROPERTIES lists it.
+      setProperties(s, name, Seq(s"graft.constraints.$cname" -> checkExpr.trim))
+      singleRow(s, Seq("name" -> name, "constraint" -> cname,
+        "check" -> checkExpr.trim))
+    case DropConstraint(rawName, cname) =>
+      val name = normalizeIdent(rawName)
+      val dir = resolve(s, name).dir
+      Constraints.dropCheck(dir, cname)
+      unsetProperty(s, name, s"graft.constraints.$cname")
+      singleRow(s, Seq("name" -> name, "dropped_constraint" -> cname))
     case _ =>
       var rewritten = TableChanges.replaceAllIn(statement, m => {
         if (inLiteral(statement, m.start))
@@ -772,6 +827,335 @@ object GraftSql {
       .filter(_.contains("\t"))
       .map { l => val Array(k, v) = l.split("\t", 2); k -> v }
       .toMap
+  }
+
+  // ───── Row-level DML statements (DELETE FROM / UPDATE / MERGE INTO) ─────
+
+  /** DML rewrites data FILES through ParquetTable's copy-on-write paths,
+    * which read the snapshot's parquet directly (physical schema). That
+    * is only sound when the table's logical (evolved) view still equals
+    * a plain parquet read — checked loudly up front, so a table with a
+    * pending RENAME/DROP/widen divergence fails fast instead of
+    * evaluating predicates against the wrong column names. */
+  private def dmlTable(s: SparkSession, name: String): (String, DataFrame) = {
+    val dir = resolve(s, name).dir
+    require(ParquetTable.exists(dir), s"DML on '$name': not a versioned table")
+    val plain = ParquetTable.read(s, dir)
+    val logical = TableStats.readCurrent(s, dir)
+    require(
+      logical.schema.fields.map(f => (f.name.toLowerCase, f.dataType))
+        .sameElements(plain.schema.fields.map(f => (f.name.toLowerCase, f.dataType))),
+      s"DML on '$name': the table's logical schema diverges from its physical " +
+        "files (pending RENAME/DROP/type-widen) — SQL DML is not supported on " +
+        "diverged tables; rewrite the table (CTAS) first")
+    (dir, plain)
+  }
+
+  /** DELETE FROM t [WHERE pred]: copy-on-write file-granular delete
+    * (ParquetTable.deleteWhere) — untouched files hard-link into the new
+    * version. SQL semantics: NULL-predicate rows are KEPT; no WHERE
+    * deletes every row (but keeps the table and its history). */
+  private def deleteFromSql(s: SparkSession, name: String, pred: Option[String]): DataFrame = {
+    val (dir, _) = dmlTable(s, name)
+    val n = ParquetTable.deleteWhere(s, dir, pred.getOrElse("true"))
+    TableStats.reanalyzeOnPublish(s, dir)
+    singleRow(s, Seq("name" -> name, "n_deleted" -> n))
+  }
+
+  /** UPDATE t SET col = expr, ... [WHERE pred]: file-granular
+    * copy-on-write update. Assignments are Catalyst expression strings
+    * cast back to the column's type; registered CHECK constraints are
+    * validated against the POST-image of matching rows BEFORE any file
+    * is rewritten — a violating update never publishes. */
+  private def updateSql(s: SparkSession, name: String, setBody: String,
+      pred: Option[String]): DataFrame = {
+    val (dir, df) = dmlTable(s, name)
+    val sets = parseAssignments(setBody)
+    val bad = sets.keySet -- df.columns.map(_.toLowerCase).toSet
+    require(bad.isEmpty, s"UPDATE $name SET references missing columns: ${bad.toSeq.sorted.mkString(",")}")
+    val predicate = pred.getOrElse("true")
+    val cs = Constraints.checks(dir)
+    if (cs.nonEmpty) {
+      val hit = coalesce(expr(predicate), lit(false))
+      val post = df.filter(hit).select(df.schema.fields.map { f =>
+        sets.get(f.name.toLowerCase) match {
+          case Some(e) => expr(e).cast(f.dataType).as(f.name)
+          case None    => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+      Constraints.validate(post, cs).foreach(m => throw new IllegalStateException(
+        s"UPDATE $name rejected by CHECK constraint: $m"))
+    }
+    // updateWhere keys assignments by the file's own field names.
+    val physSets = df.schema.fields.flatMap(f =>
+      sets.get(f.name.toLowerCase).map(f.name -> _)).toMap
+    val n = ParquetTable.updateWhere(s, dir, predicate, physSets)
+    TableStats.reanalyzeOnPublish(s, dir)
+    singleRow(s, Seq("name" -> name, "n_updated" -> n))
+  }
+
+  /** `SET a = e1, b = e2` → lowercase-col → expression. Assignment
+    * targets must be bare (optionally backquoted) column names. */
+  private def parseAssignments(body: String): Map[String, String] = {
+    val parts = splitTopLevel(body, ',')
+    require(parts.nonEmpty, "UPDATE SET: empty assignment list")
+    val pairs = parts.map { a =>
+      val eq = topLevelIndexOf(a, '=')
+      require(eq > 0, s"UPDATE SET: expected 'col = expression' in: $a")
+      val rawCol = a.substring(0, eq).trim
+      val colName = rawCol.stripPrefix("`").stripSuffix("`")
+      require(colName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"UPDATE SET: unsupported assignment target '$rawCol' " +
+          "(qualified or nested targets are not supported)")
+      val e = a.substring(eq + 1).trim
+      require(e.nonEmpty, s"UPDATE SET: empty expression for $colName")
+      colName.toLowerCase -> e
+    }
+    require(pairs.map(_._1).distinct.size == pairs.size,
+      "UPDATE SET: a column is assigned more than once")
+    pairs.toMap
+  }
+
+  /** MERGE INTO subset — the Delta upsert-by-key spellings
+    * ParquetTable.mergeInto executes:
+    *
+    * {{{
+    * MERGE INTO t [AS a] USING src | (SELECT ...) [AS b] ON <equi-keys>
+    *   [WHEN MATCHED AND <guard> THEN DELETE]
+    *   [WHEN MATCHED THEN UPDATE SET *]
+    *   [WHEN NOT MATCHED THEN INSERT *]
+    * -- or the pure-delete form:
+    * MERGE INTO t USING src ON <equi-keys> WHEN MATCHED THEN DELETE
+    * }}}
+    *
+    * ON must be a conjunction of `[alias.]col = [alias.]col` equalities
+    * naming the SAME column on both sides (the merge keys). Guards
+    * evaluate over the SOURCE row (explicit target-alias references are
+    * rejected; Delta's guard-on-target form needs target values, which
+    * the row-replacement merge does not thread through). UPDATE SET * /
+    * INSERT * are whole-row replacement; the column-list forms are
+    * rejected loudly rather than half-supported. Matched rows with no
+    * applicable clause are left untouched, and unmatched source rows
+    * without INSERT * are no-ops — exactly Delta's clause semantics.
+    * Registered CHECK constraints validate the upsert rows before any
+    * file is rewritten. */
+  private def mergeIntoSql(s: SparkSession, name: String, tgtAlias: Option[String],
+      tail: String): DataFrame = {
+    val (dir, target) = dmlTable(s, name)
+    val t = tail.trim
+    // Source operand: a parenthesized subquery runs back through sql()
+    // (AS-OF phrases / table_changes / registered mounts compose); a
+    // bare identifier becomes SELECT * FROM <ident> for the same reason.
+    val (srcDf0, afterSrc) =
+      if (t.startsWith("(")) {
+        val close = matchingParen(t, 0)
+        (sql(s, t.substring(1, close)), t.substring(close + 1))
+      } else {
+        val m = ("""(?s)^(""" + IdPat + """)(.*)$""").r.findFirstMatchIn(t).getOrElse(
+          throw new IllegalArgumentException(
+            s"MERGE INTO: cannot parse USING source near: ${t.take(60)}"))
+        (sql(s, s"SELECT * FROM ${m.group(1)}"), m.group(2))
+      }
+    val AliasOn = """(?is)^\s*(?:(?:AS\s+)?(?!ON\b)([A-Za-z_][A-Za-z0-9_]*)\s+)?ON\s+(.+)$""".r
+    val (srcAlias, rest) = afterSrc match {
+      case AliasOn(a, r) => (Option(a), r)
+      case _ => throw new IllegalArgumentException(
+        s"MERGE INTO: expected [alias] ON <condition> after the USING source, " +
+          s"got: ${afterSrc.trim.take(60)}")
+    }
+    val whenIdx = topLevelWordIndices(rest, "WHEN")
+    require(whenIdx.nonEmpty, "MERGE INTO: at least one WHEN clause is required")
+    val onCond = rest.substring(0, whenIdx.head).trim
+    val clauses = splitTopLevelWord(rest.substring(whenIdx.head), "WHEN")
+      .map(_.trim).filter(_.nonEmpty)
+    val EqPat = ("""(?is)^\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?([A-Za-z_][A-Za-z0-9_]*)""" +
+      """\s*=\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*$""").r
+    val keys = splitTopLevelWord(onCond, "AND").map {
+      case EqPat(_, l, _, r) =>
+        require(l.equalsIgnoreCase(r),
+          s"MERGE INTO ON: '$l = $r' — both sides must name the SAME key column")
+        l
+      case c => throw new IllegalArgumentException(
+        s"MERGE INTO ON: unsupported conjunct '$c' — only " +
+          "`[alias.]col = [alias.]col` equalities are supported")
+    }
+    require(keys.nonEmpty, "MERGE INTO ON: no key equalities found")
+    val GuardedDelete = """(?is)^MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE$""".r
+    val PlainDelete   = """(?is)^MATCHED\s+THEN\s+DELETE$""".r
+    val UpdateAll     = """(?is)^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*$""".r
+    val InsertAll     = """(?is)^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$""".r
+    var guard: Option[String] = None
+    var pureDelete = false; var hasUpdate = false; var hasInsert = false
+    clauses.foreach {
+      case GuardedDelete(g) =>
+        require(guard.isEmpty, "MERGE INTO: at most one guarded DELETE clause")
+        guard = Some(g)
+      case PlainDelete() => pureDelete = true
+      case UpdateAll()   => hasUpdate = true
+      case InsertAll()   => hasInsert = true
+      case c => throw new IllegalArgumentException(
+        s"MERGE INTO: unsupported clause 'WHEN $c' — supported: " +
+          "WHEN MATCHED [AND guard] THEN DELETE, WHEN MATCHED THEN UPDATE SET *, " +
+          "WHEN NOT MATCHED THEN INSERT *")
+    }
+    require(!(pureDelete && (hasUpdate || hasInsert || guard.nonEmpty)),
+      "MERGE INTO: unguarded WHEN MATCHED THEN DELETE cannot combine with other clauses")
+    require(pureDelete || hasUpdate || hasInsert || guard.nonEmpty,
+      "MERGE INTO: no actionable clause")
+    // Guards evaluate over the source row: strip the source alias
+    // qualifier, reject explicit target-alias references.
+    val guardExpr = guard.map { g =>
+      tgtAlias.filterNot(a => srcAlias.contains(a)).foreach { a =>
+        require(("""(?i)(?<![A-Za-z0-9_])""" + java.util.regex.Pattern.quote(a) + """\s*\.""")
+            .r.findFirstIn(g).isEmpty,
+          s"MERGE INTO guard may reference SOURCE columns only (found target alias '$a.')")
+      }
+      srcAlias.foldLeft(g)((acc, a) => acc.replaceAll(
+        """(?i)(?<![A-Za-z0-9_])""" + java.util.regex.Pattern.quote(a) + """\s*\.\s*""", ""))
+    }
+    if (hasUpdate) {
+      // Delta errors when one target row matches several source rows —
+      // replacement would be nondeterministic. Bounded: one agg + limit 1.
+      val dup = srcDf0.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dup == 0L,
+        s"MERGE INTO: source has duplicate rows on (${keys.mkString(",")}) — " +
+          "deduplicate the source first")
+    }
+    val prepared: DataFrame =
+      if (pureDelete) {
+        // Only keys are needed; fill the row image from the target so
+        // mergeInto's column contract holds whatever the source carries.
+        val srcKeys = srcDf0.select(keys.map(col): _*).distinct()
+        target.join(srcKeys, keys, "left_semi").withColumn("_deleted", lit(true))
+      } else {
+        val tKeys = target.select(keys.map(col): _*).distinct()
+          .withColumn("__graft_m", lit(true))
+        val srcM = srcDf0.join(tKeys, keys, "left")
+          .withColumn("__graft_matched", coalesce(col("__graft_m"), lit(false)))
+          .drop("__graft_m")
+        val delCol = guardExpr
+          .map(g => col("__graft_matched") && coalesce(expr(g), lit(false)))
+          .getOrElse(lit(false))
+        val tagged = srcM.withColumn("__graft_del", delCol)
+        // Clause applicability decides which source rows participate:
+        // matched rows stay only for DELETE or UPDATE SET *; unmatched
+        // rows stay only under INSERT * — everything else is a no-op row.
+        val kept = tagged.filter(
+          (col("__graft_matched") && (col("__graft_del") || lit(hasUpdate))) ||
+          (!col("__graft_matched") && lit(hasInsert)))
+        val missing = target.columns.map(_.toLowerCase).toSet --
+          kept.columns.map(_.toLowerCase).toSet
+        require(missing.isEmpty,
+          "MERGE INTO with UPDATE SET * / INSERT *: the source must carry every " +
+            s"target column; missing: ${missing.toSeq.sorted.mkString(",")}")
+        kept.select((target.columns.map(col) :+ col("__graft_del").as("_deleted"))
+          .toIndexedSeq: _*)
+      }
+    val cs = Constraints.checks(dir)
+    if (cs.nonEmpty && !pureDelete) {
+      val ups = prepared.filter(!col("_deleted"))
+        .select(target.columns.map(col).toIndexedSeq: _*)
+      Constraints.validate(ups, cs).foreach(m => throw new IllegalStateException(
+        s"MERGE INTO $name rejected by CHECK constraint: $m"))
+    }
+    val (nUp, nDel) = ParquetTable.mergeInto(s, dir, prepared, keys)
+    TableStats.reanalyzeOnPublish(s, dir)
+    singleRow(s, Seq("name" -> name, "n_upserted" -> nUp, "n_deleted" -> nDel))
+  }
+
+  /** Index of the '(' at `open`'s matching ')' — quote-aware. */
+  private def matchingParen(text: String, open: Int): Int = {
+    var depth = 0; var inQuote = false; var i = open
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\'') inQuote = !inQuote
+      else if (!inQuote && c == '(') depth += 1
+      else if (!inQuote && c == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    throw new IllegalArgumentException("MERGE INTO: unbalanced parentheses in USING source")
+  }
+
+  /** Top-level single-char split — commas inside parens/quotes don't
+    * split (expression flavor of [[parseColumnDefs]]'s splitter: no
+    * '<'/'>' nesting, those are comparison operators here). */
+  private def splitTopLevel(body: String, sep: Char): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    body.foreach { c =>
+      c match {
+        case '\'' => inQuote = !inQuote; cur += c
+        case '(' if !inQuote => depth += 1; cur += c
+        case ')' if !inQuote => depth -= 1; cur += c
+        case `sep` if depth == 0 && !inQuote => parts += cur.toString; cur.clear()
+        case other => cur += other
+      }
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** First top-level (outside quotes/parens) occurrence of `c`, or -1. */
+  private def topLevelIndexOf(text: String, c: Char): Int = {
+    var depth = 0; var inQuote = false; var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (ch == '\'') inQuote = !inQuote
+      else if (!inQuote && ch == '(') depth += 1
+      else if (!inQuote && ch == ')') depth -= 1
+      else if (!inQuote && depth == 0 && ch == c) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Start indices of every top-level whole-word occurrence of `word`
+    * (case-insensitive, outside quotes and parens). */
+  private def topLevelWordIndices(text: String, word: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0; var inQuote = false; var i = 0
+    val n = text.length; val w = word.length
+    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '\'') inQuote = !inQuote
+      else if (!inQuote && c == '(') depth += 1
+      else if (!inQuote && c == ')') depth -= 1
+      else if (!inQuote && depth == 0 && text.regionMatches(true, i, word, 0, w) &&
+          (i == 0 || !isWordChar(text.charAt(i - 1))) &&
+          (i + w >= n || !isWordChar(text.charAt(i + w)))) {
+        out += i
+        i += w - 1
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Split on top-level whole-word separators, dropping the separator. */
+  private def splitTopLevelWord(text: String, word: String): Seq[String] = {
+    val idxs = topLevelWordIndices(text, word)
+    val starts = 0 +: idxs.map(_ + word.length)
+    val ends = idxs :+ text.length
+    starts.zip(ends).map { case (a, b) => text.substring(a, b).trim }.filter(_.nonEmpty)
+  }
+
+  /** Remove one key from the `_PROPS` manifest (atomic replace). */
+  private def unsetProperty(s: SparkSession, name: String, key: String): Unit = {
+    val ref = resolve(s, name)
+    val remaining = properties(ref.dir) - key
+    val body = remaining.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k\t$v" }.mkString("\n")
+    val p = java.nio.file.Paths.get(ref.dir, "_PROPS")
+    val tmp = java.nio.file.Paths.get(ref.dir, "_PROPS.tmp")
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
 
   private def singleRow(s: SparkSession, fields: Seq[(String, Any)]): DataFrame = {
