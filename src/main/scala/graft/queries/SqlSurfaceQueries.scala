@@ -37,6 +37,65 @@ object SqlSurfaceQueries extends QueryModule {
   private def viaSql(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => { ensureSeeded(s, dir); s.sql(sql) }
 
+  private val dmlSeeded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String, String)]
+
+  /** Three small versioned tables seeded from `orders`, each mutated by
+    * ONE row-level DML STATEMENT through GraftSql.sql — the gated
+    * queries read the post-statement state, so the oracle checks the
+    * statement surface end-to-end (parse → copy-on-write rewrite →
+    * publish), not just the programmatic merge API (tt_merge_into
+    * covers that). Names are build-unique: getOrElseUpdate may
+    * race-evaluate this builder, and a session-global name would let
+    * one build's statements resolve to the other's directory. */
+  private def dmlTables(s: SparkSession, dir: String): (String, String, String) =
+    dmlSeeded.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions._
+      import graft.tables.GraftSql
+      val base = Files.createTempDirectory("graft-dmlsql").toString
+      val orders = s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val uid = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      def mk(tag: String): String = {
+        graft.streaming.ParquetTable.swap(s, orders.repartition(4), s"$base/$tag")
+        val nm = s"dml_${tag}_$uid"
+        GraftSql.register(s, nm, s"$base/$tag", Seq("o_orderkey"))
+        nm
+      }
+      val (u, d, m) = (mk("upd"), mk("del"), mk("mrg"))
+      GraftSql.sql(s, s"UPDATE $u SET o_orderstatus = 'U', " +
+        s"o_totalprice = o_totalprice + 500.0 WHERE o_orderkey % 7 = 0")
+      GraftSql.sql(s, s"DELETE FROM $d WHERE o_orderkey % 11 = 0")
+      // MERGE source: %5 keys re-keyed to ('M', 2×price) with a delete
+      // guard on %3; %13 keys shifted past the max key so they land as
+      // inserts. Disjoint key sets by construction (shift > max).
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      val srcView = s"dml_src_$uid"
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("kill", col("o_orderkey") % 3 === 0)
+        .unionByName(orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1)
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("kill", lit(false)))
+        .createOrReplaceTempView(srcView)
+      GraftSql.sql(s,
+        s"""MERGE INTO $m AS t USING $srcView AS s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.kill THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      (u, d, m)
+    })
+
+  /** Post-DML rollup, integer-exact: cents sums are BIGINT, so the
+    * aggregate is order-independent and hash-stable cross-engine. */
+  private def dmlRollup(s: SparkSession, name: String): DataFrame =
+    graft.tables.GraftSql.sql(s,
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+         |FROM $name GROUP BY o_orderstatus""".stripMargin)
+
   override def queries: Seq[EngineQuery] = Seq(
 
     // Change-detection view (LATERAL VIEW explode + CASE over before
@@ -69,6 +128,41 @@ object SqlSurfaceQueries extends QueryModule {
       "sql_view_stream_current",
       viaSql("SELECT count(*) AS n_orders FROM order_stream_current"),
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders
-             |WHERE (o_orderkey // 5) % 11 <> 0 OR o_orderkey % 7 = 0 OR o_orderkey % 9 = 0""".stripMargin))
+             |WHERE (o_orderkey // 5) % 11 <> 0 OR o_orderkey % 7 = 0 OR o_orderkey % 9 = 0""".stripMargin)),
+
+    // UPDATE ... SET ... WHERE as a whole statement: post-image rollup.
+    EngineQuery(
+      "sql_dml_update",
+      (s, dir) => dmlRollup(s, dmlTables(s, dir)._1),
+      Some("""SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round((CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+             |                            ELSE o_totalprice END) * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders GROUP BY 1""".stripMargin)),
+
+    // DELETE FROM ... WHERE as a whole statement: survivors rollup.
+    EngineQuery(
+      "sql_dml_delete",
+      (s, dir) => dmlRollup(s, dmlTables(s, dir)._2),
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders WHERE o_orderkey % 11 <> 0 GROUP BY o_orderstatus""".stripMargin)),
+
+    // MERGE INTO (update/insert/guarded-delete clauses) as a statement:
+    // %5 keys replaced ('M', 2×price) unless %3 (deleted); %13 keys
+    // re-inserted above the max key as 'N'.
+    EngineQuery(
+      "sql_dml_merge",
+      (s, dir) => dmlRollup(s, dmlTables(s, dir)._3),
+      Some("""WITH merged AS (
+             |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'M' ELSE o_orderstatus END AS st,
+             |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS p
+             |  FROM orders WHERE NOT (o_orderkey % 5 = 0 AND o_orderkey % 3 = 0)
+             |  UNION ALL
+             |  SELECT 'N' AS st, o_totalprice AS p FROM orders WHERE o_orderkey % 13 = 0
+             |)
+             |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(p * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM merged GROUP BY st""".stripMargin))
   )
 }
