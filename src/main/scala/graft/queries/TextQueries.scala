@@ -1032,6 +1032,128 @@ object TextQueries extends QueryModule {
               |  CAST(count(CASE WHEN n_same > 1 THEN 1 END) AS BIGINT) AS n_exact_dup,
               |  round(CAST(sum(q10k) AS DOUBLE) / count(*) / 10000.0, 6) AS mean_quality
               |FROM d JOIN dup USING (h)
-              |GROUP BY source, lang""".stripMargin))
+              |GROUP BY source, lang""".stripMargin)),
+
+    // Exact repeated-span detection — the token-granular shape of
+    // ExactSubstr dedup ("Deduplicating Training Data Makes Language
+    // Models Better", Lee et al. 2022 §4.1): every positional 8-token
+    // gram is hashed; a gram occurring more than once ANYWHERE in the
+    // corpus marks its 8-token span as duplicated text. Per document:
+    // gram count, duplicated-gram count, the EXACT interval-union size
+    // of the duplicated spans, and the duplicated fraction (the signal
+    // ExactSubstr cuts at 0.x). Equal-length sorted intervals make the
+    // union trivial — covered = Σ min(k, pos − prev_pos) over one lag
+    // window, no fold, all integers. Scale shape: ONE gram-hash-keyed
+    // count shuffle + one doc-keyed window; the suffix array's
+    // repeated-substring functionality at n-gram granularity with
+    // shuffle-sized (not corpus-sized) state.
+    EngineQuery(
+      "text_dup_spans",
+      (s, dir) => {
+        val k = 8
+        val t = docs(s, dir).withColumn("toks", expr(toksSpark))
+          .selectExpr("doc_id", "toks", "CAST(size(toks) AS INT) AS n")
+        val g = t.where(col("n") >= k).selectExpr("doc_id",
+            s"posexplode(transform(sequence(1, n - ${k - 1}), i -> ${hash60Spark(s"concat_ws(' ', slice(toks, i, $k))")})) AS (p0, gh)")
+          .selectExpr("doc_id", "p0 + 1 AS pos", "gh")
+        val gc = g.groupBy("gh").agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val perDoc = g.join(gc.where(col("c") > 1), "gh")
+          .withColumn("prev", lag(col("pos"), 1).over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nd"),
+            sum(when(col("prev").isNull, lit(k))
+              .otherwise(least(lit(k), col("pos") - col("prev")))).as("cov"))
+        t.join(perDoc, Seq("doc_id"), "left")
+          .selectExpr("doc_id", "CAST(n AS BIGINT) AS n_tokens",
+            s"CAST(greatest(n - ${k - 1}, 0) AS BIGINT) AS n_grams",
+            "CAST(coalesce(nd, 0) AS BIGINT) AS n_dup_grams",
+            "CAST(coalesce(cov, 0) AS BIGINT) AS covered_tokens",
+            "round(CAST(coalesce(cov, 0) AS DOUBLE) / greatest(n, 1), 6) AS dup_frac")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+              |tt AS (SELECT doc_id, toks, CAST(len(toks) AS INT) AS n FROM t),
+              |gr AS (SELECT doc_id,
+              |    unnest(range(1, n - 6)) AS pos,
+              |    unnest([${hash60Duck("array_to_string(toks[i:i+7], ' ')")}
+              |      for i in range(1, n - 6)]) AS gh
+              |  FROM tt WHERE n >= 8),
+              |gc AS (SELECT gh, count(*) AS c FROM gr GROUP BY gh),
+              |cov AS (SELECT doc_id, pos,
+              |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              |  FROM gr JOIN gc USING (gh) WHERE c > 1),
+              |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nd,
+              |    sum(CASE WHEN prev IS NULL THEN 8 ELSE least(8, pos - prev) END) AS cov
+              |  FROM cov GROUP BY doc_id)
+              |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+              |  CAST(greatest(n - 7, 0) AS BIGINT) AS n_grams,
+              |  CAST(COALESCE(nd, 0) AS BIGINT) AS n_dup_grams,
+              |  CAST(COALESCE(cov, 0) AS BIGINT) AS covered_tokens,
+              |  round(CAST(COALESCE(cov, 0) AS DOUBLE) / greatest(n, 1), 6) AS dup_frac
+              |FROM tt LEFT JOIN pd USING (doc_id)""".stripMargin)),
+
+    // DSIR-shaped importance selection (Data Selection via Importance
+    // Resampling, Xie et al. 2023): hashed unigram features (256
+    // buckets); target distribution = the 'en' slice, raw = the rest;
+    // per-feature importance ratio with Laplace smoothing
+    //   r_f = (ct_f + 1)(Nr + 256) / ((cr_f + 1)(Nt + 256))
+    // computed as double products in a FIXED order. The per-occurrence
+    // log importance is replaced by the rational odds surrogate
+    // (r − 1)/(r + 1) — monotone in r, pure IEEE arithmetic, so the
+    // oracle replays it bitwise (the same trick as the rational PMI;
+    // ln() is the one operation the two engines round differently) —
+    // summed per document in position order. Top 50 by importance,
+    // doc_id tiebreak. Scale shape: the whole feature model is a
+    // 256-row broadcast (two tiny aggregates); the corpus side is a
+    // narrow projection + ONE doc-keyed fold shuffle + a top-k sort.
+    EngineQuery(
+      "text_dsir_select",
+      (s, dir) => {
+        val B = 256
+        val e = docs(s, dir).withColumn("toks", expr(toksSpark))
+          .selectExpr("doc_id", "lang", "posexplode(toks) AS (pos, tok)")
+          .selectExpr("doc_id", "lang", "pos",
+            s"${hash60Spark("tok")} % $B AS f")
+        val counts = e.groupBy("f").agg(
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cr"))
+        val tot = counts.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+        val weights = counts.crossJoin(broadcast(tot))
+          .selectExpr("f",
+            s"""CAST(ct + 1 AS DOUBLE) * CAST(nr + $B AS DOUBLE)
+               | / (CAST(cr + 1 AS DOUBLE) * CAST(nt + $B AS DOUBLE)) AS r""".stripMargin)
+          .selectExpr("f",
+            "(r - CAST(1.0 AS DOUBLE)) / (r + CAST(1.0 AS DOUBLE)) AS w")
+        e.join(broadcast(weights), "f")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).cast("long").as("n_toks"),
+            sort_array(collect_list(struct(col("pos"), col("w")))).as("vs"))
+          .withColumn("score",
+            expr("aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.w)"))
+          .orderBy(col("score").desc, col("doc_id")).limit(50)
+          .selectExpr("doc_id", "lang", "n_toks", "round(score, 6) AS score")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
+              |e AS (SELECT doc_id, lang,
+              |    unnest(range(0, len(toks))) AS pos,
+              |    unnest([${hash60Duck("tok")} % 256 for tok in toks]) AS f
+              |  FROM t),
+              |c AS (SELECT f,
+              |    CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS ct,
+              |    CAST(count(CASE WHEN lang <> 'en' THEN 1 END) AS BIGINT) AS cr
+              |  FROM e GROUP BY f),
+              |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+              |    CAST(sum(cr) AS BIGINT) AS nr FROM c),
+              |w AS (SELECT f,
+              |    (r - CAST(1.0 AS DOUBLE)) / (r + CAST(1.0 AS DOUBLE)) AS w
+              |  FROM (SELECT f, CAST(ct + 1 AS DOUBLE) * CAST(nr + 256 AS DOUBLE)
+              |      / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 256 AS DOUBLE)) AS r
+              |    FROM c, tot)),
+              |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
+              |    list_reduce(list(w ORDER BY pos), (x, y) -> x + y) AS score
+              |  FROM e JOIN w USING (f) GROUP BY doc_id, lang)
+              |SELECT doc_id, lang, n_toks, round(score, 6) AS score
+              |FROM sc ORDER BY sc.score DESC, doc_id LIMIT 50""".stripMargin))
   )
 }
