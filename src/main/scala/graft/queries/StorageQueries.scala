@@ -29,6 +29,40 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededMv =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Materialized-view fixture: base publishes v1 (even keys) through
+    * [[graft.streaming.ChangeFeedTable.publish]], the MV is created over
+    * v1, then v2 (keys % 3 <> 0: mixed inserts + deletes) and v3
+    * (o_custkey + 1 where key % 5 = 0: an update-only commit) commit,
+    * and one incremental refresh folds both. The summed column is the
+    * integral o_custkey — the exactly-maintainable class (the table's
+    * o_totalprice is DOUBLE, which [[graft.tables.MaterializedView]]
+    * refuses by design: float sums drift under incremental +/−).
+    * Returns the MV dir. */
+  private def mvOrders(s: SparkSession, dir: String): String =
+    seededMv.getOrElseUpdate((s, dir), {
+      val root = java.nio.file.Files.createTempDirectory("graft-mv-q")
+      val base = root.resolve("orders_base").toString
+      val mv = root.resolve("orders_mv").toString
+      val orders = s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus", "o_custkey")
+      graft.streaming.ChangeFeedTable.publish(
+        s, orders.filter(col("o_orderkey") % 2 === 0), base, Seq("o_orderkey"))
+      graft.tables.MaterializedView.create(s, mv, base,
+        Seq("o_orderstatus"), "n_orders", Seq("sum_cust" -> "o_custkey"))
+      val v2 = orders.filter(col("o_orderkey") % 3 =!= 0)
+      graft.streaming.ChangeFeedTable.publish(s, v2, base, Seq("o_orderkey"))
+      val v3 = v2.withColumn("o_custkey",
+        when(col("o_orderkey") % 5 === 0, col("o_custkey") + 1)
+          .otherwise(col("o_custkey")))
+      graft.streaming.ChangeFeedTable.publish(s, v3, base, Seq("o_orderkey"))
+      require(graft.tables.MaterializedView.refresh(s, mv),
+        "mv fixture: refresh must fold v2+v3")
+      mv
+    })
+
   private val seededSe =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
@@ -1150,6 +1184,31 @@ object StorageQueries extends QueryModule {
         commentedNation(s, dir)
         graft.tables.GraftSql.sql(s, "SHOW TBLPROPERTIES nation_commented")
       },
-      Some("SELECT 'comment' AS key, 'the ''nations'' dimension' AS value"))
+      Some("SELECT 'comment' AS key, 'the ''nations'' dimension' AS value")),
+
+    // Incrementally-maintained materialized view: the MV is created over
+    // v1 (even order keys) with COUNT(*) + SUM(o_custkey), then the
+    // base publishes v2 (keys % 3 <> 0: a mixed insert+delete commit)
+    // and v3 (o_custkey + 1 where key % 5 = 0: an update-only commit),
+    // and ONE refresh folds both commits' change files into the view —
+    // never re-aggregating the base. The oracle aggregates the FINAL
+    // base state directly, so any drift the incremental +/− maintenance
+    // introduced (sign errors, update double-counting, group-death
+    // mishandling) hash-mismatches. All-integer arithmetic — exact under
+    // any refresh order.
+    EngineQuery(
+      "mv_incremental_refresh",
+      (s, dir) => {
+        val mv = mvOrders(s, dir)
+        graft.tables.MaterializedView.read(s, mv)
+          .selectExpr("o_orderstatus", "CAST(n_orders AS BIGINT) AS n_orders",
+            "CAST(sum_cust AS BIGINT) AS sum_cust")
+      },
+      Some("""WITH fin AS (SELECT o_orderstatus,
+             |    CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1 ELSE o_custkey END AS c
+             |  FROM orders WHERE o_orderkey % 3 <> 0)
+             |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(c) AS BIGINT) AS sum_cust
+             |FROM fin GROUP BY o_orderstatus""".stripMargin))
   )
 }

@@ -788,4 +788,54 @@ object ParquetTable {
     Files.writeString(history(dir), s"$next\t${System.currentTimeMillis()}\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
+
+  /** Highest writer-transaction version committed for `appId` — the read
+    * side of [[swapWithTxn]] (Delta's `txn` action surface). Stamps live
+    * INSIDE version dirs (underscore-prefixed, invisible to parquet
+    * readers), so the scan is bounded by the retained version count. */
+  def lastTxnVersion(dir: String, appId: String): Option[Long] = {
+    if (!Files.isDirectory(Paths.get(dir))) return None
+    val stamps = snapshots(dir).flatMap { v =>
+      val p = Paths.get(dir, v, "_TXN")
+      if (!Files.exists(p)) Seq.empty
+      else Files.readAllLines(p).asScala.flatMap { line =>
+        line.split("\t", 2) match {
+          case Array(a, ver) if a == appId && ver.nonEmpty && ver.forall(_.isDigit) =>
+            Some(ver.toLong)
+          case _ => None
+        }
+      }
+    }
+    if (stamps.isEmpty) None else Some(stamps.max)
+  }
+
+  /** Idempotent [[swap]] — the Delta `txn`-action shape that makes a
+    * `foreachBatch` sink into a versioned table EXACTLY-ONCE across
+    * checkpoint replays: the writer names its stream (`appId`) and a
+    * monotone version (the epoch/batch id); a commit whose version is
+    * not beyond the last stamped one is a NO-OP (returns false). The
+    * stamp file is written into the staged version dir BEFORE the
+    * rename, so data and stamp publish in the same atomic move — a
+    * crash can never commit one without the other, which is exactly the
+    * window a root-level txn manifest would reopen. Same single-writer
+    * contract as [[swap]] per (dir, appId). Retention contract (same as
+    * Delta's): the stamp rides its version dir, so vacuum must retain
+    * at least the writer's replay window — with per-commit stamping the
+    * newest version always carries the newest stamp, which vacuum never
+    * deletes. */
+  def swapWithTxn(spark: SparkSession, df: DataFrame, dir: String,
+      appId: String, txnVersion: Long): Boolean = {
+    require(!appId.exists(c => c == '\t' || c == '\n' || c == '/'),
+      s"txn appId may not contain tab/newline/slash: '$appId'")
+    if (lastTxnVersion(dir, appId).exists(_ >= txnVersion)) return false
+    Files.createDirectories(Paths.get(dir))
+    val staging = s".staging-${java.util.UUID.randomUUID}"
+    df.write.mode("overwrite").parquet(s"$dir/$staging")
+    Files.writeString(Paths.get(dir, staging, "_TXN"), s"$appId\t$txnVersion\n")
+    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+    val next = VersionNames.format(nextId)
+    Files.move(Paths.get(dir, staging), Paths.get(dir, next))
+    publish(dir, next)
+    true
+  }
 }

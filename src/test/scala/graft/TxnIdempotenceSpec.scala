@@ -1,0 +1,50 @@
+package graft
+
+import graft.streaming.ParquetTable
+
+/** Idempotent writer transactions (the Delta `txn`-action shape): a
+  * replayed commit with an already-stamped (appId, version) must be a
+  * no-op, stamps are per-app, and a foreachBatch-style replay sequence
+  * lands each batch exactly once. */
+class TxnIdempotenceSpec extends SparkSuite {
+
+  test("replayed (appId, version) is a no-op; apps are independent") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-txn").resolve("t").toString
+
+    assert(ParquetTable.swapWithTxn(spark, (1 to 10).toDF("v"), dir, "sink", 1L))
+    assert(ParquetTable.lastTxnVersion(dir, "sink").contains(1L))
+
+    // Replay of version 1 — even with DIFFERENT data — must not publish:
+    // the stamp, not the content, decides (that's what makes a
+    // checkpoint-replayed batch safe even if nondeterministic).
+    assert(!ParquetTable.swapWithTxn(spark, (1 to 99).toDF("v"), dir, "sink", 1L))
+    assert(ParquetTable.read(spark, dir).count() == 10)
+    assert(ParquetTable.snapshots(dir).size == 1, "no-op must leave no version")
+
+    assert(ParquetTable.swapWithTxn(spark, (1 to 20).toDF("v"), dir, "sink", 2L))
+    assert(ParquetTable.read(spark, dir).count() == 20)
+    assert(ParquetTable.lastTxnVersion(dir, "sink").contains(2L))
+
+    // A different appId has its own sequence.
+    assert(ParquetTable.lastTxnVersion(dir, "other").isEmpty)
+    assert(ParquetTable.swapWithTxn(spark, (1 to 30).toDF("v"), dir, "other", 1L))
+    assert(ParquetTable.lastTxnVersion(dir, "sink").contains(2L),
+      "another app's commit must not advance this app's stamp")
+  }
+
+  test("foreachBatch-style replay sequence commits each batch once") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-txn2").resolve("t").toString
+    // Simulated restart replays batch 1: ids 0, 1, 1, 2.
+    val applied = Seq(0L, 1L, 1L, 2L).map { id =>
+      ParquetTable.swapWithTxn(
+        spark, Seq((id, s"batch-$id")).toDF("id", "payload"), dir, "stream", id)
+    }
+    assert(applied == Seq(true, true, false, true))
+    assert(ParquetTable.snapshots(dir).size == 3)
+    assert(ParquetTable.read(spark, dir).count() == 1, "each swap is a snapshot")
+  }
+}
