@@ -63,6 +63,35 @@ object StorageQueries extends QueryModule {
       mv
     })
 
+  private val seededMvSql =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Statement-surface MV fixture: the base registers under GraftSql,
+    * the view is created with CREATE MATERIALIZED VIEW, the base is then
+    * mutated through the UPDATE / DELETE statement arms (which publish
+    * plain versions, no change files), and REFRESH folds the result via
+    * the full-recompute fallback. Returns the registered MV name. */
+  private def mvSqlOrders(s: SparkSession, dir: String): String =
+    seededMvSql.getOrElseUpdate((s, dir), {
+      val base = java.nio.file.Files.createTempDirectory("graft-mvsql-q")
+        .resolve("orders_mv_base").toString
+      graft.streaming.ChangeFeedTable.publish(
+        s, s.read.parquet(tablePath(dir, "orders"))
+          .select("o_orderkey", "o_orderstatus", "o_custkey"),
+        base, Seq("o_orderkey"))
+      graft.tables.GraftSql.register(s, "orders_mv_base", base, Seq("o_orderkey"))
+      graft.tables.GraftSql.sql(s,
+        "CREATE MATERIALIZED VIEW orders_mv AS SELECT o_orderstatus, " +
+          "COUNT(*) AS n_orders, SUM(o_custkey) AS sum_cust " +
+          "FROM orders_mv_base GROUP BY o_orderstatus").collect()
+      graft.tables.GraftSql.sql(s,
+        "UPDATE orders_mv_base SET o_custkey = o_custkey + 2 WHERE o_orderkey % 7 = 0").collect()
+      graft.tables.GraftSql.sql(s,
+        "DELETE FROM orders_mv_base WHERE o_orderkey % 11 = 0").collect()
+      graft.tables.GraftSql.sql(s, "REFRESH MATERIALIZED VIEW orders_mv").collect()
+      "orders_mv"
+    })
+
   private val seededSe =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
@@ -556,7 +585,8 @@ object StorageQueries extends QueryModule {
       () => ddlOrders(s, dir), () => createdInsertedOrders(s, dir),
       () => analyzedTables(s, dir), () => cdfStreamedSink(s, dir),
       () => ctasOrders(s, dir), () => reorgedOrders(s, dir),
-      () => partitionedOrders(s, dir), () => commentedNation(s, dir))
+      () => partitionedOrders(s, dir), () => commentedNation(s, dir),
+      () => mvOrders(s, dir), () => mvSqlOrders(s, dir))
     Await.result(
       Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
       Duration.Inf)
@@ -1207,6 +1237,25 @@ object StorageQueries extends QueryModule {
       Some("""WITH fin AS (SELECT o_orderstatus,
              |    CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1 ELSE o_custkey END AS c
              |  FROM orders WHERE o_orderkey % 3 <> 0)
+             |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(c) AS BIGINT) AS sum_cust
+             |FROM fin GROUP BY o_orderstatus""".stripMargin)),
+
+    // The MV STATEMENT surface end-to-end: CREATE MATERIALIZED VIEW over
+    // a registered base, base mutated through the UPDATE and DELETE
+    // statement arms, REFRESH MATERIALIZED VIEW (recompute fallback —
+    // statement DML publishes no change files), SELECT from the mounted
+    // view (hidden maintenance counters must not surface). The oracle
+    // replays the DML arithmetic directly over the raw table.
+    EngineQuery(
+      "mv_sql_statements",
+      (s, dir) => {
+        val mv = mvSqlOrders(s, dir)
+        graft.tables.GraftSql.sql(s, s"SELECT * FROM $mv")
+      },
+      Some("""WITH fin AS (SELECT o_orderstatus,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 2 ELSE o_custkey END AS c
+             |  FROM orders WHERE o_orderkey % 11 <> 0)
              |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
              |  CAST(sum(c) AS BIGINT) AS sum_cust
              |FROM fin GROUP BY o_orderstatus""".stripMargin))

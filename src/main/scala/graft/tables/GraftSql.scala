@@ -107,6 +107,21 @@ object GraftSql {
     ("""(?is)^\s*COMMENT\s+ON\s+TABLE\s+(""" + IdPat + """)\s+IS\s+'((?:[^']|'')*)'\s*;?\s*$""").r
   private val DropTable =
     ("""(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(""" + IdPat + """)\s*;?\s*$""").r
+  private val CreateMv =
+    ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(""" + IdPat + """)\s+AS\s+(SELECT\b.*)$""").r
+  private val RefreshMv =
+    ("""(?is)^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(""" + IdPat + """)\s*;?\s*$""").r
+  // The maintainable-MV SELECT shape: bare group columns plus COUNT(*)
+  // and SUM(col) aggregates over ONE registered table. Anything richer
+  // is rejected loudly (incremental maintenance is only exact for this
+  // class — see MaterializedView).
+  private val MvSelect =
+    ("""(?is)^SELECT\s+(.*?)\s+FROM\s+(""" + IdPat + """)\s+GROUP\s+BY\s+(.+?)\s*;?\s*$""").r
+  private val MvCountItem =
+    """(?i)^COUNT\s*\(\s*\*\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+  private val MvSumItem =
+    """(?i)^SUM\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+  private val MvColItem = """^[A-Za-z_][A-Za-z0-9_]*$""".r
   // Row-level DML on registered versioned tables (Delta's DELETE /
   // UPDATE / MERGE INTO statement surface). The WHERE / SET bodies are
   // handed to Catalyst as expression strings — the regexes only find the
@@ -175,6 +190,37 @@ object GraftSql {
         s"DROP TABLE: '$name' is not registered (use IF EXISTS for a no-op)")
       singleRow(s, Seq("name" -> name,
         "dropped" -> (if (existed) "true" else "false")))
+    case CreateMv(rawName, select) =>
+      // CREATE MATERIALIZED VIEW mv AS SELECT g1, g2, COUNT(*) AS n,
+      // SUM(c) AS s FROM base GROUP BY g1, g2 — the exactly-maintainable
+      // aggregate class. The view registers like any table (SELECTs
+      // mount it; the hidden _nn_* maintenance counters stay invisible —
+      // mountFrame drops them). REFRESH is incremental when the base
+      // publishes change files (ChangeFeedTable.publish); bases mutated
+      // through the DML statements fall back to a full recompute —
+      // correct either way, the cost model differs.
+      val name = normalizeIdent(rawName)
+      require(!registry.contains((s, name)),
+        s"CREATE MATERIALIZED VIEW: '$name' is already registered — DROP it first")
+      val (baseName, groups, countName, sums) = parseMvSelect(select)
+      val baseDir = resolve(s, baseName).dir
+      require(ParquetTable.exists(baseDir),
+        s"CREATE MATERIALIZED VIEW: base '$baseName' is not a versioned table")
+      val mvDir = java.nio.file.Files.createTempDirectory("graft-mv")
+        .resolve(dirNameFor(name)).toString
+      MaterializedView.create(s, mvDir, baseDir, groups, countName, sums)
+      register(s, name, mvDir)
+      singleRow(s, Seq("name" -> name, "base" -> normalizeIdent(baseName),
+        "location" -> mvDir))
+    case RefreshMv(rawName) =>
+      val name = normalizeIdent(rawName)
+      val dir = resolve(s, name).dir
+      require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_MV")),
+        s"REFRESH MATERIALIZED VIEW: '$name' is not a materialized view")
+      val committed = MaterializedView.refresh(s, dir)
+      singleRow(s, Seq("name" -> name,
+        "refreshed" -> (if (committed) "true" else "false"),
+        "base_version" -> MaterializedView.readDef(dir).refreshedVersion))
     case AnalyzeTable(name, all, colList) =>
       // Reference db/table_maintenance.sql:38-41. The pass runs over the
       // current snapshot; results persist to `_TABLE_STATS` and feed the
@@ -444,12 +490,48 @@ object GraftSql {
       try s.sql(rewritten) finally (dottedRestores ++ restores).foreach(_())
   }
 
+  /** Parse the restricted CREATE MATERIALIZED VIEW select shape into
+    * (base, groupCols, countName, sums) — see [[MaterializedView]] for
+    * why only this class is accepted. */
+  private def parseMvSelect(select: String)
+      : (String, Seq[String], String, Seq[(String, String)]) = select match {
+    case MvSelect(items, base, groupBody) =>
+      val parsed = items.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
+        case MvCountItem(n) => Left(n)
+        case MvSumItem(c, n) => Right(n -> c)
+        case MvColItem() => null // group column — validated against GROUP BY below
+        case other => throw new IllegalArgumentException(
+          s"CREATE MATERIALIZED VIEW: unsupported select item '$other' — " +
+            "only group columns, COUNT(*) AS n, and SUM(col) AS s are maintainable")
+      }
+      val groupItems = items.split(",").map(_.trim).filter(MvColItem.matches(_)).toSeq
+      val counts = parsed.collect { case Left(n) => n }
+      val sums = parsed.collect { case Right(p) => p }
+      require(counts.size == 1,
+        s"CREATE MATERIALIZED VIEW: exactly one COUNT(*) AS ... is required " +
+          s"(it decides group liveness); got ${counts.size}")
+      val groups = groupBody.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      groups.foreach(g => require(MvColItem.matches(g),
+        s"CREATE MATERIALIZED VIEW: GROUP BY must list bare columns, got '$g'"))
+      require(groupItems.sorted == groups.sorted,
+        s"CREATE MATERIALIZED VIEW: select's bare columns ${groupItems.mkString(",")} " +
+          s"must equal GROUP BY ${groups.mkString(",")}")
+      (base, groups, counts.head, sums)
+    case _ => throw new IllegalArgumentException(
+      "CREATE MATERIALIZED VIEW: the definition must be " +
+        "SELECT <group cols>, COUNT(*) AS n[, SUM(col) AS s...] FROM <table> GROUP BY <group cols>")
+  }
+
   /** A registered table's current evolved snapshot, wrapped in a
     * `broadcast()` hint when FRESH ANALYZE stats clear the bar — the
-    * one mount frame both the plain and dotted paths share. */
+    * one mount frame both the plain and dotted paths share. A
+    * materialized view mounts its DECLARED columns only (the `_nn_*`
+    * maintenance counters stay internal). */
   private def mountFrame(s: SparkSession, name: String): DataFrame = {
     val dir = resolve(s, name).dir
     try {
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_MV")))
+        return MaterializedView.read(s, dir)
       val df = TableStats.readCurrent(s, dir)
       if (TableStats.broadcastWorthy(s, dir, df.schema)) broadcast(df) else df
     } catch {

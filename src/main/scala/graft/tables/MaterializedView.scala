@@ -136,6 +136,12 @@ object MaterializedView {
     val curId = baseVersionId(d.base)
     if (curId <= d.refreshedVersion) return false
 
+    // A base that never published change files (swap-only writers, the
+    // DML statement paths) has no `_cdf` tree at all — that's the
+    // fallback case, not an error.
+    if (!Files.isDirectory(Paths.get(d.base, "_cdf"))) {
+      fullRecompute(spark, mvDir, d, curId); return true
+    }
     val feed = ChangeFeedTable.changeFeedBatch(spark, d.base)
       .filter(col("_commit_version") > d.refreshedVersion &&
         col("_commit_version") <= curId)
