@@ -643,6 +643,24 @@ object StorageQueries extends QueryModule {
              |WHERE o_orderkey BETWEEN 100 AND 700 AND o_custkey BETWEEN 10 AND 60
              |GROUP BY o_orderstatus""".stripMargin)),
 
+    // METADATA-ONLY aggregate pushdown: COUNT(*) + MIN/MAX of the
+    // manifested columns answered from the `_STATS` manifest alone —
+    // zero data-file IO, not even a footer (StatsAggSpec proves it by
+    // deleting the data files and re-answering). The lakehouse
+    // "metadata-only query" path: at 100 TB the commonest dashboard
+    // aggregates cost one manifest read bounded by FILE count. The
+    // oracle computes the same aggregates the hard way, over the rows.
+    EngineQuery(
+      "store_stats_agg",
+      (s, dir) =>
+        graft.tables.StatsSkipping.aggFromManifest(s, zstatsOrders(s, dir)),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_o_orderkey,
+             |  CAST(max(o_orderkey) AS BIGINT) AS max_o_orderkey,
+             |  CAST(min(o_custkey) AS BIGINT) AS min_o_custkey,
+             |  CAST(max(o_custkey) AS BIGINT) AS max_o_custkey
+             |FROM orders""".stripMargin)),
+
     // The SAME pruned-scan contract on the Hilbert layout (a different
     // box than the z query, so both pin their own file survivors): the
     // manifest format and scanBox are curve-agnostic — only the per-file

@@ -1154,6 +1154,115 @@ object TextQueries extends QueryModule {
               |    list_reduce(list(w ORDER BY pos), (x, y) -> x + y) AS score
               |  FROM e JOIN w USING (f) GROUP BY doc_id, lang)
               |SELECT doc_id, lang, n_toks, round(score, 6) AS score
-              |FROM sc ORDER BY sc.score DESC, doc_id LIMIT 50""".stripMargin))
+              |FROM sc ORDER BY sc.score DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // CCNet-shaped LM quality scoring (Wenzek et al. 2020): a stupid-
+    // backoff bigram model (Brants et al. 2007) trained on the 'en'
+    // slice scores EVERY document. Per adjacent token pair:
+    //   p = c(w1 w2)/c(w1) if the bigram was seen in training,
+    //       else 0.4·(c(w2)+1)/(N+65536)   (smoothed unigram backoff).
+    // The per-token log-prob is replaced by the rational odds surrogate
+    // (p−1)/(p+1) — monotone in p, pure IEEE arithmetic in a fixed
+    // order, so the oracle replays it bitwise (ln() is the one op the
+    // two engines round differently; same trick as the PMI and DSIR
+    // queries) — folded per document in position order and normalized
+    // by bigram count. Low score = out-of-LM-domain text, the CCNet
+    // head/middle/tail signal. Scale shape: the bigram model is
+    // CORPUS-sized, so it is shuffle-joined on its gram key (never
+    // broadcast, never collected); the unigram model joins the same
+    // way; scoring is one doc-keyed fold. Three hash joins + one fold
+    // shuffle total, all partial-aggregated map-side.
+    EngineQuery(
+      "text_ccnet_lm",
+      (s, dir) => {
+        val t = docs(s, dir).withColumn("toks", expr(toksSpark))
+        val bg = t.where(size(col("toks")) >= 2)
+          .selectExpr("doc_id", "lang",
+            "posexplode(transform(sequence(1, size(toks) - 1), i -> named_struct('w1', try_element_at(toks, i), 'w2', try_element_at(toks, i + 1)))) AS (p0, b)")
+          .selectExpr("doc_id", "lang", "p0 + 1 AS pos", "b.w1 AS w1", "b.w2 AS w2")
+        val cu = t.where(col("lang") === "en")
+          .selectExpr("explode(toks) AS w")
+          .groupBy("w").agg(count(lit(1)).as("cu"))
+        val nt = cu.agg(sum("cu").cast("long").as("nt"))
+        val cb = bg.where(col("lang") === "en")
+          .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+        bg.join(cb, Seq("w1", "w2"), "left")
+          .join(cu.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"), "left")
+          .join(cu.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+          .crossJoin(broadcast(nt))
+          .selectExpr("doc_id", "lang", "pos", "cb",
+            """CASE WHEN cb IS NOT NULL THEN CAST(cb AS DOUBLE) / CAST(cu1 AS DOUBLE)
+              | ELSE (CAST(0.4 AS DOUBLE) * CAST(coalesce(cu2, 0) + 1 AS DOUBLE)) / CAST(nt + 65536 AS DOUBLE) END AS p""".stripMargin.replace("\n", ""))
+          .selectExpr("doc_id", "lang", "pos", "cb",
+            "(p - CAST(1.0 AS DOUBLE)) / (p + CAST(1.0 AS DOUBLE)) AS sc")
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).cast("long").as("n_bigrams"),
+            count(col("cb")).cast("long").as("n_hits"),
+            sort_array(collect_list(struct(col("pos"), col("sc")))).as("vs"))
+          .withColumn("score",
+            expr("aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.sc)"))
+          .selectExpr("doc_id", "lang", "n_bigrams", "n_hits",
+            "round(score / CAST(n_bigrams AS DOUBLE), 6) AS lm_score")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
+              |bg AS (SELECT doc_id, lang,
+              |    unnest(range(1, len(toks))) AS pos,
+              |    unnest(toks[1:len(toks)-1]) AS w1,
+              |    unnest(toks[2:len(toks)]) AS w2
+              |  FROM t WHERE len(toks) >= 2),
+              |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+              |  FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en') GROUP BY w),
+              |nt AS (SELECT CAST(sum(cu) AS BIGINT) AS nt FROM cu),
+              |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+              |  FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+              |p AS (SELECT doc_id, lang, pos, cb.cb,
+              |    CASE WHEN cb.cb IS NOT NULL THEN CAST(cb.cb AS DOUBLE) / CAST(c1.cu AS DOUBLE)
+              |      ELSE (CAST(0.4 AS DOUBLE) * CAST(COALESCE(c2.cu, 0) + 1 AS DOUBLE)) / CAST(nt + 65536 AS DOUBLE) END AS p
+              |  FROM bg
+              |  LEFT JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+              |  LEFT JOIN cu c1 ON bg.w1 = c1.w
+              |  LEFT JOIN cu c2 ON bg.w2 = c2.w
+              |  CROSS JOIN nt),
+              |sc AS (SELECT doc_id, lang, pos, cb,
+              |    (p - CAST(1.0 AS DOUBLE)) / (p + CAST(1.0 AS DOUBLE)) AS sc FROM p)
+              |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+              |  CAST(count(cb) AS BIGINT) AS n_hits,
+              |  round(list_reduce(list(sc ORDER BY pos), (x, y) -> x + y)
+              |    / CAST(count(*) AS DOUBLE), 6) AS lm_score
+              |FROM sc GROUP BY doc_id, lang""".stripMargin)),
+
+    // FineWeb-style per-domain cap (Penedo et al. 2024): keep at most
+    // K = 10 documents per source, best-quality-first (integer-grain
+    // q10k, doc_id tiebreak — no float ties), and report the per-source
+    // admission tally. The rank is a SOURCE-partitioned row_number —
+    // partitioned windows only (PlanInvariantsSpec's rule); for a
+    // pathological single mega-domain the bounded-heap top-k aggregate
+    // (sketch/TopK) is the drop-in replacement, since the cap only
+    // needs the K best rows, never the full order. One shuffle on
+    // source + one rollup.
+    EngineQuery(
+      "text_domain_cap",
+      (s, dir) => {
+        val k = 10
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("q10k").desc, col("doc_id"))
+        docs(s, dir).withColumn("toks", expr(toksSpark))
+          .selectExpr("doc_id", "source", s"$q10kSpark AS q10k")
+          .withColumn("rk", row_number().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("rk") <= k, 1L).otherwise(0L)).cast("long").as("n_kept"),
+            sum(when(col("rk") <= k, col("q10k")).otherwise(0L)).cast("long").as("kept_q10k"),
+            min(when(col("rk") <= k, col("q10k"))).cast("long").as("kept_q10k_floor"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, $toksDuck AS toks FROM documents),
+              |r AS (SELECT doc_id, source, $q10kDuck AS q10k,
+              |    row_number() OVER (PARTITION BY source ORDER BY $q10kDuck DESC, doc_id) AS rk
+              |  FROM t)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(CASE WHEN rk <= 10 THEN 1 END) AS BIGINT) AS n_kept,
+              |  CAST(COALESCE(sum(CASE WHEN rk <= 10 THEN q10k END), 0) AS BIGINT) AS kept_q10k,
+              |  CAST(min(CASE WHEN rk <= 10 THEN q10k END) AS BIGINT) AS kept_q10k_floor
+              |FROM r GROUP BY source""".stripMargin))
   )
 }

@@ -183,4 +183,35 @@ object StatsSkipping {
       spark: SparkSession, dir: String, statCol: String,
       lo: Long, hi: Long): DataFrame =
     scanBox(spark, dir, Seq((statCol, lo, hi)))
+
+  /** METADATA-ONLY aggregate pushdown: `COUNT(*)` plus `MIN`/`MAX` of
+    * every manifested column answered from `_STATS` alone — the
+    * Delta/Iceberg "metadata-only query" path (Spark's equivalent is
+    * the OptimizeMetadataOnlyQuery rule over partition listings). Total
+    * rows = Σ per-file rows; global min/max = min of file mins / max of
+    * file maxes. ZERO data-file IO — not even a footer — because the
+    * manifest is written atomically with the layout and this format
+    * carries no deletion vectors (StatsAggSpec proves it by deleting
+    * the data files and re-answering). Cost at 100 TB: one manifest
+    * read, bounded by FILE count, never rows — the difference between
+    * a full scan and a millisecond for the commonest dashboard query.
+    * Returns one row: `n_rows`, then `min_<c>`, `max_<c>` per
+    * manifested column (NULL mins/maxes for an empty table). */
+  def aggFromManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val (cols, _, stats) = manifest(dir)
+    val mm: Seq[Any] = cols.flatMap { c =>
+      if (stats.isEmpty) Seq(null, null)
+      else Seq(stats.map(_.mm(c)._1).min, stats.map(_.mm(c)._2).max)
+    }
+    val schema = StructType(
+      StructField("n_rows", LongType, nullable = false) +:
+        cols.flatMap(c => Seq(
+          StructField(s"min_$c", LongType), StructField(s"max_$c", LongType))))
+    spark.createDataFrame(
+      java.util.Collections.singletonList(
+        Row.fromSeq(stats.map(_.rows).sum +: mm)),
+      schema)
+  }
 }
