@@ -74,6 +74,10 @@ object TextQueries extends QueryModule {
   private val enHits = profileHitsSpark(langProfiles.head._2)
   private val enHitsDuck = profileHitsDuck(langProfiles.head._2)
 
+  /** Spark SQL string literal for a runtime token value (BPE merge
+    * application embeds learned symbols into the next round's replace). */
+  private def sqlLit(v: String): String = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** The corpus quality score (length/stopword composite, rounded to the
     * 1e-4 grain) — ONE definition per engine; every consumer (stats,
     * curation, keep-policy, data card) interpolates these so the formula
@@ -1263,6 +1267,162 @@ object TextQueries extends QueryModule {
               |  CAST(count(CASE WHEN rk <= 10 THEN 1 END) AS BIGINT) AS n_kept,
               |  CAST(COALESCE(sum(CASE WHEN rk <= 10 THEN q10k END), 0) AS BIGINT) AS kept_q10k,
               |  CAST(min(CASE WHEN rk <= 10 THEN q10k END) AS BIGINT) AS kept_q10k_floor
-              |FROM r GROUP BY source""".stripMargin))
+              |FROM r GROUP BY source""".stripMargin)),
+
+    // Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+    // the first 8 merges over word TYPES weighted by corpus frequency.
+    // Each round: count adjacent symbol pairs (one vocab-sized shuffle,
+    // partial-aggregated map-side), pick the argmax pair (count DESC,
+    // then lexicographic — no ties possible), apply it greedily
+    // left-to-right. The merge application is a plain string replace on
+    // the space-delimited symbol line (' a b ' → ' ab '): SQL replace()
+    // is left-to-right non-overlapping in BOTH engines, which IS the
+    // greedy BPE scan, so the oracle replays every round as a chained
+    // CTE. State ∝ vocabulary (never corpus): at 100 TB the word-freq
+    // table is the only corpus-sized pass; the 8 iterations then run
+    // over type counts with a 1-row collect each — the same bounded-
+    // collect shape as the k-means step. Output: the merge table.
+    EngineQuery(
+      "text_bpe_merges",
+      (s, dir) => {
+        val steps = 8
+        val vocab = docs(s, dir).withColumn("toks", expr(toksSpark))
+          .selectExpr("explode(toks) AS word")
+          .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+          .selectExpr(
+            "concat(' ', concat_ws(' ', transform(sequence(1, length(word)), i -> substring(word, i, 1))), ' ') AS sym",
+            "freq")
+          .persist()
+        try {
+          var w = vocab
+          val merges = Seq.newBuilder[(Long, String, String, Long)]
+          for (i <- 1 to steps) {
+            val top = w
+              .selectExpr("freq", "filter(split(sym, ' '), x -> x != '') AS t")
+              .where("size(t) >= 2")
+              .selectExpr("freq",
+                "explode(transform(sequence(1, size(t) - 1), i -> named_struct('a', element_at(t, i), 'b', element_at(t, i + 1)))) AS pr")
+              .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+              .agg(sum("freq").as("c"))
+              .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+              .collect()
+            val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            merges += ((i.toLong, a, b, c))
+            w = w.withColumn("sym",
+              expr(s"replace(sym, concat(' ', ${sqlLit(a)}, ' ', ${sqlLit(b)}, ' '), concat(' ', ${sqlLit(a)}, ${sqlLit(b)}, ' '))"))
+          }
+          val ss = s
+          import ss.implicits._
+          merges.result().toDF("step", "lhs", "rhs", "pair_count")
+        } finally { vocab.unpersist(); () }
+      },
+      Some {
+        val steps = 8
+        val chain = (1 to steps).map { i =>
+          s"""p$i AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS c FROM (
+             |    SELECT freq, unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+             |    FROM (SELECT list_filter(string_split(sym, ' '), x -> x <> '') AS t, freq FROM w${i - 1})
+             |    WHERE len(t) >= 2) GROUP BY a, b),
+             |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+             |w$i AS (SELECT replace(sym, ' ' || m$i.a || ' ' || m$i.b || ' ', ' ' || m$i.a || m$i.b || ' ') AS sym, freq FROM w${i - 1}, m$i)""".stripMargin
+        }.mkString(",\n")
+        val union = (1 to steps)
+          .map(i => s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, c AS pair_count FROM m$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH w0 AS (SELECT concat(' ', array_to_string([substr(word, i, 1) for i in range(1, len(word) + 1)], ' '), ' ') AS sym, freq
+           |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq
+           |    FROM (SELECT unnest($toksDuck) AS word FROM documents) GROUP BY word)),
+           |$chain
+           |$union""".stripMargin
+      }),
+
+    // Hashed-feature multinomial Naive Bayes language classifier — the
+    // fastText-shaped supervised path: FIT on the deterministic 'train'
+    // split only, APPLY to every document, report the 5×5 confusion
+    // matrix. Features are 64 hash buckets; per class the bucket weight
+    // is the Laplace likelihood ratio vs uniform r = 64·(c_f+1)/(N_c+64)
+    // through the rational odds surrogate (pure IEEE, no ln — the
+    // PMI/DSIR/CCNet trick), summed per doc in position order; argmax
+    // by fixed preference order (float sums are bit-identical in both
+    // engines, so even exact ties break identically). Scale shape: the
+    // whole fitted model is a 64×5 broadcast built from one aggregate
+    // over the train slice; scoring is a narrow projection + one
+    // doc-keyed fold — no shuffle grows with the model.
+    EngineQuery(
+      "text_nb_classify",
+      (s, dir) => {
+        val B = 64
+        val langs = Seq("en", "es", "de", "fr", "zh")
+        val e = docs(s, dir).withColumn("toks", expr(toksSpark))
+          .selectExpr("doc_id", "lang", s"${splitSpark("doc_id")} AS split",
+            "posexplode(toks) AS (pos, tok)")
+          .selectExpr("doc_id", "lang", "split", "pos",
+            s"${hash60Spark("tok")} % $B AS f")
+        val cntCols = langs.map(l =>
+          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
+        val cnt = e.where(col("split") === "train").groupBy("f")
+          .agg(cntCols.head, cntCols.tail: _*)
+        val full = s.range(B).selectExpr("CAST(id AS BIGINT) AS f")
+          .join(cnt, Seq("f"), "left")
+          .selectExpr("f" +: langs.map(l => s"coalesce(c_$l, 0) AS c_$l"): _*)
+        val totCols = langs.map(l => sum(s"c_$l").as(s"n_$l"))
+        val tot = full.groupBy().agg(totCols.head, totCols.tail: _*)
+        val weights = full.crossJoin(broadcast(tot))
+          .selectExpr("f" +: langs.map(l =>
+            s"""((CAST($B * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $B AS DOUBLE)) - CAST(1.0 AS DOUBLE))
+               | / ((CAST($B * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $B AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS s_$l""".stripMargin.replace("\n", "")): _*)
+        val structFields = col("pos") +: langs.map(l => col(s"s_$l"))
+        val scored = e.join(broadcast(weights), "f")
+          .groupBy("doc_id", "lang")
+          .agg(sort_array(collect_list(struct(structFields: _*))).as("vs"))
+          .selectExpr(Seq("doc_id", "lang") ++ langs.map(l =>
+            s"aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.s_$l) AS sc_$l"): _*)
+        scored.selectExpr("lang",
+            """CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr, sc_zh) THEN 'en'
+              |     WHEN sc_es >= greatest(sc_de, sc_fr, sc_zh) THEN 'es'
+              |     WHEN sc_de >= greatest(sc_fr, sc_zh) THEN 'de'
+              |     WHEN sc_fr >= sc_zh THEN 'fr'
+              |     ELSE 'zh' END AS predicted""".stripMargin.replace("\n", " "))
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+      },
+      Some {
+        val B = 64
+        val langs = Seq("en", "es", "de", "fr", "zh")
+        val ccols = langs.map(l =>
+          s"CAST(count(CASE WHEN lang = '$l' THEN 1 END) AS BIGINT) AS c_$l").mkString(",\n    ")
+        val fullCols = langs.map(l => s"COALESCE(c_$l, 0) AS c_$l").mkString(", ")
+        val ncols = langs.map(l => s"CAST(sum(c_$l) AS BIGINT) AS n_$l").mkString(", ")
+        val wcols = langs.map(l =>
+          s"""((CAST($B * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $B AS DOUBLE)) - CAST(1.0 AS DOUBLE)) / ((CAST($B * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $B AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS s_$l""").mkString(",\n    ")
+        val scols = langs.map(l =>
+          s"list_reduce(list(s_$l ORDER BY pos), (x, y) -> x + y) AS sc_$l").mkString(",\n    ")
+        s"""WITH t AS (SELECT doc_id, lang, ${splitDuck("doc_id")} AS split, $toksDuck AS toks FROM documents),
+           |e AS (SELECT doc_id, lang, split,
+           |    unnest(range(0, len(toks))) AS pos,
+           |    unnest([${hash60Duck("tok")} % $B for tok in toks]) AS f
+           |  FROM t),
+           |cnt AS (SELECT f,
+           |    $ccols
+           |  FROM e WHERE split = 'train' GROUP BY f),
+           |fm AS (SELECT CAST(range AS BIGINT) AS f, $fullCols
+           |  FROM range($B) LEFT JOIN cnt ON CAST(range AS BIGINT) = cnt.f),
+           |tot AS (SELECT $ncols FROM fm),
+           |w AS (SELECT f,
+           |    $wcols
+           |  FROM fm, tot),
+           |sc AS (SELECT doc_id, lang,
+           |    $scols
+           |  FROM e JOIN w USING (f) GROUP BY doc_id, lang),
+           |pr AS (SELECT lang,
+           |    CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr, sc_zh) THEN 'en'
+           |         WHEN sc_es >= greatest(sc_de, sc_fr, sc_zh) THEN 'es'
+           |         WHEN sc_de >= greatest(sc_fr, sc_zh) THEN 'de'
+           |         WHEN sc_fr >= sc_zh THEN 'fr'
+           |         ELSE 'zh' END AS predicted
+           |  FROM sc)
+           |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+           |FROM pr GROUP BY lang, predicted""".stripMargin
+      })
   )
 }
