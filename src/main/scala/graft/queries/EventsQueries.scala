@@ -248,6 +248,36 @@ object EventsQueries extends QueryModule {
              |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
              |GROUP BY 1, 2""".stripMargin)),
 
+    // RUNTIME dynamic partition pruning (DPP) — the join-driven
+    // complement to evt_partition_prune's static filter: the fact side
+    // is the same hive-partitioned tree, but the qualifying dates are
+    // only knowable by FILTERING THE DIM SIDE (dow_bucket = 2), so
+    // Catalyst plants a `dynamicpruning#` subquery into the fact scan's
+    // PartitionFilters — at execution the dim's broadcast result prunes
+    // whole date directories before any fact IO (DppSpec pins the
+    // subquery's presence and result parity with pruning disabled). At
+    // 100 TB this is THE mechanism that keeps star-schema joins from
+    // scanning every partition of the fact table.
+    EngineQuery(
+      "evt_dpp_join",
+      (s, dir) => {
+        val pdir = partitionedDir(s, dir)
+        val dim = s.range(31).selectExpr(
+          "date_add(DATE '2024-01-01', CAST(id AS INT)) AS event_date",
+          "CAST(id % 7 AS INT) AS dow_bucket")
+        s.read.parquet(pdir)
+          .join(dim.where(col("dow_bucket") === 2), "event_date")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      },
+      Some("""WITH dim AS (SELECT (DATE '2024-01-01' + CAST(i AS INT)) AS event_date,
+             |    CAST(i % 7 AS INT) AS dow_bucket FROM range(0, 31) t(i))
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(sum(value), 2) AS total_value
+             |FROM events JOIN dim ON CAST(ts AS DATE) = dim.event_date
+             |WHERE dow_bucket = 2
+             |GROUP BY event_type""".stripMargin)),
+
     // Sliding (hopping) window: 2 h windows advancing every 1 h — each
     // event lands in exactly w/s = 2 windows. Spark's window() emits the
     // per-event window structs directly; the DuckDB dual reconstructs the
