@@ -68,6 +68,7 @@ object TextQueries extends QueryModule {
     taggedGramsCached(s, dir, 5).count()
     repGramStatsCached(s, dir, 2)
     repGramStatsCached(s, dir, 3)
+    bpeChainCached(s, dir)
     ()
   }
 
@@ -77,6 +78,67 @@ object TextQueries extends QueryModule {
   /** Spark SQL string literal for a runtime token value (BPE merge
     * application embeds learned symbols into the next round's replace). */
   private def sqlLit(v: String): String = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  private val bpeSteps = 8
+
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(Long, String, String, Long)], Seq[DataFrame])]
+
+  /** The BPE training chain, memoized per (session, dir): the learned
+    * merge table and every intermediate weighted-vocabulary state
+    * w0..w8 (narrow transformations over the persisted character
+    * vocab, which stays cached for the session like the other shared
+    * text builds). Each round = one vocab-sized pair-count shuffle +
+    * a 1-row argmax collect. */
+  private def bpeChainCached(
+      s: SparkSession, dir: String): (Seq[(Long, String, String, Long)], Seq[DataFrame]) =
+    bpeCache.getOrElseUpdate((s, dir), {
+      val vocab = docs(s, dir).withColumn("toks", expr(toksSpark))
+        .selectExpr("explode(toks) AS word")
+        .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
+        .selectExpr(
+          "concat(' ', concat_ws(' ', transform(sequence(1, length(word)), i -> substring(word, i, 1))), ' ') AS sym",
+          "freq")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var w = vocab
+      val states = Seq.newBuilder[DataFrame]
+      states += vocab
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (i <- 1 to bpeSteps) {
+        val top = w
+          .selectExpr("freq", "filter(split(sym, ' '), x -> x != '') AS t")
+          .where("size(t) >= 2")
+          .selectExpr("freq",
+            "explode(transform(sequence(1, size(t) - 1), i -> named_struct('a', element_at(t, i), 'b', element_at(t, i + 1)))) AS pr")
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+          .agg(sum("freq").as("c"))
+          .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+          .collect()
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((i.toLong, a, b, c))
+        w = w.withColumn("sym",
+          expr(s"replace(sym, concat(' ', ${sqlLit(a)}, ' ', ${sqlLit(b)}, ' '), concat(' ', ${sqlLit(a)}, ${sqlLit(b)}, ' '))"))
+        states += w
+      }
+      (merges.result(), states.result())
+    })
+
+  /** The DuckDB replay of the same chain: w0 (character vocab) then
+    * p_i/m_i/w_i per round — shared by both BPE oracles. */
+  private lazy val bpeDuckChain: String = {
+    val chain = (1 to bpeSteps).map { i =>
+      s"""p$i AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |    SELECT freq, unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
+         |    FROM (SELECT list_filter(string_split(sym, ' '), x -> x <> '') AS t, freq FROM w${i - 1})
+         |    WHERE len(t) >= 2) GROUP BY a, b),
+         |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |w$i AS (SELECT replace(sym, ' ' || m$i.a || ' ' || m$i.b || ' ', ' ' || m$i.a || m$i.b || ' ') AS sym, freq FROM w${i - 1}, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (SELECT concat(' ', array_to_string([substr(word, i, 1) for i in range(1, len(word) + 1)], ' '), ' ') AS sym, freq
+       |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |    FROM (SELECT unnest($toksDuck) AS word FROM documents) GROUP BY word)),
+       |$chain""".stripMargin
+  }
 
   /** The corpus quality score (length/stopword composite, rounded to the
     * 1e-4 grain) — ONE definition per engine; every consumer (stats,
@@ -1285,54 +1347,43 @@ object TextQueries extends QueryModule {
     EngineQuery(
       "text_bpe_merges",
       (s, dir) => {
-        val steps = 8
-        val vocab = docs(s, dir).withColumn("toks", expr(toksSpark))
-          .selectExpr("explode(toks) AS word")
-          .groupBy("word").agg(count(lit(1)).cast("long").as("freq"))
-          .selectExpr(
-            "concat(' ', concat_ws(' ', transform(sequence(1, length(word)), i -> substring(word, i, 1))), ' ') AS sym",
-            "freq")
-          .persist()
-        try {
-          var w = vocab
-          val merges = Seq.newBuilder[(Long, String, String, Long)]
-          for (i <- 1 to steps) {
-            val top = w
-              .selectExpr("freq", "filter(split(sym, ' '), x -> x != '') AS t")
-              .where("size(t) >= 2")
-              .selectExpr("freq",
-                "explode(transform(sequence(1, size(t) - 1), i -> named_struct('a', element_at(t, i), 'b', element_at(t, i + 1)))) AS pr")
-              .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-              .agg(sum("freq").as("c"))
-              .orderBy(col("c").desc, col("a"), col("b")).limit(1)
-              .collect()
-            val (a, b, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-            merges += ((i.toLong, a, b, c))
-            w = w.withColumn("sym",
-              expr(s"replace(sym, concat(' ', ${sqlLit(a)}, ' ', ${sqlLit(b)}, ' '), concat(' ', ${sqlLit(a)}, ${sqlLit(b)}, ' '))"))
-          }
-          val ss = s
-          import ss.implicits._
-          merges.result().toDF("step", "lhs", "rhs", "pair_count")
-        } finally { vocab.unpersist(); () }
+        val ss = s
+        import ss.implicits._
+        bpeChainCached(s, dir)._1.toDF("step", "lhs", "rhs", "pair_count")
       },
       Some {
-        val steps = 8
-        val chain = (1 to steps).map { i =>
-          s"""p$i AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS c FROM (
-             |    SELECT freq, unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
-             |    FROM (SELECT list_filter(string_split(sym, ' '), x -> x <> '') AS t, freq FROM w${i - 1})
-             |    WHERE len(t) >= 2) GROUP BY a, b),
-             |m$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
-             |w$i AS (SELECT replace(sym, ' ' || m$i.a || ' ' || m$i.b || ' ', ' ' || m$i.a || m$i.b || ' ') AS sym, freq FROM w${i - 1}, m$i)""".stripMargin
-        }.mkString(",\n")
-        val union = (1 to steps)
+        val union = (1 to bpeSteps)
           .map(i => s"SELECT CAST($i AS BIGINT) AS step, a AS lhs, b AS rhs, c AS pair_count FROM m$i")
           .mkString("\nUNION ALL\n")
-        s"""WITH w0 AS (SELECT concat(' ', array_to_string([substr(word, i, 1) for i in range(1, len(word) + 1)], ' '), ' ') AS sym, freq
-           |  FROM (SELECT word, CAST(count(*) AS BIGINT) AS freq
-           |    FROM (SELECT unnest($toksDuck) AS word FROM documents) GROUP BY word)),
-           |$chain
+        s"""WITH $bpeDuckChain
+           |$union""".stripMargin
+      }),
+
+    // The APPLY side of BPE training: the per-step corpus compression
+    // trajectory. After each learned merge, corpus_tokens =
+    // Σ freq·|symbols(word)| over the weighted vocabulary — step 0 is
+    // the character baseline, step 8 the trained tokenizer's footprint;
+    // the whole 9-row trajectory is gated, which pins every
+    // intermediate state of the learner, not just the merge table.
+    // Cost: 9 one-row aggregates over the persisted vocab (narrow), no
+    // corpus-sized work beyond the shared word-frequency pass.
+    EngineQuery(
+      "text_bpe_apply",
+      (s, dir) => {
+        val states = bpeChainCached(s, dir)._2
+        states.zipWithIndex.map { case (w, i) =>
+          w.selectExpr("CAST(size(filter(split(sym, ' '), x -> x != '')) AS BIGINT) AS n", "freq")
+            .agg(sum(expr("freq * n")).cast("long").as("corpus_tokens"))
+            .selectExpr(s"CAST($i AS BIGINT) AS step", "corpus_tokens")
+        }.reduce(_ union _)
+      },
+      Some {
+        val union = (0 to bpeSteps).map(i =>
+          s"""SELECT CAST($i AS BIGINT) AS step,
+             |  CAST(sum(freq * len(list_filter(string_split(sym, ' '), x -> x <> ''))) AS BIGINT) AS corpus_tokens
+             |FROM w$i""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH $bpeDuckChain
            |$union""".stripMargin
       }),
 
