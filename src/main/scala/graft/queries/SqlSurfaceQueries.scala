@@ -38,7 +38,8 @@ object SqlSurfaceQueries extends QueryModule {
     (s, dir) => { ensureSeeded(s, dir); s.sql(sql) }
 
   private val dmlSeeded =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String, String)]
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), (String, String, String, String, String)]
 
   /** Three small versioned tables seeded from `orders`, each mutated by
     * ONE row-level DML STATEMENT through GraftSql.sql — the gated
@@ -48,7 +49,8 @@ object SqlSurfaceQueries extends QueryModule {
     * covers that). Names are build-unique: getOrElseUpdate may
     * race-evaluate this builder, and a session-global name would let
     * one build's statements resolve to the other's directory. */
-  private def dmlTables(s: SparkSession, dir: String): (String, String, String) =
+  private def dmlTables(
+      s: SparkSession, dir: String): (String, String, String, String, String) =
     dmlSeeded.getOrElseUpdate((s, dir), {
       import org.apache.spark.sql.functions._
       import graft.tables.GraftSql
@@ -63,6 +65,7 @@ object SqlSurfaceQueries extends QueryModule {
         nm
       }
       val (u, d, m) = (mk("upd"), mk("del"), mk("mrg"))
+      val (o, r) = (mk("ovw"), mk("rpw"))
       GraftSql.sql(s, s"UPDATE $u SET o_orderstatus = 'U', " +
         s"o_totalprice = o_totalprice + 500.0 WHERE o_orderkey % 7 = 0")
       GraftSql.sql(s, s"DELETE FROM $d WHERE o_orderkey % 11 = 0")
@@ -85,7 +88,21 @@ object SqlSurfaceQueries extends QueryModule {
            |WHEN MATCHED AND s.kill THEN DELETE
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      (u, d, m)
+      // Full-table overwrite: the new version is exactly the SELECT
+      // (even keys restated as 'O' at price+1); history preserved.
+      GraftSql.sql(s,
+        s"""INSERT OVERWRITE $o SELECT o_orderkey, 'O' AS o_orderstatus,
+           |  o_totalprice + 1.0 AS o_totalprice FROM $o
+           |WHERE o_orderkey % 2 = 0""".stripMargin)
+      // Predicate-scoped overwrite: the %4 window is dropped and ONLY
+      // its %8 subset restated ('R', 3x price) — the %4-but-not-%8 rows
+      // must vanish, everything outside the window must be untouched.
+      GraftSql.sql(s,
+        s"""INSERT INTO $r REPLACE WHERE o_orderkey % 4 = 0
+           |SELECT o_orderkey, 'R' AS o_orderstatus,
+           |  o_totalprice * 3 AS o_totalprice FROM $r
+           |WHERE o_orderkey % 8 = 0""".stripMargin)
+      (u, d, m, o, r)
     })
 
   /** Post-DML rollup, integer-exact: cents sums are BIGINT, so the
@@ -163,6 +180,32 @@ object SqlSurfaceQueries extends QueryModule {
              |)
              |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(CAST(round(p * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-             |FROM merged GROUP BY st""".stripMargin))
+             |FROM merged GROUP BY st""".stripMargin)),
+
+    // INSERT OVERWRITE as a whole statement: the table's live snapshot
+    // must be exactly the SELECT result (even keys, 'O', price+1).
+    EngineQuery(
+      "sql_dml_overwrite",
+      (s, dir) => dmlRollup(s, dmlTables(s, dir)._4),
+      Some("""SELECT 'O' AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round((o_totalprice + 1.0) * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1""".stripMargin)),
+
+    // INSERT INTO ... REPLACE WHERE as a whole statement: the %4 window
+    // replaced by its restated %8 subset in ONE commit, the rest
+    // untouched — atomic predicate-scoped overwrite.
+    EngineQuery(
+      "sql_dml_replace_where",
+      (s, dir) => dmlRollup(s, dmlTables(s, dir)._5),
+      Some("""WITH fin AS (
+             |  SELECT o_orderstatus AS st, o_totalprice AS p
+             |  FROM orders WHERE o_orderkey % 4 <> 0
+             |  UNION ALL
+             |  SELECT 'R' AS st, o_totalprice * 3 AS p
+             |  FROM orders WHERE o_orderkey % 8 = 0
+             |)
+             |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(p * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM fin GROUP BY st""".stripMargin))
   )
 }

@@ -377,6 +377,69 @@ object ParquetTable {
     deleted
   }
 
+  /** Delta's `INSERT INTO ... REPLACE WHERE pred` — an ATOMIC
+    * predicate-scoped overwrite in ONE commit: every current row
+    * matching the predicate is dropped and `data` lands in its place.
+    * The Delta contract is enforced first: each incoming row must
+    * itself satisfy the predicate (a batch leaking outside its replace
+    * window is rejected before any file is touched). Copy-on-write at
+    * FILE granularity like [[deleteWhere]] — only files containing
+    * matches are rewritten (minus their matches), everything else
+    * hard-links forward, the batch appends beside them, and the single
+    * `publish` makes delete+insert visible together (readers never see
+    * the window half-replaced). The idempotent-backfill primitive: at
+    * 100 TB, re-loading one day of a date-clustered table rewrites only
+    * that day's files. Returns (#rows deleted, #rows inserted). */
+  def replaceWhere(
+      spark: SparkSession, dir: String, predicate: String,
+      data: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+    val cur = Paths.get(currentPath(dir))
+    requireNoDv(cur, "replaceWhere")
+    val hit = coalesce(expr(predicate), lit(false))
+    val batch = data.persist()
+    try {
+      val outside = batch.filter(not(hit)).count()
+      require(outside == 0L,
+        s"REPLACE WHERE: $outside incoming rows do not satisfy '$predicate' — " +
+          "the batch must live entirely inside its replace window")
+      val df = spark.read.parquet(cur.toString)
+      val hits = df.filter(hit)
+        .groupBy(col("_metadata.file_path").as("f"))
+        .count().collect()
+      val touched = hits
+        .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString)
+        .toSet
+      val deleted = hits.map(_.getLong(1)).sum
+      val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+      val next = VersionNames.format(nextId)
+      val nextPath = Paths.get(dir, next)
+      Files.createDirectories(nextPath)
+      Files.list(cur).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !touched(n)
+        }
+        .foreach { p =>
+          val dst = nextPath.resolve(p.getFileName)
+          try Files.createLink(dst, p)
+          catch { case _: Exception => Files.copy(p, dst) }
+        }
+      if (touched.nonEmpty)
+        spark.read.parquet(touched.toSeq.sorted.map(f => s"$cur/$f"): _*)
+          .filter(not(hit))
+          .write.mode("append").parquet(nextPath.toString)
+      val inserted = batch.count()
+      // Cast to the table's column order/types so rewritten, linked and
+      // appended files share one schema (same rule as the append commit).
+      val aligned = batch.select(df.schema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      aligned.write.mode("append").parquet(nextPath.toString)
+      publish(dir, next)
+      (deleted, inserted)
+    } finally { batch.unpersist(); () }
+  }
+
   /** UPDATE ... SET, copy-on-write at FILE granularity (same machinery as
     * [[deleteWhere]]): files containing matches are rewritten with the
     * assignments applied to matching rows, everything else hard-links

@@ -97,6 +97,13 @@ object GraftSql {
     ("""(?is)^\s*CREATE\s+TABLE\s+(""" + IdPat + """)\s*\((.*)\)\s*;?\s*$""").r
   private val InsertInto =
     ("""(?is)^\s*INSERT\s+INTO\s+(""" + IdPat + """)\s+(SELECT\b.*)$""").r
+  private val InsertOverwrite =
+    ("""(?is)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(""" + IdPat + """)\s+(SELECT\b.*)$""").r
+  // Delta's predicate-scoped overwrite spelling. Same clause-boundary
+  // caveat as the other DML regexes: a string literal containing the
+  // bare word SELECT inside the predicate would split early.
+  private val InsertReplaceWhere =
+    ("""(?is)^\s*INSERT\s+INTO\s+(""" + IdPat + """)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.*)$""").r
   private val CreateTableAs =
     ("""(?is)^\s*CREATE\s+TABLE\s+(""" + IdPat + """)\s+AS\s+(SELECT\b.*)$""").r
   private val Reorg =
@@ -298,6 +305,38 @@ object GraftSql {
       register(s, name, dir)
       singleRow(s, Seq("name" -> name, "location" -> dir,
         "columns" -> cols.map { case (n, t, _) => s"$n ${t.simpleString}" }.mkString(", ")))
+    case InsertReplaceWhere(rawName, pred, select) =>
+      // Atomic predicate-scoped overwrite (Delta's REPLACE WHERE): one
+      // commit drops the window and lands the batch; the batch must
+      // live inside the window (ParquetTable.replaceWhere enforces it),
+      // CHECK constraints validate it before any file moves.
+      val name = normalizeIdent(rawName)
+      val (dir, df) = dmlTable(s, name)
+      val result = sql(s, select)
+      val aligned = alignToTable(name, df.schema, result)
+      Constraints.validate(aligned, Constraints.checks(dir)).foreach(m =>
+        throw new IllegalStateException(
+          s"INSERT INTO $name REPLACE WHERE rejected by CHECK constraint: $m"))
+      val (nDel, nIns) = ParquetTable.replaceWhere(s, dir, pred.trim, aligned)
+      TableStats.reanalyzeOnPublish(s, dir)
+      singleRow(s, Seq("name" -> name, "n_deleted" -> nDel, "n_inserted" -> nIns))
+    case InsertOverwrite(rawName, select) =>
+      // Full-table overwrite COMMIT: the new version holds exactly the
+      // SELECT result; prior versions stay readable (time travel) until
+      // vacuum — Delta's INSERT OVERWRITE semantics.
+      val name = normalizeIdent(rawName)
+      val (dir, df) = dmlTable(s, name)
+      val result = sql(s, select).persist()
+      try {
+        val aligned = alignToTable(name, df.schema, result)
+        Constraints.validate(aligned, Constraints.checks(dir)).foreach(m =>
+          throw new IllegalStateException(
+            s"INSERT OVERWRITE $name rejected by CHECK constraint: $m"))
+        val n = aligned.count()
+        ParquetTable.swap(s, aligned, dir)
+        TableStats.reanalyzeOnPublish(s, dir)
+        singleRow(s, Seq("name" -> name, "n_inserted" -> n))
+      } finally { result.unpersist(); () }
     case InsertInto(name, select) =>
       // Step 2: INSERT INTO ... SELECT — the SELECT goes back through
       // sql() so table_changes()/AS-OF rewrites compose; the append is
@@ -931,6 +970,24 @@ object GraftSql {
         "files (pending RENAME/DROP/type-widen) — SQL DML is not supported on " +
         "diverged tables; rewrite the table (CTAS) first")
     (dir, plain)
+  }
+
+  /** SQL INSERT arity + alignment, shared by the whole-table write
+    * statements: the SELECT must produce exactly the target's logical
+    * columns (by name, any order), then is cast to the table's column
+    * order/types so every file generation shares one schema. */
+  private def alignToTable(
+      name: String, targetSchema: org.apache.spark.sql.types.StructType,
+      result: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val target = targetSchema.fields.map(_.name.toLowerCase).toSet
+    val incoming = result.columns.map(_.toLowerCase).toSet
+    require(incoming == target,
+      s"INSERT into $name: SELECT columns ${incoming.toSeq.sorted.mkString(",")} " +
+        s"must exactly match the table's ${target.toSeq.sorted.mkString(",")}")
+    val byLower = result.columns.map(c => c.toLowerCase -> c).toMap
+    result.select(targetSchema.fields.map(f =>
+      col(byLower(f.name.toLowerCase)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
 
   /** DELETE FROM t [WHERE pred]: copy-on-write file-granular delete
