@@ -585,6 +585,61 @@ object ParquetTable {
     publish(dir, next)
   }
 
+  /** COPY INTO — idempotent file ingestion (the Databricks/Delta
+    * statement): load from `srcDir` ONLY the parquet files not already
+    * ingested into this table, append them as one commit, and stamp the
+    * loaded file paths INSIDE the staged version dir (`_COPY`,
+    * underscore-hidden like `_TXN`) so data and bookkeeping publish in
+    * the same atomic rename — a crash can never record a file it didn't
+    * land, or land one it didn't record, which is exactly the
+    * double-load window a root-level manifest would reopen. Each
+    * version dir carries only ITS batch's stamp (only data files
+    * hard-link forward), so the loaded set is reconstructed as the
+    * union over retained versions — bounded by version count × file
+    * count, never rows. Retention contract (same as the txn action):
+    * vacuum must retain the ingest's replay window. Re-running the same
+    * statement is a NO-OP (no new version). `transform` maps the raw
+    * file read to table schema (alignment/validation hook). Returns
+    * (#files loaded, #rows loaded, #files skipped). */
+  def copyInto(
+      spark: SparkSession, dir: String, srcDir: String,
+      transform: DataFrame => DataFrame = identity): (Long, Long, Long) = {
+    val src = Paths.get(srcDir)
+    require(Files.isDirectory(src), s"COPY INTO source is not a directory: $srcDir")
+    val candidates = Files.list(src).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(_.toAbsolutePath.normalize.toString).toSeq.sorted
+    val loaded: Set[String] = snapshots(dir).flatMap { v =>
+      val p = Paths.get(dir, v, "_COPY")
+      if (Files.exists(p)) Files.readAllLines(p).asScala.filter(_.nonEmpty)
+      else Seq.empty
+    }.toSet
+    val fresh = candidates.filterNot(loaded)
+    if (fresh.isEmpty) return (0L, 0L, candidates.size.toLong)
+    val batch = transform(spark.read.parquet(fresh: _*)).persist()
+    try {
+      val rows = batch.count()
+      val cur = Paths.get(currentPath(dir))
+      requireNoDv(cur, "copyInto")
+      val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+      val next = VersionNames.format(nextId)
+      val nextPath = Paths.get(dir, next)
+      Files.createDirectories(nextPath)
+      Files.list(cur).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val dst = nextPath.resolve(p.getFileName)
+          try Files.createLink(dst, p)
+          catch { case _: Exception => Files.copy(p, dst) }
+        }
+      batch.write.mode("append").parquet(nextPath.toString)
+      Files.write(nextPath.resolve("_COPY"),
+        fresh.asJava, java.nio.charset.StandardCharsets.UTF_8)
+      publish(dir, next)
+      (fresh.size.toLong, rows, (candidates.size - fresh.size).toLong)
+    } finally { batch.unpersist(); () }
+  }
+
   /** DELETE WHERE via DELETION VECTORS — merge-on-read, the write-cheap
     * dual of [[deleteWhere]]'s copy-on-write: NO data file is rewritten,
     * ever. The new version hard-links every data file forward and adds

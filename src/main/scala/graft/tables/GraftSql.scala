@@ -104,6 +104,8 @@ object GraftSql {
   // bare word SELECT inside the predicate would split early.
   private val InsertReplaceWhere =
     ("""(?is)^\s*INSERT\s+INTO\s+(""" + IdPat + """)\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.*)$""").r
+  private val CopyInto =
+    ("""(?is)^\s*COPY\s+INTO\s+(""" + IdPat + """)\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*PARQUET\s*;?\s*$""").r
   private val CreateTableAs =
     ("""(?is)^\s*CREATE\s+TABLE\s+(""" + IdPat + """)\s+AS\s+(SELECT\b.*)$""").r
   private val Reorg =
@@ -305,6 +307,24 @@ object GraftSql {
       register(s, name, dir)
       singleRow(s, Seq("name" -> name, "location" -> dir,
         "columns" -> cols.map { case (n, t, _) => s"$n ${t.simpleString}" }.mkString(", ")))
+    case CopyInto(rawName, srcDir) =>
+      // Idempotent file ingestion: only never-loaded source files land,
+      // as one commit with the bookkeeping stamped inside the version
+      // (ParquetTable.copyInto); re-running is a no-op. The transform
+      // hook aligns to the table schema and gates CHECK constraints
+      // BEFORE the commit.
+      val name = normalizeIdent(rawName)
+      val (dir, df) = dmlTable(s, name)
+      val (nf, nr, ns) = ParquetTable.copyInto(s, dir, srcDir, batch => {
+        val aligned = alignToTable(name, df.schema, batch)
+        Constraints.validate(aligned, Constraints.checks(dir)).foreach(m =>
+          throw new IllegalStateException(
+            s"COPY INTO $name rejected by CHECK constraint: $m"))
+        aligned
+      })
+      if (nf > 0) TableStats.reanalyzeOnPublish(s, dir)
+      singleRow(s, Seq("name" -> name, "n_files_loaded" -> nf,
+        "n_rows_loaded" -> nr, "n_files_skipped" -> ns))
     case InsertReplaceWhere(rawName, pred, select) =>
       // Atomic predicate-scoped overwrite (Delta's REPLACE WHERE): one
       // commit drops the window and lands the batch; the batch must
