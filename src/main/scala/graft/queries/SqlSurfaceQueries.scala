@@ -36,6 +36,7 @@ object SqlSurfaceQueries extends QueryModule {
       true
     })
     dmlTables(s, dir)
+    copyTable(s, dir)
     ()
   }
 

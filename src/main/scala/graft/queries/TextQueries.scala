@@ -1168,18 +1168,21 @@ object TextQueries extends QueryModule {
     // log importance is replaced by the rational odds surrogate
     // (r − 1)/(r + 1) — monotone in r, pure IEEE arithmetic, so the
     // oracle replays it bitwise (the same trick as the rational PMI;
-    // ln() is the one operation the two engines round differently) —
-    // summed per document in position order. Top 50 by importance,
-    // doc_id tiebreak. Scale shape: the whole feature model is a
-    // 256-row broadcast (two tiny aggregates); the corpus side is a
-    // narrow projection + ONE doc-keyed fold shuffle + a top-k sort.
+    // ln() is the one operation the two engines round differently).
+    // Per-doc scoring is BUCKET-COLLAPSED like text_nb_classify:
+    // score = Σ_f cf·w(f) folded in BUCKET order over the doc's ≤256
+    // occupied buckets (the r10 sf1 smoke caught the per-token fold
+    // spilling at 10×; per-doc state is now bounded by the model size,
+    // never document length). Top 50 by importance, doc_id tiebreak.
+    // Scale shape: feature model = 256-row broadcast; corpus side = one
+    // (doc, f) count shuffle + a ≤256-element fold + a top-k sort.
     EngineQuery(
       "text_dsir_select",
       (s, dir) => {
         val B = 256
         val e = docs(s, dir).withColumn("toks", expr(toksSpark))
-          .selectExpr("doc_id", "lang", "posexplode(toks) AS (pos, tok)")
-          .selectExpr("doc_id", "lang", "pos",
+          .selectExpr("doc_id", "lang", "explode(toks) AS tok")
+          .selectExpr("doc_id", "lang",
             s"${hash60Spark("tok")} % $B AS f")
         val counts = e.groupBy("f").agg(
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
@@ -1191,18 +1194,20 @@ object TextQueries extends QueryModule {
                | / (CAST(cr + 1 AS DOUBLE) * CAST(nt + $B AS DOUBLE)) AS r""".stripMargin)
           .selectExpr("f",
             "(r - CAST(1.0 AS DOUBLE)) / (r + CAST(1.0 AS DOUBLE)) AS w")
-        e.join(broadcast(weights), "f")
+        e.groupBy("doc_id", "lang", "f")
+          .agg(count(lit(1)).cast("long").as("cf"))
+          .join(broadcast(weights), "f")
           .groupBy("doc_id", "lang")
-          .agg(count(lit(1)).cast("long").as("n_toks"),
-            sort_array(collect_list(struct(col("pos"), col("w")))).as("vs"))
+          .agg(sum("cf").cast("long").as("n_toks"),
+            sort_array(collect_list(struct(col("f"),
+              (col("cf").cast("double") * col("w")).as("v")))).as("vs"))
           .withColumn("score",
-            expr("aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.w)"))
+            expr("aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.v)"))
           .orderBy(col("score").desc, col("doc_id")).limit(50)
           .selectExpr("doc_id", "lang", "n_toks", "round(score, 6) AS score")
       },
       Some(s"""WITH t AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
               |e AS (SELECT doc_id, lang,
-              |    unnest(range(0, len(toks))) AS pos,
               |    unnest([${hash60Duck("tok")} % 256 for tok in toks]) AS f
               |  FROM t),
               |c AS (SELECT f,
@@ -1216,9 +1221,11 @@ object TextQueries extends QueryModule {
               |  FROM (SELECT f, CAST(ct + 1 AS DOUBLE) * CAST(nr + 256 AS DOUBLE)
               |      / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 256 AS DOUBLE)) AS r
               |    FROM c, tot)),
-              |sc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_toks,
-              |    list_reduce(list(w ORDER BY pos), (x, y) -> x + y) AS score
-              |  FROM e JOIN w USING (f) GROUP BY doc_id, lang)
+              |df AS (SELECT doc_id, lang, f, CAST(count(*) AS BIGINT) AS cf
+              |  FROM e GROUP BY doc_id, lang, f),
+              |sc AS (SELECT doc_id, lang, CAST(sum(cf) AS BIGINT) AS n_toks,
+              |    list_reduce(list(CAST(cf AS DOUBLE) * w ORDER BY f), (x, y) -> x + y) AS score
+              |  FROM df JOIN w USING (f) GROUP BY doc_id, lang)
               |SELECT doc_id, lang, n_toks, round(score, 6) AS score
               |FROM sc ORDER BY sc.score DESC, doc_id LIMIT 50""".stripMargin)),
 
@@ -1393,12 +1400,14 @@ object TextQueries extends QueryModule {
     // matrix. Features are 64 hash buckets; per class the bucket weight
     // is the Laplace likelihood ratio vs uniform r = 64·(c_f+1)/(N_c+64)
     // through the rational odds surrogate (pure IEEE, no ln — the
-    // PMI/DSIR/CCNet trick), summed per doc in position order; argmax
-    // by fixed preference order (float sums are bit-identical in both
-    // engines, so even exact ties break identically). Scale shape: the
-    // whole fitted model is a 64×5 broadcast built from one aggregate
-    // over the train slice; scoring is a narrow projection + one
-    // doc-keyed fold — no shuffle grows with the model.
+    // PMI/DSIR/CCNet trick). Scoring is BUCKET-COLLAPSED: per-doc
+    // bucket counts first (one shuffle of ≤64 rows per doc), then
+    // score_c = Σ_f cf·w_c(f) folded in BUCKET order — a ≤64-element
+    // fold per doc instead of a per-token list (the r10 sf1 smoke
+    // caught the token-length fold spilling at 10×; this is the fix),
+    // bit-replayable because the fold order is the bucket id. Argmax by
+    // fixed preference order. Scale shape: model = 64×5 broadcast;
+    // per-doc state bounded by the MODEL size, never document length.
     EngineQuery(
       "text_nb_classify",
       (s, dir) => {
@@ -1406,8 +1415,8 @@ object TextQueries extends QueryModule {
         val langs = Seq("en", "es", "de", "fr", "zh")
         val e = docs(s, dir).withColumn("toks", expr(toksSpark))
           .selectExpr("doc_id", "lang", s"${splitSpark("doc_id")} AS split",
-            "posexplode(toks) AS (pos, tok)")
-          .selectExpr("doc_id", "lang", "split", "pos",
+            "explode(toks) AS tok")
+          .selectExpr("doc_id", "lang", "split",
             s"${hash60Spark("tok")} % $B AS f")
         val cntCols = langs.map(l =>
           sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
@@ -1422,12 +1431,15 @@ object TextQueries extends QueryModule {
           .selectExpr("f" +: langs.map(l =>
             s"""((CAST($B * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $B AS DOUBLE)) - CAST(1.0 AS DOUBLE))
                | / ((CAST($B * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $B AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS s_$l""".stripMargin.replace("\n", "")): _*)
-        val structFields = col("pos") +: langs.map(l => col(s"s_$l"))
-        val scored = e.join(broadcast(weights), "f")
+        val docF = e.groupBy("doc_id", "lang", "f")
+          .agg(count(lit(1)).cast("long").as("cf"))
+        val structFields = col("f") +: langs.map(l =>
+          (col("cf").cast("double") * col(s"s_$l")).as(s"v_$l"))
+        val scored = docF.join(broadcast(weights), "f")
           .groupBy("doc_id", "lang")
           .agg(sort_array(collect_list(struct(structFields: _*))).as("vs"))
           .selectExpr(Seq("doc_id", "lang") ++ langs.map(l =>
-            s"aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.s_$l) AS sc_$l"): _*)
+            s"aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.v_$l) AS sc_$l"): _*)
         scored.selectExpr("lang",
             """CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr, sc_zh) THEN 'en'
               |     WHEN sc_es >= greatest(sc_de, sc_fr, sc_zh) THEN 'es'
@@ -1447,10 +1459,9 @@ object TextQueries extends QueryModule {
         val wcols = langs.map(l =>
           s"""((CAST($B * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $B AS DOUBLE)) - CAST(1.0 AS DOUBLE)) / ((CAST($B * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $B AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS s_$l""").mkString(",\n    ")
         val scols = langs.map(l =>
-          s"list_reduce(list(s_$l ORDER BY pos), (x, y) -> x + y) AS sc_$l").mkString(",\n    ")
+          s"list_reduce(list(CAST(cf AS DOUBLE) * s_$l ORDER BY f), (x, y) -> x + y) AS sc_$l").mkString(",\n    ")
         s"""WITH t AS (SELECT doc_id, lang, ${splitDuck("doc_id")} AS split, $toksDuck AS toks FROM documents),
            |e AS (SELECT doc_id, lang, split,
-           |    unnest(range(0, len(toks))) AS pos,
            |    unnest([${hash60Duck("tok")} % $B for tok in toks]) AS f
            |  FROM t),
            |cnt AS (SELECT f,
@@ -1462,9 +1473,11 @@ object TextQueries extends QueryModule {
            |w AS (SELECT f,
            |    $wcols
            |  FROM fm, tot),
+           |df AS (SELECT doc_id, lang, f, CAST(count(*) AS BIGINT) AS cf
+           |  FROM e GROUP BY doc_id, lang, f),
            |sc AS (SELECT doc_id, lang,
            |    $scols
-           |  FROM e JOIN w USING (f) GROUP BY doc_id, lang),
+           |  FROM df JOIN w USING (f) GROUP BY doc_id, lang),
            |pr AS (SELECT lang,
            |    CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr, sc_zh) THEN 'en'
            |         WHEN sc_es >= greatest(sc_de, sc_fr, sc_zh) THEN 'es'
