@@ -79,6 +79,79 @@ object TextQueries extends QueryModule {
     * application embeds learned symbols into the next round's replace). */
   private def sqlLit(v: String): String = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+  private val ccnetCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** The per-doc CCNet LM score table (doc_id, lang, n_bigrams, n_hits,
+    * lm_score), memoized + persisted per (session, dir): text_ccnet_lm
+    * gates it directly and text_ccnet_buckets terciles it — computing
+    * the three model joins once. See text_ccnet_lm's doc for the model
+    * and IEEE-pairing rules. */
+  private def ccnetScoresCached(s: SparkSession, dir: String): DataFrame =
+    ccnetCache.getOrElseUpdate((s, dir), {
+      val t = docs(s, dir).withColumn("toks", expr(toksSpark))
+      val bg = t.where(size(col("toks")) >= 2)
+        .selectExpr("doc_id", "lang",
+          "posexplode(transform(sequence(1, size(toks) - 1), i -> named_struct('w1', try_element_at(toks, i), 'w2', try_element_at(toks, i + 1)))) AS (p0, b)")
+        .selectExpr("doc_id", "lang", "p0 + 1 AS pos", "b.w1 AS w1", "b.w2 AS w2")
+      val cu = t.where(col("lang") === "en")
+        .selectExpr("explode(toks) AS w")
+        .groupBy("w").agg(count(lit(1)).as("cu"))
+      val nt = cu.agg(sum("cu").cast("long").as("nt"))
+      val cb = bg.where(col("lang") === "en")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      val scored = bg.join(cb, Seq("w1", "w2"), "left")
+        .join(cu.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"), "left")
+        .join(cu.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
+        .crossJoin(broadcast(nt))
+        .selectExpr("doc_id", "lang", "pos", "cb",
+          """CASE WHEN cb IS NOT NULL THEN CAST(cb AS DOUBLE) / CAST(cu1 AS DOUBLE)
+            | ELSE (CAST(0.4 AS DOUBLE) * CAST(coalesce(cu2, 0) + 1 AS DOUBLE)) / CAST(nt + 65536 AS DOUBLE) END AS p""".stripMargin.replace("\n", ""))
+        .selectExpr("doc_id", "lang", "pos", "cb",
+          "(p - CAST(1.0 AS DOUBLE)) / (p + CAST(1.0 AS DOUBLE)) AS sc")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          count(col("cb")).cast("long").as("n_hits"),
+          sort_array(collect_list(struct(col("pos"), col("sc")))).as("vs"))
+        .withColumn("score",
+          expr("aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.sc)"))
+        .selectExpr("doc_id", "lang", "n_bigrams", "n_hits",
+          "round(score / CAST(n_bigrams AS DOUBLE), 6) AS lm_score")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scored.count()
+      scored
+    })
+
+  /** DuckDB replay of the same per-doc score table, ending in the
+    * `perdoc` CTE — shared by both ccnet oracles. */
+  private lazy val ccnetDuckChain: String =
+    s"""t AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
+       |bg AS (SELECT doc_id, lang,
+       |    unnest(range(1, len(toks))) AS pos,
+       |    unnest(toks[1:len(toks)-1]) AS w1,
+       |    unnest(toks[2:len(toks)]) AS w2
+       |  FROM t WHERE len(toks) >= 2),
+       |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+       |  FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en') GROUP BY w),
+       |nt AS (SELECT CAST(sum(cu) AS BIGINT) AS nt FROM cu),
+       |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+       |  FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+       |p AS (SELECT doc_id, lang, pos, cb.cb,
+       |    CASE WHEN cb.cb IS NOT NULL THEN CAST(cb.cb AS DOUBLE) / CAST(c1.cu AS DOUBLE)
+       |      ELSE (CAST(0.4 AS DOUBLE) * CAST(COALESCE(c2.cu, 0) + 1 AS DOUBLE)) / CAST(nt + 65536 AS DOUBLE) END AS p
+       |  FROM bg
+       |  LEFT JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+       |  LEFT JOIN cu c1 ON bg.w1 = c1.w
+       |  LEFT JOIN cu c2 ON bg.w2 = c2.w
+       |  CROSS JOIN nt),
+       |sc AS (SELECT doc_id, lang, pos, cb,
+       |    (p - CAST(1.0 AS DOUBLE)) / (p + CAST(1.0 AS DOUBLE)) AS sc FROM p),
+       |perdoc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |  CAST(count(cb) AS BIGINT) AS n_hits,
+       |  round(list_reduce(list(sc ORDER BY pos), (x, y) -> x + y)
+       |    / CAST(count(*) AS DOUBLE), 6) AS lm_score
+       |FROM sc GROUP BY doc_id, lang)""".stripMargin
+
   private val bpeSteps = 8
 
   private val bpeCache = scala.collection.concurrent.TrieMap
@@ -1247,62 +1320,40 @@ object TextQueries extends QueryModule {
     // shuffle total, all partial-aggregated map-side.
     EngineQuery(
       "text_ccnet_lm",
+      (s, dir) => ccnetScoresCached(s, dir),
+      Some(s"""WITH $ccnetDuckChain
+              |SELECT doc_id, lang, n_bigrams, n_hits, lm_score FROM perdoc""".stripMargin)),
+
+    // CCNet's head/middle/tail bucketing (Wenzek et al. 2020 §4.3):
+    // per LANGUAGE, rank every scored document by LM score and cut into
+    // terciles with ntile(3) (best third = 'head' — the slice CCNet
+    // keeps by default). The window is language-partitioned (never
+    // global) and its input is the per-DOC score table — corpus-sized
+    // rows never enter the window. Rollup per (lang, bucket) with the
+    // tercile score boundaries.
+    EngineQuery(
+      "text_ccnet_buckets",
       (s, dir) => {
-        val t = docs(s, dir).withColumn("toks", expr(toksSpark))
-        val bg = t.where(size(col("toks")) >= 2)
-          .selectExpr("doc_id", "lang",
-            "posexplode(transform(sequence(1, size(toks) - 1), i -> named_struct('w1', try_element_at(toks, i), 'w2', try_element_at(toks, i + 1)))) AS (p0, b)")
-          .selectExpr("doc_id", "lang", "p0 + 1 AS pos", "b.w1 AS w1", "b.w2 AS w2")
-        val cu = t.where(col("lang") === "en")
-          .selectExpr("explode(toks) AS w")
-          .groupBy("w").agg(count(lit(1)).as("cu"))
-        val nt = cu.agg(sum("cu").cast("long").as("nt"))
-        val cb = bg.where(col("lang") === "en")
-          .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-        bg.join(cb, Seq("w1", "w2"), "left")
-          .join(cu.select(col("w").as("w1"), col("cu").as("cu1")), Seq("w1"), "left")
-          .join(cu.select(col("w").as("w2"), col("cu").as("cu2")), Seq("w2"), "left")
-          .crossJoin(broadcast(nt))
-          .selectExpr("doc_id", "lang", "pos", "cb",
-            """CASE WHEN cb IS NOT NULL THEN CAST(cb AS DOUBLE) / CAST(cu1 AS DOUBLE)
-              | ELSE (CAST(0.4 AS DOUBLE) * CAST(coalesce(cu2, 0) + 1 AS DOUBLE)) / CAST(nt + 65536 AS DOUBLE) END AS p""".stripMargin.replace("\n", ""))
-          .selectExpr("doc_id", "lang", "pos", "cb",
-            "(p - CAST(1.0 AS DOUBLE)) / (p + CAST(1.0 AS DOUBLE)) AS sc")
-          .groupBy("doc_id", "lang")
-          .agg(count(lit(1)).cast("long").as("n_bigrams"),
-            count(col("cb")).cast("long").as("n_hits"),
-            sort_array(collect_list(struct(col("pos"), col("sc")))).as("vs"))
-          .withColumn("score",
-            expr("aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.sc)"))
-          .selectExpr("doc_id", "lang", "n_bigrams", "n_hits",
-            "round(score / CAST(n_bigrams AS DOUBLE), 6) AS lm_score")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("lm_score").desc, col("doc_id"))
+        ccnetScoresCached(s, dir)
+          .withColumn("b", ntile(3).over(w))
+          .groupBy(col("lang"),
+            expr("CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END").as("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_bigrams").cast("long").as("n_bigrams"),
+            min("lm_score").as("min_score"),
+            max("lm_score").as("max_score"))
       },
-      Some(s"""WITH t AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
-              |bg AS (SELECT doc_id, lang,
-              |    unnest(range(1, len(toks))) AS pos,
-              |    unnest(toks[1:len(toks)-1]) AS w1,
-              |    unnest(toks[2:len(toks)]) AS w2
-              |  FROM t WHERE len(toks) >= 2),
-              |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
-              |  FROM (SELECT unnest(toks) AS w FROM t WHERE lang = 'en') GROUP BY w),
-              |nt AS (SELECT CAST(sum(cu) AS BIGINT) AS nt FROM cu),
-              |cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
-              |  FROM bg WHERE lang = 'en' GROUP BY w1, w2),
-              |p AS (SELECT doc_id, lang, pos, cb.cb,
-              |    CASE WHEN cb.cb IS NOT NULL THEN CAST(cb.cb AS DOUBLE) / CAST(c1.cu AS DOUBLE)
-              |      ELSE (CAST(0.4 AS DOUBLE) * CAST(COALESCE(c2.cu, 0) + 1 AS DOUBLE)) / CAST(nt + 65536 AS DOUBLE) END AS p
-              |  FROM bg
-              |  LEFT JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
-              |  LEFT JOIN cu c1 ON bg.w1 = c1.w
-              |  LEFT JOIN cu c2 ON bg.w2 = c2.w
-              |  CROSS JOIN nt),
-              |sc AS (SELECT doc_id, lang, pos, cb,
-              |    (p - CAST(1.0 AS DOUBLE)) / (p + CAST(1.0 AS DOUBLE)) AS sc FROM p)
-              |SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
-              |  CAST(count(cb) AS BIGINT) AS n_hits,
-              |  round(list_reduce(list(sc ORDER BY pos), (x, y) -> x + y)
-              |    / CAST(count(*) AS DOUBLE), 6) AS lm_score
-              |FROM sc GROUP BY doc_id, lang""".stripMargin)),
+      Some(s"""WITH $ccnetDuckChain,
+              |nb AS (SELECT *, ntile(3) OVER (PARTITION BY lang ORDER BY lm_score DESC, doc_id) AS b
+              |  FROM perdoc)
+              |SELECT lang,
+              |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+              |  min(lm_score) AS min_score, max(lm_score) AS max_score
+              |FROM nb GROUP BY 1, 2""".stripMargin)),
 
     // FineWeb-style per-domain cap (Penedo et al. 2024): keep at most
     // K = 10 documents per source, best-quality-first (integer-grain
