@@ -222,6 +222,53 @@ object SimQueries extends QueryModule {
               |  round(cos, 6) AS cosine
               |FROM r WHERE rank <= 5""".stripMargin)),
 
+    // HARD-NEGATIVE mining for contrastive/embedding training: per
+    // anchor, the top-5 most-similar vectors with a DIFFERENT label
+    // (high-cosine wrong-class = the negatives that actually teach),
+    // plus the anchor's best same-label cosine and the triplet margin
+    // (pos − neg) per negative. Same broadcast-nested-loop baseline as
+    // sim_cosine_topk (codegen'd cosine_sim, probe-partitioned window);
+    // at corpus scale the candidate pass runs cell-confined inside the
+    // IVF layout exactly like sim_semdedup — never all-pairs.
+    EngineQuery(
+      "sim_hard_negatives",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val probes = e.filter(col("vec_id") < 8).select(
+          col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+        val joined = e.alias("c").crossJoin(broadcast(probes))
+          .filter(col("c.vec_id") =!= col("query_id"))
+          .selectExpr("query_id", "q_label", "c.vec_id AS neighbor_id",
+            "c.label AS label", "cosine_sim(q_emb, c.embedding) AS cos")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        val negs = joined.filter(col("label") =!= col("q_label"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+        val pos = joined.filter(col("label") === col("q_label"))
+          .groupBy("query_id").agg(max("cos").as("pos_cos"))
+        negs.join(pos, Seq("query_id"), "left")
+          .selectExpr("query_id", "CAST(rank AS INT) AS rank", "neighbor_id",
+            "round(cos, 6) AS neg_cosine", "round(pos_cos, 6) AS pos_cosine",
+            "round(pos_cos - cos, 6) AS margin")
+      },
+      Some(s"""WITH p AS (
+              |  SELECT q.vec_id AS query_id, q.label AS q_label,
+              |    c.vec_id AS neighbor_id, c.label AS label,
+              |    ${cosineDuck("q.embedding", "c.embedding")} AS cos
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 8),
+              |n AS (SELECT query_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM p WHERE label <> q_label),
+              |ps AS (SELECT query_id, max(cos) AS pos_cos
+              |  FROM p WHERE label = q_label GROUP BY query_id)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |  round(cos, 6) AS neg_cosine, round(pos_cos, 6) AS pos_cosine,
+              |  round(pos_cos - cos, 6) AS margin
+              |FROM n LEFT JOIN ps USING (query_id) WHERE rank <= 5""".stripMargin)),
+
     // Deterministic random-hyperplane LSH signature per vector (the
     // partition-local stage of the ANN scale path).
     EngineQuery(
