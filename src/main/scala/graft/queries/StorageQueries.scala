@@ -567,6 +567,27 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededGen =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** GENERATED-column seed: a CREATE TABLE with a generated cents
+    * column, filled by an INSERT that OMITS it — the gate only passes
+    * if the engine computed every row from the stored expression. */
+  private def genOrders(s: SparkSession, dir: String): String =
+    seededGen.getOrElseUpdate((s, dir), {
+      val uid = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      val nm = s"gen_orders_$uid"
+      s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView(s"${nm}_src")
+      graft.tables.GraftSql.sql(s,
+        s"""CREATE TABLE $nm (o_orderkey BIGINT, o_totalprice DOUBLE,
+           |  o_cents BIGINT GENERATED ALWAYS AS (CAST(round(o_totalprice * 100, 0) AS BIGINT)))""".stripMargin)
+      graft.tables.GraftSql.sql(s,
+        s"INSERT INTO $nm SELECT o_orderkey, o_totalprice FROM ${nm}_src")
+      nm
+    })
+
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -586,7 +607,8 @@ object StorageQueries extends QueryModule {
       () => analyzedTables(s, dir), () => cdfStreamedSink(s, dir),
       () => ctasOrders(s, dir), () => reorgedOrders(s, dir),
       () => partitionedOrders(s, dir), () => commentedNation(s, dir),
-      () => mvOrders(s, dir), () => mvSqlOrders(s, dir))
+      () => mvOrders(s, dir), () => mvSqlOrders(s, dir),
+      () => genOrders(s, dir))
     Await.result(
       Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
       Duration.Inf)
@@ -642,6 +664,22 @@ object StorageQueries extends QueryModule {
              |FROM orders
              |WHERE o_orderkey BETWEEN 100 AND 700 AND o_custkey BETWEEN 10 AND 60
              |GROUP BY o_orderstatus""".stripMargin)),
+
+    // GENERATED ALWAYS AS column, end-to-end via SQL statements: the
+    // INSERT omits o_cents, so every gated value was computed by the
+    // engine from the stored generation expression (and validated-on-
+    // provide / DML-guard semantics are pinned by GeneratedColumnsSpec).
+    EngineQuery(
+      "se_generated_insert",
+      (s, dir) => {
+        val nm = genOrders(s, dir)
+        graft.tables.GraftSql.sql(s,
+          s"""SELECT o_orderkey, round(o_totalprice, 2) AS o_price2, o_cents
+             |FROM $nm""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS o_price2,
+             |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS o_cents
+             |FROM orders""".stripMargin)),
 
     // METADATA-ONLY aggregate pushdown: COUNT(*) + MIN/MAX of the
     // manifested columns answered from the `_STATS` manifest alone —

@@ -262,16 +262,22 @@ object GraftSql {
       // Validate EVERYTHING before the first mutation — a comment
       // rejected after addColumns would leave the table half-altered
       // (and the user's retry failing with "column already exists").
-      cols.foreach { case (n, _, c) =>
+      cols.foreach { case (n, _, c, g) =>
+        // A generated column added post-hoc would need existing rows
+        // COMPUTED (the metadata-only null-fill would violate the
+        // generation invariant on every pre-DDL row) — rewrite via CTAS.
+        require(g.isEmpty,
+          s"ADD COLUMNS with GENERATED ALWAYS AS is not supported (column $n): " +
+            "existing rows would need computing — define it at CREATE TABLE or rewrite via CTAS")
         c.foreach(text => require(!text.exists(ch => ch == '\n' || ch == '\r'),
           s"column comment may not contain newlines (column $n)"))
       }
-      SchemaEvolution.addColumns(s, dir, cols.map { case (n, t, _) => n -> t })
-      cols.foreach { case (n, _, c) =>
+      SchemaEvolution.addColumns(s, dir, cols.map { case (n, t, _, _) => n -> t })
+      cols.foreach { case (n, _, c, _) =>
         c.foreach(SchemaEvolution.setColumnComment(s, dir, n, _))
       }
       singleRow(s, Seq("name" -> name,
-        "added" -> cols.map { case (n, t, _) => s"$n ${t.simpleString}" }.mkString(", ")))
+        "added" -> cols.map { case (n, t, _, _) => s"$n ${t.simpleString}" }.mkString(", ")))
     case RenameCol(name, from, to) =>
       SchemaEvolution.renameColumn(s, resolve(s, name).dir, from, to)
       singleRow(s, Seq("name" -> name, "renamed" -> s"$from -> $to"))
@@ -300,13 +306,34 @@ object GraftSql {
       val cols = parseColumnDefs(body)
       val dir = java.nio.file.Files.createTempDirectory("graft-ct")
         .resolve(dirNameFor(name)).toString
-      SchemaEvolution.createTable(s, dir, cols.map { case (n, t, _) => n -> t })
-      cols.foreach { case (n, _, c) =>
+      SchemaEvolution.createTable(s, dir, cols.map { case (n, t, _, _) => n -> t })
+      cols.foreach { case (n, _, c, _) =>
         c.foreach(SchemaEvolution.setColumnComment(s, dir, n, _))
       }
       register(s, name, dir)
+      // Generated columns (Delta's GENERATED ALWAYS AS): the expression
+      // is stored as a reserved table property — the write paths read
+      // the prefix and compute/validate. Resolution is checked NOW
+      // against the declared NON-generated columns, so a typo (or a
+      // generated column referencing another generated column) fails at
+      // CREATE, not at first INSERT.
+      val gens = cols.collect { case (n, _, _, Some(g)) => n -> g }
+      if (gens.nonEmpty) {
+        val genNames = gens.map(_._1.toLowerCase).toSet
+        val probe = SchemaEvolution.readEvolved(s, dir)
+          .select(cols.collect { case (n, _, _, None) => col(n) }: _*)
+        gens.foreach { case (n, g) =>
+          require(!genNames.exists(other =>
+              other != n.toLowerCase && exprMentions(g, other)),
+            s"GENERATED column $n may not reference another generated column")
+          try probe.select(expr(g)).schema
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"GENERATED ALWAYS AS for $n does not resolve against the table's columns: ${e.getMessage}") }
+        }
+        setProperties(s, name, gens.map { case (n, g) => s"graft.generated.$n" -> g })
+      }
       singleRow(s, Seq("name" -> name, "location" -> dir,
-        "columns" -> cols.map { case (n, t, _) => s"$n ${t.simpleString}" }.mkString(", ")))
+        "columns" -> cols.map { case (n, t, _, _) => s"$n ${t.simpleString}" }.mkString(", ")))
     case CopyInto(rawName, srcDir) =>
       // Idempotent file ingestion: only never-loaded source files land,
       // as one commit with the bookkeeping stamped inside the version
@@ -316,7 +343,7 @@ object GraftSql {
       val name = normalizeIdent(rawName)
       val (dir, df) = dmlTable(s, name)
       val (nf, nr, ns) = ParquetTable.copyInto(s, dir, srcDir, batch => {
-        val aligned = alignToTable(name, df.schema, batch)
+        val aligned = alignToTable(name, dir, df.schema, batch)
         Constraints.validate(aligned, Constraints.checks(dir)).foreach(m =>
           throw new IllegalStateException(
             s"COPY INTO $name rejected by CHECK constraint: $m"))
@@ -333,7 +360,7 @@ object GraftSql {
       val name = normalizeIdent(rawName)
       val (dir, df) = dmlTable(s, name)
       val result = sql(s, select)
-      val aligned = alignToTable(name, df.schema, result)
+      val aligned = alignToTable(name, dir, df.schema, result)
       Constraints.validate(aligned, Constraints.checks(dir)).foreach(m =>
         throw new IllegalStateException(
           s"INSERT INTO $name REPLACE WHERE rejected by CHECK constraint: $m"))
@@ -348,7 +375,7 @@ object GraftSql {
       val (dir, df) = dmlTable(s, name)
       val result = sql(s, select).persist()
       try {
-        val aligned = alignToTable(name, df.schema, result)
+        val aligned = alignToTable(name, dir, df.schema, result)
         Constraints.validate(aligned, Constraints.checks(dir)).foreach(m =>
           throw new IllegalStateException(
             s"INSERT OVERWRITE $name rejected by CHECK constraint: $m"))
@@ -362,16 +389,19 @@ object GraftSql {
       // sql() so table_changes()/AS-OF rewrites compose; the append is
       // schema-enforced against the declared (or evolved) columns.
       val dir = resolve(s, name).dir
-      val result = sql(s, select).persist()
+      val result0 = sql(s, select).persist()
       try {
-        // SQL INSERT arity: the SELECT must produce exactly the target's
-        // logical columns (by name, any order). Without this, an extra
-        // column would ride appendEvolved's additive-evolution path and
-        // permanently widen the table from a typo.
+        // GENERATED columns first (compute omitted / validate provided),
+        // THEN the arity rule: the SELECT must produce exactly the
+        // target's remaining logical columns (by name, any order) —
+        // without this, an extra column would ride appendEvolved's
+        // additive-evolution path and permanently widen the table from
+        // a typo.
         val versioned = ParquetTable.exists(dir)
         val targetSchema =
           if (versioned) dmlTable(s, normalizeIdent(name))._2.schema
           else SchemaEvolution.readEvolved(s, dir).schema
+        val result = applyGenerated(name, dir, targetSchema, result0)
         val target = targetSchema.fields.map(_.name.toLowerCase).toSet
         val incoming = result.columns.map(_.toLowerCase).toSet
         require(incoming == target,
@@ -394,7 +424,7 @@ object GraftSql {
         } else SchemaEvolution.appendEvolved(s, result, dir)
         TableStats.reanalyzeOnPublish(s, dir)
         singleRow(s, Seq("name" -> name, "n_inserted" -> n))
-      } finally { result.unpersist(); () }
+      } finally { result0.unpersist(); () }
     case CreateTableAs(rawName, select) =>
       // CTAS = CREATE TABLE (schema from the SELECT) + INSERT INTO in
       // one statement. Mirrors both arms' guards: re-run fails loudly
@@ -800,10 +830,12 @@ object GraftSql {
       StructType(Seq(StructField("partition", StringType, nullable = false))))
   }
 
-  /** Top-level split of `name TYPE [COMMENT '...']` defs — commas inside
-    * DECIMAL(p,s) / STRUCT<...> / quoted comments don't split. Returns
-    * (name, type, optional comment). */
-  private def parseColumnDefs(body: String): Seq[(String, DataType, Option[String])] = {
+  /** Top-level split of `name TYPE [GENERATED ALWAYS AS (expr)]
+    * [COMMENT '...']` defs — commas inside DECIMAL(p,s) / STRUCT<...> /
+    * quoted comments don't split. Returns (name, type, optional
+    * comment, optional generation expression). */
+  private def parseColumnDefs(
+      body: String): Seq[(String, DataType, Option[String], Option[String])] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0
@@ -819,19 +851,25 @@ object GraftSql {
     }
     if (cur.nonEmpty) parts += cur.toString
     val CommentClause = """(?is)\s+COMMENT\s+'([^']*)'\s*$""".r
+    val GeneratedClause = """(?is)\s+GENERATED\s+ALWAYS\s+AS\s+\((.*)\)\s*$""".r
     parts.toSeq.map(_.trim).filter(_.nonEmpty).map { defn =>
       val comment = CommentClause.findFirstMatchIn(defn).map(_.group(1))
       val noComment = CommentClause.replaceAllIn(defn, "")
-      val sp = noComment.indexWhere(_.isWhitespace)
+      // Delta's generated-column spelling: `name TYPE GENERATED ALWAYS
+      // AS (expr)` — greedy capture to the LAST close paren, so nested
+      // parens in the expression survive.
+      val gen = GeneratedClause.findFirstMatchIn(noComment).map(_.group(1).trim)
+      val noGen = GeneratedClause.replaceAllIn(noComment, "")
+      val sp = noGen.indexWhere(_.isWhitespace)
       require(sp > 0, s"expected 'name TYPE' in ADD COLUMNS: $defn")
       // Checked AFTER the comment strip, and only at TOP LEVEL (outside
       // <...>/(...) nesting): a COMMENT mentioning "default" or a struct
       // FIELD named 'default' (meta STRUCT<default: INT>) is valid DDL;
       // only a DEFAULT clause in the def itself is unsupported.
-      require(!topLevelWord(noComment, "DEFAULT"),
+      require(!topLevelWord(noGen, "DEFAULT"),
         s"ADD COLUMNS with DEFAULT is not supported: $defn")
-      val (n, ddl) = (noComment.substring(0, sp), noComment.substring(sp + 1).trim)
-      (n, DataType.fromDDL(ddl), comment)
+      val (n, ddl) = (noGen.substring(0, sp), noGen.substring(sp + 1).trim)
+      (n, DataType.fromDDL(ddl), comment, gen)
     }
   }
 
@@ -992,14 +1030,68 @@ object GraftSql {
     (dir, plain)
   }
 
+  /** Whole-word, case-insensitive mention of `word` anywhere in an
+    * expression string (any nesting depth — unlike [[topLevelWord]]). */
+  private def exprMentions(text: String, word: String): Boolean =
+    ("""(?i)(?<![A-Za-z0-9_])""" + java.util.regex.Pattern.quote(word) +
+      """(?![A-Za-z0-9_])""").r.findFirstIn(text).isDefined
+
+  /** GENERATED-column conformance for a batch about to land in `dir`:
+    * a generated column the SELECT OMITS is computed from its stored
+    * expression; one the SELECT PROVIDES is validated row-for-row
+    * against the expression (null-safe) and the batch rejected on any
+    * mismatch — Delta's generated-column write contract. */
+  private def applyGenerated(
+      name: String, dir: String,
+      targetSchema: StructType, result: DataFrame): DataFrame = {
+    val gens = properties(dir).collect {
+      case (k, v) if k.startsWith("graft.generated.") =>
+        k.stripPrefix("graft.generated.") -> v
+    }
+    if (gens.isEmpty) return result
+    val present = result.columns.map(_.toLowerCase).toSet
+    var df = result
+    gens.toSeq.sortBy(_._1).foreach { case (c, g) =>
+      val dt = targetSchema.fields
+        .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        .getOrElse(throw new IllegalStateException(
+          s"table $name: generated column '$c' is not in the schema"))
+      if (!present(c.toLowerCase)) df = df.withColumn(c, expr(g).cast(dt))
+      else {
+        val bad = df.filter(!(col(c) <=> expr(g).cast(dt))).limit(1).count()
+        require(bad == 0L,
+          s"INSERT into $name: column '$c' is GENERATED ALWAYS AS ($g) — " +
+            "provided values must satisfy the generation expression (omit the column to have it computed)")
+      }
+    }
+    df
+  }
+
+  /** Loud rejection of value-mutating DML on tables with generated
+    * columns: an UPDATE/MERGE could change a source column without
+    * recomputing its dependents, silently breaking the invariant —
+    * route through INSERT OVERWRITE / REPLACE WHERE instead (which
+    * recompute/validate via [[applyGenerated]]). DELETE stays allowed
+    * (it introduces no values). */
+  private def requireNoGenerated(name: String, dir: String, stmt: String): Unit = {
+    val gens = properties(dir).keys.filter(_.startsWith("graft.generated."))
+    require(gens.isEmpty,
+      s"$stmt on '$name' is not supported: the table has GENERATED columns " +
+        s"(${gens.map(_.stripPrefix("graft.generated.")).toSeq.sorted.mkString(", ")}) " +
+        "and the statement could leave them stale — use INSERT OVERWRITE or REPLACE WHERE")
+  }
+
   /** SQL INSERT arity + alignment, shared by the whole-table write
-    * statements: the SELECT must produce exactly the target's logical
-    * columns (by name, any order), then is cast to the table's column
-    * order/types so every file generation shares one schema. */
+    * statements: generated columns are computed/validated first
+    * ([[applyGenerated]]), then the SELECT must produce exactly the
+    * target's logical columns (by name, any order), cast to the table's
+    * column order/types so every file generation shares one schema. */
   private def alignToTable(
-      name: String, targetSchema: org.apache.spark.sql.types.StructType,
-      result: DataFrame): DataFrame = {
+      name: String, dir: String,
+      targetSchema: org.apache.spark.sql.types.StructType,
+      result0: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val result = applyGenerated(name, dir, targetSchema, result0)
     val target = targetSchema.fields.map(_.name.toLowerCase).toSet
     val incoming = result.columns.map(_.toLowerCase).toSet
     require(incoming == target,
@@ -1009,6 +1101,7 @@ object GraftSql {
     result.select(targetSchema.fields.map(f =>
       col(byLower(f.name.toLowerCase)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
   }
+
 
   /** DELETE FROM t [WHERE pred]: copy-on-write file-granular delete
     * (ParquetTable.deleteWhere) — untouched files hard-link into the new
@@ -1029,6 +1122,7 @@ object GraftSql {
   private def updateSql(s: SparkSession, name: String, setBody: String,
       pred: Option[String]): DataFrame = {
     val (dir, df) = dmlTable(s, name)
+    requireNoGenerated(name, dir, "UPDATE")
     val sets = parseAssignments(setBody)
     val bad = sets.keySet -- df.columns.map(_.toLowerCase).toSet
     require(bad.isEmpty, s"UPDATE $name SET references missing columns: ${bad.toSeq.sorted.mkString(",")}")
@@ -1101,6 +1195,7 @@ object GraftSql {
   private def mergeIntoSql(s: SparkSession, name: String, tgtAlias: Option[String],
       tail: String): DataFrame = {
     val (dir, target) = dmlTable(s, name)
+    requireNoGenerated(name, dir, "MERGE INTO")
     val t = tail.trim
     // Source operand: a parenthesized subquery runs back through sql()
     // (AS-OF phrases / table_changes / registered mounts compose); a
