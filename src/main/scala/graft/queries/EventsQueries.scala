@@ -248,6 +248,45 @@ object EventsQueries extends QueryModule {
              |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Cohort retention matrix — the product-analytics staple: users
+    // cohorted by FIRST-ACTIVE week (ISO date_trunc, Monday-aligned in
+    // both engines), then for each (cohort, week-offset) the count of
+    // cohort members active that week and the retention fraction vs the
+    // cohort's size. Shape at scale: one user-keyed min-agg (first
+    // week), one distinct (user, week) projection joined back to the
+    // cohort (user-keyed, co-partitioned), one (cohort, offset) rollup,
+    // and a |cohorts|-row broadcast for the denominator. No window, no
+    // per-user state beyond the aggregates.
+    EngineQuery(
+      "evt_retention_cohorts",
+      (s, dir) => {
+        val wk = events(s, dir)
+          .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+          .distinct()
+        val firsts = wk.groupBy("user_id").agg(min("wk").as("cohort"))
+        val cells = wk.join(firsts, "user_id")
+          .selectExpr("cohort", "CAST(datediff(wk, cohort) / 7 AS INT) AS offset_weeks", "user_id")
+          .groupBy("cohort", "offset_weeks")
+          .agg(countDistinct("user_id").as("n_users"))
+        val sizes = cells.where(col("offset_weeks") === 0)
+          .select(col("cohort"), col("n_users").as("cohort_size"))
+        cells.join(broadcast(sizes), "cohort")
+          .selectExpr("cohort", "offset_weeks", "n_users", "cohort_size",
+            "round(CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE), 4) AS retention")
+      },
+      Some("""WITH wk AS (SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+             |f AS (SELECT user_id, min(wk) AS cohort FROM wk GROUP BY user_id),
+             |cells AS (SELECT cohort,
+             |    CAST(date_diff('day', cohort, wk) / 7 AS INT) AS offset_weeks,
+             |    CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
+             |  FROM wk JOIN f ON wk.user_id = f.user_id
+             |  GROUP BY 1, 2),
+             |sz AS (SELECT cohort, n_users AS cohort_size FROM cells WHERE offset_weeks = 0)
+             |SELECT cells.cohort, offset_weeks, n_users, cohort_size,
+             |  round(CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE), 4) AS retention
+             |FROM cells JOIN sz ON cells.cohort = sz.cohort""".stripMargin)),
+
     // RUNTIME dynamic partition pruning (DPP) — the join-driven
     // complement to evt_partition_prune's static filter: the fact side
     // is the same hive-partitioned tree, but the qualifying dates are
