@@ -716,6 +716,123 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(sum(CASE WHEN d.adev > 1.5 * md.mad THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_outliers,
              |  CAST(count(*) AS BIGINT) AS n
-             |FROM d JOIN md ON d.g = md.g GROUP BY 1""".stripMargin))
+             |FROM d JOIN md ON d.g = md.g GROUP BY 1""".stripMargin)),
+
+    // Q34: market-basket association rules — support / confidence / lift
+    // over parts co-ordered in the same order. The scale design is the
+    // a-priori property made physical: items below min-support are
+    // pruned BEFORE the pair self-join (a frequent pair's items are
+    // both frequent, so no answer is lost), which turns the join from
+    // |basket|² over everything into |basket'|² over frequent items
+    // only. The per-order pair fan-out is bounded by basket size (≤13
+    // here; a 100 TB run caps baskets or salts the hot orders). Both
+    // joins are equi-joins on l_orderkey; item counts broadcast back.
+    EngineQuery(
+      "q34_basket_lift",
+      (s, dir) => {
+        val minSup = 3L
+        val baskets = li(s, dir).select("l_orderkey", "l_partkey").distinct()
+        val itemCnt = baskets.groupBy("l_partkey")
+          .agg(count(lit(1)).as("item_cnt"))
+          .where(col("item_cnt") >= minSup)
+        // itemCnt is bounded by the part CATALOG (dimension-sized, not
+        // fact-sized) — broadcast holds far longer than the fact scan.
+        val frequent = baskets.join(broadcast(itemCnt), "l_partkey")
+        val orderCnt = baskets.select("l_orderkey").distinct().count()
+        val a = frequent.select(
+          col("l_orderkey"),
+          col("l_partkey").as("p1"), col("item_cnt").as("cnt1"))
+        val b = frequent.select(
+          col("l_orderkey"),
+          col("l_partkey").as("p2"), col("item_cnt").as("cnt2"))
+        a.join(b, Seq("l_orderkey"))
+          .where(col("p1") < col("p2"))
+          .groupBy("p1", "p2", "cnt1", "cnt2")
+          .agg(count(lit(1)).as("pair_cnt"))
+          .where(col("pair_cnt") >= minSup)
+          .select(
+            col("p1"), col("p2"), col("pair_cnt"), col("cnt1"), col("cnt2"),
+            round(col("pair_cnt") / col("cnt1"), 4).as("confidence"),
+            round(col("pair_cnt") * lit(orderCnt.toDouble) / (col("cnt1") * col("cnt2")), 4)
+              .as("lift"))
+          .orderBy(col("lift").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      Some("""WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+             |ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_cnt
+             |       FROM baskets GROUP BY 1 HAVING count(*) >= 3),
+             |f AS (SELECT b.l_orderkey, b.l_partkey, ic.item_cnt
+             |      FROM baskets b JOIN ic USING (l_partkey)),
+             |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+             |pairs AS (
+             |  SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             |         CAST(count(*) AS BIGINT) AS pair_cnt,
+             |         max(a.item_cnt) AS cnt1, max(b.item_cnt) AS cnt2
+             |  FROM f a JOIN f b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT p1, p2, pair_cnt, cnt1, cnt2,
+             |  round(pair_cnt / cnt1, 4) AS confidence,
+             |  round(pair_cnt * n.n_orders / (cnt1 * cnt2), 4) AS lift
+             |FROM pairs, n
+             |ORDER BY lift DESC, p1, p2 LIMIT 20""".stripMargin)),
+
+    // Q35: RFM segmentation — per-customer Recency / Frequency /
+    // Monetary quartile scores, rolled up per segment cell. NOT the
+    // textbook global-ntile (a single-partition window over every
+    // customer — the scale-killer PlanInvariantsSpec exists to forbid):
+    // quartile BOUNDARIES come from one scalar percentile aggregate
+    // (mergeable, one row out) broadcast back over the customer grain,
+    // so the whole plan is two hash aggregates + a scalar cross join.
+    // Threshold-bucketing (score = 1 + Σ v>q_i) keeps ties together,
+    // which is also what makes it engine-exact: every input is an exact
+    // integer and a quartile interpolation a+(b−a)·f with f∈{0,¼,½,¾}
+    // is an exact dyadic rational in both engines, so the > compares
+    // can never diverge (same integer-grain argument as q33's MAD).
+    EngineQuery(
+      "q35_rfm_segments",
+      (s, dir) => {
+        val cust = ord(s, dir).groupBy("o_custkey").agg(
+          // o_orderdate reads as TIMESTAMP_NTZ; the session tz is UTC, so
+          // casting to session-zoned TIMESTAMP preserves the wall clock
+          // and unix_millis matches DuckDB's epoch_ms of the naive value.
+          expr("max(unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000)").as("rec_day"),
+          count(lit(1)).as("freq"),
+          sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("cents"))
+        val qs = cust.agg(
+          expr("percentile(rec_day, array(0.25, 0.5, 0.75))").as("rq"),
+          expr("percentile(freq, array(0.25, 0.5, 0.75))").as("fq"),
+          expr("percentile(cents, array(0.25, 0.5, 0.75))").as("mq"))
+        cust.crossJoin(broadcast(qs))
+          .selectExpr(
+            "cents",
+            "1 + CAST(rec_day > rq[0] AS INT) + CAST(rec_day > rq[1] AS INT) + CAST(rec_day > rq[2] AS INT) AS r_score",
+            "1 + CAST(freq > fq[0] AS INT) + CAST(freq > fq[1] AS INT) + CAST(freq > fq[2] AS INT) AS f_score",
+            "1 + CAST(cents > mq[0] AS INT) + CAST(cents > mq[1] AS INT) + CAST(cents > mq[2] AS INT) AS m_score")
+          .groupBy("r_score", "f_score", "m_score")
+          .agg(
+            count(lit(1)).as("n_customers"),
+            sum("cents").as("seg_cents"))
+      },
+      Some("""WITH cust AS (
+             |  SELECT o_custkey,
+             |    max(epoch_ms(o_orderdate) // 86400000) AS rec_day,
+             |    CAST(count(*) AS BIGINT) AS freq,
+             |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM orders GROUP BY 1),
+             |qs AS (
+             |  SELECT quantile_cont(rec_day, [0.25, 0.5, 0.75]) AS rq,
+             |    quantile_cont(freq, [0.25, 0.5, 0.75]) AS fq,
+             |    quantile_cont(cents, [0.25, 0.5, 0.75]) AS mq
+             |  FROM cust),
+             |scored AS (
+             |  SELECT cents,
+             |    1 + CAST(rec_day > rq[1] AS INT) + CAST(rec_day > rq[2] AS INT) + CAST(rec_day > rq[3] AS INT) AS r_score,
+             |    1 + CAST(freq > fq[1] AS INT) + CAST(freq > fq[2] AS INT) + CAST(freq > fq[3] AS INT) AS f_score,
+             |    1 + CAST(cents > mq[1] AS INT) + CAST(cents > mq[2] AS INT) + CAST(cents > mq[3] AS INT) AS m_score
+             |  FROM cust, qs)
+             |SELECT r_score, f_score, m_score,
+             |  CAST(count(*) AS BIGINT) AS n_customers,
+             |  CAST(sum(cents) AS BIGINT) AS seg_cents
+             |FROM scored GROUP BY 1, 2, 3""".stripMargin))
   )
 }

@@ -370,6 +370,43 @@ object DedupQueries extends QueryModule {
            |SELECT doc_id, round(pr, 8) AS pr FROM p3""".stripMargin
       }),
 
+    // Label-propagation communities over the SAME verified LSH pair
+    // graph (3 synchronous rounds, self-vote damping, ties to the
+    // smallest label — see LabelPropagation for the exact round
+    // semantics the oracle replays). The third graph lens next to
+    // dedup_cc_reps and dedup_pagerank: CC merges template families
+    // that touch through one borderline bridge pair; LPA keeps each
+    // family under its own majority label, which is the grain a dedup
+    // keep-policy actually wants on chained clusters.
+    EngineQuery(
+      "dedup_lpa_communities",
+      (s, dir) =>
+        graft.dedup.LabelPropagation.communities(
+            docs(s, dir).selectExpr("doc_id AS id"),
+            minhashPairsCached(s, dir, 0.8), rounds = 3)
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_members"))
+          .selectExpr("label AS community", "n_members"),
+      Some {
+        def round(prev: String, cur: String) =
+          s"""v$cur AS (SELECT e.src AS id, $prev.label FROM e JOIN $prev ON $prev.id = e.dst
+             |  UNION ALL SELECT id, label FROM $prev),
+             |c$cur AS (SELECT id, label, CAST(count(*) AS BIGINT) AS cnt FROM v$cur GROUP BY 1, 2),
+             |$cur AS (SELECT id, label FROM (
+             |    SELECT id, label, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+             |    FROM c$cur) WHERE rn = 1)""".stripMargin
+        s"""$duckGrams,
+           |${duckLshPairs(0.8)},
+           |e AS (SELECT a_id AS src, b_id AS dst FROM lsh_pairs
+           |  UNION ALL SELECT b_id, a_id FROM lsh_pairs),
+           |l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+           |${round("l0", "l1")},
+           |${round("l1", "l2")},
+           |${round("l2", "l3")}
+           |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_members
+           |FROM l3 GROUP BY 1""".stripMargin
+      }),
+
     EngineQuery(
       "dedup_simhash",
       (s, dir) => simhashCached(s, dir),

@@ -263,6 +263,50 @@ object SqlSurfaceQueries extends QueryModule {
       (s, dir) => dmlRollup(s, copyTable(s, dir)),
       Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-             |FROM orders GROUP BY o_orderstatus""".stripMargin))
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // QUALIFY with an inline window predicate (no alias): the statement
+    // text below is EXACTLY what DuckDB executes as the oracle — the
+    // engine side runs the same text through GraftSql's rewrite (the
+    // predicate becomes a synthetic select item, the block is wrapped,
+    // filtered, and the item dropped). Best order per customer;
+    // deterministic via the (price DESC, orderkey) total tiebreak.
+    EngineQuery(
+      "sql_qualify_window",
+      (s, dir) => {
+        s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
+          .createOrReplaceTempView("orders")
+        graft.tables.GraftSql.sql(s, QualifyWindowSql)
+      },
+      Some(QualifyWindowSql)),
+
+    // QUALIFY referencing a select-list ALIAS of a window function —
+    // the other canonical spelling (rewritten as wrap + outer WHERE,
+    // where the alias is a real column). Top-2 orders per priority.
+    EngineQuery(
+      "sql_qualify_alias",
+      (s, dir) => {
+        s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
+          .createOrReplaceTempView("orders")
+        graft.tables.GraftSql.sql(s, QualifyAliasSql)
+      },
+      Some(QualifyAliasSql))
   )
+
+  // Shared statement texts: the Spark run and the DuckDB oracle execute
+  // the SAME QUALIFY SQL (DuckDB supports the clause natively; our
+  // engine supplies it by rewrite) — the strongest possible parity
+  // check for a dialect extension.
+  private val QualifyWindowSql =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+      |FROM orders
+      |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) = 1
+      |ORDER BY o_custkey LIMIT 100""".stripMargin
+
+  private val QualifyAliasSql =
+    """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price,
+      |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |FROM orders
+      |QUALIFY rn <= 2
+      |ORDER BY o_orderpriority, rn LIMIT 60""".stripMargin
 }

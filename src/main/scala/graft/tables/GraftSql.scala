@@ -479,6 +479,13 @@ object GraftSql {
       Constraints.dropCheck(dir, cname)
       unsetProperty(s, name, s"graft.constraints.$cname")
       singleRow(s, Seq("name" -> name, "dropped_constraint" -> cname))
+    // QUALIFY — filter on window-function results without the manual
+    // subquery (the DuckDB/Snowflake/Databricks spelling; OSS Spark has
+    // no QUALIFY clause). Top-level only: a QUALIFY inside a subquery
+    // passes through to spark.sql and fails in its parser, loudly,
+    // rather than being silently half-rewritten.
+    case q if topLevelWordIndices(q.trim.replaceAll(";\\s*$", ""), "QUALIFY").nonEmpty =>
+      rewriteQualify(s, q.trim.replaceAll(";\\s*$", ""))
     case _ =>
       var rewritten = TableChanges.replaceAllIn(statement, m => {
         if (inLiteral(statement, m.start))
@@ -1368,6 +1375,49 @@ object GraftSql {
 
   /** Start indices of every top-level whole-word occurrence of `word`
     * (case-insensitive, outside quotes and parens). */
+  private val QualifyCol = "__graft_qualify"
+
+  /** Rewrite a top-level QUALIFY clause into Spark-executable SQL.
+    *
+    * Two forms, chosen by whether the predicate itself contains a window
+    * call (`OVER`):
+    *   - inline-window predicate (`QUALIFY row_number() OVER (...) = 1`):
+    *     the predicate references BASE columns, so it is computed as an
+    *     extra select item of the same query block (a window expression
+    *     cannot live in WHERE), then the block is wrapped, filtered on
+    *     that synthetic column, and the column dropped from the result;
+    *   - alias predicate (`SELECT ..., rank() OVER (...) AS rn ...
+    *     QUALIFY rn <= 2`): the aliases are real columns of the wrapped
+    *     block, so a plain wrap + outer WHERE suffices.
+    * A trailing ORDER BY / LIMIT moves onto the outer block, so it sees
+    * post-filter rows — the same order of evaluation QUALIFY specifies.
+    * Subset caveats (documented, loud): DISTINCT heads and set-op
+    * chains are not split; the first top-level FROM is taken as the
+    * main block's (CTE bodies and select-list subqueries sit inside
+    * parens, so they can never match first). The rewrite recurses
+    * through [[sql]], so AS-OF phrases, table_changes and registered-
+    * table mounts inside the statement all still apply.
+    */
+  private def rewriteQualify(s: SparkSession, stmt: String): DataFrame = {
+    val qpos = topLevelWordIndices(stmt, "QUALIFY").head
+    val head = stmt.substring(0, qpos).trim
+    val after = stmt.substring(qpos + "QUALIFY".length)
+    val cut = (topLevelWordIndices(after, "ORDER") ++ topLevelWordIndices(after, "LIMIT"))
+      .sorted.headOption.getOrElse(after.length)
+    val pred = after.substring(0, cut).trim
+    val tail = after.substring(cut).trim
+    require(pred.nonEmpty, "QUALIFY requires a predicate")
+    if (wordOutsideQuotes(pred, "OVER")) {
+      val fpos = topLevelWordIndices(head, "FROM").headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"QUALIFY rewrite found no top-level FROM in: $head"))
+      val inner =
+        head.substring(0, fpos).trim + s", ($pred) AS $QualifyCol " + head.substring(fpos)
+      sql(s, s"SELECT * FROM ( $inner ) __graft_q WHERE $QualifyCol $tail").drop(QualifyCol)
+    } else
+      sql(s, s"SELECT * FROM ( $head ) __graft_q WHERE ($pred) $tail")
+  }
+
   private def topLevelWordIndices(text: String, word: String): Seq[Int] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var depth = 0; var inQuote = false; var i = 0

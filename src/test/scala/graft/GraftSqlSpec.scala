@@ -434,4 +434,34 @@ class GraftSqlSpec extends SparkSuite {
     GraftSql.sql(spark, "DROP TABLE tq")
     ()
   }
+
+  test("QUALIFY: inline-window and alias forms, post-filter ORDER BY/LIMIT, literals untouched") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_q", dir, Seq("id"))
+    // Inline-window predicate (no alias): best row per status letter.
+    val top = GraftSql.sql(spark,
+      """SELECT status, id FROM gsql_q
+        |QUALIFY row_number() OVER (PARTITION BY status ORDER BY id DESC) = 1
+        |ORDER BY status""".stripMargin).collect()
+    assert(top.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("C", 3L), ("D", 4L), ("X", 2L)))
+    // The synthetic predicate column must not leak into the result.
+    assert(top.head.schema.fieldNames.toSeq == Seq("status", "id"))
+    // Alias form + LIMIT: the limit applies AFTER the qualify filter.
+    val ranked = GraftSql.sql(spark,
+      """SELECT id, row_number() OVER (ORDER BY id DESC, status) AS rn FROM gsql_q
+        |QUALIFY rn <= 2 ORDER BY rn LIMIT 1""".stripMargin).collect()
+    assert(ranked.map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((4L, 1)))
+    // Composes with the AS-OF phrase rewrite (recursion through sql()).
+    assert(GraftSql.sql(spark,
+      """SELECT id FROM gsql_q VERSION AS OF 1
+        |QUALIFY row_number() OVER (ORDER BY id) = 1""".stripMargin)
+      .head().getLong(0) == 1L)
+    // QUALIFY inside a string literal is data, not a clause.
+    assert(GraftSql.sql(spark,
+      "SELECT 'use QUALIFY here' AS s FROM gsql_q WHERE id = 2")
+      .head().getString(0) == "use QUALIFY here")
+    GraftSql.sql(spark, "DROP TABLE gsql_q")
+    ()
+  }
 }
