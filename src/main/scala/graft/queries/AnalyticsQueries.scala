@@ -718,6 +718,33 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(count(*) AS BIGINT) AS n
              |FROM d JOIN md ON d.g = md.g GROUP BY 1""".stripMargin)),
 
+    // Q32: UNPIVOT — wide measure columns to long (measure, value) form,
+    // the relational dual of q15_pivot. Runs over an already-aggregated
+    // |returnflag|-sized frame, so the unpivot explode is dimension-
+    // bounded; on a raw fact table it is a narrow projection per measure
+    // unioned map-side (no shuffle at any scale). Spark's Dataset.unpivot
+    // vs DuckDB's SQL-standard UNPIVOT clause.
+    EngineQuery(
+      "q32_unpivot",
+      (s, dir) =>
+        li(s, dir)
+          .groupBy("l_returnflag")
+          .agg(
+            round(sum("l_quantity"), 2).as("qty"),
+            round(sum("l_extendedprice"), 2).as("price"),
+            round(sum("l_discount"), 2).as("disc"))
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("qty"), col("price"), col("disc")),
+            "measure", "val"),
+      Some("""SELECT l_returnflag, measure, val FROM (
+             |  SELECT l_returnflag,
+             |    round(sum(l_quantity), 2) AS qty,
+             |    round(sum(l_extendedprice), 2) AS price,
+             |    round(sum(l_discount), 2) AS disc
+             |  FROM lineitem GROUP BY 1)
+             |UNPIVOT (val FOR measure IN (qty, price, disc))""".stripMargin)),
+
     // Q34: market-basket association rules — support / confidence / lift
     // over parts co-ordered in the same order. The scale design is the
     // a-priori property made physical: items below min-support are

@@ -1059,6 +1059,62 @@ object TextQueries extends QueryModule {
     // the rollup pins chunk counts, the double-counted overlap total
     // (sum of chunk lengths − corpus tokens) and the per-doc maximum —
     // all integers.
+    // CCNet-style paragraph/boilerplate scrubbing at chunk grain: the
+    // corpus is cut into non-overlapping 8-token "paragraphs", a chunk
+    // whose text recurs in ≥2 DISTINCT documents is boilerplate, and
+    // each doc reports what survives. Scale shape: the frequency pass
+    // groups on md5(chunk) (fixed-width shuffle keys, never raw text),
+    // the join back is co-partitioned on the same key, and everything
+    // else is doc-local. The exact countDistinct(doc_id) becomes
+    // approx_count_distinct at 100 TB (the threshold is ≥2 — HLL error
+    // can't flip it until buckets are near-empty).
+    EngineQuery(
+      "text_boilerplate_scrub",
+      (s, dir) => {
+        val ch = docs(s, dir)
+          .withColumn("toks", expr(toksSpark))
+          .selectExpr("doc_id", "source", "toks", "size(toks) AS n")
+          .selectExpr("doc_id", "source",
+            "transform(sequence(0, greatest(n - 1, 0) div 8), st -> slice(toks, st * 8 + 1, 8)) AS chunks")
+          .selectExpr("doc_id", "source", "explode(chunks) AS ch")
+          .selectExpr("doc_id", "source",
+            "md5(array_join(ch, ' ')) AS key",
+            "CAST(size(ch) AS BIGINT) AS chunk_len")
+        val freq = ch.groupBy("key").agg(countDistinct("doc_id").as("nd"))
+        ch.join(freq, "key")
+          .groupBy("doc_id", "source")
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_boiler"),
+            sum(when(col("nd") < 2, col("chunk_len")).otherwise(0L)).as("tokens_kept"))
+          .groupBy("source")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_chunks").as("total_chunks"),
+            sum("n_boiler").as("boiler_chunks"),
+            sum("tokens_kept").as("tokens_kept"),
+            sum(when(col("n_boiler") > 0, 1L).otherwise(0L)).as("docs_affected"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source, $toksDuck AS toks FROM documents),
+              |ch0 AS (SELECT doc_id, source,
+              |    [toks[st+1:st+8] for st in range(0, greatest(len(toks), 1), 8)] AS chunks
+              |  FROM tk),
+              |ch AS (SELECT doc_id, source,
+              |    md5(array_to_string(u.ch, ' ')) AS key,
+              |    CAST(len(u.ch) AS BIGINT) AS chunk_len
+              |  FROM ch0, unnest(chunks) AS u(ch)),
+              |freq AS (SELECT key, count(DISTINCT doc_id) AS nd FROM ch GROUP BY 1),
+              |pd AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_chunks,
+              |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+              |    CAST(sum(CASE WHEN nd < 2 THEN chunk_len ELSE 0 END) AS BIGINT) AS tokens_kept
+              |  FROM ch JOIN freq USING (key) GROUP BY 1, 2)
+              |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+              |  CAST(sum(n_boiler) AS BIGINT) AS boiler_chunks,
+              |  CAST(sum(tokens_kept) AS BIGINT) AS tokens_kept,
+              |  CAST(sum(CASE WHEN n_boiler > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_affected
+              |FROM pd GROUP BY 1""".stripMargin)),
+
     EngineQuery(
       "text_chunking",
       (s, dir) =>
