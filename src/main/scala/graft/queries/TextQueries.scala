@@ -1062,31 +1062,39 @@ object TextQueries extends QueryModule {
     // CCNet-style paragraph/boilerplate scrubbing at chunk grain: the
     // corpus is cut into non-overlapping 8-token "paragraphs", a chunk
     // whose text recurs in ≥2 DISTINCT documents is boilerplate, and
-    // each doc reports what survives. Scale shape: the frequency pass
-    // groups on md5(chunk) (fixed-width shuffle keys, never raw text),
-    // the join back is co-partitioned on the same key, and everything
-    // else is doc-local. The exact countDistinct(doc_id) becomes
-    // approx_count_distinct at 100 TB (the threshold is ≥2 — HLL error
-    // can't flip it until buckets are near-empty).
+    // each doc reports what survives. Scale shape (reworked after the
+    // sf1 smoke caught the first cut at 14.6× for 10× data — it built
+    // the chunk table TWICE and shuffled it twice through a
+    // countDistinct + join-back): ONE chunk pass, aggregated straight
+    // to (chunk, doc) grain with map-side combine, then the distinct-
+    // doc frequency is a count(*) window over the chunk key — no
+    // second scan, no join, and the key is unhex(md5): a fixed 16-byte
+    // binary, not raw text and not a 32-char hex string (128 bits
+    // because at 10¹² chunks a 64-bit key passes the birthday bound;
+    // the window's per-key partition is bounded by docs-per-chunk).
     EngineQuery(
       "text_boilerplate_scrub",
       (s, dir) => {
-        val ch = docs(s, dir)
+        import org.apache.spark.sql.expressions.Window
+        val perDocKey = docs(s, dir)
           .withColumn("toks", expr(toksSpark))
           .selectExpr("doc_id", "source", "toks", "size(toks) AS n")
           .selectExpr("doc_id", "source",
             "transform(sequence(0, greatest(n - 1, 0) div 8), st -> slice(toks, st * 8 + 1, 8)) AS chunks")
           .selectExpr("doc_id", "source", "explode(chunks) AS ch")
           .selectExpr("doc_id", "source",
-            "md5(array_join(ch, ' ')) AS key",
+            "unhex(md5(array_join(ch, ' '))) AS key",
             "CAST(size(ch) AS BIGINT) AS chunk_len")
-        val freq = ch.groupBy("key").agg(countDistinct("doc_id").as("nd"))
-        ch.join(freq, "key")
+          .groupBy("key", "doc_id", "source")
+          .agg(count(lit(1)).as("reps"), max("chunk_len").as("chunk_len"))
+        perDocKey
+          .withColumn("nd", count(lit(1)).over(Window.partitionBy("key")))
           .groupBy("doc_id", "source")
           .agg(
-            count(lit(1)).as("n_chunks"),
-            sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_boiler"),
-            sum(when(col("nd") < 2, col("chunk_len")).otherwise(0L)).as("tokens_kept"))
+            sum("reps").as("n_chunks"),
+            sum(when(col("nd") >= 2, col("reps")).otherwise(0L)).as("n_boiler"),
+            sum(when(col("nd") < 2, col("chunk_len") * col("reps")).otherwise(0L))
+              .as("tokens_kept"))
           .groupBy("source")
           .agg(
             count(lit(1)).as("n_docs"),
