@@ -196,5 +196,6 @@ object GraftExtensions {
     ext.injectFunction(cmsCountersDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRule)
+    ext.injectOptimizerRule(_ => graft.plans.GeneratedPartitionRule)
   }
 }

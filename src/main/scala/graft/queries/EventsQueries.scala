@@ -248,6 +248,32 @@ object EventsQueries extends QueryModule {
              |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
              |GROUP BY 1, 2""".stripMargin)),
 
+    // Generated-partition-column pruning: the user filters ONLY on ts
+    // over the date-partitioned tree; GeneratedPartitionRule derives
+    // the implied event_date bounds (partCol = CAST(ts AS DATE) is
+    // monotone), so the scan gets PartitionFilters WITHOUT the query
+    // ever mentioning the partition column — Delta's generated-column
+    // pruning as a Catalyst rule. GeneratedPartitionSpec pins the
+    // derived filter's presence, result parity with the rule off, and
+    // the no-refire guard; this oracle pins the values.
+    EngineQuery(
+      "evt_generated_prune",
+      (s, dir) => {
+        val pdir = partitionedDir(s, dir)
+        graft.plans.GeneratedPartitionRule.register(pdir, "event_date", "ts")
+        s.read.parquet(pdir)
+          .filter(col("ts").between(
+            lit(java.sql.Timestamp.valueOf("2024-01-08 06:00:00")),
+            lit(java.sql.Timestamp.valueOf("2024-01-12 18:00:00"))))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      },
+      Some("""SELECT event_type,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS total_value
+             |FROM events
+             |WHERE ts BETWEEN TIMESTAMP '2024-01-08 06:00:00' AND TIMESTAMP '2024-01-12 18:00:00'
+             |GROUP BY 1""".stripMargin)),
+
     // Cohort retention matrix — the product-analytics staple: users
     // cohorted by FIRST-ACTIVE week (ISO date_trunc, Monday-aligned in
     // both engines), then for each (cohort, week-offset) the count of

@@ -87,6 +87,47 @@ object MultimodalQueries extends QueryModule {
              |  CAST(sum(byte_len) AS BIGINT) AS total_bytes,
              |  CAST(max(64 + checksum % 577) AS INT) AS max_width,
              |  CAST(min(64 + checksum % 433) AS INT) AS min_height
-             |FROM m GROUP BY kind""".stripMargin))
+             |FROM m GROUP BY kind""".stripMargin)),
+
+    // Perceptual-hash near-dup over media payloads: a 32-segment
+    // average-hash (bit i = segment i's byte mass above the payload
+    // mean — the aHash structure; a real image pipeline computes the
+    // same bits from DCT coefficients of the decoded thumbnail, and
+    // ONLY the bit-derivation inside the decoder seam would change),
+    // then candidate pairs via the SAME banded Hamming machinery the
+    // text path uses (Dedup.simhashPairs: maxH+1 disjoint bit bands,
+    // exact by pigeonhole — band-bucket shuffle, never all-pairs).
+    // Byte-identical payloads hash identically (hamming 0); near-dup
+    // payloads land within the ≤2 threshold.
+    EngineQuery(
+      "mm_phash_neardup",
+      (s, dir) => {
+        val ph = s.read.parquet(tablePath(dir, "documents"))
+          .selectExpr("doc_id",
+            "transform(filter(split(text, ''), c -> c != ''), c -> CAST(ascii(c) AS BIGINT)) AS bytes")
+          .selectExpr("doc_id", "bytes",
+            "CAST(size(bytes) AS INT) AS n",
+            "aggregate(bytes, 0L, (a, x) -> a + x) AS total")
+          .selectExpr("doc_id",
+            """aggregate(
+              |  transform(sequence(0, 31), i ->
+              |    IF(aggregate(slice(bytes, i * n div 32 + 1,
+              |           (i + 1) * n div 32 - i * n div 32), 0L, (a, x) -> a + x) * 32 > total,
+              |       shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+              |  CAST(0 AS BIGINT), (a, x) -> a + x) AS simhash""".stripMargin)
+        graft.dedup.Dedup.simhashPairs(s, ph, 2)
+      },
+      Some("""WITH b AS (SELECT doc_id,
+             |    list_transform(string_split(text, ''), c -> unicode(c)) AS bytes
+             |  FROM documents),
+             |st AS (SELECT doc_id, bytes, len(bytes) AS n, list_sum(bytes) AS total FROM b),
+             |ph AS (SELECT doc_id,
+             |    list_sum([CASE WHEN coalesce(list_sum(bytes[(i*n//32)+1:((i+1)*n//32)]), 0) * 32 > total
+             |              THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 32)]) AS ph
+             |  FROM st)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+             |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.ph, b.ph)) <= 2""".stripMargin))
   )
 }

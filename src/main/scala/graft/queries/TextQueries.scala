@@ -1059,6 +1059,53 @@ object TextQueries extends QueryModule {
     // the rollup pins chunk counts, the double-counted overlap total
     // (sum of chunk lengths − corpus tokens) and the per-doc maximum —
     // all integers.
+    // TF-IDF signature terms per source — the corpus-description dual
+    // of BM25's per-query retrieval: which terms characterize each
+    // source against the rest of the corpus. IDF is the BM25-style
+    // RATIONAL form (S − df + ½)/(df + ½) — no ln anywhere (the repo
+    // rule: transcendentals differ in ulps across engines; rationals
+    // over exact integers and halves are bit-identical). Plan: one
+    // (source, term) two-phase count, a sources-containing-term count
+    // off that same table, a broadcast of the |vocab|-sized df table,
+    // and a per-source top-5 window confined to (source)-partitions of
+    // vocab-sized input — corpus rows never enter the window (the
+    // grouped top-k heap aggregate is the spelling when per-source
+    // vocab itself explodes).
+    EngineQuery(
+      "text_tfidf_terms",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tf = docs(s, dir)
+          .selectExpr("source", s"explode($toksSpark) AS term")
+          .groupBy("source", "term")
+          .agg(count(lit(1)).as("tf"))
+        val nSrc = docs(s, dir).agg(countDistinct("source").as("n_src"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("weight").desc, col("term").asc)
+        tf.join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(nSrc))
+          .withColumn("weight",
+            col("tf") * (col("n_src") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("source"), col("rank"), col("term"),
+            col("tf"), col("df"), round(col("weight"), 6).as("weight"))
+      },
+      Some(s"""WITH tf AS (
+              |  SELECT source, u.term, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT source, $toksDuck AS toks FROM documents), unnest(toks) AS u(term)
+              |  GROUP BY 1, 2),
+              |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_src FROM documents),
+              |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+              |sc AS (SELECT source, term, tf, df,
+              |    tf * (n_src - df + 0.5) / (df + 0.5) AS weight
+              |  FROM tf JOIN dfreq USING (term) CROSS JOIN ns),
+              |rk AS (SELECT *, row_number() OVER (
+              |    PARTITION BY source ORDER BY weight DESC, term ASC) AS rank FROM sc)
+              |SELECT source, rank, term, tf, df, round(weight, 6) AS weight
+              |FROM rk WHERE rank <= 5""".stripMargin)),
+
     // CCNet-style paragraph/boilerplate scrubbing at chunk grain: the
     // corpus is cut into non-overlapping 8-token "paragraphs", a chunk
     // whose text recurs in ≥2 DISTINCT documents is boilerplate, and

@@ -209,4 +209,49 @@ class EventsStreamingSpec extends SparkSuite {
     q.stop()
     assert(stateOps.isEmpty, s"enrichment must be stateless: ${stateOps.mkString(",")}")
   }
+
+  test("late-data accounting: beyond-watermark rows are dropped AND counted in progress") {
+    val s = spark
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft-late").toString
+    val ckpt = s"$dir/ckpt"
+    def ev(hourOff: Int, min: Int): (java.sql.Timestamp, String, Double) =
+      (java.sql.Timestamp.valueOf(f"2025-01-01 $hourOff%02d:$min%02d:00"), "click", 1.0)
+
+    // Wave 1: ten hours of events; drain with AvailableNow. The
+    // checkpoint then carries watermark = max(ts) − 2h = 08:00.
+    Seq.tabulate(11)(h => ev(h, 15)).toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val schema = s.read.parquet(s"$dir/in").schema
+    // File sink, not memory: the memory sink cannot recover from a
+    // checkpoint, and the persisted watermark IS the thing under test.
+    def run() = {
+      val q = EventsStreaming.hourlyAgg(
+          s.readStream.schema(schema).parquet(s"$dir/in"))
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(300000); q
+    }
+    run()
+    def staleWindow() = s.read.parquet(s"$dir/out")
+      .filter(col("hour_ts") === "2025-01-01 00:00:00")
+    assert(staleWindow().head().getLong(2) == 1L)
+
+    // Wave 2: one row at 00:30 (far below the persisted 08:00 watermark
+    // — must be DROPPED and counted) and one at 09:45 (late but inside
+    // the delay — must be accepted into its still-open window).
+    Seq(ev(0, 30), ev(9, 45)).toDF("ts", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val q2 = run()
+
+    val dropped = q2.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped == 1L,
+      s"exactly the below-watermark row is dropped and accounted: $dropped")
+    // The stale 00:00 window was finalized in wave 1 with n=1 — the
+    // dropped row must not resurface as a corrected emission.
+    assert(staleWindow().collect().map(_.getLong(2)).toSeq == Seq(1L),
+      "no re-emission for the finalized window")
+  }
 }
