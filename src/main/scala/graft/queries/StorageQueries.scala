@@ -957,6 +957,26 @@ object StorageQueries extends QueryModule {
     // SQL (db/query_scd1_table.sql:157-158): the shim materializes the
     // call as a view and spark.sql runs the surrounding aggregate — the
     // v1→v2 diff of the versioned table is exactly the odd-key inserts.
+    // table_files('t') inventory TVF (Delta `files` / Iceberg
+    // `table.files` metadata-table parity): the per-file breakdown is
+    // layout-dependent (file count follows partitioning), so the
+    // oracle gates the layout-INVARIANT projection — total rows across
+    // the inventory must equal the live snapshot's row count; the
+    // per-file shape itself is pinned by GraftSqlSpec.
+    EngineQuery(
+      "store_table_files",
+      (s, dir) => {
+        val t = versionedOrders(s, dir)
+        graft.tables.GraftSql.register(s, "orders_versioned", t, Seq("o_orderkey"))
+        graft.tables.GraftSql.sql(s,
+          """SELECT CAST(sum(rows) AS BIGINT) AS n_rows,
+            |  CAST(min(rows) > 0 AS INT) AS all_files_nonempty
+            |FROM table_files('orders_versioned')""".stripMargin)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(1 AS INT) AS all_files_nonempty
+             |FROM orders""".stripMargin)),
+
     EngineQuery(
       "tt_table_changes",
       (s, dir) => {

@@ -157,6 +157,8 @@ object GraftSql {
   private val PropPair = """'([^']+)'\s*=\s*'([^']*)'""".r
   private val TableChanges =
     """(?i)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  private val TableFiles =
+    """(?i)table_files\s*\(\s*'([^']+)'\s*\)""".r
   // Time-travel FROM phrases inside an otherwise-plain query (reference
   // db/query_table.sql:173-178). Statement-level RESTORE spellings never
   // reach these (their cases match first), so "TO VERSION AS OF" cannot
@@ -487,8 +489,22 @@ object GraftSql {
     case q if topLevelWordIndices(q.trim.replaceAll(";\\s*$", ""), "QUALIFY").nonEmpty =>
       rewriteQualify(s, q.trim.replaceAll(";\\s*$", ""))
     case _ =>
-      var rewritten = TableChanges.replaceAllIn(statement, m => {
+      // table_files('t') — the Delta/Iceberg "files metadata table" as a
+      // table-valued phrase: per-file path, byte size, and row count of
+      // the LIVE snapshot, materialized as a temp view (same rewrite
+      // mechanics as table_changes).
+      val statement0 = TableFiles.replaceAllIn(statement, m => {
         if (inLiteral(statement, m.start))
+          scala.util.matching.Regex.quoteReplacement(m.matched)
+        else {
+          val name = m.group(1)
+          val view = s"__graft_tf_${name.replaceAll("[^A-Za-z0-9_]", "_")}"
+          tableFiles(s, name).createOrReplaceTempView(view)
+          scala.util.matching.Regex.quoteReplacement(view)
+        }
+      })
+      var rewritten = TableChanges.replaceAllIn(statement0, m => {
+        if (inLiteral(statement0, m.start))
           scala.util.matching.Regex.quoteReplacement(m.matched)
         else {
           val (name, v1, v2) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
@@ -1545,6 +1561,24 @@ object GraftSql {
     * v2. Intermediate versions are not replayed individually — a
     * snapshot-per-swap table's feed between two versions IS the diff of
     * its endpoints. */
+  /** File inventory of the LIVE snapshot — the queryable shape of
+    * Delta's `files` / Iceberg's `table.files` metadata table: one row
+    * per data file with its path, byte size, and row count. ONE
+    * metadata-projection job over the snapshot (`_metadata` columns +
+    * a file-keyed count — Spark reads no data columns for it); output
+    * is bounded by the FILE count, never table rows, at any scale.
+    * `file_name` is the path's basename (unique within a snapshot dir),
+    * so results are stable across temp-dir locations. */
+  def tableFiles(s: SparkSession, rawName: String): DataFrame = {
+    val name = normalizeIdent(rawName)
+    val snap = ParquetTable.currentPath(resolve(s, name).dir)
+    s.read.parquet(snap)
+      .groupBy(
+        col("_metadata.file_name").as("file_name"),
+        col("_metadata.file_size").as("size_bytes"))
+      .agg(count(lit(1)).as("rows"))
+  }
+
   def tableChanges(s: SparkSession, name: String, v1: Long, v2: Long): DataFrame = {
     val ref = resolve(s, name)
     require(ref.keyCols.nonEmpty,

@@ -435,6 +435,27 @@ class GraftSqlSpec extends SparkSuite {
     ()
   }
 
+  test("table_files inventory: per-file rows/bytes of the live snapshot, composes in SQL") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_f", dir, Seq("id"))
+    val inv = GraftSql.sql(spark, "SELECT * FROM table_files('gsql_f')").collect()
+    assert(inv.map(_.getLong(2)).sum == 3L, "rows across files == live snapshot rows")
+    assert(inv.forall(_.getLong(1) > 0L), "every file has a real byte size")
+    assert(inv.forall(_.getString(0).endsWith(".parquet")))
+    // Composes with ordinary SQL around the phrase, and with a second
+    // statement-level table's data untouched by the metadata projection.
+    val n = GraftSql.sql(spark,
+      "SELECT CAST(sum(rows) AS BIGINT) AS n FROM table_files('gsql_f') WHERE size_bytes > 0")
+      .head().getLong(0)
+    assert(n == 3L)
+    // A literal containing the phrase is data.
+    assert(GraftSql.sql(spark,
+      "SELECT 'see table_files(''x'')' AS s FROM gsql_f WHERE id = 2")
+      .head().getString(0) == "see table_files('x')")
+    GraftSql.sql(spark, "DROP TABLE gsql_f")
+    ()
+  }
+
   test("QUALIFY: inline-window and alias forms, post-filter ORDER BY/LIMIT, literals untouched") {
     val dir = seedTable()
     GraftSql.register(spark, "gsql_q", dir, Seq("id"))
