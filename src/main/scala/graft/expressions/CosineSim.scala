@@ -197,5 +197,6 @@ object GraftExtensions {
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRule)
     ext.injectOptimizerRule(_ => graft.plans.GeneratedPartitionRule)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxPercentileRule)
   }
 }

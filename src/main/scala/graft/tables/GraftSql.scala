@@ -351,7 +351,7 @@ object GraftSql {
             s"COPY INTO $name rejected by CHECK constraint: $m"))
         aligned
       })
-      if (nf > 0) TableStats.reanalyzeOnPublish(s, dir)
+      if (nf > 0) { autoCompactOnPublish(s, name); TableStats.reanalyzeOnPublish(s, dir) }
       singleRow(s, Seq("name" -> name, "n_files_loaded" -> nf,
         "n_rows_loaded" -> nr, "n_files_skipped" -> ns))
     case InsertReplaceWhere(rawName, pred, select) =>
@@ -423,6 +423,7 @@ object GraftSql {
           val aligned = result.select(targetSchema.fields.map(f =>
             col(byLower(f.name.toLowerCase)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
           ParquetTable.append(s, aligned, dir)
+          autoCompactOnPublish(s, name)
         } else SchemaEvolution.appendEvolved(s, result, dir)
         TableStats.reanalyzeOnPublish(s, dir)
         singleRow(s, Seq("name" -> name, "n_inserted" -> n))
@@ -948,6 +949,30 @@ object GraftSql {
   }
 
   private val TargetFileBytes = 128L * 1024 * 1024
+
+  /** Opt-in auto-compaction (`spark.graft.autoCompact.minFiles=N`,
+    * Delta's autoCompact parity): after an append-class statement
+    * (INSERT INTO / COPY INTO), if the live snapshot holds ≥ N files
+    * AND more files than the 128 MB bin-packing target needs, run
+    * OPTIMIZE inline — many small streaming/trickle appends otherwise
+    * degrade every downstream scan until someone remembers the
+    * maintenance window. Off by default for the same reason as
+    * analyze.onPublish: inline compaction is a full snapshot rewrite,
+    * and a 100 TB table wants it scheduled per partition, not paid by
+    * surprise inside a 3-row INSERT. The two-sided gate means a table
+    * already at file-health never rewrites (re-running is a no-op),
+    * so the hook converges instead of compacting forever. */
+  def autoCompactOnPublish(s: SparkSession, name: String): Unit = {
+    val minFiles =
+      try s.conf.getOption("spark.graft.autoCompact.minFiles").map(_.toInt).getOrElse(0)
+      catch { case _: NumberFormatException => 0 }
+    if (minFiles >= 2) {
+      val ref = resolve(s, name)
+      val (nFiles, bytes) = snapshotFiles(ParquetTable.currentPath(ref.dir))
+      val needed = math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes)
+      if (nFiles >= minFiles && nFiles > needed) { optimize(s, name, None); () }
+    }
+  }
 
   /** VACUUM [RETAIN n HOURS] [DRY RUN]: one row per dropped (or
     * would-drop) superseded version name. */

@@ -456,6 +456,47 @@ class GraftSqlSpec extends SparkSuite {
     ()
   }
 
+  test("auto-compaction: trickle INSERTs self-compact past the file threshold, content intact") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ac").resolve("t").toString
+    ParquetTable.swap(spark, Seq((1L, "A")).toDF("id", "status"), dir)
+    GraftSql.register(spark, "gsql_ac", dir, Seq("id"))
+    def insert(k: Long): Unit = {
+      Seq((k, s"S$k")).toDF("id", "status").createOrReplaceTempView("ac_src")
+      GraftSql.sql(spark, "INSERT INTO gsql_ac SELECT id, status FROM ac_src")
+      ()
+    }
+    def nFiles() = GraftSql.sql(spark, "SELECT count(*) AS n FROM table_files('gsql_ac')")
+      .head().getLong(0)
+    try {
+      // Hook off: appends accumulate files unboundedly.
+      insert(2); insert(3)
+      val before = nFiles()
+      assert(before >= 3, s"each append adds a file: $before")
+      // Hook on: the next append crosses the gate and self-compacts to
+      // the bin-packing target (tiny bytes → 1 file), as a NEW version.
+      spark.conf.set("spark.graft.autoCompact.minFiles", "3")
+      val vBefore = GraftSql.sql(spark, "DESCRIBE HISTORY gsql_ac").head().getLong(0)
+      insert(4)
+      assert(nFiles() == 1L, "compacted to the 128MB-target file count")
+      val vAfter = GraftSql.sql(spark, "DESCRIBE HISTORY gsql_ac").head().getLong(0)
+      assert(vAfter == vBefore + 2, "append commit + compaction commit")
+      // Content survives byte-for-byte: all four rows, one file.
+      assert(ParquetTable.read(spark, dir).collect().map(r => (r.getLong(0), r.getString(1)))
+        .toSet == Set((1L, "A"), (2L, "S2"), (3L, "S3"), (4L, "S4")))
+      // Converged: an already-healthy table never re-compacts (no-op gate).
+      insert(5)
+      assert(nFiles() <= 2L, "one fresh append file at most")
+      val vFinal = GraftSql.sql(spark, "DESCRIBE HISTORY gsql_ac").head().getLong(0)
+      assert(vFinal == vAfter + 1, "plain append, no compaction churn")
+    } finally {
+      spark.conf.unset("spark.graft.autoCompact.minFiles")
+      GraftSql.sql(spark, "DROP TABLE gsql_ac")
+      ()
+    }
+  }
+
   test("QUALIFY: inline-window and alias forms, post-filter ORDER BY/LIMIT, literals untouched") {
     val dir = seedTable()
     GraftSql.register(spark, "gsql_q", dir, Seq("id"))
