@@ -698,6 +698,99 @@ object EventsQueries extends QueryModule {
              |FROM tri WHERE t2 IS NOT NULL
              |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 5""".stripMargin)),
 
+    // Marketing attribution: every purchase credits its FIRST-touch and
+    // LAST-touch acquisition event (click/view) for the same user. The
+    // carried-forward touch rides ONE user-partitioned window as an
+    // integer-encoded running extreme — key = ts_ms·8 + type_code packs
+    // "latest ts wins, code breaks same-ms ties" into a plain max/min
+    // (no struct comparison, so both engines order identically). One
+    // shuffle on user_id, then a |types|²-row rollup; time-to-convert
+    // decodes arithmetically from the same key.
+    EngineQuery(
+      "evt_attribution",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .selectExpr("user_id", "ts", "event_id", "event_type",
+            """CASE WHEN event_type IN ('click', 'view')
+              |  THEN unix_millis(ts) * 8 + IF(event_type = 'click', 1L, 2L)
+              |END AS touch_key""".stripMargin)
+          .withColumn("last_touch", max("touch_key").over(w))
+          .withColumn("first_touch", min("touch_key").over(w))
+          .where(col("event_type") === "purchase" && col("last_touch").isNotNull)
+          .selectExpr(
+            "IF(last_touch % 8 = 1, 'click', 'view') AS last_touch_type",
+            "IF(first_touch % 8 = 1, 'click', 'view') AS first_touch_type",
+            "unix_millis(ts) - CAST(last_touch div 8 AS BIGINT) AS ms_since_touch")
+          .groupBy("last_touch_type", "first_touch_type")
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            round(avg(col("ms_since_touch") / lit(60000.0)), 4).as("avg_min_to_convert"))
+      },
+      Some("""WITH tk AS (
+             |  SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN event_type IN ('click', 'view')
+             |      THEN epoch_ms(ts) * 8 + CASE WHEN event_type = 'click' THEN 1 ELSE 2 END
+             |    END AS touch_key
+             |  FROM events),
+             |c AS (SELECT event_type, epoch_ms(ts) AS pms,
+             |    max(touch_key) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch,
+             |    min(touch_key) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_touch
+             |  FROM tk)
+             |SELECT CASE WHEN last_touch % 8 = 1 THEN 'click' ELSE 'view' END AS last_touch_type,
+             |  CASE WHEN first_touch % 8 = 1 THEN 'click' ELSE 'view' END AS first_touch_type,
+             |  CAST(count(*) AS BIGINT) AS n_purchases,
+             |  round(avg((pms - last_touch // 8) / 60000.0), 4) AS avg_min_to_convert
+             |FROM c WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // Shuffle-key skew diagnosis — the "know your keys before you run
+    // the join" report: per-key row counts reduced to scalar
+    // concentration metrics. Exact integer arithmetic throughout: HHI's
+    // Σcnt² stays BIGINT until ONE final division; the top-10 mass is a
+    // TakeOrdered(10) (never a global sort); no window, no percentile —
+    // every metric is a scalar aggregate that scales to any key count.
+    EngineQuery(
+      "dq_skew_report",
+      (s, dir) => {
+        val counts = events(s, dir).groupBy("user_id")
+          .agg(count(lit(1)).as("cnt"))
+        val top10 = counts
+          .orderBy(col("cnt").desc, col("user_id"))
+          .limit(10)
+          .agg(sum("cnt").as("top10_rows"))
+        counts.agg(
+            count(lit(1)).as("n_keys"),
+            sum("cnt").as("total_rows"),
+            max("cnt").as("max_cnt"),
+            sum(col("cnt") * col("cnt")).as("sum_sq"))
+          .crossJoin(broadcast(top10))
+          .selectExpr(
+            "n_keys", "total_rows", "max_cnt",
+            "round(total_rows / CAST(n_keys AS DOUBLE), 4) AS avg_cnt",
+            "round(max_cnt / (total_rows / CAST(n_keys AS DOUBLE)), 4) AS skew_ratio",
+            "round(top10_rows / CAST(total_rows AS DOUBLE), 6) AS top10_share",
+            "round(sum_sq / (CAST(total_rows AS DOUBLE) * total_rows), 8) AS hhi")
+      },
+      Some("""WITH counts AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+             |t10 AS (SELECT CAST(sum(cnt) AS BIGINT) AS top10_rows FROM (
+             |  SELECT cnt FROM counts ORDER BY cnt DESC, user_id LIMIT 10)),
+             |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |    CAST(sum(cnt) AS BIGINT) AS total_rows,
+             |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+             |    CAST(sum(cnt * cnt) AS BIGINT) AS sum_sq
+             |  FROM counts)
+             |SELECT n_keys, total_rows, max_cnt,
+             |  round(total_rows / CAST(n_keys AS DOUBLE), 4) AS avg_cnt,
+             |  round(max_cnt / (total_rows / CAST(n_keys AS DOUBLE)), 4) AS skew_ratio,
+             |  round(top10_rows / CAST(total_rows AS DOUBLE), 6) AS top10_share,
+             |  round(sum_sq / (CAST(total_rows AS DOUBLE) * total_rows), 8) AS hhi
+             |FROM agg CROSS JOIN t10""".stripMargin)),
+
     // First-order Markov transition matrix over the same 24H-gap
     // sessions: P(next_type | cur_type) from one lag inside the session
     // window — the generative model behind the path mining (user-journey

@@ -121,6 +121,9 @@ object SimQueries extends QueryModule {
       df
     })
 
+  private val sqlIdxSeed =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+
   private val idxSeed =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
@@ -480,6 +483,28 @@ object SimQueries extends QueryModule {
       (s, dir) => {
         val idx = ivfIndexDir(s, dir)
         graft.sim.IvfIndex.search(s, idx, emb(s, dir).filter(col("vec_id") < 5), 3)
+      },
+      Some(ivfTopkOracle)),
+
+    // The SQL spelling of the same search: CREATE VECTOR INDEX builds
+    // the persisted IVF layout once per (session, dir), vector_search
+    // is a table-valued phrase composing with ordinary SQL — and must
+    // hash-match the IDENTICAL oracle as the programmatic path (the
+    // statement surface adds spelling, not semantics). The index name
+    // is dir-unique because the registry is session-global.
+    EngineQuery(
+      "sim_sql_vector_search",
+      (s, dir) => {
+        val idx = s"vi_emb_${math.abs(dir.hashCode)}"
+        sqlIdxSeed.getOrElseUpdate((s, dir), {
+          emb(s, dir).createOrReplaceTempView("emb_corpus")
+          graft.tables.GraftSql.sql(s,
+            s"CREATE VECTOR INDEX $idx ON emb_corpus (embedding) KEY vec_id CELLS 16")
+          true
+        })
+        emb(s, dir).filter(col("vec_id") < 5).createOrReplaceTempView("emb_probes")
+        graft.tables.GraftSql.sql(s,
+          s"SELECT * FROM vector_search('$idx', 'emb_probes', 3)")
       },
       Some(ivfTopkOracle)),
 

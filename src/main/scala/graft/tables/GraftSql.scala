@@ -159,6 +159,20 @@ object GraftSql {
     """(?i)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val TableFiles =
     """(?i)table_files\s*\(\s*'([^']+)'\s*\)""".r
+  // Vector-index surface (Databricks Vector Search / pgvector-shaped
+  // spellings over the persisted IVF layout): CREATE/DROP as statements,
+  // search as a table-valued phrase. Index and probe sources resolve
+  // through sql(), so registered tables and temp views both work.
+  private val CreateVectorIndex =
+    ("""(?is)^\s*CREATE\s+VECTOR\s+INDEX\s+([A-Za-z_][A-Za-z0-9_]*)\s+ON\s+(""" + IdPat +
+      """)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s+KEY\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+CELLS\s+(\d+))?\s*;?\s*$""").r
+  private val DropVectorIndex =
+    """(?is)^\s*DROP\s+VECTOR\s+INDEX\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+  private val VectorSearch =
+    """(?i)vector_search\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*(\d+)\s*\)""".r
+
+  private val vectorIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   // Time-travel FROM phrases inside an otherwise-plain query (reference
   // db/query_table.sql:173-178). Statement-level RESTORE spellings never
   // reach these (their cases match first), so "TO VERSION AS OF" cannot
@@ -482,6 +496,29 @@ object GraftSql {
       Constraints.dropCheck(dir, cname)
       unsetProperty(s, name, s"graft.constraints.$cname")
       singleRow(s, Seq("name" -> name, "dropped_constraint" -> cname))
+    // CREATE VECTOR INDEX vi ON src (embCol) KEY idCol [CELLS n] — one
+    // IVF build (centroid seed + hive cell partitioning, IvfIndex's
+    // documented layout) into an index-managed dir; n defaults to the
+    // corpus-scaled autoCells bound so cell SIZE stays fixed as the
+    // table grows. Re-CREATE of a live name is rejected (DROP first),
+    // mirroring CREATE TABLE's re-run guard.
+    case CreateVectorIndex(idxName, srcName, embCol, keyCol, cellsOpt) =>
+      val key = idxName.toLowerCase
+      require(!vectorIndexes.contains((s, key)),
+        s"vector index '$idxName' already exists — DROP VECTOR INDEX $idxName first")
+      val src = sql(s, s"SELECT $keyCol AS vec_id, $embCol AS embedding FROM $srcName")
+      val n = src.count()
+      val cells = Option(cellsOpt).map(_.toInt)
+        .getOrElse(graft.sim.IvfIndex.autoCells(n))
+      val dir = java.nio.file.Files.createTempDirectory("graft-vidx")
+        .resolve(key).toString
+      graft.sim.IvfIndex.build(s, src, cells, dir)
+      vectorIndexes.put((s, key), dir)
+      singleRow(s, Seq("name" -> key, "n_vectors" -> n, "cells" -> cells))
+    case DropVectorIndex(idxName) =>
+      val existed = vectorIndexes.remove((s, idxName.toLowerCase)).isDefined
+      require(existed, s"vector index '$idxName' does not exist")
+      singleRow(s, Seq("name" -> idxName.toLowerCase, "dropped" -> "true"))
     // QUALIFY — filter on window-function results without the manual
     // subquery (the DuckDB/Snowflake/Databricks spelling; OSS Spark has
     // no QUALIFY clause). Top-level only: a QUALIFY inside a subquery
@@ -494,8 +531,27 @@ object GraftSql {
       // table-valued phrase: per-file path, byte size, and row count of
       // the LIVE snapshot, materialized as a temp view (same rewrite
       // mechanics as table_changes).
-      val statement0 = TableFiles.replaceAllIn(statement, m => {
+      // vector_search('idx', 'probes', k) — ANN top-k per probe row as
+      // a table-valued phrase: probes (a view/table with vec_id +
+      // embedding) search the named persisted IVF index; only the
+      // probed cell directories are read (partition pruning does the
+      // inverted-file part), scoring is the codegen'd cosine.
+      val statementV = VectorSearch.replaceAllIn(statement, m => {
         if (inLiteral(statement, m.start))
+          scala.util.matching.Regex.quoteReplacement(m.matched)
+        else {
+          val (idx, probeSrc, k) = (m.group(1).toLowerCase, m.group(2), m.group(3).toInt)
+          val dir = vectorIndexes.getOrElse((s, idx),
+            throw new IllegalArgumentException(
+              s"vector index '$idx' does not exist — CREATE VECTOR INDEX first"))
+          val view = s"__graft_vs_${idx}_${probeSrc.replaceAll("[^A-Za-z0-9_]", "_")}_$k"
+          graft.sim.IvfIndex.search(s, dir, sql(s, s"SELECT * FROM $probeSrc"), k)
+            .createOrReplaceTempView(view)
+          scala.util.matching.Regex.quoteReplacement(view)
+        }
+      })
+      val statement0 = TableFiles.replaceAllIn(statementV, m => {
+        if (inLiteral(statementV, m.start))
           scala.util.matching.Regex.quoteReplacement(m.matched)
         else {
           val name = m.group(1)

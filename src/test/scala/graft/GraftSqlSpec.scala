@@ -456,6 +456,30 @@ class GraftSqlSpec extends SparkSuite {
     ()
   }
 
+  test("vector index lifecycle: CREATE/search/DROP, re-CREATE guard, unknown index errors") {
+    val s = spark
+    import s.implicits._
+    Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.1f, 0.9f)), (4L, Array(0.7f, 0.7f)))
+      .toDF("vec_id", "embedding").createOrReplaceTempView("vix_src")
+    val made = GraftSql.sql(spark,
+      "CREATE VECTOR INDEX vix_t ON vix_src (embedding) KEY vec_id CELLS 2")
+    assert(made.head().getAs[Long]("n_vectors") == 5L)
+    // Probe 0 (1,0) lands in cell 0 with vectors {2, 4}: nearest is 2.
+    Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+      .createOrReplaceTempView("vix_probe")
+    val hits = GraftSql.sql(spark,
+      "SELECT neighbor_id FROM vector_search('vix_t', 'vix_probe', 1)").collect()
+    assert(hits.map(_.getLong(0)).toSeq == Seq(2L))
+    val dup = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "CREATE VECTOR INDEX vix_t ON vix_src (embedding) KEY vec_id"))
+    assert(dup.getMessage.contains("already exists"))
+    GraftSql.sql(spark, "DROP VECTOR INDEX vix_t")
+    val gone = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "SELECT * FROM vector_search('vix_t', 'vix_probe', 1)").collect())
+    assert(gone.getMessage.contains("does not exist"))
+  }
+
   test("auto-compaction: trickle INSERTs self-compact past the file threshold, content intact") {
     val s = spark
     import s.implicits._
