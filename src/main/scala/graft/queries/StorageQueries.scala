@@ -588,6 +588,24 @@ object StorageQueries extends QueryModule {
       nm
     })
 
+  private val seededIdent =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def identOrders(s: SparkSession, dir: String): String =
+    seededIdent.getOrElseUpdate((s, dir), {
+      val uid = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      val nm = s"ident_orders_$uid"
+      s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_totalprice")
+        .createOrReplaceTempView(s"${nm}_src")
+      graft.tables.GraftSql.sql(s,
+        s"""CREATE TABLE $nm (row_id BIGINT GENERATED ALWAYS AS IDENTITY,
+           |  o_orderkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+      graft.tables.GraftSql.sql(s,
+        s"INSERT INTO $nm SELECT o_orderkey, o_totalprice FROM ${nm}_src")
+      nm
+    })
+
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -608,7 +626,7 @@ object StorageQueries extends QueryModule {
       () => ctasOrders(s, dir), () => reorgedOrders(s, dir),
       () => partitionedOrders(s, dir), () => commentedNation(s, dir),
       () => mvOrders(s, dir), () => mvSqlOrders(s, dir),
-      () => genOrders(s, dir))
+      () => genOrders(s, dir), () => identOrders(s, dir))
     Await.result(
       Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
       Duration.Inf)
@@ -679,6 +697,30 @@ object StorageQueries extends QueryModule {
       },
       Some("""SELECT o_orderkey, round(o_totalprice, 2) AS o_price2,
              |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS o_cents
+             |FROM orders""".stripMargin)),
+
+    // IDENTITY columns end-to-end over the statement surface: a table
+    // created with GENERATED ALWAYS AS IDENTITY, loaded by an INSERT
+    // that OMITS the id. The raw values are allocation-dependent
+    // (per-partition ranges, gaps allowed — Delta's contract), so the
+    // oracle gates the allocation-INVARIANTS: every row got an id, all
+    // ids distinct, the low-water mark is 0, payload intact; the
+    // assignment/ordering mechanics are pinned by GeneratedColumnsSpec.
+    EngineQuery(
+      "se_identity_insert",
+      (s, dir) => {
+        val nm = identOrders(s, dir)
+        graft.tables.GraftSql.sql(s,
+          s"""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT row_id) AS BIGINT) AS n_distinct_ids,
+             |  CAST(min(row_id) AS BIGINT) AS min_id,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM $nm""".stripMargin)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(*) AS BIGINT) AS n_distinct_ids,
+             |  CAST(0 AS BIGINT) AS min_id,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
              |FROM orders""".stripMargin)),
 
     // METADATA-ONLY aggregate pushdown: COUNT(*) + MIN/MAX of the

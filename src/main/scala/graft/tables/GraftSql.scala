@@ -146,6 +146,10 @@ object GraftSql {
       """)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_][A-Za-z0-9_]*))?\s+USING\s+(.*?)\s*;?\s*$""").r
   private val AddConstraint =
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val AddUniqueConstraint =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+UNIQUE\s*\(([^)]+)\)\s*;?\s*$""").r
+  private val SetNotNull =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+NOT\s+NULL\s*;?\s*$""").r
   private val DropConstraint =
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
   private val AnalyzeTable =
@@ -333,9 +337,20 @@ object GraftSql {
       // against the declared NON-generated columns, so a typo (or a
       // generated column referencing another generated column) fails at
       // CREATE, not at first INSERT.
-      val gens = cols.collect { case (n, _, _, Some(g)) => n -> g }
+      val allGens = cols.collect { case (n, _, _, Some(g)) => n -> g }
+      val (idents, gens) = allGens.partition(_._2 == IdentityMarker)
+      // Identity columns (Delta's GENERATED ALWAYS AS IDENTITY): the
+      // engine assigns values on INSERT (gaps allowed — per-partition
+      // allocation, exactly Delta's contract); BIGINT only, and the
+      // write paths reject provided values.
+      idents.foreach { case (n, _) =>
+        require(cols.find(_._1 == n).exists(_._2 == LongType),
+          s"GENERATED ALWAYS AS IDENTITY column $n must be BIGINT")
+      }
+      if (idents.nonEmpty)
+        setProperties(s, name, idents.map { case (n, _) => s"graft.identity.$n" -> "true" })
       if (gens.nonEmpty) {
-        val genNames = gens.map(_._1.toLowerCase).toSet
+        val genNames = allGens.map(_._1.toLowerCase).toSet
         val probe = SchemaEvolution.readEvolved(s, dir)
           .select(cols.collect { case (n, _, _, None) => col(n) }: _*)
         gens.foreach { case (n, g) =>
@@ -363,6 +378,7 @@ object GraftSql {
         Constraints.validate(aligned, Constraints.checks(dir)).foreach(m =>
           throw new IllegalStateException(
             s"COPY INTO $name rejected by CHECK constraint: $m"))
+        Constraints.validateUniqueAppend(s, dir, aligned)
         aligned
       })
       if (nf > 0) { autoCompactOnPublish(s, name); TableStats.reanalyzeOnPublish(s, dir) }
@@ -395,6 +411,7 @@ object GraftSql {
         Constraints.validate(aligned, Constraints.checks(dir)).foreach(m =>
           throw new IllegalStateException(
             s"INSERT OVERWRITE $name rejected by CHECK constraint: $m"))
+        Constraints.validateUniqueSnapshot(aligned, dir)
         val n = aligned.count()
         ParquetTable.swap(s, aligned, dir)
         TableStats.reanalyzeOnPublish(s, dir)
@@ -428,6 +445,7 @@ object GraftSql {
         Constraints.validate(result, Constraints.checks(dir)).foreach(m =>
           throw new IllegalStateException(
             s"INSERT INTO $name rejected by CHECK constraint: $m"))
+        Constraints.validateUniqueAppend(s, dir, result)
         val n = result.count()
         if (versioned) {
           // Append COMMIT: current files hard-link into the next version,
@@ -490,10 +508,33 @@ object GraftSql {
       setProperties(s, name, Seq(s"graft.constraints.$cname" -> checkExpr.trim))
       singleRow(s, Seq("name" -> name, "constraint" -> cname,
         "check" -> checkExpr.trim))
+    // ADD CONSTRAINT ... UNIQUE (cols): table-level key enforcement —
+    // validated over the live snapshot at ADD, then on every append /
+    // overwrite (see Constraints' enforcement-boundary note).
+    case AddUniqueConstraint(rawName, cname, colsBody) =>
+      val name = normalizeIdent(rawName)
+      val dir = resolve(s, name).dir
+      val cols = colsBody.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      Constraints.addUnique(s, dir, cname, cols)
+      setProperties(s, name,
+        Seq(s"graft.constraints.$cname" -> s"UNIQUE(${cols.mkString(",")})"))
+      singleRow(s, Seq("name" -> name, "constraint" -> cname,
+        "unique" -> cols.mkString(",")))
+    // ALTER COLUMN c SET NOT NULL: spelled as the equivalent CHECK
+    // (`c IS NOT NULL` is never UNKNOWN, so CHECK's null-passes rule
+    // can't weaken it) — one manifest, one fused validation pass.
+    case SetNotNull(rawName, colName) =>
+      val name = normalizeIdent(rawName)
+      val dir = resolve(s, name).dir
+      Constraints.addCheck(s, dir, s"nn_$colName", s"$colName IS NOT NULL")
+      setProperties(s, name,
+        Seq(s"graft.constraints.nn_$colName" -> s"$colName IS NOT NULL"))
+      singleRow(s, Seq("name" -> name, "not_null" -> colName))
     case DropConstraint(rawName, cname) =>
       val name = normalizeIdent(rawName)
       val dir = resolve(s, name).dir
-      Constraints.dropCheck(dir, cname)
+      if (Constraints.checks(dir).exists(_._1 == cname)) Constraints.dropCheck(dir, cname)
+      else require(Constraints.dropUnique(dir, cname), s"no such check: $cname")
       unsetProperty(s, name, s"graft.constraints.$cname")
       singleRow(s, Seq("name" -> name, "dropped_constraint" -> cname))
     // CREATE VECTOR INDEX vi ON src (embCol) KEY idCol [CELLS n] — one
@@ -910,6 +951,11 @@ object GraftSql {
       StructType(Seq(StructField("partition", StringType, nullable = false))))
   }
 
+  /** Sentinel for `GENERATED ALWAYS AS IDENTITY` in [[parseColumnDefs]]
+    * results: NUL-prefixed so no parenthesized generation expression
+    * (SQL text) can ever equal it. */
+  private val IdentityMarker = "\u0000identity"
+
   /** Top-level split of `name TYPE [GENERATED ALWAYS AS (expr)]
     * [COMMENT '...']` defs — commas inside DECIMAL(p,s) / STRUCT<...> /
     * quoted comments don't split. Returns (name, type, optional
@@ -932,14 +978,22 @@ object GraftSql {
     if (cur.nonEmpty) parts += cur.toString
     val CommentClause = """(?is)\s+COMMENT\s+'([^']*)'\s*$""".r
     val GeneratedClause = """(?is)\s+GENERATED\s+ALWAYS\s+AS\s+\((.*)\)\s*$""".r
+    val IdentityClause = """(?is)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*$""".r
     parts.toSeq.map(_.trim).filter(_.nonEmpty).map { defn =>
       val comment = CommentClause.findFirstMatchIn(defn).map(_.group(1))
       val noComment = CommentClause.replaceAllIn(defn, "")
       // Delta's generated-column spelling: `name TYPE GENERATED ALWAYS
       // AS (expr)` — greedy capture to the LAST close paren, so nested
-      // parens in the expression survive.
-      val gen = GeneratedClause.findFirstMatchIn(noComment).map(_.group(1).trim)
-      val noGen = GeneratedClause.replaceAllIn(noComment, "")
+      // parens in the expression survive. IDENTITY (no parens) encodes
+      // as the NUL-prefixed marker — unreachable from the paren capture
+      // (SQL text cannot contain NUL), so the two can never collide.
+      val isIdentity = IdentityClause.findFirstMatchIn(noComment).isDefined
+      val gen =
+        if (isIdentity) Some(IdentityMarker)
+        else GeneratedClause.findFirstMatchIn(noComment).map(_.group(1).trim)
+      val noGen =
+        if (isIdentity) IdentityClause.replaceAllIn(noComment, "")
+        else GeneratedClause.replaceAllIn(noComment, "")
       val sp = noGen.indexWhere(_.isWhitespace)
       require(sp > 0, s"expected 'name TYPE' in ADD COLUMNS: $defn")
       // Checked AFTER the comment strip, and only at TOP LEVEL (outside
@@ -1148,13 +1202,34 @@ object GraftSql {
   private def applyGenerated(
       name: String, dir: String,
       targetSchema: StructType, result: DataFrame): DataFrame = {
-    val gens = properties(dir).collect {
+    val props = properties(dir)
+    val gens = props.collect {
       case (k, v) if k.startsWith("graft.generated.") =>
         k.stripPrefix("graft.generated.") -> v
     }
-    if (gens.isEmpty) return result
+    val idents = props.keys.filter(_.startsWith("graft.identity."))
+      .map(_.stripPrefix("graft.identity.")).toSeq.sorted
+    if (gens.isEmpty && idents.isEmpty) return result
     val present = result.columns.map(_.toLowerCase).toSet
     var df = result
+    // Identity assignment: values start above the live high-water mark
+    // and offset by monotonically_increasing_id — per-partition ranges,
+    // no shuffle, unique within the batch by construction; gaps between
+    // batches/partitions are part of the contract (Delta's too). A
+    // provided value is rejected outright (ALWAYS, not BY DEFAULT).
+    idents.foreach { c =>
+      if (present(c.toLowerCase))
+        throw new IllegalArgumentException(
+          s"INSERT into $name: column '$c' is GENERATED ALWAYS AS IDENTITY — " +
+            "it cannot be provided, omit it to have values assigned")
+      val s2 = result.sparkSession
+      val live =
+        if (ParquetTable.exists(dir)) ParquetTable.read(s2, dir)
+        else SchemaEvolution.readEvolved(s2, dir)
+      val maxRow = live.agg(max(col(c))).head()
+      val start = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1L
+      df = df.withColumn(c, lit(start) + monotonically_increasing_id())
+    }
     gens.toSeq.sortBy(_._1).foreach { case (c, g) =>
       val dt = targetSchema.fields
         .find(_.name.equalsIgnoreCase(c)).map(_.dataType)

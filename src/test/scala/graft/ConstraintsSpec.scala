@@ -52,4 +52,51 @@ class ConstraintsSpec extends SparkSuite {
     Constraints.checkedSwap(spark, empty, dir)
     assert(ParquetTable.read(spark, dir).count() == 0)
   }
+
+  test("UNIQUE + SET NOT NULL statement surface: ADD-time, append, and overwrite enforcement") {
+    val s = spark
+    import s.implicits._
+    import graft.tables.GraftSql
+    val dir = java.nio.file.Files.createTempDirectory("graft-uq").resolve("t").toString
+    ParquetTable.swap(spark, Seq((1L, "A"), (2L, "B")).toDF("id", "status"), dir)
+    GraftSql.register(spark, "uq_t", dir, Seq("id"))
+
+    GraftSql.sql(spark, "ALTER TABLE uq_t ADD CONSTRAINT pk_id UNIQUE (id)")
+    def ins(rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("id", "status").createOrReplaceTempView("uq_src")
+      GraftSql.sql(spark, "INSERT INTO uq_t SELECT id, status FROM uq_src"); ()
+    }
+    // Batch-internal duplicate and batch∩existing clash both reject;
+    // the table keeps its pre-INSERT state.
+    assert(intercept[IllegalStateException](ins(Seq((3L, "C"), (3L, "D"))))
+      .getMessage.contains("inside the batch"))
+    assert(intercept[IllegalStateException](ins(Seq((2L, "X"))))
+      .getMessage.contains("already exist"))
+    assert(ParquetTable.read(spark, dir).count() == 2)
+    ins(Seq((3L, "C"))) // disjoint key lands
+    assert(ParquetTable.read(spark, dir).count() == 3)
+    // OVERWRITE validates the batch as the full post-image.
+    Seq((7L, "Z"), (7L, "Y")).toDF("id", "status").createOrReplaceTempView("uq_src")
+    intercept[IllegalStateException](GraftSql.sql(spark,
+      "INSERT OVERWRITE uq_t SELECT id, status FROM uq_src"))
+    // ADD on already-duplicated data is rejected at birth.
+    ins(Seq((4L, "C"))) // status C now twice
+    assert(intercept[IllegalStateException](GraftSql.sql(spark,
+      "ALTER TABLE uq_t ADD CONSTRAINT st_unique UNIQUE (status)"))
+      .getMessage.contains("existing rows violate"))
+    // SET NOT NULL is the CHECK spelling — a NULL status now rejects.
+    GraftSql.sql(spark, "ALTER TABLE uq_t ALTER COLUMN status SET NOT NULL")
+    Seq((9L, null.asInstanceOf[String])).toDF("id", "status")
+      .createOrReplaceTempView("uq_src")
+    assert(intercept[IllegalStateException](GraftSql.sql(spark,
+      "INSERT INTO uq_t SELECT id, status FROM uq_src"))
+      .getMessage.contains("nn_status"))
+    // DROP CONSTRAINT reaches both kinds; enforcement ends with it.
+    GraftSql.sql(spark, "ALTER TABLE uq_t DROP CONSTRAINT pk_id")
+    GraftSql.sql(spark, "ALTER TABLE uq_t DROP CONSTRAINT nn_status")
+    ins(Seq((2L, "dup ok now")))
+    assert(ParquetTable.read(spark, dir).count() == 5)
+    GraftSql.sql(spark, "DROP TABLE uq_t")
+    ()
+  }
 }

@@ -86,4 +86,29 @@ class GeneratedColumnsSpec extends SparkSuite {
     GraftSql.sql(spark, s"DELETE FROM $t WHERE a = 2")
     assert(GraftSql.sql(spark, s"SELECT count(*) AS n FROM $t").head.getLong(0) == 1L)
   }
+
+  test("IDENTITY columns: engine-assigned, strictly above prior batches, never providable") {
+    val t = fresh()
+    GraftSql.sql(spark,
+      s"CREATE TABLE $t (id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)")
+    // Non-BIGINT identity rejected at CREATE.
+    val bad = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      s"CREATE TABLE ${t}_bad (id INT GENERATED ALWAYS AS IDENTITY, v STRING)"))
+    assert(bad.getMessage.contains("must be BIGINT"))
+
+    GraftSql.sql(spark, s"INSERT INTO $t SELECT 'a' AS v UNION ALL SELECT 'b' AS v")
+    val wave1 = GraftSql.sql(spark, s"SELECT id FROM $t").collect().map(_.getLong(0))
+    assert(wave1.distinct.length == 2, "unique ids within the batch")
+    GraftSql.sql(spark, s"INSERT INTO $t SELECT 'c' AS v")
+    val all = GraftSql.sql(spark, s"SELECT id, v FROM $t")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(all.map(_._1).distinct.length == 3, "unique across batches")
+    val wave2Id = all.collect { case (i, "c") => i }.head
+    assert(wave2Id > wave1.max, "new batch allocates above the high-water mark")
+
+    val prov = intercept[Exception](GraftSql.sql(spark,
+      s"INSERT INTO $t SELECT CAST(99 AS BIGINT) AS id, 'x' AS v"))
+    assert(prov.getMessage.contains("IDENTITY"))
+    assert(GraftSql.sql(spark, s"SELECT count(*) AS n FROM $t").head.getLong(0) == 3L)
+  }
 }
