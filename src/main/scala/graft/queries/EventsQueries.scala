@@ -698,6 +698,53 @@ object EventsQueries extends QueryModule {
              |FROM tri WHERE t2 IS NOT NULL
              |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 5""".stripMargin)),
 
+    // Seasonal-naive forecasting baseline + backtest: the hour-of-day
+    // mean per event type fit on the first three weeks, scored by MAE
+    // on the held-out tail — the sanity baseline every anomaly/forecast
+    // system is graded against. Engine-exactness by construction: values
+    // go to centi-units first, so each row's error |v·c − Σ| is an exact
+    // BIGINT and every group's MAE is ONE division of exact integers —
+    // no double accumulation anywhere (the trap with a naive avg-of-abs:
+    // float sums are order-dependent across engines). Two aggregates +
+    // a broadcast of the 120-row model; eval rows join co-partitioned.
+    EngineQuery(
+      "evt_seasonal_baseline",
+      (s, dir) => {
+        val ev = events(s, dir).selectExpr(
+          "event_type",
+          "CAST(round(value * 100, 0) AS BIGINT) AS v100",
+          "hour(ts) AS hr",
+          "ts >= TIMESTAMP '2024-01-22 00:00:00' AS is_eval")
+        val model = ev.filter(!col("is_eval"))
+          .groupBy("event_type", "hr")
+          .agg(sum("v100").as("s_t"), count(lit(1)).as("c_t"))
+        ev.filter(col("is_eval"))
+          .join(broadcast(model), Seq("event_type", "hr"))
+          .groupBy("event_type", "hr")
+          .agg(
+            count(lit(1)).as("n_eval"),
+            max("s_t").as("s_t"), max("c_t").as("c_t"),
+            sum(abs(col("v100") * col("c_t") - col("s_t"))).as("err_num"))
+          .selectExpr(
+            "event_type", "hr", "n_eval",
+            "round(s_t / CAST(c_t * 100 AS DOUBLE), 4) AS baseline",
+            "round(err_num / CAST(c_t * n_eval * 100 AS DOUBLE), 4) AS mae")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v100,
+             |    hour(ts) AS hr, ts >= TIMESTAMP '2024-01-22 00:00:00' AS is_eval
+             |  FROM events),
+             |model AS (
+             |  SELECT event_type, hr, CAST(sum(v100) AS BIGINT) AS s_t,
+             |    CAST(count(*) AS BIGINT) AS c_t
+             |  FROM ev WHERE NOT is_eval GROUP BY 1, 2)
+             |SELECT ev.event_type, ev.hr,
+             |  CAST(count(*) AS BIGINT) AS n_eval,
+             |  round(max(s_t) / CAST(max(c_t) * 100 AS DOUBLE), 4) AS baseline,
+             |  round(CAST(sum(abs(v100 * c_t - s_t)) AS BIGINT) / CAST(max(c_t) * count(*) * 100 AS DOUBLE), 4) AS mae
+             |FROM ev JOIN model ON ev.event_type = model.event_type AND ev.hr = model.hr
+             |WHERE is_eval GROUP BY 1, 2""".stripMargin)),
+
     // Marketing attribution: every purchase credits its FIRST-touch and
     // LAST-touch acquisition event (click/view) for the same user. The
     // carried-forward touch rides ONE user-partitioned window as an

@@ -689,6 +689,49 @@ object TextQueries extends QueryModule {
               |  max(doc_id) AS last_doc
               |FROM o GROUP BY 1""".stripMargin)),
 
+    // Curriculum packing — the composition a pretraining data loader
+    // actually runs: the corpus in QUALITY order (best first, doc_id
+    // tiebreak), concatenated and cut into fixed token-budget bins, so
+    // early training bins hold the highest-quality text. Same two-pass
+    // distributed prefix sum as pack_sequences (no Window, no single-
+    // partition exchange) — only the total order changes; per-bin
+    // quality bounds demonstrate the curriculum property (bin quality
+    // is non-increasing). All stats exact integers.
+    EngineQuery(
+      "pack_curriculum",
+      (s, dir) => {
+        val d = docs(s, dir)
+          .withColumn("toks", expr(toksSpark))
+          .selectExpr("doc_id", s"$q10kSpark AS q10k",
+            "CAST(size(toks) AS BIGINT) AS n_tokens")
+          .withColumn("neg_q", -col("q10k"))
+        // withStartOffsets keeps (orderCols, weight, start_off) only —
+        // recover the quality from its negated order key.
+        graft.text.SequencePack.withStartOffsets(d, Seq("neg_q", "doc_id"), "n_tokens", 32)
+          .selectExpr("doc_id", "-neg_q AS q10k", "n_tokens", "start_off DIV 256 AS bin")
+          .groupBy("bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("n_tokens").as("n_tokens"),
+            max("q10k").as("best_q10k"),
+            min("q10k").as("worst_q10k"),
+            min("doc_id").as("min_doc"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+              |t AS (SELECT doc_id, $q10kDuck AS q10k,
+              |    CAST(len(toks) AS BIGINT) AS n FROM tk),
+              |o AS (SELECT doc_id, q10k, n,
+              |  COALESCE(CAST(sum(n) OVER (ORDER BY q10k DESC, doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS start
+              |  FROM t)
+              |SELECT start // 256 AS bin,
+              |  CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(n) AS BIGINT) AS n_tokens,
+              |  CAST(max(q10k) AS BIGINT) AS best_q10k,
+              |  CAST(min(q10k) AS BIGINT) AS worst_q10k,
+              |  min(doc_id) AS min_doc
+              |FROM o GROUP BY 1""".stripMargin)),
+
     // Distributed ROW_NUMBER over a total order (content hash, doc_id
     // tiebreak): the shuffle-sane dual of `row_number() OVER (ORDER BY
     // ...)`, which Spark would otherwise execute on ONE partition. Same

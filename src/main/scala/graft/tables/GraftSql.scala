@@ -114,6 +114,8 @@ object GraftSql {
     ("""(?is)^\s*SHOW\s+PARTITIONS\s+(""" + IdPat + """)\s*;?\s*$""").r
   private val CommentOnTable =
     ("""(?is)^\s*COMMENT\s+ON\s+TABLE\s+(""" + IdPat + """)\s+IS\s+'((?:[^']|'')*)'\s*;?\s*$""").r
+  private val ShowCreateTable =
+    ("""(?is)^\s*SHOW\s+CREATE\s+TABLE\s+(""" + IdPat + """)\s*;?\s*$""").r
   private val DropTable =
     ("""(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(""" + IdPat + """)\s*;?\s*$""").r
   private val CreateMv =
@@ -537,6 +539,50 @@ object GraftSql {
       else require(Constraints.dropUnique(dir, cname), s"no such check: $cname")
       unsetProperty(s, name, s"graft.constraints.$cname")
       singleRow(s, Seq("name" -> name, "dropped_constraint" -> cname))
+    // SHOW CREATE TABLE — reconstruct runnable DDL from the metadata
+    // layers (logical schema incl. renames/widens, column comments,
+    // GENERATED/IDENTITY clauses, user TBLPROPERTIES, and the
+    // constraints as trailing ALTER statements — the spelling that
+    // round-trips through this same shim). Reserved graft.* properties
+    // stay out of TBLPROPERTIES: their DDL clauses carry them.
+    case ShowCreateTable(rawName) =>
+      val name = normalizeIdent(rawName)
+      val dir = resolve(s, name).dir
+      val schema =
+        if (ParquetTable.exists(dir)) ParquetTable.read(s, dir).schema
+        else SchemaEvolution.readEvolved(s, dir).schema
+      val comments = SchemaEvolution.manifestOf(dir).map(mf =>
+          mf.comments.map { case (p, c) =>
+            mf.mapping.logicalOf(p).getOrElse(p).toLowerCase -> c })
+        .getOrElse(Map.empty[String, String])
+      val props = properties(dir)
+      def esc(t: String) = t.replace("'", "''")
+      val genOf = props.collect { case (k, v) if k.startsWith("graft.generated.") =>
+        k.stripPrefix("graft.generated.").toLowerCase -> v }
+      val identCols = props.keys.filter(_.startsWith("graft.identity."))
+        .map(_.stripPrefix("graft.identity.").toLowerCase).toSet
+      val colDefs = schema.fields.map { f =>
+        val lc = f.name.toLowerCase
+        s"  ${f.name} ${f.dataType.sql}" +
+          genOf.get(lc).map(g => s" GENERATED ALWAYS AS ($g)")
+            .getOrElse(if (identCols(lc)) " GENERATED ALWAYS AS IDENTITY" else "") +
+          comments.get(lc).map(c => s" COMMENT '${esc(c)}'").getOrElse("")
+      }
+      val userProps = props.filterNot { case (k, _) =>
+        k.startsWith("graft.generated.") || k.startsWith("graft.identity.") ||
+          k.startsWith("graft.constraints.")
+      }.toSeq.sortBy(_._1)
+      val tblProps =
+        if (userProps.isEmpty) ""
+        else "\nTBLPROPERTIES (" +
+          userProps.map { case (k, v) => s"'${esc(k)}' = '${esc(v)}'" }.mkString(", ") + ")"
+      val alters =
+        Constraints.checks(dir).map { case (cn, ce) =>
+          s"\nALTER TABLE $name ADD CONSTRAINT $cn CHECK ($ce);" } ++
+        Constraints.uniques(dir).map { case (cn, cs) =>
+          s"\nALTER TABLE $name ADD CONSTRAINT $cn UNIQUE (${cs.mkString(", ")});" }
+      singleRow(s, Seq("createtab_stmt" ->
+        (s"CREATE TABLE $name (\n${colDefs.mkString(",\n")}\n)$tblProps;" + alters.mkString)))
     // CREATE VECTOR INDEX vi ON src (embCol) KEY idCol [CELLS n] — one
     // IVF build (centroid seed + hive cell partitioning, IvfIndex's
     // documented layout) into an index-managed dir; n defaults to the

@@ -456,6 +456,38 @@ class GraftSqlSpec extends SparkSuite {
     ()
   }
 
+  test("SHOW CREATE TABLE reconstructs runnable DDL across the metadata layers") {
+    val s = spark
+    import s.implicits._
+    GraftSql.sql(spark,
+      """CREATE TABLE sct_t (rid BIGINT GENERATED ALWAYS AS IDENTITY,
+        |  a BIGINT COMMENT 'the key',
+        |  cents BIGINT GENERATED ALWAYS AS (a * 100))""".stripMargin)
+    GraftSql.sql(spark, "ALTER TABLE sct_t ADD CONSTRAINT a_pos CHECK (a > 0)")
+    GraftSql.sql(spark, "ALTER TABLE sct_t ADD CONSTRAINT a_uniq UNIQUE (a)")
+    GraftSql.sql(spark, "ALTER TABLE sct_t SET TBLPROPERTIES ('owner' = 'ops')")
+    val stmt = GraftSql.sql(spark, "SHOW CREATE TABLE sct_t").head().getString(0)
+    for (piece <- Seq(
+        "rid BIGINT GENERATED ALWAYS AS IDENTITY",
+        "a BIGINT COMMENT 'the key'",
+        "cents BIGINT GENERATED ALWAYS AS (a * 100)",
+        "ADD CONSTRAINT a_pos CHECK (a > 0)",
+        "ADD CONSTRAINT a_uniq UNIQUE (a)",
+        "'owner' = 'ops'"))
+      assert(stmt.contains(piece), s"missing [$piece] in:\n$stmt")
+    assert(!stmt.contains("graft."), "reserved properties must not leak into TBLPROPERTIES")
+    // Round-trip: the emitted DDL re-runs under a new name.
+    val head = stmt.linesIterator.takeWhile(!_.startsWith("ALTER")).mkString("\n")
+      .replace("CREATE TABLE sct_t", "CREATE TABLE sct_t2")
+      .replace("\nTBLPROPERTIES", ";\nTBLPROPERTIES").split(";").head
+    GraftSql.sql(spark, head)
+    Seq((5L)).toDF("a").createOrReplaceTempView("sct_src")
+    GraftSql.sql(spark, "INSERT INTO sct_t2 SELECT a FROM sct_src")
+    assert(GraftSql.sql(spark, "SELECT rid, a, cents FROM sct_t2").head().getLong(2) == 500L)
+    GraftSql.sql(spark, "DROP TABLE sct_t"); GraftSql.sql(spark, "DROP TABLE sct_t2")
+    ()
+  }
+
   test("vector index lifecycle: CREATE/search/DROP, re-CREATE guard, unknown index errors") {
     val s = spark
     import s.implicits._
