@@ -26,12 +26,19 @@ object StreamingMv {
   /** Start the maintainer. `Trigger.AvailableNow` by default: drain the
     * feed to the current end and stop — call again on the next cadence
     * (the checkpoint makes re-runs cheap); pass a processing-time
-    * trigger for an always-on maintainer. */
+    * trigger for an always-on maintainer. Pass `resume = true` on those
+    * re-runs once vacuum may have truncated the feed: it asserts the
+    * existing checkpoint already consumed past the truncation point —
+    * without it the re-run fails loudly at start (the documented
+    * truncation guard), and scheduled maintenance would halt exactly
+    * when retention kicks in. A FRESH checkpoint must keep the default
+    * (it genuinely cannot reconstruct the vacuumed history). */
   def start(
       spark: SparkSession, baseDir: String, mvDir: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    ChangeFeedTable.changeFeedStream(spark, baseDir)
+      trigger: Trigger = Trigger.AvailableNow(),
+      resume: Boolean = false): StreamingQuery =
+    ChangeFeedTable.changeFeedStream(spark, baseDir, resume)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -332,13 +332,15 @@ object GraftSql {
       cols.foreach { case (n, _, c, _) =>
         c.foreach(SchemaEvolution.setColumnComment(s, dir, n, _))
       }
-      register(s, name, dir)
       // Generated columns (Delta's GENERATED ALWAYS AS): the expression
       // is stored as a reserved table property — the write paths read
       // the prefix and compute/validate. Resolution is checked NOW
       // against the declared NON-generated columns, so a typo (or a
       // generated column referencing another generated column) fails at
-      // CREATE, not at first INSERT.
+      // CREATE, not at first INSERT. ALL validation runs BEFORE
+      // register(): a failing CREATE must not leave a registered
+      // empty-shell table that blocks the corrected retry (the same
+      // invariant the CTAS arm holds for a failing SELECT).
       val allGens = cols.collect { case (n, _, _, Some(g)) => n -> g }
       val (idents, gens) = allGens.partition(_._2 == IdentityMarker)
       // Identity columns (Delta's GENERATED ALWAYS AS IDENTITY): the
@@ -349,8 +351,6 @@ object GraftSql {
         require(cols.find(_._1 == n).exists(_._2 == LongType),
           s"GENERATED ALWAYS AS IDENTITY column $n must be BIGINT")
       }
-      if (idents.nonEmpty)
-        setProperties(s, name, idents.map { case (n, _) => s"graft.identity.$n" -> "true" })
       if (gens.nonEmpty) {
         val genNames = allGens.map(_._1.toLowerCase).toSet
         val probe = SchemaEvolution.readEvolved(s, dir)
@@ -363,8 +363,12 @@ object GraftSql {
           catch { case e: Exception => throw new IllegalArgumentException(
             s"GENERATED ALWAYS AS for $n does not resolve against the table's columns: ${e.getMessage}") }
         }
-        setProperties(s, name, gens.map { case (n, g) => s"graft.generated.$n" -> g })
       }
+      register(s, name, dir)
+      if (idents.nonEmpty)
+        setProperties(s, name, idents.map { case (n, _) => s"graft.identity.$n" -> "true" })
+      if (gens.nonEmpty)
+        setProperties(s, name, gens.map { case (n, g) => s"graft.generated.$n" -> g })
       singleRow(s, Seq("name" -> name, "location" -> dir,
         "columns" -> cols.map { case (n, t, _, _) => s"$n ${t.simpleString}" }.mkString(", ")))
     case CopyInto(rawName, srcDir) =>
@@ -1299,11 +1303,22 @@ object GraftSql {
     * recompute/validate via [[applyGenerated]]). DELETE stays allowed
     * (it introduces no values). */
   private def requireNoGenerated(name: String, dir: String, stmt: String): Unit = {
-    val gens = properties(dir).keys.filter(_.startsWith("graft.generated."))
+    val props = properties(dir)
+    val gens = props.keys.filter(_.startsWith("graft.generated."))
     require(gens.isEmpty,
       s"$stmt on '$name' is not supported: the table has GENERATED columns " +
         s"(${gens.map(_.stripPrefix("graft.generated.")).toSeq.sorted.mkString(", ")}) " +
         "and the statement could leave them stale — use INSERT OVERWRITE or REPLACE WHERE")
+    // IDENTITY columns carry the same hazard in the other direction: an
+    // UPDATE/MERGE can SET the identity column to arbitrary (duplicate)
+    // values, breaking the all-distinct allocation the ALWAYS contract
+    // guarantees on INSERT. Same routing: OVERWRITE/REPLACE WHERE
+    // (which re-run assignment through applyGenerated).
+    val ids = props.keys.filter(_.startsWith("graft.identity."))
+    require(ids.isEmpty,
+      s"$stmt on '$name' is not supported: the table has IDENTITY columns " +
+        s"(${ids.map(_.stripPrefix("graft.identity.")).toSeq.sorted.mkString(", ")}) " +
+        "and the statement could overwrite their allocation — use INSERT OVERWRITE or REPLACE WHERE")
   }
 
   /** SQL INSERT arity + alignment, shared by the whole-table write
@@ -1626,6 +1641,13 @@ object GraftSql {
     val tail = after.substring(cut).trim
     require(pred.nonEmpty, "QUALIFY requires a predicate")
     if (wordOutsideQuotes(pred, "OVER")) {
+      // The inject form ADDS a select item to this block — under
+      // DISTINCT that would change the dedup grain to row-per-input-row
+      // and silently defeat it. Reject loudly (the documented contract
+      // for unsupported shapes) rather than return wrong rows.
+      require(!head.matches("""(?is)\s*(WITH\b.*\)\s*)?SELECT\s+DISTINCT\b.*"""),
+        "QUALIFY with an inline window predicate is not supported on SELECT DISTINCT — " +
+          "alias the window expression in the select list and QUALIFY the alias instead")
       val fpos = topLevelWordIndices(head, "FROM").headOption.getOrElse(
         throw new IllegalArgumentException(
           s"QUALIFY rewrite found no top-level FROM in: $head"))
@@ -1770,15 +1792,29 @@ object GraftSql {
     * a file-keyed count — Spark reads no data columns for it); output
     * is bounded by the FILE count, never table rows, at any scale.
     * `file_name` is the path's basename (unique within a snapshot dir),
-    * so results are stable across temp-dir locations. */
+    * so results are stable across temp-dir locations. The inventory
+    * frame comes from the FILESYSTEM listing (bounded by file count),
+    * with row counts joined on from the `_metadata` projection — a
+    * groupBy alone would silently omit zero-row files (an empty task's
+    * part file hard-linked forward never yields a row), undercounting
+    * exactly the files a health audit wants to see. */
   def tableFiles(s: SparkSession, rawName: String): DataFrame = {
     val name = normalizeIdent(rawName)
     val snap = ParquetTable.currentPath(resolve(s, name).dir)
-    s.read.parquet(snap)
-      .groupBy(
-        col("_metadata.file_name").as("file_name"),
-        col("_metadata.file_size").as("size_bytes"))
+    import scala.jdk.CollectionConverters._
+    val listed = java.nio.file.Files.list(java.nio.file.Paths.get(snap)).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => Row(p.getFileName.toString, java.nio.file.Files.size(p)))
+      .toSeq
+    val files = s.createDataFrame(listed.asJava, StructType(Seq(
+      StructField("file_name", StringType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false))))
+    val counts = s.read.parquet(snap)
+      .groupBy(col("_metadata.file_name").as("file_name"))
       .agg(count(lit(1)).as("rows"))
+    files.join(counts, Seq("file_name"), "left")
+      .select(col("file_name"), col("size_bytes"),
+        coalesce(col("rows"), lit(0L)).as("rows"))
   }
 
   def tableChanges(s: SparkSession, name: String, v1: Long, v2: Long): DataFrame = {

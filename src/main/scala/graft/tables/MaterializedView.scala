@@ -179,8 +179,16 @@ object MaterializedView {
           .cast(sumType(base, c)).as(n),
         nn.as(s"_nn_$n"))
     }
-    val merged = cur.join(deltas, d.groupCols, "full_outer")
-      .select((d.groupCols.map(col) :+ cnt.as(d.countName)) ++ maintained: _*)
+    // Null-SAFE group matching: a USING-style join would never merge a
+    // delta for a NULL-keyed group with its existing MV row (NULL = NULL
+    // is UNKNOWN), silently splitting that group into duplicate rows —
+    // GROUP BY treats NULL as one ordinary group, so the maintenance
+    // join must too.
+    val cond = d.groupCols.map(g => col(s"cur.$g") <=> col(s"del.$g"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val groupOut = d.groupCols.map(g => coalesce(col(s"cur.$g"), col(s"del.$g")).as(g))
+    val merged = cur.alias("cur").join(deltas.alias("del"), cond, "full_outer")
+      .select((groupOut :+ cnt.as(d.countName)) ++ maintained: _*)
       .filter(col(d.countName) > 0L)
     ParquetTable.swap(spark, merged, mvDir)
     writeDef(mvDir, d.copy(refreshedVersion = curId,

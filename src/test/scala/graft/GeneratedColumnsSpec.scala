@@ -110,5 +110,23 @@ class GeneratedColumnsSpec extends SparkSuite {
       s"INSERT INTO $t SELECT CAST(99 AS BIGINT) AS id, 'x' AS v"))
     assert(prov.getMessage.contains("IDENTITY"))
     assert(GraftSql.sql(spark, s"SELECT count(*) AS n FROM $t").head.getLong(0) == 3L)
+
+    // UPDATE/MERGE could SET the identity column to duplicate values —
+    // rejected. (Today the versioned-table gate fires first for
+    // CREATE TABLE-made tables; the requireNoGenerated identity arm is
+    // the defense-in-depth for any future versioned identity table.)
+    val upd = intercept[Exception](GraftSql.sql(spark,
+      s"UPDATE $t SET id = 0 WHERE v = 'a'"))
+    assert(upd.getMessage.contains("IDENTITY columns") ||
+      upd.getMessage.contains("not a versioned table"))
+
+    // A failing CREATE must not leave a registered shell: the corrected
+    // retry under the SAME name succeeds.
+    intercept[Exception](GraftSql.sql(spark,
+      s"CREATE TABLE ${t}_retry (id INT GENERATED ALWAYS AS IDENTITY, v STRING)"))
+    GraftSql.sql(spark,
+      s"CREATE TABLE ${t}_retry (id BIGINT GENERATED ALWAYS AS IDENTITY, v STRING)")
+    GraftSql.sql(spark, s"DROP TABLE ${t}_retry")
+    ()
   }
 }

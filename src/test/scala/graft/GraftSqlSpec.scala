@@ -452,6 +452,24 @@ class GraftSqlSpec extends SparkSuite {
     assert(GraftSql.sql(spark,
       "SELECT 'see table_files(''x'')' AS s FROM gsql_f WHERE id = 2")
       .head().getString(0) == "see table_files('x')")
+    // A ZERO-row part file still appears in the inventory (rows = 0):
+    // plant an empty-but-valid parquet file into the live snapshot.
+    val s2 = spark
+    import s2.implicits._
+    val emptyDir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Seq.empty[(Long, String)].toDF("id", "status")
+      .coalesce(1).write.mode("overwrite").parquet(emptyDir)
+    val src = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(emptyDir)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+    }
+    val snap = java.nio.file.Paths.get(ParquetTable.currentPath(dir))
+    java.nio.file.Files.copy(src, snap.resolve("part-99998-planted-empty.parquet"))
+    val inv2 = GraftSql.sql(spark, "SELECT * FROM table_files('gsql_f')").collect()
+    assert(inv2.exists(r => r.getString(0).contains("planted-empty") && r.getLong(2) == 0L),
+      s"zero-row file must appear with rows=0: ${inv2.mkString(",")}")
+    assert(inv2.map(_.getLong(2)).sum == 3L)
     GraftSql.sql(spark, "DROP TABLE gsql_f")
     ()
   }
@@ -579,6 +597,12 @@ class GraftSqlSpec extends SparkSuite {
     assert(GraftSql.sql(spark,
       "SELECT 'use QUALIFY here' AS s FROM gsql_q WHERE id = 2")
       .head().getString(0) == "use QUALIFY here")
+    // Inline-window predicate under SELECT DISTINCT would silently
+    // change the dedup grain — rejected loudly, with the workaround.
+    val dq = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      """SELECT DISTINCT status FROM gsql_q
+        |QUALIFY row_number() OVER (ORDER BY status) = 1""".stripMargin))
+    assert(dq.getMessage.contains("SELECT DISTINCT"))
     GraftSql.sql(spark, "DROP TABLE gsql_q")
     ()
   }

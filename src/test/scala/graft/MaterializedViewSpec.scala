@@ -62,6 +62,31 @@ class MaterializedViewSpec extends SparkSuite {
     assert(ParquetTable.snapshots(mvDir).size == versionsBefore)
   }
 
+  test("a NULL group key maintains as ONE group (null-safe merge, no row split)") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mvnull")
+    val baseDir = root.resolve("base").toString
+    val mvDir = root.resolve("mv").toString
+    // v1 holds a NULL-keyed group next to a real one.
+    val v1 = Seq((1L, Option.empty[String], Some(10L)), (2L, Some("a"), Some(20L)),
+      (3L, Option.empty[String], Some(5L))).toDF("k", "g", "x")
+    ChangeFeedTable.publish(spark, v1, baseDir, Seq("k"))
+    MaterializedView.create(spark, mvDir, baseDir, Seq("g"), "n", Seq("sx" -> "x"))
+    // v2 grows the NULL group — the delta must MERGE with the existing
+    // NULL row (GROUP BY treats NULL as one group; a null-rejecting
+    // join would emit two NULL rows and diverge forever).
+    val v2 = v1.union(Seq((4L, Option.empty[String], Some(2L))).toDF("k", "g", "x"))
+    ChangeFeedTable.publish(spark, v2, baseDir, Seq("k"))
+    assert(MaterializedView.refresh(spark, mvDir))
+    val got = MaterializedView.read(spark, mvDir)
+    assert(sortedRows(got) == sortedRows(direct(ParquetTable.read(spark, baseDir))))
+    val nullRows = got.filter(col("g").isNull).collect()
+    assert(nullRows.length == 1, s"one row for the NULL group, got ${nullRows.length}")
+    assert(nullRows.head.getLong(nullRows.head.fieldIndex("n")) == 3L)
+    assert(nullRows.head.getLong(nullRows.head.fieldIndex("sx")) == 17L)
+  }
+
   test("vacuumed change files trigger the full-recompute fallback") {
     val s = spark
     import s.implicits._
