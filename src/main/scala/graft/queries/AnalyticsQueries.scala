@@ -26,6 +26,13 @@ object AnalyticsQueries extends QueryModule {
   private def cust(s: SparkSession, dir: String) = s.read.parquet(tablePath(dir, "customer"))
   private def t(s: SparkSession, dir: String, name: String) = s.read.parquet(tablePath(dir, name))
 
+  /** Benford first-digit expected shares as a CASE over literals —
+    * log₁₀(1+1/d) computed once HERE so both engines interpolate the
+    * identical double text and neither evaluates a transcendental. */
+  private val benfordCase: String =
+    "CASE d " + (1 to 9).map(dd =>
+      s"WHEN $dd THEN ${math.log10(1.0 + 1.0 / dd)}").mkString(" ") + " ELSE 0.0 END"
+
   override def queries: Seq[EngineQuery] = Seq(
     // Q1/Q3: scan + group-by aggregates (TPC-H Q1 shape).
     EngineQuery(
@@ -744,6 +751,122 @@ object AnalyticsQueries extends QueryModule {
              |    round(sum(l_discount), 2) AS disc
              |  FROM lineitem GROUP BY 1)
              |UNPIVOT (val FOR measure IN (qty, price, disc))""".stripMargin)),
+
+    // Q36: the long-tail window-function surface — percent_rank,
+    // cume_dist, nth_value, first/last_value with explicit frames —
+    // over (priority × order-month) partitions, so no window partition
+    // grows with the fact table (month count × 5 priorities bounds the
+    // grain; within-partition ranks are what the functions mean).
+    // Rolled up per partition: deterministic via the (price, orderkey)
+    // total tiebreak inside every window.
+    EngineQuery(
+      "q36_window_funcs",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val base = ord(s, dir).selectExpr(
+          "o_orderpriority", "o_orderkey",
+          "CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents",
+          "CAST(date_trunc('month', o_orderdate) AS DATE) AS mon")
+        val w = Window.partitionBy("o_orderpriority", "mon")
+          .orderBy(col("cents").desc, col("o_orderkey"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        base
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(wf))
+          .withColumn("best_key", first(col("o_orderkey")).over(wf))
+          .withColumn("worst_key", last(col("o_orderkey")).over(wf))
+          .groupBy("o_orderpriority", "mon")
+          .agg(
+            count(lit(1)).as("n"),
+            max("second_key").as("second_key"),
+            max("best_key").as("best_key"),
+            max("worst_key").as("worst_key"),
+            sum(when(col("pr") <= 0.25, 1L).otherwise(0L)).as("top_quartile_n"),
+            round(sum("cd"), 6).as("cd_mass"))
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderpriority, o_orderkey,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             |    CAST(date_trunc('month', o_orderdate) AS DATE) AS mon
+             |  FROM orders),
+             |wf AS (SELECT o_orderpriority, mon,
+             |    percent_rank() OVER (PARTITION BY o_orderpriority, mon ORDER BY cents DESC, o_orderkey) AS pr,
+             |    cume_dist() OVER (PARTITION BY o_orderpriority, mon ORDER BY cents DESC, o_orderkey) AS cd,
+             |    nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority, mon ORDER BY cents DESC, o_orderkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key,
+             |    first_value(o_orderkey) OVER (PARTITION BY o_orderpriority, mon ORDER BY cents DESC, o_orderkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS best_key,
+             |    last_value(o_orderkey) OVER (PARTITION BY o_orderpriority, mon ORDER BY cents DESC, o_orderkey
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS worst_key
+             |  FROM base)
+             |SELECT o_orderpriority, mon, CAST(count(*) AS BIGINT) AS n,
+             |  max(second_key) AS second_key, max(best_key) AS best_key,
+             |  max(worst_key) AS worst_key,
+             |  CAST(sum(CASE WHEN pr <= 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS top_quartile_n,
+             |  round(sum(cd), 6) AS cd_mass
+             |FROM wf GROUP BY 1, 2""".stripMargin)),
+
+    // Benford first-digit audit — the classic fabricated-numbers DQ
+    // check: observed first-digit distribution of order totals against
+    // Benford's log₁₀(1+1/d) expectation, scored by total-variation
+    // distance. The expected shares are interpolated from ONE Scala
+    // computation into BOTH engines' SQL (PageRank's baseNum trick), so
+    // no engine evaluates a transcendental. One narrow projection + a
+    // 9-row aggregate; the distance folds over 9 rows.
+    EngineQuery(
+      "dq_benford",
+      (s, dir) => {
+        val n = ord(s, dir).count()
+        val digits = ord(s, dir).selectExpr(
+            "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT) AS d")
+          .groupBy("d").agg(count(lit(1)).as("n_obs"))
+        digits.select(
+          col("d"), col("n_obs"),
+          round(col("n_obs") / lit(n.toDouble), 6).as("obs_share"),
+          round(expr(benfordCase), 6).as("benford_share"),
+          round(abs(col("n_obs") / lit(n.toDouble) - expr(benfordCase)), 6).as("abs_dev"))
+      },
+      Some(s"""WITH d AS (
+              |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d,
+              |    CAST(count(*) AS BIGINT) AS n_obs
+              |  FROM orders GROUP BY 1),
+              |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+              |SELECT d.d, d.n_obs,
+              |  round(n_obs / CAST(n.n AS DOUBLE), 6) AS obs_share,
+              |  round($benfordCase, 6) AS benford_share,
+              |  round(abs(n_obs / CAST(n.n AS DOUBLE) - ($benfordCase)), 6) AS abs_dev
+              |FROM d CROSS JOIN n""".stripMargin)),
+
+    // Referential-integrity audit: orphan counts per foreign-key edge of
+    // the star schema, each a LEFT ANTI join (the scan of the child
+    // side + a broadcast/shuffle probe of the parent keys — never a
+    // full join materialization). One row, four edges.
+    EngineQuery(
+      "dq_fk_orphans",
+      (s, dir) => {
+        def orphans(child: DataFrame, ck: String, parent: DataFrame, pk: String) =
+          child.select(col(ck)).join(
+            parent.select(col(pk).as(ck)), Seq(ck), "left_anti").count()
+        val li0 = li(s, dir); val o0 = ord(s, dir); val c0 = cust(s, dir)
+        val res = Seq(
+          orphans(li0, "l_orderkey", o0, "o_orderkey"),
+          orphans(li0, "l_partkey", t(s, dir, "part"), "p_partkey"),
+          orphans(o0, "o_custkey", c0, "c_custkey"),
+          orphans(c0, "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+        import s.implicits._
+        Seq((res(0), res(1), res(2), res(3)))
+          .toDF("li_no_order", "li_no_part", "ord_no_cust", "cust_no_nation")
+      },
+      Some("""SELECT
+             |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS li_no_order,
+             |  CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             |    (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT) AS li_no_part,
+             |  CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS
+             |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS ord_no_cust,
+             |  CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+             |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT) AS cust_no_nation""".stripMargin)),
 
     // Q34: market-basket association rules — support / confidence / lift
     // over parts co-ordered in the same order. The scale design is the
