@@ -35,6 +35,32 @@ import org.apache.spark.sql.functions._
   */
 object LabelPropagation {
 
+  /** Bounded-round k-core peeling: repeatedly drop vertices of degree
+    * < k (with their edges) for `rounds` rounds. The exact k-core is
+    * this peel run to fixpoint; a FIXED round count is the
+    * deterministic, externally-replayable spelling (each round peels at
+    * least one vertex until stable, so `rounds` bounds the peel DEPTH
+    * — long chains hanging off a core peel one link per round; near-dup
+    * graphs are clique-heavy and converge in a handful). Per round: one
+    * degree count + one semi-join edge restriction, both key-partitioned;
+    * lineage truncated per round like the other iterative operators.
+    * Returns the surviving (`id`, `degree`) rows. */
+  def kcore(pairs: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    val ab = pairs.selectExpr("a_id AS src", "b_id AS dst")
+    var edges = ab.union(ab.selectExpr("dst AS src", "src AS dst")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("src")
+      edges = edges
+        .join(keep, "src")
+        .join(keep.withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint()
+    }
+    edges.groupBy("src").agg(count(lit(1)).as("degree"))
+      .selectExpr("src AS id", "degree")
+  }
+
   /** `vertices`: one `id` column. `pairs`: undirected edges as
     * (`a_id`, `b_id`). Returns (`id`, `label`) after `rounds` rounds. */
   def communities(vertices: DataFrame, pairs: DataFrame, rounds: Int = 3): DataFrame = {

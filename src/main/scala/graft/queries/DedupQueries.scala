@@ -407,6 +407,35 @@ object DedupQueries extends QueryModule {
            |FROM l3 GROUP BY 1""".stripMargin
       }),
 
+    // Bounded-round 2-core peel over the verified pair graph: strips
+    // the degree-1 fringe (isolated pairs, chain ends) so what remains
+    // is the densely-duplicated core — the subgraph worth the expensive
+    // per-cluster treatment. 4 peel rounds, identically replayed by the
+    // oracle's chained CTEs (the exact core is the fixpoint; the fixed
+    // round count is the deterministic spelling, and near-dup graphs
+    // are clique-heavy so the peel converges fast).
+    EngineQuery(
+      "dedup_kcore",
+      (s, dir) =>
+        graft.dedup.LabelPropagation.kcore(
+          minhashPairsCached(s, dir, 0.8), k = 2, rounds = 4),
+      Some {
+        def peel(prev: String, cur: String) =
+          s"""k$cur AS (SELECT src FROM $prev GROUP BY src HAVING count(*) >= 2),
+             |$cur AS (SELECT e.src, e.dst FROM $prev e
+             |  JOIN k$cur a ON a.src = e.src JOIN k$cur b ON b.src = e.dst)""".stripMargin
+        s"""$duckGrams,
+           |${duckLshPairs(0.8)},
+           |e0 AS (SELECT a_id AS src, b_id AS dst FROM lsh_pairs
+           |  UNION ALL SELECT b_id, a_id FROM lsh_pairs),
+           |${peel("e0", "e1")},
+           |${peel("e1", "e2")},
+           |${peel("e2", "e3")},
+           |${peel("e3", "e4")}
+           |SELECT src AS id, CAST(count(*) AS BIGINT) AS degree
+           |FROM e4 GROUP BY 1""".stripMargin
+      }),
+
     EngineQuery(
       "dedup_simhash",
       (s, dir) => simhashCached(s, dir),

@@ -31,6 +31,23 @@ class LabelPropagationSpec extends SparkSuite {
     assert(cc(99L) == 99L)
   }
 
+  test("2-core peel strips a pendant chain link-by-link, keeps the triangle") {
+    val s = spark
+    import s.implicits._
+    // Triangle 1-2-3 with a two-link chain hanging off vertex 3.
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 20L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val core = LabelPropagation.kcore(pairs, k = 2, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"only the triangle survives, each at degree 2: $core")
+    // One round peels only the chain TIP (21 has degree 1; 20 still has
+    // 2 until the tip goes) — the bounded-depth property, explicitly.
+    val one = LabelPropagation.kcore(pairs, k = 2, rounds = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(one == Set(1L, 2L, 3L, 20L), s"round 1 keeps the not-yet-exposed link: $one")
+  }
+
   test("votes and ties are deterministic: a 4-cycle settles to the minimum label") {
     val s = spark
     import s.implicits._
