@@ -752,6 +752,34 @@ object AnalyticsQueries extends QueryModule {
              |  FROM lineitem GROUP BY 1)
              |UNPIVOT (val FOR measure IN (qty, price, disc))""".stripMargin)),
 
+    // Q37: correlated SCALAR subqueries in the select list — the
+    // remaining correlated-subquery spelling next to q18 (WHERE-clause
+    // agg compare) and q25 (EXISTS): per customer, the max order value
+    // and the count, inline. Catalyst decorrelates both into left outer
+    // aggregates over o_custkey — one co-partitioned join each, never a
+    // per-row re-execution (the plan is the proof this spelling is safe
+    // at scale, unlike actual nested-loop subquery engines).
+    EngineQuery(
+      "q37_scalar_subquery",
+      (s, dir) => {
+        ord(s, dir).createOrReplaceTempView("q37_orders")
+        cust(s, dir).createOrReplaceTempView("q37_customer")
+        s.sql("""SELECT c_custkey,
+                |  (SELECT round(max(o_totalprice), 2) FROM q37_orders o
+                |   WHERE o.o_custkey = c.c_custkey) AS best_order,
+                |  (SELECT CAST(count(*) AS BIGINT) FROM q37_orders o
+                |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+                |FROM q37_customer c
+                |WHERE c_custkey <= 200""".stripMargin)
+      },
+      Some("""SELECT c_custkey,
+             |  (SELECT round(max(o_totalprice), 2) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey) AS best_order,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+             |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+             |FROM customer c
+             |WHERE c_custkey <= 200""".stripMargin)),
+
     // Q36: the long-tail window-function surface — percent_rank,
     // cume_dist, nth_value, first/last_value with explicit frames —
     // over (priority × order-month) partitions, so no window partition
