@@ -33,6 +33,13 @@ object AnalyticsQueries extends QueryModule {
     "CASE d " + (1 to 9).map(dd =>
       s"WHEN $dd THEN ${math.log10(1.0 + 1.0 / dd)}").mkString(" ") + " ELSE 0.0 END"
 
+  /** One statement text for both engines (q38): GROUP BY ALL. */
+  private val Q38Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem GROUP BY ALL""".stripMargin
+
   override def queries: Seq[EngineQuery] = Seq(
     // Q1/Q3: scan + group-by aggregates (TPC-H Q1 shape).
     EngineQuery(
@@ -779,6 +786,19 @@ object AnalyticsQueries extends QueryModule {
              |   WHERE o.o_custkey = c.c_custkey) AS n_orders
              |FROM customer c
              |WHERE c_custkey <= 200""".stripMargin)),
+
+    // Q38: GROUP BY ALL — the analyst-ergonomics spelling (every
+    // non-aggregate select item becomes a grouping key) supported
+    // natively by BOTH engines since Spark 3.4 / DuckDB 0.6, so the
+    // SAME statement text runs on each: the engine side goes through
+    // spark.sql, the oracle through DuckDB, zero rewriting.
+    EngineQuery(
+      "q38_group_by_all",
+      (s, dir) => {
+        li(s, dir).createOrReplaceTempView("q38_lineitem")
+        s.sql(Q38Sql.replace("lineitem", "q38_lineitem"))
+      },
+      Some(Q38Sql)),
 
     // Q36: the long-tail window-function surface — percent_rank,
     // cume_dist, nth_value, first/last_value with explicit frames —
