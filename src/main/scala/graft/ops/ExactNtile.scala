@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group `ntile(n)` WITHOUT a per-group global sort.
+  *
+  * `ntile(n) OVER (PARTITION BY g ORDER BY score DESC, tie ASC)` plans a
+  * WindowExec whose parallelism is bounded by the number of DISTINCT
+  * group values: with an enumerable key (language, flag, status) each
+  * partition's full row set is sorted in ONE task — at 100× corpus size
+  * one task sorts N/|g| rows. This helper reproduces the exact same
+  * tile assignment with the distributed-selection algorithm instead:
+  *
+  *  1. per-group row counts → the tile boundary RANKS K_j (ntile's
+  *     "first N mod n tiles get one extra row" rule, computed exactly);
+  *  2. a coarse score histogram (one shuffle, ≤ groups × bins rows,
+  *     bins bounded by the score range × `binScale`, NOT by row count)
+  *     locates the bin holding each boundary rank;
+  *  3. only the boundary-bin rows (a sliver of the corpus) are ranked
+  *     with a (group, bin)-partitioned window — partition count here is
+  *     data-dependent, never a constant — to find the exact boundary
+  *     (score, tie) row at each K_j;
+  *  4. the ≤ groups × (n-1) boundary rows are broadcast back and every
+  *     row's tile is `1 + #boundaries it falls strictly after` — a
+  *     broadcast hash join plus an array fold, no sort anywhere on the
+  *     corpus-sized side.
+  *
+  * The only collects are the per-group counts (bounded by |g|) and the
+  * histogram (bounded by |g| × bins) — both read, both documented.
+  * Ordering is (score DESC, tie ASC); `tie` must be row-unique within a
+  * group so the boundary row — and therefore every tie-crossing tile
+  * edge — is deterministic and matches the window-function oracle
+  * hash exactly.
+  *
+  * @param binScale histogram granularity: bin = floor(score * binScale).
+  *        Pick so (score range × binScale) stays ≤ ~10⁴ per group.
+  */
+object ExactNtile {
+
+  def withTile(
+      df: DataFrame,
+      group: String,
+      score: String,
+      tie: String,
+      tiles: Int,
+      tileCol: String = "tile",
+      binScale: Double = 1024.0): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val binned = df.withColumn("_bin", floor(col(score) * lit(binScale)).cast("long"))
+
+    // (1) per-group counts → boundary ranks. ntile sizes: with N rows and
+    // n tiles, tile i holds N/n rows plus one extra for i <= N mod n, so
+    // the LAST row of tile j sits at rank K_j = j*(N/n) + min(j, N mod n).
+    // Bounded collect: one row per distinct group value.
+    val counts: Map[String, Long] =
+      df.groupBy(col(group)).count()
+        .as[(String, Long)].collect().toMap
+    val boundaryRanks: Map[String, Seq[Long]] = counts.map { case (g, n) =>
+      val q = n / tiles; val r = n % tiles
+      g -> (1 until tiles).map(j => j * q + math.min(j, r)).filter(_ >= 1L).distinct
+    }
+
+    // (2) histogram: one shuffled agg, result bounded by groups × bins.
+    val hist: Map[String, Seq[(Long, Long)]] =
+      binned.groupBy(col(group), col("_bin")).count()
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1)
+        .map { case (g, rows) =>
+          // score DESC order ↔ bin DESC order
+          g -> rows.map(r => (r._2, r._3)).sortBy(-_._1).toSeq
+        }
+
+    // walk the per-group cumulative histogram: boundary rank K_j lands in
+    // bin b_j at within-bin residual r_j (1-based in (score DESC, tie ASC)).
+    case class Boundary(g: String, bin: Long, residual: Long, rankIdx: Int)
+    val boundaries: Seq[Boundary] = boundaryRanks.toSeq.flatMap { case (g, ks) =>
+      val bins = hist.getOrElse(g, Seq.empty)
+      ks.zipWithIndex.map { case (k, j) =>
+        var cum = 0L; var i = 0
+        while (i < bins.length && cum + bins(i)._2 < k) { cum += bins(i)._2; i += 1 }
+        Boundary(g, bins(i)._1, k - cum, j)
+      }
+    }
+
+    if (boundaries.isEmpty) return df.withColumn(tileCol, lit(1))
+
+    // (3) refine: rank ONLY the boundary-bin rows. The window partitions
+    // on (group, bin) — cardinality grows with the data, and each bin
+    // holds a binScale-thin score slice, so no constant-partition sort.
+    val boundaryBins = boundaries.map(b => (b.g, b.bin)).distinct
+      .toDF(group, "_bin")
+    val wBin = Window.partitionBy(col(group), col("_bin"))
+      .orderBy(col(score).desc, col(tie).asc)
+    val binRows = binned.join(broadcast(boundaryBins), Seq(group, "_bin"))
+      .withColumn("_r", row_number().over(wBin))
+    val wanted = boundaries.map(b => (b.g, b.bin, b.residual))
+      .toDF(group, "_bin", "_r")
+    val boundaryRows: Map[String, Seq[(Double, String)]] =
+      binRows.join(broadcast(wanted), Seq(group, "_bin", "_r"))
+        .select(col(group), col(score).cast("double"), col(tie).cast("string"))
+        .as[(String, Double, String)].collect()
+        .groupBy(_._1)
+        .map { case (g, rows) =>
+          g -> rows.map(r => (r._2, r._3)).sortBy(t => (-t._1, t._2)).toSeq
+        }
+
+    // (4) assign: tile = 1 + #boundaries the row falls strictly AFTER in
+    // (score DESC, tie ASC). Boundaries ship as a per-group array in a
+    // |g|-row broadcast side; the corpus side does one hash probe + a
+    // fold over ≤ tiles-1 elements. No sort, no row multiplication.
+    val bndDf = boundaryRows.toSeq
+      .map { case (g, bs) => (g, bs.map { case (s, t) => (s, t) }) }
+      .toDF(group, "_bnds")
+      .select(col(group), col("_bnds").cast("array<struct<s:double,t:string>>"))
+    binned.join(broadcast(bndDf), Seq(group), "left")
+      .withColumn(tileCol,
+        lit(1) + coalesce(expr(
+          s"""aggregate(_bnds, 0, (acc, b) ->
+             |  acc + CASE WHEN CAST($score AS DOUBLE) < b.s
+             |               OR (CAST($score AS DOUBLE) = b.s AND CAST($tie AS STRING) > b.t)
+             |          THEN 1 ELSE 0 END)""".stripMargin.replace("\n", " ")), lit(0)))
+      .drop("_bin", "_bnds")
+  }
+
+  /** Convenience: tile column as head/middle/tail-style labels. */
+  def bucketLabel(tileCol: Column, labels: Seq[String]): Column =
+    labels.zipWithIndex.tail.foldLeft(when(tileCol === 1, labels.head)) {
+      case (acc, (lbl, i)) => acc.when(tileCol === i + 1, lbl)
+    }
+}

@@ -41,12 +41,23 @@ import org.apache.spark.sql.types.{DateType, TimestampType}
   */
 object GeneratedPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** rootPath → (partitionCol, sourceCol); path normalized to URI path. */
+  /** rootPath → (partitionCol, sourceCol); keyed by the FULL normalized
+    * URI (scheme + authority + path), not path alone — `s3://bucketA/tbl`
+    * and `hdfs://nn/tbl` must not collide, because a wrong match ANDs an
+    * implied row-level predicate onto a table where the derivation may
+    * not hold. Unqualified local paths default to the `file` scheme so
+    * `/tmp/x` and Spark's qualified `file:/tmp/x` still meet. */
   private val derivations =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   private def norm(dir: String): String =
-    new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    normUri(new org.apache.hadoop.fs.Path(dir).toUri)
+
+  private def normUri(uri: java.net.URI): String = {
+    val scheme = Option(uri.getScheme).getOrElse("file")
+    val auth = Option(uri.getAuthority).getOrElse("")
+    s"$scheme://$auth${uri.getPath}"
+  }
 
   /** Declare `partCol = CAST(srcCol AS DATE)` for the table at `dir`. */
   def register(dir: String, partCol: String, srcCol: String): Unit =
@@ -56,7 +67,7 @@ object GeneratedPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def derivationFor(hfs: HadoopFsRelation): Option[(String, String)] =
     hfs.location.rootPaths.headOption
-      .flatMap(p => derivations.get(p.toUri.getPath))
+      .flatMap(p => derivations.get(normUri(p.toUri)))
 
   private def toDate(lit: Literal): Option[Literal] = lit match {
     case Literal(v, TimestampType) if v != null =>

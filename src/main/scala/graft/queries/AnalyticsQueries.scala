@@ -869,11 +869,15 @@ object AnalyticsQueries extends QueryModule {
         val digits = ord(s, dir).selectExpr(
             "CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT) AS d")
           .groupBy("d").agg(count(lit(1)).as("n_obs"))
+        // The interpolated CASE literals parse as DECIMAL in both engines,
+        // but round(DECIMAL) infers different precision in Spark
+        // (DECIMAL(7,6)) vs DuckDB (DECIMAL(18,6)) — identical values,
+        // divergent parquet schema (oracle trap #2). CAST to DOUBLE first.
         digits.select(
           col("d"), col("n_obs"),
           round(col("n_obs") / lit(n.toDouble), 6).as("obs_share"),
-          round(expr(benfordCase), 6).as("benford_share"),
-          round(abs(col("n_obs") / lit(n.toDouble) - expr(benfordCase)), 6).as("abs_dev"))
+          round(expr(benfordCase).cast("double"), 6).as("benford_share"),
+          round(abs(col("n_obs") / lit(n.toDouble) - expr(benfordCase).cast("double")), 6).as("abs_dev"))
       },
       Some(s"""WITH d AS (
               |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d,
@@ -882,8 +886,8 @@ object AnalyticsQueries extends QueryModule {
               |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
               |SELECT d.d, d.n_obs,
               |  round(n_obs / CAST(n.n AS DOUBLE), 6) AS obs_share,
-              |  round($benfordCase, 6) AS benford_share,
-              |  round(abs(n_obs / CAST(n.n AS DOUBLE) - ($benfordCase)), 6) AS abs_dev
+              |  round(CAST(($benfordCase) AS DOUBLE), 6) AS benford_share,
+              |  round(abs(n_obs / CAST(n.n AS DOUBLE) - CAST(($benfordCase) AS DOUBLE)), 6) AS abs_dev
               |FROM d CROSS JOIN n""".stripMargin)),
 
     // Referential-integrity audit: orphan counts per foreign-key edge of

@@ -1480,18 +1480,20 @@ object TextQueries extends QueryModule {
 
     // CCNet's head/middle/tail bucketing (Wenzek et al. 2020 §4.3):
     // per LANGUAGE, rank every scored document by LM score and cut into
-    // terciles with ntile(3) (best third = 'head' — the slice CCNet
-    // keeps by default). The window is language-partitioned (never
-    // global) and its input is the per-DOC score table — corpus-sized
-    // rows never enter the window. Rollup per (lang, bucket) with the
-    // tercile score boundaries.
+    // terciles (best third = 'head' — the slice CCNet keeps by default).
+    // NOT a lang-partitioned ntile window: `lang` is an enumerable
+    // constant key (5 values), so that window would sort N/5 doc rows in
+    // ONE task at any scale. Instead ExactNtile finds the two tercile
+    // boundary ROWS per language via distributed selection (histogram →
+    // boundary-bin refinement) and broadcast-buckets by comparison, with
+    // the doc_id tiebreak preserving exact ntile semantics — same oracle
+    // hash, no constant-partition sort.
     EngineQuery(
       "text_ccnet_buckets",
       (s, dir) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("lang").orderBy(col("lm_score").desc, col("doc_id"))
-        ccnetScoresCached(s, dir)
-          .withColumn("b", ntile(3).over(w))
+        graft.ops.ExactNtile.withTile(
+            ccnetScoresCached(s, dir), "lang", "lm_score", "doc_id",
+            tiles = 3, tileCol = "b")
           .groupBy(col("lang"),
             expr("CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END").as("bucket"))
           .agg(count(lit(1)).cast("long").as("n_docs"),

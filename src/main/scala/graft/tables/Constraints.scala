@@ -147,10 +147,21 @@ object Constraints {
     true
   }
 
-  /** Duplicate-key groups of `df` per unique key; Some(report) if any. */
+  /** Duplicate-key groups of `df` per unique key; Some(report) if any.
+    *
+    * NULL semantics are ANSI (and Delta): a key containing NULL in any
+    * column never conflicts — any number of NULL-keyed rows may coexist.
+    * That choice is applied in BOTH passes of the enforcement boundary:
+    * here the NULL-keyed rows are filtered out before the duplicate
+    * group-by, and the batch-vs-existing probe in validateUniqueAppend
+    * uses a null-UNSAFE equi-join, which skips NULL keys by definition.
+    * (Before r11 the two passes disagreed: in-batch treated NULLs as
+    * equal while cross-batch ignored them, so the same NULL-key pair
+    * passed or failed depending on how the inserts were split.) */
   private def dupReport(df: DataFrame, us: Seq[(String, Seq[String])]): Option[String] = {
     val bad = us.flatMap { case (n, cols) =>
-      val dups = df.groupBy(cols.map(col): _*).count()
+      val nonNull = df.filter(cols.map(c => col(c).isNotNull).reduce(_ && _))
+      val dups = nonNull.groupBy(cols.map(col): _*).count()
         .filter(col("count") > 1).limit(1).count()
       if (dups > 0) Some(s"$n (${cols.mkString(",")})") else None
     }

@@ -607,8 +607,27 @@ object GraftSql {
       vectorIndexes.put((s, key), dir)
       singleRow(s, Seq("name" -> key, "n_vectors" -> n, "cells" -> cells))
     case DropVectorIndex(idxName) =>
-      val existed = vectorIndexes.remove((s, idxName.toLowerCase)).isDefined
-      require(existed, s"vector index '$idxName' does not exist")
+      val removed = vectorIndexes.remove((s, idxName.toLowerCase))
+      require(removed.isDefined, s"vector index '$idxName' does not exist")
+      // Delete the IVF layout on disk (CREATE built it under a private
+      // temp dir); without this, CREATE/DROP cycles accumulate disk.
+      // The registry entry removal above also unpins the dir string —
+      // the map holds no layout objects, just paths, so removing the
+      // entry is the full in-memory cleanup.
+      removed.foreach { dir =>
+        val root = java.nio.file.Paths.get(dir)
+        if (java.nio.file.Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        }
+        // the temp parent created by CREATE holds only this index
+        val parent = root.getParent
+        if (parent != null && parent.getFileName.toString.startsWith("graft-vidx"))
+          java.nio.file.Files.deleteIfExists(parent)
+      }
       singleRow(s, Seq("name" -> idxName.toLowerCase, "dropped" -> "true"))
     // QUALIFY — filter on window-function results without the manual
     // subquery (the DuckDB/Snowflake/Databricks spelling; OSS Spark has
@@ -1802,10 +1821,13 @@ object GraftSql {
     val name = normalizeIdent(rawName)
     val snap = ParquetTable.currentPath(resolve(s, name).dir)
     import scala.jdk.CollectionConverters._
-    val listed = java.nio.file.Files.list(java.nio.file.Paths.get(snap)).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet"))
-      .map(p => Row(p.getFileName.toString, java.nio.file.Files.size(p)))
-      .toSeq
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(snap))
+    val listed =
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => Row(p.getFileName.toString, java.nio.file.Files.size(p)))
+        .toSeq
+      finally stream.close()
     val files = s.createDataFrame(listed.asJava, StructType(Seq(
       StructField("file_name", StringType, nullable = false),
       StructField("size_bytes", LongType, nullable = false))))

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ExactNtile must reproduce Spark's own
+  * `ntile(n) OVER (PARTITION BY g ORDER BY score DESC, tie ASC)`
+  * assignment EXACTLY — including tie runs that straddle tercile
+  * boundaries (where only the tie column decides the tile) and groups
+  * smaller than the tile count — while never planning a window whose
+  * partition count equals the (constant) group-key cardinality. */
+class ExactNtileSpec extends SparkSuite {
+
+  import graft.ops.ExactNtile
+
+  private def referenceTiles(rows: Seq[(String, Double, String)], tiles: Int) = {
+    import SparkTestBase.spark.implicits._
+    val df = rows.toDF("g", "score", "id")
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    df.withColumn("tile", ntile(tiles).over(w))
+      .select("g", "id", "tile").as[(String, String, Int)]
+      .collect().toSet
+  }
+
+  private def exactTiles(rows: Seq[(String, Double, String)], tiles: Int) = {
+    import SparkTestBase.spark.implicits._
+    val df = rows.toDF("g", "score", "id")
+    ExactNtile.withTile(df, "g", "score", "id", tiles)
+      .select("g", "id", "tile").as[(String, String, Int)]
+      .collect().toSet
+  }
+
+  test("matches window ntile on tie-heavy data, several group sizes") {
+    // deterministic pseudo-random scores with HEAVY ties: score domain of
+    // just 7 values per group, so tercile boundaries land inside tie runs
+    // and the doc-id tiebreak decides — the case threshold bucketing
+    // by score alone gets wrong.
+    val rows = for {
+      g <- Seq("en", "de", "fr")
+      i <- 0 until (g.head - 'a' + 1) * 37 // 111 / 148 / 185 rows (groups differ mod 3)
+    } yield (g, ((i * 2654435761L) % 7).toDouble / 10.0, f"doc$i%04d")
+    for (n <- Seq(2, 3, 4, 5)) {
+      assert(exactTiles(rows, n) == referenceTiles(rows, n), s"tiles=$n")
+    }
+  }
+
+  test("groups smaller than the tile count get one row per tile") {
+    val rows = Seq(("a", 1.0, "x"), ("a", 0.5, "y"), ("b", 2.0, "z"))
+    assert(exactTiles(rows, 3) == referenceTiles(rows, 3))
+  }
+
+  test("negative and identical-score groups") {
+    val rows = (0 until 30).map(i => ("g", -0.25, f"d$i%02d")) ++
+      (0 until 13).map(i => ("h", -1.0 - (i % 3) * 0.5, f"d$i%02d"))
+    for (n <- Seq(3, 4)) assert(exactTiles(rows, n) == referenceTiles(rows, n))
+  }
+
+  test("plans no window over a constant-count partitioning on the corpus side") {
+    import SparkTestBase.spark.implicits._
+    val df = (0 until 200).map(i => ("en", i / 10.0, f"d$i%03d")).toDF("g", "score", "id")
+    val plan = ExactNtile.withTile(df, "g", "score", "id", 3)
+      .queryExecution.executedPlan
+    // the only window in the plan is the (g, _bin) boundary refinement,
+    // whose partition count scales with the score histogram, and it runs
+    // over the filtered boundary-bin sliver, not the corpus
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name))
+      assert(keys.exists(_.startsWith("_bin")),
+        s"refinement window must include the data-dependent _bin key: $keys")
+    }
+  }
+}

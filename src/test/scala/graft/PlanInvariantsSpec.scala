@@ -25,7 +25,9 @@ class PlanInvariantsSpec extends SparkSuite {
     // Covered by the join rule; their global-window exception is below.
     "q29_skyline", "sketch_quantile_bins",
     // Round-6 additions: the SQL-spelling, state-v2, and new operator paths.
-    "tt_select_version_as_of", "se_sql_ddl", "sim_semdedup", "text_mixture_take")
+    "tt_select_version_as_of", "se_sql_ddl", "sim_semdedup", "text_mixture_take",
+    // Round-11: the de-weaked ccnet bucketing (ExactNtile, no constant-key window).
+    "text_ccnet_buckets")
 
   /** The ONLY sanctioned Window-on-SinglePartition sites, each with a
     * written bound on the serialized domain. A global ordered window is
@@ -86,6 +88,37 @@ class PlanInvariantsSpec extends SparkSuite {
             s"$name: Window fed by Exchange SinglePartition — the whole " +
               s"window serializes into one task:\n$w")
         }
+      }
+    }
+  }
+
+  /** Columns whose value domain is a small CONSTANT — independent of row
+    * count — so a window partitioned solely by them serializes N/|domain|
+    * rows into one task at any scale (the r10 text_ccnet_buckets weak:
+    * ntile over 5 lang partitions). Names, not stats: these are the
+    * repo's known enumerable keys across the testdata + derived tables. */
+  private val enumerableKeys = Set(
+    "lang", "flag", "status", "bucket", "label", "tier", "split",
+    "l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority",
+    "c_mktsegment", "event_type", "l_shipmode")
+
+  /** Sanctioned constant-key windows: q23_dist_windows partitions by
+    * o_orderpriority, but its input is pre-filtered to o_custkey < 50 —
+    * a FIXED set of 50 customers whose order count does not grow with
+    * SF, so each window partition stays bounded by construction. */
+  private val boundedConstantKeyWindow = Set("q23_dist_windows")
+
+  test("no Window partitioned solely by enumerable-constant keys") {
+    for (name <- guarded
+         if !boundedGlobalWindow(name) && !boundedConstantKeyWindow(name)) {
+      val plan = planOf(name)
+      plan.collect { case w: WindowExec => w }.foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.references.map(_.name.toLowerCase))
+        assert(keys.isEmpty || !keys.forall(k => enumerableKeys(k.takeWhile(_ != '#'))),
+          s"$name: Window partitioned only by enumerable-constant key(s) " +
+            s"${keys.mkString(",")} — partition count is a constant, one task " +
+            s"sorts N/|domain| rows at scale. Use ExactNtile / threshold " +
+            s"bucketing instead:\n$w")
       }
     }
   }

@@ -32,6 +32,33 @@ def rows_key(row):
     return tuple(str(c) for c in row)
 
 
+def type_mismatch(engine_cols, engine_types, oracle_cols, oracle_types):
+    """Column-name → type-string comparison, incl. decimal precision/scale.
+
+    The driver's hash gate is sensitive to the serialized parquet types
+    (r10's dq_benford failed on DECIMAL(7,6) vs DECIMAL(18,6) with identical
+    values), so the local gate must check types too. Integer-width
+    differences (INT vs BIGINT) are tolerated — the driver compares those by
+    value — but DECIMAL/DOUBLE/DATE/TIMESTAMP class + decimal precision must
+    match exactly.
+    """
+    int_widths = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+                  "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+    et = {c: str(t) for c, t in zip(engine_cols, engine_types)}
+    ot = {c: str(t) for c, t in zip(oracle_cols, oracle_types)}
+    for c in sorted(et):
+        a, b = et[c], ot.get(c, "?")
+        if a == b:
+            continue
+        if a in int_widths and b in int_widths:
+            continue
+        # FLOAT vs DOUBLE: both hash as float64 driver-side
+        if {a, b} <= {"FLOAT", "DOUBLE"}:
+            continue
+        return f"TYPE MISMATCH col {c}: engine={a} oracle={b}"
+    return None
+
+
 def compare(name, engine_rows, engine_cols, oracle_rows, oracle_cols):
     if sorted(engine_cols) != sorted(oracle_cols):
         return f"SCHEMA MISMATCH engine={sorted(engine_cols)} oracle={sorted(oracle_cols)}"
@@ -68,16 +95,18 @@ def main():
             n_fail += 1
             continue
         try:
-            ed = con.execute(
-                f"SELECT * FROM read_parquet('{eng_path}/*.parquet')")
-            engine_rows, engine_cols = ed.fetchall(), [d[0] for d in ed.description]
-            od = con.execute(sql)
-            oracle_rows, oracle_cols = od.fetchall(), [d[0] for d in od.description]
+            erel = con.sql(f"SELECT * FROM read_parquet('{eng_path}/*.parquet')")
+            engine_cols, engine_types = erel.columns, erel.types
+            engine_rows = erel.fetchall()
+            orel = con.sql(sql)
+            oracle_cols, oracle_types = orel.columns, orel.types
+            oracle_rows = orel.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: {ex}")
             n_fail += 1
             continue
-        err = compare(name, engine_rows, engine_cols, oracle_rows, oracle_cols)
+        err = (type_mismatch(engine_cols, engine_types, oracle_cols, oracle_types)
+               or compare(name, engine_rows, engine_cols, oracle_rows, oracle_cols))
         if err:
             print(f"FAIL {name}: {err}")
             n_fail += 1
