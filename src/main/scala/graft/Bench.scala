@@ -122,10 +122,14 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"errors":$errs,"sf":"$sfDir",$stamp}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench_full_$runTag.json")
+    // Detail files land under bench/, not the repo root (r10 left 16
+    // bench_full*.json at the root — retention rule: root carries only
+    // the driver's BENCH_rN artifacts + BASELINE files).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"bench/bench_full_$runTag.json")
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (fullLine + "\n").getBytes("UTF-8"))
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"bench_full write failed: $e") }
 
     // Locale.ROOT: under a comma-decimal default locale (de_DE etc.)

@@ -79,6 +79,21 @@ object TextQueries extends QueryModule {
     * application embeds learned symbols into the next round's replace). */
   private def sqlLit(v: String): String = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
+  /** Order-free EXACT aggregate sum of a double summand, as SQL text
+    * valid in BOTH engines: quantize each addend to the 1e-9 grain with
+    * floor (floor of the same IEEE double is identical in Spark and
+    * DuckDB — unlike round/cast, trap #1), sum as BIGINT (associative
+    * and commutative, so partial map-side aggregation needs no
+    * ordering), then return to double. Replaces the
+    * sort_array(collect_list(struct(pos, v))) ordered-fold pattern: the
+    * fold's per-group array grows with the group (a pathological
+    * multi-hundred-MB document OOMs one task), while this keeps
+    * per-group state at ONE i64 and re-enables partial aggregation.
+    * Magnitudes: |v| <= ~1 here, so the i64 overflows only past ~9e9
+    * addends per group — far beyond any document. */
+  private def qsum(v: String): String =
+    s"CAST(sum(CAST(floor(($v) * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0"
+
   private val ccnetCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
@@ -112,9 +127,7 @@ object TextQueries extends QueryModule {
         .groupBy("doc_id", "lang")
         .agg(count(lit(1)).cast("long").as("n_bigrams"),
           count(col("cb")).cast("long").as("n_hits"),
-          sort_array(collect_list(struct(col("pos"), col("sc")))).as("vs"))
-        .withColumn("score",
-          expr("aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.sc)"))
+          expr(qsum("sc")).as("score"))
         .selectExpr("doc_id", "lang", "n_bigrams", "n_hits",
           "round(score / CAST(n_bigrams AS DOUBLE), 6) AS lm_score")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -148,7 +161,7 @@ object TextQueries extends QueryModule {
        |    (p - CAST(1.0 AS DOUBLE)) / (p + CAST(1.0 AS DOUBLE)) AS sc FROM p),
        |perdoc AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
        |  CAST(count(cb) AS BIGINT) AS n_hits,
-       |  round(list_reduce(list(sc ORDER BY pos), (x, y) -> x + y)
+       |  round(${qsum("sc")}
        |    / CAST(count(*) AS DOUBLE), 6) AS lm_score
        |FROM sc GROUP BY doc_id, lang)""".stripMargin
 
@@ -623,11 +636,12 @@ object TextQueries extends QueryModule {
     // conditional bigram probability p(w2|w1) = c(w1 w2)/c(w1) — the
     // perplexity-family quality signal computable without a neural LM
     // (low scores flag token-soup / boilerplate-free-text mismatch).
-    // All probabilities are integer-count ratios; the per-doc mean sums
-    // them in POSITION order (posexplode → sorted in-group fold), so
-    // both engines run the identical IEEE sequence. Shape at scale: the
-    // bigram/unigram count shuffles, then the per-doc fold inside one
-    // doc_id-keyed group (state bounded by doc length).
+    // All probabilities are integer-count ratios; the per-doc mean uses
+    // the ORDER-FREE quantized-integer sum (qsum) so both engines get
+    // the identical exact value without an ordered fold. Shape at
+    // scale: the bigram/unigram count shuffles, then one partial-agg
+    // i64 sum per doc — per-group state is a single long, never an
+    // array proportional to document length.
     EngineQuery(
       "text_lm_score",
       (s, dir) => {
@@ -643,9 +657,9 @@ object TextQueries extends QueryModule {
           .selectExpr("doc_id", "pos", "CAST(c_xy AS DOUBLE) / c_w AS p")
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_bigrams"),
-            sort_array(collect_list(struct(col("pos"), col("p")))).as("vs"))
+            expr(qsum("p")).as("sp"))
           .selectExpr("doc_id", "n_bigrams",
-            "round(aggregate(vs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.p) / n_bigrams, 6) AS fluency")
+            "round(sp / n_bigrams, 6) AS fluency")
       },
       Some(s"""WITH t AS (SELECT doc_id, $toksDuck AS toks FROM documents),
               |b AS (SELECT doc_id,
@@ -660,7 +674,7 @@ object TextQueries extends QueryModule {
               |  FROM b JOIN bc USING (bigram)
               |  JOIN uc ON uc.w1 = string_split(b.bigram, ' ')[1]),
               |g AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-              |    list_reduce(list(p ORDER BY pos), (x, y) -> x + y) AS sp
+              |    ${qsum("p")} AS sp
               |  FROM p GROUP BY doc_id)
               |SELECT doc_id, n_bigrams, round(sp / n_bigrams, 6) AS fluency
               |FROM g""".stripMargin)),
@@ -1426,10 +1440,7 @@ object TextQueries extends QueryModule {
           .join(broadcast(weights), "f")
           .groupBy("doc_id", "lang")
           .agg(sum("cf").cast("long").as("n_toks"),
-            sort_array(collect_list(struct(col("f"),
-              (col("cf").cast("double") * col("w")).as("v")))).as("vs"))
-          .withColumn("score",
-            expr("aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.v)"))
+            expr(qsum("CAST(cf AS DOUBLE) * w")).as("score"))
           .orderBy(col("score").desc, col("doc_id")).limit(50)
           .selectExpr("doc_id", "lang", "n_toks", "round(score, 6) AS score")
       },
@@ -1451,7 +1462,7 @@ object TextQueries extends QueryModule {
               |df AS (SELECT doc_id, lang, f, CAST(count(*) AS BIGINT) AS cf
               |  FROM e GROUP BY doc_id, lang, f),
               |sc AS (SELECT doc_id, lang, CAST(sum(cf) AS BIGINT) AS n_toks,
-              |    list_reduce(list(CAST(cf AS DOUBLE) * w ORDER BY f), (x, y) -> x + y) AS score
+              |    ${qsum("CAST(cf AS DOUBLE) * w")} AS score
               |  FROM df JOIN w USING (f) GROUP BY doc_id, lang)
               |SELECT doc_id, lang, n_toks, round(score, 6) AS score
               |FROM sc ORDER BY sc.score DESC, doc_id LIMIT 50""".stripMargin)),
@@ -1640,13 +1651,11 @@ object TextQueries extends QueryModule {
                | / ((CAST($B * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $B AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS s_$l""".stripMargin.replace("\n", "")): _*)
         val docF = e.groupBy("doc_id", "lang", "f")
           .agg(count(lit(1)).cast("long").as("cf"))
-        val structFields = col("f") +: langs.map(l =>
-          (col("cf").cast("double") * col(s"s_$l")).as(s"v_$l"))
+        val scoreAggs = langs.map(l =>
+          expr(qsum(s"CAST(cf AS DOUBLE) * s_$l")).as(s"sc_$l"))
         val scored = docF.join(broadcast(weights), "f")
           .groupBy("doc_id", "lang")
-          .agg(sort_array(collect_list(struct(structFields: _*))).as("vs"))
-          .selectExpr(Seq("doc_id", "lang") ++ langs.map(l =>
-            s"aggregate(vs, CAST(0.0 AS DOUBLE), (a, x) -> a + x.v_$l) AS sc_$l"): _*)
+          .agg(scoreAggs.head, scoreAggs.tail: _*)
         scored.selectExpr("lang",
             """CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr, sc_zh) THEN 'en'
               |     WHEN sc_es >= greatest(sc_de, sc_fr, sc_zh) THEN 'es'
@@ -1666,7 +1675,7 @@ object TextQueries extends QueryModule {
         val wcols = langs.map(l =>
           s"""((CAST($B * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $B AS DOUBLE)) - CAST(1.0 AS DOUBLE)) / ((CAST($B * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $B AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS s_$l""").mkString(",\n    ")
         val scols = langs.map(l =>
-          s"list_reduce(list(CAST(cf AS DOUBLE) * s_$l ORDER BY f), (x, y) -> x + y) AS sc_$l").mkString(",\n    ")
+          s"${qsum(s"CAST(cf AS DOUBLE) * s_$l")} AS sc_$l").mkString(",\n    ")
         s"""WITH t AS (SELECT doc_id, lang, ${splitDuck("doc_id")} AS split, $toksDuck AS toks FROM documents),
            |e AS (SELECT doc_id, lang, split,
            |    unnest([${hash60Duck("tok")} % $B for tok in toks]) AS f

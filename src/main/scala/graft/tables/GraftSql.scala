@@ -73,6 +73,14 @@ object GraftSql {
     ("""(?is)^\s*DESCRIBE\s+HISTORY\s+(""" + IdPat + """)(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
   private val DescribeDetail =
     ("""(?is)^\s*DESCRIBE\s+DETAIL\s+(""" + IdPat + """)\s*;?\s*$""").r
+  // DESCRIBE EXTENDED t / DESCRIBE t (reference db/table_maintenance
+  // .sql:49,52, create_scd1_table.deltalake.sql:111). Matched AFTER the
+  // HISTORY/DETAIL arms; a multi-word tail can't match the single
+  // dotted-identifier IdPat, so these never swallow those spellings.
+  private val DescribeExtended =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+EXTENDED\s+(""" + IdPat + """)\s*;?\s*$""").r
+  private val DescribePlain =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(""" + IdPat + """)\s*;?\s*$""").r
   private val Optimize =
     ("""(?is)^\s*OPTIMIZE\s+(""" + IdPat + """)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val Vacuum =
@@ -201,6 +209,10 @@ object GraftSql {
       describeHistory(s, resolve(s, name).dir, Option(limit).map(_.toInt))
     case DescribeDetail(name) =>
       describeDetail(s, name, resolve(s, name).dir)
+    case DescribeExtended(rawName) =>
+      describeDispatch(s, statement, rawName, extended = true)
+    case DescribePlain(rawName) =>
+      describeDispatch(s, statement, rawName, extended = false)
     case Optimize(name, zcols) =>
       optimize(s, name, Option(zcols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty))
@@ -1281,11 +1293,19 @@ object GraftSql {
     if (gens.isEmpty && idents.isEmpty) return result
     val present = result.columns.map(_.toLowerCase).toSet
     var df = result
-    // Identity assignment: values start above the live high-water mark
-    // and offset by monotonically_increasing_id — per-partition ranges,
-    // no shuffle, unique within the batch by construction; gaps between
-    // batches/partitions are part of the contract (Delta's too). A
-    // provided value is rejected outright (ALWAYS, not BY DEFAULT).
+    // Identity assignment: DENSE ids from the live high-water mark — the
+    // batch gets exactly [start, start + n). Bare
+    // monotonically_increasing_id starts partition p's range at p<<33,
+    // so an empty partition 0 would break the min==start low-water
+    // invariant (the se_identity_insert oracle pins min_id = 0). The
+    // two-pass zipWithIndex shape instead, in DataFrame terms:
+    // localCheckpoint pins the partitioning, a per-partition count agg
+    // (result bounded by PARTITION count, not rows) yields cumulative
+    // offsets, broadcast-joined back on partition id; the id is
+    // offset + mid's dense within-partition counter. No corpus shuffle;
+    // gaps remain possible only BETWEEN batches that fail mid-write
+    // (Delta allows those too). A provided value is rejected outright
+    // (ALWAYS, not BY DEFAULT).
     idents.foreach { c =>
       if (present(c.toLowerCase))
         throw new IllegalArgumentException(
@@ -1297,7 +1317,25 @@ object GraftSql {
         else SchemaEvolution.readEvolved(s2, dir)
       val maxRow = live.agg(max(col(c))).head()
       val start = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1L
-      df = df.withColumn(c, lit(start) + monotonically_increasing_id())
+      val ckpt = df.localCheckpoint(true)
+      val pidCounts = ckpt.groupBy(spark_partition_id().as("_pid")).count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offRows = pidCounts.map { case (pid, n) =>
+        val o = acc; acc += n; Row(pid, o) }.toSeq
+      val offsets = s2.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(offRows).asJava),
+        StructType(Seq(
+          StructField("_pid", IntegerType, nullable = false),
+          StructField("_off", LongType, nullable = false))))
+      df = ckpt
+        .withColumn("_pid", spark_partition_id())
+        .withColumn("_lidx",
+          monotonically_increasing_id() - (col("_pid").cast("long") * lit(1L << 33)))
+        .join(broadcast(offsets), Seq("_pid"))
+        .withColumn(c, lit(start) + col("_off") + col("_lidx"))
+        .drop("_pid", "_lidx", "_off")
     }
     gens.toSeq.sortBy(_._1).foreach { case (c, g) =>
       val dt = targetSchema.fields
@@ -1767,6 +1805,80 @@ object GraftSql {
         StructField("n_rows", LongType, nullable = false),
         StructField("n_files", LongType, nullable = false),
         StructField("size_bytes", LongType, nullable = false))))
+  }
+
+  /** DESCRIBE / DESCRIBE EXTENDED routing: registered manifest tables
+    * get the metadata-layer description below; anything else (temp
+    * views, catalog tables) delegates to Spark's native DESCRIBE, which
+    * handles those already — the shim only adds what Spark can't see. */
+  private def describeDispatch(
+      s: SparkSession, statement: String, rawName: String,
+      extended: Boolean): DataFrame = {
+    val name = normalizeIdent(rawName)
+    registry.get((s, name)) match {
+      case Some(ref) => describeTable(s, name, ref.dir, ref.keyCols, extended)
+      case None => s.sql(statement)
+    }
+  }
+
+  /** Spark's DESCRIBE shape — (col_name, data_type, comment) — over the
+    * manifest metadata layers: the EVOLVED logical schema (renames /
+    * widens / column mapping applied), column comments from the schema
+    * manifest, and for EXTENDED a `# Detailed Table Information`
+    * section carrying the snapshot facts DESCRIBE DETAIL reports plus
+    * table properties and constraints. Costs are manifest-bounded:
+    * schema + comments come from metadata, and the only data touch is
+    * EXTENDED's row count (same as DESCRIBE DETAIL). */
+  def describeTable(
+      s: SparkSession, name: String, dir: String,
+      keyCols: Seq[String], extended: Boolean): DataFrame = {
+    val schema =
+      if (ParquetTable.exists(dir)) ParquetTable.read(s, dir).schema
+      else SchemaEvolution.readEvolved(s, dir).schema
+    val comments = SchemaEvolution.manifestOf(dir).map(mf =>
+        mf.comments.map { case (p, c) =>
+          mf.mapping.logicalOf(p).getOrElse(p).toLowerCase -> c })
+      .getOrElse(Map.empty[String, String])
+    val colRows = schema.fields.toSeq.map { f =>
+      Row(f.name, f.dataType.simpleString, comments.get(f.name.toLowerCase).orNull)
+    }
+    val extraRows = if (!extended) Seq.empty[Row] else {
+      val snaps = ParquetTable.snapshots(dir)
+      val cur = java.nio.file.Paths.get(ParquetTable.currentPath(dir))
+        .getFileName.toString
+      val (nFiles, bytes) = snapshotFiles(ParquetTable.currentPath(dir))
+      val props = properties(dir)
+      val constraints =
+        Constraints.checks(dir).map { case (n, e) => s"CHECK $n ($e)" } ++
+        Constraints.uniques(dir).map { case (n, c) => s"UNIQUE $n (${c.mkString(",")})" }
+      Seq(
+        Row("", "", null),
+        Row("# Detailed Table Information", "", null),
+        Row("Name", name, null),
+        Row("Type", "EXTERNAL", null),
+        Row("Location", dir, null),
+        Row("Provider", "parquet", null),
+        Row("Current Version", graft.streaming.VersionNames.idOf(cur).toString, null),
+        Row("Num Snapshots", snaps.size.toString, null),
+        Row("Num Files", nFiles.toString, null),
+        Row("Size Bytes", bytes.toString, null),
+        Row("Num Rows", ParquetTable.read(s, dir).count().toString, null)) ++
+        (if (keyCols.nonEmpty) Seq(Row("Key Columns", keyCols.mkString(", "), null)) else Nil) ++
+        (if (props.nonEmpty)
+          Seq(Row("Table Properties",
+            props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+              .mkString("[", ", ", "]"), null))
+         else Nil) ++
+        (if (constraints.nonEmpty)
+          Seq(Row("Constraints", constraints.mkString("; "), null)) else Nil)
+    }
+    s.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(colRows ++ extraRows).asJava),
+      StructType(Seq(
+        StructField("col_name", StringType, nullable = false),
+        StructField("data_type", StringType, nullable = false),
+        StructField("comment", StringType, nullable = true))))
   }
 
   /** One row describing the live snapshot (Delta's DESCRIBE DETAIL

@@ -99,4 +99,33 @@ class ConstraintsSpec extends SparkSuite {
     GraftSql.sql(spark, "DROP TABLE uq_t")
     ()
   }
+
+  test("UNIQUE treats NULL keys as ANSI: never conflicting, in-batch and across inserts") {
+    val s = spark
+    import s.implicits._
+    import graft.tables.GraftSql
+    val dir = java.nio.file.Files.createTempDirectory("graft-uqn").resolve("t").toString
+    ParquetTable.swap(spark,
+      Seq((Some(1L), "A")).toDF("id", "status"), dir)
+    GraftSql.register(spark, "uqn_t", dir, Seq("id"))
+    GraftSql.sql(spark, "ALTER TABLE uqn_t ADD CONSTRAINT pk_id UNIQUE (id)")
+    def ins(rows: Seq[(Option[Long], String)]): Unit = {
+      rows.toDF("id", "status").createOrReplaceTempView("uqn_src")
+      GraftSql.sql(spark, "INSERT INTO uqn_t SELECT id, status FROM uqn_src"); ()
+    }
+    // Two NULL keys in ONE batch: allowed (ANSI — NULL equals nothing,
+    // not even another NULL). Pre-r11 the in-batch pass rejected this
+    // while the cross-batch pass allowed it; now both allow.
+    ins(Seq((None, "n1"), (None, "n2")))
+    // A NULL key arriving while NULL keys already exist: also allowed.
+    ins(Seq((None, "n3")))
+    assert(ParquetTable.read(spark, dir).count() == 4)
+    // Non-NULL duplicates still reject in both passes.
+    assert(intercept[IllegalStateException](ins(Seq((Some(2L), "x"), (Some(2L), "y"))))
+      .getMessage.contains("inside the batch"))
+    assert(intercept[IllegalStateException](ins(Seq((Some(1L), "x"))))
+      .getMessage.contains("already exist"))
+    GraftSql.sql(spark, "DROP TABLE uqn_t")
+    ()
+  }
 }

@@ -105,6 +105,12 @@ class GeneratedColumnsSpec extends SparkSuite {
     assert(all.map(_._1).distinct.length == 3, "unique across batches")
     val wave2Id = all.collect { case (i, "c") => i }.head
     assert(wave2Id > wave1.max, "new batch allocates above the high-water mark")
+    // Dense allocation: each batch takes exactly [high-water+1-ish
+    // start, start+n) with no partition-shaped holes, so three inserted
+    // rows across two batches are exactly ids 0,1,2 (the low-water
+    // invariant se_identity_insert's oracle pins as min_id = 0).
+    assert(all.map(_._1).sorted.toSeq == Seq(0L, 1L, 2L),
+      s"dense ids expected, got ${all.map(_._1).sorted.toSeq}")
 
     val prov = intercept[Exception](GraftSql.sql(spark,
       s"INSERT INTO $t SELECT CAST(99 AS BIGINT) AS id, 'x' AS v"))

@@ -606,4 +606,46 @@ class GraftSqlSpec extends SparkSuite {
     GraftSql.sql(spark, "DROP TABLE gsql_q")
     ()
   }
+
+  test("DESCRIBE / DESCRIBE EXTENDED: manifest-table schema + detail section") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_desc", dir, Seq("id"))
+    GraftSql.sql(spark, "ALTER TABLE gsql_desc SET TBLPROPERTIES ('owner' = 'graft')")
+    GraftSql.sql(spark, "ALTER TABLE gsql_desc ALTER COLUMN status COMMENT 'state code'")
+
+    // Plain DESCRIBE: one (col_name, data_type, comment) row per column,
+    // comments from the schema manifest, no detail section.
+    val plain = GraftSql.sql(spark, "DESCRIBE gsql_desc").collect()
+    assert(plain.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("id", "bigint"), ("status", "string")))
+    assert(plain.find(_.getString(0) == "status").get.getString(2) == "state code")
+
+    // EXTENDED (the reference's db/table_maintenance.sql:52 and
+    // create_scd1_table.deltalake.sql:111 spelling; qualification keys
+    // exactly as registered, backquotes normalize away): columns first,
+    // then the detail section with the snapshot facts and properties.
+    val ext = GraftSql.sql(spark, "DESCRIBE EXTENDED `gsql_desc`").collect()
+    val kv = ext.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ext.take(2).map(_.getString(0)).toSeq == Seq("id", "status"))
+    assert(kv("Name") == "gsql_desc" && kv("Location") == dir)
+    assert(kv("Provider") == "parquet" && kv("Type") == "EXTERNAL")
+    assert(kv("Current Version") == "3" && kv("Num Snapshots") == "3")
+    assert(kv("Num Rows") == "3" && kv("Key Columns") == "id")
+    assert(kv("Table Properties").contains("owner=graft"))
+
+    // DESC abbreviation + DESCRIBE TABLE spelling both resolve.
+    assert(GraftSql.sql(spark, "DESC gsql_desc").count() == 2)
+    assert(GraftSql.sql(spark, "DESCRIBE TABLE gsql_desc").count() == 2)
+
+    // Unregistered names fall through to native DESCRIBE (temp views).
+    val s = spark
+    import s.implicits._
+    Seq((1, "x")).toDF("a", "b").createOrReplaceTempView("gsql_desc_tv")
+    val tv = GraftSql.sql(spark, "DESCRIBE gsql_desc_tv")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("a", "b").subsetOf(tv))
+    spark.catalog.dropTempView("gsql_desc_tv")
+    GraftSql.sql(spark, "DROP TABLE gsql_desc")
+    ()
+  }
 }
