@@ -979,6 +979,75 @@ object EventsQueries extends QueryModule {
              |  WHERE coalesce(c.c, 0) + coalesce(vb.cv, 0) > 0)
              |SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins,
              |  round(list_reduce(list(term ORDER BY b), (x, y) -> x + y), 6) AS chi2
-             |FROM terms GROUP BY event_type""".stripMargin))
+             |FROM terms GROUP BY event_type""".stripMargin)),
+
+    // CUSUM changepoint detection over the purchase-value stream
+    // (Page 1954): the classic recurrence S_t = max(0, S_{t-1} + d_t)
+    // LOOKS inherently sequential, but has the closed form
+    // S_t = P_t − min_{k≤t} P_k over the deviation prefix sums P — so
+    // the detector becomes two parallel scans (SequencePack's two-pass
+    // prefix sum + running min/max), never a global window. Values are
+    // quantized to the 1e-3 grain ONCE (floor, identical in both
+    // engines) and everything downstream is exact i64 arithmetic: the
+    // target is the integer floor-mean, deviations/prefixes/extremes
+    // stay BIGINT end-to-end, so the result is hash-exact with zero
+    // float drift. i64 headroom: |P| ≤ n·max|d| ≈ 5e5·n — overflow
+    // needs ~2e13 rows in ONE monitored stream; segment the scan window
+    // long before that. Output: the max upward and downward CUSUM
+    // statistics and their first-attainment timestamps (the changepoint
+    // estimates), one row.
+    EngineQuery(
+      "evt_cusum_changepoint",
+      (s, dir) => {
+        val e = events(s, dir).where(col("event_type") === "purchase")
+          .select(unix_millis(col("ts")).as("ms"), col("event_id"),
+            floor(col("value") * 1000).cast("long").as("x"))
+        // scalar stats: one row collected (bounded), floor-div target
+        val st = e.agg(sum("x").as("sx"), count(lit(1)).as("n")).head()
+        val n = st.getLong(1); val k = st.getLong(0) / n
+        val d = e.select(col("ms"), col("event_id"), (col("x") - lit(k)).as("d"))
+        val p = graft.text.SequencePack
+          .withStartOffsets(d, Seq("ms", "event_id"), "d", 32)
+          .select(col("ms"), col("event_id"), (col("start_off") + col("d")).as("p"))
+        // least/greatest with 0 folds the EMPTY prefix P_0 = 0 into the
+        // running extreme, making s_up exactly Page's recurrence
+        // S_t = max(0, S_{t-1} + d_t) (SequencePackSpec pins the identity).
+        val scan = graft.text.SequencePack
+          .withRunningMinMax(p, Seq("ms", "event_id"), "p", 32)
+          .select(col("ms"),
+            (col("p") - least(col("run_min"), lit(0L))).as("s_up"),
+            (greatest(col("run_max"), lit(0L)) - col("p")).as("s_dn"))
+        val mx = scan.agg(max("s_up").as("mu"), max("s_dn").as("md"))
+        scan.join(broadcast(mx))
+          .agg(
+            max(lit(n)).as("n"), max(lit(k)).as("k_q"),
+            max("mu").as("max_cusum_up"),
+            min(when(col("s_up") === col("mu"), col("ms"))).as("up_change_ms"),
+            max("md").as("max_cusum_dn"),
+            min(when(col("s_dn") === col("md"), col("ms"))).as("dn_change_ms"))
+      },
+      Some("""WITH e AS (SELECT epoch_ms(ts) AS ms, event_id,
+             |    CAST(floor(value * 1000) AS BIGINT) AS x
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (SELECT CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS k,
+             |    CAST(count(*) AS BIGINT) AS n FROM e),
+             |p AS (SELECT ms, event_id,
+             |    CAST(sum(x - t.k) OVER (ORDER BY ms, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+             |  FROM e CROSS JOIN t),
+             |sc AS (SELECT ms,
+             |    p - least(CAST(min(p) OVER (ORDER BY ms, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS s_up,
+             |    greatest(CAST(max(p) OVER (ORDER BY ms, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) - p AS s_dn
+             |  FROM p),
+             |m AS (SELECT CAST(max(s_up) AS BIGINT) AS mu,
+             |    CAST(max(s_dn) AS BIGINT) AS md FROM sc)
+             |SELECT t.n AS n, t.k AS k_q,
+             |  m.mu AS max_cusum_up,
+             |  (SELECT CAST(min(ms) AS BIGINT) FROM sc WHERE sc.s_up = m.mu) AS up_change_ms,
+             |  m.md AS max_cusum_dn,
+             |  (SELECT CAST(min(ms) AS BIGINT) FROM sc WHERE sc.s_dn = m.md) AS dn_change_ms
+             |FROM t CROSS JOIN m""".stripMargin))
   )
 }

@@ -363,6 +363,93 @@ object SimQueries extends QueryModule {
               |FROM a LEFT JOIN d ON a.vec_id = d.vec_id
               |GROUP BY a.cell""".stripMargin)),
 
+    // k-NN GRAPH construction — the input artifact for SemDeDup-style
+    // semantic dedup, hard-negative mining, and the graph family (CC /
+    // PageRank / LPA run over exactly this edge list): every vector's
+    // top-3 same-cell neighbors by cosine. Scale shape: each side of
+    // the pair scan shuffles ONCE on the cell key, the quadratic scan
+    // is cell-confined (per-cell cost flat because autoCells grows the
+    // cell count ∝ N), scoring is the codegen'd cosine_sim inside the
+    // join stage, and the top-k window partitions on vec_id — a key
+    // whose cardinality grows with the corpus, never a constant.
+    // Cell-confinement recall caveat documented as for sim_semdedup.
+    EngineQuery(
+      "sim_knn_graph",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val assigns = ivfAssign(s, e, autoK(s, dir)).select(col("vec_id"), col("cell"))
+        val cands = e.select(col("vec_id"), col("embedding")).join(assigns, "vec_id")
+        val left = cands.select(col("cell"), col("vec_id"), col("embedding").as("a_emb"))
+        val right = cands.select(
+          col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("b_emb"))
+        val scored = left.join(right, Seq("cell"))
+          .filter(col("vec_id") =!= col("neighbor_id"))
+          .selectExpr("vec_id", "neighbor_id", "cosine_sim(a_emb, b_emb) AS cos")
+        val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        scored.withColumn("nn_rank", row_number().over(w))
+          .filter(col("nn_rank") <= 3)
+          .select(col("vec_id"), col("nn_rank").cast("int").as("nn_rank"),
+            col("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 16),
+              |p AS (SELECT e.vec_id, c.cell,
+              |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
+              |  FROM embeddings e CROSS JOIN c),
+              |r AS (SELECT vec_id, cell,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              |  FROM p),
+              |a AS (SELECT vec_id, cell FROM r WHERE rn = 1),
+              |pe AS (SELECT x.vec_id, y.vec_id AS neighbor_id,
+              |    ${cosineDuck("ex.embedding", "ey.embedding")} AS cos
+              |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+              |  JOIN embeddings ex ON ex.vec_id = x.vec_id
+              |  JOIN embeddings ey ON ey.vec_id = y.vec_id),
+              |k AS (SELECT vec_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS nn_rank
+              |  FROM pe)
+              |SELECT vec_id, CAST(nn_rank AS INT) AS nn_rank, neighbor_id,
+              |  round(cos, 6) AS cosine
+              |FROM k WHERE nn_rank <= 3""".stripMargin)),
+
+    // Top PRINCIPAL COMPONENT of the embedding space by power iteration
+    // (the whitening / matryoshka-rotation / drift-probe primitive).
+    // Corpus-sized work is one narrow mapPartitions pass folding each
+    // partition into d² i64 Gram partials (quantized at the 1e-9 grain,
+    // so the merge is order-free and EXACT); the d²-row aggregate and
+    // collect are bounded by the dimension, never the data. The 8-step
+    // iteration then runs driver-side in arithmetic replayed operation-
+    // for-operation by the generated DuckDB SQL (graft.sim.Pca) — every
+    // dot product re-quantized, IEEE sqrt/divide for normalization — so
+    // a transcendental-free, hash-exact eigenvector. Sign convention:
+    // the largest-|loading| component (lowest index on ties) is
+    // positive.
+    EngineQuery(
+      "sim_pca_power",
+      (s, dir) => {
+        import s.implicits._
+        val e = emb(s, dir)
+        val n = e.count()
+        val gram = graft.sim.Pca.quantizedGram(s, e, Dim)
+        graft.sim.Pca.topComponent(gram, Dim, n, 8)
+          .toDF("dim", "loading")
+          .select(col("dim").cast("int").as("dim"),
+            round(col("loading"), 6).as("loading"))
+      },
+      Some(s"""WITH g AS (SELECT CAST(r1.range AS INT) + 1 AS i,
+              |    CAST(r2.range AS INT) + 1 AS j,
+              |    CAST(sum(CAST(floor(CAST(e.embedding[CAST(r1.range AS INT) + 1] AS DOUBLE)
+              |      * CAST(e.embedding[CAST(r2.range AS INT) + 1] AS DOUBLE)
+              |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS q
+              |  FROM embeddings e CROSS JOIN range(64) r1 CROSS JOIN range(64) r2
+              |  GROUP BY 1, 2),
+              |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+              |${graft.sim.Pca.powerIterationDuck(8)},
+              |sgn AS (SELECT CASE WHEN (SELECT v FROM x8 ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+              |    THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s)
+              |SELECT x8.i AS dim, round(x8.v * sgn.s, 6) AS loading
+              |FROM x8 CROSS JOIN sgn""".stripMargin)),
+
     // IVF cell assignment (the other ANN scale path next to LSH):
     // deterministic seed centroids, argmax-cosine assignment.
     EngineQuery(

@@ -109,6 +109,77 @@ object SequencePack {
       numParts: Int): DataFrame =
     withStartOffsets(df, Seq(orderCol), weightCol, numParts)
 
+  /** Distributed INCLUSIVE running min AND max of `valueCol` over the
+    * total order `orderCols` — the same two-pass scan as
+    * withStartOffsets with the monoid swapped from (+, 0) to
+    * (min, +∞) × (max, −∞): pass 1 reduces each range partition to its
+    * extremes (collect bounded by partition count), the exclusive
+    * running extremes over partition extremes broadcast back, pass 2
+    * re-walks each cached partition. This is the scan that turns
+    * order-recurrences into closed forms — e.g. CUSUM's
+    * S_t = max(0, S_{t-1} + d_t) equals P_t - min_{k<=t} P_k for the
+    * prefix sums P, so a sequential-looking detector becomes two
+    * parallel scans. Output: input columns + `run_min` + `run_max`. */
+  def withRunningMinMax(
+      df: DataFrame, orderCols: Seq[String], valueCol: String,
+      numParts: Int, keepCols: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = orderCols.map(c => col(c).cast("long").as(c))
+    val ranged = df
+      .select(keys ++ (col(valueCol).cast("long").as(valueCol) +: keepCols.map(col)): _*)
+      .repartitionByRange(numParts, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .persist()
+    val vIdx = orderCols.length
+    def keyOf(r: Row): Seq[Long] = (0 until vIdx).map(r.getLong)
+    def cmp(a: Seq[Long], b: Seq[Long]): Int =
+      a.lazyZip(b).collectFirst { case (x, y) if x != y => java.lang.Long.compare(x, y) }
+        .getOrElse(0)
+    val partExtremes: Array[(Seq[Long], Long, Long)] = ranged
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          var mn = first.getLong(vIdx); var mx = mn
+          val k = keyOf(first)
+          it.foreach { r =>
+            val v = r.getLong(vIdx)
+            if (v < mn) mn = v; if (v > mx) mx = v
+          }
+          Iterator.single((k, mn, mx))
+        }
+      }
+      .collect()
+    val boundaries: Array[(Seq[Long], Long, Long)] = {
+      var accMn = Long.MaxValue; var accMx = Long.MinValue
+      partExtremes.sortWith((a, b) => cmp(a._1, b._1) < 0).map { case (k, mn, mx) =>
+        val exMn = accMn; val exMx = accMx
+        accMn = math.min(accMn, mn); accMx = math.max(accMx, mx)
+        (k, exMn, exMx)
+      }
+    }
+    val bc = spark.sparkContext.broadcast(boundaries)
+    implicit val outEnc =
+      Encoders.row(ranged.schema.add("run_min", LongType).add("run_max", LongType))
+    ranged.mapPartitions { it =>
+      val bs = bc.value
+      var bi = -1
+      var runMn = Long.MaxValue; var runMx = Long.MinValue
+      it.map { r =>
+        // advance to the LAST boundary at or before this key (a task may
+        // start deep in the boundary order, and under coalesce it may
+        // span several parents) — a while, not an if.
+        while (bi + 1 < bs.length && cmp(keyOf(r), bs(bi + 1)._1) >= 0) {
+          bi += 1; runMn = bs(bi)._2; runMx = bs(bi)._3
+        }
+        val v = r.getLong(vIdx)
+        runMn = math.min(runMn, v); runMx = math.max(runMx, v)
+        Row.fromSeq(r.toSeq :+ runMn :+ runMx)
+      }
+    }
+  }
+
   /** Distributed ROW_NUMBER over a total order: global rank (1-based) by
     * `orderCols` with no Window and no single-partition exchange — the
     * prefix sum of weight 1. */

@@ -117,4 +117,43 @@ class SequencePackSpec extends SparkSuite {
     assert(!plan.contains("windowspecdefinition(ms"),
       s"global ms-ordered Window crept back into the sweep:\n$plan")
   }
+
+  test("running min/max == global window running extremes, any partition count") {
+    // Signed values with repeats so both extremes move AND stall; doc_id
+    // keys the total order.
+    val vals = tokenCounts.selectExpr("doc_id",
+      "CAST(n_tokens % 37 - 18 AS BIGINT) AS v")
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    val naive = vals
+      .withColumn("run_min", min("v").over(w))
+      .withColumn("run_max", max("v").over(w))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    for (parts <- Seq(1, 8, 32)) {
+      val dist = SequencePack.withRunningMinMax(vals, Seq("doc_id"), "v", parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(dist == naive, s"running extremes diverged at numParts=$parts")
+    }
+  }
+
+  test("running extremes plan: no Window, no single-partition exchange") {
+    val vals = tokenCounts.selectExpr("doc_id", "CAST(n_tokens AS BIGINT) AS v")
+    val plan = SequencePack.withRunningMinMax(vals, Seq("doc_id"), "v", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"running-extreme scan must not plan a Window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"running-extreme scan must not serialize:\n$plan")
+  }
+
+  test("CUSUM closed form: S_t = P_t - min_k P_k equals the sequential recurrence") {
+    // The identity evt_cusum_changepoint rides on, checked against a
+    // plain fold over the same deviation stream.
+    val ds = tokenCounts.orderBy("doc_id")
+      .selectExpr("CAST(n_tokens % 21 - 10 AS BIGINT) AS d")
+      .collect().map(_.getLong(0)).toSeq
+    val seqS = ds.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+    val p = ds.scanLeft(0L)(_ + _).tail
+    val closed = p.zipWithIndex.map { case (pt, i) =>
+      pt - math.min(0L, p.take(i + 1).min) }
+    assert(seqS == closed, "closed-form CUSUM != sequential recurrence")
+  }
 }

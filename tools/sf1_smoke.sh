@@ -13,7 +13,7 @@
 #    sf0.1-vs-sf1 ratio when a baseline bench_full JSON is given —
 #    anything super-linear (>10x for 10x data) is a scale suspect.
 #
-# Results land in bench_full_<tag>.json (run provenance: tag + loadavg).
+# Results land in bench/bench_full_<tag>.json (run provenance: tag + loadavg).
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -30,7 +30,7 @@ echo "== bench over $SF1_DIR (tag $TAG)..." >&2
 SPARK_GRAFT_SF_DIR="$SF1_DIR" SPARK_GRAFT_RUN_TAG="$TAG" \
   sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' >/dev/null
 
-python3 - "bench_full_$TAG.json" "$BASELINE_JSON" <<'EOF'
+python3 - "bench/bench_full_$TAG.json" "$BASELINE_JSON" <<'EOF'
 import json, sys
 cur = json.load(open(sys.argv[1]))
 base = json.load(open(sys.argv[2]))["queries"] if len(sys.argv) > 2 and sys.argv[2] else {}
