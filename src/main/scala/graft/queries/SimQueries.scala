@@ -450,6 +450,56 @@ object SimQueries extends QueryModule {
               |SELECT x8.i AS dim, round(x8.v * sgn.s, 6) AS loading
               |FROM x8 CROSS JOIN sgn""".stripMargin)),
 
+    // PC1 PROJECTION per label — the class-separation probe along the
+    // top component (and the whitening/matryoshka first step executed
+    // corpus-wide): the fitted 64 loadings interpolate into the scan as
+    // DOUBLE literals (shortest-roundtrip text parses back to the
+    // identical bits; the oracle recomputes the SAME values through its
+    // generated iteration, proven bit-equal by sim_pca_power), each
+    // row's score is the order-free floor-quantized dot (a zip_with +
+    // fold inside codegen), and the rollup is one label-keyed partial
+    // aggregate. Scores stay exact i64; only the mean divides, spelled
+    // identically in both engines.
+    EngineQuery(
+      "sim_pca_project",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val n = e.count()
+        val comp = graft.sim.Pca.topComponent(
+          graft.sim.Pca.quantizedGram(s, e, Dim), Dim, n, 8)
+        val arr = comp.map { case (_, v) => s"CAST($v AS DOUBLE)" }
+          .mkString("array(", ", ", ")")
+        e.selectExpr("label",
+            s"""aggregate(zip_with(embedding, $arr,
+               |  (a, b) -> CAST(floor(CAST(a AS DOUBLE) * b * 1000000000.0) AS BIGINT)),
+               |  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS sq""".stripMargin.replace("\n", " "))
+          .groupBy("label")
+          .agg(
+            count(lit(1)).cast("long").as("n_vecs"),
+            round(sum(col("sq")).cast("double") / lit(1000000000.0) /
+              count(lit(1)).cast("double"), 6).as("mean_pc1"),
+            min("sq").as("min_q"), max("sq").as("max_q"))
+      },
+      Some(s"""WITH g AS (SELECT CAST(r1.range AS INT) + 1 AS i,
+              |    CAST(r2.range AS INT) + 1 AS j,
+              |    CAST(sum(CAST(floor(CAST(e.embedding[CAST(r1.range AS INT) + 1] AS DOUBLE)
+              |      * CAST(e.embedding[CAST(r2.range AS INT) + 1] AS DOUBLE)
+              |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS q
+              |  FROM embeddings e CROSS JOIN range(64) r1 CROSS JOIN range(64) r2
+              |  GROUP BY 1, 2),
+              |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+              |${graft.sim.Pca.powerIterationDuck(8)},
+              |sgn AS (SELECT CASE WHEN (SELECT v FROM x8 ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+              |    THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s),
+              |xs AS (SELECT i, v * sgn.s AS v FROM x8 CROSS JOIN sgn),
+              |sq AS (SELECT e.vec_id, e.label,
+              |    CAST(sum(CAST(floor(CAST(e.embedding[xs.i] AS DOUBLE) * xs.v * 1000000000.0) AS BIGINT)) AS BIGINT) AS sq
+              |  FROM embeddings e CROSS JOIN xs GROUP BY e.vec_id, e.label)
+              |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+              |  round(CAST(sum(sq) AS DOUBLE) / 1000000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_pc1,
+              |  CAST(min(sq) AS BIGINT) AS min_q, CAST(max(sq) AS BIGINT) AS max_q
+              |FROM sq GROUP BY label""".stripMargin)),
+
     // IVF cell assignment (the other ANN scale path next to LSH):
     // deterministic seed centroids, argmax-cosine assignment.
     EngineQuery(

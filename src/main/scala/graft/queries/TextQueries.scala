@@ -1703,6 +1703,74 @@ object TextQueries extends QueryModule {
            |  FROM sc)
            |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
            |FROM pr GROUP BY lang, predicted""".stripMargin
+      }),
+
+    // Gopher quality-filter ruleset (Rae et al. 2021, A1.1) — the named
+    // document filters every large-scale curation pipeline applies, as
+    // EXACT integer predicates (ratio thresholds compared by
+    // cross-multiplication, so no float ever enters a rule): word count
+    // in [50, 1e5]; mean word length in [3, 10]; ≥80% words contain an
+    // alphabetic char; ≥2 distinct required stop words; symbol('#'/
+    // '...')-to-word ratio ≤ 0.1. Per-language rollup of per-rule pass
+    // counts + the all-rules keep count. One narrow projection + one
+    // 5-group aggregate — per-doc state is six longs, and every
+    // predicate pushes into the scan's project stage.
+    EngineQuery(
+      "text_gopher_rules",
+      (s, dir) =>
+        docs(s, dir).withColumn("toks", expr(toksSpark))
+          .selectExpr("lang",
+            "CAST(size(toks) AS BIGINT) AS w",
+            "aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t)) AS chars",
+            "CAST(size(filter(toks, t -> t rlike '[a-z]')) AS BIGINT) AS alpha",
+            ("CAST(" + Seq("the", "be", "to", "of", "and", "that", "have", "with")
+              .map(sw => s"CAST(array_contains(toks, '$sw') AS INT)").mkString(" + ") +
+              " AS BIGINT) AS stopd"),
+            """CAST(length(text) - length(replace(text, '#', ''))
+              | + (length(text) - length(replace(text, '...', ''))) DIV 3 AS BIGINT) AS sym"""
+              .stripMargin.replace("\n", ""))
+          .selectExpr("lang",
+            "CAST(w >= 50 AND w <= 100000 AS INT) AS r_wc",
+            "CAST(3 * w <= chars AND chars <= 10 * w AS INT) AS r_mwl",
+            "CAST(5 * alpha >= 4 * w AS INT) AS r_alpha",
+            "CAST(stopd >= 2 AS INT) AS r_stop",
+            "CAST(10 * sym <= w AS INT) AS r_sym")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).cast("long").as("n_docs"),
+            sum("r_wc").cast("long").as("pass_wordcount"),
+            sum("r_mwl").cast("long").as("pass_meanwordlen"),
+            sum("r_alpha").cast("long").as("pass_alpharatio"),
+            sum("r_stop").cast("long").as("pass_stopwords"),
+            sum("r_sym").cast("long").as("pass_symbolratio"),
+            sum(expr("r_wc * r_mwl * r_alpha * r_stop * r_sym")).cast("long").as("n_kept")),
+      Some {
+        val stopSum = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(sw => s"CAST(list_contains(toks, '$sw') AS INT)").mkString(" + ")
+        s"""WITH t AS (SELECT lang, text, $toksDuck AS toks FROM documents),
+           |m AS (SELECT lang,
+           |    CAST(len(toks) AS BIGINT) AS w,
+           |    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS chars,
+           |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
+           |    CAST($stopSum AS BIGINT) AS stopd,
+           |    CAST(length(text) - length(replace(text, '#', ''))
+           |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS sym
+           |  FROM t),
+           |r AS (SELECT lang,
+           |    CAST(w >= 50 AND w <= 100000 AS INT) AS r_wc,
+           |    CAST(3 * w <= chars AND chars <= 10 * w AS INT) AS r_mwl,
+           |    CAST(5 * alpha >= 4 * w AS INT) AS r_alpha,
+           |    CAST(stopd >= 2 AS INT) AS r_stop,
+           |    CAST(10 * sym <= w AS INT) AS r_sym
+           |  FROM m)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(r_wc) AS BIGINT) AS pass_wordcount,
+           |  CAST(sum(r_mwl) AS BIGINT) AS pass_meanwordlen,
+           |  CAST(sum(r_alpha) AS BIGINT) AS pass_alpharatio,
+           |  CAST(sum(r_stop) AS BIGINT) AS pass_stopwords,
+           |  CAST(sum(r_sym) AS BIGINT) AS pass_symbolratio,
+           |  CAST(sum(r_wc * r_mwl * r_alpha * r_stop * r_sym) AS BIGINT) AS n_kept
+           |FROM r GROUP BY lang""".stripMargin
       })
   )
 }

@@ -120,6 +120,10 @@ object GraftSql {
     ("""(?is)^\s*REORG\s+TABLE\s+(""" + IdPat + """)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
   private val ShowPartitions =
     ("""(?is)^\s*SHOW\s+PARTITIONS\s+(""" + IdPat + """)\s*;?\s*$""").r
+  // SHOW TABLES [LIKE 'pat'] over the session's registrations (the
+  // catalog-browse spelling; '%' and '_' LIKE wildcards).
+  private val ShowTables =
+    """(?is)^\s*SHOW\s+TABLES(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
   private val CommentOnTable =
     ("""(?is)^\s*COMMENT\s+ON\s+TABLE\s+(""" + IdPat + """)\s+IS\s+'((?:[^']|'')*)'\s*;?\s*$""").r
   private val ShowCreateTable =
@@ -209,6 +213,21 @@ object GraftSql {
       describeHistory(s, resolve(s, name).dir, Option(limit).map(_.toInt))
     case DescribeDetail(name) =>
       describeDetail(s, name, resolve(s, name).dir)
+    case ShowTables(pat) =>
+      // Registered names for THIS session, name-sorted; LIKE filters with
+      // SQL wildcards. Bounded by the registration count by definition.
+      val names = registry.keys.toSeq.collect { case (sess, n) if sess eq s => n }
+      val rx = Option(pat).map(p =>
+        ("(?i)^" + java.util.regex.Pattern.quote(p)
+          .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r)
+      val rows = names.filter(n => rx.forall(_.matches(n))).sorted
+        .map(n => Row(n, resolve(s, n).dir))
+      s.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        StructType(Seq(
+          StructField("table_name", StringType, nullable = false),
+          StructField("location", StringType, nullable = false))))
     case DescribeExtended(rawName) =>
       describeDispatch(s, statement, rawName, extended = true)
     case DescribePlain(rawName) =>

@@ -648,4 +648,23 @@ class GraftSqlSpec extends SparkSuite {
     GraftSql.sql(spark, "DROP TABLE gsql_desc")
     ()
   }
+
+  test("SHOW TABLES lists this session's registrations; LIKE filters; name-sorted") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_sh_a", dir, Seq("id"))
+    GraftSql.register(spark, "gsql_sh_b", dir, Seq("id"))
+    val all = GraftSql.sql(spark, "SHOW TABLES")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val mine = all.filter(_._1.startsWith("gsql_sh_"))
+    assert(mine.map(_._1).toSeq == Seq("gsql_sh_a", "gsql_sh_b"), "sorted, both present")
+    assert(mine.forall(_._2 == dir), "locations surface")
+    assert(GraftSql.sql(spark, "SHOW TABLES LIKE 'gsql_sh_%'").count() == 2)
+    assert(GraftSql.sql(spark, "SHOW TABLES LIKE 'gsql_sh__'").count() == 2,
+      "underscore wildcard matches one char")
+    assert(GraftSql.sql(spark, "SHOW TABLES LIKE 'gsql_sh_a'").count() == 1)
+    assert(GraftSql.sql(spark, "SHOW TABLES LIKE 'no_such_%'").count() == 0)
+    GraftSql.sql(spark, "DROP TABLE gsql_sh_a")
+    GraftSql.sql(spark, "DROP TABLE gsql_sh_b")
+    ()
+  }
 }

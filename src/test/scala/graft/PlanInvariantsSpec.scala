@@ -26,8 +26,9 @@ class PlanInvariantsSpec extends SparkSuite {
     "q29_skyline", "sketch_quantile_bins",
     // Round-6 additions: the SQL-spelling, state-v2, and new operator paths.
     "tt_select_version_as_of", "se_sql_ddl", "sim_semdedup", "text_mixture_take",
-    // Round-11: the de-weaked ccnet bucketing (ExactNtile, no constant-key window).
-    "text_ccnet_buckets")
+    // Round-11: the de-weaked ccnet bucketing (ExactNtile, no constant-key
+    // window) and the new scan/graph operators.
+    "text_ccnet_buckets", "evt_cusum_changepoint", "sim_knn_graph")
 
   /** The ONLY sanctioned Window-on-SinglePartition sites, each with a
     * written bound on the serialized domain. A global ordered window is
