@@ -450,6 +450,48 @@ object SimQueries extends QueryModule {
               |SELECT x8.i AS dim, round(x8.v * sgn.s, 6) AS loading
               |FROM x8 CROSS JOIN sgn""".stripMargin)),
 
+    // TOP-2 PCA SUBSPACE by Hotelling deflation: λ₁ from the quantized
+    // Rayleigh quotient, G₂ = Gₙ − λ₁x₁x₁ᵀ, and the same exact-replay
+    // iteration on the deflated matrix — the whitening/rotation basis
+    // one component can't give. All matrix work stays d²-bounded
+    // driver-side; the corpus cost is the SAME single Gram pass
+    // sim_pca_power already measures (memoization-free here by design:
+    // the query is self-contained, and the Gram pass is the honest
+    // cost). Oracle replays both chains + the deflation operation-for-
+    // operation (graft.sim.Pca.deflatedIterationDuck).
+    EngineQuery(
+      "sim_pca2_power",
+      (s, dir) => {
+        import s.implicits._
+        val e = emb(s, dir)
+        val n = e.count()
+        val (pc1, pc2, _) = graft.sim.Pca.topTwoComponents(
+          graft.sim.Pca.quantizedGram(s, e, Dim), Dim, n, 24)
+        pc1.zip(pc2).map { case ((d, v1), (_, v2)) => (d, v1, v2) }
+          .toDF("dim", "pc1_loading", "pc2_loading")
+          .select(col("dim").cast("int").as("dim"),
+            round(col("pc1_loading"), 6).as("pc1_loading"),
+            round(col("pc2_loading"), 6).as("pc2_loading"))
+      },
+      Some(s"""WITH g AS (SELECT CAST(r1.range AS INT) + 1 AS i,
+              |    CAST(r2.range AS INT) + 1 AS j,
+              |    CAST(sum(CAST(floor(CAST(e.embedding[CAST(r1.range AS INT) + 1] AS DOUBLE)
+              |      * CAST(e.embedding[CAST(r2.range AS INT) + 1] AS DOUBLE)
+              |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS q
+              |  FROM embeddings e CROSS JOIN range(64) r1 CROSS JOIN range(64) r2
+              |  GROUP BY 1, 2),
+              |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+              |${graft.sim.Pca.powerIterationDuck(24)},
+              |${graft.sim.Pca.deflatedIterationDuck(24)},
+              |s1 AS (SELECT CASE WHEN (SELECT v FROM x24 ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+              |    THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s),
+              |s2 AS (SELECT CASE WHEN (SELECT v FROM z24 ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+              |    THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS s)
+              |SELECT x24.i AS dim,
+              |  round(x24.v * s1.s, 6) AS pc1_loading,
+              |  round(z24.v * s2.s, 6) AS pc2_loading
+              |FROM x24 JOIN z24 ON z24.i = x24.i CROSS JOIN s1 CROSS JOIN s2""".stripMargin)),
+
     // PC1 PROJECTION per label — the class-separation probe along the
     // top component (and the whitening/matryoshka first step executed
     // corpus-wide): the fitted 64 loadings interpolate into the scan as

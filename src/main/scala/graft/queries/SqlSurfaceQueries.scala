@@ -290,7 +290,27 @@ object SqlSurfaceQueries extends QueryModule {
           .createOrReplaceTempView("orders")
         graft.tables.GraftSql.sql(s, QualifyAliasSql)
       },
-      Some(QualifyAliasSql))
+      Some(QualifyAliasSql)),
+
+    // WITH RECURSIVE — transitive reachability over the part
+    // co-occurrence graph, the SAME statement text in both engines:
+    // DuckDB runs its native recursive CTE, the engine runs GraftSql's
+    // bounded iterative-materialization rewrite (OSS Spark has no
+    // recursive CTEs). UNION (not ALL) semantics: each BFS level dedups
+    // against everything reached so far, so the loop terminates on the
+    // cyclic co-occurrence graph. Scale shape: one distributed
+    // join+except per level over the CHECKPOINTED frontier — total work
+    // Σ level sizes, never corpus × depth.
+    EngineQuery(
+      "sql_recursive_cte",
+      (s, dir) => {
+        s.read.parquet(graft.SparkSessions.tablePath(dir, "part"))
+          .createOrReplaceTempView("part")
+        s.read.parquet(graft.SparkSessions.tablePath(dir, "lineitem"))
+          .createOrReplaceTempView("lineitem")
+        graft.tables.GraftSql.sql(s, RecursiveCteSql)
+      },
+      Some(RecursiveCteSql))
   )
 
   // Shared statement texts: the Spark run and the DuckDB oracle execute
@@ -309,4 +329,17 @@ object SqlSurfaceQueries extends QueryModule {
       |FROM orders
       |QUALIFY rn <= 2
       |ORDER BY o_orderpriority, rn LIMIT 60""".stripMargin
+
+  private val RecursiveCteSql =
+    """WITH RECURSIVE reach(pk) AS (
+      |  SELECT p_partkey AS pk FROM part WHERE p_partkey < 50
+      |  UNION
+      |  SELECT e.b AS pk
+      |  FROM (SELECT l1.l_partkey AS a, l2.l_partkey AS b
+      |        FROM lineitem l1 JOIN lineitem l2
+      |          ON l1.l_orderkey = l2.l_orderkey
+      |         AND l1.l_linenumber = 1 AND l2.l_linenumber = 2) e
+      |  JOIN reach r ON e.a = r.pk
+      |)
+      |SELECT CAST(pk AS BIGINT) AS pk FROM reach""".stripMargin
 }

@@ -1,10 +1,9 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
-/** Top principal component of an embedding column by power iteration
+/** Top principal components of an embedding column by power iteration
   * over a QUANTIZED Gram matrix — the PCA building block for embedding
   * whitening / matryoshka truncation / drift monitoring, shaped for
   * 100 TB:
@@ -16,14 +15,17 @@ import org.apache.spark.sql.types._
   *    d=64), emitted as (i, j, partial) rows;
   *  - one d²-row aggregate merges the partials; the collect is bounded
   *    by d², never the corpus;
-  *  - the 8-step power iteration runs on the d×d matrix driver-side in
-  *    EXACT cross-engine-replicable arithmetic: every dot product is
+  *  - the power iteration runs on the d×d matrix driver-side in EXACT
+  *    cross-engine-replicable arithmetic: every dot product is
   *    re-quantized through floor(x·1e9) i64 sums (order-free, exact),
   *    normalization uses IEEE sqrt/division (correctly rounded, so
   *    bit-identical in DuckDB), and the sign is fixed by the
   *    largest-|loading| component (lowest index on ties). The DuckDB
   *    oracle replays the identical iteration as generated SQL
-  *    ([[powerIterationDuck]]), so the result is hash-exact.
+  *    ([[powerIterationDuck]]), so the result is hash-exact. The second
+  *    component comes from Hotelling deflation (G₂ = Gₙ − λ₁ x₁x₁ᵀ with
+  *    the quantized Rayleigh λ₁) and the same iteration — also replayed
+  *    exactly ([[deflatedIterationDuck]]).
   *
   * Quantization headroom (i64): Gram partials are Σ_rows |v_i v_j|·1e9 ≈
   * 1e9·N for unit-scale embeddings — safe to ~9e9 rows per PARTITION
@@ -64,48 +66,107 @@ object Pca {
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
   }
 
-  /** The exact-replicable power iteration: Gram normalized by n, then
-    * `iters` rounds of y = quantize(G x); x = y / ‖y‖ (quantized norm),
-    * sign fixed positive at the largest-|x| index. Returns 1-based
-    * (dim, loading). Mirrors [[powerIterationDuck]] operation for
-    * operation — change one only with the other. */
-  def topComponent(
-      gram: Map[(Int, Int), Long], dim: Int, n: Long, iters: Int): Seq[(Int, Double)] = {
-    val gd = Array.tabulate(dim, dim)((i, j) =>
-      gram((i + 1, j + 1)).toDouble / 1e9 / n.toDouble)
-    var x = Array.fill(dim)(0.125)
+  /** Gram normalized by n — the matrix every iteration runs on; value-
+    * identical to the oracle's `gv` CTE ((q / 1e9) / n, left-assoc). */
+  def normalizedGram(gram: Map[(Int, Int), Long], dim: Int, n: Long): Array[Array[Double]] =
+    Array.tabulate(dim, dim)((i, j) => gram((i + 1, j + 1)).toDouble / 1e9 / n.toDouble)
+
+  /** One quantized matrix-vector product: y_q(i) = Σ_j floor(G(i,j)·x_j·1e9). */
+  private def matVecQ(gd: Array[Array[Double]], x: Array[Double]): Array[Long] =
+    Array.tabulate(gd.length) { i =>
+      var s = 0L
+      var j = 0
+      while (j < gd.length) { s += math.floor(gd(i)(j) * x(j) * 1e9).toLong; j += 1 }
+      s
+    }
+
+  /** `iters` rounds of y = quantize(G x); x = y / ‖y‖ (quantized norm),
+    * from x0 = 0.125. Returns the UNSIGNED final vector. Mirrors the
+    * generated SQL operation for operation — change one only with the
+    * other. */
+  private def iterate(gd: Array[Array[Double]], iters: Int): Array[Double] = {
+    var x = Array.fill(gd.length)(0.125)
     for (_ <- 1 to iters) {
-      val yq = Array.tabulate(dim) { i =>
-        var s = 0L
-        var j = 0
-        while (j < dim) { s += math.floor(gd(i)(j) * x(j) * 1e9).toLong; j += 1 }
-        s
-      }
-      val yd = yq.map(_.toDouble / 1e9)
+      val yd = matVecQ(gd, x).map(_.toDouble / 1e9)
       var nq = 0L
       yd.foreach(v => nq += math.floor(v * v * 1e9).toLong)
       val nrm = math.sqrt(nq.toDouble / 1e9)
       x = yd.map(_ / nrm)
     }
+    x
+  }
+
+  /** Sign convention: largest-|loading| component (lowest index on
+    * ties) positive; 1-based (dim, loading). */
+  private def signFixed(x: Array[Double]): Seq[(Int, Double)] = {
     val lead = x.indices.minBy(i => (-math.abs(x(i)), i))
     val sgn = if (x(lead) < 0) -1.0 else 1.0
     x.indices.map(i => (i + 1, x(i) * sgn))
   }
 
-  /** DuckDB SQL replaying the same iteration over a CTE `g(i, j, q)`
-    * and a scalar CTE `nn(n)`; emits CTE text ending in `x{iters}` with
-    * columns (i, v). */
-  def powerIterationDuck(iters: Int): String = {
-    val q9 = "1000000000.0"
+  /** Top component: normalized Gram + iteration + sign fix. */
+  def topComponent(
+      gram: Map[(Int, Int), Long], dim: Int, n: Long, iters: Int): Seq[(Int, Double)] =
+    signFixed(iterate(normalizedGram(gram, dim, n), iters))
+
+  /** Top-2 subspace by Hotelling deflation: λ₁ = quantized Rayleigh
+    * x₁ᵀGx₁, G₂(i,j) = G(i,j) − λ₁·x₁ᵢ·x₁ⱼ (left-assoc, sign-invariant),
+    * then the same iteration on G₂. Returns (pc1, pc2, λ₁). */
+  def topTwoComponents(
+      gram: Map[(Int, Int), Long], dim: Int, n: Long, iters: Int)
+      : (Seq[(Int, Double)], Seq[(Int, Double)], Double) = {
+    val gd = normalizedGram(gram, dim, n)
+    val x1 = iterate(gd, iters)
+    val yd = matVecQ(gd, x1).map(_.toDouble / 1e9)
+    var lq = 0L
+    x1.indices.foreach(i => lq += math.floor(x1(i) * yd(i) * 1e9).toLong)
+    val lam = lq.toDouble / 1e9
+    val g2 = Array.tabulate(dim, dim)((i, j) => gd(i)(j) - lam * x1(i) * x1(j))
+    val x2 = iterate(g2, iters)
+    (signFixed(x1), signFixed(x2), lam)
+  }
+
+  private val Q9 = "1000000000.0"
+
+  /** The generic iteration chain over a normalized-Gram CTE
+    * `gName(i, j, v)`, CTE names prefixed with `p`; ends in `${p}{iters}`
+    * with columns (i, v). */
+  private def iterationChain(iters: Int, gName: String, p: String): String = {
     val steps = (1 to iters).map { k =>
-      val prev = if (k == 1) "x0" else s"x${k - 1}"
-      s"""y$k AS (SELECT g.i,
-         |    CAST(sum(CAST(floor(CAST(g.q AS DOUBLE) / $q9 / CAST(nn.n AS DOUBLE) * $prev.v * $q9) AS BIGINT)) AS BIGINT) AS yq
-         |  FROM g JOIN $prev ON g.j = $prev.i CROSS JOIN nn GROUP BY g.i),
-         |n$k AS (SELECT sqrt(CAST(CAST(sum(CAST(floor((CAST(yq AS DOUBLE) / $q9) * (CAST(yq AS DOUBLE) / $q9) * $q9) AS BIGINT)) AS BIGINT) AS DOUBLE) / $q9) AS nrm FROM y$k),
-         |x$k AS (SELECT i, (CAST(yq AS DOUBLE) / $q9) / n$k.nrm AS v FROM y$k CROSS JOIN n$k)""".stripMargin
+      val prev = s"$p${k - 1}"
+      s"""${p}y$k AS MATERIALIZED (SELECT g.i,
+         |    CAST(sum(CAST(floor(g.v * $prev.v * $Q9) AS BIGINT)) AS BIGINT) AS yq
+         |  FROM $gName g JOIN $prev ON g.j = $prev.i GROUP BY g.i),
+         |${p}n$k AS MATERIALIZED (SELECT sqrt(CAST(CAST(sum(CAST(floor((CAST(yq AS DOUBLE) / $Q9) * (CAST(yq AS DOUBLE) / $Q9) * $Q9) AS BIGINT)) AS BIGINT) AS DOUBLE) / $Q9) AS nrm FROM ${p}y$k),
+         |$p$k AS MATERIALIZED (SELECT i, (CAST(yq AS DOUBLE) / $Q9) / ${p}n$k.nrm AS v FROM ${p}y$k CROSS JOIN ${p}n$k)""".stripMargin
     }
-    s"""x0 AS (SELECT CAST(range AS INT) + 1 AS i, CAST(0.125 AS DOUBLE) AS v FROM range(64)),
+    s"""${p}0 AS MATERIALIZED (SELECT CAST(range AS INT) + 1 AS i, CAST(0.125 AS DOUBLE) AS v FROM range(64)),
        |${steps.mkString(",\n")}""".stripMargin
   }
+
+  /** DuckDB SQL replaying [[topComponent]]'s iteration over CTEs
+    * `g(i, j, q)` and `nn(n)`; defines `gv` (the normalized Gram) and
+    * ends in `x{iters}` with columns (i, v). */
+  def powerIterationDuck(iters: Int): String =
+    s"""gv AS MATERIALIZED (SELECT g.i, g.j,
+       |    CAST(g.q AS DOUBLE) / $Q9 / CAST(nn.n AS DOUBLE) AS v
+       |  FROM g CROSS JOIN nn),
+       |${iterationChain(iters, "gv", "x")}""".stripMargin
+
+  /** DuckDB SQL replaying the deflated second iteration: expects the
+    * [[powerIterationDuck]] chain (gv + x{iters}) already in scope;
+    * defines the Rayleigh λ₁, the deflated `g2v`, and ends in
+    * `z{iters}` with columns (i, v). */
+  def deflatedIterationDuck(iters: Int): String =
+    s"""xy AS MATERIALIZED (SELECT g.i,
+       |    CAST(sum(CAST(floor(g.v * x$iters.v * $Q9) AS BIGINT)) AS BIGINT) AS yq
+       |  FROM gv g JOIN x$iters ON g.j = x$iters.i GROUP BY g.i),
+       |lam AS MATERIALIZED (SELECT CAST(sum(CAST(floor(x$iters.v * (CAST(xy.yq AS DOUBLE) / $Q9) * $Q9) AS BIGINT)) AS BIGINT) AS lq
+       |  FROM x$iters JOIN xy ON xy.i = x$iters.i),
+       |g2v AS MATERIALIZED (SELECT g.i, g.j,
+       |    g.v - (CAST(lam.lq AS DOUBLE) / $Q9) * xa.v * xb.v AS v
+       |  FROM gv g CROSS JOIN lam
+       |  JOIN x$iters xa ON xa.i = g.i
+       |  JOIN x$iters xb ON xb.i = g.j),
+       |${iterationChain(iters, "g2v", "z")}""".stripMargin
 }

@@ -125,4 +125,55 @@ object EventsStreaming {
       .select(col("e_user").as("user_id"), col("error_id"), col("click_id"),
         col("e_ts"), col("c_ts"))
   }
+
+  /** One metric stream's CUSUM drift state — the streaming dual of the
+    * batch `evt_cusum_changepoint` closed form. Carrying (p, runMin,
+    * runMax, extremes) IS the whole detector: CUSUM's recurrence is
+    * incremental by construction, so state per key is eight longs
+    * regardless of stream length. */
+  final case class CusumEvent(key: String, ms: Long, eventId: Long, xq: Long)
+  final case class CusumState(
+      n: Long, p: Long, runMin: Long, runMax: Long,
+      maxUp: Long, upMs: Long, maxDn: Long, dnMs: Long)
+  final case class CusumStat(
+      key: String, n: Long, maxUp: Long, upMs: Long, maxDn: Long, dnMs: Long)
+
+  /** Streaming CUSUM monitor: per key, fold each micro-batch's events in
+    * (ms, eventId) order into the running statistic against the FIXED
+    * quantized target `kq` (calibrated offline — the batch query's
+    * floor-mean; a streaming detector never re-fits its own reference).
+    * Exactness contract: arithmetic identical to the batch closed form —
+    * S_up(t) = P_t − min(0, min_{k≤t} P_k) — so after feeding the same
+    * events IN ORDER, the emitted stat equals evt_cusum_changepoint's
+    * row (EventsStreamingSpec pins it). Deliveries are assumed in-order
+    * across batches (CDC/telemetry feeds are per-key ordered; an
+    * out-of-order feed needs the batch dual on a closed window). */
+  def cusumMonitor(
+      events: org.apache.spark.sql.Dataset[CusumEvent],
+      kq: Long): org.apache.spark.sql.Dataset[CusumStat] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.key)
+      .mapGroupsWithState[CusumState, CusumStat](GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(
+            CusumState(0L, 0L, Long.MaxValue, Long.MinValue, 0L, -1L, 0L, -1L))
+          it.toArray.sortBy(e => (e.ms, e.eventId)).foreach { e =>
+            val p = st.p + (e.xq - kq)
+            val runMin = math.min(st.runMin, p)
+            val runMax = math.max(st.runMax, p)
+            val sUp = p - math.min(runMin, 0L)
+            val sDn = math.max(runMax, 0L) - p
+            st = CusumState(
+              st.n + 1, p, runMin, runMax,
+              if (sUp > st.maxUp) sUp else st.maxUp,
+              if (sUp > st.maxUp) e.ms else st.upMs,
+              if (sDn > st.maxDn) sDn else st.maxDn,
+              if (sDn > st.maxDn) e.ms else st.dnMs)
+          }
+          state.update(st)
+          CusumStat(key, st.n, st.maxUp, st.upMs, st.maxDn, st.dnMs)
+      }
+  }
 }

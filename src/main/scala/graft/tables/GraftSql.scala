@@ -213,6 +213,8 @@ object GraftSql {
       describeHistory(s, resolve(s, name).dir, Option(limit).map(_.toInt))
     case DescribeDetail(name) =>
       describeDetail(s, name, resolve(s, name).dir)
+    case q if WithRecursive.findPrefixMatchOf(q.trim).isDefined =>
+      runRecursiveCte(s, q)
     case ShowTables(pat) =>
       // Registered names for THIS session, name-sorted; LIKE filters with
       // SQL wildcards. Bounded by the registration count by definition.
@@ -1753,6 +1755,107 @@ object GraftSql {
       i += 1
     }
     out.toSeq
+  }
+
+  private val WithRecursive =
+    ("""(?is)^\s*WITH\s+RECURSIVE\s+([A-Za-z_][A-Za-z0-9_]*)\s*""" +
+      """(?:\(\s*([A-Za-z_][A-Za-z0-9_,\s]*?)\s*\)\s*)?AS\s*\(""").r
+
+  /** `WITH RECURSIVE name[(cols)] AS (base UNION [ALL] step) final` by
+    * bounded iterative materialization — OSS Spark has no recursive
+    * CTEs, so the shim runs the standard fixpoint loop itself:
+    *
+    *  - UNION ALL: working table = exactly the rows the previous
+    *    iteration produced; everything accumulates (bag semantics);
+    *  - UNION: each iteration's output is deduped against ALL rows
+    *    produced so far (EXCEPT DISTINCT) and only the genuinely new
+    *    rows feed the next step — the SQL-standard semantics both
+    *    engines agree on, and the one that terminates on cyclic graphs.
+    *
+    * Each iteration localCheckpoints (lineage truncation — the graph-op
+    * pattern; without it iteration k's plan nests k copies of the step).
+    * Sub-queries recurse through sql(), so AS-OF phrases, registered-
+    * table mounts and TVFs all work inside base/step/final. Iterations
+    * cap at spark.graft.recursive.maxIterations (default 200) and fail
+    * LOUDLY on exceed — the standard's infinite loop, surfaced. Scale
+    * shape: one distributed union/except per BFS level; total cost is
+    * Σ level sizes, never corpus × depth, and the checkpointed frontier
+    * is the only carried state. */
+  private def runRecursiveCte(s: SparkSession, statement: String): DataFrame = {
+    val stmt = statement.trim.replaceAll(";\\s*$", "")
+    val m = WithRecursive.findPrefixMatchOf(stmt).getOrElse(
+      throw new IllegalArgumentException(
+        "WITH RECURSIVE: expected WITH RECURSIVE <name>[(cols)] AS ( <base> UNION [ALL] <step> ) <final query>"))
+    val name = m.group(1)
+    val cols = Option(m.group(2))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
+    require(registry.get((s, normalizeIdent(name))).isEmpty,
+      s"WITH RECURSIVE: '$name' is also a registered table — the recursive " +
+        "name would be shadowed by the statement-scoped mount; pick another name")
+    // balanced scan to the CTE body's closing paren
+    var depth = 1; var i = m.end; var inQuote = false
+    while (i < stmt.length && depth > 0) {
+      val c = stmt.charAt(i)
+      if (c == '\'') inQuote = !inQuote
+      else if (!inQuote && c == '(') depth += 1
+      else if (!inQuote && c == ')') depth -= 1
+      i += 1
+    }
+    require(depth == 0, "WITH RECURSIVE: unbalanced parentheses in the CTE body")
+    val body = stmt.substring(m.end, i - 1)
+    val finalSql = stmt.substring(i).trim
+    require(finalSql.nonEmpty, "WITH RECURSIVE: missing the final query after the CTE")
+    val unionIdxs = topLevelWordIndices(body, "UNION")
+    require(unionIdxs.nonEmpty,
+      "WITH RECURSIVE: the CTE body must be <base> UNION [ALL] <recursive step>")
+    val u = unionIdxs.head
+    val base = body.substring(0, u).trim
+    var step = body.substring(u + "UNION".length).trim
+    val bag = step.length >= 3 && step.regionMatches(true, 0, "ALL", 0, 3) &&
+      (step.length == 3 || !Character.isLetterOrDigit(step.charAt(3)))
+    if (bag) step = step.substring(3).trim
+    val maxIters = s.conf.getOption("spark.graft.recursive.maxIterations")
+      .map(_.toInt).getOrElse(200)
+
+    def shape(df: DataFrame): DataFrame = cols match {
+      case Some(cs) =>
+        require(df.columns.length == cs.length,
+          s"WITH RECURSIVE $name(${cs.mkString(",")}): term yields ${df.columns.length} columns")
+        df.toDF(cs: _*)
+      case None => df
+    }
+    val priorTemp = scala.util.Try(s.catalog.getTable(name)).toOption
+      .filter(_.isTemporary).map(_ => s.table(name))
+    try {
+      val base0 = shape(sql(s, base))
+      var acc = (if (bag) base0 else base0.distinct()).localCheckpoint(true)
+      var working = acc
+      var iter = 0
+      var done = working.isEmpty
+      while (!done) {
+        iter += 1
+        require(iter <= maxIters,
+          s"WITH RECURSIVE $name: exceeded $maxIters iterations without reaching a " +
+            "fixpoint (set spark.graft.recursive.maxIterations to raise the bound)")
+        working.createOrReplaceTempView(name)
+        val produced = shape(sql(s, step))
+        require(produced.columns.length == acc.columns.length,
+          s"WITH RECURSIVE $name: step yields ${produced.columns.length} columns, base has ${acc.columns.length}")
+        val next = (if (bag) produced else produced.except(acc)).localCheckpoint(true)
+        if (next.isEmpty) done = true
+        else { acc = acc.unionAll(next).localCheckpoint(true); working = next }
+      }
+      acc.createOrReplaceTempView(name)
+      sql(s, finalSql)
+    } finally {
+      priorTemp match {
+        case Some(saved) => saved.createOrReplaceTempView(name)
+        case None =>
+          if (scala.util.Try(s.catalog.getTable(name)).toOption.exists(_.isTemporary))
+            s.catalog.dropTempView(name)
+          ()
+      }
+    }
   }
 
   /** Split on top-level whole-word separators, dropping the separator. */

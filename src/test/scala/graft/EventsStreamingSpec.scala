@@ -254,4 +254,48 @@ class EventsStreamingSpec extends SparkSuite {
     assert(staleWindow().collect().map(_.getLong(2)).toSeq == Seq(1L),
       "no re-emission for the finalized window")
   }
+
+  test("streaming CUSUM monitor equals the batch closed form after draining") {
+    val s = spark
+    import s.implicits._
+    val ev = graft.queries.EventsQueries.events(spark, sf0001)
+      .where(col("event_type") === "purchase")
+      .select(unix_millis(col("ts")).as("ms"), col("event_id"),
+        floor(col("value") * 1000).cast("long").as("xq"))
+      .orderBy("ms", "event_id")
+    val st = ev.agg(sum("xq").as("sx"), count(lit(1)).as("n")).head()
+    val kq = st.getLong(0) / st.getLong(1)
+
+    // Expected: the oracle-gated batch query (closed form, two scans).
+    val batch = graft.SparkEntry.queries("evt_cusum_changepoint")(spark, sf0001).head()
+
+    // Feed three TIME-ORDERED chunks, one file per micro-batch — the
+    // monitor's in-order delivery contract.
+    val dir = Files.createTempDirectory("graft-cusum-stream").toString
+    val rows = ev.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.grouped((rows.length + 2) / 3).foreach { chunk =>
+      chunk.toSeq.toDF("ms", "event_id", "xq")
+        .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    }
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema("ms LONG, event_id LONG, xq LONG").parquet(s"$dir/in")
+      .select(lit("purchase").as("key"), col("ms"),
+        col("event_id").as("eventId"), col("xq"))
+      .as[EventsStreaming.CusumEvent]
+    val q = EventsStreaming.cusumMonitor(stream, kq)
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("update")
+      .option("checkpointLocation", s"$dir/cp")
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val emitted = spark.sql("SELECT * FROM cusum_out").collect()
+      .maxBy(_.getAs[Long]("n"))
+    assert(emitted.getAs[Long]("n") == batch.getAs[Long]("n"))
+    assert(emitted.getAs[Long]("maxUp") == batch.getAs[Long]("max_cusum_up"))
+    assert(emitted.getAs[Long]("upMs") == batch.getAs[Long]("up_change_ms"))
+    assert(emitted.getAs[Long]("maxDn") == batch.getAs[Long]("max_cusum_dn"))
+    assert(emitted.getAs[Long]("dnMs") == batch.getAs[Long]("dn_change_ms"))
+  }
 }

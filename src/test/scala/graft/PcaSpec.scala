@@ -41,6 +41,22 @@ class PcaSpec extends SparkSuite {
     assert(lead._2 >= 0, s"sign convention: leading loading positive, got $lead")
   }
 
+  test("deflated second component: deterministic, unit-ish norm, near-orthogonal to PC1") {
+    val n = emb.count()
+    val g = Pca.quantizedGram(spark, emb, dim)
+    val (pc1, pc2, lam) = Pca.topTwoComponents(g, dim, n, 24)
+    val (pc1b, pc2b, lamb) = Pca.topTwoComponents(g, dim, n, 24)
+    assert(pc1 == pc1b && pc2 == pc2b && lam == lamb, "bit-deterministic")
+    assert(lam > 0.0, s"top eigenvalue of a Gram matrix is positive, got $lam")
+    val n2 = pc2.map { case (_, v) => v * v }.sum
+    assert(math.abs(n2 - 1.0) < 1e-3, s"unit norm pc2, got $n2")
+    val dot = pc1.zip(pc2).map { case ((_, a), (_, b)) => a * b }.sum
+    assert(math.abs(dot) < 0.05,
+      s"deflation should leave pc2 near-orthogonal to pc1, dot=$dot")
+    assert(pc1 == Pca.topComponent(g, dim, n, 24),
+      "pc1 from the pair API must equal the single-component API")
+  }
+
   test("power iteration approaches a fixed direction of the normalized Gram") {
     val n = emb.count()
     val g = Pca.quantizedGram(spark, emb, dim)

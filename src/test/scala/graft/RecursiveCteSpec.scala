@@ -1,0 +1,99 @@
+package graft
+
+import graft.tables.GraftSql
+
+/** GraftSql's WITH RECURSIVE rewrite (bounded iterative
+  * materialization): generator recursion, UNION-vs-UNION-ALL working-
+  * table semantics, cycle termination, catalog hygiene, and the loud
+  * failure modes. The cross-engine parity of the full statement runs
+  * under the sql_recursive_cte oracle. */
+class RecursiveCteSpec extends SparkSuite {
+
+  test("UNION ALL generator: bounded sequence, bag semantics") {
+    val r = GraftSql.sql(spark,
+      """WITH RECURSIVE t(k) AS (
+        |  SELECT 1 AS k
+        |  UNION ALL
+        |  SELECT k + 1 FROM t WHERE k < 10
+        |) SELECT CAST(k AS INT) AS k FROM t""".stripMargin)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(r == (1 to 10))
+    // bag semantics: two seed rows each grow their own chain — dupes kept
+    val bag = GraftSql.sql(spark,
+      """WITH RECURSIVE t(k) AS (
+        |  SELECT 1 AS k UNION ALL SELECT k + 1 FROM t WHERE k < 3
+        |) SELECT k FROM (SELECT k FROM t UNION ALL SELECT k FROM t) u""".stripMargin)
+      .count()
+    assert(bag == 6)
+  }
+
+  test("UNION on a cyclic graph terminates with the distinct reach set") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+      .toDF("src", "dst").createOrReplaceTempView("rc_edges")
+    val reach = GraftSql.sql(spark,
+      """WITH RECURSIVE r(n) AS (
+        |  SELECT CAST(1 AS BIGINT) AS n
+        |  UNION
+        |  SELECT e.dst FROM rc_edges e JOIN r ON e.src = r.n
+        |) SELECT n FROM r""".stripMargin)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(reach == Seq(1L, 2L, 3L), s"cycle must close without looping: $reach")
+    spark.catalog.dropTempView("rc_edges")
+  }
+
+  test("UNION ALL working table is the PREVIOUS level only, not the accumulation") {
+    val s = spark
+    import s.implicits._
+    // two seeds on one chain: if the step saw the accumulation, level
+    // counts would double every round; previous-level semantics keep
+    // exactly one successor per live row.
+    Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").createOrReplaceTempView("rc_chain")
+    val n = GraftSql.sql(spark,
+      """WITH RECURSIVE r(n) AS (
+        |  SELECT src AS n FROM rc_chain WHERE src = 1
+        |  UNION ALL
+        |  SELECT e.dst FROM rc_chain e JOIN r ON e.src = r.n
+        |) SELECT n FROM r""".stripMargin)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(n == Seq(1L, 2L, 3L))
+    spark.catalog.dropTempView("rc_chain")
+  }
+
+  test("a pre-existing temp view with the CTE name is restored afterwards") {
+    val s = spark
+    import s.implicits._
+    Seq(99L).toDF("v").createOrReplaceTempView("rc_t")
+    GraftSql.sql(spark,
+      """WITH RECURSIVE rc_t(k) AS (
+        |  SELECT 1 AS k UNION ALL SELECT k + 1 FROM rc_t WHERE k < 3
+        |) SELECT k FROM rc_t""".stripMargin).count()
+    assert(spark.sql("SELECT v FROM rc_t").head().getLong(0) == 99L,
+      "user view clobbered by the recursive materialization")
+    spark.catalog.dropTempView("rc_t")
+  }
+
+  test("failure modes: registered-name collision, iteration cap, malformed body") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rc").resolve("t").toString
+    val s = spark
+    import s.implicits._
+    graft.streaming.ParquetTable.swap(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    GraftSql.register(spark, "rc_reg", dir, Seq("id"))
+    val e1 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "WITH RECURSIVE rc_reg(k) AS (SELECT 1 AS k UNION ALL SELECT k + 1 FROM rc_reg WHERE k < 3) SELECT k FROM rc_reg"))
+    assert(e1.getMessage.contains("registered table"))
+    GraftSql.sql(spark, "DROP TABLE rc_reg")
+
+    val s2 = spark.newSession()
+    s2.conf.set("spark.graft.recursive.maxIterations", "5")
+    val e2 = intercept[IllegalArgumentException](GraftSql.sql(s2,
+      "WITH RECURSIVE t(k) AS (SELECT 1 AS k UNION ALL SELECT k + 1 FROM t) SELECT k FROM t"))
+    assert(e2.getMessage.contains("exceeded 5 iterations"))
+
+    val e3 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "WITH RECURSIVE t(k) AS (SELECT 1 AS k) SELECT k FROM t"))
+    assert(e3.getMessage.contains("UNION"))
+    ()
+  }
+}
