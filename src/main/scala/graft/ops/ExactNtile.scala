@@ -51,14 +51,21 @@ object ExactNtile {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val binned = df.withColumn("_bin", floor(col(score) * lit(binScale)).cast("long"))
+    // `_g` is the group key CAST TO STRING for the driver-side maps and
+    // the tiny broadcast joins — the native group column (any type)
+    // passes through untouched. group/score/tie must be NON-NULL (a
+    // window-function ntile would order NULLs by the session null
+    // ordering; this helper's histogram/driver maps do not model that).
+    val binned = df
+      .withColumn("_g", col(group).cast("string"))
+      .withColumn("_bin", floor(col(score) * lit(binScale)).cast("long"))
 
     // (1) per-group counts → boundary ranks. ntile sizes: with N rows and
     // n tiles, tile i holds N/n rows plus one extra for i <= N mod n, so
     // the LAST row of tile j sits at rank K_j = j*(N/n) + min(j, N mod n).
     // Bounded collect: one row per distinct group value.
     val counts: Map[String, Long] =
-      df.groupBy(col(group)).count()
+      binned.groupBy(col("_g")).count()
         .as[(String, Long)].collect().toMap
     val boundaryRanks: Map[String, Seq[Long]] = counts.map { case (g, n) =>
       val q = n / tiles; val r = n % tiles
@@ -67,7 +74,7 @@ object ExactNtile {
 
     // (2) histogram: one shuffled agg, result bounded by groups × bins.
     val hist: Map[String, Seq[(Long, Long)]] =
-      binned.groupBy(col(group), col("_bin")).count()
+      binned.groupBy(col("_g"), col("_bin")).count()
         .as[(String, Long, Long)].collect()
         .groupBy(_._1)
         .map { case (g, rows) =>
@@ -87,44 +94,38 @@ object ExactNtile {
       }
     }
 
-    if (boundaries.isEmpty) return df.withColumn(tileCol, lit(1))
+    if (boundaries.isEmpty)
+      return binned.drop("_g", "_bin").withColumn(tileCol, lit(1))
 
     // (3) refine: rank ONLY the boundary-bin rows. The window partitions
     // on (group, bin) — cardinality grows with the data, and each bin
     // holds a binScale-thin score slice, so no constant-partition sort.
     val boundaryBins = boundaries.map(b => (b.g, b.bin)).distinct
-      .toDF(group, "_bin")
-    val wBin = Window.partitionBy(col(group), col("_bin"))
+      .toDF("_g", "_bin")
+    val wBin = Window.partitionBy(col("_g"), col("_bin"))
       .orderBy(col(score).desc, col(tie).asc)
-    val binRows = binned.join(broadcast(boundaryBins), Seq(group, "_bin"))
+    val binRows = binned.join(broadcast(boundaryBins), Seq("_g", "_bin"))
       .withColumn("_r", row_number().over(wBin))
     val wanted = boundaries.map(b => (b.g, b.bin, b.residual))
-      .toDF(group, "_bin", "_r")
-    val boundaryRows: Map[String, Seq[(Double, String)]] =
-      binRows.join(broadcast(wanted), Seq(group, "_bin", "_r"))
-        .select(col(group), col(score).cast("double"), col(tie).cast("string"))
-        .as[(String, Double, String)].collect()
-        .groupBy(_._1)
-        .map { case (g, rows) =>
-          g -> rows.map(r => (r._2, r._3)).sortBy(t => (-t._1, t._2)).toSeq
-        }
-
-    // (4) assign: tile = 1 + #boundaries the row falls strictly AFTER in
-    // (score DESC, tie ASC). Boundaries ship as a per-group array in a
-    // |g|-row broadcast side; the corpus side does one hash probe + a
-    // fold over ≤ tiles-1 elements. No sort, no row multiplication.
-    val bndDf = boundaryRows.toSeq
-      .map { case (g, bs) => (g, bs.map { case (s, t) => (s, t) }) }
-      .toDF(group, "_bnds")
-      .select(col(group), col("_bnds").cast("array<struct<s:double,t:string>>"))
-    binned.join(broadcast(bndDf), Seq(group), "left")
+      .toDF("_g", "_bin", "_r")
+    // (4) boundary rows stay a (tiny) DataFrame — NEVER collected — so
+    // the tie column keeps its NATIVE type and the assignment compares
+    // with native ordering (a string round-trip would rank 10 < 9 for
+    // numeric ties). One array per group, broadcast back; the corpus
+    // side does one hash probe + a fold over ≤ tiles-1 elements. No
+    // sort, no row multiplication.
+    val bndDf = binRows.join(broadcast(wanted), Seq("_g", "_bin", "_r"))
+      .select(col("_g"), col(score).cast("double").as("_s"), col(tie).as("_t"))
+      .groupBy(col("_g"))
+      .agg(collect_list(struct(col("_s").as("s"), col("_t").as("t"))).as("_bnds"))
+    binned.join(broadcast(bndDf), Seq("_g"), "left")
       .withColumn(tileCol,
         lit(1) + coalesce(expr(
           s"""aggregate(_bnds, 0, (acc, b) ->
              |  acc + CASE WHEN CAST($score AS DOUBLE) < b.s
-             |               OR (CAST($score AS DOUBLE) = b.s AND CAST($tie AS STRING) > b.t)
+             |               OR (CAST($score AS DOUBLE) = b.s AND $tie > b.t)
              |          THEN 1 ELSE 0 END)""".stripMargin.replace("\n", " ")), lit(0)))
-      .drop("_bin", "_bnds")
+      .drop("_g", "_bin", "_bnds")
   }
 
   /** Convenience: tile column as head/middle/tail-style labels. */

@@ -51,13 +51,25 @@ object GeneratedPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   private def norm(dir: String): String =
-    normUri(new org.apache.hadoop.fs.Path(dir).toUri)
+    qualify(new org.apache.hadoop.fs.Path(dir))
 
-  private def normUri(uri: java.net.URI): String = {
-    val scheme = Option(uri.getScheme).getOrElse("file")
-    val auth = Option(uri.getAuthority).getOrElse("")
-    s"$scheme://$auth${uri.getPath}"
-  }
+  /** Qualify through the session's Hadoop conf when possible — an
+    * unqualified path then resolves against fs.defaultFS (with the
+    * default port filled in), so `register("/data/t")` and the
+    * relation's qualified `hdfs://nn:8020/data/t` root meet. Falls back
+    * to a string normalization (scheme defaulted to `file`) when no
+    * active session/filesystem is reachable. */
+  private def qualify(p: org.apache.hadoop.fs.Path): String =
+    try {
+      val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+      p.getFileSystem(conf).makeQualified(p).toUri.toString
+    } catch {
+      case _: Throwable =>
+        val uri = p.toUri
+        val scheme = Option(uri.getScheme).getOrElse("file")
+        val auth = Option(uri.getAuthority).getOrElse("")
+        s"$scheme://$auth${uri.getPath}"
+    }
 
   /** Declare `partCol = CAST(srcCol AS DATE)` for the table at `dir`. */
   def register(dir: String, partCol: String, srcCol: String): Unit =
@@ -67,7 +79,7 @@ object GeneratedPartitionRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private def derivationFor(hfs: HadoopFsRelation): Option[(String, String)] =
     hfs.location.rootPaths.headOption
-      .flatMap(p => derivations.get(normUri(p.toUri)))
+      .flatMap(p => derivations.get(qualify(p)))
 
   private def toDate(lit: Literal): Option[Literal] = lit match {
     case Literal(v, TimestampType) if v != null =>

@@ -1002,9 +1002,13 @@ object EventsQueries extends QueryModule {
         val e = events(s, dir).where(col("event_type") === "purchase")
           .select(unix_millis(col("ts")).as("ms"), col("event_id"),
             floor(col("value") * 1000).cast("long").as("x"))
-        // scalar stats: one row collected (bounded), floor-div target
+        // scalar stats: one row collected (bounded). floorDiv, not /: the
+        // oracle's `//` floors toward -inf, Scala's / truncates toward 0
+        // — they differ on a negative sum (refund-heavy streams).
         val st = e.agg(sum("x").as("sx"), count(lit(1)).as("n")).head()
-        val n = st.getLong(1); val k = st.getLong(0) / n
+        val n = st.getLong(1)
+        require(n > 0, "evt_cusum_changepoint: no rows in the monitored stream")
+        val k = Math.floorDiv(st.getLong(0), n)
         val d = e.select(col("ms"), col("event_id"), (col("x") - lit(k)).as("d"))
         val p = graft.text.SequencePack
           .withStartOffsets(d, Seq("ms", "event_id"), "d", 32)

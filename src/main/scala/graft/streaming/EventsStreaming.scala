@@ -160,6 +160,10 @@ object EventsStreaming {
           var st = state.getOption.getOrElse(
             CusumState(0L, 0L, Long.MaxValue, Long.MinValue, 0L, -1L, 0L, -1L))
           it.toArray.sortBy(e => (e.ms, e.eventId)).foreach { e =>
+            // first event pins both timestamps: the batch dual reports
+            // min(ms) among rows attaining the max, and a statistic that
+            // never rises above 0 attains it at the FIRST row
+            if (st.n == 0L) st = st.copy(upMs = e.ms, dnMs = e.ms)
             val p = st.p + (e.xq - kq)
             val runMin = math.min(st.runMin, p)
             val runMax = math.max(st.runMax, p)

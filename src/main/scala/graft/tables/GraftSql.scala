@@ -1808,7 +1808,11 @@ object GraftSql {
     val unionIdxs = topLevelWordIndices(body, "UNION")
     require(unionIdxs.nonEmpty,
       "WITH RECURSIVE: the CTE body must be <base> UNION [ALL] <recursive step>")
-    val u = unionIdxs.head
+    // UNION is left-associative, so the RECURSIVE term is everything
+    // after the LAST top-level UNION; the base may itself be a union
+    // chain (DuckDB parses it that way — splitting at the first UNION
+    // would fold a base branch into the step and never drain).
+    val u = unionIdxs.last
     val base = body.substring(0, u).trim
     var step = body.substring(u + "UNION".length).trim
     val bag = step.length >= 3 && step.regionMatches(true, 0, "ALL", 0, 3) &&
@@ -1954,8 +1958,14 @@ object GraftSql {
   def describeTable(
       s: SparkSession, name: String, dir: String,
       keyCols: Seq[String], extended: Boolean): DataFrame = {
+    val versioned = ParquetTable.exists(dir)
+    // The EVOLVED logical schema in both layouts: a versioned table with
+    // a column-mapping manifest must list logical (renamed) names — the
+    // same dispatch TableStats.read uses — or comments (keyed logical)
+    // would silently miss and renames would leak physical names.
     val schema =
-      if (ParquetTable.exists(dir)) ParquetTable.read(s, dir).schema
+      if (versioned)
+        SchemaEvolution.readEvolvedAt(s, dir, ParquetTable.currentPath(dir)).schema
       else SchemaEvolution.readEvolved(s, dir).schema
     val comments = SchemaEvolution.manifestOf(dir).map(mf =>
         mf.comments.map { case (p, c) =>
@@ -1964,27 +1974,39 @@ object GraftSql {
     val colRows = schema.fields.toSeq.map { f =>
       Row(f.name, f.dataType.simpleString, comments.get(f.name.toLowerCase).orNull)
     }
+    // Snapshot facts exist only for versioned (_CURRENT) tables; a
+    // schema-evolution-layout registration still gets the detail section
+    // minus them, instead of a NoSuchFileException.
     val extraRows = if (!extended) Seq.empty[Row] else {
-      val snaps = ParquetTable.snapshots(dir)
-      val cur = java.nio.file.Paths.get(ParquetTable.currentPath(dir))
-        .getFileName.toString
-      val (nFiles, bytes) = snapshotFiles(ParquetTable.currentPath(dir))
+      val snapFacts =
+        if (!versioned) Seq.empty[Row]
+        else {
+          val snaps = ParquetTable.snapshots(dir)
+          val cur = java.nio.file.Paths.get(ParquetTable.currentPath(dir))
+            .getFileName.toString
+          val (nFiles, bytes) = snapshotFiles(ParquetTable.currentPath(dir))
+          Seq(
+            Row("Current Version", graft.streaming.VersionNames.idOf(cur).toString, null),
+            Row("Num Snapshots", snaps.size.toString, null),
+            Row("Num Files", nFiles.toString, null),
+            Row("Size Bytes", bytes.toString, null))
+        }
       val props = properties(dir)
       val constraints =
         Constraints.checks(dir).map { case (n, e) => s"CHECK $n ($e)" } ++
         Constraints.uniques(dir).map { case (n, c) => s"UNIQUE $n (${c.mkString(",")})" }
+      val nRows =
+        if (versioned) ParquetTable.read(s, dir).count()
+        else SchemaEvolution.readEvolved(s, dir).count()
       Seq(
         Row("", "", null),
         Row("# Detailed Table Information", "", null),
         Row("Name", name, null),
         Row("Type", "EXTERNAL", null),
         Row("Location", dir, null),
-        Row("Provider", "parquet", null),
-        Row("Current Version", graft.streaming.VersionNames.idOf(cur).toString, null),
-        Row("Num Snapshots", snaps.size.toString, null),
-        Row("Num Files", nFiles.toString, null),
-        Row("Size Bytes", bytes.toString, null),
-        Row("Num Rows", ParquetTable.read(s, dir).count().toString, null)) ++
+        Row("Provider", "parquet", null)) ++
+        snapFacts ++
+        Seq(Row("Num Rows", nRows.toString, null)) ++
         (if (keyCols.nonEmpty) Seq(Row("Key Columns", keyCols.mkString(", "), null)) else Nil) ++
         (if (props.nonEmpty)
           Seq(Row("Table Properties",

@@ -162,7 +162,7 @@ object SequencePack {
     val bc = spark.sparkContext.broadcast(boundaries)
     implicit val outEnc =
       Encoders.row(ranged.schema.add("run_min", LongType).add("run_max", LongType))
-    ranged.mapPartitions { it =>
+    val out = ranged.mapPartitions { it =>
       val bs = bc.value
       var bi = -1
       var runMn = Long.MaxValue; var runMx = Long.MinValue
@@ -178,6 +178,13 @@ object SequencePack {
         Row.fromSeq(r.toSeq :+ runMn :+ runMx)
       }
     }
+    // materialize pass 2 (localCheckpoint cleans itself up via the
+    // ContextCleaner once unreferenced), then RELEASE the cached layout
+    // — without this every call pins a corpus-sized cache entry for the
+    // session lifetime.
+    val ck = out.localCheckpoint(true)
+    ranged.unpersist()
+    ck
   }
 
   /** Distributed ROW_NUMBER over a total order: global rank (1-based) by

@@ -55,6 +55,20 @@ class ExactNtileSpec extends SparkSuite {
     for (n <- Seq(3, 4)) assert(exactTiles(rows, n) == referenceTiles(rows, n))
   }
 
+  test("numeric tie and group columns: boundaries rank natively, not lexically") {
+    import SparkTestBase.spark.implicits._
+    // all scores tie, ids 5..15: only the tie column decides every tile
+    // edge, and ids straddle the 1-digit/2-digit boundary — a string
+    // compare would order '10' < '9' and misassign
+    val df = (5 to 15).map(i => (7L, 0.5, i.toLong)).toDF("g", "score", "id")
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val ref = df.withColumn("tile", ntile(3).over(w))
+      .select("id", "tile").as[(Long, Int)].collect().toSet
+    val got = ExactNtile.withTile(df, "g", "score", "id", 3)
+      .select("id", "tile").as[(Long, Int)].collect().toSet
+    assert(got == ref, s"native-type tie ordering: $got vs $ref")
+  }
+
   test("plans no window over a constant-count partitioning on the corpus side") {
     import SparkTestBase.spark.implicits._
     val df = (0 until 200).map(i => ("en", i / 10.0, f"d$i%03d")).toDF("g", "score", "id")

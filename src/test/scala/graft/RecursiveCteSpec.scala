@@ -27,6 +27,21 @@ class RecursiveCteSpec extends SparkSuite {
     assert(bag == 6)
   }
 
+  test("multi-UNION base: the recursive term is after the LAST top-level UNION") {
+    // Valid in DuckDB: a two-branch base. Splitting at the FIRST UNION
+    // would make 'SELECT 5' part of the step and re-emit it forever.
+    val r = GraftSql.sql(spark,
+      """WITH RECURSIVE t(k) AS (
+        |  SELECT 1 AS k
+        |  UNION ALL
+        |  SELECT 5 AS k
+        |  UNION ALL
+        |  SELECT k + 1 FROM t WHERE k < 3
+        |) SELECT CAST(k AS INT) AS k FROM t""".stripMargin)
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(r == Seq(1, 2, 3, 5), s"got $r")
+  }
+
   test("UNION on a cyclic graph terminates with the distinct reach set") {
     val s = spark
     import s.implicits._
