@@ -450,6 +450,106 @@ object SimQueries extends QueryModule {
               |SELECT x8.i AS dim, round(x8.v * sgn.s, 6) AS loading
               |FROM x8 CROSS JOIN sgn""".stripMargin)),
 
+    // BINARY (sign-bit) embeddings + Hamming ANN — the 64×-compression
+    // rerank-stage trick: each vector packs to TWO 32-bit halves of one
+    // machine word (DuckDB's BIGINT << 63 overflows, so two halves keep
+    // the same text shape legal in both engines), and distance is two
+    // xor+popcount instructions inside codegen. Top-3 per probe via the
+    // bounded-heap topk_by aggregate — NO per-probe window sort, so the
+    // plan holds when the probe set is a constant and candidates are
+    // corpus-sized (the tie-fold trick packs (hamming, id) into one
+    // double: exact for ids < 2^33, ids are dense row keys). At scale
+    // the scan side composes with IVF cell pruning like sim_ivf_topk.
+    EngineQuery(
+      "sim_binary_hamming",
+      (s, dir) => {
+        def pack(off: Int) =
+          s"""aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+             |  (acc, i) -> acc + CASE WHEN try_element_at(embedding, i + $off) > 0
+             |    THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END)"""
+            .stripMargin.replace("\n", " ")
+        val sig = emb(s, dir).selectExpr("vec_id",
+          s"${pack(1)} AS lo", s"${pack(33)} AS hi")
+        val probes = sig.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+        sig.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("query_id"))
+          .selectExpr("query_id", "vec_id AS neighbor_id",
+            "CAST(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS INT) AS hamming")
+          .groupBy("query_id")
+          .agg(expr(
+            "topk_by(-(CAST(hamming AS DOUBLE) * 8589934592.0 + CAST(neighbor_id AS DOUBLE)), neighbor_id, 3)")
+            .as("top"))
+          .selectExpr("query_id", "posexplode(top) AS (p0, e)")
+          .selectExpr("query_id", "CAST(p0 + 1 AS INT) AS nn_rank",
+            "e.id AS neighbor_id",
+            "CAST(floor(-e.score / 8589934592.0) AS INT) AS hamming")
+      },
+      Some("""WITH s AS (SELECT vec_id,
+             |    CAST(list_sum([CASE WHEN embedding[i + 1] > 0
+             |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END for i in range(32)]) AS BIGINT) AS lo,
+             |    CAST(list_sum([CASE WHEN embedding[i + 33] > 0
+             |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END for i in range(32)]) AS BIGINT) AS hi
+             |  FROM embeddings),
+             |p AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM s WHERE vec_id < 5),
+             |sc AS (SELECT p.query_id, s.vec_id AS neighbor_id,
+             |    CAST(bit_count(xor(s.lo, p.qlo)) + bit_count(xor(s.hi, p.qhi)) AS INT) AS hamming
+             |  FROM s CROSS JOIN p WHERE s.vec_id <> p.query_id),
+             |r AS (SELECT query_id, neighbor_id, hamming,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY hamming ASC, neighbor_id ASC) AS nn_rank
+             |  FROM sc)
+             |SELECT query_id, CAST(nn_rank AS INT) AS nn_rank, neighbor_id, hamming
+             |FROM r WHERE nn_rank <= 3""".stripMargin)),
+
+    // OOD / OUTLIER scoring — diagonal-Mahalanobis distance from the
+    // corpus distribution: per-dim mean/variance from QUANTIZED exact
+    // i64 moments (one skinny posexplode whose shuffle partial-combines
+    // to 64 rows per task), broadcast back (64 rows), each vector's
+    // score = Σ_i (v_i−μ_i)²/σ²_i re-quantized term-wise so the per-vec
+    // sum is order-free exact. Top-20 by the INTEGER score (desc, id) —
+    // TakeOrderedAndProject, no global sort. The embedding-drift /
+    // data-poisoning audit for an embedding pipeline.
+    EngineQuery(
+      "sim_ood_score",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.selectExpr("vec_id", "posexplode(embedding) AS (p0, v)")
+          .selectExpr("vec_id", "p0 + 1 AS i",
+            "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS qv")
+        val mu = "CAST(s1 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)"
+        val stats = q.groupBy("i").agg(
+            count(lit(1)).as("n"), sum("qv").as("s1"),
+            sum(expr("qv * qv")).as("s2"))
+          .selectExpr("i", s"$mu AS mu",
+            s"CAST(s2 AS DOUBLE) / 1000000000000.0 / CAST(n AS DOUBLE) - ($mu) * ($mu) AS va")
+        q.join(broadcast(stats), "i")
+          .selectExpr("vec_id",
+            """CAST(floor((CAST(qv AS DOUBLE) / 1000000.0 - mu)
+              | * (CAST(qv AS DOUBLE) / 1000000.0 - mu) / va * 1000000.0) AS BIGINT) AS tq"""
+              .stripMargin.replace("\n", ""))
+          .groupBy("vec_id").agg(sum("tq").as("sq"))
+          .orderBy(col("sq").desc, col("vec_id")).limit(20)
+          .selectExpr("vec_id", "round(CAST(sq AS DOUBLE) / 1000000.0, 6) AS ood_score")
+      },
+      Some {
+        val mu = "CAST(s1 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE)"
+        s"""WITH q AS (SELECT vec_id, r.i,
+           |    CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+           |  FROM embeddings CROSS JOIN (SELECT CAST(range AS INT) + 1 AS i FROM range(64)) r),
+           |st AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(qv) AS BIGINT) AS s1, CAST(sum(qv * qv) AS BIGINT) AS s2
+           |  FROM q GROUP BY i),
+           |sv AS (SELECT i, $mu AS mu,
+           |    CAST(s2 AS DOUBLE) / 1000000000000.0 / CAST(n AS DOUBLE) - ($mu) * ($mu) AS va
+           |  FROM st),
+           |t AS (SELECT q.vec_id,
+           |    CAST(floor((CAST(q.qv AS DOUBLE) / 1000000.0 - sv.mu) * (CAST(q.qv AS DOUBLE) / 1000000.0 - sv.mu) / sv.va * 1000000.0) AS BIGINT) AS tq
+           |  FROM q JOIN sv USING (i)),
+           |sm AS (SELECT vec_id, CAST(sum(tq) AS BIGINT) AS sq FROM t GROUP BY vec_id)
+           |SELECT vec_id, round(CAST(sq AS DOUBLE) / 1000000.0, 6) AS ood_score
+           |FROM sm ORDER BY sq DESC, vec_id LIMIT 20""".stripMargin
+      }),
+
     // TOP-2 PCA SUBSPACE by Hotelling deflation: λ₁ from the quantized
     // Rayleigh quotient, G₂ = Gₙ − λ₁x₁x₁ᵀ, and the same exact-replay
     // iteration on the deflated matrix — the whitening/rotation basis

@@ -124,6 +124,10 @@ object GraftSql {
   // catalog-browse spelling; '%' and '_' LIKE wildcards).
   private val ShowTables =
     """(?is)^\s*SHOW\s+TABLES(?:\s+LIKE\s+'([^']*)')?\s*;?\s*$""".r
+  private val CacheTable =
+    ("""(?is)^\s*CACHE\s+(LAZY\s+)?TABLE\s+(""" + IdPat + """)\s*;?\s*$""").r
+  private val UncacheTable =
+    ("""(?is)^\s*UNCACHE\s+TABLE\s+(IF\s+EXISTS\s+)?(""" + IdPat + """)\s*;?\s*$""").r
   private val CommentOnTable =
     ("""(?is)^\s*COMMENT\s+ON\s+TABLE\s+(""" + IdPat + """)\s+IS\s+'((?:[^']|'')*)'\s*;?\s*$""").r
   private val ShowCreateTable =
@@ -215,6 +219,31 @@ object GraftSql {
       describeDetail(s, name, resolve(s, name).dir)
     case q if WithRecursive.findPrefixMatchOf(q.trim).isDefined =>
       runRecursiveCte(s, q)
+    // CACHE [LAZY] TABLE t / UNCACHE TABLE [IF EXISTS] t — pin the
+    // current snapshot in executor memory for repeated reads. The cache
+    // is STAMP-validated, not hook-invalidated: mountFrame serves the
+    // cached frame only while the table's freshness stamp (live version
+    // id / root file census — the same gate plan stats use) still
+    // matches, so any INSERT/MERGE/OPTIMIZE/RESTORE silently retires it
+    // on the next mount and no write path needs to know caches exist.
+    case CacheTable(lzy, rawName) =>
+      val name = normalizeIdent(rawName)
+      val ref = resolve(s, name)
+      cachedTables.remove((s, name)).foreach(_._2.unpersist())
+      val df = TableStats.readCurrent(s, ref.dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = if (lzy == null) df.count() else -1L // Spark's CACHE is eager unless LAZY
+      cachedTables.put((s, name), (TableStats.currentStamp(ref.dir), df))
+      singleRow(s, Seq("name" -> name,
+        "cached_rows" -> (if (n >= 0) n.toString else "lazy")))
+    case UncacheTable(ifExists, rawName) =>
+      val name = normalizeIdent(rawName)
+      val removed = cachedTables.remove((s, name))
+      removed.foreach(_._2.unpersist())
+      require(removed.isDefined || ifExists != null,
+        s"UNCACHE TABLE: '$name' is not cached (use IF EXISTS for a no-op)")
+      singleRow(s, Seq("name" -> name,
+        "uncached" -> (if (removed.isDefined) "true" else "false")))
     case ShowTables(pat) =>
       // Registered names for THIS session, name-sorted; LIKE filters with
       // SQL wildcards. Bounded by the registration count by definition.
@@ -839,13 +868,33 @@ object GraftSql {
     * one mount frame both the plain and dotted paths share. A
     * materialized view mounts its DECLARED columns only (the `_nn_*`
     * maintenance counters stay internal). */
+  /** CACHE TABLE entries: (session, name) → (freshness stamp at cache
+    * time, persisted frame). Validated per mount; see the CACHE arm. */
+  private val cachedTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, DataFrame)]
+
   private def mountFrame(s: SparkSession, name: String): DataFrame = {
     val dir = resolve(s, name).dir
     try {
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_MV")))
         return MaterializedView.read(s, dir)
-      val df = TableStats.readCurrent(s, dir)
-      if (TableStats.broadcastWorthy(s, dir, df.schema)) broadcast(df) else df
+      // no non-local return here: a lambda `return` inside this try
+      // would surface as NonLocalReturnControl and be eaten by the
+      // catch-all below
+      val hit = cachedTables.get((s, name)) match {
+        case Some((stamp, cached)) if stamp == TableStats.currentStamp(dir) =>
+          Some(cached)
+        case Some((_, cached)) =>
+          // the table moved under the cache — retire it, mount fresh
+          cached.unpersist()
+          cachedTables.remove((s, name))
+          None
+        case None => None
+      }
+      hit.getOrElse {
+        val df = TableStats.readCurrent(s, dir)
+        if (TableStats.broadcastWorthy(s, dir, df.schema)) broadcast(df) else df
+      }
     } catch {
       case e: Throwable => throw new IllegalStateException(
         s"GraftSql: failed to mount registered table '$name' at $dir", e)
@@ -1847,7 +1896,11 @@ object GraftSql {
           s"WITH RECURSIVE $name: step yields ${produced.columns.length} columns, base has ${acc.columns.length}")
         val next = (if (bag) produced else produced.except(acc)).localCheckpoint(true)
         if (next.isEmpty) done = true
-        else { acc = acc.unionAll(next).localCheckpoint(true); working = next }
+        // acc stays a LAZY union of the checkpointed frontiers — each
+        // level's rows materialize exactly once (in `next`); re-
+        // checkpointing the accumulation here would rewrite all prior
+        // levels every round, O(depth × total) instead of O(total).
+        else { acc = acc.unionAll(next); working = next }
       }
       acc.createOrReplaceTempView(name)
       sql(s, finalSql)

@@ -104,7 +104,7 @@ object TableStats {
     * swap-versioned table; (file count, total bytes) of the root for an
     * append-layout table — any publish/append moves the stamp, which is
     * what gates plan decisions on stats staleness. */
-  private def currentStamp(dir: String): String =
+  private[tables] def currentStamp(dir: String): String =
     if (ParquetTable.exists(dir))
       "v" + graft.streaming.VersionNames.idOf(
         Paths.get(ParquetTable.currentPath(dir)).getFileName.toString)

@@ -649,6 +649,34 @@ class GraftSqlSpec extends SparkSuite {
     ()
   }
 
+  test("CACHE TABLE serves the pinned snapshot until a write moves the stamp") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_cache", dir, Seq("id"))
+    val r = GraftSql.sql(spark, "CACHE TABLE gsql_cache").head()
+    assert(r.getString(1) == "3", "eager cache reports the row count")
+    assert(GraftSql.sql(spark,
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM gsql_cache").head().getLong(0) == 3L)
+    // A write moves the freshness stamp — the next mount must retire the
+    // cache and serve the NEW snapshot, with no invalidation hook.
+    val s = spark
+    import s.implicits._
+    Seq((9L, "Z")).toDF("id", "status").createOrReplaceTempView("gsql_cache_src")
+    GraftSql.sql(spark, "INSERT INTO gsql_cache SELECT id, status FROM gsql_cache_src")
+    assert(GraftSql.sql(spark,
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM gsql_cache").head().getLong(0) == 4L,
+      "stale cache must not serve the pre-INSERT snapshot")
+    // LAZY spelling defers the materialization; UNCACHE is loud on miss.
+    assert(GraftSql.sql(spark, "CACHE LAZY TABLE gsql_cache").head().getString(1) == "lazy")
+    assert(GraftSql.sql(spark, "UNCACHE TABLE gsql_cache").head().getString(1) == "true")
+    val e = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "UNCACHE TABLE gsql_cache"))
+    assert(e.getMessage.contains("not cached"))
+    assert(GraftSql.sql(spark, "UNCACHE TABLE IF EXISTS gsql_cache")
+      .head().getString(1) == "false")
+    GraftSql.sql(spark, "DROP TABLE gsql_cache")
+    ()
+  }
+
   test("SHOW TABLES lists this session's registrations; LIKE filters; name-sorted") {
     val dir = seedTable()
     GraftSql.register(spark, "gsql_sh_a", dir, Seq("id"))
