@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact per-group `ntile(n)` WITHOUT a per-group global sort.
+/** Exact per-group `ntile(n)` — and the tile-edge ORDER STATISTICS it
+  * implies — WITHOUT a per-group global sort.
   *
   * `ntile(n) OVER (PARTITION BY g ORDER BY score DESC, tie ASC)` plans a
   * WindowExec whose parallelism is bounded by the number of DISTINCT
@@ -27,35 +28,35 @@ import org.apache.spark.sql.functions._
   *     broadcast hash join plus an array fold, no sort anywhere on the
   *     corpus-sized side.
   *
+  * The same boundary machinery exposed directly ([[boundaries]]) gives
+  * exact per-group QUANTILE rows: with tiles = 2 the boundary is the
+  * rank-⌈N/2⌉ row of the DESCENDING order (the upper median), with
+  * tiles = 4 the quartile edges — grouped exact order statistics with
+  * no window, even when the group key is a constant-cardinality column.
+  *
   * The only collects are the per-group counts (bounded by |g|) and the
   * histogram (bounded by |g| × bins) — both read, both documented.
   * Ordering is (score DESC, tie ASC); `tie` must be row-unique within a
   * group so the boundary row — and therefore every tie-crossing tile
   * edge — is deterministic and matches the window-function oracle
-  * hash exactly.
+  * hash exactly. group/score/tie must be NON-NULL (a window ntile
+  * would order NULLs by the session null ordering; the histogram /
+  * driver maps here do not model that).
   *
   * @param binScale histogram granularity: bin = floor(score * binScale).
   *        Pick so (score range × binScale) stays ≤ ~10⁴ per group.
   */
 object ExactNtile {
 
-  def withTile(
-      df: DataFrame,
-      group: String,
-      score: String,
-      tie: String,
-      tiles: Int,
-      tileCol: String = "tile",
-      binScale: Double = 1024.0): DataFrame = {
-    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+  /** Internal: joined boundary rows (_g, group, _j, _s, _t) — None when
+    * no group has 2+ rank edges (every group smaller than 2 rows or
+    * tiles == 1). `_g` is the string-cast group key used by the tiny
+    * broadcast joins; the native group column rides along. */
+  private def boundaryFrame(
+      df: DataFrame, group: String, score: String, tie: String,
+      tiles: Int, binScale: Double): Option[DataFrame] = {
     val spark = df.sparkSession
     import spark.implicits._
-
-    // `_g` is the group key CAST TO STRING for the driver-side maps and
-    // the tiny broadcast joins — the native group column (any type)
-    // passes through untouched. group/score/tie must be NON-NULL (a
-    // window-function ntile would order NULLs by the session null
-    // ordering; this helper's histogram/driver maps do not model that).
     val binned = df
       .withColumn("_g", col(group).cast("string"))
       .withColumn("_bin", floor(col(score) * lit(binScale)).cast("long"))
@@ -85,7 +86,7 @@ object ExactNtile {
     // walk the per-group cumulative histogram: boundary rank K_j lands in
     // bin b_j at within-bin residual r_j (1-based in (score DESC, tie ASC)).
     case class Boundary(g: String, bin: Long, residual: Long, rankIdx: Int)
-    val boundaries: Seq[Boundary] = boundaryRanks.toSeq.flatMap { case (g, ks) =>
+    val bnds: Seq[Boundary] = boundaryRanks.toSeq.flatMap { case (g, ks) =>
       val bins = hist.getOrElse(g, Seq.empty)
       ks.zipWithIndex.map { case (k, j) =>
         var cum = 0L; var i = 0
@@ -93,39 +94,77 @@ object ExactNtile {
         Boundary(g, bins(i)._1, k - cum, j)
       }
     }
-
-    if (boundaries.isEmpty)
-      return binned.drop("_g", "_bin").withColumn(tileCol, lit(1))
+    if (bnds.isEmpty) return None
 
     // (3) refine: rank ONLY the boundary-bin rows. The window partitions
     // on (group, bin) — cardinality grows with the data, and each bin
     // holds a binScale-thin score slice, so no constant-partition sort.
-    val boundaryBins = boundaries.map(b => (b.g, b.bin)).distinct
+    val boundaryBins = bnds.map(b => (b.g, b.bin)).distinct
       .toDF("_g", "_bin")
     val wBin = Window.partitionBy(col("_g"), col("_bin"))
       .orderBy(col(score).desc, col(tie).asc)
     val binRows = binned.join(broadcast(boundaryBins), Seq("_g", "_bin"))
       .withColumn("_r", row_number().over(wBin))
-    val wanted = boundaries.map(b => (b.g, b.bin, b.residual))
-      .toDF("_g", "_bin", "_r")
-    // (4) boundary rows stay a (tiny) DataFrame — NEVER collected — so
-    // the tie column keeps its NATIVE type and the assignment compares
-    // with native ordering (a string round-trip would rank 10 < 9 for
-    // numeric ties). One array per group, broadcast back; the corpus
-    // side does one hash probe + a fold over ≤ tiles-1 elements. No
-    // sort, no row multiplication.
-    val bndDf = binRows.join(broadcast(wanted), Seq("_g", "_bin", "_r"))
-      .select(col("_g"), col(score).cast("double").as("_s"), col(tie).as("_t"))
-      .groupBy(col("_g"))
-      .agg(collect_list(struct(col("_s").as("s"), col("_t").as("t"))).as("_bnds"))
-    binned.join(broadcast(bndDf), Seq("_g"), "left")
-      .withColumn(tileCol,
-        lit(1) + coalesce(expr(
-          s"""aggregate(_bnds, 0, (acc, b) ->
-             |  acc + CASE WHEN CAST($score AS DOUBLE) < b.s
-             |               OR (CAST($score AS DOUBLE) = b.s AND $tie > b.t)
-             |          THEN 1 ELSE 0 END)""".stripMargin.replace("\n", " ")), lit(0)))
-      .drop("_g", "_bin", "_bnds")
+    val wanted = bnds.map(b => (b.g, b.bin, b.residual, b.rankIdx + 1))
+      .toDF("_g", "_bin", "_r", "_j")
+    // boundary rows stay a (tiny) DataFrame — NEVER collected — so the
+    // tie column keeps its NATIVE type and downstream comparisons use
+    // native ordering (a string round-trip would rank 10 < 9 for
+    // numeric ties).
+    Some(binRows.join(broadcast(wanted), Seq("_g", "_bin", "_r"))
+      .select(col("_g"), col(group), col("_j"),
+        col(score).cast("double").as("_s"), col(tie).as("_t")))
+  }
+
+  /** Exact per-group tile-edge rows — the rank-K_j order statistics of
+    * the (score DESC, tie ASC) order — as a tiny DataFrame
+    * (group, boundary_idx, b_score, b_tie), boundary_idx 1-based.
+    * tiles = 2 → the upper-median row; tiles = 4 → quartile edges
+    * (boundary 1 = top-quarter edge … boundary 3 = bottom-quarter
+    * edge). No window over a group-keyed partition anywhere. */
+  def boundaries(
+      df: DataFrame, group: String, score: String, tie: String,
+      tiles: Int, binScale: Double = 1024.0): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    boundaryFrame(df, group, score, tie, tiles, binScale) match {
+      case Some(bf) =>
+        bf.select(col(group), col("_j").as("boundary_idx"),
+          col("_s").as("b_score"), col("_t").as("b_tie"))
+      case None =>
+        df.limit(0).select(col(group), lit(0).as("boundary_idx"),
+          col(score).cast("double").as("b_score"), col(tie).as("b_tie"))
+    }
+  }
+
+  def withTile(
+      df: DataFrame,
+      group: String,
+      score: String,
+      tie: String,
+      tiles: Int,
+      tileCol: String = "tile",
+      binScale: Double = 1024.0): DataFrame = {
+    require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    val binned = df.withColumn("_g", col(group).cast("string"))
+    boundaryFrame(df, group, score, tie, tiles, binScale) match {
+      case None => binned.drop("_g").withColumn(tileCol, lit(1))
+      case Some(bf) =>
+        // (4) assign: tile = 1 + #boundaries the row falls strictly
+        // AFTER in (score DESC, tie ASC). One array per group,
+        // broadcast back; the corpus side does one hash probe + a fold
+        // over ≤ tiles-1 elements. No sort, no row multiplication.
+        val bndDf = bf
+          .groupBy(col("_g"))
+          .agg(collect_list(struct(col("_s").as("s"), col("_t").as("t"))).as("_bnds"))
+        binned.join(broadcast(bndDf), Seq("_g"), "left")
+          .withColumn(tileCol,
+            lit(1) + coalesce(expr(
+              s"""aggregate(_bnds, 0, (acc, b) ->
+                 |  acc + CASE WHEN CAST($score AS DOUBLE) < b.s
+                 |               OR (CAST($score AS DOUBLE) = b.s AND $tie > b.t)
+                 |          THEN 1 ELSE 0 END)""".stripMargin.replace("\n", " ")), lit(0)))
+          .drop("_g", "_bnds")
+    }
   }
 
   /** Convenience: tile column as head/middle/tail-style labels. */

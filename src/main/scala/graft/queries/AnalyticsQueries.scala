@@ -890,6 +890,41 @@ object AnalyticsQueries extends QueryModule {
               |  round(abs(n_obs / CAST(n.n AS DOUBLE) - CAST(($benfordCase) AS DOUBLE)), 6) AS abs_dev
               |FROM d CROSS JOIN n""".stripMargin)),
 
+    // EXACT grouped quantiles with NO window — the ExactNtile boundary
+    // machinery exposed as order statistics: per priority, the three
+    // quartile-edge ROWS of the (price DESC, orderkey ASC) order — the
+    // rank-K_j rows ntile(4) would cut at — found via histogram +
+    // boundary-bin refinement and nothing group-partitioned anywhere
+    // (o_orderpriority has 5 values; a priority-partitioned window
+    // would sort N/5 rows in one task at scale). percentile_disc-class
+    // results but exact, deterministic, and tie-resolved by key.
+    EngineQuery(
+      "q39_exact_quartiles",
+      (s, dir) => {
+        val o = ord(s, dir)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        graft.ops.ExactNtile
+          .boundaries(o, "o_orderpriority", "o_totalprice", "o_orderkey",
+            tiles = 4, binScale = 0.01)
+          .select(col("o_orderpriority"),
+            col("boundary_idx").cast("int").as("boundary_idx"),
+            round(col("b_score"), 2).as("edge_price"),
+            col("b_tie").cast("long").as("edge_orderkey"))
+      },
+      Some("""WITH n AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT o_orderpriority, o_totalprice, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders),
+             |k AS (SELECT n.o_orderpriority, j.j,
+             |    CAST(j.j * (n.n // 4) + least(j.j, n.n % 4) AS BIGINT) AS kj
+             |  FROM n CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j)
+             |SELECT r.o_orderpriority, CAST(k.j AS INT) AS boundary_idx,
+             |  round(r.o_totalprice, 2) AS edge_price,
+             |  CAST(r.o_orderkey AS BIGINT) AS edge_orderkey
+             |FROM r JOIN k ON r.o_orderpriority = k.o_orderpriority AND r.rn = k.kj""".stripMargin)),
+
     // Referential-integrity audit: orphan counts per foreign-key edge of
     // the star schema, each a LEFT ANTI join (the scan of the child
     // side + a broadcast/shuffle probe of the parent keys — never a

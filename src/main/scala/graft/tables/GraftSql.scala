@@ -181,6 +181,10 @@ object GraftSql {
     """(?i)table_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val TableFiles =
     """(?i)table_files\s*\(\s*'([^']+)'\s*\)""".r
+  // table_history('t') — DESCRIBE HISTORY as a composable table-valued
+  // phrase (filter/join/aggregate over the version log in plain SQL).
+  private val TableHistory =
+    """(?i)table_history\s*\(\s*'([^']+)'\s*\)""".r
   // Vector-index surface (Databricks Vector Search / pgvector-shaped
   // spellings over the persisted IVF layout): CREATE/DROP as statements,
   // search as a table-valued phrase. Index and probe sources resolve
@@ -722,13 +726,24 @@ object GraftSql {
           scala.util.matching.Regex.quoteReplacement(view)
         }
       })
-      val statement0 = TableFiles.replaceAllIn(statementV, m => {
+      val statementF = TableFiles.replaceAllIn(statementV, m => {
         if (inLiteral(statementV, m.start))
           scala.util.matching.Regex.quoteReplacement(m.matched)
         else {
           val name = m.group(1)
           val view = s"__graft_tf_${name.replaceAll("[^A-Za-z0-9_]", "_")}"
           tableFiles(s, name).createOrReplaceTempView(view)
+          scala.util.matching.Regex.quoteReplacement(view)
+        }
+      })
+      val statement0 = TableHistory.replaceAllIn(statementF, m => {
+        if (inLiteral(statementF, m.start))
+          scala.util.matching.Regex.quoteReplacement(m.matched)
+        else {
+          val name = m.group(1)
+          val view = s"__graft_th_${name.replaceAll("[^A-Za-z0-9_]", "_")}"
+          describeHistory(s, resolve(s, name).dir, None)
+            .createOrReplaceTempView(view)
           scala.util.matching.Regex.quoteReplacement(view)
         }
       })

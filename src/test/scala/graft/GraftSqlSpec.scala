@@ -649,6 +649,27 @@ class GraftSqlSpec extends SparkSuite {
     ()
   }
 
+  test("table_history TVF composes in plain SQL over the version log") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_th", dir, Seq("id"))
+    // version of the largest snapshot, via ordinary SQL over the log
+    val r = GraftSql.sql(spark,
+      """SELECT CAST(max(version) AS BIGINT) AS v
+        |FROM table_history('gsql_th') WHERE n_rows >= 3""".stripMargin).head()
+    assert(r.getLong(0) == 3L)
+    // joins against the base table work too (mounted in the same statement)
+    assert(GraftSql.sql(spark,
+      """SELECT CAST(count(*) AS BIGINT) AS n
+        |FROM gsql_th CROSS JOIN (SELECT max(version) AS v FROM table_history('gsql_th')) h
+        |WHERE h.v = 3""".stripMargin).head().getLong(0) == 3L)
+    // a literal containing the phrase is data, not a TVF call
+    assert(GraftSql.sql(spark,
+      "SELECT 'table_history(''x'')' AS s_col FROM gsql_th WHERE id = 2")
+      .head().getString(0) == "table_history('x')")
+    GraftSql.sql(spark, "DROP TABLE gsql_th")
+    ()
+  }
+
   test("CACHE TABLE serves the pinned snapshot until a write moves the stamp") {
     val dir = seedTable()
     GraftSql.register(spark, "gsql_cache", dir, Seq("id"))
