@@ -377,6 +377,30 @@ object ParquetTable {
     deleted
   }
 
+  /** TRUNCATE TABLE — a full delete at metadata price. The next version
+    * holds ONE schema-only parquet file; no current data file is read
+    * beyond its footer (the reported row count is parquet metadata), and
+    * every prior snapshot stays readable (time travel) until VACUUM —
+    * the same versioning contract as [[deleteWhere]]. A predicate-free
+    * DELETE rewrites nothing either, but it still runs the hit-count
+    * scan over every file; TRUNCATE skips even that, so at 100 TB it is
+    * O(file count) regardless of data volume. Returns rows removed. */
+  def truncate(spark: SparkSession, dir: String): Long = {
+    val cur = Paths.get(currentPath(dir))
+    requireNoDv(cur, "truncate")
+    val df = spark.read.parquet(cur.toString)
+    val n = df.count() // answered from parquet footers, not a data scan
+    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+    val next = VersionNames.format(nextId)
+    // limit(0) keeps the schema; the single empty partition still emits
+    // one footer-only part file, so readers of the new snapshot resolve
+    // the schema without any special empty-table casing.
+    df.limit(0).repartition(1).write.mode("overwrite")
+      .parquet(Paths.get(dir, next).toString)
+    publish(dir, next)
+    n
+  }
+
   /** Delta's `INSERT INTO ... REPLACE WHERE pred` — an ATOMIC
     * predicate-scoped overwrite in ONE commit: every current row
     * matching the predicate is dropped and `data` lands in its place.

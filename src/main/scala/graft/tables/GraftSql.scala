@@ -134,6 +134,14 @@ object GraftSql {
     ("""(?is)^\s*SHOW\s+CREATE\s+TABLE\s+(""" + IdPat + """)\s*;?\s*$""").r
   private val DropTable =
     ("""(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(""" + IdPat + """)\s*;?\s*$""").r
+  private val TruncateTable =
+    ("""(?is)^\s*TRUNCATE\s+TABLE\s+(""" + IdPat + """)\s*;?\s*$""").r
+  // ALTER TABLE t RENAME TO t2 — cannot collide with RenameCol: COLUMN
+  // follows RENAME there, TO follows RENAME here.
+  private val RenameTable =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+RENAME\s+TO\s+(""" + IdPat + """)\s*;?\s*$""").r
+  private val ShowColumns =
+    ("""(?is)^\s*SHOW\s+COLUMNS\s+(?:IN|FROM)\s+(""" + IdPat + """)\s*;?\s*$""").r
   private val CreateMv =
     ("""(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(""" + IdPat + """)\s+AS\s+(SELECT\b.*)$""").r
   private val RefreshMv =
@@ -287,6 +295,43 @@ object GraftSql {
         s"DROP TABLE: '$name' is not registered (use IF EXISTS for a no-op)")
       singleRow(s, Seq("name" -> name,
         "dropped" -> (if (existed) "true" else "false")))
+    // TRUNCATE TABLE t — the predicate-free delete at metadata price:
+    // ParquetTable.truncate publishes a schema-only snapshot without the
+    // hit-count scan DELETE runs, so the cost is O(file count) at any
+    // data volume; prior versions stay time-travel-readable until VACUUM.
+    case TruncateTable(rawName) =>
+      val name = normalizeIdent(rawName)
+      val ref = resolve(s, name)
+      require(ParquetTable.exists(ref.dir),
+        s"TRUNCATE TABLE '$name': not a versioned table")
+      val n = ParquetTable.truncate(s, ref.dir)
+      TableStats.reanalyzeOnPublish(s, ref.dir)
+      singleRow(s, Seq("name" -> name, "n_deleted" -> n))
+    // ALTER TABLE t RENAME TO t2 — EXTERNAL-table semantics like DROP:
+    // the registry entry moves, no file is touched, and a pinned cache
+    // follows the name (its stamp still guards freshness).
+    case RenameTable(rawFrom, rawTo) =>
+      val from = normalizeIdent(rawFrom)
+      val to = normalizeIdent(rawTo)
+      val ref = registry.getOrElse((s, from), throw new IllegalArgumentException(
+        s"ALTER TABLE RENAME: '$from' is not registered"))
+      require(!registry.contains((s, to)),
+        s"ALTER TABLE RENAME: '$to' is already registered — DROP it first")
+      registry.put((s, to), ref)
+      registry.remove((s, from))
+      cachedTables.remove((s, from)).foreach(e => cachedTables.put((s, to), e))
+      singleRow(s, Seq("name" -> to, "renamed_from" -> from,
+        "location" -> ref.dir))
+    // SHOW COLUMNS IN|FROM t — the column names of the EVOLVED logical
+    // schema (same metadata layers DESCRIBE reads; manifest-bounded).
+    case ShowColumns(rawName) =>
+      val name = normalizeIdent(rawName)
+      registry.get((s, name)) match {
+        case Some(ref) =>
+          describeTable(s, name, ref.dir, ref.keyCols, extended = false)
+            .select("col_name")
+        case None => s.sql(statement)
+      }
     case CreateMv(rawName, select) =>
       // CREATE MATERIALIZED VIEW mv AS SELECT g1, g2, COUNT(*) AS n,
       // SUM(c) AS s FROM base GROUP BY g1, g2 — the exactly-maintainable

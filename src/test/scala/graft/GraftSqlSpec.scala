@@ -716,4 +716,60 @@ class GraftSqlSpec extends SparkSuite {
     GraftSql.sql(spark, "DROP TABLE gsql_sh_b")
     ()
   }
+
+  test("TRUNCATE TABLE: empty snapshot, schema kept, history time-travels, appends resume") {
+    val dir = seedTable() // versions 1,2,3; current = 3 rows
+    GraftSql.register(spark, "gsql_tr", dir, Seq("id"))
+    val r = GraftSql.sql(spark, "TRUNCATE TABLE gsql_tr").collect().head
+    assert(r.getAs[Long]("n_deleted") == 3L)
+    val cur = ParquetTable.read(spark, dir)
+    assert(cur.count() == 0L, "live snapshot is empty")
+    assert(cur.columns.toSeq == Seq("id", "status"),
+      "schema survives in the footer-only file")
+    // Prior snapshot untouched: time travel still reads 3 rows.
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM gsql_tr VERSION AS OF 3").collect()
+      .head.getLong(0) == 3L)
+    // The table remains writable: INSERT INTO lands version 5.
+    GraftSql.sql(spark,
+      "INSERT INTO gsql_tr SELECT CAST(9 AS BIGINT) AS id, 'Z' AS status")
+    val after = ParquetTable.read(spark, dir).collect()
+    assert(after.map(_.getLong(0)).toSeq == Seq(9L))
+    GraftSql.sql(spark, "DROP TABLE gsql_tr")
+    ()
+  }
+
+  test("ALTER TABLE RENAME TO: registry moves, files untouched, collisions rejected") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_rn", dir, Seq("id"))
+    GraftSql.sql(spark, "ALTER TABLE gsql_rn RENAME TO gsql_rn2")
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM gsql_rn2")
+      .collect().head.getLong(0) == 3L, "new name resolves")
+    val oldGone = intercept[Exception](
+      GraftSql.sql(spark, "SELECT * FROM gsql_rn").collect())
+    assert(oldGone.getMessage.toLowerCase.contains("gsql_rn"))
+    // Renaming onto a live registration is rejected before any change.
+    GraftSql.register(spark, "gsql_rn3", dir, Seq("id"))
+    val clash = intercept[IllegalArgumentException](
+      GraftSql.sql(spark, "ALTER TABLE gsql_rn2 RENAME TO gsql_rn3"))
+    assert(clash.getMessage.contains("already registered"))
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM gsql_rn2")
+      .collect().head.getLong(0) == 3L, "failed rename leaves source intact")
+    GraftSql.sql(spark, "DROP TABLE gsql_rn2")
+    GraftSql.sql(spark, "DROP TABLE gsql_rn3")
+    ()
+  }
+
+  test("SHOW COLUMNS lists the evolved logical schema") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_sc", dir, Seq("id"))
+    assert(GraftSql.sql(spark, "SHOW COLUMNS IN gsql_sc")
+      .collect().map(_.getString(0)).toSeq == Seq("id", "status"))
+    // A logical rename surfaces (column mapping, no file rewrite).
+    GraftSql.sql(spark, "ALTER TABLE gsql_sc RENAME COLUMN status TO state")
+    assert(GraftSql.sql(spark, "SHOW COLUMNS FROM gsql_sc")
+      .collect().map(_.getString(0)).toSeq == Seq("id", "state"))
+    GraftSql.sql(spark, "DROP TABLE gsql_sc")
+    ()
+  }
 }
