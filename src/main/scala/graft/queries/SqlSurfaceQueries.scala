@@ -45,7 +45,7 @@ object SqlSurfaceQueries extends QueryModule {
 
   private val dmlSeeded =
     scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String), (String, String, String, String, String)]
+      .empty[(SparkSession, String), (String, String, String, String, String, String)]
 
   /** Three small versioned tables seeded from `orders`, each mutated by
     * ONE row-level DML STATEMENT through GraftSql.sql — the gated
@@ -56,7 +56,7 @@ object SqlSurfaceQueries extends QueryModule {
     * race-evaluate this builder, and a session-global name would let
     * one build's statements resolve to the other's directory. */
   private def dmlTables(
-      s: SparkSession, dir: String): (String, String, String, String, String) =
+      s: SparkSession, dir: String): (String, String, String, String, String, String) =
     dmlSeeded.getOrElseUpdate((s, dir), {
       import org.apache.spark.sql.functions._
       import graft.tables.GraftSql
@@ -71,7 +71,7 @@ object SqlSurfaceQueries extends QueryModule {
         nm
       }
       val (u, d, m) = (mk("upd"), mk("del"), mk("mrg"))
-      val (o, r) = (mk("ovw"), mk("rpw"))
+      val (o, r, nm) = (mk("ovw"), mk("rpw"), mk("nms"))
       GraftSql.sql(s, s"UPDATE $u SET o_orderstatus = 'U', " +
         s"o_totalprice = o_totalprice + 500.0 WHERE o_orderkey % 7 = 0")
       GraftSql.sql(s, s"DELETE FROM $d WHERE o_orderkey % 11 = 0")
@@ -108,7 +108,23 @@ object SqlSurfaceQueries extends QueryModule {
            |SELECT o_orderkey, 'R' AS o_orderstatus,
            |  o_totalprice * 3 AS o_totalprice FROM $r
            |WHERE o_orderkey % 8 = 0""".stripMargin)
-      (u, d, m, o, r)
+      // NOT MATCHED BY SOURCE family: %5 keys are the source (replaced
+      // as 'M' at 2× price); every OTHER target row routes first-match-
+      // wins through the NMBS chain — %3 rows restated as 'S' at +100,
+      // then %7 rows deleted. A %21-and-not-%5 key pins the clause
+      // ORDER: it matches both guards and must be updated, not deleted.
+      val nmSrcView = s"dml_nmsrc_$uid"
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .createOrReplaceTempView(nmSrcView)
+      GraftSql.sql(s,
+        s"""MERGE INTO $nm AS t USING $nmSrcView AS s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 3 = 0
+           |  THEN UPDATE SET o_orderstatus = 'S', o_totalprice = o_totalprice + 100.0
+           |WHEN NOT MATCHED BY SOURCE AND o_orderkey % 7 = 0 THEN DELETE""".stripMargin)
+      (u, d, m, o, r, nm)
     })
 
   private val copySeeded =
@@ -250,6 +266,29 @@ object SqlSurfaceQueries extends QueryModule {
              |  UNION ALL
              |  SELECT 'R' AS st, o_totalprice * 3 AS p
              |  FROM orders WHERE o_orderkey % 8 = 0
+             |)
+             |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(p * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM fin GROUP BY st""".stripMargin)),
+
+    // MERGE with the NOT MATCHED BY SOURCE clause family: %5 keys
+    // replaced from the source; unmatched target rows route first-
+    // match-wins — %3 restated ('S', +100), then %7 deleted. A key
+    // divisible by 21 but not 5 matches BOTH guards and must survive
+    // as 'S' — the oracle's CASE order encodes exactly that precedence.
+    EngineQuery(
+      "sql_dml_merge_nmbs",
+      (s, dir) => dmlRollup(s, dmlTables(s, dir)._6),
+      Some("""WITH fin AS (
+             |  SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'M'
+             |              WHEN o_orderkey % 3 = 0 THEN 'S'
+             |              ELSE o_orderstatus END AS st,
+             |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+             |              WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+             |              ELSE o_totalprice END AS p
+             |  FROM orders
+             |  WHERE NOT (o_orderkey % 5 <> 0 AND o_orderkey % 3 <> 0
+             |             AND o_orderkey % 7 = 0)
              |)
              |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(CAST(round(p * 100, 0) AS BIGINT)) AS BIGINT) AS cents

@@ -1603,22 +1603,35 @@ object GraftSql {
     * MERGE INTO t [AS a] USING src | (SELECT ...) [AS b] ON <equi-keys>
     *   [WHEN MATCHED AND <guard> THEN DELETE]
     *   [WHEN MATCHED THEN UPDATE SET *]
-    *   [WHEN NOT MATCHED THEN INSERT *]
+    *   [WHEN NOT MATCHED [BY TARGET] THEN INSERT *]
+    *   [WHEN NOT MATCHED BY SOURCE [AND <guard>] THEN DELETE
+    *                                            | UPDATE SET c = e, ...]*
     * -- or the pure-delete form:
     * MERGE INTO t USING src ON <equi-keys> WHEN MATCHED THEN DELETE
     * }}}
     *
     * ON must be a conjunction of `[alias.]col = [alias.]col` equalities
-    * naming the SAME column on both sides (the merge keys). Guards
-    * evaluate over the SOURCE row (explicit target-alias references are
-    * rejected; Delta's guard-on-target form needs target values, which
-    * the row-replacement merge does not thread through). UPDATE SET * /
-    * INSERT * are whole-row replacement; the column-list forms are
-    * rejected loudly rather than half-supported. Matched rows with no
-    * applicable clause are left untouched, and unmatched source rows
-    * without INSERT * are no-ops — exactly Delta's clause semantics.
-    * Registered CHECK constraints validate the upsert rows before any
-    * file is rewritten. */
+    * naming the SAME column on both sides (the merge keys). MATCHED
+    * guards evaluate over the SOURCE row (explicit target-alias
+    * references are rejected; Delta's guard-on-target form needs target
+    * values, which the row-replacement merge does not thread through).
+    * UPDATE SET * / INSERT * are whole-row replacement; the column-list
+    * forms are rejected loudly rather than half-supported. Matched rows
+    * with no applicable clause are left untouched, and unmatched source
+    * rows without INSERT * are no-ops — exactly Delta's clause
+    * semantics.
+    *
+    * NOT MATCHED BY SOURCE clauses act on TARGET rows whose key has no
+    * source partner (Delta 2.3+): guards and UPDATE SET expressions see
+    * the target row (source references are rejected — there is no
+    * source row), multiple clauses apply FIRST-MATCH-WINS in statement
+    * order, and a row matching no clause survives untouched. The
+    * unguarded-DELETE spelling is the full-sync mirror: target keys
+    * absent from the source vanish in the same commit that upserts the
+    * rest — at 100 TB the touched-file set is governed by where those
+    * keys live, the same file-granular copy-on-write as every other
+    * clause. Registered CHECK constraints validate the upsert rows
+    * before any file is rewritten. */
   private def mergeIntoSql(s: SparkSession, name: String, tgtAlias: Option[String],
       tail: String): DataFrame = {
     val (dir, target) = dmlTable(s, name)
@@ -1664,9 +1677,17 @@ object GraftSql {
     val GuardedDelete = """(?is)^MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE$""".r
     val PlainDelete   = """(?is)^MATCHED\s+THEN\s+DELETE$""".r
     val UpdateAll     = """(?is)^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*$""".r
-    val InsertAll     = """(?is)^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*$""".r
+    val InsertAll     = """(?is)^NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+INSERT\s+\*$""".r
+    val NmbsDelete    =
+      """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE$""".r
+    val NmbsUpdate    =
+      """(?is)^NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+)$""".r
     var guard: Option[String] = None
     var pureDelete = false; var hasUpdate = false; var hasInsert = false
+    // (guard, None) = DELETE; (guard, Some(assignments)) = UPDATE SET.
+    // Statement order is kept — NMBS clauses apply first-match-wins.
+    val nmbs = scala.collection.mutable.ListBuffer
+      .empty[(Option[String], Option[Map[String, String]])]
     clauses.foreach {
       case GuardedDelete(g) =>
         require(guard.isEmpty, "MERGE INTO: at most one guarded DELETE clause")
@@ -1674,14 +1695,18 @@ object GraftSql {
       case PlainDelete() => pureDelete = true
       case UpdateAll()   => hasUpdate = true
       case InsertAll()   => hasInsert = true
+      case NmbsDelete(g) => nmbs += ((Option(g), None))
+      case NmbsUpdate(g, sets) =>
+        nmbs += ((Option(g), Some(parseAssignments(sets))))
       case c => throw new IllegalArgumentException(
         s"MERGE INTO: unsupported clause 'WHEN $c' — supported: " +
           "WHEN MATCHED [AND guard] THEN DELETE, WHEN MATCHED THEN UPDATE SET *, " +
-          "WHEN NOT MATCHED THEN INSERT *")
+          "WHEN NOT MATCHED [BY TARGET] THEN INSERT *, " +
+          "WHEN NOT MATCHED BY SOURCE [AND guard] THEN DELETE | UPDATE SET c = e, ...")
     }
-    require(!(pureDelete && (hasUpdate || hasInsert || guard.nonEmpty)),
+    require(!(pureDelete && (hasUpdate || hasInsert || guard.nonEmpty || nmbs.nonEmpty)),
       "MERGE INTO: unguarded WHEN MATCHED THEN DELETE cannot combine with other clauses")
-    require(pureDelete || hasUpdate || hasInsert || guard.nonEmpty,
+    require(pureDelete || hasUpdate || hasInsert || guard.nonEmpty || nmbs.nonEmpty,
       "MERGE INTO: no actionable clause")
     // Guards evaluate over the source row: strip the source alias
     // qualifier, reject explicit target-alias references.
@@ -1703,13 +1728,59 @@ object GraftSql {
         s"MERGE INTO: source has duplicate rows on (${keys.mkString(",")}) — " +
           "deduplicate the source first")
     }
-    val prepared: DataFrame =
+    // NOT MATCHED BY SOURCE rows: target rows with no source key partner,
+    // routed to the FIRST clause (statement order) whose guard holds.
+    // Guards and SET expressions see the target row only.
+    val nmbsDf: Option[DataFrame] = if (nmbs.isEmpty) None else {
+      def targetExpr(e: String, what: String): String = {
+        srcAlias.filterNot(a => tgtAlias.contains(a)).foreach { a =>
+          require(("""(?i)(?<![A-Za-z0-9_])""" + java.util.regex.Pattern.quote(a) + """\s*\.""")
+              .r.findFirstIn(e).isEmpty,
+            s"MERGE INTO NOT MATCHED BY SOURCE $what may reference TARGET " +
+              s"columns only (found source alias '$a.')")
+        }
+        tgtAlias.foldLeft(e)((acc, a) => acc.replaceAll(
+          """(?i)(?<![A-Za-z0-9_])""" + java.util.regex.Pattern.quote(a) + """\s*\.\s*""", ""))
+      }
+      nmbs.flatMap(_._2).foreach { sets =>
+        val bad = sets.keySet -- target.columns.map(_.toLowerCase).toSet
+        require(bad.isEmpty, "MERGE INTO NOT MATCHED BY SOURCE UPDATE SET " +
+          s"references missing columns: ${bad.toSeq.sorted.mkString(",")}")
+        require((sets.keySet & keys.map(_.toLowerCase).toSet).isEmpty,
+          "MERGE INTO NOT MATCHED BY SOURCE UPDATE SET may not assign a merge key")
+      }
+      val srcKeys = srcDf0.select(keys.map(col): _*).distinct()
+      val unmatched = target.join(srcKeys, keys, "left_anti")
+      val act = nmbs.toList.zipWithIndex.foldRight(lit(null).cast("int")) {
+        case (((g, _), i), acc) =>
+          val hit = g.map(e => coalesce(expr(targetExpr(e, "guard")), lit(false)))
+            .getOrElse(lit(true))
+          when(hit, lit(i)).otherwise(acc)
+      }
+      val tagged = unmatched.withColumn("__graft_act", act)
+        .filter(col("__graft_act").isNotNull)
+      val parts = nmbs.toList.zipWithIndex.map { case ((_, sets), i) =>
+        val rows = tagged.filter(col("__graft_act") === i).drop("__graft_act")
+        sets match {
+          case None => rows.select(target.columns.map(col).toIndexedSeq: _*)
+            .withColumn("_deleted", lit(true))
+          case Some(m) => rows.select(target.schema.fields.map { f =>
+            m.get(f.name.toLowerCase) match {
+              case Some(e) => expr(targetExpr(e, "UPDATE SET")).cast(f.dataType).as(f.name)
+              case None    => col(f.name)
+            }
+          }.toIndexedSeq: _*).withColumn("_deleted", lit(false))
+        }
+      }
+      Some(parts.reduce(_.unionByName(_)))
+    }
+    val srcSide: Option[DataFrame] =
       if (pureDelete) {
         // Only keys are needed; fill the row image from the target so
         // mergeInto's column contract holds whatever the source carries.
         val srcKeys = srcDf0.select(keys.map(col): _*).distinct()
-        target.join(srcKeys, keys, "left_semi").withColumn("_deleted", lit(true))
-      } else {
+        Some(target.join(srcKeys, keys, "left_semi").withColumn("_deleted", lit(true)))
+      } else if (hasUpdate || hasInsert || guard.nonEmpty) {
         val tKeys = target.select(keys.map(col): _*).distinct()
           .withColumn("__graft_m", lit(true))
         val srcM = srcDf0.join(tKeys, keys, "left")
@@ -1730,9 +1801,10 @@ object GraftSql {
         require(missing.isEmpty,
           "MERGE INTO with UPDATE SET * / INSERT *: the source must carry every " +
             s"target column; missing: ${missing.toSeq.sorted.mkString(",")}")
-        kept.select((target.columns.map(col) :+ col("__graft_del").as("_deleted"))
-          .toIndexedSeq: _*)
-      }
+        Some(kept.select((target.columns.map(col) :+ col("__graft_del").as("_deleted"))
+          .toIndexedSeq: _*))
+      } else None // only NMBS clauses: the source contributes keys alone
+    val prepared: DataFrame = (srcSide.toSeq ++ nmbsDf.toSeq).reduce(_.unionByName(_))
     val cs = Constraints.checks(dir)
     if (cs.nonEmpty && !pureDelete) {
       val ups = prepared.filter(!col("_deleted"))

@@ -255,6 +255,79 @@ class SqlDmlSpec extends SparkSuite {
       "old files hard-linked, not copied")
   }
 
+  test("MERGE NOT MATCHED BY SOURCE DELETE: full-sync mirror in one commit") {
+    val s = spark
+    import s.implicits._
+    val (name, _) = seed(base)
+    // Source: 2 updated, 6 new; 1/3/4/5 absent → must vanish.
+    Seq((2L, "X", 99.0), (6L, "N", 60.0))
+      .toDF("id", "status", "price").createOrReplaceTempView("nmbs_src1")
+    val r = GraftSql.sql(spark,
+      s"""MERGE INTO $name AS t USING nmbs_src1 AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY TARGET THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin).collect().head
+    assert(r.getAs[Long]("n_upserted") == 2L && r.getAs[Long]("n_deleted") == 4L)
+    assert(state(name) == Set((2L, "X", 99.0), (6L, "N", 60.0)),
+      "post-merge target IS the source")
+    // ONE commit: exactly one new version on top of the seed.
+    assert(GraftSql.sql(spark, s"SELECT count(*) AS c FROM $name VERSION AS OF 1")
+      .head.getLong(0) == 5L)
+  }
+
+  test("MERGE NMBS clause chain: first-match-wins order, guards see target row") {
+    val s = spark
+    import s.implicits._
+    val (name, _) = seed(Seq(
+      (1L, "A", 10.0),  // unmatched, %3≠0, price<25 → clause 2 deletes
+      (3L, "A", 30.0),  // unmatched, %3=0 AND price>25 → BOTH guards... order pins UPDATE
+      (5L, "B", 50.0),  // source row → replaced
+      (7L, "C", 70.0))) // unmatched, matches neither guard → survives untouched
+    Seq((5L, "M", 55.0)).toDF("id", "status", "price")
+      .createOrReplaceTempView("nmbs_src2")
+    GraftSql.sql(spark,
+      s"""MERGE INTO $name AS t USING nmbs_src2 AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE AND t.id % 3 = 0
+         |  THEN UPDATE SET status = 'S', price = price + 0.5
+         |WHEN NOT MATCHED BY SOURCE AND price < 25.0 THEN DELETE""".stripMargin)
+    assert(state(name) == Set(
+      (3L, "S", 30.5), (5L, "M", 55.0), (7L, "C", 70.0)))
+  }
+
+  test("MERGE with ONLY NMBS clauses: source contributes keys alone") {
+    val s = spark
+    import s.implicits._
+    val (name, _) = seed(base)
+    // Keys-only source (no status/price): legal because no clause reads it.
+    Seq(1L, 2L).toDF("id").createOrReplaceTempView("nmbs_src3")
+    val r = GraftSql.sql(spark,
+      s"""MERGE INTO $name USING nmbs_src3 ON id = id
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET status = 'G'""".stripMargin)
+      .collect().head
+    assert(r.getAs[Long]("n_upserted") == 3L)
+    assert(state(name) == Set(
+      (1L, "A", 10.0), (2L, "B", 20.0), (3L, "G", 30.0),
+      (4L, "G", 40.0), (5L, "G", 50.0)))
+  }
+
+  test("MERGE NMBS rejections: source refs in guard/SET, key assignment") {
+    val s = spark
+    import s.implicits._
+    val (name, _) = seed(base)
+    Seq((1L, "Z", 1.0)).toDF("id", "status", "price")
+      .createOrReplaceTempView("nmbs_src4")
+    val g = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      s"""MERGE INTO $name AS t USING nmbs_src4 AS s ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND s.price > 0 THEN DELETE""".stripMargin))
+    assert(g.getMessage.contains("TARGET columns only"))
+    val k = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      s"""MERGE INTO $name AS t USING nmbs_src4 AS s ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET id = id + 100""".stripMargin))
+    assert(k.getMessage.contains("merge key"))
+    assert(state(name) == base.toSet, "failed statements changed nothing")
+  }
+
   test("DML on a schema-diverged table (pending RENAME) is refused loudly") {
     val s = spark
     import s.implicits._
