@@ -1052,6 +1052,57 @@ object EventsQueries extends QueryModule {
              |  (SELECT CAST(min(ms) AS BIGINT) FROM sc WHERE sc.s_up = m.mu) AS up_change_ms,
              |  m.md AS max_cusum_dn,
              |  (SELECT CAST(min(ms) AS BIGINT) FROM sc WHERE sc.s_dn = m.md) AS dn_change_ms
-             |FROM t CROSS JOIN m""".stripMargin))
+             |FROM t CROSS JOIN m""".stripMargin)),
+
+    // Per-type hourly-volume trend by exact least-squares: y = events per
+    // hour over the DENSE hourly spine (zero-filled — an OLS on observed
+    // hours only would bias every sparse type upward), x = hours since
+    // the global min hour. All four moments (Σx, Σy, Σxy, Σx²) are exact
+    // BIGINTs — slope and intercept each touch floating point in exactly
+    // ONE division at the end, so both engines agree bitwise. Work: one
+    // (type, hour) count with map-side combine + a |types|-row moment
+    // rollup; the spine generates from a broadcast 1-row bounds agg —
+    // nothing here grows faster than hours × types at any event volume.
+    EngineQuery(
+      "evt_trend_ols",
+      (s, dir) => {
+        val e = events(s, dir)
+          .withColumn("hr", expr("unix_millis(ts) DIV 3600000L"))
+        val bounds = e.agg(min("hr").as("lo"), max("hr").as("hi"))
+        val types = e.select("event_type").distinct()
+        val spine = types.crossJoin(broadcast(bounds))
+          .selectExpr("event_type", "explode(sequence(lo, hi)) AS hr", "lo")
+        val counts = e.groupBy("event_type", "hr").agg(count(lit(1)).as("y"))
+        val m = spine.join(counts, Seq("event_type", "hr"), "left")
+          .select(col("event_type"), (col("hr") - col("lo")).as("x"),
+            coalesce(col("y"), lit(0L)).as("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        m.select(col("event_type"), col("n"), col("sy").as("n_events"),
+          slope.as("slope_per_hour"),
+          ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+            col("n").cast("double")).as("intercept"))
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_ms(ts) // 3600000 AS hr FROM events),
+             |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM e),
+             |t AS (SELECT DISTINCT event_type FROM e),
+             |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS hr, lo FROM t, b),
+             |c AS (SELECT event_type, hr, count(*) AS y FROM e GROUP BY 1, 2),
+             |f AS (SELECT s.event_type, s.hr - s.lo AS x, coalesce(c.y, 0) AS y
+             |  FROM spine s LEFT JOIN c ON s.event_type = c.event_type AND s.hr = c.hr),
+             |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+             |  FROM f GROUP BY 1)
+             |SELECT event_type, n, sy AS n_events,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_hour,
+             |  (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) /
+             |    CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE) AS intercept
+             |FROM m""".stripMargin))
   )
 }

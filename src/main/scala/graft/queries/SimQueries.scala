@@ -1121,6 +1121,66 @@ object SimQueries extends QueryModule {
               |  CAST(sum(CASE WHEN rf <= 5 AND rt <= 5 THEN 1 ELSE 0 END) AS BIGINT)
               |    AS overlap_at_5,
               |  CAST(max(CASE WHEN rt = 1 THEN vid END) AS BIGINT) AS trunc_top1
-              |FROM r GROUP BY qid""".stripMargin))
+              |FROM r GROUP BY qid""".stripMargin)),
+
+    // Johnson-Lindenstrauss random projection (Achlioptas 2003's
+    // database-friendly ±1 matrix): 64 dims → 16 via a FIXED sign
+    // matrix rendered from one Scala array into IDENTICAL arithmetic
+    // text for both engines — every projected coordinate and both
+    // squared distances are left-associated double chains over the same
+    // operands, so the whole audit is bit-exact with zero tolerance.
+    // The audit: for 25 fixed probe pairs, ratio of the unbiased
+    // projected distance estimate (d2_proj/16) to the true 64-dim
+    // distance — the concentration JL promises. Scale shape: the
+    // projection itself is ONE narrow codegen'd projection (16 fused
+    // sign-sums per row, no shuffle, 4× smaller vectors downstream);
+    // the quadratic audit is confined to the fixed probe set.
+    EngineQuery(
+      "sim_jl_project",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val a = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 50)
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        val pr = a.join(b, col("b_id") === col("a_id") + 1)
+        val dCols = (1 to 64).map(j =>
+          s"CAST(element_at(a_emb, $j) AS DOUBLE) - CAST(element_at(b_emb, $j) AS DOUBLE) AS d$j")
+        val step1 = pr.selectExpr(Seq("a_id", "b_id") ++ dCols: _*)
+        val step2 = step1.selectExpr(
+          Seq("a_id", "b_id", jlOrigSql) ++ jlProjSqls: _*)
+        step2.selectExpr("a_id", "b_id", "d2_orig", jlProjSumSql,
+          s"($jlProjSumExpr) / (16.0 * d2_orig) AS jl_ratio")
+      },
+      Some(s"""WITH pr AS (
+              |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |    ${(1 to 64).map(j => s"CAST(a.embedding[$j] AS DOUBLE) - CAST(b.embedding[$j] AS DOUBLE) AS d$j").mkString(",\n              |    ")}
+              |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+              |  WHERE a.vec_id % 2 = 0 AND a.vec_id < 50),
+              |pj AS (SELECT a_id, b_id, $jlOrigSql,
+              |    ${jlProjSqls.mkString(",\n              |    ")}
+              |  FROM pr)
+              |SELECT a_id, b_id, d2_orig, $jlProjSumSql,
+              |  ($jlProjSumExpr) / (16.0 * d2_orig) AS jl_ratio
+              |FROM pj""".stripMargin))
   )
+
+  /** JL ±1 sign matrix (16×64), fixed by an LCG over the flat index —
+    * generated ONCE here and rendered into both engines' SQL text, so
+    * no cross-engine arithmetic ever evaluates the generator. */
+  private val jlSigns: Array[Array[Int]] = Array.tabulate(16, 64) { (i, j) =>
+    if ((((i * 64 + j + 1) * 1103515245L + 12345L) >> 16 & 1L) == 1L) 1 else -1
+  }
+  /** p_i = Σ_j s_ij·d_j as a left-associated chain of exact ±1.0
+    * multiplies — identical text on both sides. */
+  private val jlProjSqls: Seq[String] = (0 until 16).map { i =>
+    (0 until 64).map { j =>
+      val sgn = if (jlSigns(i)(j) > 0) "1.0" else "-1.0"
+      s"($sgn * d${j + 1})"
+    }.mkString(" + ") + s" AS p${i + 1}"
+  }
+  private val jlOrigSql: String =
+    (1 to 64).map(j => s"(d$j * d$j)").mkString(" + ") + " AS d2_orig"
+  private val jlProjSumExpr: String =
+    (1 to 16).map(i => s"(p$i * p$i)").mkString(" + ")
+  private val jlProjSumSql: String = jlProjSumExpr + " AS d2_proj"
 }
