@@ -1070,6 +1070,31 @@ object AnalyticsQueries extends QueryModule {
              |SELECT r_score, f_score, m_score,
              |  CAST(count(*) AS BIGINT) AS n_customers,
              |  CAST(sum(cents) AS BIGINT) AS seg_cents
-             |FROM scored GROUP BY 1, 2, 3""".stripMargin))
+             |FROM scored GROUP BY 1, 2, 3""".stripMargin)),
+
+    // LISTAGG / string_agg — ordered string aggregation (ANSI 2016's
+    // LISTAGG ... WITHIN GROUP), the SQL-surface op that turns a group
+    // into one delimited string (report rows, label lists, compacted
+    // fan-out). Determinism is the whole game: the concatenation order
+    // is pinned by an explicit sort inside the aggregate on both sides,
+    // so the strings hash-match exactly. Engine spelling is
+    // collect_set → array_sort → array_join (map-side partial
+    // collect_set keeps the shuffle at distinct-values size, and the
+    // per-group state is bounded by the type-catalog cardinality —
+    // a dimension, not the fact table).
+    EngineQuery(
+      "q40_listagg",
+      (s, dir) =>
+        t(s, dir, "part")
+          .groupBy("p_brand")
+          .agg(
+            countDistinct("p_type").as("n_types"),
+            array_join(array_sort(collect_set(col("p_type"))), "|").as("types_csv"),
+            sum(expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)")).as("cents")),
+      Some("""SELECT p_brand,
+             |  CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
+             |  string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types_csv,
+             |  CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM part GROUP BY p_brand""".stripMargin))
   )
 }

@@ -419,6 +419,37 @@ object StorageQueries extends QueryModule {
       loc
     })
 
+  private val seededDef =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Column-default lifecycle seed (Delta's ALTER COLUMN SET DEFAULT):
+    * an empty typed table gets defaults on two columns, the even-key
+    * wave omits BOTH (defaults fill), the odd-key wave provides channel
+    * (provided value wins) and omits boost, then one default is
+    * DROPPED — later inserts must spell boost out again. Returns the
+    * table's location. */
+  private def defaultedOrders(s: SparkSession, dir: String): String =
+    seededDef.getOrElseUpdate((s, dir), {
+      import graft.tables.GraftSql
+      val uid = java.util.UUID.randomUUID.toString.replace("-", "")
+      val name = s"orders_def_$uid"
+      val view = s"orders_def_v_$uid"
+      s.read.parquet(tablePath(dir, "orders")).createOrReplaceTempView(view)
+      val loc = GraftSql.sql(s,
+        s"CREATE TABLE $name (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+          "channel STRING, boost BIGINT)").collect().head.getString(1)
+      GraftSql.sql(s, s"ALTER TABLE $name ALTER COLUMN channel SET DEFAULT 'web'")
+      GraftSql.sql(s, s"ALTER TABLE $name ALTER COLUMN boost SET DEFAULT 3 + 4")
+      GraftSql.sql(s,
+        s"""INSERT INTO $name SELECT o_orderkey, o_totalprice
+           |FROM $view WHERE o_orderkey % 2 = 0""".stripMargin).collect()
+      GraftSql.sql(s,
+        s"""INSERT INTO $name SELECT o_orderkey, o_totalprice, 'api' AS channel
+           |FROM $view WHERE o_orderkey % 2 = 1""".stripMargin).collect()
+      GraftSql.sql(s, s"ALTER TABLE $name ALTER COLUMN boost DROP DEFAULT")
+      loc
+    })
+
   /** Pre-build the seeded tables (Bench times this as an explicit
     * `build_*` entry so query numbers measure only themselves). The
     * builds are independent tables, so they submit as CONCURRENT Spark
@@ -626,7 +657,8 @@ object StorageQueries extends QueryModule {
       () => ctasOrders(s, dir), () => reorgedOrders(s, dir),
       () => partitionedOrders(s, dir), () => commentedNation(s, dir),
       () => mvOrders(s, dir), () => mvSqlOrders(s, dir),
-      () => genOrders(s, dir), () => identOrders(s, dir))
+      () => genOrders(s, dir), () => identOrders(s, dir),
+      () => defaultedOrders(s, dir))
     Await.result(
       Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
       Duration.Inf)
@@ -1154,6 +1186,25 @@ object StorageQueries extends QueryModule {
       Some("""SELECT o_orderpriority AS prio, CAST(count(*) AS BIGINT) AS n,
              |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE), 2) AS total
              |FROM orders GROUP BY 1""".stripMargin)),
+
+    // Column defaults through the statement surface: even keys took
+    // BOTH defaults ('web', 7), odd keys provided channel ('api' wins)
+    // and defaulted boost — a fill bug (null channel, missing boost, or
+    // a default overriding a provided value) lands in a different group
+    // and flips the hash. Default computation is a constant projection
+    // fused into the INSERT's write plan — zero extra passes at scale.
+    EngineQuery(
+      "se_default_insert",
+      (s, dir) =>
+        graft.tables.SchemaEvolution.readEvolved(s, defaultedOrders(s, dir))
+          .groupBy("channel", "boost")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("cents")),
+      Some("""SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'api' END AS channel,
+             |  CAST(7 AS BIGINT) AS boost, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders GROUP BY 1, 2""".stripMargin)),
 
     // Type widening read path end-to-end (reference
     // db/schema_evolution.sql:52-105): both file generations of the

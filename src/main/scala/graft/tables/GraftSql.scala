@@ -176,6 +176,14 @@ object GraftSql {
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+UNIQUE\s*\(([^)]+)\)\s*;?\s*$""").r
   private val SetNotNull =
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+NOT\s+NULL\s*;?\s*$""").r
+  // Delta's column-default surface (ALTER ... SET DEFAULT only; a
+  // DEFAULT inside ADD COLUMNS stays rejected — Delta refuses it too,
+  // because existing rows can't tell "null because absent" from "null
+  // because written" without per-file lineage).
+  private val SetDefault =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*$""").r
+  private val DropDefault =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+DEFAULT\s*;?\s*$""").r
   private val DropConstraint =
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
   private val AnalyzeTable =
@@ -551,12 +559,14 @@ object GraftSql {
         val targetSchema =
           if (versioned) dmlTable(s, normalizeIdent(name))._2.schema
           else SchemaEvolution.readEvolved(s, dir).schema
-        val result = applyGenerated(name, dir, targetSchema, result0)
+        val result = applyDefaults(dir, targetSchema,
+          applyGenerated(name, dir, targetSchema, result0))
         val target = targetSchema.fields.map(_.name.toLowerCase).toSet
         val incoming = result.columns.map(_.toLowerCase).toSet
         require(incoming == target,
           s"INSERT INTO $name: SELECT columns ${incoming.toSeq.sorted.mkString(",")} " +
-            s"must exactly match the table's ${target.toSeq.sorted.mkString(",")}")
+            s"must exactly match the table's ${target.toSeq.sorted.mkString(",")}" +
+            " (columns with a DEFAULT may be omitted)")
         // Write-time CHECK enforcement (Delta parity): a violating batch
         // never lands — the table keeps its pre-INSERT state.
         Constraints.validate(result, Constraints.checks(dir)).foreach(m =>
@@ -647,6 +657,42 @@ object GraftSql {
       setProperties(s, name,
         Seq(s"graft.constraints.nn_$colName" -> s"$colName IS NOT NULL"))
       singleRow(s, Seq("name" -> name, "not_null" -> colName))
+    // ALTER COLUMN c SET DEFAULT expr — write-time default (Delta
+    // semantics): INSERT-class statements that OMIT the column compute
+    // the stored expression instead of failing the arity rule; existing
+    // rows are untouched (no silent backfill). The expression must be a
+    // CONSTANT castable to the column's type — validated HERE, not at
+    // first INSERT, by resolving it with no input columns.
+    case SetDefault(rawName, colName, defExpr0) =>
+      val name = normalizeIdent(rawName)
+      val dir = resolve(s, name).dir
+      val defExpr = defExpr0.trim
+      val schema =
+        if (ParquetTable.exists(dir)) ParquetTable.read(s, dir).schema
+        else SchemaEvolution.readEvolved(s, dir).schema
+      val field = schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+        throw new IllegalArgumentException(
+          s"SET DEFAULT: no column '$colName' in '$name'"))
+      val lc = colName.toLowerCase
+      val props = properties(dir)
+      require(!props.contains(s"graft.generated.$lc") &&
+          !props.contains(s"graft.identity.$lc"),
+        s"SET DEFAULT: column '$colName' is GENERATED — a generated column " +
+          "computes its value, a default would never apply")
+      try s.sql(s"SELECT CAST(($defExpr) AS ${field.dataType.sql})").collect()
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"SET DEFAULT: expression ($defExpr) must be a constant castable to " +
+          s"${field.dataType.sql}: ${e.getMessage}") }
+      setProperties(s, name, Seq(s"graft.default.$lc" -> defExpr))
+      singleRow(s, Seq("name" -> name, "column" -> lc, "default" -> defExpr))
+    case DropDefault(rawName, colName) =>
+      val name = normalizeIdent(rawName)
+      val dir = resolve(s, name).dir
+      val lc = colName.toLowerCase
+      require(properties(dir).contains(s"graft.default.$lc"),
+        s"DROP DEFAULT: column '$colName' of '$name' has no default")
+      unsetProperty(s, name, s"graft.default.$lc")
+      singleRow(s, Seq("name" -> name, "column" -> lc, "default_dropped" -> "true"))
     case DropConstraint(rawName, cname) =>
       val name = normalizeIdent(rawName)
       val dir = resolve(s, name).dir
@@ -676,6 +722,8 @@ object GraftSql {
         k.stripPrefix("graft.generated.").toLowerCase -> v }
       val identCols = props.keys.filter(_.startsWith("graft.identity."))
         .map(_.stripPrefix("graft.identity.").toLowerCase).toSet
+      val defOf = props.collect { case (k, v) if k.startsWith("graft.default.") =>
+        k.stripPrefix("graft.default.").toLowerCase -> v }
       val colDefs = schema.fields.map { f =>
         val lc = f.name.toLowerCase
         s"  ${f.name} ${f.dataType.sql}" +
@@ -685,13 +733,17 @@ object GraftSql {
       }
       val userProps = props.filterNot { case (k, _) =>
         k.startsWith("graft.generated.") || k.startsWith("graft.identity.") ||
-          k.startsWith("graft.constraints.")
+          k.startsWith("graft.constraints.") || k.startsWith("graft.default.")
       }.toSeq.sortBy(_._1)
+      // DEFAULTs round-trip as trailing ALTER statements (the spelling
+      // this shim executes — a DEFAULT in the column def is rejected).
+      val defAlters = defOf.toSeq.sortBy(_._1).map { case (c, d) =>
+        s"\nALTER TABLE $name ALTER COLUMN $c SET DEFAULT $d;" }
       val tblProps =
         if (userProps.isEmpty) ""
         else "\nTBLPROPERTIES (" +
           userProps.map { case (k, v) => s"'${esc(k)}' = '${esc(v)}'" }.mkString(", ") + ")"
-      val alters =
+      val alters = defAlters ++
         Constraints.checks(dir).map { case (cn, ce) =>
           s"\nALTER TABLE $name ADD CONSTRAINT $cn CHECK ($ce);" } ++
         Constraints.uniques(dir).map { case (cn, cs) =>
@@ -1212,7 +1264,10 @@ object GraftSql {
       // FIELD named 'default' (meta STRUCT<default: INT>) is valid DDL;
       // only a DEFAULT clause in the def itself is unsupported.
       require(!topLevelWord(noGen, "DEFAULT"),
-        s"ADD COLUMNS with DEFAULT is not supported: $defn")
+        s"a DEFAULT clause in a column definition is not supported: $defn — " +
+          "add the column first, then ALTER TABLE t ALTER COLUMN c SET DEFAULT " +
+          "(Delta refuses in-definition defaults for the same reason: existing " +
+          "rows cannot be distinguished from written nulls)")
       val (n, ddl) = (noGen.substring(0, sp), noGen.substring(sp + 1).trim)
       (n, DataType.fromDDL(ddl), comment, gen)
     }
@@ -1483,6 +1538,28 @@ object GraftSql {
     df
   }
 
+  /** Column defaults (ALTER COLUMN ... SET DEFAULT): an omitted column
+    * with a stored default is computed as a constant projection,
+    * codegen-fused into the write — no extra pass. Provided values
+    * always win (defaults are fallbacks, not ALWAYS like generation). */
+  private def applyDefaults(
+      dir: String, targetSchema: StructType, df0: DataFrame): DataFrame = {
+    val defaults = properties(dir).collect {
+      case (k, v) if k.startsWith("graft.default.") =>
+        k.stripPrefix("graft.default.") -> v
+    }
+    if (defaults.isEmpty) return df0
+    var df = df0
+    val present = df0.columns.map(_.toLowerCase).toSet
+    targetSchema.fields.foreach { f =>
+      defaults.get(f.name.toLowerCase).foreach { d =>
+        if (!present(f.name.toLowerCase))
+          df = df.withColumn(f.name, expr(d).cast(f.dataType))
+      }
+    }
+    df
+  }
+
   /** Loud rejection of value-mutating DML on tables with generated
     * columns: an UPDATE/MERGE could change a source column without
     * recomputing its dependents, silently breaking the invariant —
@@ -1518,12 +1595,14 @@ object GraftSql {
       targetSchema: org.apache.spark.sql.types.StructType,
       result0: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val result = applyGenerated(name, dir, targetSchema, result0)
+    val result = applyDefaults(dir, targetSchema,
+      applyGenerated(name, dir, targetSchema, result0))
     val target = targetSchema.fields.map(_.name.toLowerCase).toSet
     val incoming = result.columns.map(_.toLowerCase).toSet
     require(incoming == target,
       s"INSERT into $name: SELECT columns ${incoming.toSeq.sorted.mkString(",")} " +
-        s"must exactly match the table's ${target.toSeq.sorted.mkString(",")}")
+        s"must exactly match the table's ${target.toSeq.sorted.mkString(",")}" +
+        " (columns with a DEFAULT may be omitted)")
     val byLower = result.columns.map(c => c.toLowerCase -> c).toMap
     result.select(targetSchema.fields.map(f =>
       col(byLower(f.name.toLowerCase)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)

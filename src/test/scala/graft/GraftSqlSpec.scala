@@ -760,6 +760,62 @@ class GraftSqlSpec extends SparkSuite {
     ()
   }
 
+  test("column DEFAULTs: fill on omit, provided wins, DROP restores arity, SHOW CREATE round-trips") {
+    val r = GraftSql.sql(spark,
+      "CREATE TABLE gsql_def (id BIGINT, ch STRING, k BIGINT)")
+    assert(r.columns.contains("location"))
+    GraftSql.sql(spark, "ALTER TABLE gsql_def ALTER COLUMN ch SET DEFAULT 'web'")
+    GraftSql.sql(spark, "ALTER TABLE gsql_def ALTER COLUMN k SET DEFAULT 2 + 5")
+    // Omit both defaulted columns → they fill; INSERT OVERWRITE (the
+    // alignToTable path) fills too.
+    GraftSql.sql(spark, "INSERT INTO gsql_def SELECT CAST(1 AS BIGINT) AS id")
+    GraftSql.sql(spark,
+      "INSERT INTO gsql_def SELECT CAST(2 AS BIGINT) AS id, 'api' AS ch")
+    val rows = GraftSql.sql(spark, "SELECT * FROM gsql_def").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSet
+    assert(rows == Set((1L, "web", 7L), (2L, "api", 7L)),
+      "omitted columns fill, provided channel wins")
+    // INSERT OVERWRITE (the alignToTable path) fills too — on a
+    // VERSIONED table (OVERWRITE needs snapshot history to preserve).
+    val vdir = seedTable()
+    GraftSql.register(spark, "gsql_defv", vdir, Seq("id"))
+    GraftSql.sql(spark, "ALTER TABLE gsql_defv ALTER COLUMN status SET DEFAULT 'D'")
+    GraftSql.sql(spark,
+      "INSERT OVERWRITE gsql_defv SELECT CAST(9 AS BIGINT) AS id")
+    assert(GraftSql.sql(spark, "SELECT status FROM gsql_defv").collect()
+      .map(_.getString(0)).toSeq == Seq("D"))
+    GraftSql.sql(spark, "DROP TABLE gsql_defv")
+    // SHOW CREATE round-trips the defaults as ALTER statements.
+    val ddl = GraftSql.sql(spark, "SHOW CREATE TABLE gsql_def")
+      .collect().head.getString(0)
+    assert(ddl.contains("ALTER COLUMN ch SET DEFAULT 'web'") &&
+      ddl.contains("ALTER COLUMN k SET DEFAULT 2 + 5"), ddl)
+    assert(!ddl.contains("graft.default"), "reserved props never leak")
+    // DROP DEFAULT restores the strict arity rule.
+    GraftSql.sql(spark, "ALTER TABLE gsql_def ALTER COLUMN k DROP DEFAULT")
+    val e = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "INSERT INTO gsql_def SELECT CAST(3 AS BIGINT) AS id"))
+    assert(e.getMessage.contains("DEFAULT may be omitted"))
+    // Rejections: non-constant expression, unknown column, generated col.
+    val nc = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "ALTER TABLE gsql_def ALTER COLUMN k SET DEFAULT id + 1"))
+    assert(nc.getMessage.contains("constant"))
+    val uk = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "ALTER TABLE gsql_def ALTER COLUMN nope SET DEFAULT 1"))
+    assert(uk.getMessage.contains("no column"))
+    GraftSql.sql(spark, "ALTER TABLE gsql_def ALTER COLUMN ch DROP DEFAULT")
+    val nd = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "ALTER TABLE gsql_def ALTER COLUMN ch DROP DEFAULT"))
+    assert(nd.getMessage.contains("has no default"))
+    GraftSql.sql(spark, "CREATE TABLE gsql_defg (id BIGINT, d BIGINT GENERATED ALWAYS AS (id * 2))")
+    val g = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "ALTER TABLE gsql_defg ALTER COLUMN d SET DEFAULT 5"))
+    assert(g.getMessage.contains("GENERATED"))
+    GraftSql.sql(spark, "DROP TABLE gsql_def")
+    GraftSql.sql(spark, "DROP TABLE gsql_defg")
+    ()
+  }
+
   test("SHOW COLUMNS lists the evolved logical schema") {
     val dir = seedTable()
     GraftSql.register(spark, "gsql_sc", dir, Seq("id"))
