@@ -1427,6 +1427,28 @@ object StorageQueries extends QueryModule {
              |  FROM orders WHERE o_orderkey % 11 <> 0)
              |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
              |  CAST(sum(c) AS BIGINT) AS sum_cust
+             |FROM fin GROUP BY o_orderstatus""".stripMargin)),
+
+    // Transparent MV rewrite end-to-end: the statement below aggregates
+    // the BASE table, but the seed leaves a FRESH covering MV — GraftSql
+    // answers it from the rollup (MvSqlSpec pins the plan actually scans
+    // the MV and that staleness re-routes to the base); this gate pins
+    // the rewritten VALUES and result types against DuckDB's replay of
+    // the same base state. The 100 TB story is the rewrite's point: the
+    // scan drops from the fact table to a group-cardinality rollup.
+    EngineQuery(
+      "mv_auto_rewrite",
+      (s, dir) => {
+        mvSqlOrders(s, dir) // seeds base + MV, last step REFRESH → fresh
+        graft.tables.GraftSql.sql(s,
+          "SELECT o_orderstatus, COUNT(*) AS n_orders, SUM(o_custkey) AS sum_cust " +
+            "FROM orders_mv_base GROUP BY o_orderstatus")
+      },
+      Some("""WITH fin AS (SELECT o_orderstatus,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 2 ELSE o_custkey END AS c
+             |  FROM orders WHERE o_orderkey % 11 <> 0)
+             |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(c) AS BIGINT) AS sum_cust
              |FROM fin GROUP BY o_orderstatus""".stripMargin))
   )
 }

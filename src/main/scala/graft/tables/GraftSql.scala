@@ -184,6 +184,8 @@ object GraftSql {
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+DEFAULT\s+(.+?)\s*;?\s*$""").r
   private val DropDefault =
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+DEFAULT\s*;?\s*$""").r
+  private val ExplainStmt =
+    """(?is)^\s*EXPLAIN(?:\s+(EXTENDED|FORMATTED))?\s+(.+)$""".r
   private val DropConstraint =
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
   private val AnalyzeTable =
@@ -233,6 +235,24 @@ object GraftSql {
     * with `table_changes(...)` calls rewritten to materialized temp
     * views. */
   def sql(s: SparkSession, statement: String): DataFrame = statement match {
+    // EXPLAIN [EXTENDED|FORMATTED] <query> — the plan of the query AS
+    // THIS SHIM WOULD RUN IT (registered-table mounts, AS-OF phrases,
+    // TVFs, QUALIFY all applied first), so users can see broadcast
+    // decisions / pruning on graft tables, not on the raw identifiers.
+    // Restricted to query statements: EXPLAIN over DML would have to
+    // EXECUTE the statement to plan it here — rejected loudly instead.
+    case ExplainStmt(mode, query) =>
+      require("""(?is)^\s*(SELECT|WITH|VALUES)\b""".r.findFirstIn(query).isDefined,
+        "EXPLAIN supports query statements only (SELECT/WITH/VALUES) — " +
+          "DML/DDL statements execute for real and cannot be explained here")
+      val df = sql(s, query)
+      val planMode = Option(mode).map(_.trim.toUpperCase).getOrElse("") match {
+        case "EXTENDED"  => org.apache.spark.sql.execution.ExtendedMode
+        case "FORMATTED" => org.apache.spark.sql.execution.FormattedMode
+        case _           => org.apache.spark.sql.execution.SimpleMode
+      }
+      singleRow(s, Seq("plan" ->
+        df.queryExecution.explainString(planMode)))
     case DescribeHistory(name, limit) =>
       describeHistory(s, resolve(s, name).dir, Option(limit).map(_.toInt))
     case DescribeDetail(name) =>
@@ -799,6 +819,11 @@ object GraftSql {
     // rather than being silently half-rewritten.
     case q if topLevelWordIndices(q.trim.replaceAll(";\\s*$", ""), "QUALIFY").nonEmpty =>
       rewriteQualify(s, q.trim.replaceAll(";\\s*$", ""))
+    // Transparent MV rewrite: an aggregate over the BASE table answered
+    // from a registered FRESH materialized view (see mvRewriteOf).
+    // Building the plan twice is fine — construction is lazy and the
+    // shape-match is cheap; only matching statements pay it.
+    case q if mvRewriteOf(s, q).isDefined => mvRewriteOf(s, q).get
     case _ =>
       // table_files('t') — the Delta/Iceberg "files metadata table" as a
       // table-valued phrase: per-file path, byte size, and row count of
@@ -941,6 +966,89 @@ object GraftSql {
       // captured the mounted views — restoring afterwards cannot change
       // its meaning.
       try s.sql(rewritten) finally (dottedRestores ++ restores).foreach(_())
+  }
+
+  /** Transparent materialized-view rewrite — the classic warehouse
+    * optimizer feature (Oracle query rewrite / Databricks MV routing):
+    * a statement of the maintainable shape `SELECT <group cols>,
+    * COUNT(*) AS a[, SUM(col) AS b...] FROM <base> GROUP BY <group
+    * cols>` over a registered versioned table is answered from a
+    * registered materialized view instead WHEN one exactly covers it:
+    *
+    *  - the MV's base IS the query's table, and its `_MV` stamp names
+    *    the base's LIVE version (staleness → no rewrite, the base is
+    *    read — never stale answers);
+    *  - the query's GROUP BY is a SUBSET of the MV's (re-aggregation:
+    *    COUNT(*) → SUM(n), SUM(c) → SUM(s_c); the MV's NULL-sum
+    *    group-death semantics make this exact, including all-NULL
+    *    groups);
+    *  - every queried SUM column is maintained by the MV.
+    *
+    * Result TYPES are pinned to what the direct query would produce
+    * (SUM over DECIMAL(p,s) re-casts to DECIMAL(min(p+10,38),s), the
+    * rest to BIGINT), so the rewrite is schema-invisible. At 100 TB the
+    * win is the point of MVs: the scan drops from the fact table to a
+    * rollup bounded by group cardinality. Exact-only and conf-gated
+    * default-ON (`spark.graft.mvRewrite.enabled=false` to disable). */
+  private def mvRewriteOf(s: SparkSession, statement: String): Option[DataFrame] = {
+    if (!scala.util.Try(
+        s.conf.get("spark.graft.mvRewrite.enabled", "true").toBoolean).getOrElse(true))
+      return None
+    statement.trim match {
+      case MvSelect(items, rawBase, groupBody) =>
+        val baseName = normalizeIdent(rawBase)
+        val baseRef = registry.get((s, baseName)).getOrElse(return None)
+        if (!graft.streaming.ParquetTable.exists(baseRef.dir)) return None
+        val its = items.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val groups = groupBody.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        if (groups.isEmpty || !groups.forall(MvColItem.matches(_))) return None
+        val bare = its.filter(MvColItem.matches(_))
+        if (bare.sorted != groups.sorted) return None
+        val counts = its.collect { case MvCountItem(a) => a }
+        val sums = its.collect { case MvSumItem(c, a) => (c, a) }
+        if (bare.size + counts.size + sums.size != its.size) return None
+        val liveBaseV = scala.util.Try(graft.streaming.VersionNames.idOf(
+          graft.streaming.ParquetTable.currentVersion(baseRef.dir)))
+          .getOrElse(return None)
+        val cand = registry.keysIterator
+          .collect { case (sess, n) if sess eq s => n }.toSeq.sorted
+          .flatMap { n =>
+            val d = registry((s, n)).dir
+            if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_MV"))) None
+            else scala.util.Try(MaterializedView.readDef(d)).toOption
+              .filter(mv => mv.base == baseRef.dir &&
+                mv.refreshedVersion == liveBaseV &&
+                groups.forall(g => mv.groupCols.exists(_.equalsIgnoreCase(g))) &&
+                sums.forall { case (c, _) =>
+                  mv.sums.exists(_._2.equalsIgnoreCase(c)) })
+              .map(n -> _)
+          }.headOption
+        cand.map { case (mvName, mvDef) =>
+          val mv = mountFrame(s, mvName)
+          val baseSchema = TableStats.readCurrent(s, baseRef.dir).schema
+          def directSumType(c: String): DataType =
+            baseSchema.find(_.name.equalsIgnoreCase(c)).map(_.dataType) match {
+              case Some(d: DecimalType) =>
+                DecimalType(math.min(d.precision + 10, 38), d.scale)
+              case _ => LongType
+            }
+          val aggExprs =
+            counts.map(a => sum(col(mvDef.countName)).cast(LongType).as(a)) ++
+            sums.map { case (c, a) =>
+              val mvCol = mvDef.sums.find(_._2.equalsIgnoreCase(c)).get._1
+              sum(col(mvCol)).cast(directSumType(c)).as(a)
+            }
+          val agg = mv.groupBy(groups.map(col): _*)
+            .agg(aggExprs.head, aggExprs.tail: _*)
+          val outNames = its.map {
+            case MvCountItem(a) => a
+            case MvSumItem(_, a) => a
+            case g => g
+          }
+          agg.select(outNames.map(col): _*)
+        }
+      case _ => None
+    }
   }
 
   /** Parse the restricted CREATE MATERIALIZED VIEW select shape into

@@ -816,6 +816,25 @@ class GraftSqlSpec extends SparkSuite {
     ()
   }
 
+  test("EXPLAIN renders the shim-rewritten plan; DML is refused") {
+    val dir = seedTable()
+    GraftSql.register(spark, "gsql_ex", dir, Seq("id"))
+    val plan = GraftSql.sql(spark,
+      "EXPLAIN SELECT count(*) AS n FROM gsql_ex WHERE id > 1")
+      .collect().head.getString(0)
+    assert(plan.contains("Physical Plan"), plan.take(200))
+    assert(plan.toLowerCase.contains("parquet"),
+      "the registered mount resolves to the table's parquet scan")
+    val fm = GraftSql.sql(spark,
+      "EXPLAIN FORMATTED SELECT id FROM gsql_ex").collect().head.getString(0)
+    assert(fm.contains("(1) ") || fm.contains("* "), fm.take(200))
+    val dml = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "EXPLAIN DELETE FROM gsql_ex"))
+    assert(dml.getMessage.contains("query statements only"))
+    GraftSql.sql(spark, "DROP TABLE gsql_ex")
+    ()
+  }
+
   test("SHOW COLUMNS lists the evolved logical schema") {
     val dir = seedTable()
     GraftSql.register(spark, "gsql_sc", dir, Seq("id"))

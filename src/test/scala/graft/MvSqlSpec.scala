@@ -66,6 +66,61 @@ class MvSqlSpec extends SparkSuite {
       Seq("[a,1,11]"))
   }
 
+  test("aggregate statements over the base route to a FRESH covering MV; stale or conf-off reads the base") {
+    val s = spark
+    import s.implicits._
+    val baseDir = java.nio.file.Files.createTempDirectory("graft-mvrw")
+      .resolve("base").toString
+    ParquetTable.swap(spark,
+      Seq((1L, "a", "x", Option(10L)), (2L, "a", "y", Option(20L)),
+        (3L, "b", "x", Option(5L)), (4L, "c", "x", Option.empty[Long]),
+        (5L, "c", "y", Option.empty[Long]))
+        .toDF("k", "g", "h", "v"), baseDir)
+    val base = freshName("mv_rw_base")
+    val mv = freshName("mv_rw_view")
+    GraftSql.register(spark, base, baseDir, Seq("k"))
+    val loc = GraftSql.sql(spark,
+      s"CREATE MATERIALIZED VIEW $mv AS SELECT g, h, COUNT(*) AS n, SUM(v) AS sv " +
+        s"FROM $base GROUP BY g, h").collect().head.getString(2)
+    val q = s"SELECT g, COUNT(*) AS n, SUM(v) AS sv FROM $base GROUP BY g"
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.toString
+    // Fresh MV + subset GROUP BY → the plan scans the MV, not the base,
+    // and re-aggregation is exact (including the all-NULL sum group c).
+    val rw = GraftSql.sql(spark, q)
+    assert(planOf(rw).contains(loc) && !planOf(rw).contains(baseDir),
+      "rewritten plan must scan the MV only")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(rowsOf(rw) == Set(("a", 2L, 30L), ("b", 1L, 5L), ("c", 2L, -1L)))
+    // Schema-invisible: dtypes equal the un-rewritten frame's.
+    spark.conf.set("spark.graft.mvRewrite.enabled", "false")
+    val direct = GraftSql.sql(spark, q)
+    assert(!planOf(direct).contains(loc), "conf off → base scan")
+    assert(direct.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      rw.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(rowsOf(direct) == rowsOf(rw))
+    spark.conf.set("spark.graft.mvRewrite.enabled", "true")
+    // Staleness: a base commit without REFRESH must disable the rewrite
+    // (never a stale answer); REFRESH re-enables it.
+    GraftSql.sql(spark,
+      s"INSERT INTO $base SELECT CAST(9 AS BIGINT) AS k, 'd' AS g, 'x' AS h, " +
+        "CAST(7 AS BIGINT) AS v")
+    val stale = GraftSql.sql(spark, q)
+    assert(!planOf(stale).contains(loc), "stale MV must not serve")
+    assert(rowsOf(stale)(("d", 1L, 7L)), "fresh base data visible")
+    GraftSql.sql(spark, s"REFRESH MATERIALIZED VIEW $mv")
+    val again = GraftSql.sql(spark, q)
+    assert(planOf(again).contains(loc), "refreshed MV serves again")
+    assert(rowsOf(again) == rowsOf(stale))
+    // Not covered (SUM of an unmaintained column / WHERE) → base scan.
+    assert(!planOf(GraftSql.sql(spark,
+      s"SELECT g, COUNT(*) AS n, SUM(k) AS sk FROM $base GROUP BY g")).contains(loc))
+    assert(!planOf(GraftSql.sql(spark,
+      s"SELECT g, COUNT(*) AS n FROM $base WHERE k > 1 GROUP BY g")).contains(loc))
+  }
+
   test("non-maintainable definitions are refused") {
     val s = spark
     import s.implicits._
