@@ -419,6 +419,27 @@ object StorageQueries extends QueryModule {
       loc
     })
 
+  private val seededVidx =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Value-index seed: orders versioned CLUSTERED BY o_orderkey with a
+    * permuted `o_track` column (high-cardinality, unclustered — the
+    * layout stats skipping can never prune), then a file-posting index
+    * built on o_track. */
+  private def vidxOrders(s: SparkSession, dir: String): String =
+    seededVidx.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-vidx-q")
+        .resolve("orders_vidx").toString
+      val df = s.read.parquet(tablePath(dir, "orders"))
+        .select(col("o_orderkey"), col("o_totalprice"),
+          ((col("o_orderkey") * 48271L) % 100003L).as("o_track"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      graft.streaming.ParquetTable.swap(s, df, t)
+      graft.tables.ValueIndex.build(s, t, "o_track")
+      t
+    })
+
   private val seededDef =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
@@ -658,7 +679,7 @@ object StorageQueries extends QueryModule {
       () => partitionedOrders(s, dir), () => commentedNation(s, dir),
       () => mvOrders(s, dir), () => mvSqlOrders(s, dir),
       () => genOrders(s, dir), () => identOrders(s, dir),
-      () => defaultedOrders(s, dir))
+      () => defaultedOrders(s, dir), () => vidxOrders(s, dir))
     Await.result(
       Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
       Duration.Inf)
@@ -1428,6 +1449,31 @@ object StorageQueries extends QueryModule {
              |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
              |  CAST(sum(c) AS BIGINT) AS sum_cust
              |FROM fin GROUP BY o_orderstatus""".stripMargin)),
+
+    // Exact file-posting secondary index (Hyperspace-style): a RANGE
+    // lookup on the high-cardinality UNCLUSTERED o_track column opens
+    // only the posted files — the case neither stats skipping (needs
+    // clustering) nor bloom (points only, false positives) covers;
+    // ValueIndexSpec pins the pruning and the stale-fallback contract,
+    // this gate pins the looked-up CONTENT. Lookup cost: a pruned index
+    // slice + a file list bounded by file count, never rows.
+    EngineQuery(
+      "store_value_index",
+      (s, dir) => {
+        val t = vidxOrders(s, dir)
+        graft.tables.ValueIndex.scanRange(s, t, "o_track", 100L, 5100L)
+          .agg(
+            count(lit(1)).as("n"),
+            sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("cents"),
+            min("o_orderkey").as("min_key"),
+            max("o_orderkey").as("max_key"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+             |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+             |FROM orders
+             |WHERE (o_orderkey * 48271) % 100003 BETWEEN 100 AND 5100""".stripMargin)),
 
     // Transparent MV rewrite end-to-end: the statement below aggregates
     // the BASE table, but the seed leaves a FRESH covering MV — GraftSql
