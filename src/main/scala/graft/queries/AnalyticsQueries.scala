@@ -925,6 +925,56 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(r.o_orderkey AS BIGINT) AS edge_orderkey
              |FROM r JOIN k ON r.o_orderpriority = k.o_orderpriority AND r.rn = k.kj""".stripMargin)),
 
+    // Winsorization at the exact per-group quartile edges — the robust
+    // outlier-clamping step before any mean-based feature: prices clamp
+    // into [lower-quartile edge, upper-quartile edge], both REAL data
+    // rows from q39's histogram/boundary-refinement machinery (no
+    // group-partitioned window, no interpolation). The 5-row edge table
+    // broadcasts back over the fact scan; clamped cents sum exactly in
+    // BIGINT, so the whole readout is engine-exact.
+    EngineQuery(
+      "q41_winsorize",
+      (s, dir) => {
+        val o = ord(s, dir)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        val b = graft.ops.ExactNtile
+          .boundaries(o, "o_orderpriority", "o_totalprice", "o_orderkey",
+            tiles = 4, binScale = 0.01)
+        val edges = b.groupBy("o_orderpriority").agg(
+          max(when(col("boundary_idx") === 1, col("b_score"))).as("hi"),
+          max(when(col("boundary_idx") === 3, col("b_score"))).as("lo"))
+        o.join(broadcast(edges), Seq("o_orderpriority"))
+          .withColumn("w", least(greatest(col("o_totalprice"), col("lo")), col("hi")))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("o_totalprice") < col("lo"), 1L).otherwise(0L)).as("n_clamped_lo"),
+            sum(when(col("o_totalprice") > col("hi"), 1L).otherwise(0L)).as("n_clamped_hi"),
+            sum(expr("CAST(round(w * 100, 0) AS BIGINT)")).as("w_cents"))
+      },
+      Some("""WITH n AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+             |  FROM orders GROUP BY 1),
+             |r AS (SELECT o_orderpriority, o_totalprice, o_orderkey,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders),
+             |k AS (SELECT n.o_orderpriority, j.j,
+             |    CAST(j.j * (n.n // 4) + least(j.j, n.n % 4) AS BIGINT) AS kj
+             |  FROM n CROSS JOIN (SELECT unnest([1, 3]) AS j) j),
+             |e AS (SELECT r.o_orderpriority,
+             |    max(CASE WHEN k.j = 1 THEN r.o_totalprice END) AS hi,
+             |    max(CASE WHEN k.j = 3 THEN r.o_totalprice END) AS lo
+             |  FROM r JOIN k ON r.o_orderpriority = k.o_orderpriority AND r.rn = k.kj
+             |  GROUP BY 1),
+             |w AS (SELECT o.o_orderpriority, o.o_totalprice AS p,
+             |    least(greatest(o.o_totalprice, e.lo), e.hi) AS w
+             |  FROM orders o JOIN e USING (o_orderpriority))
+             |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN p < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+             |  CAST(sum(CASE WHEN p > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+             |  CAST(sum(CAST(round(w * 100, 0) AS BIGINT)) AS BIGINT) AS w_cents
+             |FROM w JOIN e USING (o_orderpriority) GROUP BY 1""".stripMargin)),
+
     // Referential-integrity audit: orphan counts per foreign-key edge of
     // the star schema, each a LEFT ANTI join (the scan of the child
     // side + a broadcast/shuffle probe of the parent keys — never a

@@ -1054,6 +1054,31 @@ object EventsQueries extends QueryModule {
              |  (SELECT CAST(min(ms) AS BIGINT) FROM sc WHERE sc.s_dn = m.md) AS dn_change_ms
              |FROM t CROSS JOIN m""".stripMargin)),
 
+    // Day-of-week × hour-of-day activity heatmap — the ops-dashboard
+    // readout behind load forecasting and maintenance-window choice.
+    // Both axes derive from INTEGER epoch arithmetic (epoch-day % 7,
+    // epoch-hour % 24) rather than each engine's calendar functions
+    // (Spark's dayofweek is 1=Sunday, DuckDB's 0=Sunday — the classic
+    // off-by-one); dow 0 = Thursday (1970-01-01). One (dow, hour)
+    // count with map-side combine — output fixed at ≤168 cells at any
+    // event volume.
+    EngineQuery(
+      "evt_activity_heatmap",
+      (s, dir) =>
+        events(s, dir)
+          .selectExpr(
+            "(unix_millis(ts) DIV 86400000L) % 7 AS dow",
+            "(unix_millis(ts) DIV 3600000L) % 24 AS hod",
+            "value")
+          .groupBy("dow", "hod")
+          .agg(count(lit(1)).as("n"),
+            sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("value_centis")),
+      Some("""SELECT (epoch_ms(ts) // 86400000) % 7 AS dow,
+             |  (epoch_ms(ts) // 3600000) % 24 AS hod,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_centis
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // Per-type hourly-volume trend by exact least-squares: y = events per
     // hour over the DENSE hourly spine (zero-filled — an OLS on observed
     // hours only would bias every sparse type upward), x = hours since
