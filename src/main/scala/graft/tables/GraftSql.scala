@@ -186,6 +186,18 @@ object GraftSql {
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+DROP\s+DEFAULT\s*;?\s*$""").r
   private val ExplainStmt =
     """(?is)^\s*EXPLAIN(?:\s+(EXTENDED|FORMATTED))?\s+(.+)$""".r
+  // Secondary index spellings (reference db/oracle-ddl.sql:56 — the
+  // source schema's own `CREATE INDEX ix ON t(col)`). VECTOR INDEX has
+  // its own statements; the mandatory word INDEX directly after CREATE
+  // keeps these disjoint.
+  private val CreateIndexStmt =
+    ("""(?is)^\s*CREATE\s+INDEX\s+([A-Za-z_][A-Za-z0-9_]*)\s+ON\s+(""" + IdPat +
+      """)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*;?\s*$""").r
+  private val DropIndexStmt =
+    ("""(?is)^\s*DROP\s+INDEX\s+([A-Za-z_][A-Za-z0-9_]*)\s+ON\s+(""" + IdPat +
+      """)\s*;?\s*$""").r
+  private val IndexLookup =
+    """(?i)index_lookup\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*(-?\d+)\s*,\s*(-?\d+)\s*\)""".r
   private val DropConstraint =
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""").r
   private val AnalyzeTable =
@@ -789,6 +801,47 @@ object GraftSql {
       graft.sim.IvfIndex.build(s, src, cells, dir)
       vectorIndexes.put((s, key), dir)
       singleRow(s, Seq("name" -> key, "n_vectors" -> n, "cells" -> cells))
+    // CREATE INDEX ix ON t (col) — the reference source schema's own
+    // secondary-index spelling (db/oracle-ddl.sql:56), here backed by
+    // the exact file-posting ValueIndex: postings beside the version
+    // dirs, version-stamped, rebuilt by re-running CREATE. Lookups
+    // compose in SQL via index_lookup('t','col',lo,hi).
+    case CreateIndexStmt(ixName, rawName, colName) =>
+      val name = normalizeIdent(rawName)
+      val ref = resolve(s, name)
+      require(ParquetTable.exists(ref.dir),
+        s"CREATE INDEX: '$name' is not a versioned table")
+      val schema = ParquetTable.read(s, ref.dir).schema
+      val f = schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE INDEX: no column '$colName' in '$name'"))
+      require(Seq("tinyint", "smallint", "int", "bigint")
+          .contains(f.dataType.simpleString),
+        s"CREATE INDEX: column '$colName' is ${f.dataType.simpleString} — " +
+          "the posting index supports integral columns")
+      val n = ValueIndex.build(s, ref.dir, colName)
+      setProperties(s, name,
+        Seq(s"graft.index.${ixName.toLowerCase}" -> colName.toLowerCase))
+      singleRow(s, Seq("name" -> ixName.toLowerCase, "table" -> name,
+        "column" -> colName.toLowerCase, "n_postings" -> n))
+    case DropIndexStmt(ixName, rawName) =>
+      val name = normalizeIdent(rawName)
+      val ref = resolve(s, name)
+      val key = s"graft.index.${ixName.toLowerCase}"
+      val colOpt = properties(ref.dir).get(key)
+      require(colOpt.isDefined,
+        s"DROP INDEX: no index '${ixName.toLowerCase}' on '$name'")
+      val idx = java.nio.file.Paths.get(ref.dir, s"_VIDX_${colOpt.get}")
+      if (java.nio.file.Files.exists(idx)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(idx)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+      unsetProperty(s, name, key)
+      singleRow(s, Seq("name" -> ixName.toLowerCase, "table" -> name,
+        "dropped" -> "true"))
     case DropVectorIndex(idxName) =>
       val removed = vectorIndexes.remove((s, idxName.toLowerCase))
       require(removed.isDefined, s"vector index '$idxName' does not exist")
@@ -848,8 +901,24 @@ object GraftSql {
           scala.util.matching.Regex.quoteReplacement(view)
         }
       })
-      val statementF = TableFiles.replaceAllIn(statementV, m => {
+      // index_lookup('t','col',lo,hi) — the posting-index range lookup
+      // as a table-valued phrase: only files truly containing matching
+      // values open (ValueIndex; full-scan fallback when stale).
+      val statementI = IndexLookup.replaceAllIn(statementV, m => {
         if (inLiteral(statementV, m.start))
+          scala.util.matching.Regex.quoteReplacement(m.matched)
+        else {
+          val (t, c) = (normalizeIdent(m.group(1)), m.group(2))
+          val (lo, hi) = (m.group(3).toLong, m.group(4).toLong)
+          val view = (s"__graft_il_${viewToken(t)}_${c}_${lo}_$hi")
+            .replace("-", "m")
+          ValueIndex.scanRange(s, resolve(s, t).dir, c, lo, hi)
+            .createOrReplaceTempView(view)
+          scala.util.matching.Regex.quoteReplacement(view)
+        }
+      })
+      val statementF = TableFiles.replaceAllIn(statementI, m => {
+        if (inLiteral(statementI, m.start))
           scala.util.matching.Regex.quoteReplacement(m.matched)
         else {
           val name = m.group(1)

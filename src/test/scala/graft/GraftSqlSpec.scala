@@ -816,6 +816,46 @@ class GraftSqlSpec extends SparkSuite {
     ()
   }
 
+  test("CREATE/DROP INDEX and index_lookup compose in SQL") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gsql-ix")
+      .resolve("t").toString
+    ParquetTable.swap(spark,
+      (0L until 400L).map(i => (i, (i * 48271L) % 1009L, s"v$i"))
+        .toDF("id", "track", "payload")
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("id")),
+      dir)
+    GraftSql.register(spark, "gsql_ix", dir, Seq("id"))
+    val r = GraftSql.sql(spark,
+      "CREATE INDEX ix_track ON gsql_ix (track)").collect().head
+    assert(r.getAs[Long]("n_postings") == 400L)
+    // The phrase composes inside ordinary SQL (join/aggregate around it).
+    val got = GraftSql.sql(spark,
+      "SELECT count(*) AS n, min(id) AS min_id " +
+        "FROM index_lookup('gsql_ix', 'track', 0, 100)").collect().head
+    val want = ParquetTable.read(spark, dir)
+      .filter(col("track") <= 100L).agg(count(lit(1)), min("id")).collect().head
+    assert(got.getLong(0) == want.getLong(0) && got.getLong(1) == want.getLong(1))
+    // Non-integral column refused; unknown index DROP refused.
+    val ni = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "CREATE INDEX ix_p ON gsql_ix (payload)"))
+    assert(ni.getMessage.contains("integral"))
+    val ui = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "DROP INDEX nope ON gsql_ix"))
+    assert(ui.getMessage.contains("no index"))
+    val d = GraftSql.sql(spark, "DROP INDEX ix_track ON gsql_ix").collect().head
+    assert(d.getAs[String]("dropped") == "true")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_VIDX_track")), "index layout deleted")
+    // Post-DROP the phrase still answers (full-scan fallback — correct).
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM index_lookup('gsql_ix', 'track', 0, 100)")
+      .collect().head.getLong(0) == want.getLong(0))
+    GraftSql.sql(spark, "DROP TABLE gsql_ix")
+    ()
+  }
+
   test("EXPLAIN renders the shim-rewritten plan; DML is refused") {
     val dir = seedTable()
     GraftSql.register(spark, "gsql_ex", dir, Seq("id"))
