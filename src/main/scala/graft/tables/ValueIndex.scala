@@ -74,6 +74,55 @@ object ValueIndex {
     spark.read.parquet(out.toString).count()
   }
 
+  private def parquetNames(p: Path): Set[String] = {
+    val ls = Files.list(p)
+    try ls.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet")).toSet
+    finally ls.close()
+  }
+
+  /** Incremental maintenance after table commits — the steady-state
+    * ingest path. ParquetTable.append hard-links current files (same
+    * names) into the next version and lands the batch beside them, so
+    * after an APPEND-ONLY delta every existing posting is still valid:
+    * only the NEW files are indexed (cost ∝ batch, never table) and
+    * their postings land as additional index files (read together;
+    * delta row groups are unsorted until the next full [[build]], which
+    * re-sorts — same trade StatsSkipping.appendWithStats makes). Any
+    * non-append delta (rewrite, delete, vacuumed stamp version, clone
+    * pointer) falls back to a full rebuild — correct either way.
+    * Returns true iff the fast incremental path was taken. */
+  def refreshIncremental(spark: SparkSession, dir: String, c: String): Boolean = {
+    val out = idxDir(dir, c)
+    val stampP = out.resolve("_stamp")
+    if (!Files.exists(stampP)) { build(spark, dir, c); return false }
+    val stamped = Files.readString(stampP)
+    val liveV = ParquetTable.currentVersion(dir)
+    if (stamped == liveV) return true
+    requireNoDv(dir, "refreshIncremental")
+    val stampedPath = Paths.get(dir, stamped)
+    if (stamped.contains("/") || liveV.contains("/") ||
+        !Files.isDirectory(stampedPath)) {
+      build(spark, dir, c); return false
+    }
+    val oldFiles = parquetNames(stampedPath)
+    val cur = ParquetTable.currentPath(dir)
+    val curFiles = parquetNames(Paths.get(cur))
+    if (!oldFiles.subsetOf(curFiles)) { build(spark, dir, c); return false }
+    val delta = (curFiles -- oldFiles).toSeq.sorted
+    if (delta.nonEmpty)
+      spark.read.parquet(delta.map(f => s"$cur/$f"): _*)
+        .select(col(c).as("v"), col("_metadata.file_name").as("f"))
+        .distinct()
+        .write.mode("append").parquet(out.toString)
+    val tmp = out.resolve("_stamp.tmp")
+    Files.writeString(tmp, liveV)
+    Files.move(tmp, stampP,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    true
+  }
+
   /** True iff an index on `c` exists and names the live version. */
   def fresh(dir: String, c: String): Boolean = {
     val stamp = idxDir(dir, c).resolve("_stamp")

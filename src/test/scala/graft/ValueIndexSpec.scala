@@ -75,6 +75,43 @@ class ValueIndexSpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(9999L))
   }
 
+  test("incremental refresh after append indexes only the delta; rewrites full-rebuild") {
+    val s = spark
+    import s.implicits._
+    val dir = seed()
+    ValueIndex.build(spark, dir, "track")
+    ParquetTable.append(spark,
+      (4000L until 4100L).map(i => (i, (i * 48271L) % 100003L, i % 7L))
+        .toDF("id", "track", "grp"), dir)
+    assert(!ValueIndex.fresh(dir, "track"))
+    assert(ValueIndex.refreshIncremental(spark, dir, "track"),
+      "append-only delta takes the fast path")
+    assert(ValueIndex.fresh(dir, "track"))
+    // Postings equal a from-scratch rebuild's (set equality), and the
+    // new rows are findable through the pruned path.
+    val incr = spark.read.parquet(
+      java.nio.file.Paths.get(dir, "_VIDX_track").toString)
+      .collect().map(_.toString).toSet
+    val t4050 = (4050L * 48271L) % 100003L
+    assert(ValueIndex.candidateFileCount(spark, dir, "track", t4050, t4050) >= 1)
+    assert(ValueIndex.scanKey(spark, dir, "track", t4050)
+      .collect().map(_.getLong(0)).toSeq == Seq(4050L))
+    ValueIndex.build(spark, dir, "track")
+    val full = spark.read.parquet(
+      java.nio.file.Paths.get(dir, "_VIDX_track").toString)
+      .collect().map(_.toString).toSet
+    assert(incr == full, "incremental postings == rebuild postings")
+    // Already fresh: a second call is a no-op fast path.
+    assert(ValueIndex.refreshIncremental(spark, dir, "track"))
+    // A copy-on-write DELETE rewrites files → full rebuild, and the
+    // deleted row is gone from the postings.
+    ParquetTable.deleteWhere(spark, dir, "id = 4050")
+    assert(!ValueIndex.refreshIncremental(spark, dir, "track"),
+      "non-append delta falls back to rebuild")
+    assert(ValueIndex.fresh(dir, "track"))
+    assert(ValueIndex.scanKey(spark, dir, "track", t4050).count() == 0L)
+  }
+
   test("deletion-vector snapshots are refused at build and at indexed scan") {
     val dir = seed()
     ValueIndex.build(spark, dir, "track")
