@@ -72,6 +72,45 @@ object Multimodal {
       it.grouped(BatchSize).flatMap(batch => decoder.decodeBatch(batch))
     }
 
+  final case class VadFeatures(
+      media_id: Long, n_frames: Long, n_voiced: Long, max_run: Long)
+  implicit val vadEnc: Encoder[VadFeatures] = Encoders.product[VadFeatures]
+
+  /** Windowed-energy voice-activity detection over audio payloads — the
+    * speech-pipeline pre-filter (silence stripping / segment selection)
+    * in the same batched partition-local shape as [[decode]]: the
+    * payload stands in for PCM, non-overlapping `frameLen`-byte frames
+    * score Σ unsigned bytes, and a frame is voiced when its MEAN energy
+    * exceeds the whole clip's mean — compared by integer
+    * cross-multiplication (energy·len > total·frameLen), so no float
+    * enters the verdict. Longest voiced run is the segment-extraction
+    * signal. Per-row state is a handful of longs; no shuffle — a real
+    * VAD model swaps in behind the same seam as MediaDecoder. */
+  def voiceActivity(media: Dataset[MediaRecord], frameLen: Int = 32): Dataset[VadFeatures] =
+    media.filter(_.kind == "audio").mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(_.map { r =>
+        val bytes = r.payload
+        val len = bytes.length.toLong
+        var tot = 0L
+        var j = 0
+        while (j < bytes.length) { tot += bytes(j) & 0xff; j += 1 }
+        val nf = ((len + frameLen - 1) / frameLen).toInt
+        var i = 0; var voiced = 0L; var run = 0L; var maxRun = 0L
+        while (i < nf) {
+          val s = i * frameLen
+          val e = math.min(s + frameLen.toLong, len).toInt
+          var sum = 0L; var k = s
+          while (k < e) { sum += bytes(k) & 0xff; k += 1 }
+          val fl = (e - s).toLong
+          if (sum * len > tot * fl) {
+            voiced += 1; run += 1; if (run > maxRun) maxRun = run
+          } else run = 0
+          i += 1
+        }
+        VadFeatures(r.media_id, nf.toLong, voiced, maxRun)
+      })
+    }
+
   final case class ResizedFeatures(
       media_id: Long, kind: String, rs_len: Long, rs_checksum: Long)
 

@@ -128,6 +128,41 @@ object MultimodalQueries extends QueryModule {
              |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
              |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.ph, b.ph)) <= 2""".stripMargin))
+             |WHERE bit_count(xor(a.ph, b.ph)) <= 2""".stripMargin)),
+
+    // Voice-activity detection over the audio payloads: 32-byte frames
+    // score Σ unsigned bytes, voiced = frame mean > clip mean by integer
+    // cross-multiplication, plus the longest voiced RUN (the segment-
+    // extraction signal). Batched partition-local kernel, no shuffle;
+    // the oracle replays frames, verdicts and the run structure via the
+    // gaps-and-islands window over per-frame rows.
+    EngineQuery(
+      "mm_vad_runs",
+      (s, dir) =>
+        graft.multimodal.Multimodal.voiceActivity(
+          graft.multimodal.Multimodal.mediaFromDocuments(
+            s, graft.SparkSessions.tablePath(dir, "documents"))).toDF(),
+      Some("""WITH m AS (SELECT doc_id AS media_id, text,
+             |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
+             |    CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS tot
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |fr AS (SELECT media_id, len, tot, CAST(u.i AS BIGINT) AS i,
+             |    CAST(least((u.i + 1) * 32, len) - u.i * 32 AS BIGINT) AS flen,
+             |    CAST(list_sum([unicode(text[j]) for j in
+             |      range(CAST(u.i * 32 + 1 AS INT), CAST(least((u.i + 1) * 32, len) + 1 AS INT))]) AS BIGINT) AS energy
+             |  FROM m, unnest(range(0, CAST((len + 31) // 32 AS INT))) AS u(i)),
+             |v AS (SELECT media_id, i,
+             |    CASE WHEN energy * len > tot * flen THEN 1 ELSE 0 END AS voiced
+             |  FROM fr),
+             |isl AS (SELECT media_id, voiced,
+             |    i - row_number() OVER (PARTITION BY media_id, voiced ORDER BY i) AS grp
+             |  FROM v),
+             |runs AS (SELECT media_id, count(*) AS run
+             |  FROM isl WHERE voiced = 1 GROUP BY media_id, grp)
+             |SELECT v.media_id, CAST(count(*) AS BIGINT) AS n_frames,
+             |  CAST(sum(voiced) AS BIGINT) AS n_voiced,
+             |  CAST(coalesce((SELECT max(run) FROM runs r
+             |    WHERE r.media_id = v.media_id), 0) AS BIGINT) AS max_run
+             |FROM v GROUP BY v.media_id""".stripMargin))
   )
 }
