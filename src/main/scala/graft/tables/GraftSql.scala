@@ -105,6 +105,14 @@ object GraftSql {
     ("""(?is)^\s*CREATE\s+TABLE\s+(""" + IdPat + """)\s*\((.*)\)\s*;?\s*$""").r
   private val InsertInto =
     ("""(?is)^\s*INSERT\s+INTO\s+(""" + IdPat + """)\s+(SELECT\b.*)$""").r
+  private val InsertIntoCols =
+    ("""(?is)^\s*INSERT\s+INTO\s+(""" + IdPat + """)\s*\(([^)]*)\)\s+((?:SELECT|VALUES)\b.*)$""").r
+  private val InsertIntoValues =
+    ("""(?is)^\s*INSERT\s+INTO\s+(""" + IdPat + """)\s+(VALUES\b.*)$""").r
+  private val CreateTableLike =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(""" + IdPat + """)\s+LIKE\s+(""" + IdPat + """)\s*;?\s*$""").r
+  private val ShowIndexesStmt =
+    ("""(?is)^\s*SHOW\s+INDEXES\s+(?:ON|IN|FROM)\s+(""" + IdPat + """)\s*;?\s*$""").r
   private val InsertOverwrite =
     ("""(?is)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(""" + IdPat + """)\s+(SELECT\b.*)$""").r
   // Delta's predicate-scoped overwrite spelling. Same clause-boundary
@@ -578,47 +586,76 @@ object GraftSql {
       // Step 2: INSERT INTO ... SELECT — the SELECT goes back through
       // sql() so table_changes()/AS-OF rewrites compose; the append is
       // schema-enforced against the declared (or evolved) columns.
-      val dir = resolve(s, name).dir
-      val result0 = sql(s, select).persist()
-      try {
-        // GENERATED columns first (compute omitted / validate provided),
-        // THEN the arity rule: the SELECT must produce exactly the
-        // target's remaining logical columns (by name, any order) —
-        // without this, an extra column would ride appendEvolved's
-        // additive-evolution path and permanently widen the table from
-        // a typo.
-        val versioned = ParquetTable.exists(dir)
-        val targetSchema =
-          if (versioned) dmlTable(s, normalizeIdent(name))._2.schema
-          else SchemaEvolution.readEvolved(s, dir).schema
-        val result = applyDefaults(dir, targetSchema,
-          applyGenerated(name, dir, targetSchema, result0))
-        val target = targetSchema.fields.map(_.name.toLowerCase).toSet
-        val incoming = result.columns.map(_.toLowerCase).toSet
-        require(incoming == target,
-          s"INSERT INTO $name: SELECT columns ${incoming.toSeq.sorted.mkString(",")} " +
-            s"must exactly match the table's ${target.toSeq.sorted.mkString(",")}" +
-            " (columns with a DEFAULT may be omitted)")
-        // Write-time CHECK enforcement (Delta parity): a violating batch
-        // never lands — the table keeps its pre-INSERT state.
-        Constraints.validate(result, Constraints.checks(dir)).foreach(m =>
-          throw new IllegalStateException(
-            s"INSERT INTO $name rejected by CHECK constraint: $m"))
-        Constraints.validateUniqueAppend(s, dir, result)
-        val n = result.count()
-        if (versioned) {
-          // Append COMMIT: current files hard-link into the next version,
-          // the batch lands beside them, cast to the table's column
-          // order/types so every file generation shares one schema.
-          val byLower = result.columns.map(c => c.toLowerCase -> c).toMap
-          val aligned = result.select(targetSchema.fields.map(f =>
-            col(byLower(f.name.toLowerCase)).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-          ParquetTable.append(s, aligned, dir)
-          autoCompactOnPublish(s, name)
-        } else SchemaEvolution.appendEvolved(s, result, dir)
-        TableStats.reanalyzeOnPublish(s, dir)
-        singleRow(s, Seq("name" -> name, "n_inserted" -> n))
-      } finally { result0.unpersist(); () }
+      insertFrame(s, name, sql(s, select))
+    // INSERT INTO t (a, b, ...) SELECT ... | VALUES (...), (...) — the
+    // column-list spelling: the source's outputs rename POSITIONALLY to
+    // the listed columns, then the by-name path applies (omitted
+    // generated/DEFAULT columns compute; anything else missing fails
+    // the arity rule loudly).
+    case InsertIntoCols(rawName, colsBody, rest) =>
+      val cols = colsBody.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty && cols.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+        s"INSERT INTO $rawName (...): the column list must name bare columns, got: $colsBody")
+      require(cols.map(_.toLowerCase).distinct.size == cols.size,
+        s"INSERT INTO $rawName (...): duplicate column in the list")
+      val src =
+        if (rest.trim.toUpperCase.startsWith("VALUES"))
+          s.sql(s"SELECT * FROM ${rest.trim}")
+        else sql(s, rest)
+      require(src.columns.length == cols.size,
+        s"INSERT INTO $rawName (${cols.mkString(", ")}): the source produces " +
+          s"${src.columns.length} columns for ${cols.size} targets")
+      insertFrame(s, rawName, src.toDF(cols: _*))
+    // INSERT INTO t VALUES (...), (...) — positional against the FULL
+    // table schema (use the column-list form to omit DEFAULT columns).
+    case InsertIntoValues(rawName, valuesRest) =>
+      val dir = resolve(s, rawName).dir
+      val schema =
+        if (ParquetTable.exists(dir)) ParquetTable.read(s, dir).schema
+        else SchemaEvolution.readEvolved(s, dir).schema
+      val src = s.sql(s"SELECT * FROM ${valuesRest.trim}")
+      require(src.columns.length == schema.fields.length,
+        s"INSERT INTO $rawName VALUES: ${src.columns.length} values per row for " +
+          s"${schema.fields.length} columns — use INSERT INTO $rawName (cols...) " +
+          "VALUES ... to omit DEFAULT columns")
+      insertFrame(s, rawName, src.toDF(schema.fields.map(_.name).toIndexedSeq: _*))
+    // CREATE TABLE t2 LIKE t — an empty manifest-only table with the
+    // source's EVOLVED schema (renames/widens applied) and key columns;
+    // no data, no properties (constraints/defaults are deliberate
+    // choices, not copied silently).
+    case CreateTableLike(rawNew, rawSrc) =>
+      val nn = normalizeIdent(rawNew)
+      require(!registry.contains((s, nn)),
+        s"CREATE TABLE LIKE: '$nn' is already registered — DROP it first")
+      val srcRef = resolve(s, normalizeIdent(rawSrc))
+      val schema =
+        if (ParquetTable.exists(srcRef.dir)) ParquetTable.read(s, srcRef.dir).schema
+        else SchemaEvolution.readEvolved(s, srcRef.dir).schema
+      val likeDir = java.nio.file.Files.createTempDirectory("graft-like")
+        .resolve(dirNameFor(nn)).toString
+      SchemaEvolution.createTable(s, likeDir,
+        schema.fields.map(f => f.name -> f.dataType).toSeq)
+      register(s, nn, likeDir, srcRef.keyCols)
+      singleRow(s, Seq("name" -> nn, "like" -> normalizeIdent(rawSrc),
+        "location" -> likeDir))
+    // SHOW INDEXES ON|IN|FROM t — the posting indexes recorded by
+    // CREATE INDEX, with per-index freshness (stale = a table commit
+    // since the last build; lookups fall back to full scans until
+    // CREATE INDEX re-runs or refreshIncremental catches up).
+    case ShowIndexesStmt(rawName) =>
+      val name = normalizeIdent(rawName)
+      val ref = resolve(s, name)
+      import scala.jdk.CollectionConverters._
+      val rows = properties(ref.dir).toSeq.collect {
+        case (k, c) if k.startsWith("graft.index.") =>
+          Row(k.stripPrefix("graft.index."), c,
+            ValueIndex.fresh(ref.dir, c).toString)
+      }.sortBy(_.getString(0))
+      s.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("index_name", StringType, nullable = false),
+        StructField("column", StringType, nullable = false),
+        StructField("fresh", StringType, nullable = false))))
     case CreateTableAs(rawName, select) =>
       // CTAS = CREATE TABLE (schema from the SELECT) + INSERT INTO in
       // one statement. Mirrors both arms' guards: re-run fails loudly
@@ -1713,6 +1750,64 @@ object GraftSql {
       }
     }
     df
+  }
+
+  /** The shared INSERT append path: GENERATED columns first (compute
+    * omitted / validate provided), DEFAULT fill next, THEN the arity
+    * rule — the batch must produce exactly the target's remaining
+    * logical columns (by name, any order); without this, an extra
+    * column would ride appendEvolved's additive-evolution path and
+    * permanently widen the table from a typo. CHECK/UNIQUE constraints
+    * validate before any file moves; versioned tables append as a
+    * hard-link commit, manifest tables through appendEvolved. */
+  private def insertFrame(s: SparkSession, name: String, batch: DataFrame): DataFrame = {
+    val dir = resolve(s, name).dir
+    val result0 = batch.persist()
+    try {
+      val versioned = ParquetTable.exists(dir)
+      val targetSchema =
+        if (versioned) dmlTable(s, normalizeIdent(name))._2.schema
+        else SchemaEvolution.readEvolved(s, dir).schema
+      val result = applyDefaults(dir, targetSchema,
+        applyGenerated(name, dir, targetSchema, result0))
+      val target = targetSchema.fields.map(_.name.toLowerCase).toSet
+      val incoming = result.columns.map(_.toLowerCase).toSet
+      require(incoming == target,
+        s"INSERT INTO $name: SELECT columns ${incoming.toSeq.sorted.mkString(",")} " +
+          s"must exactly match the table's ${target.toSeq.sorted.mkString(",")}" +
+          " (columns with a DEFAULT may be omitted)")
+      // Write-time CHECK enforcement (Delta parity): a violating batch
+      // never lands — the table keeps its pre-INSERT state.
+      Constraints.validate(result, Constraints.checks(dir)).foreach(m =>
+        throw new IllegalStateException(
+          s"INSERT INTO $name rejected by CHECK constraint: $m"))
+      Constraints.validateUniqueAppend(s, dir, result)
+      val n = result.count()
+      // Align to the table's column order/types. Versioned tables cast
+      // unconditionally (their declared behavior since the DML wave);
+      // DECLARED manifest tables coerce only LOSSLESS upcasts (a VALUES
+      // INT literal into a BIGINT column — SQL INSERT semantics), while
+      // a lossy type (DOUBLE into DECIMAL) stays uncast so
+      // appendEvolved rejects it loudly — the schema-enforcement
+      // contract the reference's type-change recipe depends on.
+      val byLower = result.columns.map(c => c.toLowerCase -> c).toMap
+      val aligned = result.select(targetSchema.fields.map { f =>
+        val src = byLower(f.name.toLowerCase)
+        val from = result.schema(src).dataType
+        if (versioned || from == f.dataType ||
+            org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, f.dataType))
+          col(src).cast(f.dataType).as(f.name)
+        else col(src).as(f.name)
+      }.toIndexedSeq: _*)
+      if (versioned) {
+        // Append COMMIT: current files hard-link into the next version,
+        // the batch lands beside them.
+        ParquetTable.append(s, aligned, dir)
+        autoCompactOnPublish(s, name)
+      } else SchemaEvolution.appendEvolved(s, aligned, dir)
+      TableStats.reanalyzeOnPublish(s, dir)
+      singleRow(s, Seq("name" -> name, "n_inserted" -> n))
+    } finally { result0.unpersist(); () }
   }
 
   /** Column defaults (ALTER COLUMN ... SET DEFAULT): an omitted column

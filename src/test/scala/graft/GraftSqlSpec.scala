@@ -816,6 +816,58 @@ class GraftSqlSpec extends SparkSuite {
     ()
   }
 
+  test("INSERT column-list/VALUES spellings, CREATE TABLE LIKE, SHOW INDEXES") {
+    val s = spark
+    import s.implicits._
+    val dir = seedTable() // (id BIGINT, status STRING), versioned
+    GraftSql.register(spark, "gsql_iv", dir, Seq("id"))
+    // Bare VALUES: positional against the full schema.
+    GraftSql.sql(spark, "INSERT INTO gsql_iv VALUES (100, 'V'), (101, 'W')")
+    // Column list reordered + VALUES.
+    GraftSql.sql(spark,
+      "INSERT INTO gsql_iv (status, id) VALUES ('X', CAST(102 AS BIGINT))")
+    // Column list + SELECT.
+    GraftSql.sql(spark,
+      "INSERT INTO gsql_iv (id, status) SELECT CAST(103 AS BIGINT), 'Y'")
+    val got = GraftSql.sql(spark,
+      "SELECT id, status FROM gsql_iv WHERE id >= 100").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((100L, "V"), (101L, "W"), (102L, "X"), (103L, "Y")))
+    // Column list lets DEFAULT columns be omitted.
+    GraftSql.sql(spark, "ALTER TABLE gsql_iv ALTER COLUMN status SET DEFAULT 'D'")
+    GraftSql.sql(spark, "INSERT INTO gsql_iv (id) VALUES (104)")
+    assert(GraftSql.sql(spark, "SELECT status FROM gsql_iv WHERE id = 104")
+      .collect().head.getString(0) == "D")
+    // Arity violations are loud.
+    val a1 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "INSERT INTO gsql_iv (id, status) VALUES (1)"))
+    assert(a1.getMessage.contains("1 columns for 2 targets"))
+    val a2 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "INSERT INTO gsql_iv VALUES (1)"))
+    assert(a2.getMessage.contains("use INSERT INTO"))
+    // CREATE TABLE LIKE: empty, schema-identical, independently writable.
+    GraftSql.sql(spark, "CREATE TABLE gsql_iv2 LIKE gsql_iv")
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM gsql_iv2")
+      .collect().head.getLong(0) == 0L)
+    assert(GraftSql.sql(spark, "SELECT * FROM gsql_iv2").columns.toSeq ==
+      Seq("id", "status"))
+    GraftSql.sql(spark, "INSERT INTO gsql_iv2 VALUES (1, 'a')")
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM gsql_iv")
+      .collect().head.getLong(0) == 8L, "source untouched by the copy's insert")
+    // SHOW INDEXES reports freshness across commits.
+    GraftSql.sql(spark, "CREATE INDEX ix_id ON gsql_iv (id)")
+    val fresh = GraftSql.sql(spark, "SHOW INDEXES ON gsql_iv").collect()
+    assert(fresh.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(("ix_id", "id", "true")))
+    GraftSql.sql(spark, "INSERT INTO gsql_iv (id) VALUES (105)")
+    assert(GraftSql.sql(spark, "SHOW INDEXES ON gsql_iv")
+      .collect().head.getString(2) == "false", "commit staled the index")
+    GraftSql.sql(spark, "DROP INDEX ix_id ON gsql_iv")
+    GraftSql.sql(spark, "DROP TABLE gsql_iv")
+    GraftSql.sql(spark, "DROP TABLE gsql_iv2")
+    ()
+  }
+
   test("CREATE/DROP INDEX and index_lookup compose in SQL") {
     val s = spark
     import s.implicits._
