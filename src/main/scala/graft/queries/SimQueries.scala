@@ -1123,6 +1123,65 @@ object SimQueries extends QueryModule {
               |  CAST(max(CASE WHEN rt = 1 THEN vid END) AS BIGINT) AS trunc_top1
               |FROM r GROUP BY qid""".stripMargin)),
 
+    // Clustering-quality audit (simplified silhouette over the seed
+    // centroids): each vector's best and SECOND-best centroid cosine
+    // from one broadcast scan, rolled up per winning cell — member
+    // count, mean own-cosine, mean runner-up cosine, and the count of
+    // AMBIGUOUS members (margin < 0.05), the signal that a cell
+    // boundary needs more centroids / multi-probe. Per-row cosines are
+    // bit-identical cross-engine (the established cosine_sim parity),
+    // and the means ride floor-quantized i64 sums (order-free exact) —
+    // one division each at the end. Work: one corpus scan × 16
+    // broadcast centroids + a vec_id-keyed top-2 window + a |cells|-row
+    // rollup.
+    EngineQuery(
+      "sim_cluster_quality",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+        val scored = e.crossJoin(broadcast(cents))
+          .selectExpr("vec_id", "cell", "cosine_sim(embedding, c_emb) AS cos")
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("cell").asc)
+        val top2 = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 2)
+          .groupBy("vec_id")
+          .agg(
+            max(when(col("rn") === 1, col("cell"))).as("own_cell"),
+            max(when(col("rn") === 1,
+              expr("CAST(floor(cos * 1000000) AS BIGINT)"))).as("q1"),
+            max(when(col("rn") === 2,
+              expr("CAST(floor(cos * 1000000) AS BIGINT)"))).as("q2"))
+        top2.groupBy(col("own_cell").as("cell"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            (sum("q1").cast("double") / lit(1000000.0) /
+              count(lit(1)).cast("double")).as("mean_own"),
+            (sum("q2").cast("double") / lit(1000000.0) /
+              count(lit(1)).cast("double")).as("mean_second"),
+            sum(when(col("q1") - col("q2") < 50000L, 1L).otherwise(0L))
+              .as("n_ambiguous"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 16),
+              |p AS (SELECT e.vec_id, c.cell,
+              |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
+              |  FROM embeddings e CROSS JOIN c),
+              |r AS (SELECT vec_id, cell, cos,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              |  FROM p),
+              |t AS (SELECT vec_id,
+              |    max(CASE WHEN rn = 1 THEN cell END) AS own_cell,
+              |    max(CASE WHEN rn = 1 THEN CAST(floor(cos * 1000000) AS BIGINT) END) AS q1,
+              |    max(CASE WHEN rn = 2 THEN CAST(floor(cos * 1000000) AS BIGINT) END) AS q2
+              |  FROM r WHERE rn <= 2 GROUP BY vec_id)
+              |SELECT own_cell AS cell, CAST(count(*) AS BIGINT) AS n_members,
+              |  CAST(sum(q1) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS mean_own,
+              |  CAST(sum(q2) AS DOUBLE) / 1000000.0 / CAST(count(*) AS DOUBLE) AS mean_second,
+              |  CAST(sum(CASE WHEN q1 - q2 < 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_ambiguous
+              |FROM t GROUP BY own_cell""".stripMargin)),
+
     // Johnson-Lindenstrauss random projection (Achlioptas 2003's
     // database-friendly ±1 matrix): 64 dims → 16 via a FIXED sign
     // matrix rendered from one Scala array into IDENTICAL arithmetic
