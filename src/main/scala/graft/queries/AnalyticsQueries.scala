@@ -33,6 +33,16 @@ object AnalyticsQueries extends QueryModule {
     "CASE d " + (1 to 9).map(dd =>
       s"WHEN $dd THEN ${math.log10(1.0 + 1.0 / dd)}").mkString(" ") + " ELSE 0.0 END"
 
+  /** One statement text for both engines (q42): aggregate FILTER. */
+  private val Q42Sql =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+      |    FILTER (WHERE o_orderkey % 2 = 0) AS BIGINT) AS even_cents,
+      |  CAST(min(o_orderkey) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS min_open_key
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   /** One statement text for both engines (q38): GROUP BY ALL. */
   private val Q38Sql =
     """SELECT l_returnflag, l_linestatus,
@@ -1121,6 +1131,20 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(count(*) AS BIGINT) AS n_customers,
              |  CAST(sum(cents) AS BIGINT) AS seg_cents
              |FROM scored GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Aggregate FILTER clause (ANSI 2003) — per-aggregate predicates
+    // without CASE gymnastics; native in Spark and DuckDB since years,
+    // so the SAME statement text runs on both engines (the q38-style
+    // zero-rewrite parity, the strongest gate a surface op can have).
+    // Compiles to conditional partial aggregation — one scan, one
+    // shuffle, no extra pass per FILTER.
+    EngineQuery(
+      "q42_agg_filter",
+      (s, dir) => {
+        ord(s, dir).createOrReplaceTempView("orders")
+        s.sql(Q42Sql)
+      },
+      Some(Q42Sql)),
 
     // LISTAGG / string_agg — ordered string aggregation (ANSI 2016's
     // LISTAGG ... WITHIN GROUP), the SQL-surface op that turns a group

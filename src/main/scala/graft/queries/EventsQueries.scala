@@ -1054,6 +1054,59 @@ object EventsQueries extends QueryModule {
              |  (SELECT CAST(min(ms) AS BIGINT) FROM sc WHERE sc.s_dn = m.md) AS dn_change_ms
              |FROM t CROSS JOIN m""".stripMargin)),
 
+    // Interval union per user (gaps-and-islands MERGE): each event opens
+    // a 5-minute activity interval; overlaps merge, and the user's TRUE
+    // active time is the summed length of the merged islands — the
+    // billing/engagement metric a raw Σ durations double-counts. A new
+    // island starts where ts exceeds the running max of previous ends
+    // (one user-keyed window — partition cardinality ∝ users); island
+    // totals are exact ms integers. The overlap-aware twin of
+    // evt_max_concurrency's sweep.
+    EngineQuery(
+      "evt_active_time_merge",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val iv = events(s, dir)
+          .selectExpr("user_id", "event_id", "ts",
+            "unix_millis(ts) AS s_ms", "unix_millis(ts) + 300000 AS e_ms")
+          .withColumn("run_end", max("e_ms").over(w))
+          .withColumn("prev_end", lag("run_end", 1).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")))
+          .withColumn("new_isl",
+            when(col("prev_end").isNull || col("s_ms") > col("prev_end"), 1L)
+              .otherwise(0L))
+          .withColumn("isl", sum("new_isl").over(w))
+        iv.groupBy("user_id", "isl")
+          .agg(min("s_ms").as("i_start"), max("e_ms").as("i_end"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("i_end") - col("i_start")).as("active_ms"))
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id, ts,
+             |    epoch_ms(ts) AS s_ms, epoch_ms(ts) + 300000 AS e_ms
+             |  FROM events),
+             |r0 AS (SELECT user_id, ts, event_id, s_ms, e_ms,
+             |    max(e_ms) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_end
+             |  FROM iv),
+             |r AS (SELECT user_id, ts, event_id, s_ms, e_ms,
+             |    lag(run_end, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS prev_end
+             |  FROM r0),
+             |f AS (SELECT user_id, ts, event_id, s_ms, e_ms,
+             |    CASE WHEN prev_end IS NULL OR s_ms > prev_end THEN 1 ELSE 0 END AS new_isl
+             |  FROM r),
+             |g AS (SELECT user_id, s_ms, e_ms,
+             |    sum(new_isl) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+             |  FROM f),
+             |i AS (SELECT user_id, isl, min(s_ms) AS i_start, max(e_ms) AS i_end
+             |  FROM g GROUP BY 1, 2)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+             |  CAST(sum(i_end - i_start) AS BIGINT) AS active_ms
+             |FROM i GROUP BY user_id""".stripMargin)),
+
     // Day-of-week × hour-of-day activity heatmap — the ops-dashboard
     // readout behind load forecasting and maintenance-window choice.
     // Both axes derive from INTEGER epoch arithmetic (epoch-day % 7,
