@@ -87,8 +87,11 @@ object Multimodal {
     * signal. Per-row state is a handful of longs; no shuffle — a real
     * VAD model swaps in behind the same seam as MediaDecoder. */
   def voiceActivity(media: Dataset[MediaRecord], frameLen: Int = 32): Dataset[VadFeatures] =
-    media.filter(_.kind == "audio").mapPartitions { it =>
-      it.grouped(BatchSize).flatMap(_.map { r =>
+    // Empty payloads are excluded (a zero-byte clip has no frames to
+    // score); per-row computation, so no batch wrapper — unlike decode,
+    // there is no per-batch handle to amortize behind this seam.
+    media.filter(r => r.kind == "audio" && r.payload.nonEmpty).mapPartitions { it =>
+      it.map { r =>
         val bytes = r.payload
         val len = bytes.length.toLong
         var tot = 0L
@@ -108,7 +111,7 @@ object Multimodal {
           i += 1
         }
         VadFeatures(r.media_id, nf.toLong, voiced, maxRun)
-      })
+      }
     }
 
   final case class ResizedFeatures(

@@ -950,9 +950,14 @@ object AnalyticsQueries extends QueryModule {
         val b = graft.ops.ExactNtile
           .boundaries(o, "o_orderpriority", "o_totalprice", "o_orderkey",
             tiles = 4, binScale = 0.01)
+        // lo = the LAST boundary row (max idx), not literally idx 3:
+        // boundaryFrame collapses duplicate ranks on groups with < 4
+        // rows, and the max-idx row is exactly what the oracle's
+        // duplicate-k_j rank selection lands on there (idx 3 == max idx
+        // on any group with >= 4 rows, so big groups are unchanged).
         val edges = b.groupBy("o_orderpriority").agg(
           max(when(col("boundary_idx") === 1, col("b_score"))).as("hi"),
-          max(when(col("boundary_idx") === 3, col("b_score"))).as("lo"))
+          max_by(col("b_score"), col("boundary_idx")).as("lo"))
         o.join(broadcast(edges), Seq("o_orderpriority"))
           .withColumn("w", least(greatest(col("o_totalprice"), col("lo")), col("hi")))
           .groupBy("o_orderpriority")

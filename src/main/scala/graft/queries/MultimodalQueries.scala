@@ -145,7 +145,8 @@ object MultimodalQueries extends QueryModule {
       Some("""WITH m AS (SELECT doc_id AS media_id, text,
              |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
              |    CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS tot
-             |  FROM documents WHERE doc_id % 3 = 1),
+             |  FROM documents
+             |  WHERE doc_id % 3 = 1 AND octet_length(encode(text)) > 0),
              |fr AS (SELECT media_id, len, tot, CAST(u.i AS BIGINT) AS i,
              |    CAST(least((u.i + 1) * 32, len) - u.i * 32 AS BIGINT) AS flen,
              |    CAST(list_sum([unicode(text[j]) for j in

@@ -856,6 +856,23 @@ object GraftSql {
           .contains(f.dataType.simpleString),
         s"CREATE INDEX: column '$colName' is ${f.dataType.simpleString} — " +
           "the posting index supports integral columns")
+      // One index per column, unique names: the layout lives at
+      // _VIDX_<col>, so a second index on the same column would share
+      // (and on DROP destroy) the first one's postings; a reused name
+      // would orphan its old column's layout.
+      val priorIdx = properties(ref.dir).collect {
+        case (k, c) if k.startsWith("graft.index.") =>
+          k.stripPrefix("graft.index.") -> c }
+      require(!priorIdx.contains(ixName.toLowerCase) ||
+          priorIdx(ixName.toLowerCase) == colName.toLowerCase,
+        s"CREATE INDEX: '$ixName' already indexes column " +
+          s"'${priorIdx(ixName.toLowerCase)}' — DROP INDEX first")
+      priorIdx.find { case (n0, c) =>
+        c == colName.toLowerCase && n0 != ixName.toLowerCase }.foreach { case (n0, _) =>
+        throw new IllegalArgumentException(
+          s"CREATE INDEX: column '$colName' is already indexed by '$n0' " +
+            "(one posting layout per column) — DROP INDEX $n0 first or re-run CREATE INDEX $n0 to rebuild")
+      }
       val n = ValueIndex.build(s, ref.dir, colName)
       setProperties(s, name,
         Seq(s"graft.index.${ixName.toLowerCase}" -> colName.toLowerCase))
@@ -868,14 +885,7 @@ object GraftSql {
       val colOpt = properties(ref.dir).get(key)
       require(colOpt.isDefined,
         s"DROP INDEX: no index '${ixName.toLowerCase}' on '$name'")
-      val idx = java.nio.file.Paths.get(ref.dir, s"_VIDX_${colOpt.get}")
-      if (java.nio.file.Files.exists(idx)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(idx)
-        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-        finally walk.close()
-      }
+      ValueIndex.deleteTree(java.nio.file.Paths.get(ref.dir, s"_VIDX_${colOpt.get}"))
       unsetProperty(s, name, key)
       singleRow(s, Seq("name" -> ixName.toLowerCase, "table" -> name,
         "dropped" -> "true"))
@@ -909,12 +919,12 @@ object GraftSql {
     // rather than being silently half-rewritten.
     case q if topLevelWordIndices(q.trim.replaceAll(";\\s*$", ""), "QUALIFY").nonEmpty =>
       rewriteQualify(s, q.trim.replaceAll(";\\s*$", ""))
-    // Transparent MV rewrite: an aggregate over the BASE table answered
-    // from a registered FRESH materialized view (see mvRewriteOf).
-    // Building the plan twice is fine — construction is lazy and the
-    // shape-match is cheap; only matching statements pay it.
-    case q if mvRewriteOf(s, q).isDefined => mvRewriteOf(s, q).get
     case _ =>
+      // Transparent MV rewrite first: an aggregate over the BASE table
+      // answered from a registered FRESH materialized view (see
+      // mvRewriteOf) — evaluated ONCE (a pattern guard would re-run its
+      // registry scan, _MV reads and temp-view mounts in the body).
+      mvRewriteOf(s, statement).getOrElse {
       // table_files('t') — the Delta/Iceberg "files metadata table" as a
       // table-valued phrase: per-file path, byte size, and row count of
       // the LIVE snapshot, materialized as a temp view (same rewrite
@@ -1072,6 +1082,7 @@ object GraftSql {
       // captured the mounted views — restoring afterwards cannot change
       // its meaning.
       try s.sql(rewritten) finally (dottedRestores ++ restores).foreach(_())
+      }
   }
 
   /** Transparent materialized-view rewrite — the classic warehouse
@@ -1113,6 +1124,9 @@ object GraftSql {
         val counts = its.collect { case MvCountItem(a) => a }
         val sums = its.collect { case MvSumItem(c, a) => (c, a) }
         if (bare.size + counts.size + sums.size != its.size) return None
+        // Aggregate-free GROUP BY (the dedup spelling) is valid SQL but
+        // not this rewrite's shape — agg() below needs >= 1 aggregate.
+        if (counts.isEmpty && sums.isEmpty) return None
         val liveBaseV = scala.util.Try(graft.streaming.VersionNames.idOf(
           graft.streaming.ParquetTable.currentVersion(baseRef.dir)))
           .getOrElse(return None)

@@ -51,6 +51,14 @@ object ValueIndex {
       s"ValueIndex.$op: snapshot carries deletion vectors — purgeDV first " +
         "(raw-file postings would resurrect deleted rows)")
 
+  /** Recursive delete, shared with GraftSql's DROP INDEX arm. */
+  private[tables] def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
   /** Build (or rebuild) the index for `c` over the table's live
     * snapshot. Returns the number of postings written. */
   def build(spark: SparkSession, dir: String, c: String,
@@ -58,20 +66,19 @@ object ValueIndex {
     requireNoDv(dir, "build")
     val cur = ParquetTable.currentPath(dir)
     val out = idxDir(dir, c)
-    if (Files.exists(out)) {
-      val walk = Files.walk(out)
-      try walk.sorted(java.util.Comparator.reverseOrder[Path]())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally walk.close()
-    }
-    spark.read.parquet(cur)
+    deleteTree(out)
+    val postings = spark.read.parquet(cur)
       .select(col(c).as("v"), col("_metadata.file_name").as("f"))
       .distinct()
-      .repartitionByRange(indexPartitions, col("v"))
-      .sortWithinPartitions("v")
-      .write.mode("overwrite").parquet(out.toString)
-    Files.writeString(out.resolve("_stamp"), ParquetTable.currentVersion(dir))
-    spark.read.parquet(out.toString).count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      postings.repartitionByRange(indexPartitions, col("v"))
+        .sortWithinPartitions("v")
+        .write.mode("overwrite").parquet(out.toString)
+      val n = postings.count() // served from the cached postings
+      Files.writeString(out.resolve("_stamp"), ParquetTable.currentVersion(dir))
+      n
+    } finally { postings.unpersist(); () }
   }
 
   private def parquetNames(p: Path): Set[String] = {

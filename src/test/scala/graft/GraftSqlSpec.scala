@@ -896,6 +896,19 @@ class GraftSqlSpec extends SparkSuite {
     val ui = intercept[IllegalArgumentException](GraftSql.sql(spark,
       "DROP INDEX nope ON gsql_ix"))
     assert(ui.getMessage.contains("no index"))
+    // One posting layout per column: a second index on the same column
+    // (under another name) would share — and on DROP destroy — the
+    // first one's postings; a name reused for a different column would
+    // orphan its old layout. Both rejected; same-name same-column
+    // re-CREATE is the sanctioned rebuild.
+    val dup = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "CREATE INDEX ix_track2 ON gsql_ix (track)"))
+    assert(dup.getMessage.contains("already indexed by"))
+    val reuse = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "CREATE INDEX ix_track ON gsql_ix (id)"))
+    assert(reuse.getMessage.contains("already indexes column"))
+    assert(GraftSql.sql(spark, "CREATE INDEX ix_track ON gsql_ix (track)")
+      .collect().head.getAs[Long]("n_postings") == 400L, "rebuild allowed")
     val d = GraftSql.sql(spark, "DROP INDEX ix_track ON gsql_ix").collect().head
     assert(d.getAs[String]("dropped") == "true")
     assert(!java.nio.file.Files.exists(

@@ -119,6 +119,11 @@ class MvSqlSpec extends SparkSuite {
       s"SELECT g, COUNT(*) AS n, SUM(k) AS sk FROM $base GROUP BY g")).contains(loc))
     assert(!planOf(GraftSql.sql(spark,
       s"SELECT g, COUNT(*) AS n FROM $base WHERE k > 1 GROUP BY g")).contains(loc))
+    // Aggregate-free GROUP BY (the dedup spelling) is NOT the rewrite's
+    // shape: it must pass through and execute, not crash in agg().
+    val dedup = GraftSql.sql(spark, s"SELECT g FROM $base GROUP BY g")
+    assert(!planOf(dedup).contains(loc))
+    assert(dedup.collect().map(_.getString(0)).toSet == Set("a", "b", "c", "d"))
   }
 
   test("non-maintainable definitions are refused") {
