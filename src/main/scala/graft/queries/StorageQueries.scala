@@ -1450,6 +1450,20 @@ object StorageQueries extends QueryModule {
              |  CAST(sum(c) AS BIGINT) AS sum_cust
              |FROM fin GROUP BY o_orderstatus""".stripMargin)),
 
+    // Metadata-only COUNT(*): the statement is answered from the
+    // fresh-stamped ANALYZE row count with zero file IO (AnalyzeSpec
+    // pins the local-relation plan and the staleness re-scan); this
+    // gate pins the VALUE and result type against DuckDB's real count.
+    EngineQuery(
+      "store_metadata_count",
+      (s, dir) => {
+        analyzedTables(s, dir)
+        graft.tables.GraftSql.sql(s,
+          "ANALYZE TABLE orders_analyzed COMPUTE STATISTICS")
+        graft.tables.GraftSql.sql(s, "SELECT count(*) AS n FROM orders_analyzed")
+      },
+      Some("SELECT CAST(count(*) AS BIGINT) AS n FROM orders")),
+
     // Exact file-posting secondary index (Hyperspace-style): a RANGE
     // lookup on the high-cardinality UNCLUSTERED o_track column opens
     // only the posted files — the case neither stats skipping (needs

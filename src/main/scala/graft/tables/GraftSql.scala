@@ -113,6 +113,8 @@ object GraftSql {
     ("""(?is)^\s*CREATE\s+TABLE\s+(""" + IdPat + """)\s+LIKE\s+(""" + IdPat + """)\s*;?\s*$""").r
   private val ShowIndexesStmt =
     ("""(?is)^\s*SHOW\s+INDEXES\s+(?:ON|IN|FROM)\s+(""" + IdPat + """)\s*;?\s*$""").r
+  private val CountStarStmt =
+    ("""(?is)^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s+FROM\s+(""" + IdPat + """)\s*;?\s*$""").r
   private val InsertOverwrite =
     ("""(?is)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(""" + IdPat + """)\s+(SELECT\b.*)$""").r
   // Delta's predicate-scoped overwrite spelling. Same clause-boundary
@@ -920,11 +922,18 @@ object GraftSql {
     case q if topLevelWordIndices(q.trim.replaceAll(";\\s*$", ""), "QUALIFY").nonEmpty =>
       rewriteQualify(s, q.trim.replaceAll(";\\s*$", ""))
     case _ =>
-      // Transparent MV rewrite first: an aggregate over the BASE table
-      // answered from a registered FRESH materialized view (see
-      // mvRewriteOf) — evaluated ONCE (a pattern guard would re-run its
-      // registry scan, _MV reads and temp-view mounts in the body).
-      mvRewriteOf(s, statement).getOrElse {
+      // Metadata-only COUNT(*) (the Delta/Iceberg "answer from the
+      // snapshot's stats" path, and Spark's OptimizeMetadataOnlyQuery
+      // analog): a bare `SELECT count(*) FROM t` over a registered
+      // versioned table with FRESH ANALYZE stats returns the stamped
+      // row_count with ZERO file IO — at 100 TB the difference between
+      // a dashboard millisecond and a full scan. Exactness is the
+      // stamp's contract: ANY version-moving commit invalidates it, so
+      // a stale count can never serve (the same gate broadcast
+      // decisions use). Then the transparent MV rewrite (mvRewriteOf);
+      // both evaluated ONCE — a pattern guard would re-run their
+      // registry scans and temp-view mounts in the body.
+      metadataCountOf(s, statement).orElse(mvRewriteOf(s, statement)).getOrElse {
       // table_files('t') — the Delta/Iceberg "files metadata table" as a
       // table-valued phrase: per-file path, byte size, and row count of
       // the LIVE snapshot, materialized as a temp view (same rewrite
@@ -1083,6 +1092,27 @@ object GraftSql {
       // its meaning.
       try s.sql(rewritten) finally (dottedRestores ++ restores).foreach(_())
       }
+  }
+
+  /** Metadata-only COUNT(*): `SELECT count(*) [AS a] FROM t` answered
+    * from the fresh-stamped `_TABLE_STATS` row count (see the sql()
+    * fall-through comment). Column name matches the passthrough plan's
+    * (`count(1)` unless aliased) so the fast path is schema-invisible.
+    * Conf default-ON: `spark.graft.metadataCount.enabled=false`. */
+  private def metadataCountOf(s: SparkSession, statement: String): Option[DataFrame] = {
+    if (!scala.util.Try(
+        s.conf.get("spark.graft.metadataCount.enabled", "true").toBoolean).getOrElse(true))
+      return None
+    statement.trim match {
+      case CountStarStmt(alias, rawName) =>
+        registry.get((s, normalizeIdent(rawName))).flatMap { ref =>
+          if (!ParquetTable.exists(ref.dir)) None
+          else TableStats.fresh(ref.dir).map { st =>
+            singleRow(s, Seq(Option(alias).getOrElse("count(1)") -> st.rowCount))
+          }
+        }
+      case _ => None
+    }
   }
 
   /** Transparent materialized-view rewrite — the classic warehouse

@@ -177,4 +177,31 @@ class AnalyzeSpec extends SparkSuite {
     assert(TableStats.fresh(dir).isEmpty, "no auto-refresh without the conf")
     assert(TableStats.read(dir).isDefined, "stale stats remain readable")
   }
+
+  test("metadata-only COUNT(*): fresh stats answer with zero file IO, staleness re-scans") {
+    val s = spark; import s.implicits._
+    freshTable("an_cnt", (1L to 7L).map(i => (i, s"p$i")).toDF("k", "p"))
+    GraftSql.sql(spark, "ANALYZE TABLE an_cnt COMPUTE STATISTICS")
+    def planOf(q: String) =
+      GraftSql.sql(spark, q).queryExecution.sparkPlan.toString
+    val q = "SELECT count(*) AS n FROM an_cnt"
+    // Fresh: the answer is a local relation — no parquet scan at all.
+    assert(!planOf(q).toLowerCase.contains("parquet"), planOf(q).take(200))
+    assert(GraftSql.sql(spark, q).head().getLong(0) == 7L)
+    // Unaliased spelling keeps the passthrough's column name.
+    assert(GraftSql.sql(spark, "SELECT count(*) FROM an_cnt").columns.toSeq ==
+      Seq("count(1)"))
+    // A commit stales the stamp: the same statement scans and sees the
+    // new row (a stale metadata answer must never serve).
+    GraftSql.sql(spark, "INSERT INTO an_cnt VALUES (8, 'p8')")
+    assert(planOf(q).toLowerCase.contains("parquet"), "stale → real scan")
+    assert(GraftSql.sql(spark, q).head().getLong(0) == 8L)
+    GraftSql.sql(spark, "ANALYZE TABLE an_cnt COMPUTE STATISTICS")
+    assert(!planOf(q).toLowerCase.contains("parquet"), "re-ANALYZE restores")
+    assert(GraftSql.sql(spark, q).head().getLong(0) == 8L)
+    // Conf off: always the real plan.
+    spark.conf.set("spark.graft.metadataCount.enabled", "false")
+    try assert(planOf(q).toLowerCase.contains("parquet"))
+    finally spark.conf.set("spark.graft.metadataCount.enabled", "true")
+  }
 }
