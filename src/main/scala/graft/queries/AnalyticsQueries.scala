@@ -1137,6 +1137,33 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(sum(cents) AS BIGINT) AS seg_cents
              |FROM scored GROUP BY 1, 2, 3""".stripMargin)),
 
+    // ANSI-safe error-handling expressions: try_cast yields NULL instead
+    // of throwing on a bad cast, try_divide NULLs division by zero —
+    // the spellings that keep a 100 TB batch job alive through dirty
+    // rows instead of dying on task 48151. DuckDB's duals are TRY_CAST
+    // and NULLIF-guarded division; quotient sums ride floor-quantized
+    // i64 (order-free exact).
+    EngineQuery(
+      "q43_try_ops",
+      (s, dir) =>
+        ord(s, dir)
+          .selectExpr(
+            "try_cast(o_orderstatus AS INT) AS bad_cast",
+            "try_cast(CAST(o_orderkey AS STRING) AS INT) AS good_cast",
+            "try_divide(o_totalprice, CAST(o_orderkey % 3 AS DOUBLE)) AS q")
+          .agg(
+            count(lit(1)).as("n"),
+            count(col("bad_cast")).as("n_bad_ok"),
+            count(col("good_cast")).as("n_good_ok"),
+            count(col("q")).as("n_div_ok"),
+            sum(expr("CAST(floor(q * 1000) AS BIGINT)")).as("q_millis")),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(TRY_CAST(o_orderstatus AS INT)) AS BIGINT) AS n_bad_ok,
+             |  CAST(count(TRY_CAST(CAST(o_orderkey AS VARCHAR) AS INT)) AS BIGINT) AS n_good_ok,
+             |  CAST(count(o_totalprice / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0.0)) AS BIGINT) AS n_div_ok,
+             |  CAST(sum(CAST(floor((o_totalprice / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0.0)) * 1000) AS BIGINT)) AS BIGINT) AS q_millis
+             |FROM orders""".stripMargin)),
+
     // Aggregate FILTER clause (ANSI 2003) — per-aggregate predicates
     // without CASE gymnastics; native in Spark and DuckDB since years,
     // so the SAME statement text runs on both engines (the q38-style

@@ -1123,6 +1123,36 @@ object SimQueries extends QueryModule {
               |  CAST(max(CASE WHEN rt = 1 THEN vid END) AS BIGINT) AS trunc_top1
               |FROM r GROUP BY qid""".stripMargin)),
 
+    // Near-dup threshold sensitivity sweep: pair counts at five cosine
+    // thresholds from ONE bucket-confined scoring pass (the "how do I
+    // pick 0.7?" audit run before committing a dedup policy) — higher
+    // thresholds are conditional sums over the same scored pairs, never
+    // extra passes. Verdicts compare the ROUNDED cosine both sides
+    // (identical bits, the established pair-parity).
+    EngineQuery(
+      "sim_threshold_sweep",
+      (s, dir) => bucketPairsJvm(s, emb(s, dir).selectExpr(
+          "vec_id", "embedding",
+          s"${lshSigSpark("embedding", 4, Dim)} AS bucket"), 0.25)
+        .agg(
+          count(lit(1)).as("n_025"),
+          sum(when(col("cosine") >= 0.4, 1L).otherwise(0L)).as("n_040"),
+          sum(when(col("cosine") >= 0.55, 1L).otherwise(0L)).as("n_055"),
+          sum(when(col("cosine") >= 0.7, 1L).otherwise(0L)).as("n_070"),
+          sum(when(col("cosine") >= 0.85, 1L).otherwise(0L)).as("n_085")),
+      Some(s"""WITH s AS (SELECT vec_id, embedding,
+              |    ${lshSigDuck("embedding", 4, Dim)} AS bucket
+              |  FROM embeddings),
+              |p AS (SELECT round(${cosineDuck("a.embedding", "b.embedding")}, 6) AS cosine
+              |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              |  WHERE ${cosineDuck("a.embedding", "b.embedding")} >= 0.25)
+              |SELECT CAST(count(*) AS BIGINT) AS n_025,
+              |  CAST(sum(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_040,
+              |  CAST(sum(CASE WHEN cosine >= 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS n_055,
+              |  CAST(sum(CASE WHEN cosine >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_070,
+              |  CAST(sum(CASE WHEN cosine >= 0.85 THEN 1 ELSE 0 END) AS BIGINT) AS n_085
+              |FROM p""".stripMargin)),
+
     // Clustering-quality audit (simplified silhouette over the seed
     // centroids): each vector's best and SECOND-best centroid cosine
     // from one broadcast scan, rolled up per winning cell — member

@@ -1056,6 +1056,43 @@ object TextQueries extends QueryModule {
               |  CAST(max(score) AS BIGINT) AS max_score
               |FROM sc GROUP BY lang""".stripMargin)),
 
+    // Classifier calibration bins (reliability diagram): the hashed-
+    // feature score bucketed into width-20 bins vs the observed 'en'
+    // rate per bin — the check run before trusting a cheap quality/
+    // language scorer as a corpus filter. Binning floors an EXACT
+    // double division (identical operands both engines), the rate is
+    // one integer ratio per bin; work = the same narrow projection as
+    // text_hashed_features + a |bins|-row rollup.
+    EngineQuery(
+      "text_calibration_bins",
+      (s, dir) => {
+        val bucket = s"${graft.text.TextAnalysis.hash60Spark("t")} % 64"
+        docs(s, dir)
+          .withColumn("toks", expr(toksSpark))
+          .selectExpr(
+            "CAST(lang = 'en' AS INT) AS is_en",
+            s"coalesce(aggregate(toks, CAST(0 AS BIGINT), (acc, t) -> acc + (($bucket) % 7 - 3)), CAST(0 AS BIGINT)) AS score")
+          .selectExpr("is_en",
+            "CAST(floor(CAST(score AS DOUBLE) / 20.0) AS BIGINT) AS bin")
+          .groupBy("bin")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum("is_en").cast("long").as("n_en"),
+            (sum("is_en").cast("double") / count(lit(1)).cast("double"))
+              .as("en_rate"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
+              |sc AS (SELECT CAST(lang = 'en' AS INT) AS is_en,
+              |    coalesce(list_sum(list_transform(toks, t -> (${graft.text.TextAnalysis.hash60Duck("t")} % 64) % 7 - 3)), 0) AS score
+              |  FROM tk),
+              |b AS (SELECT is_en,
+              |    CAST(floor(CAST(score AS DOUBLE) / 20.0) AS BIGINT) AS bin
+              |  FROM sc)
+              |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(is_en) AS BIGINT) AS n_en,
+              |  CAST(sum(is_en) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS en_rate
+              |FROM b GROUP BY bin""".stripMargin)),
+
     // Quality-aware dedup keep-policy: within each near-dup group (the
     // one-hop min-label over the LSH candidate path, as text_curate),
     // keep the HIGHEST-QUALITY member instead of the smallest id — the
