@@ -1143,9 +1143,9 @@ object SimQueries extends QueryModule {
       Some(s"""WITH s AS (SELECT vec_id, embedding,
               |    ${lshSigDuck("embedding", 4, Dim)} AS bucket
               |  FROM embeddings),
-              |p AS (SELECT round(${cosineDuck("a.embedding", "b.embedding")}, 6) AS cosine
-              |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-              |  WHERE ${cosineDuck("a.embedding", "b.embedding")} >= 0.25)
+              |p0 AS (SELECT ${cosineDuck("a.embedding", "b.embedding")} AS cos
+              |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+              |p AS (SELECT round(cos, 6) AS cosine FROM p0 WHERE cos >= 0.25)
               |SELECT CAST(count(*) AS BIGINT) AS n_025,
               |  CAST(sum(CASE WHEN cosine >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_040,
               |  CAST(sum(CASE WHEN cosine >= 0.55 THEN 1 ELSE 0 END) AS BIGINT) AS n_055,

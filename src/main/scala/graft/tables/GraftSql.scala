@@ -1107,6 +1107,12 @@ object GraftSql {
       case CountStarStmt(alias, rawName) =>
         registry.get((s, normalizeIdent(rawName))).flatMap { ref =>
           if (!ParquetTable.exists(ref.dir)) None
+          // Deletion-vector snapshots: ANALYZE counted the RAW files
+          // (DV-deleted rows included), so a stamped count would
+          // overcount — same refusal convention as ValueIndex, routed
+          // to the real plan instead of a loud error here.
+          else if (java.nio.file.Files.isDirectory(java.nio.file.Paths
+              .get(ParquetTable.currentPath(ref.dir)).resolve("_dv"))) None
           else TableStats.fresh(ref.dir).map { st =>
             singleRow(s, Seq(Option(alias).getOrElse("count(1)") -> st.rowCount))
           }

@@ -123,6 +123,13 @@ object TableStats {
     * Persists `_TABLE_STATS` and returns the computed [[Stats]]. */
   def analyze(s: SparkSession, dir: String, columns: Seq[String],
       pre: Option[DataFrame] = None): Stats = {
+    // Stamp captured BEFORE the scan: a commit landing mid-aggregation
+    // would otherwise get OLD-snapshot counts stamped with the NEW
+    // version and serve as fresh — for broadcast sizing a perf nit, but
+    // the metadata-only COUNT(*) path promotes the stamp to answer
+    // correctness. Pre-scan capture makes a mid-scan move read as
+    // stale, which is safely conservative.
+    val preStamp = currentStamp(dir)
     val df = pre.getOrElse(readCurrent(s, dir))
     val byName = df.schema.fields.map(f => f.name -> f).toMap
     columns.foreach { c =>
@@ -165,11 +172,10 @@ object TableStats {
       // Re-ANALYZE of a subset at the same version keeps the other
       // columns' stats; any version move drops them (they measured old
       // data).
-      case Some(prev) if prev.stamp == currentStamp(dir) =>
-        prev.cols ++ cols
+      case Some(prev) if prev.stamp == preStamp => prev.cols ++ cols
       case _ => cols
     }
-    val st = Stats(currentStamp(dir), rowCount, snapshotBytes(dir), merged)
+    val st = Stats(preStamp, rowCount, snapshotBytes(dir), merged)
     write(dir, st)
     st
   }

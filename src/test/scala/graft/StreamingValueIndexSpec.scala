@@ -28,19 +28,23 @@ class StreamingValueIndexSpec extends SparkSuite {
     ValueIndex.build(spark, dir, "track")
 
     rows(1000L, 1400L).repartition(4).write.mode("overwrite").parquet(s"$root/in")
+    val fastPaths = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
     val q = spark.readStream
       .schema(rows(0L, 1L).schema).parquet(s"$root/in")
       .writeStream
       .option("checkpointLocation", s"$root/cp")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         ParquetTable.append(spark, batch, dir)
-        ValueIndex.refreshIncremental(spark, dir, "track")
+        fastPaths.add(ValueIndex.refreshIncremental(spark, dir, "track"))
         ()
       }
       .start()
     q.processAllAvailable(); q.stop()
 
     assert(ValueIndex.fresh(dir, "track"), "index current after the stream drains")
+    import scala.jdk.CollectionConverters._
+    assert(fastPaths.asScala.nonEmpty && fastPaths.asScala.forall(identity),
+      "every micro-batch must take the INCREMENTAL path, not a full rebuild")
     assert(ParquetTable.read(spark, dir).count() == 1400L, "no row lost/duplicated")
     val incr = spark.read.parquet(s"$dir/_VIDX_track")
       .collect().map(_.toString).toSet
