@@ -61,4 +61,36 @@ class MergeStreamSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(replayed == expected, "batch replay must not change table state")
   }
+
+  test("snapshot-mirror mode: each trigger makes the table EQUAL the snapshot, one commit") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-mirror").toString
+    val dir = s"$root/t"
+    def snap(rows: Seq[(Long, String)]) = rows.toDF("id", "payload")
+    def state() = ParquetTable.read(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Drive through a REAL stream: wave 1 bootstraps, wave 2 mirrors
+    // (3 updated, 2 gone, 2 new) — the table must equal each snapshot
+    // after its trigger.
+    val in = s"$root/in"
+    snap((1L to 5L).map(i => (i, s"a$i"))).coalesce(1).write.parquet(in)
+    val q = spark.readStream.schema(snap(Seq((1L, "x"))).schema).parquet(in)
+      .writeStream.option("checkpointLocation", s"$root/cp")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        MergeStream.mirrorBatch(spark, b, dir, Seq("id"))
+      }.start()
+    q.processAllAvailable()
+    assert(state() == (1L to 5L).map(i => i -> s"a$i").toMap)
+    val wave2 = (1L to 3L).map(i => (i, s"b$i")) ++ Seq((6L, "b6"), (7L, "b7"))
+    snap(wave2).coalesce(1).write.mode("append").parquet(in)
+    q.processAllAvailable(); q.stop()
+    assert(state() == wave2.toMap, "gone keys 4,5 deleted, updates + inserts applied")
+    // ONE commit per snapshot trigger: bootstrap + 1 mirror = 2 versions.
+    assert(ParquetTable.publishedVersions(dir).size == 2)
+    // Content-idempotent replay: re-mirroring the same snapshot deletes
+    // nothing and restates the same rows.
+    MergeStream.mirrorBatch(spark, snap(wave2), dir, Seq("id"))
+    assert(state() == wave2.toMap)
+  }
 }
