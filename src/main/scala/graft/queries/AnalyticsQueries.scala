@@ -1137,6 +1137,36 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(sum(cents) AS BIGINT) AS seg_cents
              |FROM scored GROUP BY 1, 2, 3""".stripMargin)),
 
+    // k-anonymity audit (privacy/data-governance): rows grouped by a
+    // quasi-identifier tuple; any group with < k members re-identifies
+    // its rows. One count shuffle keyed on the QI tuple + a scalar
+    // rollup — group cardinality bounds the second stage, never rows.
+    // The release gate a dataset needs before leaving the trust zone.
+    EngineQuery(
+      "dq_k_anonymity",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .selectExpr("c_nationkey", "c_mktsegment",
+            "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band")
+          .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+          .agg(count(lit(1)).as("grp_n"))
+          .agg(
+            count(lit(1)).as("n_groups"),
+            sum(when(col("grp_n") < 5L, 1L).otherwise(0L)).as("n_small_groups"),
+            sum(when(col("grp_n") < 5L, col("grp_n")).otherwise(0L)).as("n_rows_at_risk"),
+            min("grp_n").as("min_k"),
+            sum("grp_n").as("n_rows")),
+      Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             |    count(*) AS grp_n
+             |  FROM customer GROUP BY 1, 2, 3)
+             |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+             |  CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+             |  CAST(min(grp_n) AS BIGINT) AS min_k,
+             |  CAST(sum(grp_n) AS BIGINT) AS n_rows
+             |FROM g""".stripMargin)),
+
     // ANSI-safe error-handling expressions: try_cast yields NULL instead
     // of throwing on a bad cast, try_divide NULLs division by zero —
     // the spellings that keep a 100 TB batch job alive through dirty

@@ -1054,6 +1054,55 @@ object EventsQueries extends QueryModule {
              |  (SELECT CAST(min(ms) AS BIGINT) FROM sc WHERE sc.s_dn = m.md) AS dn_change_ms
              |FROM t CROSS JOIN m""".stripMargin)),
 
+    // Pareto concentration (the 80/20 readout): the minimum number of
+    // heaviest users covering ≥80% of all events — capacity planning's
+    // "how top-heavy is the workload". NO global ranking over users:
+    // per-user counts collapse to a count-of-counts histogram (domain
+    // bounded by max per-user activity, never user count), the
+    // cumulation windows over THAT bounded domain (the quantile_bins
+    // pattern), and the mid-bucket crossing resolves by integer
+    // ceiling arithmetic — everything exact, one user-keyed shuffle.
+    EngineQuery(
+      "evt_pareto_users",
+      (s, dir) => {
+        val per = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("c"))
+        val coc = per.groupBy("c").agg(count(lit(1)).as("nu"))
+        val w = Window.orderBy(col("c").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = coc
+          .withColumn("cum_ev", sum(col("c") * col("nu")).over(w))
+          .withColumn("cum_us", sum(col("nu")).over(w))
+        val tot = per.agg(sum("c").as("tot_ev"), count(lit(1)).as("tot_us"))
+        cum.crossJoin(broadcast(tot))
+          .filter(col("cum_ev") * 5 >= col("tot_ev") * 4)
+          .orderBy(col("c").desc).limit(1)
+          .selectExpr("tot_us AS n_users", "tot_ev AS n_events",
+            """(cum_us - nu) + (4 * tot_ev - 5 * (cum_ev - c * nu) + 5 * c - 1)
+              | DIV (5 * c) AS users_for_80pct""".stripMargin.replace("\n", ""))
+          .withColumn("user_share_pct",
+            col("users_for_80pct").cast("double") * lit(100.0) /
+              col("n_users").cast("double"))
+      },
+      Some("""WITH per AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+             |coc AS (SELECT c, count(*) AS nu FROM per GROUP BY c),
+             |cum AS (SELECT c, nu,
+             |    sum(c * nu) OVER (ORDER BY c DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ev,
+             |    sum(nu) OVER (ORDER BY c DESC
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_us
+             |  FROM coc),
+             |t AS (SELECT sum(c) AS tot_ev, count(*) AS tot_us FROM per),
+             |x AS (SELECT cum.*, t.tot_ev, t.tot_us FROM cum, t
+             |  WHERE cum_ev * 5 >= tot_ev * 4
+             |  ORDER BY c DESC LIMIT 1)
+             |SELECT CAST(tot_us AS BIGINT) AS n_users,
+             |  CAST(tot_ev AS BIGINT) AS n_events,
+             |  CAST((cum_us - nu) + (4 * tot_ev - 5 * (cum_ev - c * nu) + 5 * c - 1)
+             |    // (5 * c) AS BIGINT) AS users_for_80pct,
+             |  CAST((cum_us - nu) + (4 * tot_ev - 5 * (cum_ev - c * nu) + 5 * c - 1)
+             |    // (5 * c) AS DOUBLE) * 100.0 / CAST(tot_us AS DOUBLE) AS user_share_pct
+             |FROM x""".stripMargin)),
+
     // Interval union per user (gaps-and-islands MERGE): each event opens
     // a 5-minute activity interval; overlaps merge, and the user's TRUE
     // active time is the summed length of the merged islands — the
