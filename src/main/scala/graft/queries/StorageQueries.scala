@@ -1011,6 +1011,33 @@ object StorageQueries extends QueryModule {
              |  CAST(count(*) AS BIGINT) AS n_cur
              |FROM orders GROUP BY 1""".stripMargin)),
 
+    // Graft-managed VIEW with a TIME-TRAVEL body (impossible in a Spark
+    // temp view — AS-OF phrases never reach its parser): the view pins
+    // version 1, the outer statement joins it against the LIVE mount of
+    // the same table, and the whole composition re-executes through
+    // sql() at reference time. A broken expansion (view reading the
+    // live snapshot, or the join resolving the wrong mount) flips the
+    // n_v1 column and the hash.
+    EngineQuery(
+      "sql_graft_view",
+      (s, dir) => {
+        val t = versionedOrders(s, dir)
+        graft.tables.GraftSql.register(s, "orders_versioned", t, Seq("o_orderkey"))
+        graft.tables.GraftSql.sql(s,
+          "CREATE OR REPLACE VIEW ov_v1 AS SELECT o_orderstatus, count(*) AS n_v1 " +
+            "FROM orders_versioned VERSION AS OF 1 GROUP BY o_orderstatus")
+        graft.tables.GraftSql.sql(s,
+          """SELECT o.o_orderstatus, coalesce(max(v.n_v1), CAST(0 AS BIGINT)) AS n_v1,
+            |  count(*) AS n_live
+            |FROM orders_versioned o LEFT JOIN ov_v1 v
+            |  ON o.o_orderstatus = v.o_orderstatus
+            |GROUP BY o.o_orderstatus""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(count(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS BIGINT) AS n_v1,
+             |  CAST(count(*) AS BIGINT) AS n_live
+             |FROM orders GROUP BY 1""".stripMargin)),
+
     // The SQL spelling a spark-sql user of the reference pastes
     // (db/query_table.sql:4-5): DESCRIBE HISTORY through the GraftSql
     // statement shim. The deterministic projection (version id, liveness,

@@ -29,6 +29,13 @@ object GraftSql {
   private val registry =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), TableRef]
 
+  /** Graft-managed views: name → stored SQL text (see CreateView). */
+  private val viewRegistry =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Re-entrant view-expansion depth (cycle guard). */
+  private val viewDepth = new ThreadLocal[Int] { override def initialValue = 0 }
+
   /** Canonical registry key for an identifier as a user may spell it:
     * backquotes stripped, whitespace around dots dropped, parts joined
     * with '.'. `db.t`, `` `db`.`t` `` and `` db.`t` `` all key the same
@@ -115,6 +122,18 @@ object GraftSql {
     ("""(?is)^\s*SHOW\s+INDEXES\s+(?:ON|IN|FROM)\s+(""" + IdPat + """)\s*;?\s*$""").r
   private val CountStarStmt =
     ("""(?is)^\s*SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s+FROM\s+(""" + IdPat + """)\s*;?\s*$""").r
+  // Graft-managed views: stored SQL TEXT re-executed through sql() at
+  // reference time, so AS-OF phrases / table_changes / QUALIFY / mounts
+  // compose INSIDE a view body — a plain Spark temp view can hold none
+  // of those. MATERIALIZED has its own statements; the (?!MATERIALIZED)
+  // guard keeps them disjoint.
+  private val CreateView =
+    ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?!MATERIALIZED\b)(""" + IdPat +
+      """)\s+AS\s+(SELECT\b.*|WITH\b.*)$""").r
+  private val DropView =
+    ("""(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(""" + IdPat + """)\s*;?\s*$""").r
+  private val ShowViews =
+    """(?is)^\s*SHOW\s+VIEWS\s*;?\s*$""".r
   private val InsertOverwrite =
     ("""(?is)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(""" + IdPat + """)\s+(SELECT\b.*)$""").r
   // Delta's predicate-scoped overwrite spelling. Same clause-boundary
@@ -306,6 +325,49 @@ object GraftSql {
         s"UNCACHE TABLE: '$name' is not cached (use IF EXISTS for a no-op)")
       singleRow(s, Seq("name" -> name,
         "uncached" -> (if (removed.isDefined) "true" else "false")))
+    // CREATE [OR REPLACE] VIEW v AS <query> — the body is stored as
+    // TEXT and re-executed through sql() wherever v is referenced, so
+    // AS-OF phrases, table_changes/table_files/index_lookup, QUALIFY
+    // and registered-table mounts all compose INSIDE the view (a Spark
+    // temp view can hold none of those — its plan freezes at creation
+    // and graft phrases never reach its parser anyway). Validated at
+    // CREATE by resolving `SELECT * FROM v`; a broken body never
+    // registers.
+    case CreateView(orReplace, rawName, body) =>
+      val name = normalizeIdent(rawName)
+      require(!name.contains("."), s"CREATE VIEW: qualified view names are not supported: $name")
+      require(orReplace != null || !viewRegistry.contains((s, name)),
+        s"CREATE VIEW: '$name' already exists — use CREATE OR REPLACE VIEW")
+      require(!registry.contains((s, name)),
+        s"CREATE VIEW: '$name' is a registered table")
+      val text = body.trim.replaceAll(";\\s*$", "")
+      val prior = viewRegistry.put((s, name), text)
+      try sql(s, s"SELECT * FROM $name").queryExecution.analyzed
+      catch { case e: Exception =>
+        prior match {
+          case Some(p) => viewRegistry.put((s, name), p)
+          case None => viewRegistry.remove((s, name))
+        }
+        throw new IllegalArgumentException(
+          s"CREATE VIEW $name: body does not resolve: ${e.getMessage}")
+      }
+      singleRow(s, Seq("name" -> name,
+        "replaced" -> (if (prior.isDefined) "true" else "false")))
+    case DropView(ifExists, rawName) =>
+      val name = normalizeIdent(rawName)
+      val removed = viewRegistry.remove((s, name))
+      require(removed.isDefined || ifExists != null,
+        s"DROP VIEW: '$name' does not exist (use IF EXISTS for a no-op)")
+      singleRow(s, Seq("name" -> name,
+        "dropped" -> (if (removed.isDefined) "true" else "false")))
+    case ShowViews() =>
+      import scala.jdk.CollectionConverters._
+      val rows = viewRegistry.keysIterator
+        .collect { case (sess, n) if sess eq s => n }.toSeq.sorted
+        .map(n => Row(n, viewRegistry((s, n))))
+      s.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("definition", StringType, nullable = false))))
     case ShowTables(pat) =>
       // Registered names for THIS session, name-sorted; LIKE filters with
       // SQL wildcards. Bounded by the registration count by definition.
@@ -1075,6 +1137,29 @@ object GraftSql {
       // is dropped), so the session catalog is left as found. The AS-OF
       // / table_changes rewrites above produced `__graft_*` view tokens,
       // which cannot word-match a registered name.
+      // Graft-managed VIEWS expand first: each referenced view's stored
+      // SQL re-enters sql() (phrases/mounts/nested views compose) and
+      // the resulting lazy frame mounts under the view's name —
+      // statement-scoped and restored like the table mounts below. The
+      // depth counter turns a view cycle into a loud error instead of
+      // a stack overflow.
+      val viewRestores = viewRegistry.keysIterator
+        .collect { case (sess, n) if sess eq s => n }
+        .filter(wordOutsideQuotes(rewritten, _))
+        .map { n =>
+          val priorTemp = scala.util.Try(s.catalog.getTable(n)).toOption
+            .filter(_.isTemporary).map(_ => s.table(n))
+          viewDepth.set(viewDepth.get + 1)
+          try {
+            require(viewDepth.get <= 10,
+              s"view expansion exceeds depth 10 at '$n' — circular view definitions?")
+            sql(s, viewRegistry((s, n))).createOrReplaceTempView(n)
+          } finally viewDepth.set(viewDepth.get - 1)
+          () => priorTemp match {
+            case Some(saved) => saved.createOrReplaceTempView(n)
+            case None => s.catalog.dropTempView(n); ()
+          }
+        }.toSeq
       val restores = registry.keysIterator
         .collect { case (sess, name) if (sess eq s) && !name.contains(".") => name }
         .filter(wordOutsideQuotes(rewritten, _))
@@ -1090,7 +1175,8 @@ object GraftSql {
       // s.sql analyzes eagerly, so the returned frame's plan has already
       // captured the mounted views — restoring afterwards cannot change
       // its meaning.
-      try s.sql(rewritten) finally (dottedRestores ++ restores).foreach(_())
+      try s.sql(rewritten)
+      finally (dottedRestores ++ viewRestores ++ restores).foreach(_())
       }
   }
 

@@ -816,6 +816,58 @@ class GraftSqlSpec extends SparkSuite {
     ()
   }
 
+  test("graft views: AS-OF bodies compose, nesting, OR REPLACE, cycles loud") {
+    val dir = seedTable() // versions 1,2,3; current = 3 rows
+    GraftSql.register(spark, "gsql_vw", dir, Seq("id"))
+    // The body holds a time-travel phrase — impossible in a Spark temp
+    // view; referenced through the view it must read the OLD snapshot.
+    GraftSql.sql(spark,
+      "CREATE VIEW gsql_v1 AS SELECT id, status FROM gsql_vw VERSION AS OF 1")
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM gsql_v1")
+      .head().getLong(0) == 2L, "v1 snapshot had 2 rows")
+    // Nested: a view over the view, with ordinary SQL around it.
+    GraftSql.sql(spark,
+      "CREATE VIEW gsql_v2 AS SELECT count(*) AS n FROM gsql_v1 WHERE id >= 1")
+    assert(GraftSql.sql(spark, "SELECT n + 10 AS m FROM gsql_v2")
+      .head().getLong(0) == 12L)
+    // The view tracks the LIVE table state for non-pinned bodies.
+    GraftSql.sql(spark,
+      "CREATE OR REPLACE VIEW gsql_v1 AS SELECT id, status FROM gsql_vw")
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM gsql_v1")
+      .head().getLong(0) == 3L, "replaced body reads the live snapshot")
+    GraftSql.sql(spark, "INSERT INTO gsql_vw VALUES (77, 'N')")
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM gsql_v1")
+      .head().getLong(0) == 4L, "text re-execution sees new commits")
+    // SHOW VIEWS lists both; DROP removes; broken bodies never register.
+    assert(GraftSql.sql(spark, "SHOW VIEWS").collect()
+      .map(_.getString(0)).toSet.intersect(Set("gsql_v1", "gsql_v2"))
+      == Set("gsql_v1", "gsql_v2"))
+    val bad = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "CREATE VIEW gsql_v3 AS SELECT nope FROM gsql_vw"))
+    assert(bad.getMessage.contains("does not resolve"))
+    assert(!GraftSql.sql(spark, "SHOW VIEWS").collect()
+      .map(_.getString(0)).contains("gsql_v3"))
+    // A cycle fails loudly at CREATE and rolls back to the prior body.
+    val cyc = intercept[Exception](GraftSql.sql(spark,
+      "CREATE OR REPLACE VIEW gsql_v1 AS SELECT * FROM gsql_v2"))
+    assert(cyc.getMessage.contains("depth") || cyc.getMessage.contains("circular"),
+      cyc.getMessage.take(200))
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM gsql_v1")
+      .head().getLong(0) == 4L, "failed replace keeps the previous body")
+    // Name collision with a registered table is rejected.
+    val clash = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "CREATE VIEW gsql_vw AS SELECT 1 AS x"))
+    assert(clash.getMessage.contains("registered table"))
+    GraftSql.sql(spark, "DROP VIEW gsql_v2")
+    GraftSql.sql(spark, "DROP VIEW gsql_v1")
+    val gone = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "DROP VIEW gsql_v1"))
+    assert(gone.getMessage.contains("does not exist"))
+    GraftSql.sql(spark, "DROP VIEW IF EXISTS gsql_v1") // no-op
+    GraftSql.sql(spark, "DROP TABLE gsql_vw")
+    ()
+  }
+
   test("INSERT column-list/VALUES spellings, CREATE TABLE LIKE, SHOW INDEXES") {
     val s = spark
     import s.implicits._
