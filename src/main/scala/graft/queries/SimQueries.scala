@@ -1123,6 +1123,61 @@ object SimQueries extends QueryModule {
               |  CAST(max(CASE WHEN rt = 1 THEN vid END) AS BIGINT) AS trunc_top1
               |FROM r GROUP BY qid""".stripMargin)),
 
+    // Embedding distribution drift between two corpus slices (the
+    // monitoring probe run before trusting a re-embedded corpus or a
+    // new encoder checkpoint): per-dimension mean shift between the
+    // interleaved halves, reduced to dims-shifted count, max |shift|
+    // and the L2 norm of the shift vector — exact end-to-end (quantized
+    // i64 moments, shift re-quantized per dim so the squared sum is
+    // order-free, ONE IEEE sqrt). Work: one skinny posexplode keyed on
+    // (half, dim) → 128 rows; nothing scales with corpus size after
+    // the first combine.
+    EngineQuery(
+      "sim_embedding_drift",
+      (s, dir) => {
+        val q = emb(s, dir)
+          .selectExpr("vec_id % 2 AS h", "posexplode(embedding) AS (p0, v)")
+          .selectExpr("h", "p0 + 1 AS i",
+            "CAST(floor(CAST(v AS DOUBLE) * 1000000.0) AS BIGINT) AS qv")
+        val mus = q.groupBy("h", "i")
+          .agg(count(lit(1)).as("n"), sum("qv").as("s1"))
+          .selectExpr("h", "i",
+            "CAST(s1 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mu")
+        mus.groupBy("i").agg(
+            max(when(col("h") === 0, col("mu"))).as("mu0"),
+            max(when(col("h") === 1, col("mu"))).as("mu1"))
+          .selectExpr("i",
+            "CAST(floor((mu1 - mu0) * 1000000000.0) AS BIGINT) AS qs")
+          .agg(
+            count(lit(1)).as("n_dims"),
+            sum(when(abs(col("qs")) > 1000000L, 1L).otherwise(0L))
+              .as("n_dims_shifted"),
+            max(abs(col("qs"))).as("max_abs_qshift"),
+            expr("CAST(sqrt(CAST(sum(qs * qs) AS DOUBLE)) / 1000000000.0 AS DOUBLE)")
+              .as("l2_shift"))
+      },
+      Some("""WITH q AS (SELECT vec_id % 2 AS h, r.i,
+             |    CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1000000.0) AS BIGINT) AS qv
+             |  FROM embeddings CROSS JOIN
+             |    (SELECT CAST(range AS INT) + 1 AS i FROM range(64)) r),
+             |m AS (SELECT h, i, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(qv) AS BIGINT) AS s1 FROM q GROUP BY h, i),
+             |mu AS (SELECT h, i,
+             |    CAST(s1 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mu FROM m),
+             |p AS (SELECT i,
+             |    max(CASE WHEN h = 0 THEN mu END) AS mu0,
+             |    max(CASE WHEN h = 1 THEN mu END) AS mu1
+             |  FROM mu GROUP BY i),
+             |qsh AS (SELECT i,
+             |    CAST(floor((mu1 - mu0) * 1000000000.0) AS BIGINT) AS qs FROM p)
+             |SELECT CAST(count(*) AS BIGINT) AS n_dims,
+             |  CAST(sum(CASE WHEN abs(qs) > 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dims_shifted,
+             |  CAST(max(abs(qs)) AS BIGINT) AS max_abs_qshift,
+             |  CAST(sqrt(CAST(sum(qs * qs) AS DOUBLE)) / 1000000000.0 AS DOUBLE)
+             |    AS l2_shift
+             |FROM qsh""".stripMargin)),
+
     // Near-dup threshold sensitivity sweep: pair counts at five cosine
     // thresholds from ONE bucket-confined scoring pass (the "how do I
     // pick 0.7?" audit run before committing a dedup policy) — higher

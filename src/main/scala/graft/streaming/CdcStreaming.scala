@@ -377,6 +377,34 @@ object ParquetTable {
     deleted
   }
 
+  /** CONVERT-TO-DELTA's adoption move: a PLAIN parquet directory becomes
+    * a versioned table IN PLACE and at metadata price — the root's data
+    * files hard-link into a new v1 dir (zero bytes copied; fallback
+    * copy only across filesystems) and `_CURRENT` publishes it. The
+    * root originals stay untouched (the caller owns them; they are
+    * never read once `_CURRENT` exists), so a failed adoption leaves a
+    * perfectly usable plain directory. At 100 TB this is O(file count)
+    * regardless of data volume — exactly Delta's CONVERT contract.
+    * Returns the number of adopted files. */
+  def adopt(spark: SparkSession, dir: String): Long = {
+    require(!exists(dir), s"adopt: $dir is already a versioned table")
+    val root = Paths.get(dir)
+    require(Files.isDirectory(root), s"adopt: no such directory $dir")
+    val files = VersionNames.childNames(root).filter(_.endsWith(".parquet"))
+    require(files.nonEmpty, s"adopt: no parquet files at $dir")
+    val next = VersionNames.format(1L)
+    val nextPath = root.resolve(next)
+    Files.createDirectories(nextPath)
+    files.foreach { f =>
+      val src = root.resolve(f)
+      val dst = nextPath.resolve(f)
+      try Files.createLink(dst, src)
+      catch { case _: Exception => Files.copy(src, dst) }
+    }
+    publish(dir, next)
+    files.size.toLong
+  }
+
   /** TRUNCATE TABLE — a full delete at metadata price. The next version
     * holds ONE schema-only parquet file; no current data file is read
     * beyond its footer (the reported row count is parquet metadata), and

@@ -134,6 +134,12 @@ object GraftSql {
     ("""(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?(""" + IdPat + """)\s*;?\s*$""").r
   private val ShowViews =
     """(?is)^\s*SHOW\s+VIEWS\s*;?\s*$""".r
+  // CONVERT TO DELTA's move under this engine's spelling: adopt a plain
+  // parquet directory as a versioned table IN PLACE (hard-linked v1,
+  // zero bytes copied) and register it.
+  private val ConvertStmt =
+    ("""(?is)^\s*CONVERT\s+TO\s+TABLE\s+(""" + IdPat +
+      """)\s+FROM\s+'([^']+)'(?:\s+KEY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val InsertOverwrite =
     ("""(?is)^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?(""" + IdPat + """)\s+(SELECT\b.*)$""").r
   // Delta's predicate-scoped overwrite spelling. Same clause-boundary
@@ -353,6 +359,21 @@ object GraftSql {
       }
       singleRow(s, Seq("name" -> name,
         "replaced" -> (if (prior.isDefined) "true" else "false")))
+    // CONVERT TO TABLE t FROM '<dir>' [KEY (cols)] — adopt a plain
+    // parquet directory as a versioned table in place: the root's data
+    // files hard-link into v1 (O(file count) at any volume, the CONVERT
+    // TO DELTA contract) and the name registers; the whole statement
+    // surface (time travel, OPTIMIZE, DML with KEY columns) applies
+    // from the next second on.
+    case ConvertStmt(rawName, path, keysBody) =>
+      val name = normalizeIdent(rawName)
+      require(!registry.contains((s, name)),
+        s"CONVERT TO TABLE: '$name' is already registered — DROP it first")
+      val keys = Option(keysBody)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      val n = ParquetTable.adopt(s, path)
+      register(s, name, path, keys)
+      singleRow(s, Seq("name" -> name, "location" -> path, "n_files" -> n))
     case DropView(ifExists, rawName) =>
       val name = normalizeIdent(rawName)
       val removed = viewRegistry.remove((s, name))

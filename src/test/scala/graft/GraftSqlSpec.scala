@@ -816,6 +816,41 @@ class GraftSqlSpec extends SparkSuite {
     ()
   }
 
+  test("CONVERT TO TABLE adopts a plain parquet dir in place, zero-copy") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-conv")
+      .resolve("plain").toString
+    (1L to 9L).map(i => (i, s"p$i")).toDF("id", "payload")
+      .repartition(3).write.parquet(dir)
+    val r = GraftSql.sql(spark,
+      s"CONVERT TO TABLE gsql_conv FROM '$dir' KEY (id)").collect().head
+    assert(r.getAs[Long]("n_files") == 3L)
+    // Adopted content reads through the versioned path, original files
+    // hard-linked (zero bytes copied), and the full statement surface
+    // applies: DML commits v2, time travel reads v1.
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM gsql_conv")
+      .head().getLong(0) == 9L)
+    import scala.jdk.CollectionConverters._
+    val v1 = java.nio.file.Paths.get(dir, f"v${1L}%020d")
+    val linked = java.nio.file.Files.list(v1).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(linked.nonEmpty && linked.forall(p =>
+      java.nio.file.Files.getAttribute(p, "unix:nlink").asInstanceOf[Int] > 1),
+      "adoption must hard-link, not copy")
+    GraftSql.sql(spark, "DELETE FROM gsql_conv WHERE id > 7")
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM gsql_conv")
+      .head().getLong(0) == 7L)
+    assert(GraftSql.sql(spark, "SELECT count(*) AS n FROM gsql_conv VERSION AS OF 1")
+      .head().getLong(0) == 9L, "pre-adoption content time-travels")
+    // Re-converting an adopted dir is refused loudly.
+    GraftSql.sql(spark, "DROP TABLE gsql_conv")
+    val re = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      s"CONVERT TO TABLE gsql_conv2 FROM '$dir'"))
+    assert(re.getMessage.contains("already a versioned table"))
+    ()
+  }
+
   test("graft views: AS-OF bodies compose, nesting, OR REPLACE, cycles loud") {
     val dir = seedTable() // versions 1,2,3; current = 3 rows
     GraftSql.register(spark, "gsql_vw", dir, Seq("id"))
