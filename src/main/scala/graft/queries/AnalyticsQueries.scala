@@ -1231,6 +1231,52 @@ object AnalyticsQueries extends QueryModule {
              |  CAST(count(DISTINCT p_type) AS BIGINT) AS n_types,
              |  string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types_csv,
              |  CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-             |FROM part GROUP BY p_brand""".stripMargin))
+             |FROM part GROUP BY p_brand""".stripMargin)),
+
+    // Declarative data-quality rule suite (the Deequ/VerificationSuite
+    // pattern, VLDB'18 "Automating Large-Scale Data Quality Verification"):
+    // N assertions — completeness, key uniqueness, value bounds, domain
+    // membership, date sanity — evaluated in ONE scan. Every rule's
+    // metric is an aggregate over the same pass (Catalyst expands the
+    // lone exact distinct; drop it to approx_count_distinct at 100 TB and
+    // the plan is a single partial-aggregable pass), then one stack()
+    // pivots the metrics row into (rule, metric, passed) verdicts. The
+    // alternative — one query per rule — scans the fact table N times.
+    EngineQuery(
+      "dq_rules_suite",
+      (s, dir) => {
+        val m = ord(s, dir).agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_custkey")).as("n_custkey"),
+          countDistinct(col("o_orderkey")).as("n_distinct_key"),
+          min(col("o_totalprice")).as("min_price"),
+          sum(when(col("o_orderstatus").isin("O", "F", "P"), 0L).otherwise(1L))
+            .as("n_bad_status"),
+          sum(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp"), 1L)
+            .otherwise(0L)).as("n_early"))
+        m.selectExpr(
+          """stack(5,
+            |  'completeness_custkey', CAST(n_custkey AS DOUBLE) / n_rows, n_custkey = n_rows,
+            |  'uniqueness_orderkey', CAST(n_distinct_key AS DOUBLE) / n_rows, n_distinct_key = n_rows,
+            |  'min_price_nonneg', min_price, min_price >= 0.0,
+            |  'status_in_set', CAST(n_bad_status AS DOUBLE), n_bad_status = 0,
+            |  'date_lower_bound', CAST(n_early AS DOUBLE), n_early = 0
+            |) AS (rule_name, metric, passed)""".stripMargin)
+          .orderBy("rule_name")
+      },
+      Some("""WITH m AS (SELECT
+             |    CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(count(o_custkey) AS BIGINT) AS n_custkey,
+             |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct_key,
+             |    min(o_totalprice) AS min_price,
+             |    CAST(sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS BIGINT) AS n_bad_status,
+             |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS n_early
+             |  FROM orders)
+             |SELECT 'completeness_custkey' AS rule_name, CAST(n_custkey AS DOUBLE) / n_rows AS metric, n_custkey = n_rows AS passed FROM m
+             |UNION ALL SELECT 'uniqueness_orderkey', CAST(n_distinct_key AS DOUBLE) / n_rows, n_distinct_key = n_rows FROM m
+             |UNION ALL SELECT 'min_price_nonneg', min_price, min_price >= 0.0 FROM m
+             |UNION ALL SELECT 'status_in_set', CAST(n_bad_status AS DOUBLE), n_bad_status = 0 FROM m
+             |UNION ALL SELECT 'date_lower_bound', CAST(n_early AS DOUBLE), n_early = 0 FROM m
+             |ORDER BY rule_name""".stripMargin))
   )
 }

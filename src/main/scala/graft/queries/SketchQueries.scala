@@ -322,7 +322,40 @@ object SketchQueries extends QueryModule {
              |    ELSE (127.0 * 1152921504606846976.0) / CAST(max_h AS DOUBLE) END, 0) AS BIGINT)
              |    AS nd_est,
              |  c.n
-             |FROM s JOIN c ON s.g = c.g""".stripMargin))
+             |FROM s JOIN c ON s.g = c.g""".stripMargin)),
+
+    // EXACT distinct counting with sketch-shaped state: roaring-style
+    // fixed-width bitmaps (Spark's bitmap_* family, the Databricks
+    // pattern for exact COUNT(DISTINCT) at warehouse scale). The key
+    // space is carved into 32768-bit buckets (bitmap_bucket_number /
+    // bitmap_bit_position); per (group, bucket) a 4 KB bitmap is OR-
+    // aggregated WITH map-side partial merge — per-group state is
+    // bounded by the live key range, never by row count — then
+    // bucket popcounts sum to the exact distinct. Unlike the plain
+    // count(DISTINCT) plan (Expand + re-shuffle of every raw value),
+    // the shuffle carries only merged bitmaps; buckets are disjoint so
+    // the final sum needs no cross-bucket dedup. The same bitmaps,
+    // persisted per partition-grain, make the count INCREMENTALLY
+    // maintainable — OR the new day's bitmaps in, never rescan.
+    EngineQuery(
+      "sketch_bitmap_distinct",
+      (s, dir) =>
+        lineitem(s, dir)
+          // +1 keeps every key strictly positive: bitmap_bucket_number's
+          // 1-indexed bucket formula and the oracle's integer division
+          // agree only on positive keys (l_orderkey starts at 0 here).
+          .select(col("l_returnflag"),
+            expr("bitmap_bucket_number(l_orderkey + 1)").as("bkt"),
+            expr("bitmap_bit_position(l_orderkey + 1)").as("pos"))
+          .groupBy("l_returnflag", "bkt")
+          .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+          .groupBy("l_returnflag")
+          .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"),
+            count(lit(1)).as("n_buckets")),
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+             |  CAST(count(DISTINCT l_orderkey // 32768) AS BIGINT) AS n_buckets
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 
   private val arCache =
