@@ -186,8 +186,17 @@ object GraftExtensions {
       HilbertXY(children.head, children(1), bits)
     })
 
+  val normalizeNfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NormalizeNfc].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "nfc_normalize takes exactly 1 argument")
+      NormalizeNfc(children.head)
+    })
+
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
+    ext.injectFunction(normalizeNfcDescriptor)
     ext.injectFunction(l2SqRangeDescriptor)
     ext.injectFunction(hilbertXYDescriptor)
     ext.injectFunction(kmvDistinctDescriptor)

@@ -1808,6 +1808,44 @@ object TextQueries extends QueryModule {
            |  CAST(sum(r_sym) AS BIGINT) AS pass_symbolratio,
            |  CAST(sum(r_wc * r_mwl * r_alpha * r_stop * r_sym) AS BIGINT) AS n_kept
            |FROM r GROUP BY lang""".stripMargin
-      })
+      }),
+
+    // Unicode canonicalization (UAX#15 NFC) — the step every web corpus
+    // runs before dedup/shingling: the same visible text arrives both
+    // precomposed (U+00E9) and decomposed (U+0065 U+0301), and every
+    // downstream hash diverges unless one canonical form is enforced.
+    // Engine side is the native codegen'd `nfc_normalize` Expression
+    // (graft.expressions.NormalizeNfc — OSS Spark has no normalizer
+    // builtin; a Scala UDF would break whole-stage codegen on a per-byte
+    // hot path). The corpus is ASCII, so the decomposed form is
+    // SYNTHESIZED identically on both engines (replace 'e' → 'e'+U+0301),
+    // then normalized back; the content hash pins byte equality of the
+    // normalized text, not just lengths. DuckDB's nfc_normalize
+    // (utf8proc) is the oracle — two independent UAX#15 implementations
+    // agreeing byte-for-byte.
+    EngineQuery(
+      "text_unicode_clean",
+      (s, dir) =>
+        docs(s, dir)
+          // NB: Spark's char(n) is ASCII-only (mods by 256), so the
+          // combining acute U+0301 is a Scala escape here; DuckDB's
+          // chr(769) is real-codepoint and builds the same byte sequence.
+          .selectExpr("lang", "replace(text, 'e', 'e\u0301') AS t")
+          .selectExpr("lang", "t", "nfc_normalize(t) AS nt")
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(length(col("t"))).as("chars_decomposed"),
+            sum(length(col("nt"))).as("chars_nfc"),
+            sum(when(col("nt") =!= col("t"), 1L).otherwise(0L)).as("n_changed"),
+            sum(expr(s"(${hash60Spark("nt")}) % 1000003")).as("content_h")),
+      Some(s"""WITH d AS (SELECT lang, replace(text, 'e', 'e' || chr(769)) AS t FROM documents),
+             |n AS (SELECT lang, t, nfc_normalize(t) AS nt FROM d)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(length(t)) AS BIGINT) AS chars_decomposed,
+             |  CAST(sum(length(nt)) AS BIGINT) AS chars_nfc,
+             |  CAST(sum(CASE WHEN nt <> t THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             |  CAST(sum((${hash60Duck("nt")}) % 1000003) AS BIGINT) AS content_h
+             |FROM n GROUP BY lang""".stripMargin))
   )
 }
