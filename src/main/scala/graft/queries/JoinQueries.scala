@@ -109,6 +109,40 @@ object JoinQueries extends QueryModule {
              |  CASE WHEN asof_ms - ms <= $TolMs THEN asof_ms - ms END AS asof_gap_ms
              |FROM f WHERE side = 1""".stripMargin)),
 
+    // ASOF JOIN as SQL text — the DuckDB spelling, rewritten by GraftSql
+    // onto the SAME union-window plan the programmatic asof queries use
+    // (one keyed shuffle, no range probe). The oracle runs DuckDB's
+    // NATIVE ASOF JOIN — two independent implementations of the
+    // point-in-time contract agreeing row-for-row. The right side is
+    // pre-deduped to one row per (user, ms): with duplicate timestamps
+    // ANY asof engine's pick is arbitrary (DuckDB documents the same
+    // caveat), so determinism requires the dedup on both sides.
+    EngineQuery(
+      "sql_asof_join",
+      (s, dir) => {
+        val e = ev(s, dir)
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ms"))
+          .createOrReplaceTempView("asof_purchases")
+        e.filter(col("event_type") === "click")
+          .groupBy("user_id", "ms")
+          .agg(max("event_id").as("click_id"))
+          .createOrReplaceTempView("asof_clicks")
+        graft.tables.GraftSql.sql(s,
+          """SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+            |  c.click_id AS click_id, p.ms - c.ms AS gap_ms
+            |FROM asof_purchases p ASOF JOIN asof_clicks c
+            |  ON p.user_id = c.user_id AND p.ms >= c.ms""".stripMargin)
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+             |p AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ms, max(event_id) AS click_id
+             |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+             |  c.click_id AS click_id, p.ms - c.ms AS gap_ms
+             |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ms >= c.ms""".stripMargin)),
+
     // Banded equi+range join (attribution window): per purchase, how many
     // clicks by the same user in the preceding 24 h. With an equi key
     // present, the right plan is a keyed shuffle join carrying the range

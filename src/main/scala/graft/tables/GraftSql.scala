@@ -997,6 +997,13 @@ object GraftSql {
           java.nio.file.Files.deleteIfExists(parent)
       }
       singleRow(s, Seq("name" -> idxName.toLowerCase, "dropped" -> "true"))
+    // ASOF [LEFT] JOIN — the DuckDB/QuestDB point-in-time join spelling
+    // (OSS Spark has no ASOF syntax). Rewritten onto the engine's
+    // union-window as-of plan (TemporalJoins): ONE shuffle of both
+    // sides on the key, never a per-row range probe. Top-level only,
+    // aliases required, qualified column refs required downstream.
+    case q if topLevelWordIndices(q.trim.replaceAll(";\\s*$", ""), "ASOF").nonEmpty =>
+      rewriteAsofJoin(s, q.trim.replaceAll(";\\s*$", ""))
     // QUALIFY — filter on window-function results without the manual
     // subquery (the DuckDB/Snowflake/Databricks spelling; OSS Spark has
     // no QUALIFY clause). Top-level only: a QUALIFY inside a subquery
@@ -2423,6 +2430,100 @@ object GraftSql {
       sql(s, s"SELECT * FROM ( $inner ) __graft_q WHERE $QualifyCol $tail").drop(QualifyCol)
     } else
       sql(s, s"SELECT * FROM ( $head ) __graft_q WHERE ($pred) $tail")
+  }
+
+  private val AsofFrom =
+    ("""(?is)\bFROM\s+(\S+)\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+ASOF\s+(LEFT\s+)?JOIN\s+""" +
+      """(\S+)\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s+ON\s+""").r
+  private val AsofCond =
+    """(?is)^\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*(>=|<=|=)\s*([A-Za-z_][A-Za-z0-9_]*)\.([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+  private val asofViewSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** `FROM l la ASOF [LEFT] JOIN r ra ON la.k = ra.k AND la.ts >= ra.ts`
+    * (the DuckDB spelling; `<=` selects the forward variant) rewritten
+    * onto [[graft.join.TemporalJoins]]' union-window plan. Supported
+    * shape: two named sources with aliases, exactly one key equality and
+    * one timestamp inequality, qualified `alias.col` refs in the rest of
+    * the statement (rewritten to the view's prefixed columns). The right
+    * side must be unique per (key, ts) — the same determinism contract
+    * DuckDB documents for its ASOF JOIN; duplicate matched rows would
+    * make ANY engine's pick arbitrary. Unsupported shapes fail loudly.
+    *
+    * Scale shape: both sides shuffle ONCE on the key; the match is a
+    * running last-non-null inside one window sort — no range self-join,
+    * no per-row probe, no broadcast requirement on either side. */
+  private def rewriteAsofJoin(s: SparkSession, stmt: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val m = AsofFrom.findFirstMatchIn(stmt).getOrElse(throw new IllegalArgumentException(
+      "ASOF JOIN: unsupported shape — expected FROM <src> <la> ASOF [LEFT] JOIN <src> <ra> " +
+        "ON <la.k = ra.k AND la.ts >= ra.ts> (aliases required)"))
+    val (lsrc, la) = (m.group(1), m.group(2).toLowerCase)
+    val leftOuter = m.group(3) != null
+    val (rsrc, ra) = (m.group(4), m.group(5).toLowerCase)
+    require(la != ra, s"ASOF JOIN aliases must differ, got '$la' twice")
+    val afterOn = stmt.substring(m.end)
+    val cut = Seq("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "QUALIFY", "UNION", "WINDOW")
+      .flatMap(k => topLevelWordIndices(afterOn, k)).sorted.headOption.getOrElse(afterOn.length)
+    val onExpr = afterOn.substring(0, cut).trim
+    val tail = afterOn.substring(cut)
+
+    // Split the ON conjunction at top level and classify each condition.
+    val andIdx = topLevelWordIndices(onExpr, "AND")
+    val bounds = (-3 +: andIdx) :+ onExpr.length
+    val conds = bounds.sliding(2).map { case Seq(a, b) =>
+      onExpr.substring(a + 3, b).trim
+    }.toSeq
+    val parsed = conds.map {
+      case AsofCond(a1, c1, op, a2, c2) => (a1.toLowerCase, c1, op, a2.toLowerCase, c2)
+      case other => throw new IllegalArgumentException(
+        s"ASOF JOIN: unsupported ON condition '$other' — only alias.col (=|>=|<=) alias.col")
+    }
+    // Normalize every condition to (leftCol, op, rightCol).
+    val norm = parsed.map {
+      case (`la`, c1, op, `ra`, c2) => (c1, op, c2)
+      case (`ra`, c2, op, `la`, c1) =>
+        val flipped = op match { case ">=" => "<="; case "<=" => ">="; case e => e }
+        (c1, flipped, c2)
+      case (a1, _, _, a2, _) => throw new IllegalArgumentException(
+        s"ASOF JOIN: ON condition references unknown aliases '$a1'/'$a2' (have '$la', '$ra')")
+    }
+    val (ineqs, eqs) = norm.partition(_._2 != "=")
+    require(eqs.size == 1 && ineqs.size == 1,
+      s"ASOF JOIN: need exactly one key equality and one ts inequality, " +
+        s"got ${eqs.size} equalities / ${ineqs.size} inequalities")
+    val (kl, _, kr) = eqs.head
+    val (lts, ineqOp, rts) = ineqs.head
+    val forward = ineqOp == "<=" // l.ts <= r.ts: earliest right at-or-after
+
+    def prefixed(df: DataFrame, p: String): DataFrame =
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${p}_$c"))
+    val lDf = prefixed(sql(s, s"SELECT * FROM $lsrc"), la)
+      .withColumn("__asof_key", col(s"${la}_$kl"))
+    val rDf = prefixed(sql(s, s"SELECT * FROM $rsrc"), ra)
+      .withColumn("__asof_key", col(s"${ra}_$kr"))
+    val rtsCol = s"${ra}_$rts"
+    val payload = rDf.columns.filter(_ != "__asof_key").toSeq
+    val real =
+      if (forward)
+        graft.join.TemporalJoins.asOfJoinForward(
+          lDf, rDf, "__asof_key", s"${la}_$lts", rtsCol, payload, rtsCol)
+      else
+        graft.join.TemporalJoins.asOfJoinBackward(
+          lDf, rDf, "__asof_key", s"${la}_$lts", rtsCol, payload, rtsCol)
+    val out0 = real.drop("__asof_key").drop("asof_gap_ms")
+    val matchedOnly =
+      if (leftOuter) out0 else out0.filter(col(s"asof_$rtsCol").isNotNull)
+    val renamed = payload.foldLeft(matchedOnly)((d, c) => d.withColumnRenamed(s"asof_$c", c))
+    val view = s"__graft_asof_${asofViewSeq.incrementAndGet()}"
+    renamed.createOrReplaceTempView(view)
+
+    // Statement minus the FROM..ON segment, alias refs -> prefixed cols.
+    val rebuilt = stmt.substring(0, m.start) + s" FROM $view " + tail
+    val aliasRef = s"""(?i)\\b($la|$ra)\\.([A-Za-z_][A-Za-z0-9_]*)""".r
+    val replaced = aliasRef.replaceAllIn(rebuilt, mm =>
+      if (inLiteral(rebuilt, mm.start)) scala.util.matching.Regex.quoteReplacement(mm.matched)
+      else s"${mm.group(1).toLowerCase}_${mm.group(2)}")
+    sql(s, replaced)
   }
 
   private def topLevelWordIndices(text: String, word: String): Seq[Int] = {
