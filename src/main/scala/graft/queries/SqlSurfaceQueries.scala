@@ -37,8 +37,47 @@ object SqlSurfaceQueries extends QueryModule {
     })
     dmlTables(s, dir)
     copyTable(s, dir)
+    mergeEvolveTable(s, dir)
     ()
   }
+
+  private val mevSeeded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** MERGE WITH SCHEMA EVOLUTION seed: the source carries a column the
+    * target lacks (`o_channel`); the statement widens the target
+    * metadata-only, then upserts — matched %5 rows land at 'web',
+    * inserted shifted-%13 rows at 'app', every untouched row null-fills
+    * the new column at read. */
+  private def mergeEvolveTable(s: SparkSession, dir: String): String =
+    mevSeeded.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions._
+      import graft.tables.GraftSql
+      val base = Files.createTempDirectory("graft-mevsql").toString
+      val orders = s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val uid = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+      graft.streaming.ParquetTable.swap(s, orders.repartition(4), s"$base/mev")
+      val name = s"dml_mev_$uid"
+      GraftSql.register(s, name, s"$base/mev", Seq("o_orderkey"))
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      val srcView = s"dml_mevsrc_$uid"
+      orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("o_channel", lit("web"))
+        .unionByName(orders.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1)
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("o_channel", lit("app")))
+        .createOrReplaceTempView(srcView)
+      GraftSql.sql(s,
+        s"""MERGE WITH SCHEMA EVOLUTION INTO $name AS t
+           |USING $srcView AS s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      name
+    })
 
   private def viaSql(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => { ensureSeeded(s, dir); s.sql(sql) }
@@ -244,6 +283,34 @@ object SqlSurfaceQueries extends QueryModule {
              |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(CAST(round(p * 100, 0) AS BIGINT)) AS BIGINT) AS cents
              |FROM merged GROUP BY st""".stripMargin)),
+
+    // MERGE WITH SCHEMA EVOLUTION as a whole statement: the source's
+    // extra o_channel column widens the target (metadata-only ADD
+    // COLUMNS — zero data IO), then the same commit upserts. Untouched
+    // rows read the new column as NULL; the rollup groups on it, so the
+    // evolved schema and all three row populations are hash-gated.
+    EngineQuery(
+      "sql_dml_merge_evolve",
+      (s, dir) => {
+        val nm = mergeEvolveTable(s, dir)
+        graft.tables.GraftSql.sql(s,
+          s"""SELECT o_orderstatus, o_channel, count(*) AS n,
+             |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+             |FROM $nm GROUP BY o_orderstatus, o_channel""".stripMargin)
+      },
+      Some("""WITH src AS (
+             |  SELECT 'M' AS st, o_totalprice * 2 AS p, 'web' AS ch
+             |  FROM orders WHERE o_orderkey % 5 = 0
+             |  UNION ALL
+             |  SELECT 'N', o_totalprice, 'app' FROM orders WHERE o_orderkey % 13 = 0),
+             |fin AS (
+             |  SELECT o_orderstatus AS st, o_totalprice AS p, CAST(NULL AS VARCHAR) AS ch
+             |  FROM orders WHERE o_orderkey % 5 <> 0
+             |  UNION ALL
+             |  SELECT st, p, ch FROM src)
+             |SELECT st AS o_orderstatus, ch AS o_channel, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(p * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM fin GROUP BY 1, 2""".stripMargin)),
 
     // INSERT OVERWRITE as a whole statement: the table's live snapshot
     // must be exactly the SELECT result (even keys, 'O', price+1).

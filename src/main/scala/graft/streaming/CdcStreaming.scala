@@ -337,11 +337,12 @@ object ParquetTable {
     * the predicate actually hits; the pre-delete snapshot stays readable
     * (time travel) until vacuum. SQL DELETE semantics: rows where the
     * predicate is NULL are KEPT. Returns the number of rows deleted. */
-  def deleteWhere(spark: SparkSession, dir: String, predicate: String): Long = {
+  def deleteWhere(spark: SparkSession, dir: String, predicate: String,
+      readSchema: Option[StructType] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val cur = Paths.get(currentPath(dir))
     requireNoDv(cur, "deleteWhere")
-    val df = spark.read.parquet(cur.toString)
+    val df = readWith(spark, readSchema, cur.toString)
     val hit = coalesce(expr(predicate), lit(false))
     // One pass finds both the touched files and the delete count; the
     // collect is bounded by the file count, never the row count.
@@ -370,12 +371,21 @@ object ParquetTable {
     // Rewrite ONLY the touched files, dropping their matching rows; the
     // append lands new part files next to the links already in place.
     val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
-    spark.read.parquet(touchedPaths: _*)
+    readWith(spark, readSchema, touchedPaths: _*)
       .filter(not(hit))
       .write.mode("append").parquet(nextPath.toString)
     publish(dir, next)
     deleted
   }
+
+  /** Parquet read with an optional EXPLICIT schema. The DML rewrite
+    * paths pass the table's logical schema so per-file column coverage
+    * is deterministic (a file missing an added column null-fills it);
+    * a footer-inferred schema on a mixed-schema directory is file-order
+    * roulette and could silently drop an added column on rewrite. */
+  private def readWith(spark: SparkSession, schema: Option[StructType],
+      paths: String*): DataFrame =
+    schema.map(spark.read.schema).getOrElse(spark.read).parquet(paths: _*)
 
   /** CONVERT-TO-DELTA's adoption move: a PLAIN parquet directory becomes
     * a versioned table IN PLACE and at metadata price — the root's data
@@ -444,7 +454,7 @@ object ParquetTable {
     * that day's files. Returns (#rows deleted, #rows inserted). */
   def replaceWhere(
       spark: SparkSession, dir: String, predicate: String,
-      data: DataFrame): (Long, Long) = {
+      data: DataFrame, readSchema: Option[StructType] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val cur = Paths.get(currentPath(dir))
     requireNoDv(cur, "replaceWhere")
@@ -455,7 +465,7 @@ object ParquetTable {
       require(outside == 0L,
         s"REPLACE WHERE: $outside incoming rows do not satisfy '$predicate' — " +
           "the batch must live entirely inside its replace window")
-      val df = spark.read.parquet(cur.toString)
+      val df = readWith(spark, readSchema, cur.toString)
       val hits = df.filter(hit)
         .groupBy(col("_metadata.file_path").as("f"))
         .count().collect()
@@ -478,7 +488,7 @@ object ParquetTable {
           catch { case _: Exception => Files.copy(p, dst) }
         }
       if (touched.nonEmpty)
-        spark.read.parquet(touched.toSeq.sorted.map(f => s"$cur/$f"): _*)
+        readWith(spark, readSchema, touched.toSeq.sorted.map(f => s"$cur/$f"): _*)
           .filter(not(hit))
           .write.mode("append").parquet(nextPath.toString)
       val inserted = batch.count()
@@ -500,11 +510,11 @@ object ParquetTable {
     * with a NULL predicate are untouched. Returns #rows updated. */
   def updateWhere(
       spark: SparkSession, dir: String, predicate: String,
-      sets: Map[String, String]): Long = {
+      sets: Map[String, String], readSchema: Option[StructType] = None): Long = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     val cur = Paths.get(currentPath(dir))
     requireNoDv(cur, "updateWhere")
-    val df = spark.read.parquet(cur.toString)
+    val df = readWith(spark, readSchema, cur.toString)
     val bad = sets.keySet -- df.columns.toSet
     require(bad.isEmpty, s"UPDATE SET references missing columns: $bad")
     val hit = coalesce(expr(predicate), lit(false))
@@ -531,7 +541,7 @@ object ParquetTable {
         catch { case _: Exception => Files.copy(p, dst) }
       }
     val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
-    val touchedDf = spark.read.parquet(touchedPaths: _*)
+    val touchedDf = readWith(spark, readSchema, touchedPaths: _*)
     val outCols = touchedDf.schema.fields.map { f =>
       sets.get(f.name) match {
         case Some(e) => when(hit, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
@@ -560,11 +570,11 @@ object ParquetTable {
     * carrying deletion vectors should [[purgeDV]] first. */
   def mergeInto(
       spark: SparkSession, dir: String, source: DataFrame,
-      keys: Seq[String]): (Long, Long) = {
+      keys: Seq[String], readSchema: Option[StructType] = None): (Long, Long) = {
     import org.apache.spark.sql.functions.{col, expr, lit, not}
     val cur = Paths.get(currentPath(dir))
     requireNoDv(cur, "mergeInto")
-    val target = spark.read.parquet(cur.toString)
+    val target = readWith(spark, readSchema, cur.toString)
     val hasDel = source.columns.contains("_deleted")
     val src = (if (hasDel) source else source.withColumn("_deleted", lit(false)))
       .persist()
@@ -595,7 +605,7 @@ object ParquetTable {
         }
       if (touched.nonEmpty) {
         val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
-        spark.read.parquet(touchedPaths: _*)
+        readWith(spark, readSchema, touchedPaths: _*)
           .join(srcKeys, keys, "left_anti")
           .write.mode("append").parquet(nextPath.toString)
       }

@@ -205,6 +205,11 @@ object GraftSql {
   private val MergeIntoHead =
     ("""(?is)^\s*MERGE\s+INTO\s+(""" + IdPat +
       """)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_][A-Za-z0-9_]*))?\s+USING\s+(.*?)\s*;?\s*$""").r
+  // Delta's `MERGE WITH SCHEMA EVOLUTION INTO ...` spelling: source-only
+  // columns are added to the target schema before the merge runs.
+  private val MergeEvolveHead =
+    ("""(?is)^\s*MERGE\s+WITH\s+SCHEMA\s+EVOLUTION\s+INTO\s+(""" + IdPat +
+      """)(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_][A-Za-z0-9_]*))?\s+USING\s+(.*?)\s*;?\s*$""").r
   private val AddConstraint =
     ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
   private val AddUniqueConstraint =
@@ -646,7 +651,7 @@ object GraftSql {
       Constraints.validate(aligned, Constraints.checks(dir)).foreach(m =>
         throw new IllegalStateException(
           s"INSERT INTO $name REPLACE WHERE rejected by CHECK constraint: $m"))
-      val (nDel, nIns) = ParquetTable.replaceWhere(s, dir, pred.trim, aligned)
+      val (nDel, nIns) = ParquetTable.replaceWhere(s, dir, pred.trim, aligned, dmlReadSchema(df))
       TableStats.reanalyzeOnPublish(s, dir)
       singleRow(s, Seq("name" -> name, "n_deleted" -> nDel, "n_inserted" -> nIns))
     case InsertOverwrite(rawName, select) =>
@@ -778,6 +783,8 @@ object GraftSql {
       deleteFromSql(s, normalizeIdent(rawName), Option(pred))
     case UpdateTable(rawName, setBody, pred) =>
       updateSql(s, normalizeIdent(rawName), setBody, Option(pred))
+    case MergeEvolveHead(rawName, tgtAlias, tail) =>
+      mergeIntoSql(s, normalizeIdent(rawName), Option(tgtAlias), tail, evolve = true)
     case MergeIntoHead(rawName, tgtAlias, tail) =>
       mergeIntoSql(s, normalizeIdent(rawName), Option(tgtAlias), tail)
     case AddConstraint(rawName, cname, checkExpr) =>
@@ -1812,25 +1819,34 @@ object GraftSql {
 
   // ───── Row-level DML statements (DELETE FROM / UPDATE / MERGE INTO) ─────
 
-  /** DML rewrites data FILES through ParquetTable's copy-on-write paths,
-    * which read the snapshot's parquet directly (physical schema). That
-    * is only sound when the table's logical (evolved) view still equals
-    * a plain parquet read — checked loudly up front, so a table with a
-    * pending RENAME/DROP/widen divergence fails fast instead of
-    * evaluating predicates against the wrong column names. */
+  /** DML rewrites data FILES through ParquetTable's copy-on-write paths.
+    * Divergence is decided from the MANIFEST (deterministic — never from
+    * a footer-sampled schema, which is file-order roulette on mixed
+    * directories): pending RENAME/DROP/type-widen make physical files
+    * unreadable as the logical view for a rewrite, so DML refuses them
+    * loudly (CTAS first). ADDITIVE evolution is supported: the DML paths
+    * receive the logical read schema explicitly, old files null-fill the
+    * added columns deterministically, rewritten files land full-width. */
   private def dmlTable(s: SparkSession, name: String): (String, DataFrame) = {
     val dir = resolve(s, name).dir
     require(ParquetTable.exists(dir), s"DML on '$name': not a versioned table")
-    val plain = ParquetTable.read(s, dir)
-    val logical = TableStats.readCurrent(s, dir)
-    require(
-      logical.schema.fields.map(f => (f.name.toLowerCase, f.dataType))
-        .sameElements(plain.schema.fields.map(f => (f.name.toLowerCase, f.dataType))),
-      s"DML on '$name': the table's logical schema diverges from its physical " +
-        "files (pending RENAME/DROP/type-widen) — SQL DML is not supported on " +
-        "diverged tables; rewrite the table (CTAS) first")
-    (dir, plain)
+    SchemaEvolution.manifestOf(dir).foreach { mf =>
+      val renamed = mf.mapping.cols.exists { case (l, p) => !l.equalsIgnoreCase(p) }
+      require(!renamed && mf.mapping.dropped.isEmpty && mf.widens.isEmpty,
+        s"DML on '$name': the table's logical schema diverges from its physical " +
+          "files (pending RENAME/DROP/type-widen) — SQL DML is not supported on " +
+          "diverged tables; rewrite the table (CTAS) first")
+    }
+    (dir, TableStats.readCurrent(s, dir))
   }
+
+  /** The explicit read schema the row-level DML paths use: the table's
+    * logical schema, all-nullable (files predating an added column
+    * null-fill it). */
+  private def dmlReadSchema(df: DataFrame): Option[org.apache.spark.sql.types.StructType] =
+    Some(org.apache.spark.sql.types.StructType(
+      df.schema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true))))
 
   /** Whole-word, case-insensitive mention of `word` anywhere in an
     * expression string (any nesting depth — unlike [[topLevelWord]]). */
@@ -2050,8 +2066,8 @@ object GraftSql {
     * version. SQL semantics: NULL-predicate rows are KEPT; no WHERE
     * deletes every row (but keeps the table and its history). */
   private def deleteFromSql(s: SparkSession, name: String, pred: Option[String]): DataFrame = {
-    val (dir, _) = dmlTable(s, name)
-    val n = ParquetTable.deleteWhere(s, dir, pred.getOrElse("true"))
+    val (dir, df) = dmlTable(s, name)
+    val n = ParquetTable.deleteWhere(s, dir, pred.getOrElse("true"), dmlReadSchema(df))
     TableStats.reanalyzeOnPublish(s, dir)
     singleRow(s, Seq("name" -> name, "n_deleted" -> n))
   }
@@ -2084,7 +2100,7 @@ object GraftSql {
     // updateWhere keys assignments by the file's own field names.
     val physSets = df.schema.fields.flatMap(f =>
       sets.get(f.name.toLowerCase).map(f.name -> _)).toMap
-    val n = ParquetTable.updateWhere(s, dir, predicate, physSets)
+    val n = ParquetTable.updateWhere(s, dir, predicate, physSets, dmlReadSchema(df))
     TableStats.reanalyzeOnPublish(s, dir)
     singleRow(s, Seq("name" -> name, "n_updated" -> n))
   }
@@ -2148,8 +2164,8 @@ object GraftSql {
     * clause. Registered CHECK constraints validate the upsert rows
     * before any file is rewritten. */
   private def mergeIntoSql(s: SparkSession, name: String, tgtAlias: Option[String],
-      tail: String): DataFrame = {
-    val (dir, target) = dmlTable(s, name)
+      tail: String, evolve: Boolean = false): DataFrame = {
+    val (dir, target0) = dmlTable(s, name)
     requireNoGenerated(name, dir, "MERGE INTO")
     val t = tail.trim
     // Source operand: a parenthesized subquery runs back through sql()
@@ -2223,6 +2239,27 @@ object GraftSql {
       "MERGE INTO: unguarded WHEN MATCHED THEN DELETE cannot combine with other clauses")
     require(pureDelete || hasUpdate || hasInsert || guard.nonEmpty || nmbs.nonEmpty,
       "MERGE INTO: no actionable clause")
+    // WITH SCHEMA EVOLUTION: source-only columns widen the target BEFORE
+    // the merge — a metadata-only ADD COLUMNS (existing files null-fill
+    // at read, zero data IO), then the evolved snapshot is the merge
+    // target so UPDATE SET * / INSERT * carry the new fields through.
+    // Delta's contract: evolution applies only when rows flow from the
+    // source (UPDATE/INSERT clauses); a pure delete never widens.
+    val evolvedCols: Seq[String] =
+      if (!evolve || !(hasUpdate || hasInsert)) Seq.empty
+      else {
+        val have = target0.columns.map(_.toLowerCase).toSet
+        srcDf0.schema.fields.filter(f => !have.contains(f.name.toLowerCase))
+          .map(f => { SchemaEvolution.addColumns(s, dir, Seq(f.name -> f.dataType)); f.name })
+          .toSeq
+      }
+    // The evolved LOGICAL view (new columns null-filled over old files) is
+    // the merge target; the physical commit appends upsert rows WITH the
+    // new columns while untouched/rewritten files keep the old schema —
+    // Delta's evolution contract, zero extra data IO. (dmlTable can't
+    // re-mount here: its divergence guard rightly refuses diverged
+    // tables for NEXT statements; this statement IS the divergence.)
+    val target = if (evolvedCols.isEmpty) target0 else TableStats.readCurrent(s, dir)
     // Guards evaluate over the source row: strip the source alias
     // qualifier, reject explicit target-alias references.
     val guardExpr = guard.map { g =>
@@ -2327,7 +2364,7 @@ object GraftSql {
       Constraints.validate(ups, cs).foreach(m => throw new IllegalStateException(
         s"MERGE INTO $name rejected by CHECK constraint: $m"))
     }
-    val (nUp, nDel) = ParquetTable.mergeInto(s, dir, prepared, keys)
+    val (nUp, nDel) = ParquetTable.mergeInto(s, dir, prepared, keys, dmlReadSchema(target))
     TableStats.reanalyzeOnPublish(s, dir)
     singleRow(s, Seq("name" -> name, "n_upserted" -> nUp, "n_deleted" -> nDel))
   }
