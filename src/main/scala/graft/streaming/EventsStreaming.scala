@@ -45,6 +45,21 @@ object EventsStreaming {
         unix_millis(col("w.end")).as("session_end_ms"),
         col("n_events"), col("total_value"))
 
+  /** Exactly-once-per-id ingest dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps the first arrival of each
+    * `event_id` and expires an id's dedup state once the watermark
+    * passes its event time + delay. The unbounded alternative
+    * (`dropDuplicates`) retains every id ever seen — at 100 TB/day of
+    * at-least-once ingest that state never stops growing, while this
+    * one holds only the ids inside the (re)delivery horizon. The batch
+    * dual is a plain distinct-by-id (the `evt_stream_dedup` oracle):
+    * duplicates arrive verbatim, so whichever copy wins is bytewise
+    * identical and the result is deterministic. */
+  def dedupIngest(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Date-partitioned streaming append: land the raw event stream as a
     * hive-style `event_date=...` parquet tree with an exactly-once sink
     * log. Streaming ingest writing straight into the partition-pruned

@@ -298,4 +298,40 @@ class EventsStreamingSpec extends SparkSuite {
     assert(emitted.getAs[Long]("maxDn") == batch.getAs[Long]("max_cusum_dn"))
     assert(emitted.getAs[Long]("dnMs") == batch.getAs[Long]("dn_change_ms"))
   }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches, bounded state") {
+    val src = graft.queries.EventsQueries.events(spark, sf0001)
+      .select("event_id", "ts", "event_type", "user_id", "value")
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    // File 1: the full table. File 2: every 3rd event re-delivered
+    // verbatim. maxFilesPerTrigger=1 forces the re-delivery into a
+    // LATER micro-batch, so the dedup must come from the state store,
+    // not from within-batch distinct.
+    src.coalesce(1).write.mode("append").parquet(s"$dir/in")
+    src.filter(col("event_id") % 3 === 0)
+      .coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream
+      .option("maxFilesPerTrigger", "1")
+      .schema(src.schema).parquet(s"$dir/in")
+    val q = graft.streaming.EventsStreaming.dedupIngest(stream)
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == src.count(), "every duplicate re-delivery must be dropped")
+    assert(out.select("event_id").distinct().count() == src.count())
+    // Restart over the same input: the checkpoint makes it a no-op.
+    val q2 = graft.streaming.EventsStreaming.dedupIngest(
+      spark.readStream.option("maxFilesPerTrigger", "1")
+        .schema(src.schema).parquet(s"$dir/in"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out").option("checkpointLocation", s"$dir/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(300000)
+    assert(spark.read.parquet(s"$dir/out").count() == src.count(),
+      "restart must not re-emit")
+  }
 }
