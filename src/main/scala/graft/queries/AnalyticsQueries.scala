@@ -43,6 +43,40 @@ object AnalyticsQueries extends QueryModule {
       |  CAST(min(o_orderkey) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS min_open_key
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 
+  /** One statement text for both engines (q44): a NAMED window (the
+    * ANSI WINDOW clause) shared by several functions — the spelling
+    * that keeps one sort for N window functions. Partitioned by
+    * l_orderkey (cardinality ∝ corpus, never a constant key), rolled
+    * up inside the same statement so the result is compact. */
+  private val Q44Sql =
+    """WITH r AS (
+      |  SELECT l_returnflag,
+      |    sum(l_quantity) OVER w AS run_qty,
+      |    row_number() OVER w AS rn
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_orderkey
+      |               ORDER BY l_linenumber, l_partkey, l_extendedprice, l_quantity
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(run_qty * 100, 0) AS BIGINT)) AS BIGINT) AS run_qty_cents,
+      |  CAST(sum(rn) AS BIGINT) AS rank_mass
+      |FROM r GROUP BY l_returnflag""".stripMargin
+
+  /** One statement text for both engines (q45): bag-semantics set
+    * operators (INTERSECT ALL keeps min multiplicity, EXCEPT ALL
+    * subtracts multiplicities) — both engines plan these as a single
+    * counted anti/semi aggregation, no row explosion. */
+  private val Q45Sql =
+    """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+      |     b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+      |SELECT 'intersect_all' AS op, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(count(DISTINCT k) AS BIGINT) AS nk
+      |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+      |UNION ALL
+      |SELECT 'except_all', CAST(count(*) AS BIGINT),
+      |       CAST(count(DISTINCT k) AS BIGINT)
+      |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)""".stripMargin
+
   /** One statement text for both engines (q38): GROUP BY ALL. */
   private val Q38Sql =
     """SELECT l_returnflag, l_linestatus,
@@ -1232,6 +1266,28 @@ object AnalyticsQueries extends QueryModule {
              |  string_agg(DISTINCT p_type, '|' ORDER BY p_type) AS types_csv,
              |  CAST(sum(CAST(round(p_retailprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
              |FROM part GROUP BY p_brand""".stripMargin)),
+
+    // Named WINDOW clause (ANSI): one window definition shared by
+    // several functions — one sort in the plan, N functions riding it.
+    // Native in Spark and DuckDB: the SAME statement text runs on both.
+    EngineQuery(
+      "q44_window_clause",
+      (s, dir) => {
+        li(s, dir).createOrReplaceTempView("lineitem")
+        s.sql(Q44Sql)
+      },
+      Some(Q44Sql)),
+
+    // INTERSECT ALL / EXCEPT ALL — bag-semantics set operators (min /
+    // subtracted multiplicities); the DISTINCT variants are q19. Same
+    // statement text on both engines.
+    EngineQuery(
+      "q45_setops_all",
+      (s, dir) => {
+        ord(s, dir).createOrReplaceTempView("orders")
+        s.sql(Q45Sql)
+      },
+      Some(Q45Sql)),
 
     // Declarative data-quality rule suite (the Deequ/VerificationSuite
     // pattern, VLDB'18 "Automating Large-Scale Data Quality Verification"):
