@@ -20,7 +20,83 @@ object SampleQueries extends QueryModule {
   private val EnRate = 0.35
   private val BernoulliRate = 0.1
 
+  /** Target training-mix weights in EPOCHS per language: >1 repeats the
+    * stratum (2.4 = two full passes + a stable 40% subset), <1
+    * downsamples, exactly-1 passes through. One Scala map renders into
+    * BOTH engines so the thresholds are identical text. */
+  private val EpochWeights = Map(
+    "de" -> 2.4, "es" -> 3.0, "fr" -> 1.0, "zh" -> 1.7, "en" -> 0.5)
+
+  private val tsSeeded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def sampleTable(s: SparkSession, dir: String): String =
+    tsSeeded.getOrElseUpdate((s, dir), {
+      val base = java.nio.file.Files.createTempDirectory("graft-ts").toString
+      graft.streaming.ParquetTable.swap(
+        s, s.read.parquet(tablePath(dir, "orders")).repartition(4), s"$base/t")
+      val nm = s"smp_orders_${java.util.UUID.randomUUID.toString.replace("-", "").take(8)}"
+      graft.tables.GraftSql.register(s, nm, s"$base/t", Seq("o_orderkey"))
+      nm
+    })
+
   override def queries: Seq[EngineQuery] = Seq(
+
+    // TABLESAMPLE as SQL text — GraftSql DEFINES it as content-stable
+    // hash sampling on the registered key (not an RNG): the same rows
+    // are kept on any run/partitioning/cluster, which is what a
+    // resampled training corpus actually needs. The predicate is a
+    // codegen'd hash compare pushed at the scan; the oracle replays the
+    // exact kept-row set.
+    EngineQuery(
+      "sql_tablesample",
+      (s, dir) => graft.tables.GraftSql.sql(s,
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+           |FROM ${sampleTable(s, dir)} TABLESAMPLE (10 PERCENT) REPEATABLE (7)
+           |GROUP BY o_orderstatus""".stripMargin),
+      Some(s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders
+             |WHERE ${hash60Duck("CAST(o_orderkey AS VARCHAR) || ':s7'")} < ${Sampling.threshold(0.10)}
+             |GROUP BY o_orderstatus""".stripMargin)),
+
+    // Fractional-epoch mixture oversampling (the "1.7 epochs of X"
+    // training recipe): floor(w) full repeats + a content-stable
+    // Bernoulli(frac(w)) extra pass, each row tagged with its epoch
+    // index. One narrow projection + explode — no shuffle, no RNG; the
+    // oracle replays the exact copy counts and the unnest(range) fanout.
+    EngineQuery(
+      "sample_epochs",
+      (s, dir) =>
+        Sampling.epochs(docs(s, dir), "CAST(doc_id AS STRING)", "lang", EpochWeights)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct("doc_id").as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            max("epoch").as("max_epoch")),
+      Some {
+        val fullCase = "CASE lang " + EpochWeights.toSeq.sortBy(_._1).map {
+          case (k, w) => s"WHEN '$k' THEN ${math.floor(w).toLong}"
+        }.mkString(" ") + " ELSE 0 END"
+        val thrCase = "CASE lang " + EpochWeights.toSeq.sortBy(_._1).map {
+          case (k, w) => s"WHEN '$k' THEN ${Sampling.threshold(w - math.floor(w))}"
+        }.mkString(" ") + " ELSE 0 END"
+        s"""WITH d AS (
+           |  SELECT lang, doc_id, n_chars,
+           |    $fullCase
+           |    + CASE WHEN ${hash60Duck("CAST(doc_id AS VARCHAR) || ':ep'")} < $thrCase
+           |        THEN 1 ELSE 0 END AS n_copies
+           |  FROM documents),
+           |e AS (SELECT lang, doc_id, n_chars,
+           |        unnest(range(1, n_copies + 1)) AS epoch
+           |      FROM d WHERE n_copies >= 1)
+           |SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(max(epoch) AS BIGINT) AS max_epoch
+           |FROM e GROUP BY lang""".stripMargin
+      }),
 
     EngineQuery(
       "sample_bernoulli_docs",

@@ -116,4 +116,34 @@ object Sampling {
     }
     df.filter(h < thr)
   }
+
+  /** Fractional-epoch mixture oversampling — the training-mix move when
+    * a source's target weight exceeds 1 (DoReMi/Llama-style data
+    * recipes quote "1.7 epochs of X"): every row repeats floor(w)
+    * times, plus one more for the content-stable Bernoulli(frac(w))
+    * subset, tagged with an `epoch` index (1-based). w < 1 downsamples,
+    * w = 0 drops the stratum. Deterministic end-to-end: the fractional
+    * pick hashes the row key (suffixed so it is independent of other
+    * samples on the same key), so the same corpus yields the same mix
+    * on any partitioning — and the plan is one narrow projection + an
+    * explode, no shuffle, no RNG. */
+  def epochs(
+      df: DataFrame,
+      keyExpr: String,
+      strataCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w < 100.0),
+      "epoch weights must be in [0, 100)")
+    val h = expr(hash60Spark(s"$keyExpr || ':ep'"))
+    def chain(f: Double => Long): Column =
+      weights.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (stratum, w)) =>
+        when(col(strataCol) === stratum, lit(f(w))).otherwise(acc)
+      }
+    val fullC = chain(w => math.floor(w).toLong)
+    val fracThr = chain(w => threshold(w - math.floor(w)))
+    df.withColumn("__n_copies", fullC + when(h < fracThr, 1L).otherwise(0L))
+      .filter(col("__n_copies") >= 1L)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__n_copies"))))
+      .drop("__n_copies")
+  }
 }

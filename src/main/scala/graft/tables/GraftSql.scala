@@ -1011,6 +1011,15 @@ object GraftSql {
     // aliases required, qualified column refs required downstream.
     case q if topLevelWordIndices(q.trim.replaceAll(";\\s*$", ""), "ASOF").nonEmpty =>
       rewriteAsofJoin(s, q.trim.replaceAll(";\\s*$", ""))
+    // TABLESAMPLE (p PERCENT) [REPEATABLE (seed)] — defined here as
+    // CONTENT-STABLE hash sampling on the table's registered key
+    // columns, NOT an RNG: the same rows are kept on any run, any
+    // partitioning, any cluster size (the reproducibility a training
+    // pipeline needs when the corpus is resampled incrementally). The
+    // predicate is a codegen'd hash compare pushed into the scan — no
+    // sampling operator, no row numbering, no shuffle.
+    case q if topLevelWordIndices(q.trim.replaceAll(";\\s*$", ""), "TABLESAMPLE").nonEmpty =>
+      rewriteTablesample(s, q.trim.replaceAll(";\\s*$", ""))
     // QUALIFY — filter on window-function results without the manual
     // subquery (the DuckDB/Snowflake/Databricks spelling; OSS Spark has
     // no QUALIFY clause). Top-level only: a QUALIFY inside a subquery
@@ -2561,6 +2570,39 @@ object GraftSql {
       if (inLiteral(rebuilt, mm.start)) scala.util.matching.Regex.quoteReplacement(mm.matched)
       else s"${mm.group(1).toLowerCase}_${mm.group(2)}")
     sql(s, replaced)
+  }
+
+  private val Tablesample =
+    ("""(?is)([A-Za-z_][A-Za-z0-9_.]*)\s+TABLESAMPLE\s*\(\s*([0-9]+(?:\.[0-9]+)?)\s+PERCENT\s*\)""" +
+      """(?:\s+REPEATABLE\s*\(\s*([0-9]+)\s*\))?""").r
+
+  /** `t TABLESAMPLE (p PERCENT) [REPEATABLE (seed)]` → a hash-threshold
+    * filter on t's REGISTERED key columns (seed-suffixed md5-60), spliced
+    * back as a subquery so aliases/joins/tails around it are untouched.
+    * Loud on unregistered or keyless tables — without a stable row key
+    * there is no content-stable sample to define. */
+  private def rewriteTablesample(s: SparkSession, stmt: String): DataFrame = {
+    val out = Tablesample.replaceAllIn(stmt, m => {
+      if (inLiteral(stmt, m.start)) scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val name = normalizeIdent(m.group(1))
+        val pct = m.group(2).toDouble
+        require(pct >= 0.0 && pct <= 100.0, s"TABLESAMPLE: $pct PERCENT out of range")
+        val seed = Option(m.group(3)).map(_.toLong).getOrElse(0L)
+        val ref = registry.getOrElse((s, name), throw new IllegalArgumentException(
+          s"TABLESAMPLE: table '$name' is not registered with GraftSql.register"))
+        require(ref.keyCols.nonEmpty,
+          s"TABLESAMPLE: table '$name' has no registered key columns — " +
+            "content-stable sampling needs a stable row key")
+        val keyExpr = ref.keyCols.map(c => s"CAST($c AS STRING)")
+          .mkString(" || ':' || ") + s" || ':s$seed'"
+        val thr = graft.sample.Sampling.threshold(pct / 100.0)
+        val h = graft.text.TextAnalysis.hash60Spark(keyExpr)
+        scala.util.matching.Regex.quoteReplacement(
+          s"(SELECT * FROM $name WHERE $h < ${thr}L)")
+      }
+    })
+    sql(s, out)
   }
 
   private def topLevelWordIndices(text: String, word: String): Seq[Int] = {
