@@ -91,6 +91,45 @@ object EventsQueries extends QueryModule {
 
   override def queries: Seq[EngineQuery] = Seq(
 
+    // Typed COGROUP (KeyValueGroupedDataset.cogroup): the per-key
+    // imperative merge of TWO datasets — the operator for logic a join
+    // can't express without exploding (here: each user's clicks merged
+    // against their purchase timeline). ONE co-partitioned shuffle of
+    // both sides; per-task state is a single user's events (the
+    // mapGroups contract), never the partition. This is the typed
+    // API's answer to applyInPandas-style cogrouped processing, with
+    // the whole result replayable as SQL for the gate.
+    EngineQuery(
+      "evt_cogroup_funnel",
+      (s, dir) => {
+        import s.implicits._
+        val e = events(s, dir).withColumn("ms", unix_millis(col("ts")))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ms")).as[(Long, Long)]
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ms")).as[(Long, Long)]
+        clicks.groupByKey(_._1).cogroup(purchases.groupByKey(_._1)) { (uid, cs, ps) =>
+          val cl = cs.map(_._2).toArray
+          val pl = ps.map(_._2).toArray
+          val firstP = if (pl.isEmpty) Long.MaxValue else pl.min
+          Iterator((uid, cl.length.toLong, pl.length.toLong,
+            cl.count(_ < firstP).toLong))
+        }.toDF("user_id", "n_clicks", "n_purchases", "clicks_before_first_purchase")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events
+             |  WHERE event_type IN ('click', 'purchase')),
+             |p AS (SELECT user_id, min(ms) AS first_p
+             |      FROM e WHERE event_type = 'purchase' GROUP BY 1)
+             |SELECT e.user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+             |  CAST(sum(CASE WHEN event_type = 'click'
+             |             AND (p.first_p IS NULL OR e.ms < p.first_p)
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS clicks_before_first_purchase
+             |FROM e LEFT JOIN p ON e.user_id = p.user_id
+             |GROUP BY e.user_id""".stripMargin)),
+
     // Streaming ingest dedup (dropDuplicatesWithinWatermark): the
     // at-least-once landing path every 100 TB pipeline needs — exactly
     // one row per event_id survives re-delivery, with dedup state
