@@ -1289,6 +1289,34 @@ object AnalyticsQueries extends QueryModule {
       },
       Some(Q45Sql)),
 
+    // Dataset.observe — metrics as a SIDE CHANNEL of a real action:
+    // the aggregates ride the same single pass that produces the
+    // output (here the count), costing zero extra scans — the
+    // operational-telemetry pattern for 100 TB ingest jobs (row counts
+    // and value bounds observed while writing, not re-computed after).
+    // The observed values themselves are the gated result.
+    EngineQuery(
+      "dq_observe_metrics",
+      (s, dir) => {
+        val obs = new org.apache.spark.sql.Observation()
+        val observed = ord(s, dir).observe(obs,
+          count(lit(1)).as("n_rows"),
+          sum(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).as("cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        observed.write.format("noop").mode("overwrite").save() // the real action
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n_rows").asInstanceOf[Long], m("cents").asInstanceOf[Long],
+          m("min_key").asInstanceOf[Long], m("max_key").asInstanceOf[Long]))
+          .toDF("n_rows", "cents", "min_key", "max_key")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+             |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+             |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+             |FROM orders""".stripMargin)),
+
     // Declarative data-quality rule suite (the Deequ/VerificationSuite
     // pattern, VLDB'18 "Automating Large-Scale Data Quality Verification"):
     // N assertions — completeness, key uniqueness, value bounds, domain

@@ -38,8 +38,35 @@ object SqlSurfaceQueries extends QueryModule {
     dmlTables(s, dir)
     copyTable(s, dir)
     mergeEvolveTable(s, dir)
+    byNameTable(s, dir)
     ()
   }
+
+  private val bynSeeded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** INSERT BY NAME seed: a copy of orders, appended to through the
+    * BY NAME spelling with a REORDERED select list (keys shifted past
+    * max so the append is key-disjoint, status 'B', price +0.5). */
+  private def byNameTable(s: SparkSession, dir: String): String =
+    bynSeeded.getOrElseUpdate((s, dir), {
+      import org.apache.spark.sql.functions._
+      import graft.tables.GraftSql
+      val base = Files.createTempDirectory("graft-bynsql").toString
+      val orders = s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.streaming.ParquetTable.swap(s, orders.repartition(4), s"$base/t")
+      val name = s"dml_byn_${java.util.UUID.randomUUID.toString.replace("-", "").take(8)}"
+      GraftSql.register(s, name, s"$base/t", Seq("o_orderkey"))
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      GraftSql.sql(s,
+        s"""INSERT INTO $name BY NAME
+           |SELECT o_totalprice + 0.5 AS o_totalprice,
+           |       'B' AS o_orderstatus,
+           |       o_orderkey + ${maxKey + 1} AS o_orderkey
+           |FROM $name WHERE o_orderkey % 17 = 0""".stripMargin)
+      name
+    })
 
   private val mevSeeded =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
@@ -283,6 +310,27 @@ object SqlSurfaceQueries extends QueryModule {
              |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
              |  CAST(sum(CAST(round(p * 100, 0) AS BIGINT)) AS BIGINT) AS cents
              |FROM merged GROUP BY st""".stripMargin)),
+
+    // INSERT INTO ... BY NAME with a deliberately REORDERED select list:
+    // the rows must land in the right columns anyway (the Spark 3.5 /
+    // DuckDB by-name spelling).
+    EngineQuery(
+      "sql_dml_insert_byname",
+      (s, dir) => {
+        val nm = byNameTable(s, dir)
+        graft.tables.GraftSql.sql(s,
+          s"""SELECT o_orderstatus, count(*) AS n,
+             |  sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+             |FROM $nm GROUP BY o_orderstatus""".stripMargin)
+      },
+      Some("""WITH fin AS (
+             |  SELECT o_orderstatus, o_totalprice FROM orders
+             |  UNION ALL
+             |  SELECT 'B' AS o_orderstatus, o_totalprice + 0.5 FROM orders
+             |  WHERE o_orderkey % 17 = 0)
+             |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM fin GROUP BY o_orderstatus""".stripMargin)),
 
     // MERGE WITH SCHEMA EVOLUTION as a whole statement: the source's
     // extra o_channel column widens the target (metadata-only ADD

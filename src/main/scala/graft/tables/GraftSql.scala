@@ -112,6 +112,8 @@ object GraftSql {
     ("""(?is)^\s*CREATE\s+TABLE\s+(""" + IdPat + """)\s*\((.*)\)\s*;?\s*$""").r
   private val InsertInto =
     ("""(?is)^\s*INSERT\s+INTO\s+(""" + IdPat + """)\s+(SELECT\b.*)$""").r
+  private val InsertIntoByName =
+    ("""(?is)^\s*INSERT\s+INTO\s+(""" + IdPat + """)\s+BY\s+NAME\s+(SELECT\b.*)$""").r
   private val InsertIntoCols =
     ("""(?is)^\s*INSERT\s+INTO\s+(""" + IdPat + """)\s*\(([^)]*)\)\s+((?:SELECT|VALUES)\b.*)$""").r
   private val InsertIntoValues =
@@ -672,6 +674,13 @@ object GraftSql {
         TableStats.reanalyzeOnPublish(s, dir)
         singleRow(s, Seq("name" -> name, "n_inserted" -> n))
       } finally { result.unpersist(); () }
+    // INSERT INTO t BY NAME SELECT ... — the Spark 3.5/DuckDB spelling
+    // that matches source columns to target columns BY NAME regardless
+    // of SELECT order. insertFrame is by-name by construction, so the
+    // arm is pure spelling parity — but having it means statements
+    // written for either engine run here verbatim.
+    case InsertIntoByName(name, select) =>
+      insertFrame(s, name, sql(s, select))
     case InsertInto(name, select) =>
       // Step 2: INSERT INTO ... SELECT — the SELECT goes back through
       // sql() so table_changes()/AS-OF rewrites compose; the append is
