@@ -41,9 +41,14 @@ object EventsQueries extends QueryModule {
     }
   }
 
-  /** Pre-build the partitioned seed (Bench times this as an explicit
-    * `build_*` entry so query numbers measure only themselves). */
-  def ensureSeeded(s: SparkSession, dir: String): Unit = { partitionedDir(s, dir); () }
+  /** Pre-build the partitioned seed AND the streaming-dedup ingest
+    * (Bench times this as an explicit `build_*` entry so query numbers
+    * measure only themselves). */
+  def ensureSeeded(s: SparkSession, dir: String): Unit = {
+    partitionedDir(s, dir)
+    streamDeduped(s, dir)
+    ()
+  }
 
   private val partSeed =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
@@ -82,7 +87,9 @@ object EventsQueries extends QueryModule {
         .option("path", s"$base/out").option("checkpointLocation", s"$base/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(300000)
+      require(q.awaitTermination(300000),
+        "evt_stream_dedup: the dedup ingest did not drain within 300s — " +
+          "a partial sink must never reach the gate")
       val out = s.read.parquet(s"$base/out")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       out.count()

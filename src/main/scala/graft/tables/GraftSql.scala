@@ -1018,7 +1018,11 @@ object GraftSql {
     // union-window as-of plan (TemporalJoins): ONE shuffle of both
     // sides on the key, never a per-row range probe. Top-level only,
     // aliases required, qualified column refs required downstream.
-    case q if topLevelWordIndices(q.trim.replaceAll(";\\s*$", ""), "ASOF").nonEmpty =>
+    // Guarded on BOTH the top-level word and the full FROM..JOIN shape:
+    // `asof` as an ordinary identifier (SELECT asof FROM t) must fall
+    // through to Spark untouched.
+    case q if topLevelWordIndices(q.trim.replaceAll(";\\s*$", ""), "ASOF").nonEmpty &&
+        AsofFrom.findFirstMatchIn(q).isDefined =>
       rewriteAsofJoin(s, q.trim.replaceAll(";\\s*$", ""))
     // TABLESAMPLE (p PERCENT) [REPEATABLE (seed)] — defined here as
     // CONTENT-STABLE hash sampling on the table's registered key
@@ -1027,7 +1031,11 @@ object GraftSql {
     // pipeline needs when the corpus is resampled incrementally). The
     // predicate is a codegen'd hash compare pushed into the scan — no
     // sampling operator, no row numbering, no shuffle.
-    case q if topLevelWordIndices(q.trim.replaceAll(";\\s*$", ""), "TABLESAMPLE").nonEmpty =>
+    // Guarded on the full `name TABLESAMPLE (p PERCENT)` shape so other
+    // TABLESAMPLE spellings (ROWS, BUCKET) and identifier uses fail in
+    // Spark's parser with its own message, never loop back here.
+    case q if topLevelWordIndices(q.trim.replaceAll(";\\s*$", ""), "TABLESAMPLE").nonEmpty &&
+        Tablesample.findFirstMatchIn(q).isDefined =>
       rewriteTablesample(s, q.trim.replaceAll(";\\s*$", ""))
     // QUALIFY — filter on window-function results without the manual
     // subquery (the DuckDB/Snowflake/Databricks spelling; OSS Spark has
@@ -2263,21 +2271,25 @@ object GraftSql {
     // target so UPDATE SET * / INSERT * carry the new fields through.
     // Delta's contract: evolution applies only when rows flow from the
     // source (UPDATE/INSERT clauses); a pure delete never widens.
-    val evolvedCols: Seq[String] =
+    val evolvedCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
       if (!evolve || !(hasUpdate || hasInsert)) Seq.empty
       else {
         val have = target0.columns.map(_.toLowerCase).toSet
         srcDf0.schema.fields.filter(f => !have.contains(f.name.toLowerCase))
-          .map(f => { SchemaEvolution.addColumns(s, dir, Seq(f.name -> f.dataType)); f.name })
-          .toSeq
+          .map(f => f.name -> f.dataType).toSeq
       }
     // The evolved LOGICAL view (new columns null-filled over old files) is
     // the merge target; the physical commit appends upsert rows WITH the
     // new columns while untouched/rewritten files keep the old schema —
-    // Delta's evolution contract, zero extra data IO. (dmlTable can't
-    // re-mount here: its divergence guard rightly refuses diverged
-    // tables for NEXT statements; this statement IS the divergence.)
-    val target = if (evolvedCols.isEmpty) target0 else TableStats.readCurrent(s, dir)
+    // Delta's evolution contract, zero extra data IO. The view is
+    // SIMULATED here (typed-null columns on the pre-evolution snapshot);
+    // the manifest write is DEFERRED to just before the data commit so a
+    // merge rejected by any later validation (duplicate source keys,
+    // missing column coverage, CHECK constraints) leaves the table's
+    // schema untouched — the statement stays atomic.
+    val target = evolvedCols.foldLeft(target0) {
+      case (df, (n, t)) => df.withColumn(n, lit(null).cast(t))
+    }
     // Guards evaluate over the source row: strip the source alias
     // qualifier, reject explicit target-alias references.
     val guardExpr = guard.map { g =>
@@ -2382,6 +2394,11 @@ object GraftSql {
       Constraints.validate(ups, cs).foreach(m => throw new IllegalStateException(
         s"MERGE INTO $name rejected by CHECK constraint: $m"))
     }
+    // Every validation has passed — widen the schema (one batched
+    // manifest write), then commit the data. A crash between the two
+    // leaves a validly-evolved table with unchanged data (the same
+    // state ALTER TABLE ADD COLUMNS alone produces).
+    if (evolvedCols.nonEmpty) SchemaEvolution.addColumns(s, dir, evolvedCols)
     val (nUp, nDel) = ParquetTable.mergeInto(s, dir, prepared, keys, dmlReadSchema(target))
     TableStats.reanalyzeOnPublish(s, dir)
     singleRow(s, Seq("name" -> name, "n_upserted" -> nUp, "n_deleted" -> nDel))
@@ -2550,35 +2567,61 @@ object GraftSql {
     val (lts, ineqOp, rts) = ineqs.head
     val forward = ineqOp == "<=" // l.ts <= r.ts: earliest right at-or-after
 
-    def prefixed(df: DataFrame, p: String): DataFrame =
-      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${p}_$c"))
-    val lDf = prefixed(sql(s, s"SELECT * FROM $lsrc"), la)
-      .withColumn("__asof_key", col(s"${la}_$kl"))
-    val rDf = prefixed(sql(s, s"SELECT * FROM $rsrc"), ra)
-      .withColumn("__asof_key", col(s"${ra}_$kr"))
-    val rtsCol = s"${ra}_$rts"
+    def prefixed(df: DataFrame, p: String): DataFrame = {
+      // A column that already spells another column's prefixed name
+      // would make the fold rename BOTH occurrences — refuse loudly
+      // rather than mis-bind the join key.
+      val cols = df.columns
+      val clash = cols.filter(c => cols.exists(o => s"${p}_$o".equalsIgnoreCase(c)))
+      require(clash.isEmpty,
+        s"ASOF JOIN: source aliased '$p' has columns colliding with prefixed names: " +
+          clash.mkString(","))
+      cols.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${p}_$c"))
+    }
+    // The window's ordering column must be integral for the union plan's
+    // tie fold — TIMESTAMP converts to epoch millis, integral types pass
+    // through, anything else is refused with a usable message.
+    def orderMillis(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, TimestampType}
+      df.schema(c).dataType match {
+        case TimestampType => unix_millis(col(c))
+        case LongType | IntegerType | ShortType => col(c).cast("long")
+        case other => throw new IllegalArgumentException(
+          s"ASOF JOIN: time column '$c' has unsupported type ${other.simpleString} — " +
+            "use TIMESTAMP or an integral epoch column")
+      }
+    }
+    val lDf0 = prefixed(sql(s, s"SELECT * FROM $lsrc"), la)
+    val lDf = lDf0.withColumn("__asof_key", col(s"${la}_$kl"))
+      .withColumn("__asof_lt", orderMillis(lDf0, s"${la}_$lts"))
+    val rDf0 = prefixed(sql(s, s"SELECT * FROM $rsrc"), ra)
+    val rDf = rDf0.withColumn("__asof_key", col(s"${ra}_$kr"))
+      .withColumn("__asof_rt", orderMillis(rDf0, s"${ra}_$rts"))
     val payload = rDf.columns.filter(_ != "__asof_key").toSeq
     val real =
       if (forward)
         graft.join.TemporalJoins.asOfJoinForward(
-          lDf, rDf, "__asof_key", s"${la}_$lts", rtsCol, payload, rtsCol)
+          lDf, rDf, "__asof_key", "__asof_lt", "__asof_rt", payload, "__asof_rt")
       else
         graft.join.TemporalJoins.asOfJoinBackward(
-          lDf, rDf, "__asof_key", s"${la}_$lts", rtsCol, payload, rtsCol)
-    val out0 = real.drop("__asof_key").drop("asof_gap_ms")
+          lDf, rDf, "__asof_key", "__asof_lt", "__asof_rt", payload, "__asof_rt")
+    val out0 = real.drop("__asof_key", "asof_gap_ms", "__asof_lt")
     val matchedOnly =
-      if (leftOuter) out0 else out0.filter(col(s"asof_$rtsCol").isNotNull)
+      if (leftOuter) out0 else out0.filter(col("asof___asof_rt").isNotNull)
     val renamed = payload.foldLeft(matchedOnly)((d, c) => d.withColumnRenamed(s"asof_$c", c))
+      .drop("__asof_rt")
     val view = s"__graft_asof_${asofViewSeq.incrementAndGet()}"
     renamed.createOrReplaceTempView(view)
 
     // Statement minus the FROM..ON segment, alias refs -> prefixed cols.
+    // sql() analyzes eagerly, so the statement-scoped view drops right
+    // after — no per-statement catalog accumulation.
     val rebuilt = stmt.substring(0, m.start) + s" FROM $view " + tail
     val aliasRef = s"""(?i)\\b($la|$ra)\\.([A-Za-z_][A-Za-z0-9_]*)""".r
     val replaced = aliasRef.replaceAllIn(rebuilt, mm =>
       if (inLiteral(rebuilt, mm.start)) scala.util.matching.Regex.quoteReplacement(mm.matched)
       else s"${mm.group(1).toLowerCase}_${mm.group(2)}")
-    sql(s, replaced)
+    try sql(s, replaced) finally { s.catalog.dropTempView(view); () }
   }
 
   private val Tablesample =
@@ -2611,6 +2654,11 @@ object GraftSql {
           s"(SELECT * FROM $name WHERE $h < ${thr}L)")
       }
     })
+    // An unchanged statement would re-enter this arm forever — refuse
+    // loudly instead (only the literal-position edge reaches this).
+    require(out != stmt,
+      "TABLESAMPLE: unsupported statement shape — only " +
+        "`table TABLESAMPLE (p PERCENT) [REPEATABLE (seed)]` on a registered table")
     sql(s, out)
   }
 

@@ -99,4 +99,35 @@ class AsofSqlSpec extends SparkSuite {
     }
     assert(e3.getMessage.contains("unsupported ON condition"))
   }
+
+  test("TIMESTAMP time columns work (converted to epoch millis internally)") {
+    seed()
+    spark.sql(
+      """SELECT pid, uid, timestamp_millis(ms * 1000) AS ts FROM asof_l"""
+    ).createOrReplaceTempView("asof_lt")
+    spark.sql(
+      """SELECT cid, uid, timestamp_millis(ms * 1000) AS ts FROM asof_r"""
+    ).createOrReplaceTempView("asof_rt")
+    val rows = GraftSql.sql(spark,
+      """SELECT l.pid AS pid, r.cid AS cid
+        |FROM asof_lt l ASOF JOIN asof_rt r
+        |  ON l.uid = r.uid AND l.ts >= r.ts
+        |ORDER BY l.pid""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 7L), (2L, 8L)))
+    // Unsupported time type (string) is refused with a usable message.
+    spark.sql("SELECT pid, uid, CAST(ms AS STRING) AS ts FROM asof_l")
+      .createOrReplaceTempView("asof_ls")
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        "SELECT l.pid FROM asof_ls l ASOF JOIN asof_rt r ON l.uid = r.uid AND l.ts >= r.ts")
+    }
+    assert(e.getMessage.contains("unsupported type"))
+  }
+
+  test("'asof' as an ordinary identifier is not hijacked") {
+    spark.sql("SELECT 42L AS asof").createOrReplaceTempView("asof_idtbl")
+    val r = GraftSql.sql(spark, "SELECT asof FROM asof_idtbl ORDER BY asof")
+    assert(r.collect().map(_.getLong(0)).toSeq == Seq(42L))
+  }
 }

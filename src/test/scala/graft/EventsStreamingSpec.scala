@@ -318,7 +318,7 @@ class EventsStreamingSpec extends SparkSuite {
       .option("path", s"$dir/out").option("checkpointLocation", s"$dir/cp")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    assert(q.awaitTermination(300000), "dedup stream must drain within 300s")
     val out = spark.read.parquet(s"$dir/out")
     assert(out.count() == src.count(), "every duplicate re-delivery must be dropped")
     assert(out.select("event_id").distinct().count() == src.count())
@@ -330,7 +330,7 @@ class EventsStreamingSpec extends SparkSuite {
       .option("path", s"$dir/out").option("checkpointLocation", s"$dir/cp")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q2.awaitTermination(300000)
+    assert(q2.awaitTermination(300000), "restart must drain within 300s")
     assert(spark.read.parquet(s"$dir/out").count() == src.count(),
       "restart must not re-emit")
   }
