@@ -1289,6 +1289,31 @@ object AnalyticsQueries extends QueryModule {
       },
       Some(Q45Sql)),
 
+    // SELECT * EXCEPT — the column-subtraction star (Spark 3.4+ /
+    // BigQuery spelling; DuckDB spells it EXCLUDE), plus ORDER BY ALL
+    // (native in both). Column pruning still reaches the scan: the
+    // planner prunes to the surviving columns, so the "subtract"
+    // spelling costs nothing over an explicit list.
+    EngineQuery(
+      "q46_star_except",
+      (s, dir) => {
+        li(s, dir).createOrReplaceTempView("lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  CAST(count(*) AS BIGINT) AS n,
+                |  CAST(sum(l_orderkey) AS BIGINT) AS keysum
+                |FROM (SELECT * EXCEPT (l_partkey, l_suppkey, l_linenumber, l_quantity,
+                |                       l_extendedprice, l_discount, l_tax, l_shipdate)
+                |      FROM lineitem)
+                |GROUP BY ALL ORDER BY ALL""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(l_orderkey) AS BIGINT) AS keysum
+             |FROM (SELECT * EXCLUDE (l_partkey, l_suppkey, l_linenumber, l_quantity,
+             |                        l_extendedprice, l_discount, l_tax, l_shipdate)
+             |      FROM lineitem)
+             |GROUP BY ALL ORDER BY ALL""".stripMargin)),
+
     // Dataset.observe — metrics as a SIDE CHANNEL of a real action:
     // the aggregates ride the same single pass that produces the
     // output (here the count), costing zero extra scans — the
