@@ -588,6 +588,28 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededOw =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, Long, Long)]
+
+  /** Range-laid-out orders (16 key-range files) scoped-compacted over
+    * the low-key quarter: returns (table dir, files compacted, files
+    * after). The OPTIMIZE WHERE statement itself runs here once. */
+  private def optimizeWhereTable(s: SparkSession, dir: String): (String, Long, Long) =
+    seededOw.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-ow")
+        .resolve("orders_ow").toString
+      val orders = s.read.parquet(tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      ParquetTable.swap(s, orders.repartitionByRange(16, col("o_orderkey")), t)
+      val nm = s"orders_ow_${java.util.UUID.randomUUID.toString.replace("-", "").take(8)}"
+      graft.tables.GraftSql.register(s, nm, t, Seq("o_orderkey"))
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      val r = graft.tables.GraftSql.sql(s,
+        s"OPTIMIZE $nm WHERE o_orderkey < ${maxKey / 4}").collect().head
+      (t, r.getAs[Any]("n_files_compacted").toString.toLong,
+        r.getAs[Any]("n_files_after").toString.toLong)
+    })
+
   private val seededSp =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
@@ -1409,6 +1431,27 @@ object StorageQueries extends QueryModule {
              |  round(sum(o_totalprice), 2) AS total
              |FROM orders WHERE o_orderkey % 7 <> 0
              |GROUP BY o_orderstatus""".stripMargin)),
+
+    // OPTIMIZE ... WHERE — predicate-scoped compaction: only the files
+    // holding matching rows rewrite bin-packed, cold files hard-link
+    // forward (the daily compact-yesterday's-window maintenance shape;
+    // commit cost ∝ window, not table). Data preservation is the
+    // oracle: the post-OPTIMIZE table must equal pristine orders
+    // exactly; the file accounting rides along from the statement's
+    // own metrics row (pinned > 0 compacted in the spec).
+    EngineQuery(
+      "store_optimize_where",
+      (s, dir) => {
+        val (t, _, _) = optimizeWhereTable(s, dir)
+        s.read.parquet(ParquetTable.currentPath(t))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),
+            round(sum("o_totalprice"), 2).as("total"))
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
     // SHOW PARTITIONS over a hive-partitioned registration: the listing
     // (no data IO) must name exactly the distinct partition values.

@@ -957,8 +957,9 @@ object ParquetTable {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Atomically repoint `_CURRENT` at a fully-written version dir, then
-    * append the history line. */
-  private def publish(dir: String, next: String): Unit = {
+    * append the history line. private[graft]: GraftSql's scoped
+    * OPTIMIZE commits through the same door as every other DML. */
+  private[graft] def publish(dir: String, next: String): Unit = {
     val tmp = Paths.get(dir, "_CURRENT.tmp")
     Files.writeString(tmp, next)
     Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,

@@ -89,7 +89,7 @@ object GraftSql {
   private val DescribePlain =
     ("""(?is)^\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(""" + IdPat + """)\s*;?\s*$""").r
   private val Optimize =
-    ("""(?is)^\s*OPTIMIZE\s+(""" + IdPat + """)(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
+    ("""(?is)^\s*OPTIMIZE\s+(""" + IdPat + """)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val Vacuum =
     ("""(?is)^\s*VACUUM\s+(""" + IdPat + """)(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val Restore =
@@ -415,9 +415,13 @@ object GraftSql {
       describeDispatch(s, statement, rawName, extended = true)
     case DescribePlain(rawName) =>
       describeDispatch(s, statement, rawName, extended = false)
-    case Optimize(name, zcols) =>
-      optimize(s, name, Option(zcols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-        .filter(_.nonEmpty))
+    case Optimize(name, wpred, zcols) =>
+      val zc = Option(zcols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+      Option(wpred).map(_.trim).filter(_.nonEmpty) match {
+        case Some(pred) => optimizeWhere(s, name, pred, zc)
+        case None       => optimize(s, name, zc)
+      }
     case Vacuum(name, hours, dry) =>
       vacuum(s, name, Option(hours).map(_.toLong), dry != null)
     case Restore(name, version) =>
@@ -1736,6 +1740,68 @@ object GraftSql {
   }
 
   private val TargetFileBytes = 128L * 1024 * 1024
+
+  /** OPTIMIZE t WHERE <pred> [ZORDER BY (...)] — PREDICATE-SCOPED
+    * compaction (Delta's partition-scoped OPTIMIZE, generalized): only
+    * files holding at least one matching row are rewritten bin-packed
+    * (optionally Z-ordered); every other file hard-links forward
+    * untouched. No row is dropped or changed — the predicate selects
+    * FILES, the rewrite keeps all their rows — so the op is always
+    * data-preserving. This is the 100 TB maintenance shape: a daily job
+    * compacts yesterday's trickle-appended window without touching the
+    * petabytes of cold files, and the commit cost is proportional to
+    * the window, not the table. */
+  def optimizeWhere(s: SparkSession, name: String, pred: String,
+      zorderCols: Option[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce => cls, col, expr, lit}
+    val ref = resolve(s, name)
+    val cur = java.nio.file.Paths.get(ParquetTable.currentPath(ref.dir))
+    val df = s.read.parquet(cur.toString)
+    val hits = df.filter(cls(expr(pred), lit(false)))
+      .groupBy(col("_metadata.file_path").as("f")).count().collect()
+    val touched = hits
+      .map(r => java.nio.file.Paths.get(new java.net.URI(r.getString(0)).getPath)
+        .getFileName.toString).toSet
+    val (nFilesBefore, _) = snapshotFiles(cur.toString)
+    if (touched.isEmpty)
+      return singleRow(s, Seq("name" -> name, "new_version" -> -1L,
+        "n_files_before" -> nFilesBefore, "n_files_after" -> nFilesBefore,
+        "n_files_compacted" -> 0L, "zorder_by" -> zorderCols.map(_.mkString(",")).getOrElse("")))
+    val nextId = graft.streaming.VersionNames.idOf(cur.getFileName.toString) + 1
+    val next = graft.streaming.VersionNames.format(nextId)
+    val nextPath = java.nio.file.Paths.get(ref.dir, next)
+    java.nio.file.Files.createDirectories(nextPath)
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files.list(cur)
+    try ls.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !touched(n)
+      }
+      .foreach { p =>
+        val dst = nextPath.resolve(p.getFileName)
+        try java.nio.file.Files.createLink(dst, p)
+        catch { case _: Exception => java.nio.file.Files.copy(p, dst); () }
+      }
+    finally ls.close()
+    val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
+    val bytes = touched.toSeq.map(f => java.nio.file.Files.size(cur.resolve(f))).sum
+    val target = math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
+    val window = s.read.parquet(touchedPaths: _*)
+    val packed = zorderCols match {
+      case Some(cols) => graft.tables.ZOrder.cluster(window, cols, target)
+      case None       => window.coalesce(target)
+    }
+    packed.write.mode("append").parquet(nextPath.toString)
+    ParquetTable.publish(ref.dir, next)
+    TableStats.reanalyzeOnPublish(s, ref.dir)
+    val (nFilesAfter, _) = snapshotFiles(nextPath.toString)
+    singleRow(s, Seq(
+      "name" -> name, "new_version" -> nextId,
+      "n_files_before" -> nFilesBefore, "n_files_after" -> nFilesAfter,
+      "n_files_compacted" -> touched.size.toLong,
+      "zorder_by" -> zorderCols.map(_.mkString(",")).getOrElse("")))
+  }
 
   /** Opt-in auto-compaction (`spark.graft.autoCompact.minFiles=N`,
     * Delta's autoCompact parity): after an append-class statement
