@@ -376,12 +376,17 @@ object SketchQueries extends QueryModule {
         val daily = e.groupBy("day", "bkt")
           .agg(expr("bitmap_construct_agg(pos)").as("bm"))
         val days = daily.select(col("day").as("w_day")).distinct()
-        days.join(daily,
-            col("day").between(col("w_day") - 6L, col("w_day")))
+        // Each day's bitmap EXPLODES into the ≤7 windows it serves —
+        // a narrow bounded fan-out instead of a range join; the final
+        // broadcast semi-join just drops phantom windows past the
+        // observed day range (the days frame is calendar-sized).
+        daily
+          .withColumn("w_day", explode(sequence(col("day"), col("day") + 6L)))
           .groupBy("w_day", "bkt")
           .agg(expr("bitmap_or_agg(bm)").as("wbm"))
           .groupBy("w_day")
           .agg(sum(expr("bitmap_count(wbm)")).as("n_users_7d"))
+          .join(broadcast(days), Seq("w_day"))
       },
       Some("""WITH e AS (
              |  SELECT CAST(epoch_ms(date_trunc('day', ts)) // 86400000 AS BIGINT) AS day,

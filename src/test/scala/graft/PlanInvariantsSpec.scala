@@ -28,7 +28,13 @@ class PlanInvariantsSpec extends SparkSuite {
     "tt_select_version_as_of", "se_sql_ddl", "sim_semdedup", "text_mixture_take",
     // Round-11: the de-weaked ccnet bucketing (ExactNtile, no constant-key
     // window) and the new scan/graph operators.
-    "text_ccnet_buckets", "evt_cusum_changepoint", "sim_knn_graph")
+    "text_ccnet_buckets", "evt_cusum_changepoint", "sim_knn_graph",
+    // Round-11 session 2: the bitmap-distinct family, the epoch
+    // oversampler, the asof SQL rewrite, the cogroup merge, and the
+    // one-scan DQ suite.
+    "sketch_bitmap_distinct", "sketch_sliding_distinct", "sample_epochs",
+    "sql_asof_join", "evt_cogroup_funnel", "dq_rules_suite",
+    "q44_window_clause", "q46_star_except", "text_unicode_clean")
 
   /** The ONLY sanctioned Window-on-SinglePartition sites, each with a
     * written bound on the serialized domain. A global ordered window is
