@@ -1810,6 +1810,63 @@ object TextQueries extends QueryModule {
            |FROM r GROUP BY lang""".stripMargin
       }),
 
+    // Paragraph-grain cross-doc EXACT dedup (the RefinedWeb/Falcon
+    // sub-document pass): docs chunk into non-overlapping 32-word
+    // paragraphs, each paragraph's FIRST occurrence corpus-wide wins
+    // (min (doc_id, position) — deterministic on any partitioning),
+    // and every doc reassembles from its surviving paragraphs. One
+    // hash-keyed shuffle decides winners (never all-pairs); the
+    // reassembly state is bounded by a doc's own paragraph count. The
+    // oracle replays chunking, winner choice, and reassembly — the
+    // rebuilt TEXT itself is content-hashed, not just counted.
+    EngineQuery(
+      "text_paragraph_dedup",
+      (s, dir) => {
+        val k = 32
+        val ch = docs(s, dir)
+          .withColumn("toks", expr(toksSpark))
+          .selectExpr("doc_id", "lang", "toks", "CAST(size(toks) AS INT) AS n")
+          .where(col("n") > 0)
+          .selectExpr("doc_id", "lang",
+            s"posexplode(transform(sequence(0, CAST((n + ${k - 1}) / $k AS INT) - 1), " +
+              s"i -> concat_ws(' ', slice(toks, i * $k + 1, $k)))) AS (cidx, chunk)")
+          .withColumn("chash", expr(hash60Spark("chunk")))
+          .withColumn("okey", col("doc_id") * 1000000L + col("cidx"))
+        val winners = ch.groupBy("chash").agg(min("okey").as("kk"))
+        val kept = ch.join(winners, "chash").where(col("okey") === col("kk"))
+        val re = kept.groupBy("doc_id", "lang")
+          .agg(concat_ws(" ",
+            expr("transform(sort_array(collect_list(struct(cidx, chunk))), x -> x.chunk)"))
+            .as("new_text"))
+        val perLangDocs = re.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("new_text"))).as("chars_kept"),
+          sum(expr(s"(${hash60Spark("new_text")}) % 1000003")).as("content_h"))
+        val perLangChunks = kept.groupBy("lang").agg(count(lit(1)).as("chunks_kept"))
+        perLangDocs.join(perLangChunks, Seq("lang"))
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, lang, $toksDuck AS toks FROM documents),
+             |ix AS (SELECT doc_id, lang, toks,
+             |         unnest(range(0, greatest((len(toks) + 31) // 32, 1))) AS cidx
+             |       FROM tk WHERE len(toks) > 0),
+             |ch AS (SELECT doc_id, lang, cidx,
+             |         array_to_string(toks[cidx * 32 + 1 : cidx * 32 + 32], ' ') AS chunk
+             |       FROM ix),
+             |h AS (SELECT *, ${hash60Duck("chunk")} AS chash,
+             |        doc_id * 1000000 + cidx AS okey FROM ch),
+             |w AS (SELECT chash, min(okey) AS kk FROM h GROUP BY 1),
+             |kept AS (SELECT h.* FROM h JOIN w ON h.chash = w.chash AND h.okey = w.kk),
+             |re AS (SELECT doc_id, lang,
+             |         string_agg(chunk, ' ' ORDER BY cidx) AS new_text
+             |       FROM kept GROUP BY 1, 2),
+             |d AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |        CAST(sum(length(new_text)) AS BIGINT) AS chars_kept,
+             |        CAST(sum((${hash60Duck("new_text")}) % 1000003) AS BIGINT) AS content_h
+             |      FROM re GROUP BY lang),
+             |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS chunks_kept FROM kept GROUP BY lang)
+             |SELECT d.lang, d.n_docs, d.chars_kept, d.content_h, c.chunks_kept
+             |FROM d JOIN c ON d.lang = c.lang""".stripMargin)),
+
     // Unicode canonicalization (UAX#15 NFC) — the step every web corpus
     // runs before dedup/shingling: the same visible text arrives both
     // precomposed (U+00E9) and decomposed (U+0065 U+0301), and every
