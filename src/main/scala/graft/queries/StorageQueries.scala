@@ -588,6 +588,25 @@ object StorageQueries extends QueryModule {
       t
     })
 
+  private val seededTg =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Tagged-orders seed: versioned copy, 'baseline' tag on v1 via the
+    * statement surface, then a DELETE moves the live table past it. */
+  private def taggedOrders(s: SparkSession, dir: String): String =
+    seededTg.getOrElseUpdate((s, dir), {
+      val t = java.nio.file.Files.createTempDirectory("graft-tag")
+        .resolve("orders_tagged").toString
+      ParquetTable.swap(s,
+        s.read.parquet(tablePath(dir, "orders"))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"), t)
+      val nm = s"orders_tag_${java.util.UUID.randomUUID.toString.replace("-", "").take(8)}"
+      graft.tables.GraftSql.register(s, nm, t, Seq("o_orderkey"))
+      graft.tables.GraftSql.sql(s, s"ALTER TABLE $nm CREATE TAG baseline").collect()
+      graft.tables.GraftSql.sql(s, s"DELETE FROM $nm WHERE o_orderkey % 9 = 0").collect()
+      nm
+    })
+
   private val seededOw =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, Long, Long)]
 
@@ -941,6 +960,31 @@ object StorageQueries extends QueryModule {
       Some("""SELECT 'source' AS tbl, CAST(count(*) AS BIGINT) AS n FROM orders
              |UNION ALL
              |SELECT 'clone', CAST(count(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS BIGINT)
+             |FROM orders""".stripMargin)),
+
+    // Version TAGS (Iceberg parity): a tag names a version durably, the
+    // quoted VERSION AS OF spelling resolves through it, and VACUUM
+    // pins the tagged version (spec-gated). Here: a 'baseline' tag on
+    // the pristine snapshot, read back through the tag AFTER a DELETE
+    // moved the table on — the tagged read must equal raw orders while
+    // the live read shows the delete.
+    EngineQuery(
+      "tt_tag_select",
+      (s, dir) => {
+        val nm = taggedOrders(s, dir)
+        val tagged = graft.tables.GraftSql.sql(s,
+          s"SELECT count(*) AS n, sum(o_orderkey) AS key_sum FROM $nm VERSION AS OF 'baseline'")
+          .select(lit("baseline").as("readv"), col("n"), col("key_sum"))
+        val live = graft.tables.GraftSql.sql(s,
+          s"SELECT count(*) AS n, sum(o_orderkey) AS key_sum FROM $nm")
+          .select(lit("live").as("readv"), col("n"), col("key_sum"))
+        tagged.unionByName(live)
+      },
+      Some("""SELECT 'baseline' AS readv, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM orders
+             |UNION ALL
+             |SELECT 'live', CAST(count(CASE WHEN o_orderkey % 9 <> 0 THEN 1 END) AS BIGINT),
+             |  CAST(sum(CASE WHEN o_orderkey % 9 <> 0 THEN o_orderkey END) AS BIGINT)
              |FROM orders""".stripMargin)),
 
     // Copy-on-write DELETE WHERE: the current snapshot lost exactly the

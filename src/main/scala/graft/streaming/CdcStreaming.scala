@@ -871,7 +871,9 @@ object ParquetTable {
     * version names [[vacuum]] WOULD delete, without touching anything. */
   def vacuumDryRun(dir: String, keep: Int = 1): Seq[String] = {
     val current = Files.readString(pointer(dir)).trim
-    snapshots(dir).drop(math.max(keep, 1)).filter(_ != current)
+    val pinned = graft.tables.Tags.protectedVersions(dir)
+    snapshots(dir).drop(math.max(keep, 1))
+      .filter(v => v != current && !pinned(v))
   }
 
   /** Time-based retention — VACUUM ... RETAIN n HOURS (reference
@@ -894,8 +896,9 @@ object ParquetTable {
     val current = Files.readString(pointer(dir)).trim
     val published = publishedVersions(dir).toMap
     val cutoff = nowMillis - retainMillis
+    val pinned = graft.tables.Tags.protectedVersions(dir)
     snapshots(dir)
-      .filter(_ != current)
+      .filter(v => v != current && !pinned(v))
       .filter(v => published.get(v).exists(_ < cutoff))
   }
 

@@ -280,6 +280,17 @@ object GraftSql {
   // the bare name — the full dotted spelling matches, or nothing does.
   private val VersionAsOf =
     ("""(?i)(?<![A-Za-z0-9_`.])(""" + IdPat + """)\s+VERSION\s+AS\s+OF\s+(\d+)""").r
+  // Tag spelling: VERSION AS OF 'name' (quoted, non-numeric) resolves
+  // through the table's _TAGS bindings.
+  private val VersionAsOfTag =
+    ("""(?i)(?<![A-Za-z0-9_`.])(""" + IdPat + """)\s+VERSION\s+AS\s+OF\s+'([A-Za-z_][A-Za-z0-9_.-]*)'""").r
+  private val CreateTag =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+CREATE\s+(OR\s+REPLACE\s+)?TAG\s+""" +
+      """([A-Za-z_][A-Za-z0-9_.-]*)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$""").r
+  private val DropTagStmt =
+    ("""(?is)^\s*ALTER\s+TABLE\s+(""" + IdPat + """)\s+DROP\s+TAG\s+([A-Za-z_][A-Za-z0-9_.-]*)\s*;?\s*$""").r
+  private val ShowTags =
+    ("""(?is)^\s*SHOW\s+TAGS\s+(?:ON\s+|IN\s+|FROM\s+)?(""" + IdPat + """)\s*;?\s*$""").r
   private val TimestampAsOf =
     ("""(?i)(?<![A-Za-z0-9_`.])(""" + IdPat + """)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""").r
 
@@ -415,6 +426,32 @@ object GraftSql {
       describeDispatch(s, statement, rawName, extended = true)
     case DescribePlain(rawName) =>
       describeDispatch(s, statement, rawName, extended = false)
+    // Version tags (Iceberg parity): durable name → version bindings.
+    // A tag PINS its version against VACUUM (the reproducible-run
+    // primitive: a tagged corpus snapshot outlives retention policy).
+    case CreateTag(rawName, orRepl, tag, ver) =>
+      val name = normalizeIdent(rawName)
+      val ref = resolve(s, name)
+      val curId = graft.streaming.VersionNames.idOf(
+        java.nio.file.Paths.get(ParquetTable.currentPath(ref.dir)).getFileName.toString)
+      val v = Option(ver).map(_.toLong).getOrElse(curId)
+      require(ParquetTable.snapshots(ref.dir)
+          .exists(graft.streaming.VersionNames.idOf(_) == v),
+        s"CREATE TAG: table '$name' has no version $v")
+      Tags.set(ref.dir, tag, v, orRepl != null)
+      singleRow(s, Seq("name" -> name, "tag" -> tag.toLowerCase, "version" -> v))
+    case DropTagStmt(rawName, tag) =>
+      val name = normalizeIdent(rawName)
+      Tags.drop(resolve(s, name).dir, tag)
+      singleRow(s, Seq("name" -> name, "tag" -> tag.toLowerCase, "dropped" -> "true"))
+    case ShowTags(rawName) =>
+      val name = normalizeIdent(rawName)
+      val rows = Tags.tagsOf(resolve(s, name).dir).sortBy(_._1)
+        .map { case (t, v) => Row(t, v) }
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("tag", StringType, nullable = false),
+        StructField("version", LongType, nullable = false))))
     case Optimize(name, wpred, zcols) =>
       val zc = Option(zcols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty)
@@ -1149,6 +1186,23 @@ object GraftSql {
           if (inLiteral(afterTc, m.start) || !registry.contains((s, key))) m.matched
           else {
             val view = s"__graft_v_${viewToken(key)}_$v"
+            snapshotAt(s, key, v).createOrReplaceTempView(view)
+            view
+          })
+      })
+      // Tag spelling AFTER the numeric pass (disjoint patterns: quoted
+      // vs bare digits). Resolves through _TAGS; a registered table
+      // without the tag fails loudly — a silently-current read of a
+      // misspelled tag would defeat the reproducibility contract.
+      val afterVTag = rewritten
+      rewritten = VersionAsOfTag.replaceAllIn(afterVTag, m => {
+        val (key, tag) = (normalizeIdent(m.group(1)), m.group(2))
+        scala.util.matching.Regex.quoteReplacement(
+          if (inLiteral(afterVTag, m.start) || !registry.contains((s, key))) m.matched
+          else {
+            val v = Tags.versionOf(resolve(s, key).dir, tag).getOrElse(
+              throw new IllegalArgumentException(s"table '$key' has no tag '$tag'"))
+            val view = s"__graft_vt_${viewToken(key)}_$v"
             snapshotAt(s, key, v).createOrReplaceTempView(view)
             view
           })

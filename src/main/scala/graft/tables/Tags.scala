@@ -1,0 +1,57 @@
+package graft.tables
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Named version tags (Iceberg's tags, Delta has no equivalent): a tag
+  * is a durable name → version-id binding stored in the table root's
+  * `_TAGS` file (tab-separated, rewritten atomically via temp + move —
+  * the same commit discipline as `_CURRENT`). Tags give releases and
+  * audits a stable handle (`VERSION AS OF 'v2024w31'`) that survives
+  * further commits, and VACUUM PROTECTS tagged versions from expiry —
+  * the write-audit-publish / reproducible-training-run primitive: a
+  * tagged corpus snapshot stays readable for as long as the tag lives,
+  * no matter the retention policy.
+  */
+object Tags {
+
+  private def file(dir: String) = Paths.get(dir, "_TAGS")
+
+  def tagsOf(dir: String): Seq[(String, Long)] = {
+    val f = file(dir)
+    if (!Files.exists(f)) Seq.empty
+    else Files.readString(f).linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(n, v) = l.split("\t", 2)
+      n -> v.toLong
+    }.toSeq
+  }
+
+  def versionOf(dir: String, name: String): Option[Long] =
+    tagsOf(dir).collectFirst { case (n, v) if n.equalsIgnoreCase(name) => v }
+
+  def set(dir: String, name: String, version: Long, orReplace: Boolean): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_.-]*"), s"invalid tag name: $name")
+    val cur = tagsOf(dir)
+    require(orReplace || !cur.exists(_._1.equalsIgnoreCase(name)),
+      s"tag '$name' already exists — use CREATE OR REPLACE TAG")
+    write(dir, cur.filterNot(_._1.equalsIgnoreCase(name)) :+ (name.toLowerCase -> version))
+  }
+
+  def drop(dir: String, name: String): Unit = {
+    val cur = tagsOf(dir)
+    require(cur.exists(_._1.equalsIgnoreCase(name)), s"tag '$name' does not exist")
+    write(dir, cur.filterNot(_._1.equalsIgnoreCase(name)))
+  }
+
+  /** Version NAMES (directory names) pinned by tags — VACUUM keeps these. */
+  def protectedVersions(dir: String): Set[String] =
+    tagsOf(dir).map(t => graft.streaming.VersionNames.format(t._2)).toSet
+
+  private def write(dir: String, tags: Seq[(String, Long)]): Unit = {
+    val tmp = Paths.get(dir, "_TAGS.tmp")
+    Files.writeString(tmp, tags.sortBy(_._1).map { case (n, v) => s"$n\t$v" }
+      .mkString("", "\n", if (tags.isEmpty) "" else "\n"))
+    Files.move(tmp, file(dir), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+}
