@@ -311,6 +311,31 @@ object SqlSurfaceQueries extends QueryModule {
              |  CAST(sum(CAST(round(p * 100, 0) AS BIGINT)) AS BIGINT) AS cents
              |FROM merged GROUP BY st""".stripMargin)),
 
+    // Parameterized SQL (named parameter markers, Spark 3.4+/DuckDB
+    // prepared-statement parity) composed THROUGH EXECUTE IMMEDIATE
+    // (SQL-scripting surface): the query text is itself a value, the
+    // parameters bind as literals at plan time (so pruning/pushdown see
+    // constants, not variables). The dashboard/templating path — SQL
+    // injection-proof by construction.
+    EngineQuery(
+      "sql_named_params",
+      (s, dir) => {
+        s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
+          .createOrReplaceTempView("orders")
+        s.sql(
+          """EXECUTE IMMEDIATE
+            |  'SELECT o_orderstatus, count(*) AS n,
+            |     sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+            |   FROM orders WHERE o_totalprice >= :minp AND o_orderdate >= :mind
+            |   GROUP BY o_orderstatus'
+            |  USING 50000.0 AS minp, TIMESTAMP '1996-01-01' AS mind""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+             |FROM orders
+             |WHERE o_totalprice >= 50000.0 AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |GROUP BY o_orderstatus""".stripMargin)),
+
     // INSERT INTO ... BY NAME with a deliberately REORDERED select list:
     // the rows must land in the right columns anyway (the Spark 3.5 /
     // DuckDB by-name spelling).
