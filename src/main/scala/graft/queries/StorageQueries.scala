@@ -608,12 +608,13 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededOw =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, Long, Long)]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   /** Range-laid-out orders (16 key-range files) scoped-compacted over
-    * the low-key quarter: returns (table dir, files compacted, files
-    * after). The OPTIMIZE WHERE statement itself runs here once. */
-  private def optimizeWhereTable(s: SparkSession, dir: String): (String, Long, Long) =
+    * the low-key quarter; the OPTIMIZE WHERE statement itself runs here
+    * once (a zero-compaction run would make the gated query vacuous, so
+    * the seed asserts the window actually compacted). */
+  private def optimizeWhereTable(s: SparkSession, dir: String): String =
     seededOw.getOrElseUpdate((s, dir), {
       val t = java.nio.file.Files.createTempDirectory("graft-ow")
         .resolve("orders_ow").toString
@@ -625,8 +626,9 @@ object StorageQueries extends QueryModule {
       val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
       val r = graft.tables.GraftSql.sql(s,
         s"OPTIMIZE $nm WHERE o_orderkey < ${maxKey / 4}").collect().head
-      (t, r.getAs[Any]("n_files_compacted").toString.toLong,
-        r.getAs[Any]("n_files_after").toString.toLong)
+      require(r.getAs[Any]("n_files_compacted").toString.toLong > 0,
+        "store_optimize_where seed: the scoped OPTIMIZE compacted nothing")
+      t
     })
 
   private val seededSp =
@@ -720,7 +722,8 @@ object StorageQueries extends QueryModule {
       () => partitionedOrders(s, dir), () => commentedNation(s, dir),
       () => mvOrders(s, dir), () => mvSqlOrders(s, dir),
       () => genOrders(s, dir), () => identOrders(s, dir),
-      () => defaultedOrders(s, dir), () => vidxOrders(s, dir))
+      () => defaultedOrders(s, dir), () => vidxOrders(s, dir),
+      () => taggedOrders(s, dir), () => optimizeWhereTable(s, dir))
     Await.result(
       Future.sequence((vo +: cl +: rest.map(b => Future(b()))): Seq[Future[Any]]),
       Duration.Inf)
@@ -1486,7 +1489,7 @@ object StorageQueries extends QueryModule {
     EngineQuery(
       "store_optimize_where",
       (s, dir) => {
-        val (t, _, _) = optimizeWhereTable(s, dir)
+        val t = optimizeWhereTable(s, dir)
         s.read.parquet(ParquetTable.currentPath(t))
           .groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"), sum("o_orderkey").as("key_sum"),

@@ -387,6 +387,40 @@ object ParquetTable {
       paths: String*): DataFrame =
     schema.map(spark.read.schema).getOrElse(spark.read).parquet(paths: _*)
 
+  /** Shared copy-on-write version commit: hard-link every current data
+    * file EXCEPT `excluded` into a writer-private dot-staging dir, let
+    * the caller append its rewritten/new part files there, then
+    * atomically rename the staging dir to the next version name and
+    * publish. A crash before the rename leaves only an orphaned staging
+    * dir — the version slot stays clean and a retry starts fresh
+    * (the swapIfCurrent staging discipline, applied to file-granular
+    * commits). Returns the published version id. */
+  private[graft] def commitCow(dir: String, excluded: Set[String])(
+      write: java.nio.file.Path => Unit): Long = {
+    import scala.jdk.CollectionConverters._
+    val cur = Paths.get(currentPath(dir))
+    val staging = Paths.get(dir, s".staging-${java.util.UUID.randomUUID}")
+    Files.createDirectories(staging)
+    val ls = Files.list(cur)
+    try ls.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !excluded(n)
+      }
+      .foreach { p =>
+        val dst = staging.resolve(p.getFileName)
+        try { Files.createLink(dst, p); () }
+        catch { case _: Exception => Files.copy(p, dst); () }
+      }
+    finally ls.close()
+    write(staging)
+    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+    val next = VersionNames.format(nextId)
+    Files.move(staging, Paths.get(dir, next), StandardCopyOption.ATOMIC_MOVE)
+    publish(dir, next)
+    nextId
+  }
+
   /** CONVERT-TO-DELTA's adoption move: a PLAIN parquet directory becomes
     * a versioned table IN PLACE and at metadata price — the root's data
     * files hard-link into a new v1 dir (zero bytes copied; fallback
@@ -782,7 +816,7 @@ object ParquetTable {
     * hard-link data files forward WITHOUT the `_dv` store — running them
     * over a DV-carrying snapshot would silently RESURRECT every
     * vector-deleted row in the new version. Refuse loudly instead. */
-  private def requireNoDv(versionDir: java.nio.file.Path, op: String): Unit =
+  private[graft] def requireNoDv(versionDir: java.nio.file.Path, op: String): Unit =
     require(!Files.isDirectory(versionDir.resolve("_dv")),
       s"$op on a snapshot carrying deletion vectors would resurrect deleted rows — purgeDV first")
 
@@ -871,9 +905,9 @@ object ParquetTable {
     * version names [[vacuum]] WOULD delete, without touching anything. */
   def vacuumDryRun(dir: String, keep: Int = 1): Seq[String] = {
     val current = Files.readString(pointer(dir)).trim
-    val pinned = graft.tables.Tags.protectedVersions(dir)
+    val pinned = graft.tables.Tags.protectedIds(dir)
     snapshots(dir).drop(math.max(keep, 1))
-      .filter(v => v != current && !pinned(v))
+      .filter(v => v != current && !pinned(VersionNames.idOf(v)))
   }
 
   /** Time-based retention — VACUUM ... RETAIN n HOURS (reference
@@ -896,9 +930,9 @@ object ParquetTable {
     val current = Files.readString(pointer(dir)).trim
     val published = publishedVersions(dir).toMap
     val cutoff = nowMillis - retainMillis
-    val pinned = graft.tables.Tags.protectedVersions(dir)
+    val pinned = graft.tables.Tags.protectedIds(dir)
     snapshots(dir)
-      .filter(v => v != current && !pinned(v))
+      .filter(v => v != current && !pinned(VersionNames.idOf(v)))
       .filter(v => published.get(v).exists(_ < cutoff))
   }
 

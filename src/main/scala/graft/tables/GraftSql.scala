@@ -1810,7 +1810,16 @@ object GraftSql {
     import org.apache.spark.sql.functions.{coalesce => cls, col, expr, lit}
     val ref = resolve(s, name)
     val cur = java.nio.file.Paths.get(ParquetTable.currentPath(ref.dir))
-    val df = s.read.parquet(cur.toString)
+    // Same safety idioms as every other file-rewriting path: deletion
+    // vectors refuse (a raw-file rewrite would resurrect vector-deleted
+    // rows), and reads use the LOGICAL schema explicitly so a
+    // mixed-schema directory (post additive evolution) can never drop
+    // an evolved column from the compacted rewrite.
+    graft.streaming.ParquetTable.requireNoDv(cur, "OPTIMIZE WHERE")
+    val readSchema = dmlReadSchema(TableStats.readCurrent(s, ref.dir))
+    def read(paths: Seq[String]) =
+      readSchema.map(s.read.schema).getOrElse(s.read).parquet(paths: _*)
+    val df = read(Seq(cur.toString))
     val hits = df.filter(cls(expr(pred), lit(false)))
       .groupBy(col("_metadata.file_path").as("f")).count().collect()
     val touched = hits
@@ -1821,35 +1830,23 @@ object GraftSql {
       return singleRow(s, Seq("name" -> name, "new_version" -> -1L,
         "n_files_before" -> nFilesBefore, "n_files_after" -> nFilesBefore,
         "n_files_compacted" -> 0L, "zorder_by" -> zorderCols.map(_.mkString(",")).getOrElse("")))
-    val nextId = graft.streaming.VersionNames.idOf(cur.getFileName.toString) + 1
-    val next = graft.streaming.VersionNames.format(nextId)
-    val nextPath = java.nio.file.Paths.get(ref.dir, next)
-    java.nio.file.Files.createDirectories(nextPath)
-    import scala.jdk.CollectionConverters._
-    val ls = java.nio.file.Files.list(cur)
-    try ls.iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(".parquet") && !touched(n)
-      }
-      .foreach { p =>
-        val dst = nextPath.resolve(p.getFileName)
-        try java.nio.file.Files.createLink(dst, p)
-        catch { case _: Exception => java.nio.file.Files.copy(p, dst); () }
-      }
-    finally ls.close()
     val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
     val bytes = touched.toSeq.map(f => java.nio.file.Files.size(cur.resolve(f))).sum
     val target = math.max(1L, (bytes + TargetFileBytes - 1) / TargetFileBytes).toInt
-    val window = s.read.parquet(touchedPaths: _*)
+    val window = read(touchedPaths)
     val packed = zorderCols match {
       case Some(cols) => graft.tables.ZOrder.cluster(window, cols, target)
       case None       => window.coalesce(target)
     }
-    packed.write.mode("append").parquet(nextPath.toString)
-    ParquetTable.publish(ref.dir, next)
+    // Staged commit (ParquetTable.commitCow): cold files hard-link into
+    // a writer-private staging dir, the rewrite lands beside them, ONE
+    // atomic rename claims the version slot — a crash leaves only an
+    // orphaned staging dir, never a poisoned half-version.
+    val nextId = graft.streaming.ParquetTable.commitCow(ref.dir, touched) { staging =>
+      packed.write.mode("append").parquet(staging.toString)
+    }
     TableStats.reanalyzeOnPublish(s, ref.dir)
-    val (nFilesAfter, _) = snapshotFiles(nextPath.toString)
+    val (nFilesAfter, _) = snapshotFiles(ParquetTable.currentPath(ref.dir))
     singleRow(s, Seq(
       "name" -> name, "new_version" -> nextId,
       "n_files_before" -> nFilesBefore, "n_files_after" -> nFilesAfter,
@@ -2699,12 +2696,15 @@ object GraftSql {
       cols.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${p}_$c"))
     }
     // The window's ordering column must be integral for the union plan's
-    // tie fold — TIMESTAMP converts to epoch millis, integral types pass
+    // tie fold — TIMESTAMP converts to epoch MICROS (Spark timestamps
+    // are microsecond-precision; a millis conversion would truncate and
+    // could match a right row that is sub-millisecond LATER than the
+    // left one, violating the ON condition), integral types pass
     // through, anything else is refused with a usable message.
-    def orderMillis(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+    def orderMicros(df: DataFrame, c: String): org.apache.spark.sql.Column = {
       import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, TimestampType}
       df.schema(c).dataType match {
-        case TimestampType => unix_millis(col(c))
+        case TimestampType => unix_micros(col(c))
         case LongType | IntegerType | ShortType => col(c).cast("long")
         case other => throw new IllegalArgumentException(
           s"ASOF JOIN: time column '$c' has unsupported type ${other.simpleString} — " +
@@ -2713,10 +2713,10 @@ object GraftSql {
     }
     val lDf0 = prefixed(sql(s, s"SELECT * FROM $lsrc"), la)
     val lDf = lDf0.withColumn("__asof_key", col(s"${la}_$kl"))
-      .withColumn("__asof_lt", orderMillis(lDf0, s"${la}_$lts"))
+      .withColumn("__asof_lt", orderMicros(lDf0, s"${la}_$lts"))
     val rDf0 = prefixed(sql(s, s"SELECT * FROM $rsrc"), ra)
     val rDf = rDf0.withColumn("__asof_key", col(s"${ra}_$kr"))
-      .withColumn("__asof_rt", orderMillis(rDf0, s"${ra}_$rts"))
+      .withColumn("__asof_rt", orderMicros(rDf0, s"${ra}_$rts"))
     val payload = rDf.columns.filter(_ != "__asof_key").toSeq
     val real =
       if (forward)

@@ -42,9 +42,11 @@ object Tags {
     write(dir, cur.filterNot(_._1.equalsIgnoreCase(name)))
   }
 
-  /** Version NAMES (directory names) pinned by tags — VACUUM keeps these. */
-  def protectedVersions(dir: String): Set[String] =
-    tagsOf(dir).map(t => graft.streaming.VersionNames.format(t._2)).toSet
+  /** Version IDS pinned by tags — VACUUM keeps these. Ids, not
+    * formatted names: snapshot dirs may carry different digit counts
+    * across naming epochs, and a name-keyed pin would silently miss
+    * them (the id is what tag reads resolve through too). */
+  def protectedIds(dir: String): Set[Long] = tagsOf(dir).map(_._2).toSet
 
   private def write(dir: String, tags: Seq[(String, Long)]): Unit = {
     val tmp = Paths.get(dir, "_TAGS.tmp")
