@@ -354,27 +354,15 @@ object ParquetTable {
       .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString)
       .toSet
     val deleted = hits.map(_.getLong(1)).sum
-    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
-    val next = VersionNames.format(nextId)
-    val nextPath = Paths.get(dir, next)
-    Files.createDirectories(nextPath)
-    Files.list(cur).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(".parquet") && !touched(n)
-      }
-      .foreach { p =>
-        val dst = nextPath.resolve(p.getFileName)
-        try Files.createLink(dst, p)
-        catch { case _: Exception => Files.copy(p, dst) }
-      }
     // Rewrite ONLY the touched files, dropping their matching rows; the
-    // append lands new part files next to the links already in place.
+    // staged commit (commitCow) links the rest forward and claims the
+    // version slot with one atomic rename.
     val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
-    readWith(spark, readSchema, touchedPaths: _*)
-      .filter(not(hit))
-      .write.mode("append").parquet(nextPath.toString)
-    publish(dir, next)
+    commitCow(dir, touched) { staging =>
+      readWith(spark, readSchema, touchedPaths: _*)
+        .filter(not(hit))
+        .write.mode("append").parquet(staging.toString)
+    }
     deleted
   }
 
@@ -507,31 +495,18 @@ object ParquetTable {
         .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString)
         .toSet
       val deleted = hits.map(_.getLong(1)).sum
-      val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
-      val next = VersionNames.format(nextId)
-      val nextPath = Paths.get(dir, next)
-      Files.createDirectories(nextPath)
-      Files.list(cur).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.endsWith(".parquet") && !touched(n)
-        }
-        .foreach { p =>
-          val dst = nextPath.resolve(p.getFileName)
-          try Files.createLink(dst, p)
-          catch { case _: Exception => Files.copy(p, dst) }
-        }
-      if (touched.nonEmpty)
-        readWith(spark, readSchema, touched.toSeq.sorted.map(f => s"$cur/$f"): _*)
-          .filter(not(hit))
-          .write.mode("append").parquet(nextPath.toString)
       val inserted = batch.count()
-      // Cast to the table's column order/types so rewritten, linked and
-      // appended files share one schema (same rule as the append commit).
-      val aligned = batch.select(df.schema.fields.map(f =>
-        col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-      aligned.write.mode("append").parquet(nextPath.toString)
-      publish(dir, next)
+      commitCow(dir, touched) { staging =>
+        if (touched.nonEmpty)
+          readWith(spark, readSchema, touched.toSeq.sorted.map(f => s"$cur/$f"): _*)
+            .filter(not(hit))
+            .write.mode("append").parquet(staging.toString)
+        // Cast to the table's column order/types so rewritten, linked and
+        // appended files share one schema (same rule as the append commit).
+        batch.select(df.schema.fields.map(f =>
+            col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+          .write.mode("append").parquet(staging.toString)
+      }
       (deleted, inserted)
     } finally { batch.unpersist(); () }
   }
@@ -560,31 +535,18 @@ object ParquetTable {
       .map(r => Paths.get(new java.net.URI(r.getString(0)).getPath).getFileName.toString)
       .toSet
     val updated = hits.map(_.getLong(1)).sum
-    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
-    val next = VersionNames.format(nextId)
-    val nextPath = Paths.get(dir, next)
-    Files.createDirectories(nextPath)
-    Files.list(cur).iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(".parquet") && !touched(n)
-      }
-      .foreach { p =>
-        val dst = nextPath.resolve(p.getFileName)
-        try Files.createLink(dst, p)
-        catch { case _: Exception => Files.copy(p, dst) }
-      }
     val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
-    val touchedDf = readWith(spark, readSchema, touchedPaths: _*)
-    val outCols = touchedDf.schema.fields.map { f =>
-      sets.get(f.name) match {
-        case Some(e) => when(hit, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-        case None    => col(f.name)
+    commitCow(dir, touched) { staging =>
+      val touchedDf = readWith(spark, readSchema, touchedPaths: _*)
+      val outCols = touchedDf.schema.fields.map { f =>
+        sets.get(f.name) match {
+          case Some(e) => when(hit, expr(e).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None    => col(f.name)
+        }
       }
+      touchedDf.select(outCols.toIndexedSeq: _*)
+        .write.mode("append").parquet(staging.toString)
     }
-    touchedDf.select(outCols.toIndexedSeq: _*)
-      .write.mode("append").parquet(nextPath.toString)
-    publish(dir, next)
     updated
   }
 
@@ -623,35 +585,22 @@ object ParquetTable {
       // Bounded by file count, never row count.
       val touched = tagged.join(srcKeys, keys, "left_semi")
         .select("_file").distinct().collect().map(_.getString(0)).toSet
-      val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
-      val next = VersionNames.format(nextId)
-      val nextPath = Paths.get(dir, next)
-      Files.createDirectories(nextPath)
-      Files.list(cur).iterator().asScala
-        .filter { p =>
-          val n = p.getFileName.toString
-          n.endsWith(".parquet") && !touched(n)
-        }
-        .foreach { p =>
-          val dst = nextPath.resolve(p.getFileName)
-          try Files.createLink(dst, p)
-          catch { case _: Exception => Files.copy(p, dst) }
-        }
-      if (touched.nonEmpty) {
-        val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
-        readWith(spark, readSchema, touchedPaths: _*)
-          .join(srcKeys, keys, "left_anti")
-          .write.mode("append").parquet(nextPath.toString)
-      }
       val upserts = src.filter(not(col("_deleted"))).select(dataCols.map(col): _*)
       val nUp = upserts.count()
-      if (nUp > 0)
-        upserts.write.mode("append").parquet(nextPath.toString)
+      commitCow(dir, touched) { staging =>
+        if (touched.nonEmpty) {
+          val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
+          readWith(spark, readSchema, touchedPaths: _*)
+            .join(srcKeys, keys, "left_anti")
+            .write.mode("append").parquet(staging.toString)
+        }
+        if (nUp > 0)
+          upserts.write.mode("append").parquet(staging.toString)
+      }
       val nDel =
         if (!hasDel) 0L
         else src.filter(col("_deleted")).select(keys.map(col): _*)
           .join(target.select(keys.map(col): _*), keys, "left_semi").count()
-      publish(dir, next)
       (nUp, nDel)
     } finally { src.unpersist(); () }
   }
