@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.ParquetTable
+import graft.tables.GraftSql
+
+/** The staged copy-on-write commit discipline: an orphaned staging dir
+  * (a crashed writer's leftovers) is invisible to reads, snapshots,
+  * vacuum and subsequent DML — the version slot is never poisoned. */
+class CommitCowSpec extends SparkSuite {
+
+  test("an orphaned .staging dir never poisons reads, versions, vacuum or retries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cow").toString + "/t"
+    val df = spark.sql("SELECT * FROM VALUES (1L, 10.0), (2L, 20.0), (3L, 30.0) AS t(k, v)")
+    ParquetTable.swap(spark, df, dir)
+    val nm = s"cow_${java.util.UUID.randomUUID.toString.take(8)}".replace("-", "")
+    GraftSql.register(spark, nm, dir, Seq("k"))
+
+    // Simulate a crashed writer: a staging dir with a committed part
+    // file sitting in the table root.
+    val orphan = java.nio.file.Paths.get(dir, ".staging-deadbeef")
+    java.nio.file.Files.createDirectories(orphan)
+    spark.sql("SELECT 99L AS k, 0.0 AS v").write.mode("overwrite")
+      .parquet(orphan.toString)
+
+    // Reads, snapshot listing and counts are unaffected.
+    assert(ParquetTable.snapshots(dir).size == 1)
+    assert(GraftSql.sql(spark, s"SELECT count(*) AS n FROM $nm").head.getLong(0) == 3L)
+
+    // Subsequent DML commits the NEXT clean version slot (the crash
+    // scenario the unstaged writer failed: link collisions on retry).
+    GraftSql.sql(spark, s"DELETE FROM $nm WHERE k = 1")
+    assert(ParquetTable.snapshots(dir).size == 2)
+    assert(GraftSql.sql(spark, s"SELECT count(*) AS n FROM $nm").head.getLong(0) == 2L)
+    assert(GraftSql.sql(spark, s"SELECT sum(k) AS sk FROM $nm").head.getLong(0) == 5L,
+      "the orphan's rows must never leak into the table")
+
+    // VACUUM ignores the staging dir and drops only superseded versions.
+    val dropped = GraftSql.sql(spark, s"VACUUM $nm").collect().map(_.getString(0))
+    assert(dropped.length == 1 && dropped.head.startsWith("v"))
+    assert(java.nio.file.Files.exists(orphan), "vacuum must not touch foreign dirs")
+  }
+}
