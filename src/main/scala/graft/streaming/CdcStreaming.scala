@@ -358,7 +358,7 @@ object ParquetTable {
     // staged commit (commitCow) links the rest forward and claims the
     // version slot with one atomic rename.
     val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
-    commitCow(dir, touched) { staging =>
+    commitCow(dir, cur, touched) { staging =>
       readWith(spark, readSchema, touchedPaths: _*)
         .filter(not(hit))
         .write.mode("append").parquet(staging.toString)
@@ -383,30 +383,39 @@ object ParquetTable {
     * dir — the version slot stays clean and a retry starts fresh
     * (the swapIfCurrent staging discipline, applied to file-granular
     * commits). Returns the published version id. */
-  private[graft] def commitCow(dir: String, excluded: Set[String])(
-      write: java.nio.file.Path => Unit): Long = {
+  private[graft] def commitCow(dir: String, cur: java.nio.file.Path,
+      excluded: Set[String])(write: java.nio.file.Path => Unit): Long = {
     import scala.jdk.CollectionConverters._
-    val cur = Paths.get(currentPath(dir))
     val staging = Paths.get(dir, s".staging-${java.util.UUID.randomUUID}")
-    Files.createDirectories(staging)
-    val ls = Files.list(cur)
-    try ls.iterator().asScala
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.endsWith(".parquet") && !excluded(n)
-      }
-      .foreach { p =>
-        val dst = staging.resolve(p.getFileName)
-        try { Files.createLink(dst, p); () }
-        catch { case _: Exception => Files.copy(p, dst); () }
-      }
-    finally ls.close()
-    write(staging)
-    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
-    val next = VersionNames.format(nextId)
-    Files.move(staging, Paths.get(dir, next), StandardCopyOption.ATOMIC_MOVE)
-    publish(dir, next)
-    nextId
+    try {
+      Files.createDirectories(staging)
+      val ls = Files.list(cur)
+      try ls.iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.endsWith(".parquet") && !excluded(n)
+        }
+        .foreach { p =>
+          val dst = staging.resolve(p.getFileName)
+          try { Files.createLink(dst, p); () }
+          catch { case _: Exception => Files.copy(p, dst); () }
+        }
+      finally ls.close()
+      write(staging)
+      val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+      val next = VersionNames.format(nextId)
+      Files.move(staging, Paths.get(dir, next), StandardCopyOption.ATOMIC_MOVE)
+      publish(dir, next)
+      nextId
+    } catch {
+      // A failed write (bad expression, executor loss, disk full) must
+      // not leak a full hard-link set per retry — reclaim the staging
+      // dir and rethrow. Only a PROCESS crash leaves an orphan, and
+      // that stays invisible to readers (CommitCowSpec).
+      case e: Throwable =>
+        try VersionNames.deleteTree(staging) catch { case _: Exception => () }
+        throw e
+    }
   }
 
   /** CONVERT-TO-DELTA's adoption move: a PLAIN parquet directory becomes
@@ -496,7 +505,7 @@ object ParquetTable {
         .toSet
       val deleted = hits.map(_.getLong(1)).sum
       val inserted = batch.count()
-      commitCow(dir, touched) { staging =>
+      commitCow(dir, cur, touched) { staging =>
         if (touched.nonEmpty)
           readWith(spark, readSchema, touched.toSeq.sorted.map(f => s"$cur/$f"): _*)
             .filter(not(hit))
@@ -536,7 +545,7 @@ object ParquetTable {
       .toSet
     val updated = hits.map(_.getLong(1)).sum
     val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
-    commitCow(dir, touched) { staging =>
+    commitCow(dir, cur, touched) { staging =>
       val touchedDf = readWith(spark, readSchema, touchedPaths: _*)
       val outCols = touchedDf.schema.fields.map { f =>
         sets.get(f.name) match {
@@ -587,7 +596,7 @@ object ParquetTable {
         .select("_file").distinct().collect().map(_.getString(0)).toSet
       val upserts = src.filter(not(col("_deleted"))).select(dataCols.map(col): _*)
       val nUp = upserts.count()
-      commitCow(dir, touched) { staging =>
+      commitCow(dir, cur, touched) { staging =>
         if (touched.nonEmpty) {
           val touchedPaths = touched.toSeq.sorted.map(f => s"$cur/$f")
           readWith(spark, readSchema, touchedPaths: _*)
@@ -615,19 +624,10 @@ object ParquetTable {
     if (!exists(dir)) { swap(spark, df, dir); return }
     val cur = Paths.get(currentPath(dir))
     requireNoDv(cur, "append")
-    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
-    val next = VersionNames.format(nextId)
-    val nextPath = Paths.get(dir, next)
-    Files.createDirectories(nextPath)
-    Files.list(cur).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .foreach { p =>
-        val dst = nextPath.resolve(p.getFileName)
-        try Files.createLink(dst, p)
-        catch { case _: Exception => Files.copy(p, dst) }
-      }
-    df.write.mode("append").parquet(nextPath.toString)
-    publish(dir, next)
+    commitCow(dir, cur, Set.empty) { staging =>
+      df.write.mode("append").parquet(staging.toString)
+    }
+    ()
   }
 
   /** COPY INTO — idempotent file ingestion (the Databricks/Delta
@@ -666,21 +666,14 @@ object ParquetTable {
       val rows = batch.count()
       val cur = Paths.get(currentPath(dir))
       requireNoDv(cur, "copyInto")
-      val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
-      val next = VersionNames.format(nextId)
-      val nextPath = Paths.get(dir, next)
-      Files.createDirectories(nextPath)
-      Files.list(cur).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .foreach { p =>
-          val dst = nextPath.resolve(p.getFileName)
-          try Files.createLink(dst, p)
-          catch { case _: Exception => Files.copy(p, dst) }
-        }
-      batch.write.mode("append").parquet(nextPath.toString)
-      Files.write(nextPath.resolve("_COPY"),
-        fresh.asJava, java.nio.charset.StandardCharsets.UTF_8)
-      publish(dir, next)
+      commitCow(dir, cur, Set.empty) { staging =>
+        batch.write.mode("append").parquet(staging.toString)
+        // The _COPY stamp lands INSIDE the staging dir: data and
+        // bookkeeping publish in the same atomic rename.
+        Files.write(staging.resolve("_COPY"),
+          fresh.asJava, java.nio.charset.StandardCharsets.UTF_8)
+        ()
+      }
       (fresh.size.toLong, rows, (candidates.size - fresh.size).toLong)
     } finally { batch.unpersist(); () }
   }
@@ -706,23 +699,15 @@ object ParquetTable {
       .select(col("_file").as("file"), col("_rid").as("row_index"))
     val deleted = matches.count()
     if (deleted == 0L) return 0L
-    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
-    val next = VersionNames.format(nextId)
-    val nextPath = Paths.get(dir, next)
-    Files.createDirectories(nextPath)
-    Files.list(cur).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .foreach { p =>
-        val dst = nextPath.resolve(p.getFileName)
-        try Files.createLink(dst, p)
-        catch { case _: Exception => Files.copy(p, dst) }
+    // Staged like every other commit: a half-built version missing its
+    // _dv store would silently resurrect every vector-deleted row.
+    commitCow(dir, cur, Set.empty) { staging =>
+      val newDv = readDv(spark, cur) match {
+        case Some(old) => old.unionByName(matches)
+        case None      => matches
       }
-    val newDv = readDv(spark, cur) match {
-      case Some(old) => old.unionByName(matches)
-      case None      => matches
+      newDv.write.mode("overwrite").parquet(s"$staging/_dv")
     }
-    newDv.write.mode("overwrite").parquet(s"$nextPath/_dv")
-    publish(dir, next)
     deleted
   }
 

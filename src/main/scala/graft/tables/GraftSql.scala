@@ -1842,7 +1842,7 @@ object GraftSql {
     // a writer-private staging dir, the rewrite lands beside them, ONE
     // atomic rename claims the version slot — a crash leaves only an
     // orphaned staging dir, never a poisoned half-version.
-    val nextId = graft.streaming.ParquetTable.commitCow(ref.dir, touched) { staging =>
+    val nextId = graft.streaming.ParquetTable.commitCow(ref.dir, cur, touched) { staging =>
       packed.write.mode("append").parquet(staging.toString)
     }
     TableStats.reanalyzeOnPublish(s, ref.dir)
