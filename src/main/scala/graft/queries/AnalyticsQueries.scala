@@ -77,6 +77,23 @@ object AnalyticsQueries extends QueryModule {
       |       CAST(count(DISTINCT k) AS BIGINT)
       |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)""".stripMargin
 
+  /** One statement text for both engines (q47): null-safe comparison
+    * (ANSI IS [NOT] DISTINCT FROM) — the three-valued-logic footgun
+    * spelled safely; a plain <> would silently drop every NULL row
+    * from both filter counts. */
+  private val Q47Sql =
+    """WITH x AS (
+      |  SELECT o_orderkey AS k,
+      |         CASE WHEN o_orderkey % 10 = 0 THEN NULL
+      |              ELSE o_orderstatus END AS s
+      |  FROM orders)
+      |SELECT
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE s IS DISTINCT FROM 'O') AS BIGINT) AS n_not_open,
+      |  CAST(count(*) FILTER (WHERE s IS NOT DISTINCT FROM NULL) AS BIGINT) AS n_masked,
+      |  CAST(count(*) FILTER (WHERE s <> 'O') AS BIGINT) AS n_neq_naive
+      |FROM x""".stripMargin
+
   /** One statement text for both engines (q38): GROUP BY ALL. */
   private val Q38Sql =
     """SELECT l_returnflag, l_linestatus,
@@ -1313,6 +1330,17 @@ object AnalyticsQueries extends QueryModule {
              |                        l_extendedprice, l_discount, l_tax, l_shipdate)
              |      FROM lineitem)
              |GROUP BY ALL ORDER BY ALL""".stripMargin)),
+
+    // IS [NOT] DISTINCT FROM — null-safe comparison as one statement
+    // text on both engines; the naive <> column rides along to pin the
+    // three-valued-logic difference the safe spelling exists for.
+    EngineQuery(
+      "q47_null_safe",
+      (s, dir) => {
+        ord(s, dir).createOrReplaceTempView("orders")
+        s.sql(Q47Sql)
+      },
+      Some(Q47Sql)),
 
     // Dataset.observe — metrics as a SIDE CHANNEL of a real action:
     // the aggregates ride the same single pass that produces the
