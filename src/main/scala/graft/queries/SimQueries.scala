@@ -225,6 +225,56 @@ object SimQueries extends QueryModule {
               |  round(cos, 6) AS cosine
               |FROM r WHERE rank <= 5""".stripMargin)),
 
+    // Maximum inner-product search via the norm-augmentation REDUCTION
+    // (Bachrach et al. 2014, the trick every MIPS index uses): each
+    // candidate gains one dimension sqrt(M² − ‖x‖²) (M = max norm) and
+    // the query gains a 0 — then ‖q̂ − x̂‖² = ‖q‖² + M² − 2⟨q,x⟩, so
+    // nearest-neighbor-by-L2 over the augmented space IS argmax inner
+    // product, and every L2-only ANN structure (our IVF cells included)
+    // answers MIPS unchanged. The ENGINE ranks by an actual L2 fold
+    // over the augmented arrays; the ORACLE ranks by raw dot product —
+    // the gate passes only if the reduction's ordering equals true MIPS
+    // order (top-k dot gaps on this corpus are ≥2e-4, five orders above
+    // fold noise).
+    EngineQuery(
+      "sim_mips",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val m2 = e.selectExpr(s"${dotSpark("embedding", "embedding")} AS n2")
+          .agg(max("n2")).head.getDouble(0)
+        val cands = e.selectExpr(
+          "vec_id AS neighbor_id",
+          s"concat(embedding, array(CAST(sqrt($m2 - (${dotSpark("embedding", "embedding")})) AS FLOAT))) AS c_aug",
+          "embedding AS c_emb")
+        val probes = e.filter(col("vec_id") < 4).selectExpr(
+          "vec_id AS query_id",
+          "concat(embedding, array(CAST(0.0 AS FLOAT))) AS q_aug",
+          "embedding AS q_emb")
+        val l2aug =
+          "aggregate(zip_with(q_aug, c_aug, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("d2").asc, col("neighbor_id").asc)
+        cands.join(broadcast(probes), col("neighbor_id") =!= col("query_id"))
+          .selectExpr("query_id", "neighbor_id",
+            s"$l2aug AS d2",
+            s"round(${dotSpark("q_emb", "c_emb")}, 6) AS ip")
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select(col("query_id"), col("rank").cast("int").as("rank"),
+            col("neighbor_id"), col("ip"))
+      },
+      Some(s"""WITH p AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+              |    ${dotDuck("q.embedding", "c.embedding")} AS dot
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 4),
+              |r AS (SELECT query_id, neighbor_id, dot,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+              |  FROM p)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |  round(dot, 6) AS ip
+              |FROM r WHERE rank <= 3""".stripMargin)),
+
     // HARD-NEGATIVE mining for contrastive/embedding training: per
     // anchor, the top-5 most-similar vectors with a DIFFERENT label
     // (high-cosine wrong-class = the negatives that actually teach),
