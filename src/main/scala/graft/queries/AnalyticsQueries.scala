@@ -77,6 +77,19 @@ object AnalyticsQueries extends QueryModule {
       |       CAST(count(DISTINCT k) AS BIGINT)
       |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)""".stripMargin
 
+  /** One statement text for both engines (q48): lateral column aliases
+    * — each derived metric references the previous one in the SAME
+    * select list (cents → with_tax → per_unit-ish chain), exact in
+    * integer arithmetic so the chain is hash-stable. */
+  private val Q48Sql =
+    """SELECT o_orderstatus,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+      |  cents * 2 AS double_cents,
+      |  double_cents + cents AS triple_cents,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  triple_cents / n AS triple_per_order
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   /** One statement text for both engines (q47): null-safe comparison
     * (ANSI IS [NOT] DISTINCT FROM) — the three-valued-logic footgun
     * spelled safely; a plain <> would silently drop every NULL row
@@ -1330,6 +1343,19 @@ object AnalyticsQueries extends QueryModule {
              |                        l_extendedprice, l_discount, l_tax, l_shipdate)
              |      FROM lineitem)
              |GROUP BY ALL ORDER BY ALL""".stripMargin)),
+
+    // Lateral column aliases (Spark 3.4+/DuckDB): a select item
+    // referencing an alias defined EARLIER in the same list — the
+    // derived-metric chain that otherwise forces a nested subquery per
+    // step. One statement text on both engines; the chain folds into a
+    // single Project (no subquery tower in the plan).
+    EngineQuery(
+      "q48_lateral_alias",
+      (s, dir) => {
+        ord(s, dir).createOrReplaceTempView("orders")
+        s.sql(Q48Sql)
+      },
+      Some(Q48Sql)),
 
     // IS [NOT] DISTINCT FROM — null-safe comparison as one statement
     // text on both engines; the naive <> column rides along to pin the
