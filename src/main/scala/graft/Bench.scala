@@ -116,8 +116,15 @@ object Bench {
     //      entries as fit, slowest first (the ones that matter for the
     //      gate), 3-decimal seconds, plus how many were omitted.
     val loadEnd = loadavg()
+    // Pre-flight contention gate, IN the artifact: a run that started on
+    // a busy box (1-min loadavg > 1.5 before the session even built) is
+    // self-identifying, so a judge never again burns a round adjudicating
+    // whether a slow total was the code or the neighbors. Perf claims
+    // should cite only runs with "contended": false.
+    val contended =
+      loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption).exists(_ > 1.5)
     val stamp =
-      s""""run_tag":${jstr(runTag)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)}"""
+      s""""run_tag":${jstr(runTag)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"contended":$contended"""
     val fullQs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
     val fullLine =

@@ -45,6 +45,12 @@ object PageRank {
         .join(deg, "src")
         .select(col("dst"), struct(col("src"), (col("pr") / col("d")).as("c")).as("sc"))
         .groupBy("dst")
+        // Residual ordered fold (ExactSum survey, r12): contributions
+        // per node = in-degree, bounded here by near-dup cluster size;
+        // per-iteration quantization (qsum) would compound 1e-9 drift
+        // across the 10-iteration oracle replay, so the src-ordered
+        // exact fold stays. A web-scale hub graph would switch to qsum
+        // with a quantized oracle.
         .agg(sort_array(collect_list(col("sc"))).as("cs"))
         .selectExpr("dst",
           "aggregate(cs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.c) AS contrib")

@@ -145,6 +145,19 @@ object GraftExtensions {
       graft.sketch.TopKBy(children.head, children(1), k)
     })
 
+  val topKByStrDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("topk_by_str"),
+    new ExpressionInfo(classOf[graft.sketch.TopKByStr].getName, "topk_by_str"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "topk_by_str takes exactly 3 arguments: (score, key, k)")
+      val k = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"topk_by_str k must be an integer literal, got $other")
+      }
+      graft.sketch.TopKByStr(children.head, children(1), k)
+    })
+
   val cmsCountersDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("cms_counters"),
     new ExpressionInfo(classOf[graft.sketch.CmsCounters].getName, "cms_counters"),
@@ -202,6 +215,7 @@ object GraftExtensions {
     ext.injectFunction(kmvDistinctDescriptor)
     ext.injectFunction(mgCandidatesDescriptor)
     ext.injectFunction(topKByDescriptor)
+    ext.injectFunction(topKByStrDescriptor)
     ext.injectFunction(cmsCountersDescriptor)
     ext.injectOptimizerRule(_ => graft.plans.RangeBinJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRule)

@@ -114,6 +114,90 @@ object Multimodal {
       }
     }
 
+  /** REAL media kernel (r12): RIFF/WAVE PCM16 header parse + sample
+    * extraction — the one decode this environment can do end-to-end
+    * without media jars (a WAV header is a 44-byte little-endian
+    * struct; PCM16 is the raw samples). Walks the chunk list (fmt /
+    * data, skipping LIST etc.), refuses non-PCM16 loudly. */
+  object WavPcm16 {
+    final case class Wav(sampleRate: Int, channels: Int, samples: Array[Int])
+
+    def isWav(b: Array[Byte]): Boolean =
+      b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    def parse(bytes: Array[Byte]): Wav = {
+      require(isWav(bytes), "not a RIFF/WAVE payload")
+      def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def u32(o: Int): Long =
+        (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+          ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      var off = 12
+      var rate = -1; var ch = -1
+      var dataOff = -1; var dataLen = -1
+      while (off + 8 <= bytes.length && (dataOff < 0 || rate < 0)) {
+        val id = new String(bytes, off, 4, "US-ASCII")
+        val sz = u32(off + 4).toInt
+        require(sz >= 0 && off + 8 + sz <= bytes.length,
+          s"truncated '$id' chunk: size $sz at offset $off of ${bytes.length}")
+        if (id == "fmt ") {
+          val fmt = u16(off + 8)
+          require(fmt == 1, s"unsupported WAV: audio format $fmt (need PCM=1)")
+          ch = u16(off + 10)
+          rate = u32(off + 12).toInt
+          val bps = u16(off + 22)
+          require(bps == 16, s"unsupported WAV: $bps bits/sample (need 16)")
+        } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && dataOff >= 0, "WAV missing fmt/data chunk")
+      val n = dataLen / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        // little-endian signed 16-bit: the high byte sign-extends.
+        out(i) = (bytes(dataOff + 2 * i) & 0xff) | (bytes(dataOff + 2 * i + 1) << 8)
+        i += 1
+      }
+      Wav(rate, ch, out)
+    }
+  }
+
+  /** VAD over REAL PCM: the same windowed-energy detector as
+    * [[voiceActivity]], but frames are `frameSamples` decoded 16-bit
+    * samples from an actual WAV payload and energy is Σ|sample| — so
+    * the one media format the env can decode runs END-TO-END real
+    * (WavVadSpec drives it over in-test generated PCM fixtures). The
+    * voiced verdict stays integer cross-multiplied (energy·totalLen >
+    * totalEnergy·frameLen): no float anywhere. Non-WAV audio rows are
+    * excluded (they belong to the stub seam). */
+  def voiceActivityWav(media: Dataset[MediaRecord], frameSamples: Int = 160): Dataset[VadFeatures] =
+    media.filter(r => r.kind == "audio" && WavPcm16.isWav(r.payload))
+      .mapPartitions { it =>
+        it.map { r =>
+          val s = WavPcm16.parse(r.payload).samples
+          val len = s.length.toLong
+          var tot = 0L
+          var j = 0
+          while (j < s.length) { tot += math.abs(s(j).toLong); j += 1 }
+          val nf = if (len == 0) 0 else ((len + frameSamples - 1) / frameSamples).toInt
+          var i = 0; var voiced = 0L; var run = 0L; var maxRun = 0L
+          while (i < nf) {
+            val st = i * frameSamples
+            val en = math.min(st + frameSamples.toLong, len).toInt
+            var sum = 0L; var k = st
+            while (k < en) { sum += math.abs(s(k).toLong); k += 1 }
+            val fl = (en - st).toLong
+            if (sum * len > tot * fl) {
+              voiced += 1; run += 1; if (run > maxRun) maxRun = run
+            } else run = 0
+            i += 1
+          }
+          VadFeatures(r.media_id, nf.toLong, voiced, maxRun)
+        }
+      }
+
   final case class ResizedFeatures(
       media_id: Long, kind: String, rs_len: Long, rs_checksum: Long)
 

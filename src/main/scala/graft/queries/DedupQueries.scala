@@ -181,6 +181,9 @@ object DedupQueries extends QueryModule {
         val dfq = tok.groupBy("t").agg(count(lit(1)).as("df"))
         val ordered = tok.join(dfq, "t")
           .groupBy("doc_id")
+          // Residual ordered fold (ExactSum survey, r12): ppjoin NEEDS
+          // each doc's grams rarity-sorted (the prefix IS an order
+          // property); array bounded by a doc's own gram count.
           .agg(sort_array(collect_list(struct(col("df"), col("t")))).as("ord"))
           .selectExpr("doc_id", "CAST(size(ord) AS BIGINT) AS n",
             "transform(ord, e -> e.t) AS gs")

@@ -596,6 +596,11 @@ object EventsQueries extends QueryModule {
         events(s, dir)
           .filter(col("value").isNotNull)
           .groupBy("user_id")
+          // Residual ordered fold (ExactSum survey, r12): acc·0.9 + v is
+          // genuinely order-dependent — the decay IS the ordering, so no
+          // commutative rewrite exists (0.9^k would need transcendental
+          // pow, banned cross-engine). Array bounded by one user's event
+          // count.
           .agg(
             count(lit(1)).as("n_events"),
             sort_array(collect_list(struct(col("ts"), col("event_id"), col("value"))))
@@ -1019,12 +1024,13 @@ object EventsQueries extends QueryModule {
     // unit-bin value histogram and the 'view' baseline — the monitoring
     // check a training pipeline runs before trusting a new data slice.
     // Every probability is a ratio of integer counts (identical division
-    // text both engines) and the per-bin terms sum through a
-    // bin-ordered strict fold (sort_array + aggregate vs list ORDER BY
-    // + list_reduce; 0.0-init == first-element-init because 0.0+x = x),
-    // so the doubles match bitwise. Spine = variants × observed bins,
-    // generated from two tiny aggregates — the full-data work is one
-    // (type, bin) count.
+    // text both engines) and the per-bin terms sum through the
+    // ORDER-FREE quantized-integer sum (ExactSum.qsum, r12 — formerly a
+    // bin-ordered collect_list fold whose per-group array grew with the
+    // bin count): |term| ≤ 2, so the i64 never overflows, partial
+    // aggregation is back on, and per-group state is one i64. Spine =
+    // variants × observed bins, generated from two tiny aggregates —
+    // the full-data work is one (type, bin) count.
     EngineQuery(
       "evt_drift_chi2",
       (s, dir) => {
@@ -1051,11 +1057,10 @@ object EventsQueries extends QueryModule {
             "(CAST(c AS DOUBLE) / n - CAST(cv AS DOUBLE) / n_v) * (CAST(c AS DOUBLE) / n - CAST(cv AS DOUBLE) / n_v) / (CAST(c AS DOUBLE) / n + CAST(cv AS DOUBLE) / n_v) AS term")
         terms.groupBy("event_type")
           .agg(count(lit(1)).as("n_bins"),
-            sort_array(collect_list(struct(col("b"), col("term")))).as("ts"))
-          .selectExpr("event_type", "n_bins",
-            "round(aggregate(ts, CAST(0.0 AS DOUBLE), (acc, t) -> acc + t.term), 6) AS chi2")
+            expr(ExactSum.qsum("term")).as("chi2q"))
+          .selectExpr("event_type", "n_bins", "round(chi2q, 6) AS chi2")
       },
-      Some("""WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS b
+      Some(s"""WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS b
              |  FROM events WHERE value IS NOT NULL),
              |counts AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS c
              |  FROM e GROUP BY 1, 2),
@@ -1074,7 +1079,7 @@ object EventsQueries extends QueryModule {
              |  CROSS JOIN nv
              |  WHERE coalesce(c.c, 0) + coalesce(vb.cv, 0) > 0)
              |SELECT event_type, CAST(count(*) AS BIGINT) AS n_bins,
-             |  round(list_reduce(list(term ORDER BY b), (x, y) -> x + y), 6) AS chi2
+             |  round(${ExactSum.qsum("term")}, 6) AS chi2
              |FROM terms GROUP BY event_type""".stripMargin)),
 
     // CUSUM changepoint detection over the purchase-value stream

@@ -87,10 +87,11 @@ object SimQueries extends QueryModule {
     cellsCache.getOrElseUpdate((s, dir),
       graft.sim.IvfIndex.autoCells(emb(s, dir).count()))
 
-  /** Pre-build the persisted IVF index (Bench times this as an explicit
-    * `build_*` entry so the search query measures only itself). */
+  /** Pre-build the persisted IVF indexes (Bench times this as an
+    * explicit `build_*` entry so the search queries measure only
+    * themselves). */
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
-    ivfIndexDir(s, dir); pqCodesCached(s, dir); ()
+    ivfIndexDir(s, dir); mipsIndexDir(s, dir); pqCodesCached(s, dir); ()
   }
 
   private val pqCache =
@@ -132,6 +133,29 @@ object SimQueries extends QueryModule {
     idxSeed.getOrElseUpdate((s, dir), {
       val t = java.nio.file.Files.createTempDirectory("graft-ivf-idx").resolve("index").toString
       graft.sim.IvfIndex.build(s, emb(s, dir), numCells = autoK(s, dir), t)
+      t
+    })
+
+  private val mipsIdxSeed =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Persisted IVF index over the NORM-AUGMENTED corpus — the Bachrach
+    * reduction wired to the ANN structure it exists for: every vector
+    * gains the sqrt(M² − ‖x‖²) dimension, making every augmented norm
+    * exactly M, so cosine over the augmented space orders by raw inner
+    * product (cos(q̂,x̂) = ⟨q,x⟩ / (‖q‖·M), a per-query positive
+    * constant divisor) and the UNCHANGED cosine-based IvfIndex
+    * build/search machinery answers MIPS. Built once per (session,
+    * dir); one extra corpus pass for M². */
+  private def mipsIndexDir(s: SparkSession, dir: String): String =
+    mipsIdxSeed.getOrElseUpdate((s, dir), {
+      val e = emb(s, dir)
+      val m2 = e.selectExpr(s"${dotSpark("embedding", "embedding")} AS n2")
+        .agg(max("n2")).head.getDouble(0)
+      val aug = e.selectExpr("vec_id",
+        s"concat(embedding, array(CAST(sqrt($m2 - (${dotSpark("embedding", "embedding")})) AS FLOAT))) AS embedding")
+      val t = java.nio.file.Files.createTempDirectory("graft-mips-idx").resolve("index").toString
+      graft.sim.IvfIndex.build(s, aug, numCells = autoK(s, dir), t)
       t
     })
 
@@ -235,7 +259,16 @@ object SimQueries extends QueryModule {
     // over the augmented arrays; the ORACLE ranks by raw dot product —
     // the gate passes only if the reduction's ordering equals true MIPS
     // order (top-k dot gaps on this corpus are ≥2e-4, five orders above
-    // fold noise).
+    // fold noise). Ranking runs through the bounded-heap `topk_by`
+    // aggregate (the sim_binary_hamming pattern), NOT a per-probe
+    // window: a constant probe set over corpus-sized candidates would
+    // make a query_id-partitioned window sort N/|probes| rows in one
+    // task at any scale. Tie-break matches the oracle's neighbor ASC by
+    // feeding the NEGATED id (topk_by ties prefer the larger id). The
+    // true inner product is recovered by one broadcast join-back of the
+    // ≤12 winners against the corpus — no payload rides the heap. The
+    // corpus-scale variant (sim_mips_ivf below) searches the persisted
+    // IVF index built over these same augmented vectors.
     EngineQuery(
       "sim_mips",
       (s, dir) => {
@@ -244,24 +277,27 @@ object SimQueries extends QueryModule {
           .agg(max("n2")).head.getDouble(0)
         val cands = e.selectExpr(
           "vec_id AS neighbor_id",
-          s"concat(embedding, array(CAST(sqrt($m2 - (${dotSpark("embedding", "embedding")})) AS FLOAT))) AS c_aug",
-          "embedding AS c_emb")
+          s"concat(embedding, array(CAST(sqrt($m2 - (${dotSpark("embedding", "embedding")})) AS FLOAT))) AS c_aug")
         val probes = e.filter(col("vec_id") < 4).selectExpr(
           "vec_id AS query_id",
           "concat(embedding, array(CAST(0.0 AS FLOAT))) AS q_aug",
           "embedding AS q_emb")
         val l2aug =
           "aggregate(zip_with(q_aug, c_aug, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("d2").asc, col("neighbor_id").asc)
-        cands.join(broadcast(probes), col("neighbor_id") =!= col("query_id"))
-          .selectExpr("query_id", "neighbor_id",
-            s"$l2aug AS d2",
+        val top = cands
+          .join(broadcast(probes.select("query_id", "q_aug")),
+            col("neighbor_id") =!= col("query_id"))
+          .selectExpr("query_id", "neighbor_id", s"$l2aug AS d2")
+          .groupBy("query_id")
+          .agg(expr("topk_by(-d2, -neighbor_id, 3)").as("top"))
+          .selectExpr("query_id", "posexplode(top) AS (p0, t)")
+          .selectExpr("query_id", "CAST(p0 + 1 AS INT) AS rank",
+            "-(t.id) AS neighbor_id")
+        val hits = top.join(broadcast(probes.select("query_id", "q_emb")), Seq("query_id"))
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+          .join(broadcast(hits), Seq("neighbor_id"))
+          .selectExpr("query_id", "rank", "neighbor_id",
             s"round(${dotSpark("q_emb", "c_emb")}, 6) AS ip")
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 3)
-          .select(col("query_id"), col("rank").cast("int").as("rank"),
-            col("neighbor_id"), col("ip"))
       },
       Some(s"""WITH p AS (
               |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -271,6 +307,77 @@ object SimQueries extends QueryModule {
               |r AS (SELECT query_id, neighbor_id, dot,
               |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
               |  FROM p)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |  round(dot, 6) AS ip
+              |FROM r WHERE rank <= 3""".stripMargin)),
+
+    // MIPS over the PERSISTED IVF index built on the norm-augmented
+    // corpus — the corpus-scale spelling of sim_mips: the reduction
+    // makes every augmented norm exactly M, so the unchanged
+    // cosine-based IVF machinery (build + planning-time cell pruning +
+    // search) answers argmax-inner-product; a probe's IO is one cell,
+    // not the corpus. The ORACLE mirrors the engine's cell geometry
+    // exactly (augmented centroids = the 16 lowest-id augmented
+    // vectors, augmented-cosine assignment, probe augmented with 0)
+    // but ranks the cell-confined candidates by RAW dot product — the
+    // gate passes only because augmented-cosine order IS true MIPS
+    // order within any candidate set (the reduction's claim, now
+    // hash-gated through the index). True ip recovered by the same
+    // ≤12-row broadcast join-back as sim_mips.
+    EngineQuery(
+      "sim_mips_ivf",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val idx = mipsIndexDir(s, dir)
+        val probesAug = e.filter(col("vec_id") < 4).selectExpr(
+          "vec_id",
+          "concat(embedding, array(CAST(0.0 AS FLOAT))) AS embedding")
+        val found = graft.sim.IvfIndex.search(s, idx, probesAug, 3)
+          .select(col("query_id"), col("rank").cast("int").as("rank"),
+            col("neighbor_id"))
+        val hits = found.join(
+          broadcast(e.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+          Seq("query_id"))
+        e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+          .join(broadcast(hits), Seq("neighbor_id"))
+          .selectExpr("query_id", "rank", "neighbor_id",
+            s"round(${dotSpark("q_emb", "c_emb")}, 6) AS ip")
+      },
+      Some(s"""WITH n2 AS (SELECT vec_id, embedding,
+              |    ${dotDuck("embedding", "embedding")} AS n2
+              |  FROM embeddings),
+              |mm AS (SELECT max(n2) AS m2 FROM n2),
+              |aug AS (SELECT vec_id,
+              |    list_append(embedding, CAST(sqrt(mm.m2 - n2.n2) AS FLOAT)) AS a_emb
+              |  FROM n2 CROSS JOIN mm),
+              |c AS (SELECT vec_id AS cell, a_emb AS c_emb FROM aug WHERE vec_id < 16),
+              |p0 AS (SELECT aug.vec_id, c.cell,
+              |    ${cosineDuck("aug.a_emb", "c.c_emb")} AS cos
+              |  FROM aug CROSS JOIN c),
+              |a AS (SELECT vec_id, cell FROM (
+              |    SELECT vec_id, cell,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              |    FROM p0) WHERE rn = 1),
+              |qa AS (SELECT vec_id AS query_id,
+              |    list_append(embedding, CAST(0.0 AS FLOAT)) AS q_aug
+              |  FROM embeddings WHERE vec_id < 4),
+              |pq AS (SELECT qa.query_id, c.cell,
+              |    ${cosineDuck("qa.q_aug", "c.c_emb")} AS cos
+              |  FROM qa CROSS JOIN c),
+              |pr AS (SELECT query_id, cell FROM (
+              |    SELECT query_id, cell,
+              |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cell ASC) AS rn
+              |    FROM pq) WHERE rn = 1),
+              |j AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
+              |    ${dotDuck("q.embedding", "e.embedding")} AS dot
+              |  FROM embeddings e
+              |  JOIN a ON a.vec_id = e.vec_id
+              |  JOIN pr ON a.cell = pr.cell AND e.vec_id <> pr.query_id
+              |  JOIN embeddings q ON q.vec_id = pr.query_id),
+              |r AS (SELECT query_id, neighbor_id, dot,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+              |  FROM j)
               |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
               |  round(dot, 6) AS ip
               |FROM r WHERE rank <= 3""".stripMargin)),
@@ -312,6 +419,69 @@ object SimQueries extends QueryModule {
               |    ${cosineDuck("q.embedding", "c.embedding")} AS cos
               |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
               |  WHERE q.vec_id < 8),
+              |n AS (SELECT query_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM p WHERE label <> q_label),
+              |ps AS (SELECT query_id, max(cos) AS pos_cos
+              |  FROM p WHERE label = q_label GROUP BY query_id)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |  round(cos, 6) AS neg_cosine, round(pos_cos, 6) AS pos_cosine,
+              |  round(pos_cos - cos, 6) AS margin
+              |FROM n LEFT JOIN ps USING (query_id) WHERE rank <= 5""".stripMargin)),
+
+    // The CORPUS-SCALE spelling of hard-negative mining: the candidate
+    // pass runs CELL-CONFINED inside the IVF assignment (exactly the
+    // sim_semdedup machinery) instead of probe × corpus — each probe
+    // scores only its own cell's members, so per-probe work is one cell
+    // (~TargetCellSize, flat in N because autoCells grows the cell
+    // count ∝ N), never the corpus. The per-probe ranking window is
+    // bounded by that same cell size (sanctioned in PlanInvariantsSpec
+    // alongside the ivf searches). Same cell-confinement recall caveat
+    // as sim_semdedup: a cross-cell near-miss is invisible — the oracle
+    // mirrors the confinement, so the gate checks the confined
+    // semantics, not brute-force recall.
+    EngineQuery(
+      "sim_hard_negatives_cells",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val assigns = ivfAssign(s, e, autoK(s, dir)).select("vec_id", "cell")
+        val cands = e.select(col("vec_id"), col("embedding"), col("label"))
+          .join(assigns, "vec_id")
+        val probes = cands.filter(col("vec_id") < 8).select(
+          col("cell"), col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"), col("label").as("q_label"))
+        val joined = cands.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .selectExpr("query_id", "q_label", "vec_id AS neighbor_id",
+            "label", "cosine_sim(q_emb, embedding) AS cos")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        val negs = joined.filter(col("label") =!= col("q_label"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+        val pos = joined.filter(col("label") === col("q_label"))
+          .groupBy("query_id").agg(max("cos").as("pos_cos"))
+        negs.join(pos, Seq("query_id"), "left")
+          .selectExpr("query_id", "CAST(rank AS INT) AS rank", "neighbor_id",
+            "round(cos, 6) AS neg_cosine", "round(pos_cos, 6) AS pos_cosine",
+            "round(pos_cos - cos, 6) AS margin")
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 16),
+              |p0 AS (SELECT e.vec_id, c.cell,
+              |    ${cosineDuck("e.embedding", "c.c_emb")} AS cos
+              |  FROM embeddings e CROSS JOIN c),
+              |a AS (SELECT vec_id, cell FROM (
+              |    SELECT vec_id, cell,
+              |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+              |    FROM p0) WHERE rn = 1),
+              |pr AS (SELECT q.vec_id AS query_id, q.label AS q_label,
+              |    q.embedding AS q_emb, a.cell
+              |  FROM embeddings q JOIN a ON a.vec_id = q.vec_id WHERE q.vec_id < 8),
+              |p AS (SELECT pr.query_id, pr.q_label, e.vec_id AS neighbor_id,
+              |    e.label AS label, ${cosineDuck("pr.q_emb", "e.embedding")} AS cos
+              |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+              |  JOIN pr ON a.cell = pr.cell AND e.vec_id <> pr.query_id),
               |n AS (SELECT query_id, neighbor_id, cos,
               |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
               |  FROM p WHERE label <> q_label),
@@ -880,20 +1050,24 @@ object SimQueries extends QueryModule {
     // compresses 256 bytes → 8 nibbles packed into one BIGINT, plus its
     // total quantization error. Encode is O(M·K·subdim) per vector
     // against a broadcast codebook — partition-local at any scale. All
-    // distances are strict left folds over the subspace dims; codes and
-    // packing are integer-exact; qerr sums subspace minima in m order.
+    // distances are strict left folds over the subspace dims; the code
+    // pack is a plain integer SUM (the nibble contributions are
+    // disjoint, so addition is order-free) and qerr is the order-free
+    // quantized-integer sum (ExactSum.qsum; d2 ≤ ~1e3 per subspace, 8
+    // addends — nowhere near the i64 bound) — no per-vector array, no
+    // ordered fold, partial aggregation on (r12, formerly a
+    // sort_array(collect_list) fold).
     EngineQuery(
       "sim_pq_encode",
       (s, dir) => {
         pqCodesCached(s, dir)
           .groupBy("vec_id")
-          .agg(sort_array(collect_list(struct(col("m"), col("j"), col("d2")))).as("cs"))
-          .selectExpr(
-            "vec_id",
-            "aggregate(cs, CAST(0 AS BIGINT), (a, e) -> a + shiftleft(CAST(e.j AS BIGINT), CAST(e.m AS INT) * 4)) AS pq_code",
-            "round(aggregate(cs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.d2), 6) AS qerr")
+          .agg(
+            sum(expr("shiftleft(CAST(j AS BIGINT), CAST(m AS INT) * 4)")).as("pq_code"),
+            expr(ExactSum.qsum("d2")).as("qerrq"))
+          .selectExpr("vec_id", "pq_code", "round(qerrq, 6) AS qerr")
       },
-      Some("""WITH seeds AS (SELECT vec_id AS j, embedding AS c_emb
+      Some(s"""WITH seeds AS (SELECT vec_id AS j, embedding AS c_emb
              |  FROM embeddings WHERE vec_id < 16),
              |d AS (SELECT e.vec_id, t.m, s.j,
              |    list_reduce([
@@ -904,16 +1078,11 @@ object SimQueries extends QueryModule {
              |best AS (SELECT vec_id, m, j, d2 FROM (
              |    SELECT vec_id, m, j, d2,
              |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
-             |    FROM d) WHERE rn = 1),
-             |g AS (SELECT vec_id,
-             |    list(j ORDER BY m) AS js, list(d2 ORDER BY m) AS ds,
-             |    list(m ORDER BY m) AS ms
-             |  FROM best GROUP BY vec_id)
+             |    FROM d) WHERE rn = 1)
              |SELECT vec_id,
-             |  CAST(list_reduce([js[i + 1] << (CAST(ms[i + 1] AS INT) * 4) for i in range(0, 8)],
-             |    (x, y) -> x + y) AS BIGINT) AS pq_code,
-             |  round(list_reduce([0.0] || ds, (x, y) -> x + y), 6) AS qerr
-             |FROM g""".stripMargin)),
+             |  CAST(sum(j << (CAST(m AS INT) * 4)) AS BIGINT) AS pq_code,
+             |  round(${ExactSum.qsum("d2")}, 6) AS qerr
+             |FROM best GROUP BY vec_id""".stripMargin)),
 
     // PQ asymmetric-distance search (ADC) — the query half of IVF-PQ:
     // each probe precomputes an 8×16 distance TABLE against the
@@ -938,13 +1107,16 @@ object SimQueries extends QueryModule {
             explode(expr("sequence(0, 7)")).as("m"))
           .selectExpr("query_id", "m", "j",
             "l2_sq_range(q_emb, c_emb, m * 8 + 1, 8) AS pd2")
+        // ADC = order-free quantized-integer sum of the 8 table lookups
+        // (ExactSum.qsum, r12 — formerly an m-ordered collect_list
+        // fold): both engines rank by the SAME 1e-9-grain distance, so
+        // the tie-break stays deterministic, and the aggregate is a
+        // plain partial-aggregating sum with one i64 of state.
         val wTop = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
         codes.join(broadcast(pdist), Seq("m", "j"))
           .filter(col("vec_id") =!= col("query_id"))
           .groupBy("query_id", "vec_id")
-          .agg(sort_array(collect_list(struct(col("m"), col("pd2")))).as("cs"))
-          .selectExpr("query_id", "vec_id",
-            "aggregate(cs, CAST(0.0 AS DOUBLE), (a, e) -> a + e.pd2) AS adc")
+          .agg(expr(ExactSum.qsum("pd2")).as("adc"))
           .withColumn("rank", row_number().over(wTop))
           .filter(col("rank") <= 3)
           .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
@@ -955,7 +1127,7 @@ object SimQueries extends QueryModule {
              |$duckPqCodes,
              |$duckPqPdist,
              |a AS (SELECT p.query_id, c.vec_id,
-             |    list_reduce([0.0] || list(p.pd2 ORDER BY p.m), (x, y) -> x + y) AS adc
+             |    ${ExactSum.qsum("p.pd2")} AS adc
              |  FROM codes c JOIN pdist p ON p.m = c.m AND p.j = c.j
              |  WHERE c.vec_id <> p.query_id
              |  GROUP BY p.query_id, c.vec_id),
@@ -1056,6 +1228,9 @@ object SimQueries extends QueryModule {
         emb(s, dir)
           .withColumn("grp", expr("vec_id DIV 10"))
           .groupBy("grp")
+          // Residual ordered fold (ExactSum survey, r12): groups are
+          // EXACTLY 10 vectors by construction (vec_id DIV 10) — the
+          // array is bounded at 10×64 floats regardless of corpus size.
           .agg(
             count(lit(1)).as("n"),
             sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))

@@ -79,20 +79,11 @@ object TextQueries extends QueryModule {
     * application embeds learned symbols into the next round's replace). */
   private def sqlLit(v: String): String = "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
-  /** Order-free EXACT aggregate sum of a double summand, as SQL text
-    * valid in BOTH engines: quantize each addend to the 1e-9 grain with
-    * floor (floor of the same IEEE double is identical in Spark and
-    * DuckDB — unlike round/cast, trap #1), sum as BIGINT (associative
-    * and commutative, so partial map-side aggregation needs no
-    * ordering), then return to double. Replaces the
-    * sort_array(collect_list(struct(pos, v))) ordered-fold pattern: the
-    * fold's per-group array grows with the group (a pathological
-    * multi-hundred-MB document OOMs one task), while this keeps
-    * per-group state at ONE i64 and re-enables partial aggregation.
-    * Magnitudes: |v| <= ~1 here, so the i64 overflows only past ~9e9
-    * addends per group — far beyond any document. */
-  private def qsum(v: String): String =
-    s"CAST(sum(CAST(floor(($v) * 1000000000.0) AS BIGINT)) AS DOUBLE) / 1000000000.0"
+  /** Shorthand for the repo-shared order-free exact sum — see
+    * [[ExactSum.qsum]] for the quantize-to-i64 design and the residual
+    * ordered-fold site survey. Magnitudes here: |v| ≤ ~1, so the i64
+    * overflows only past ~9e9 addends per group — far beyond any doc. */
+  private def qsum(v: String): String = ExactSum.qsum(v)
 
   private val ccnetCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
@@ -1161,30 +1152,38 @@ object TextQueries extends QueryModule {
     // over exact integers and halves are bit-identical). Plan: one
     // (source, term) two-phase count, a sources-containing-term count
     // off that same table, a broadcast of the |vocab|-sized df table,
-    // and a per-source top-5 window confined to (source)-partitions of
-    // vocab-sized input — corpus rows never enter the window (the
-    // grouped top-k heap aggregate is the spelling when per-source
-    // vocab itself explodes).
+    // then per-source top-5 via the `topk_by_str` BOUNDED-HEAP
+    // aggregate — NOT a window: `source` has ~20 values independent of
+    // corpus size while per-source vocabulary grows with it (hapaxes,
+    // URLs), so a source-partitioned row_number degenerates to 20
+    // single-task sorts of vocab-sized input at scale; the heap keeps
+    // per-group state at 5 entries through the ordinary partial-agg
+    // path. tf/df ride the heap packed into the key after a U+0001
+    // delimiter (below the token alphabet, so tie order stays pure
+    // term ASC — tokens are \w+ and can never contain it).
     EngineQuery(
       "text_tfidf_terms",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val tf = docs(s, dir)
           .selectExpr("source", s"explode($toksSpark) AS term")
           .groupBy("source", "term")
           .agg(count(lit(1)).as("tf"))
         val nSrc = docs(s, dir).agg(countDistinct("source").as("n_src"))
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        val w = Window.partitionBy("source")
-          .orderBy(col("weight").desc, col("term").asc)
         tf.join(broadcast(dfreq), "term")
           .crossJoin(broadcast(nSrc))
           .withColumn("weight",
             col("tf") * (col("n_src") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 5)
-          .select(col("source"), col("rank"), col("term"),
-            col("tf"), col("df"), round(col("weight"), 6).as("weight"))
+          .selectExpr("source", "weight",
+            "concat(term, '\u0001', CAST(tf AS STRING), '\u0001', CAST(df AS STRING)) AS pk")
+          .groupBy("source")
+          .agg(expr("topk_by_str(weight, pk, 5)").as("top"))
+          .selectExpr("source", "posexplode(top) AS (p0, t)")
+          .selectExpr("source", "CAST(p0 + 1 AS INT) AS rank",
+            "split(t.id, '\u0001') AS parts", "t.score AS weight")
+          .selectExpr("source", "rank", "parts[0] AS term",
+            "CAST(parts[1] AS BIGINT) AS tf", "CAST(parts[2] AS BIGINT) AS df",
+            "round(weight, 6) AS weight")
       },
       Some(s"""WITH tf AS (
               |  SELECT source, u.term, CAST(count(*) AS BIGINT) AS tf
@@ -1835,6 +1834,10 @@ object TextQueries extends QueryModule {
         val winners = ch.groupBy("chash").agg(min("okey").as("kk"))
         val kept = ch.join(winners, "chash").where(col("okey") === col("kk"))
         val re = kept.groupBy("doc_id", "lang")
+          // Residual ordered fold (ExactSum survey, r12): text
+          // reassembly genuinely needs chunk POSITION order — no
+          // commutative rewrite exists for concatenation. Array bounded
+          // by one doc's own chunk count.
           .agg(concat_ws(" ",
             expr("transform(sort_array(collect_list(struct(cidx, chunk))), x -> x.chunk)"))
             .as("new_text"))

@@ -122,7 +122,10 @@ object Sampling {
     * recipes quote "1.7 epochs of X"): every row repeats floor(w)
     * times, plus one more for the content-stable Bernoulli(frac(w))
     * subset, tagged with an `epoch` index (1-based). w < 1 downsamples,
-    * w = 0 drops the stratum. Deterministic end-to-end: the fractional
+    * w = 0 drops the stratum — and a stratum ABSENT from `weights` gets
+    * `defaultWeight` copies (default 0.0, i.e. dropped: a mixture plan
+    * lists what it wants; pass defaultWeight = 1.0 for "keep everything
+    * I didn't rebalance"). Deterministic end-to-end: the fractional
     * pick hashes the row key (suffixed so it is independent of other
     * samples on the same key), so the same corpus yields the same mix
     * on any partitioning — and the plan is one narrow projection + an
@@ -131,12 +134,13 @@ object Sampling {
       df: DataFrame,
       keyExpr: String,
       strataCol: String,
-      weights: Map[String, Double]): DataFrame = {
-    require(weights.values.forall(w => w >= 0.0 && w < 100.0),
+      weights: Map[String, Double],
+      defaultWeight: Double = 0.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0.0 && w < 100.0),
       "epoch weights must be in [0, 100)")
     val h = expr(hash60Spark(s"$keyExpr || ':ep'"))
     def chain(f: Double => Long): Column =
-      weights.toSeq.sortBy(_._1).foldLeft(lit(0L)) { case (acc, (stratum, w)) =>
+      weights.toSeq.sortBy(_._1).foldLeft(lit(f(defaultWeight))) { case (acc, (stratum, w)) =>
         when(col(strataCol) === stratum, lit(f(w))).otherwise(acc)
       }
     val fullC = chain(w => math.floor(w).toLong)

@@ -201,7 +201,10 @@ object IvfIndex {
       .select("query_id", "vec_id")
 
     // ADC: M lookups per (query, candidate); the m-sorted fold keeps the
-    // float sum order-deterministic.
+    // float sum order-deterministic. Residual ordered fold (ExactSum
+    // survey, r12): the array is exactly numSubspaces entries — bounded
+    // by construction, no OOM tail (the standalone sim_pq_adc query
+    // uses the order-free qsum spelling).
     val wTop = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
     qCands.join(codes, Seq("vec_id"))
       .join(broadcast(pdist), Seq("query_id", "m", "j"))

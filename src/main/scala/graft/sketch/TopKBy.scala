@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Grouped top-k as a bounded-state aggregate: `topk_by(score, id, k)`
   * keeps the k largest (score, id) pairs per group.
@@ -121,5 +122,136 @@ case class TopKBy(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): TopKBy =
+    copy(score = newLeft, id = newRight)
+}
+
+/** STRING-keyed grouped top-k: `topk_by_str(score, key, k)` keeps the
+  * k best (score, key) pairs per group, "best" = highest score, ties
+  * broken by LEXICOGRAPHICALLY SMALLEST key — i.e. exactly the window
+  * formulation `row_number() OVER (... ORDER BY score DESC, key ASC)
+  * <= k`, as a bounded-state hash aggregate with no Sort anywhere in
+  * the plan (see [[TopKBy]] for why that matters at scale: a window
+  * partitioned by a constant-cardinality key sorts N/|domain| rows in
+  * one task). The key doubles as a payload channel: callers may append
+  * ``-delimited payload to the key — for any delimiter below the
+  * key alphabet, `k1 < k2  ⇒  k1+D+p1 < k2+D+p2`, so the tie order is
+  * still pure key order (GroupedTopKSpec pins this).
+  *
+  * Output: array<struct<score double, id string>> best-first. */
+case class TopKByStr(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[(Double, UTF8String)]]
+  with ExpectsInputTypes with BinaryLike[Expression] {
+
+  require(k >= 1, s"topk_by_str needs k >= 1, got $k")
+
+  override def left: Expression = score
+  override def right: Expression = id
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("score", DoubleType, nullable = false),
+      StructField("id", StringType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_by_str"
+
+  private type Buf = java.util.TreeSet[(Double, UTF8String)]
+
+  // Ascending by GOODNESS: the set's first element is the eviction
+  // victim (lowest score; on equal scores the LARGEST key — smaller
+  // keys win ties). Keys are UTF8String: its compareTo is UTF-8 BYTE
+  // order = Unicode code-point order, the collation both engines'
+  // ORDER BY key ASC uses (Java String.compareTo is UTF-16-unit order,
+  // which disagrees past the BMP). Serializable as in TopKBy.
+  private val ord: java.util.Comparator[(Double, UTF8String)] =
+    new java.util.Comparator[(Double, UTF8String)] with Serializable {
+      override def compare(a: (Double, UTF8String), b: (Double, UTF8String)): Int = {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else b._2.compareTo(a._2)
+      }
+    }
+
+  override def createAggregationBuffer(): Buf = new java.util.TreeSet(ord)
+
+  private def admit(buf: Buf, p: (Double, UTF8String)): Unit =
+    if (buf.size < k) { buf.add(p); () }
+    else if (ord.compare(p, buf.first) > 0) { buf.add(p); buf.pollFirst(); () }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      // clone(): the evaluated UTF8String may view a reused unsafe-row
+      // buffer — storing the reference would corrupt the heap.
+      admit(buf, (s.asInstanceOf[Double], i.asInstanceOf[UTF8String].clone()))
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    val it = other.descendingIterator()
+    var live = true
+    while (live && it.hasNext) {
+      val p = it.next()
+      if (buf.size < k || ord.compare(p, buf.first) > 0) admit(buf, p)
+      else live = false
+    }
+    buf
+  }
+
+  override def eval(buf: Buf): Any = {
+    val out = new Array[Any](buf.size)
+    val it = buf.descendingIterator()
+    var i = 0
+    while (it.hasNext) {
+      val p = it.next()
+      out(i) = new GenericInternalRow(Array[Any](p._1, p._2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val entries = {
+      val it = buf.iterator()
+      val b = Seq.newBuilder[(Double, Array[Byte])]
+      while (it.hasNext) {
+        val p = it.next()
+        b += ((p._1, p._2.getBytes))
+      }
+      b.result()
+    }
+    val bb = ByteBuffer.allocate(4 + entries.map(12 + _._2.length).sum)
+    bb.putInt(entries.size)
+    entries.foreach { case (s, kb) =>
+      bb.putDouble(s); bb.putInt(kb.length); bb.put(kb)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble
+      val len = bb.getInt
+      val kb = new Array[Byte](len)
+      bb.get(kb)
+      buf.add((s, UTF8String.fromBytes(kb)))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByStr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByStr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKByStr =
     copy(score = newLeft, id = newRight)
 }

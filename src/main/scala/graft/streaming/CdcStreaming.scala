@@ -382,7 +382,18 @@ object ParquetTable {
     * publish. A crash before the rename leaves only an orphaned staging
     * dir — the version slot stays clean and a retry starts fresh
     * (the swapIfCurrent staging discipline, applied to file-granular
-    * commits). Returns the published version id. */
+    * commits). Returns the published version id.
+    *
+    * CONCURRENCY: `cur` is the caller's OCC expectation, not a hint.
+    * The linked cold files and the rewrite were both derived from that
+    * snapshot, so publishing over a table that moved past it would
+    * silently drop the interleaved writer's commit (last-writer-wins on
+    * file sets). The version id is therefore derived from `cur` itself
+    * — never re-read at commit time — and validated against the live
+    * `_CURRENT` under the same per-table lock [[swapIfCurrent]] uses:
+    * the loser gets a loud ConcurrentWriteException and a clean table
+    * (staging reclaimed, no version published), exactly the lakehouse
+    * read-validate-commit protocol (ConcurrentDmlSpec). */
   private[graft] def commitCow(dir: String, cur: java.nio.file.Path,
       excluded: Set[String])(write: java.nio.file.Path => Unit): Long = {
     import scala.jdk.CollectionConverters._
@@ -401,12 +412,27 @@ object ParquetTable {
           catch { case _: Exception => Files.copy(p, dst); () }
         }
       finally ls.close()
+      // The expensive part (the caller's rewrite) runs OUTSIDE the lock,
+      // same staging discipline as swapIfCurrent.
       write(staging)
-      val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
-      val next = VersionNames.format(nextId)
-      Files.move(staging, Paths.get(dir, next), StandardCopyOption.ATOMIC_MOVE)
-      publish(dir, next)
-      nextId
+      val expected = cur.getFileName.toString
+      val lock = occLocks.computeIfAbsent(
+        Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
+      lock.synchronized {
+        val live = currentVersion(dir)
+        if (live != expected)
+          throw new ConcurrentWriteException(
+            s"$dir moved $expected -> $live during a row-level rewrite; " +
+              "the statement was NOT applied — re-read and retry")
+        val nextId = VersionNames.idOf(expected) + 1
+        val next = VersionNames.format(nextId)
+        // Belt and braces: even if a foreign process slipped past the
+        // JVM lock, rename onto an occupied (non-empty) version dir
+        // fails — the slot can never be half-overwritten.
+        Files.move(staging, Paths.get(dir, next), StandardCopyOption.ATOMIC_MOVE)
+        publish(dir, next)
+        nextId
+      }
     } catch {
       // A failed write (bad expression, executor loss, disk full) must
       // not leak a full hard-link set per retry — reclaim the staging

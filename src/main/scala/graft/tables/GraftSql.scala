@@ -1816,6 +1816,11 @@ object GraftSql {
     // mixed-schema directory (post additive evolution) can never drop
     // an evolved column from the compacted rewrite.
     graft.streaming.ParquetTable.requireNoDv(cur, "OPTIMIZE WHERE")
+    // Same divergence guard as row-level DML (and for the same reason):
+    // this path rewrites files through the LOGICAL schema. The unscoped
+    // OPTIMIZE stays available on diverged tables — it compacts via the
+    // physical read path.
+    requireUndiverged(ref.dir, s"OPTIMIZE WHERE on '$name'")
     val readSchema = dmlReadSchema(TableStats.readCurrent(s, ref.dir))
     def read(paths: Seq[String]) =
       readSchema.map(s.read.schema).getOrElse(s.read).parquet(paths: _*)
@@ -1973,15 +1978,26 @@ object GraftSql {
   private def dmlTable(s: SparkSession, name: String): (String, DataFrame) = {
     val dir = resolve(s, name).dir
     require(ParquetTable.exists(dir), s"DML on '$name': not a versioned table")
+    requireUndiverged(dir, s"DML on '$name'")
+    (dir, TableStats.readCurrent(s, dir))
+  }
+
+  /** Refuse any LOGICAL-schema file rewrite on a table whose manifest
+    * diverges from its physical files. Shared by the row-level DML
+    * paths and OPTIMIZE WHERE: both read through the logical view and
+    * write files carrying logical column names/types, which on a table
+    * with a pending RENAME would null-fill the renamed columns in the
+    * rewritten files (data loss) and on a cast-widen would commit files
+    * whose footer types contradict the manifest's ptype lines. */
+  private def requireUndiverged(dir: String, what: String): Unit =
     SchemaEvolution.manifestOf(dir).foreach { mf =>
       val renamed = mf.mapping.cols.exists { case (l, p) => !l.equalsIgnoreCase(p) }
       require(!renamed && mf.mapping.dropped.isEmpty && mf.widens.isEmpty,
-        s"DML on '$name': the table's logical schema diverges from its physical " +
-          "files (pending RENAME/DROP/type-widen) — SQL DML is not supported on " +
-          "diverged tables; rewrite the table (CTAS) first")
+        s"$what: the table's logical schema diverges from its physical " +
+          "files (pending RENAME/DROP/type-widen) — a logical-schema file " +
+          "rewrite is not supported on diverged tables; rewrite the table " +
+          "(CTAS) first, or use unscoped OPTIMIZE (physical-schema compaction)")
     }
-    (dir, TableStats.readCurrent(s, dir))
-  }
 
   /** The explicit read schema the row-level DML paths use: the table's
     * logical schema, all-nullable (files predating an added column
@@ -2386,8 +2402,16 @@ object GraftSql {
     // the merge — a metadata-only ADD COLUMNS (existing files null-fill
     // at read, zero data IO), then the evolved snapshot is the merge
     // target so UPDATE SET * / INSERT * carry the new fields through.
-    // Delta's contract: evolution applies only when rows flow from the
-    // source (UPDATE/INSERT clauses); a pure delete never widens.
+    // Delta's contract: evolution applies only to columns ASSIGNED by
+    // the actions — star-form UPDATE SET * / INSERT * assign every
+    // source column, explicit assignment lists evolve only what they
+    // name. hasUpdate/hasInsert are set ONLY by the star-form clauses
+    // (the sole matched/not-matched row-flowing actions this surface
+    // supports — see the clause regexes above), and the one non-star
+    // assignment form (NOT MATCHED BY SOURCE ... UPDATE SET) references
+    // target columns exclusively, so gating on hasUpdate||hasInsert IS
+    // the star-form gate; a pure delete (or NMBS-only merge) never
+    // widens.
     val evolvedCols: Seq[(String, org.apache.spark.sql.types.DataType)] =
       if (!evolve || !(hasUpdate || hasInsert)) Seq.empty
       else {
@@ -2737,6 +2761,21 @@ object GraftSql {
     // sql() analyzes eagerly, so the statement-scoped view drops right
     // after — no per-statement catalog accumulation.
     val rebuilt = stmt.substring(0, m.start) + s" FROM $view " + tail
+    // The alias rewrite below is a whole-statement regex: if a subquery
+    // anywhere in the rebuilt statement REDEFINES one of the asof
+    // aliases (FROM t la / JOIN t ra inside parens), its inner column
+    // refs would be rewritten to prefixed names that do not exist there
+    // and fail with a misleading analyzer error. Refuse that shape
+    // loudly instead (the documented contract for unsupported shapes).
+    val aliasReuse =
+      s"""(?i)\\b(?:FROM|JOIN)\\s+\\S+\\s+(?:AS\\s+)?($la|$ra)\\b""".r
+    aliasReuse.findFirstMatchIn(rebuilt)
+      .filterNot(mm => inLiteral(rebuilt, mm.start))
+      .foreach { mm =>
+        throw new IllegalArgumentException(
+          s"ASOF JOIN: alias '${mm.group(1)}' is also defined by another " +
+            "table reference in the statement — rename one of the aliases")
+      }
     val aliasRef = s"""(?i)\\b($la|$ra)\\.([A-Za-z_][A-Za-z0-9_]*)""".r
     val replaced = aliasRef.replaceAllIn(rebuilt, mm =>
       if (inLiteral(rebuilt, mm.start)) scala.util.matching.Regex.quoteReplacement(mm.matched)

@@ -98,6 +98,17 @@ class AsofSqlSpec extends SparkSuite {
         "SELECT l.pid FROM asof_l l ASOF JOIN asof_r r ON l.uid = r.uid AND l.ms >= r.ms + 5")
     }
     assert(e3.getMessage.contains("unsupported ON condition"))
+    // An asof alias REDEFINED by a subquery in the tail: the whole-
+    // statement alias rewrite would mangle the inner refs into
+    // nonexistent prefixed columns — must refuse with the explicit
+    // message, not a confusing analyzer error (r12, ADVICE).
+    val e4 = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        """SELECT l.pid FROM asof_l l ASOF JOIN asof_r r
+          |  ON l.uid = r.uid AND l.ms >= r.ms
+          |WHERE l.pid IN (SELECT l.pid FROM asof_l l WHERE l.ms > 0)""".stripMargin)
+    }
+    assert(e4.getMessage.contains("also defined"), e4.getMessage)
   }
 
   test("TIMESTAMP time columns work (converted to epoch millis internally)") {

@@ -61,4 +61,59 @@ class GroupedTopKSpec extends SparkSuite {
       }
     }
   }
+
+  test("topk_by_str == window dual (score DESC, key ASC ties), any partitioning") {
+    val s = spark
+    import s.implicits._
+    // Score collisions on purpose: many terms share a score, so the
+    // string tie-break decides membership AND order at the k boundary.
+    val df = (0 until 1000).map { i =>
+      (s"g${i % 4}", (i % 25).toDouble, f"term_${i}%04d")
+    }.toDF("g", "score", "k")
+
+    val win = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("score").desc, col("k").asc)))
+      .filter(col("rn") <= 7)
+      .select("g", "rn", "score", "k")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
+
+    def agg(parts: Int) = df.repartition(parts)
+      .groupBy("g").agg(expr("topk_by_str(score, k, 7)").as("top"))
+      .selectExpr("g", "posexplode(top) AS (p, t)")
+      .selectExpr("g", "CAST(p + 1 AS INT) AS rn", "t.score", "t.id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
+
+    assert(win.size == 28)
+    assert(agg(1) == win)
+    assert(agg(17) == win)
+  }
+
+  test("topk_by_str packed-key payload preserves pure key tie-order") {
+    val s = spark
+    import s.implicits._
+    // "a" is a prefix of "ab": with the U+0001 delimiter (below every
+    // token character) the packed keys must still order a < ab even
+    // though a's payload follows immediately — the property the
+    // text_tfidf_terms spelling rides on.
+    val df = Seq(
+      ("g", 1.0, "a\u0001999"),
+      ("g", 1.0, "ab\u00011"),
+      ("g", 1.0, "b\u00015")
+    ).toDF("g", "score", "k")
+    val out = df.groupBy("g").agg(expr("topk_by_str(score, k, 2)").as("top"))
+      .selectExpr("explode(top) AS t").selectExpr("t.id")
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("a\u0001999", "ab\u00011"), out.toString)
+  }
+
+  test("topk_by_str plan has no Sort operator") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 200).map(i => (s"s${i % 3}", i.toDouble, s"t$i"))
+      .toDF("source", "w", "term")
+    val agg = df.groupBy("source").agg(expr("topk_by_str(w, term, 5)"))
+    assert(agg.count() > 0)
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), s"heap top-k must not sort:\n$plan")
+  }
 }

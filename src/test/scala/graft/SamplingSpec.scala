@@ -89,4 +89,25 @@ class SamplingSpec extends SparkSuite {
     // Compact toString marks WholeStageCodegen stages with a "*(n)" prefix.
     assert(plan.contains("*(1) Filter"), s"filter should codegen:\n$plan")
   }
+
+  test("epochs: strata absent from the weights map follow defaultWeight (r12, ADVICE)") {
+    import org.apache.spark.sql.functions.col
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+    assert(langs.size >= 2, langs.toSeq.toString)
+    val listed = langs.head
+    val unlisted = langs.tail.toSet
+    val partial = Map(listed -> 2.0)
+    // Documented default: unlisted strata DROP (defaultWeight = 0).
+    val dropped = Sampling.epochs(docs, "CAST(doc_id AS STRING)", "lang", partial)
+    assert(dropped.filter(col("lang").isin(unlisted.toSeq: _*)).count() == 0)
+    assert(dropped.filter(col("lang") === listed).count() ==
+      2 * docs.filter(col("lang") === listed).count())
+    // defaultWeight = 1.0 keeps every unlisted row exactly once.
+    val kept = Sampling.epochs(docs, "CAST(doc_id AS STRING)", "lang", partial,
+      defaultWeight = 1.0)
+    unlisted.foreach { l =>
+      assert(kept.filter(col("lang") === l).count() ==
+        docs.filter(col("lang") === l).count(), l)
+    }
+  }
 }

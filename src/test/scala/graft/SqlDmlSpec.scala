@@ -341,4 +341,28 @@ class SqlDmlSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("diverges"))
   }
+
+  test("OPTIMIZE WHERE on a diverged table refuses; unscoped OPTIMIZE still works") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dml")
+      .resolve("divopt").toString
+    ParquetTable.swap(spark,
+      Seq((1L, 5.0), (2L, 7.0)).toDF("id", "amount").repartition(2), dir)
+    GraftSql.register(spark, "dml_divopt", dir, Seq("id"))
+    GraftSql.sql(spark, "ALTER TABLE dml_divopt RENAME COLUMN amount TO total")
+    // Scoped compaction reads through the LOGICAL schema — on a renamed
+    // table its rewritten files would null-fill the physical column
+    // (data loss). Must refuse, same guard as row-level DML.
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "OPTIMIZE dml_divopt WHERE id = 1")
+    }
+    assert(e.getMessage.contains("diverges"), e.getMessage)
+    // The PHYSICAL-schema path stays available and loses nothing.
+    GraftSql.sql(spark, "OPTIMIZE dml_divopt")
+    val rows = GraftSql.sql(spark,
+      "SELECT id, total FROM dml_divopt ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 5.0), (2L, 7.0)), rows.mkString(","))
+  }
 }
