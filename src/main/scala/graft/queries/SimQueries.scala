@@ -1111,16 +1111,21 @@ object SimQueries extends QueryModule {
         // (ExactSum.qsum, r12 — formerly an m-ordered collect_list
         // fold): both engines rank by the SAME 1e-9-grain distance, so
         // the tie-break stays deterministic, and the aggregate is a
-        // plain partial-aggregating sum with one i64 of state.
-        val wTop = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id").asc)
+        // plain partial-aggregating sum with one i64 of state. Ranking
+        // through the bounded-heap topk_by (negations for asc-distance
+        // and asc-id order; adc recovered exactly — negation never
+        // rounds), NOT a probe-keyed window: PQ's whole point is a full
+        // codes scan, and a 5-partition window would sort N/5 scanned
+        // candidates in one task at any scale (the r11 sim_mips class).
         codes.join(broadcast(pdist), Seq("m", "j"))
           .filter(col("vec_id") =!= col("query_id"))
           .groupBy("query_id", "vec_id")
           .agg(expr(ExactSum.qsum("pd2")).as("adc"))
-          .withColumn("rank", row_number().over(wTop))
-          .filter(col("rank") <= 3)
-          .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-            round(col("adc"), 6).as("adc"))
+          .groupBy("query_id")
+          .agg(expr("topk_by(-adc, -vec_id, 3)").as("top"))
+          .selectExpr("query_id", "posexplode(top) AS (p0, t)")
+          .selectExpr("query_id", "CAST(p0 + 1 AS INT) AS rank",
+            "-(t.id) AS neighbor_id", "round(-(t.score), 6) AS adc")
       },
       Some(s"""WITH seeds AS (SELECT vec_id AS j, embedding AS c_emb
              |  FROM embeddings WHERE vec_id < 16),

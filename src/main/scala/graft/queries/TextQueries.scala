@@ -1561,26 +1561,27 @@ object TextQueries extends QueryModule {
     // FineWeb-style per-domain cap (Penedo et al. 2024): keep at most
     // K = 10 documents per source, best-quality-first (integer-grain
     // q10k, doc_id tiebreak — no float ties), and report the per-source
-    // admission tally. The rank is a SOURCE-partitioned row_number —
-    // partitioned windows only (PlanInvariantsSpec's rule); for a
-    // pathological single mega-domain the bounded-heap top-k aggregate
-    // (sketch/TopK) is the drop-in replacement, since the cap only
-    // needs the K best rows, never the full order. One shuffle on
-    // source + one rollup.
+    // admission tally. The cap only needs each source's K best rows,
+    // never the full order, so it rides the bounded-heap `topk_by` in
+    // ONE aggregation pass (r12 de-weak — the former source-partitioned
+    // row_number sorted every doc of a source in one task; `source` is
+    // a ~20-value constant, so that never parallelizes). q10k ≤ 10⁴ is
+    // exact as the heap's double score; all tallies derive from the
+    // ≤K-entry array (heap arrays come out (score desc, id) — the k-th
+    // entry IS the admission floor).
     EngineQuery(
       "text_domain_cap",
       (s, dir) => {
         val k = 10
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("source").orderBy(col("q10k").desc, col("doc_id"))
         docs(s, dir).withColumn("toks", expr(toksSpark))
           .selectExpr("doc_id", "source", s"$q10kSpark AS q10k")
-          .withColumn("rk", row_number().over(w))
           .groupBy("source")
           .agg(count(lit(1)).cast("long").as("n_docs"),
-            sum(when(col("rk") <= k, 1L).otherwise(0L)).cast("long").as("n_kept"),
-            sum(when(col("rk") <= k, col("q10k")).otherwise(0L)).cast("long").as("kept_q10k"),
-            min(when(col("rk") <= k, col("q10k"))).cast("long").as("kept_q10k_floor"))
+            expr(s"topk_by(CAST(q10k AS DOUBLE), -doc_id, $k)").as("top"))
+          .selectExpr("source", "n_docs",
+            "CAST(size(top) AS BIGINT) AS n_kept",
+            "CAST(aggregate(top, CAST(0 AS BIGINT), (a, e) -> a + CAST(e.score AS BIGINT)) AS BIGINT) AS kept_q10k",
+            "CAST(element_at(top, size(top)).score AS BIGINT) AS kept_q10k_floor")
       },
       Some(s"""WITH t AS (SELECT doc_id, source, $toksDuck AS toks FROM documents),
               |r AS (SELECT doc_id, source, $q10kDuck AS q10k,

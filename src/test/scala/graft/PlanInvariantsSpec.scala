@@ -42,7 +42,10 @@ class PlanInvariantsSpec extends SparkSuite {
     // shapes are explicit sets below, so the class is ENFORCED rather
     // than re-found per round.
     "sim_mips", "sim_mips_ivf", "text_tfidf_terms", "sim_binary_hamming",
-    "sim_ivf_index_topk", "sim_cosine_topk", "sim_hard_negatives_cells")
+    "sim_ivf_index_topk", "sim_cosine_topk", "sim_hard_negatives_cells",
+    // Round-12 sweep of the newly-enumerable query_id/source keys: the
+    // de-weaked heap rankings and the remaining labeled yardsticks.
+    "sim_pq_adc", "text_domain_cap", "sim_hard_negatives", "sim_ivf_recall")
 
   /** Sanctioned bounded-side BroadcastNestedLoopJoins: one side is a
     * CONSTANT probe/centroid set (a fixed handful of rows independent
@@ -53,7 +56,10 @@ class PlanInvariantsSpec extends SparkSuite {
   private val boundedSideJoin = Set(
     "sim_mips",            // 4-probe broadcast against the corpus scan
     "sim_binary_hamming",  // 5-probe broadcast, bit-packed scan
-    "sim_cosine_topk")     // the LABELED brute-force recall yardstick
+    "sim_cosine_topk",     // the LABELED brute-force recall yardstick
+    "sim_pq_adc",          // 5-probe × 16-seed distance-table build
+    "sim_hard_negatives",  // 8-probe broadcast (labeled baseline; _cells is the scale path)
+    "sim_ivf_recall")      // brute-force half of the recall audit, by design
   // (The persisted-index searches need no join sanction: their
   // probe × centroid cross-join is collected eagerly during probe
   // assignment and never appears in the returned plan.)
@@ -149,7 +155,10 @@ class PlanInvariantsSpec extends SparkSuite {
   private val boundedConstantKeyWindow = Set(
     "q23_dist_windows",
     "sim_ivf_index_topk", "sim_mips_ivf", "sim_hard_negatives_cells",
-    "sim_cosine_topk")
+    // Labeled brute-force yardsticks: corpus-sized probe windows ARE
+    // the documented baselines their ANN/cell paths are measured
+    // against (sim_ivf_recall's brute half is the audit's definition).
+    "sim_cosine_topk", "sim_hard_negatives", "sim_ivf_recall")
 
   /** The offender detector, factored out so the guard itself is
     * regression-testable (see the "guard still fires" test): windows
