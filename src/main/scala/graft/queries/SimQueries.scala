@@ -159,6 +159,49 @@ object SimQueries extends QueryModule {
       t
     })
 
+  /** Shared oracle CTE chain for the augmented-IVF MIPS search, ending
+    * in `r`(query_id, neighbor_id, dot, rank) — the engine's cell
+    * geometry mirrored exactly (float-rounded augmentation dimension,
+    * augmented-cosine assignment, probe augmented with 0), candidates
+    * cell-confined, RANKED BY RAW DOT. One definition for the
+    * sim_mips_ivf search and sim_mips_recall gates so they cannot
+    * drift. */
+  private lazy val mipsIvfRankCtes: String =
+    s"""WITH n2 AS (SELECT vec_id, embedding,
+       |    ${dotDuck("embedding", "embedding")} AS n2
+       |  FROM embeddings),
+       |mm AS (SELECT max(n2) AS m2 FROM n2),
+       |aug AS (SELECT vec_id,
+       |    list_append(embedding, CAST(sqrt(mm.m2 - n2.n2) AS FLOAT)) AS a_emb
+       |  FROM n2 CROSS JOIN mm),
+       |c AS (SELECT vec_id AS cell, a_emb AS c_emb FROM aug WHERE vec_id < 16),
+       |p0 AS (SELECT aug.vec_id, c.cell,
+       |    ${cosineDuck("aug.a_emb", "c.c_emb")} AS cos
+       |  FROM aug CROSS JOIN c),
+       |a AS (SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+       |    FROM p0) WHERE rn = 1),
+       |qa AS (SELECT vec_id AS query_id,
+       |    list_append(embedding, CAST(0.0 AS FLOAT)) AS q_aug
+       |  FROM embeddings WHERE vec_id < 4),
+       |pq AS (SELECT qa.query_id, c.cell,
+       |    ${cosineDuck("qa.q_aug", "c.c_emb")} AS cos
+       |  FROM qa CROSS JOIN c),
+       |pr AS (SELECT query_id, cell FROM (
+       |    SELECT query_id, cell,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cell ASC) AS rn
+       |    FROM pq) WHERE rn = 1),
+       |j AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
+       |    ${dotDuck("q.embedding", "e.embedding")} AS dot
+       |  FROM embeddings e
+       |  JOIN a ON a.vec_id = e.vec_id
+       |  JOIN pr ON a.cell = pr.cell AND e.vec_id <> pr.query_id
+       |  JOIN embeddings q ON q.vec_id = pr.query_id),
+       |r AS (SELECT query_id, neighbor_id, dot,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+       |  FROM j)""".stripMargin
+
   /** The IVF top-k oracle — shared by the inline and persisted-index
     * paths (same semantics, different IO layout). */
   /** The IVF search CTE chain through `r`(query_id, neighbor_id, cos,
@@ -344,43 +387,59 @@ object SimQueries extends QueryModule {
           .selectExpr("query_id", "rank", "neighbor_id",
             s"round(${dotSpark("q_emb", "c_emb")}, 6) AS ip")
       },
-      Some(s"""WITH n2 AS (SELECT vec_id, embedding,
-              |    ${dotDuck("embedding", "embedding")} AS n2
-              |  FROM embeddings),
-              |mm AS (SELECT max(n2) AS m2 FROM n2),
-              |aug AS (SELECT vec_id,
-              |    list_append(embedding, CAST(sqrt(mm.m2 - n2.n2) AS FLOAT)) AS a_emb
-              |  FROM n2 CROSS JOIN mm),
-              |c AS (SELECT vec_id AS cell, a_emb AS c_emb FROM aug WHERE vec_id < 16),
-              |p0 AS (SELECT aug.vec_id, c.cell,
-              |    ${cosineDuck("aug.a_emb", "c.c_emb")} AS cos
-              |  FROM aug CROSS JOIN c),
-              |a AS (SELECT vec_id, cell FROM (
-              |    SELECT vec_id, cell,
-              |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
-              |    FROM p0) WHERE rn = 1),
-              |qa AS (SELECT vec_id AS query_id,
-              |    list_append(embedding, CAST(0.0 AS FLOAT)) AS q_aug
-              |  FROM embeddings WHERE vec_id < 4),
-              |pq AS (SELECT qa.query_id, c.cell,
-              |    ${cosineDuck("qa.q_aug", "c.c_emb")} AS cos
-              |  FROM qa CROSS JOIN c),
-              |pr AS (SELECT query_id, cell FROM (
-              |    SELECT query_id, cell,
-              |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cell ASC) AS rn
-              |    FROM pq) WHERE rn = 1),
-              |j AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
-              |    ${dotDuck("q.embedding", "e.embedding")} AS dot
-              |  FROM embeddings e
-              |  JOIN a ON a.vec_id = e.vec_id
-              |  JOIN pr ON a.cell = pr.cell AND e.vec_id <> pr.query_id
-              |  JOIN embeddings q ON q.vec_id = pr.query_id),
-              |r AS (SELECT query_id, neighbor_id, dot,
-              |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
-              |  FROM j)
+      Some(s"""$mipsIvfRankCtes
               |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
               |  round(dot, 6) AS ip
               |FROM r WHERE rank <= 3""".stripMargin)),
+
+    // Recall@3 of the MIPS-over-IVF search against the TRUE
+    // inner-product top-3 — the quality number for the reduction-fed
+    // index (sim_ivf_recall's dual for the augmented layout): both
+    // rankings run in-engine (cell-pruned aug search vs full-corpus
+    // dot via the bounded heap), the hit count is a (query, neighbor)
+    // semi-join, and the oracle recomputes BOTH — a recall regression
+    // in either path hash-mismatches.
+    EngineQuery(
+      "sim_mips_recall",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val idx = mipsIndexDir(s, dir)
+        val probesAug = e.filter(col("vec_id") < 4).selectExpr(
+          "vec_id",
+          "concat(embedding, array(CAST(0.0 AS FLOAT))) AS embedding")
+        val ivf3 = graft.sim.IvfIndex.search(s, idx, probesAug, 3)
+          .select("query_id", "neighbor_id")
+        val probes = e.filter(col("vec_id") < 4)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        val brute3 = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+          .join(broadcast(probes), col("neighbor_id") =!= col("query_id"))
+          .selectExpr("query_id", "neighbor_id", s"${dotSpark("q_emb", "c_emb")} AS dot")
+          .groupBy("query_id")
+          .agg(expr("topk_by(dot, -neighbor_id, 3)").as("top"))
+          .selectExpr("query_id", "explode(top) AS t")
+          .selectExpr("query_id", "-(t.id) AS neighbor_id")
+        brute3.join(ivf3.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .selectExpr("query_id", "hits",
+            "round(CAST(hits AS DOUBLE) / 3, 6) AS recall_at_3")
+      },
+      Some(s"""$mipsIvfRankCtes,
+              |i3 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+              |bj AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |    ${dotDuck("q.embedding", "e.embedding")} AS dot
+              |  FROM embeddings e JOIN embeddings q
+              |    ON q.vec_id < 4 AND e.vec_id <> q.vec_id),
+              |br AS (SELECT query_id, neighbor_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id ASC) AS rank
+              |  FROM bj),
+              |b3 AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 3)
+              |SELECT b3.query_id,
+              |  CAST(count(i3.neighbor_id) AS BIGINT) AS hits,
+              |  round(CAST(count(i3.neighbor_id) AS DOUBLE) / 3, 6) AS recall_at_3
+              |FROM b3 LEFT JOIN i3
+              |  ON i3.query_id = b3.query_id AND i3.neighbor_id = b3.neighbor_id
+              |GROUP BY 1""".stripMargin)),
 
     // HARD-NEGATIVE mining for contrastive/embedding training: per
     // anchor, the top-5 most-similar vectors with a DIFFERENT label

@@ -45,7 +45,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "sim_ivf_index_topk", "sim_cosine_topk", "sim_hard_negatives_cells",
     // Round-12 sweep of the newly-enumerable query_id/source keys: the
     // de-weaked heap rankings and the remaining labeled yardsticks.
-    "sim_pq_adc", "text_domain_cap", "sim_hard_negatives", "sim_ivf_recall")
+    "sim_pq_adc", "text_domain_cap", "sim_hard_negatives", "sim_ivf_recall",
+    "sim_mips_recall")
 
   /** Sanctioned bounded-side BroadcastNestedLoopJoins: one side is a
     * CONSTANT probe/centroid set (a fixed handful of rows independent
@@ -59,7 +60,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "sim_cosine_topk",     // the LABELED brute-force recall yardstick
     "sim_pq_adc",          // 5-probe × 16-seed distance-table build
     "sim_hard_negatives",  // 8-probe broadcast (labeled baseline; _cells is the scale path)
-    "sim_ivf_recall")      // brute-force half of the recall audit, by design
+    "sim_ivf_recall",      // brute-force half of the recall audit, by design
+    "sim_mips_recall")     // same: the true-dot brute half IS the audit
   // (The persisted-index searches need no join sanction: their
   // probe × centroid cross-join is collected eagerly during probe
   // assignment and never appears in the returned plan.)
@@ -158,7 +160,9 @@ class PlanInvariantsSpec extends SparkSuite {
     // Labeled brute-force yardsticks: corpus-sized probe windows ARE
     // the documented baselines their ANN/cell paths are measured
     // against (sim_ivf_recall's brute half is the audit's definition).
-    "sim_cosine_topk", "sim_hard_negatives", "sim_ivf_recall")
+    "sim_cosine_topk", "sim_hard_negatives", "sim_ivf_recall",
+    // sim_mips_recall's ivf half rides the cell-bounded search window.
+    "sim_mips_recall")
 
   /** The offender detector, factored out so the guard itself is
     * regression-testable (see the "guard still fires" test): windows
