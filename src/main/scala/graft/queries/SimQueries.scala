@@ -1368,6 +1368,57 @@ object SimQueries extends QueryModule {
              |  CAST(min(vec_id) AS BIGINT) AS min_vec, CAST(max(vec_id) AS BIGINT) AS max_vec
              |FROM embeddings GROUP BY label""".stripMargin)),
 
+    // Retrieval-quality metrics per probe — the eval op an embedding
+    // pipeline runs after every index/model change: treat same-label as
+    // relevant, rank the corpus by cosine, report the first-relevant
+    // rank, MRR's reciprocal rank, and precision@5. All arithmetic is
+    // RATIONAL (1/rank, hits/5 — IEEE division is correctly rounded, so
+    // cross-engine exact; the log2-weighted nDCG spelling is the one
+    // metric deliberately left out under the no-transcendentals rule).
+    // Ranking rides the bounded-heap topk_by + a ≤40-row label
+    // join-back — the constant-probe scan shape, no probe-keyed window.
+    EngineQuery(
+      "sim_retrieval_metrics",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val probes = e.filter(col("vec_id") < 8).select(
+          col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+        val top5 = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+          .join(broadcast(probes.select("query_id", "q_emb")),
+            col("neighbor_id") =!= col("query_id"))
+          .selectExpr("query_id", "neighbor_id", "cosine_sim(q_emb, c_emb) AS cos")
+          .groupBy("query_id")
+          .agg(expr("topk_by(cos, -neighbor_id, 5)").as("top"))
+          .selectExpr("query_id", "posexplode(top) AS (p0, t)")
+          .selectExpr("query_id", "CAST(p0 + 1 AS INT) AS rank", "-(t.id) AS neighbor_id")
+        e.select(col("vec_id").as("neighbor_id"), col("label"))
+          .join(broadcast(top5), Seq("neighbor_id"))
+          .join(broadcast(probes.select("query_id", "q_label")), Seq("query_id"))
+          .groupBy("query_id")
+          .agg(
+            min(when(col("label") === col("q_label"), col("rank"))).as("frr0"),
+            count(when(col("label") === col("q_label"), lit(1))).as("nrel"))
+          .selectExpr("query_id",
+            "CAST(frr0 AS BIGINT) AS first_rel_rank",
+            "round(coalesce(CAST(1.0 AS DOUBLE) / frr0, CAST(0.0 AS DOUBLE)), 6) AS rr",
+            "round(CAST(nrel AS DOUBLE) / 5, 6) AS p_at_5")
+      },
+      Some(s"""WITH p AS (SELECT q.vec_id AS query_id, q.label AS q_label,
+              |    c.vec_id AS neighbor_id, c.label AS label,
+              |    ${cosineDuck("q.embedding", "c.embedding")} AS cos
+              |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+              |  WHERE q.vec_id < 8),
+              |r AS (SELECT query_id, q_label, neighbor_id, label,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM p),
+              |t AS (SELECT * FROM r WHERE rank <= 5)
+              |SELECT query_id,
+              |  CAST(min(CASE WHEN label = q_label THEN rank END) AS BIGINT) AS first_rel_rank,
+              |  round(coalesce(1.0 / min(CASE WHEN label = q_label THEN rank END), 0.0), 6) AS rr,
+              |  round(CAST(count(CASE WHEN label = q_label THEN 1 END) AS DOUBLE) / 5, 6) AS p_at_5
+              |FROM t GROUP BY 1""".stripMargin)),
+
     // Matryoshka retrieval: rank neighbors by cosine over the FIRST 16
     // dims (cosine renormalizes, so truncation needs no explicit
     // re-norm) and measure top-5 overlap against the full 64-dim

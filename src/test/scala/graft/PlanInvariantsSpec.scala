@@ -46,7 +46,7 @@ class PlanInvariantsSpec extends SparkSuite {
     // Round-12 sweep of the newly-enumerable query_id/source keys: the
     // de-weaked heap rankings and the remaining labeled yardsticks.
     "sim_pq_adc", "text_domain_cap", "sim_hard_negatives", "sim_ivf_recall",
-    "sim_mips_recall")
+    "sim_mips_recall", "sim_retrieval_metrics")
 
   /** Sanctioned bounded-side BroadcastNestedLoopJoins: one side is a
     * CONSTANT probe/centroid set (a fixed handful of rows independent
@@ -61,7 +61,8 @@ class PlanInvariantsSpec extends SparkSuite {
     "sim_pq_adc",          // 5-probe × 16-seed distance-table build
     "sim_hard_negatives",  // 8-probe broadcast (labeled baseline; _cells is the scale path)
     "sim_ivf_recall",      // brute-force half of the recall audit, by design
-    "sim_mips_recall")     // same: the true-dot brute half IS the audit
+    "sim_mips_recall",     // same: the true-dot brute half IS the audit
+    "sim_retrieval_metrics") // 8-probe broadcast over the corpus scan
   // (The persisted-index searches need no join sanction: their
   // probe × centroid cross-join is collected eagerly during probe
   // assignment and never appears in the returned plan.)
