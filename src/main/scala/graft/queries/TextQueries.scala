@@ -1159,8 +1159,15 @@ object TextQueries extends QueryModule {
     // single-task sorts of vocab-sized input at scale; the heap keeps
     // per-group state at 5 entries through the ordinary partial-agg
     // path. tf/df ride the heap packed into the key after a U+0001
-    // delimiter (below the token alphabet, so tie order stays pure
-    // term ASC — tokens are \w+ and can never contain it).
+    // delimiter and are parsed back from the RIGHT (tf/df are digit
+    // runs, so the last two delimiter-separated fields are always
+    // them) — a pathological token that itself contains U+0001 still
+    // round-trips byte-exact instead of crashing the CAST. Tie order:
+    // the delimiter sits below every printable token char, so packed
+    // order == term ASC for all delimiter-free terms (the one corner —
+    // equal-weight terms where one embeds U+0001 — can tie-order by
+    // the embedded suffix; the whitespace tokenizer never produces
+    // such terms from text that survives unicode cleaning).
     EngineQuery(
       "text_tfidf_terms",
       (s, dir) => {
@@ -1180,9 +1187,11 @@ object TextQueries extends QueryModule {
           .agg(expr("topk_by_str(weight, pk, 5)").as("top"))
           .selectExpr("source", "posexplode(top) AS (p0, t)")
           .selectExpr("source", "CAST(p0 + 1 AS INT) AS rank",
-            "split(t.id, '\u0001') AS parts", "t.score AS weight")
-          .selectExpr("source", "rank", "parts[0] AS term",
-            "CAST(parts[1] AS BIGINT) AS tf", "CAST(parts[2] AS BIGINT) AS df",
+            "t.id AS pk", "split(t.id, '\u0001') AS parts", "t.score AS weight")
+          .selectExpr("source", "rank",
+            "substring(pk, 1, length(pk) - length(element_at(parts, -1)) - length(element_at(parts, -2)) - 2) AS term",
+            "CAST(element_at(parts, -2) AS BIGINT) AS tf",
+            "CAST(element_at(parts, -1) AS BIGINT) AS df",
             "round(weight, 6) AS weight")
       },
       Some(s"""WITH tf AS (
