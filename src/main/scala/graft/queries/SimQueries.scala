@@ -980,6 +980,72 @@ object SimQueries extends QueryModule {
       },
       Some(ivfTopkOracle)),
 
+    // TWO-LEVEL IVF: the same search through the hierarchical
+    // (coarse-quantizer) assignment — the BUILD-cost answer at extreme
+    // scale: flat assignment is O(N·K) and K grows ∝ N under the
+    // cell-size invariant, so build degenerates to O(N²/cellSize) at
+    // 10¹⁰ vectors; routing through ⌈√K⌉ coarse centroids first cuts
+    // per-vector work to ~2√K (the FAISS coarse-quantizer/IMI
+    // construction). The oracle replays BOTH levels (fine→coarse
+    // ownership, coarse routing, fine argmax within the owned set) —
+    // the routing approximation's effect on cell choice is mirrored,
+    // never hidden.
+    EngineQuery(
+      "sim_ivf_hier_topk",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val k = autoK(s, dir)
+        val ck = math.max(2, math.sqrt(k.toDouble).round.toInt)
+        val assigns = graft.sim.Similarity.ivfAssignHier(s, e, k, ck)
+          .select(col("vec_id"), col("cell"))
+        val probes = e.filter(col("vec_id") < 5)
+          .join(assigns, "vec_id")
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+        val cands = e.select(col("vec_id"), col("embedding")).join(assigns, "vec_id")
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        cands.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .selectExpr("query_id", "vec_id AS neighbor_id",
+            "cosine_sim(q_emb, embedding) AS cos")
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("cos"), 6).as("cosine"))
+      },
+      Some(s"""WITH cf AS (SELECT vec_id AS f, embedding AS f_emb
+              |  FROM embeddings WHERE vec_id < 16),
+              |cc AS (SELECT vec_id AS c, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 4),
+              |fmap AS (SELECT f, c FROM (
+              |    SELECT cf.f, cc.c,
+              |      row_number() OVER (PARTITION BY cf.f
+              |        ORDER BY ${cosineDuck("cf.f_emb", "cc.c_emb")} DESC, cc.c ASC) AS rn
+              |    FROM cf CROSS JOIN cc) WHERE rn = 1),
+              |vc AS (SELECT vec_id, c FROM (
+              |    SELECT e.vec_id, cc.c,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${cosineDuck("e.embedding", "cc.c_emb")} DESC, cc.c ASC) AS rn
+              |    FROM embeddings e CROSS JOIN cc) WHERE rn = 1),
+              |a AS (SELECT vec_id, cell FROM (
+              |    SELECT vc.vec_id, cf.f AS cell,
+              |      row_number() OVER (PARTITION BY vc.vec_id
+              |        ORDER BY ${cosineDuck("e.embedding", "cf.f_emb")} DESC, cf.f ASC) AS rn
+              |    FROM vc JOIN embeddings e ON e.vec_id = vc.vec_id
+              |    JOIN fmap ON fmap.c = vc.c
+              |    JOIN cf ON cf.f = fmap.f) WHERE rn = 1),
+              |pr AS (SELECT q.vec_id AS query_id, q.embedding AS q_emb, a.cell
+              |  FROM embeddings q JOIN a ON a.vec_id = q.vec_id WHERE q.vec_id < 5),
+              |j AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
+              |    ${cosineDuck("pr.q_emb", "e.embedding")} AS cos
+              |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+              |  JOIN pr ON a.cell = pr.cell AND e.vec_id <> pr.query_id),
+              |r AS (SELECT query_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM j)
+              |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+              |  round(cos, 6) AS cosine
+              |FROM r WHERE rank <= 3""".stripMargin)),
+
     // Recall@3 of the IVF search against brute force, per probe — THE
     // ANN quality number (nprobe=1 here; sim_ivf_multiprobe is the
     // recall knob). Both rankings run in-engine (cell-pruned candidates

@@ -263,6 +263,71 @@ object Similarity {
       .toDF()
   }
 
+  /** TWO-LEVEL (coarse-quantizer) IVF assignment — the standard answer
+    * to flat assignment's build cost: with K cells scaled ∝ N (the
+    * cell-size invariant), flat assign is O(N·K) = O(N²/cellSize) — at
+    * 10¹⁰ vectors and 10⁸ cells that is 10¹⁸ scorings. Routing each
+    * vector through coarseK ≈ √K coarse centroids first, then scoring
+    * only the fine centroids OWNED by its coarse cell, cuts per-vector
+    * work to ~2√K (FAISS's coarse-quantizer / IMI construction) while
+    * keeping the result deterministic and oracle-mirrorable.
+    *
+    * Seeds follow the family convention: fine = vec_id < fineK, coarse
+    * = vec_id < coarseK (coarseK ≤ fineK, so every coarse seed is also
+    * a fine seed and — barring exact-duplicate seed vectors, asserted
+    * at build — owns at least itself: no coarse cell can be empty).
+    * Tie rules match [[ivfAssign]] exactly (cos DESC, id ASC) at both
+    * levels. The routing is an approximation: a vector whose true
+    * nearest fine centroid lives under a DIFFERENT coarse cell gets its
+    * best fine centroid within its own coarse cell — the recall cost is
+    * measured, not hidden (sim_ivf_hier_topk's oracle replays the same
+    * two-level choice). */
+  def ivfAssignHier(
+      spark: SparkSession, corpus: DataFrame, fineK: Int, coarseK: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    require(coarseK >= 1 && coarseK <= fineK,
+      s"ivfAssignHier needs 1 <= coarseK <= fineK, got $coarseK/$fineK")
+    implicit val vecEnc = Encoders.product[Vec]
+    implicit val asgEnc = Encoders.product[IvfAssign]
+    val fine = corpus.filter(col("vec_id") < fineK)
+      .select(col("vec_id"), col("embedding")).as[Vec].collect().sortBy(_.vec_id)
+    val coarse = fine.filter(_.vec_id < coarseK)
+    // Driver-side fine→coarse ownership map: fineK×coarseK scorings.
+    val children: Map[Long, Array[Vec]] =
+      fine.groupBy(f => nearestSeed(f.embedding, coarse)._1)
+    require(children.keySet.size == coarse.length,
+      "ivfAssignHier: a coarse seed owns no fine centroid (exact-duplicate " +
+        s"seed vectors?) — owned ${children.keySet.size} of ${coarse.length}")
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcChildren = spark.sparkContext.broadcast(children)
+    corpus.select(col("vec_id"), col("embedding")).as[Vec]
+      .mapPartitions { it =>
+        val cs = bcCoarse.value
+        val ch = bcChildren.value
+        it.map { v =>
+          val (cc, _) = nearestSeed(v.embedding, cs)
+          val (cell, cos) = nearestSeed(v.embedding, ch(cc))
+          IvfAssign(v.vec_id, cell, round6(cos))
+        }
+      }
+      .toDF()
+  }
+
+  /** argmax-cosine seed (cos DESC, id ASC tie) — the shared tie rule of
+    * both assignment levels; object-level so the executor closure ships
+    * no driver state. */
+  private def nearestSeed(emb: Array[Float], cands: Array[Vec]): (Long, Double) = {
+    var bestId = -1L
+    var bestCos = Double.NegativeInfinity
+    cands.foreach { c =>
+      val cos = cosineJvm(emb, c.embedding)
+      if (cos > bestCos || (cos == bestCos && c.vec_id < bestId)) {
+        bestId = c.vec_id; bestCos = cos
+      }
+    }
+    (bestId, bestCos)
+  }
+
   /** Exact top-k neighbors for a probe set: broadcast nested loop +
     * per-probe window. Scoring uses the native codegen'd `cosine_sim`
     * (graft.expressions.CosineSim — bit-identical to the HOF fold the

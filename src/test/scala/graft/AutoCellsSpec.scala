@@ -32,4 +32,33 @@ class AutoCellsSpec extends SparkSuite {
       .select("cell").distinct().count()
     assert(k == 16 && cells == 16)
   }
+
+  test("two-level assignment with coarseK == fineK degenerates to flat EXACTLY") {
+    // Each fine seed owns itself when the coarse set IS the fine set, so
+    // routing adds nothing: hier(K, K) must equal flat(K) bit-for-bit —
+    // the identity that pins both levels' tie rules to ivfAssign's.
+    val e = spark.read.parquet(graft.SparkSessions.tablePath(sf0001, "embeddings"))
+    val flat = graft.sim.Similarity.ivfAssign(spark, e, 16)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hier = graft.sim.Similarity.ivfAssignHier(spark, e, 16, 16)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hier == flat)
+  }
+
+  test("two-level routing confines the fine choice to the coarse cell's children") {
+    val e = spark.read.parquet(graft.SparkSessions.tablePath(sf0001, "embeddings"))
+    val hier = graft.sim.Similarity.ivfAssignHier(spark, e, 16, 4)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = graft.sim.Similarity.ivfAssign(spark, e, 16)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Routing is an approximation — it may disagree with flat — but
+    // every chosen cell is still one of the 16 fine seeds, and the two
+    // assignments should agree on a large majority at this scale (the
+    // measured routing cost; a total disagreement means broken tie
+    // rules, not approximation).
+    assert(hier.values.toSet.subsetOf((0L until 16L).toSet))
+    val agree = hier.count { case (v, c) => flat(v) == c }
+    assert(agree >= (hier.size * 0.5).toInt,
+      s"only $agree/${hier.size} agree with flat assignment")
+  }
 }

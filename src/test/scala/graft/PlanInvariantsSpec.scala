@@ -46,7 +46,7 @@ class PlanInvariantsSpec extends SparkSuite {
     // Round-12 sweep of the newly-enumerable query_id/source keys: the
     // de-weaked heap rankings and the remaining labeled yardsticks.
     "sim_pq_adc", "text_domain_cap", "sim_hard_negatives", "sim_ivf_recall",
-    "sim_mips_recall", "sim_retrieval_metrics")
+    "sim_mips_recall", "sim_retrieval_metrics", "sim_ivf_hier_topk")
 
   /** Sanctioned bounded-side BroadcastNestedLoopJoins: one side is a
     * CONSTANT probe/centroid set (a fixed handful of rows independent
@@ -162,8 +162,9 @@ class PlanInvariantsSpec extends SparkSuite {
     // the documented baselines their ANN/cell paths are measured
     // against (sim_ivf_recall's brute half is the audit's definition).
     "sim_cosine_topk", "sim_hard_negatives", "sim_ivf_recall",
-    // sim_mips_recall's ivf half rides the cell-bounded search window.
-    "sim_mips_recall")
+    // sim_mips_recall's ivf half rides the cell-bounded search window,
+    // sim_ivf_hier_topk's window input is cell-confined like the rest.
+    "sim_mips_recall", "sim_ivf_hier_topk")
 
   /** The offender detector, factored out so the guard itself is
     * regression-testable (see the "guard still fires" test): windows
