@@ -146,7 +146,10 @@ object SimQueries extends QueryModule {
     * product (cos(q̂,x̂) = ⟨q,x⟩ / (‖q‖·M), a per-query positive
     * constant divisor) and the UNCHANGED cosine-based IvfIndex
     * build/search machinery answers MIPS. Built once per (session,
-    * dir); one extra corpus pass for M². */
+    * dir); one extra corpus pass for M². (Build uses the flat
+    * assignment — at extreme N the two-level `ivfAssignHier` routing is
+    * the drop-in that keeps assignment off the O(N·K) cliff, see
+    * sim_ivf_hier_topk.) */
   private def mipsIndexDir(s: SparkSession, dir: String): String =
     mipsIdxSeed.getOrElseUpdate((s, dir), {
       val e = emb(s, dir)
