@@ -120,9 +120,11 @@ object Bench {
     // a busy box (1-min loadavg > 1.5 before the session even built) is
     // self-identifying, so a judge never again burns a round adjudicating
     // whether a slow total was the code or the neighbors. Perf claims
-    // should cite only runs with "contended": false.
+    // should cite only runs with "contended": false — and an UNREADABLE
+    // loadavg stamps null, never a self-certifying false.
     val contended =
-      loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption).exists(_ > 1.5)
+      loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption)
+        .map(l => (l > 1.5).toString).getOrElse("null")
     val stamp =
       s""""run_tag":${jstr(runTag)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"contended":$contended"""
     val fullQs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + sec }

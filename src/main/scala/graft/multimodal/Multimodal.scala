@@ -142,6 +142,9 @@ object Multimodal {
         require(sz >= 0 && off + 8 + sz <= bytes.length,
           s"truncated '$id' chunk: size $sz at offset $off of ${bytes.length}")
         if (id == "fmt ") {
+          // A PCM fmt chunk is >= 16 bytes; a shorter one would make the
+          // field reads below silently consume the NEXT chunk's bytes.
+          require(sz >= 16, s"malformed WAV: fmt chunk size $sz < 16")
           val fmt = u16(off + 8)
           require(fmt == 1, s"unsupported WAV: audio format $fmt (need PCM=1)")
           ch = u16(off + 10)
@@ -171,7 +174,11 @@ object Multimodal {
     * (WavVadSpec drives it over in-test generated PCM fixtures). The
     * voiced verdict stays integer cross-multiplied (energy·totalLen >
     * totalEnergy·frameLen): no float anywhere. Non-WAV audio rows are
-    * excluded (they belong to the stub seam). */
+    * excluded (they belong to the stub seam). Multi-channel clips score
+    * their INTERLEAVED samples as one stream — `frameSamples` counts
+    * interleaved samples, so a stereo frame spans half the wall-clock
+    * of a mono one; energy-threshold VAD is channel-agnostic, but a
+    * caller wanting per-channel windows should deinterleave first. */
   def voiceActivityWav(media: Dataset[MediaRecord], frameSamples: Int = 160): Dataset[VadFeatures] =
     media.filter(r => r.kind == "audio" && WavPcm16.isWav(r.payload))
       .mapPartitions { it =>

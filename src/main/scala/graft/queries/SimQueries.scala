@@ -136,6 +136,18 @@ object SimQueries extends QueryModule {
       t
     })
 
+  private val m2Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Double]
+
+  /** Corpus max squared norm M² — the MIPS augmentation constant.
+    * Memoized per (session, dir): sim_mips, sim_mips_recall's probes,
+    * and the augmented-index build all need the same scalar, and each
+    * recomputation is a full corpus pass. */
+  private def maxNorm2(s: SparkSession, dir: String): Double =
+    m2Cache.getOrElseUpdate((s, dir),
+      emb(s, dir).selectExpr(s"${dotSpark("embedding", "embedding")} AS n2")
+        .agg(max("n2")).head.getDouble(0))
+
   private val mipsIdxSeed =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
@@ -153,8 +165,7 @@ object SimQueries extends QueryModule {
   private def mipsIndexDir(s: SparkSession, dir: String): String =
     mipsIdxSeed.getOrElseUpdate((s, dir), {
       val e = emb(s, dir)
-      val m2 = e.selectExpr(s"${dotSpark("embedding", "embedding")} AS n2")
-        .agg(max("n2")).head.getDouble(0)
+      val m2 = maxNorm2(s, dir)
       val aug = e.selectExpr("vec_id",
         s"concat(embedding, array(CAST(sqrt($m2 - (${dotSpark("embedding", "embedding")})) AS FLOAT))) AS embedding")
       val t = java.nio.file.Files.createTempDirectory("graft-mips-idx").resolve("index").toString
@@ -319,8 +330,7 @@ object SimQueries extends QueryModule {
       "sim_mips",
       (s, dir) => {
         val e = emb(s, dir)
-        val m2 = e.selectExpr(s"${dotSpark("embedding", "embedding")} AS n2")
-          .agg(max("n2")).head.getDouble(0)
+        val m2 = maxNorm2(s, dir)
         val cands = e.selectExpr(
           "vec_id AS neighbor_id",
           s"concat(embedding, array(CAST(sqrt($m2 - (${dotSpark("embedding", "embedding")})) AS FLOAT))) AS c_aug")

@@ -25,7 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Ties are total-ordered by (score, id) — on equal scores the larger id
   * wins — so the result is deterministic and equals the window
-  * formulation `ORDER BY score DESC, id DESC` exactly (GroupedTopKSpec).
+  * formulation `ORDER BY score DESC, id DESC` exactly over DISTINCT
+  * (score, id) pairs (GroupedTopKSpec). Duplicate input pairs collapse
+  * (set semantics — the id is a row key); a caller whose ids are not
+  * unique per group should disambiguate them first.
   * Output: array<struct<score double, id bigint>> sorted descending.
   */
 case class TopKBy(
@@ -63,9 +66,14 @@ case class TopKBy(
 
   override def createAggregationBuffer(): Buf = new java.util.TreeSet(ord)
 
+  // A duplicate (score, id) pair is a no-op (set semantics — id is a row
+  // key): crucially, eviction happens ONLY when the add actually grew
+  // the set. The earlier spelling polled unconditionally after a
+  // duplicate add, silently shrinking the result below k
+  // (GroupedTopKSpec pins the duplicate case).
   private def admit(buf: Buf, p: (Double, Long)): Unit =
     if (buf.size < k) { buf.add(p); () }
-    else if (ord.compare(p, buf.first) > 0) { buf.add(p); buf.pollFirst(); () }
+    else if (ord.compare(p, buf.first) > 0 && buf.add(p)) { buf.pollFirst(); () }
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     val s = score.eval(input)
@@ -176,9 +184,11 @@ case class TopKByStr(
 
   override def createAggregationBuffer(): Buf = new java.util.TreeSet(ord)
 
+  // Same duplicate discipline as TopKBy.admit: evict only when the add
+  // grew the set (duplicate (score, key) rows are set no-ops).
   private def admit(buf: Buf, p: (Double, UTF8String)): Unit =
     if (buf.size < k) { buf.add(p); () }
-    else if (ord.compare(p, buf.first) > 0) { buf.add(p); buf.pollFirst(); () }
+    else if (ord.compare(p, buf.first) > 0 && buf.add(p)) { buf.pollFirst(); () }
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     val s = score.eval(input)

@@ -415,21 +415,42 @@ object ParquetTable {
       // The expensive part (the caller's rewrite) runs OUTSIDE the lock,
       // same staging discipline as swapIfCurrent.
       write(staging)
-      val expected = cur.getFileName.toString
+      // Compare RESOLVED paths, not _CURRENT's raw contents: a shallow
+      // clone's pointer is a path into the SOURCE table (currentPath
+      // follows it), so a name-vs-raw comparison would spuriously
+      // conflict every first DML on an undiverged clone.
+      val expectedPath = cur.toAbsolutePath.normalize
       val lock = occLocks.computeIfAbsent(
         Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
       lock.synchronized {
-        val live = currentVersion(dir)
-        if (live != expected)
+        val livePath = Paths.get(currentPath(dir)).toAbsolutePath.normalize
+        if (livePath != expectedPath)
           throw new ConcurrentWriteException(
-            s"$dir moved $expected -> $live during a row-level rewrite; " +
-              "the statement was NOT applied — re-read and retry")
-        val nextId = VersionNames.idOf(expected) + 1
+            s"$dir moved ${expectedPath.getFileName} -> ${livePath.getFileName} " +
+              "during a row-level rewrite; the statement was NOT applied — " +
+              "re-read and retry")
+        // Version id derived from the caller's snapshot (never re-read):
+        // on an undiverged clone this continues the source's numbering
+        // locally, which is fine — ids only need to be unique-increasing
+        // within the table dir.
+        val nextId = VersionNames.idOf(cur.getFileName.toString) + 1
         val next = VersionNames.format(nextId)
-        // Belt and braces: even if a foreign process slipped past the
-        // JVM lock, rename onto an occupied (non-empty) version dir
-        // fails — the slot can never be half-overwritten.
-        Files.move(staging, Paths.get(dir, next), StandardCopyOption.ATOMIC_MOVE)
+        val target = Paths.get(dir, next)
+        try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          // The slot can be occupied by exactly one thing here: a prior
+          // writer that crashed BETWEEN its move and its publish (the
+          // OCC check above just proved nothing was published past
+          // `cur`). That orphan is invisible to _CURRENT readers and
+          // unreachable forever — reclaim it and take the slot, or the
+          // table would be bricked on this id for good. A foreign
+          // concurrent process is excluded by the documented
+          // single-writer cross-process contract (the JVM lock covers
+          // in-process racers).
+          case _: java.nio.file.FileSystemException =>
+            VersionNames.deleteTree(target)
+            Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+        }
         publish(dir, next)
         nextId
       }

@@ -2767,8 +2767,14 @@ object GraftSql {
     // refs would be rewritten to prefixed names that do not exist there
     // and fail with a misleading analyzer error. Refuse that shape
     // loudly instead (the documented contract for unsupported shapes).
+    // The source pattern is an IDENTIFIER/dotted path, not \S+ — a \S+
+    // source swallowed expression text like `extract(epoch FROM l.ts)
+    // AS l` and false-refused valid statements. Best-effort by design:
+    // named-table reuse via FROM/JOIN is caught; derived-table
+    // (`(SELECT ...) la`) and comma-join redefinitions are not — those
+    // exotic shapes keep the pre-guard behavior.
     val aliasReuse =
-      s"""(?i)\\b(?:FROM|JOIN)\\s+\\S+\\s+(?:AS\\s+)?($la|$ra)\\b""".r
+      s"""(?i)\\b(?:FROM|JOIN)\\s+[A-Za-z_][A-Za-z0-9_.]*\\s+(?:AS\\s+)?($la|$ra)\\b""".r
     aliasReuse.findFirstMatchIn(rebuilt)
       .filterNot(mm => inLiteral(rebuilt, mm.start))
       .foreach { mm =>

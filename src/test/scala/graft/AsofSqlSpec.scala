@@ -109,6 +109,14 @@ class AsofSqlSpec extends SparkSuite {
           |WHERE l.pid IN (SELECT l.pid FROM asof_l l WHERE l.ms > 0)""".stripMargin)
     }
     assert(e4.getMessage.contains("also defined"), e4.getMessage)
+    // ...but the guard must not false-fire on FROM inside an ordinary
+    // expression (r12 review: a \S+ source pattern swallowed
+    // `extract(epoch FROM ...) AS l` and refused a valid statement).
+    val ok = GraftSql.sql(spark,
+      """SELECT l.pid, extract(YEAR FROM timestamp_seconds(l.ms)) AS l
+        |FROM asof_l l ASOF JOIN asof_r r
+        |  ON l.uid = r.uid AND l.ms >= r.ms""".stripMargin)
+    assert(ok.count() > 0)
   }
 
   test("TIMESTAMP time columns work (converted to epoch millis internally)") {

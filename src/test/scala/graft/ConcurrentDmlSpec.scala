@@ -61,6 +61,50 @@ class ConcurrentDmlSpec extends SparkSuite {
     assert(GraftSql.sql(spark, s"SELECT count(*) AS n FROM $nm").head.getLong(0) == 4L)
   }
 
+  test("a crashed writer's orphaned VERSION slot (moved, never published) self-heals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-occ3").toString + "/t"
+    ParquetTable.swap(spark,
+      spark.sql("SELECT 1L AS k, CAST(1.0 AS DOUBLE) AS v"), dir)
+    val cur = java.nio.file.Paths.get(ParquetTable.currentPath(dir))
+    // Simulate a writer that crashed between its atomic move and its
+    // publish: version slot n+1 exists on disk but _CURRENT still says n.
+    val orphan = java.nio.file.Paths.get(dir,
+      graft.streaming.VersionNames.format(
+        graft.streaming.VersionNames.idOf(cur.getFileName.toString) + 1))
+    java.nio.file.Files.createDirectories(orphan)
+    spark.sql("SELECT 5L AS k, CAST(5.0 AS DOUBLE) AS v")
+      .write.mode("overwrite").parquet(orphan.toString)
+    // The next writer against the LIVE snapshot must reclaim the slot,
+    // not brick the table on a permanently-occupied version id.
+    val id = ParquetTable.commitCow(dir, cur, Set.empty) { staging =>
+      spark.sql("SELECT 2L AS k, CAST(2.0 AS DOUBLE) AS v")
+        .write.mode("append").parquet(staging.toString)
+    }
+    assert(id == 2L)
+    val rows = ParquetTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rows == Set((1L, 1.0), (2L, 2.0)),
+      s"the orphan's rows must not leak: $rows")
+  }
+
+  test("first row-level DML on an UNDIVERGED shallow clone commits locally") {
+    val s = spark
+    import s.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-occ4").toString + "/src"
+    ParquetTable.swap(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), src)
+    val cloneDir = java.nio.file.Files.createTempDirectory("graft-occ4c").toString + "/c"
+    ParquetTable.shallowClone(src, cloneDir)
+    val nm = s"occ4_${java.util.UUID.randomUUID.toString.take(8)}".replace("-", "")
+    GraftSql.register(spark, nm, cloneDir, Seq("k"))
+    // The clone's pointer is a PATH into the source table — the OCC
+    // check must resolve it, not compare raw pointer text (which made
+    // every first clone DML a spurious conflict).
+    GraftSql.sql(spark, s"DELETE FROM $nm WHERE k = 1")
+    assert(GraftSql.sql(spark, s"SELECT count(*) AS n FROM $nm").head.getLong(0) == 1L)
+    assert(ParquetTable.read(spark, src).count() == 2,
+      "the source table must be untouched by the clone's DML")
+  }
+
   test("same-snapshot racers: exactly one wins, the loser is clean") {
     val dir = java.nio.file.Files.createTempDirectory("graft-occ2").toString + "/t"
     ParquetTable.swap(spark,

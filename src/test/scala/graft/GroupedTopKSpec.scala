@@ -106,6 +106,28 @@ class GroupedTopKSpec extends SparkSuite {
     assert(out == Seq("a\u0001999", "ab\u00011"), out.toString)
   }
 
+  test("duplicate (score, id) rows are set no-ops — the heap never shrinks below k") {
+    val s = spark
+    import s.implicits._
+    // r12 review finding: a duplicate admit on a FULL buffer used to
+    // evict the min without growing the set, under-filling the top-k.
+    val df = Seq(
+      ("g", 1.0, 7L), ("g", 5.0, 9L), ("g", 5.0, 9L), ("g", 5.0, 9L)
+    ).toDF("g", "score", "id")
+    val out = df.groupBy("g").agg(expr("topk_by(score, id, 2)").as("top"))
+      .selectExpr("explode(top) AS t").selectExpr("t.score", "t.id")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    assert(out == Seq((5.0, 9L), (1.0, 7L)), out.toString)
+
+    val dfs = Seq(
+      ("g", 1.0, "low"), ("g", 5.0, "hi"), ("g", 5.0, "hi"), ("g", 5.0, "hi")
+    ).toDF("g", "score", "k")
+    val outs = dfs.groupBy("g").agg(expr("topk_by_str(score, k, 2)").as("top"))
+      .selectExpr("explode(top) AS t").selectExpr("t.score", "t.id")
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq
+    assert(outs == Seq((5.0, "hi"), (1.0, "low")), outs.toString)
+  }
+
   test("topk_by_str plan has no Sort operator") {
     val s = spark
     import s.implicits._
