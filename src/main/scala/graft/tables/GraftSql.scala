@@ -1546,12 +1546,24 @@ object GraftSql {
 
   /** Resolve an ABSOLUTE version id to its version directory name — the
     * one listing is reused by every caller (a second listing could see a
-    * concurrent publish and shift newest-first indices under us). */
+    * concurrent publish and shift newest-first indices under us).
+    *
+    * Only PUBLISHED versions are addressable (r12): a writer that
+    * crashed between its atomic version-dir move and its `_CURRENT`
+    * publish leaves a complete-looking dir that was never acknowledged
+    * — resolving it here would read a PHANTOM commit through
+    * `VERSION AS OF` (and RESTORE could resurrect it). The published
+    * set is the `_HISTORY` names plus the live pointer: the pointer
+    * flip precedes the history append, so the current version may
+    * transiently lack its line but is committed by definition. */
   private def versionNameOf(name: String, dir: String, v: Long): String = {
     val names = ParquetTable.snapshots(dir)
-    val i = names.indexWhere(graft.streaming.VersionNames.idOf(_) == v)
-    require(i >= 0, s"table '$name' has no version $v " +
-      s"(have: ${names.map(graft.streaming.VersionNames.idOf)})")
+    val published = ParquetTable.publishedVersions(dir).map(_._1).toSet +
+      java.nio.file.Paths.get(ParquetTable.currentPath(dir)).getFileName.toString
+    val i = names.indexWhere(n =>
+      graft.streaming.VersionNames.idOf(n) == v && published(n))
+    require(i >= 0, s"table '$name' has no published version $v " +
+      s"(have: ${names.filter(published).map(graft.streaming.VersionNames.idOf)})")
     names(i)
   }
 

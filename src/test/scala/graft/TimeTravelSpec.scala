@@ -164,4 +164,33 @@ class TimeTravelSpec extends SparkSuite {
     // exactly as in Delta.
     assert(ParquetTable.snapshots(dir).size == 2)
   }
+
+  test("a moved-but-unpublished version dir is NOT addressable (no phantom commits)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ph").resolve("t").toString
+    ParquetTable.swap(spark, Seq(1, 2).toDF("v"), dir)
+    ParquetTable.swap(spark, Seq(1, 2, 3).toDF("v"), dir)
+    val nm = s"ph_${java.util.UUID.randomUUID.toString.take(8)}".replace("-", "")
+    graft.tables.GraftSql.register(spark, nm, dir, Seq("v"))
+
+    // Simulate a writer that crashed between its version-dir move and
+    // its publish: a complete-looking v3 that was never acknowledged.
+    val phantom = java.nio.file.Paths.get(dir,
+      graft.streaming.VersionNames.format(3L))
+    Seq(9, 9, 9, 9).toDF("v").write.parquet(phantom.toString)
+
+    // VERSION AS OF must refuse the phantom id...
+    val e = intercept[IllegalArgumentException] {
+      graft.tables.GraftSql.sql(spark,
+        s"SELECT count(*) AS n FROM $nm VERSION AS OF 3").collect()
+    }
+    assert(e.getMessage.contains("no published version"), e.getMessage)
+    // ...while the acknowledged lineage stays addressable and the live
+    // read is untouched.
+    assert(graft.tables.GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM $nm VERSION AS OF 1").head.getLong(0) == 2L)
+    assert(graft.tables.GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM $nm").head.getLong(0) == 3L)
+  }
 }
