@@ -38,13 +38,36 @@ object IvfIndex {
   def autoCells(n: Long): Int =
     math.max(16L, (n + TargetCellSize - 1) / TargetCellSize).toInt
 
-  /** One-time index build: O(corpus × K) assignment + one partitioned
-    * write; rebuild when the corpus or K changes. */
+  /** Seed-centroid build assignment with the scale dispatch (r12
+    * directive 1): flat O(N·K) up to [[Similarity.HierAssignThreshold]]
+    * cells (exactly seed-pinned — every oracle scale), the two-level
+    * ~O(N·√K) routing above it, and the broadcast-free cogrouped
+    * variant once the fine set itself outgrows a defensible broadcast
+    * ([[Similarity.MaxBroadcastFineCentroids]]). With K ∝ N under
+    * [[autoCells]], the flat path alone would make index build
+    * O(N²/125) — the dispatch is what keeps BUILD, not just search,
+    * on the 100 TB curve. HierBuildSpec pins that a build above the
+    * threshold equals the explicit two-level assignment (i.e. no flat
+    * N×K scan ran). */
+  private[sim] def assignForBuild(
+      spark: SparkSession, corpus: DataFrame, numCells: Int): DataFrame =
+    Similarity.hierCoarseK(numCells) match {
+      case None => Similarity.ivfAssign(spark, corpus, numCells)
+      case Some(ck) if numCells <= Similarity.MaxBroadcastFineCentroids =>
+        Similarity.ivfAssignHier(spark, corpus, numCells, ck)
+      case Some(ck) =>
+        Similarity.ivfAssignHierCogrouped(spark, corpus, numCells, ck)
+    }
+
+  /** One-time index build: one assignment pass over the corpus
+    * ([[assignForBuild]] — never the flat N×K scan above the K
+    * threshold) + one partitioned write; rebuild when the corpus or K
+    * changes. */
   def build(spark: SparkSession, corpus: DataFrame, numCells: Int, dir: String): Unit = {
     corpus.filter(col("vec_id") < numCells)
       .select("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    val assigns = Similarity.ivfAssign(spark, corpus, numCells)
+    val assigns = assignForBuild(spark, corpus, numCells)
       .select("vec_id", "cell")
     corpus.select("vec_id", "embedding").join(assigns, "vec_id")
       .select("cell", "vec_id", "embedding")
@@ -78,7 +101,7 @@ object IvfIndex {
     // values the search path scores with `cosine_sim` — so build-time
     // and probe-time cell choice can never disagree on a borderline.
     val floatCs = cs.map { case (c, e) => c -> e.map(x => x.toFloat.toDouble) }
-    val assigns = Kmeans.assign(spark, corpus, floatCs).select("vec_id", "cell")
+    val assigns = Kmeans.assignAuto(spark, corpus, floatCs).select("vec_id", "cell")
     corpus.select("vec_id", "embedding").join(assigns, "vec_id")
       .select("cell", "vec_id", "embedding")
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")

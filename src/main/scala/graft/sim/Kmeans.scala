@@ -47,18 +47,120 @@ object Kmeans {
       .mapPartitions { it =>
         val cs = bc.value
         it.map { v =>
-          var bestCell = -1L
-          var bestCos = Double.NegativeInfinity
-          cs.foreach { case (cell, cEmb) =>
-            val cos = cosineDJvm(v.embedding, cEmb)
-            if (cos > bestCos || (cos == bestCos && cell < bestCell)) {
-              bestCell = cell; bestCos = cos
-            }
-          }
+          val (bestCell, bestCos) = nearestCentroid(v.embedding, cs, v.vec_id)
           IvfAssign(v.vec_id, bestCell, Similarity.round6(bestCos))
         }
       }
       .toDF()
+  }
+
+  /** TWO-LEVEL assignment against TRAINED centroids — [[assign]]'s
+    * answer to the same O(N·K) cliff [[Similarity.ivfAssignHier]]
+    * closes for seed centroids: route each vector through the coarse
+    * subset first (the `coarseK` lowest cell ids — the deterministic
+    * analogue of the seed convention `vec_id < coarseK`), then score
+    * only the fine centroids owned by its coarse cell (~2√K scorings
+    * per vector). Same tie rule (cos DESC, id ASC) at both levels; the
+    * routing approximation is the sanctioned, measured one. Broadcast
+    * bound: the full centroid set ships to every JVM, same written
+    * bound as ivfAssignHier ([[Similarity.MaxBroadcastFineCentroids]])
+    * — beyond it, train on a sample (centroids that big can't be
+    * driver-held by [[fit]] anyway). */
+  def assignHier(
+      spark: SparkSession,
+      corpus: DataFrame,
+      centroids: Array[(Long, Array[Double])],
+      coarseK: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    require(coarseK >= 1 && coarseK <= centroids.length,
+      s"assignHier needs 1 <= coarseK <= K, got $coarseK/${centroids.length}")
+    implicit val vecEnc = Encoders.product[Vec]
+    implicit val asgEnc = Encoders.product[IvfAssign]
+    val sorted = centroids.sortBy(_._1)
+    val coarse = sorted.take(coarseK)
+    // Driver-side fine→coarse ownership map: K×coarseK scorings.
+    val children: Map[Long, Array[(Long, Array[Double])]] =
+      sorted.groupBy(c => nearestCentroidD(c._2, coarse, c._1)._1)
+    require(children.keySet.size == coarse.length,
+      "assignHier: a coarse centroid owns no fine centroid (exact-" +
+        s"duplicate centroids?) — owned ${children.keySet.size} of ${coarse.length}")
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcChildren = spark.sparkContext.broadcast(children)
+    corpus.select(col("vec_id"), col("embedding")).as[Vec]
+      .mapPartitions { it =>
+        val cs = bcCoarse.value
+        val ch = bcChildren.value
+        it.map { v =>
+          val (cc, _) = nearestCentroid(v.embedding, cs, v.vec_id)
+          val (cell, cos) = nearestCentroid(v.embedding, ch(cc), v.vec_id)
+          IvfAssign(v.vec_id, cell, Similarity.round6(cos))
+        }
+      }
+      .toDF()
+  }
+
+  /** Assignment with the build-scale dispatch: flat up to
+    * [[Similarity.HierAssignThreshold]] centroids (exactly pinned —
+    * every oracle scale), two-level routing above it. [[fit]] and
+    * `IvfIndex.buildTrained` assign through this door. */
+  def assignAuto(
+      spark: SparkSession,
+      corpus: DataFrame,
+      centroids: Array[(Long, Array[Double])]): DataFrame =
+    Similarity.hierCoarseK(centroids.length) match {
+      case None     => assign(spark, corpus, centroids)
+      case Some(ck) => assignHier(spark, corpus, centroids, ck)
+    }
+
+  /** argmax-cosine trained centroid for a float vector (cos DESC, id ASC
+    * tie — the family rule), with the zero-norm/NaN guard: a vector that
+    * scores NaN against every centroid fails loudly by vec_id instead of
+    * emitting cell -1. */
+  private def nearestCentroid(
+      emb: Array[Float], cands: Array[(Long, Array[Double])], vecId: Long): (Long, Double) = {
+    var bestId = -1L
+    var bestCos = Double.NegativeInfinity
+    cands.foreach { case (cell, cEmb) =>
+      val cos = cosineDJvm(emb, cEmb)
+      if (cos > bestCos || (cos == bestCos && cell < bestId)) {
+        bestId = cell; bestCos = cos
+      }
+    }
+    require(bestId >= 0,
+      s"nearestCentroid: vec_id=$vecId scored NaN against every centroid " +
+        "(zero-norm or NaN embedding?) — no cell assignable")
+    (bestId, bestCos)
+  }
+
+  /** Double-vector twin of [[nearestCentroid]] for the driver-side
+    * fine→coarse ownership scorings. */
+  private def nearestCentroidD(
+      emb: Array[Double], cands: Array[(Long, Array[Double])], id: Long): (Long, Double) = {
+    var bestId = -1L
+    var bestCos = Double.NegativeInfinity
+    cands.foreach { case (cell, cEmb) =>
+      val cos = cosineDDJvm(emb, cEmb)
+      if (cos > bestCos || (cos == bestCos && cell < bestId)) {
+        bestId = cell; bestCos = cos
+      }
+    }
+    require(bestId >= 0,
+      s"nearestCentroidD: centroid id=$id scored NaN against every coarse " +
+        "centroid (zero-norm centroid?)")
+    (bestId, bestCos)
+  }
+
+  /** cosine(double, double) with the family's left-fold order. */
+  private def cosineDDJvm(a: Array[Double], c: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nc = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * c(i)
+      na += a(i) * a(i)
+      nc += c(i) * c(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nc))
   }
 
   /** cosine(float vector, double centroid) with the same left-fold order
@@ -101,7 +203,7 @@ object Kmeans {
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .select(col("vec_id"), col("dim"), col("v").cast("double").as("v"))
     (1 to iters).foreach { _ =>
-      val asg = assign(spark, corpus, cs).select("vec_id", "cell")
+      val asg = assignAuto(spark, corpus, cs).select("vec_id", "cell")
       val sums = exploded.join(asg, "vec_id")
         .groupBy("cell", "dim")
         .agg(sum("v").as("s"), count(lit(1)).as("n"))

@@ -281,7 +281,19 @@ object Similarity {
     * nearest fine centroid lives under a DIFFERENT coarse cell gets its
     * best fine centroid within its own coarse cell — the recall cost is
     * measured, not hidden (sim_ivf_hier_topk's oracle replays the same
-    * two-level choice). */
+    * two-level choice).
+    *
+    * MEMORY BOUND (written, per r12 review): the fine set is collected
+    * to the driver and the `children` map is broadcast WHOLE to every
+    * executor JVM — at fineK centroids of dim D floats that is
+    * ~fineK·D·4 bytes per JVM (fineK = corpus/125 under `autoCells`, so
+    * e.g. 10⁹ vectors × dim 128 → 8M centroids ≈ 4 GB: too big). This
+    * variant is therefore bounded at [[MaxBroadcastFineCentroids]] fine
+    * centroids (dim 128 → ~134 MB broadcast, comfortably inside a
+    * normal executor); above the bound use [[ivfAssignHierCogrouped]],
+    * which holds only the √K coarse set in any JVM and shards the fine
+    * set by coarse cell through one shuffle. [[IvfIndex.assignForBuild]]
+    * dispatches across all three variants automatically. */
   def ivfAssignHier(
       spark: SparkSession, corpus: DataFrame, fineK: Int, coarseK: Int): DataFrame = {
     import org.apache.spark.sql.Encoders
@@ -294,7 +306,7 @@ object Similarity {
     val coarse = fine.filter(_.vec_id < coarseK)
     // Driver-side fine→coarse ownership map: fineK×coarseK scorings.
     val children: Map[Long, Array[Vec]] =
-      fine.groupBy(f => nearestSeed(f.embedding, coarse)._1)
+      fine.groupBy(f => nearestSeed(f.embedding, coarse, f.vec_id)._1)
     require(children.keySet.size == coarse.length,
       "ivfAssignHier: a coarse seed owns no fine centroid (exact-duplicate " +
         s"seed vectors?) — owned ${children.keySet.size} of ${coarse.length}")
@@ -305,18 +317,93 @@ object Similarity {
         val cs = bcCoarse.value
         val ch = bcChildren.value
         it.map { v =>
-          val (cc, _) = nearestSeed(v.embedding, cs)
-          val (cell, cos) = nearestSeed(v.embedding, ch(cc))
+          val (cc, _) = nearestSeed(v.embedding, cs, v.vec_id)
+          val (cell, cos) = nearestSeed(v.embedding, ch(cc), v.vec_id)
           IvfAssign(v.vec_id, cell, round6(cos))
         }
       }
       .toDF()
   }
 
+  /** Corpus vector tagged with its coarse-cell route — the shuffle key
+    * of [[ivfAssignHierCogrouped]]. */
+  final case class RoutedVec(cc: Long, vec_id: Long, embedding: Array[Float])
+
+  /** Shuffle-sharded two-level IVF assignment — [[ivfAssignHier]] with
+    * the fine-set broadcast removed: only the √K coarse seeds are ever
+    * held whole in a JVM. Both the corpus and the fine-seed set route to
+    * their coarse cell with the broadcast coarse seeds (identical
+    * `nearestSeed` tie rule), then ONE cogroup shuffle keyed by coarse
+    * cell co-locates each coarse cell's corpus rows with its ~√K owned
+    * fine centroids, and the fine argmax runs group-locally — per-task
+    * memory is the buffered fine slice (√K vectors), never the corpus
+    * or the full centroid set. Bit-identical to [[ivfAssignHier]] by
+    * construction (same routing function at both levels; pinned in
+    * AutoCellsSpec). Skew note: one coarse cell = one task's streamed
+    * iterator; the corpus side is streamed, not buffered, so a hot
+    * coarse cell costs time, not memory. */
+  def ivfAssignHierCogrouped(
+      spark: SparkSession, corpus: DataFrame, fineK: Int, coarseK: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    require(coarseK >= 1 && coarseK <= fineK,
+      s"ivfAssignHierCogrouped needs 1 <= coarseK <= fineK, got $coarseK/$fineK")
+    implicit val vecEnc = Encoders.product[Vec]
+    implicit val routedEnc = Encoders.product[RoutedVec]
+    implicit val asgEnc = Encoders.product[IvfAssign]
+    implicit val keyEnc = Encoders.scalaLong
+    val coarse = corpus.filter(col("vec_id") < coarseK)
+      .select(col("vec_id"), col("embedding")).as[Vec].collect().sortBy(_.vec_id)
+    val bc = spark.sparkContext.broadcast(coarse)
+    def routeByCoarse(df: DataFrame) =
+      df.select(col("vec_id"), col("embedding")).as[Vec]
+        .mapPartitions { it =>
+          val cs = bc.value
+          it.map(v => RoutedVec(nearestSeed(v.embedding, cs, v.vec_id)._1, v.vec_id, v.embedding))
+        }
+        .groupByKey(_.cc)
+    routeByCoarse(corpus)
+      .cogroup(routeByCoarse(corpus.filter(col("vec_id") < fineK))) { (cc, vecs, fines) =>
+        val owned = fines.map(f => Vec(f.vec_id, f.embedding)).toArray.sortBy(_.vec_id)
+        vecs.map { v =>
+          require(owned.nonEmpty,
+            s"ivfAssignHierCogrouped: coarse cell $cc owns no fine centroid " +
+              s"(exact-duplicate seed vectors?) but vec_id=${v.vec_id} routed to it")
+          val (cell, cos) = nearestSeed(v.embedding, owned, v.vec_id)
+          IvfAssign(v.vec_id, cell, round6(cos))
+        }
+      }
+      .toDF()
+  }
+
+  /** Cell count above which a BUILD-time assignment must not run the
+    * flat O(N·K) scan (with K ∝ N under `autoCells` that is O(N²/125)):
+    * route two-level instead. 64 keeps every oracle/bench scale
+    * (K = 16 at sf0.001–0.1) on the flat, seed-pinned path while sf1+
+    * (K ≥ 160) gets the ~O(N·√K) build. */
+  val HierAssignThreshold = 64
+
+  /** Fine-centroid count above which even [[ivfAssignHier]]'s whole-set
+    * broadcast is unreasonable (see its MEMORY BOUND note) and the
+    * cogrouped shuffle variant takes over: 2¹⁸ ≈ 262k centroids ≈
+    * 134 MB at dim 128 — the classic "biggest broadcast you'd defend". */
+  val MaxBroadcastFineCentroids = 1 << 18
+
+  /** The coarse-quantizer size for a two-level assignment over `k` fine
+    * cells — ⌈√k⌉ (balances the two scoring levels at ~2√k per vector)
+    * — or None when `k` is small enough that flat assignment is both
+    * cheaper and exactly seed-pinned. */
+  def hierCoarseK(k: Int): Option[Int] =
+    if (k <= HierAssignThreshold) None
+    else Some(math.min(k, math.ceil(math.sqrt(k.toDouble)).toInt))
+
   /** argmax-cosine seed (cos DESC, id ASC tie) — the shared tie rule of
     * both assignment levels; object-level so the executor closure ships
-    * no driver state. */
-  private def nearestSeed(emb: Array[Float], cands: Array[Vec]): (Long, Double) = {
+    * no driver state. A zero-norm (or NaN) input scores NaN against
+    * every seed, so neither branch ever fires and bestId stays -1 —
+    * left unguarded that surfaces as an opaque `children(-1)` on an
+    * executor; fail loudly here instead, naming the offending vector. */
+  private def nearestSeed(
+      emb: Array[Float], cands: Array[Vec], vecId: Long): (Long, Double) = {
     var bestId = -1L
     var bestCos = Double.NegativeInfinity
     cands.foreach { c =>
@@ -325,6 +412,9 @@ object Similarity {
         bestId = c.vec_id; bestCos = cos
       }
     }
+    require(bestId >= 0,
+      s"nearestSeed: vec_id=$vecId scored NaN against every centroid " +
+        "(zero-norm or NaN embedding?) — no cell assignable")
     (bestId, bestCos)
   }
 

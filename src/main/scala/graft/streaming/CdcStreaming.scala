@@ -439,15 +439,28 @@ object ParquetTable {
         try Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
         catch {
           // The slot can be occupied by exactly one thing here: a prior
-          // writer that crashed BETWEEN its move and its publish (the
-          // OCC check above just proved nothing was published past
-          // `cur`). That orphan is invisible to _CURRENT readers and
-          // unreachable forever — reclaim it and take the slot, or the
-          // table would be bricked on this id for good. A foreign
-          // concurrent process is excluded by the documented
-          // single-writer cross-process contract (the JVM lock covers
-          // in-process racers).
+          // writer that crashed BETWEEN its move and its publish. The OCC
+          // check above proved nothing was published past `cur`, and that
+          // holds against every in-process writer because ALL publishers
+          // (swap/swapIfCurrent/swapWithTxn/truncate/adopt/commitCow)
+          // claim their slot under this same per-table lock
+          // ([[publishStagedLocked]]). Such an orphan is invisible to
+          // _CURRENT readers and unreachable forever — reclaim it and
+          // take the slot, or the table would be bricked on this id for
+          // good. Defense-in-depth for anything outside the contract
+          // (a foreign process writing the same table): re-verify the
+          // occupying dir really is unpublished before deleting — a
+          // published or live occupant means a concurrent writer won,
+          // so lose loudly instead of deleting its commit.
           case _: java.nio.file.FileSystemException =>
+            if (currentVersion(dir) == next ||
+                publishedVersions(dir).exists(_._1 == next)) {
+              try VersionNames.deleteTree(staging) catch { case _: Exception => () }
+              throw new ConcurrentWriteException(
+                s"$dir version slot $next was published concurrently " +
+                  "(out-of-process writer?); the statement was NOT applied — " +
+                  "re-read and retry")
+            }
             VersionNames.deleteTree(target)
             Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
         }
@@ -480,16 +493,25 @@ object ParquetTable {
     require(Files.isDirectory(root), s"adopt: no such directory $dir")
     val files = VersionNames.childNames(root).filter(_.endsWith(".parquet"))
     require(files.nonEmpty, s"adopt: no parquet files at $dir")
-    val next = VersionNames.format(1L)
-    val nextPath = root.resolve(next)
-    Files.createDirectories(nextPath)
+    // Link into a staging dir and claim v1 through the shared occLock:
+    // two concurrent adopts race on the re-checked `exists`, never on a
+    // half-linked version dir.
+    val staging = root.resolve(s".staging-${java.util.UUID.randomUUID}")
+    Files.createDirectories(staging)
     files.foreach { f =>
       val src = root.resolve(f)
-      val dst = nextPath.resolve(f)
+      val dst = staging.resolve(f)
       try Files.createLink(dst, src)
       catch { case _: Exception => Files.copy(src, dst) }
     }
-    publish(dir, next)
+    try {
+      publishStagedLocked(dir, staging, validate = () =>
+        require(!exists(dir), s"adopt: $dir is already a versioned table"))
+    } catch {
+      case e: Throwable =>
+        try VersionNames.deleteTree(staging) catch { case _: Exception => () }
+        throw e
+    }
     files.size.toLong
   }
 
@@ -506,14 +528,13 @@ object ParquetTable {
     requireNoDv(cur, "truncate")
     val df = spark.read.parquet(cur.toString)
     val n = df.count() // answered from parquet footers, not a data scan
-    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
-    val next = VersionNames.format(nextId)
     // limit(0) keeps the schema; the single empty partition still emits
     // one footer-only part file, so readers of the new snapshot resolve
-    // the schema without any special empty-table casing.
-    df.limit(0).repartition(1).write.mode("overwrite")
-      .parquet(Paths.get(dir, next).toString)
-    publish(dir, next)
+    // the schema without any special empty-table casing. Slot claim goes
+    // through the shared occLock door like every publisher.
+    val staging = Paths.get(dir, s".staging-${java.util.UUID.randomUUID}")
+    df.limit(0).repartition(1).write.mode("overwrite").parquet(staging.toString)
+    publishStagedLocked(dir, staging)
     n
   }
 
@@ -918,15 +939,19 @@ object ParquetTable {
   }
 
   /** Write a new snapshot version and atomically repoint `_CURRENT`.
-    * Single-writer by design (one streaming query owns a table); readers
-    * are never blocked and never see a partial snapshot. For multiple
-    * cooperating writers use [[swapIfCurrent]]. */
+    * The candidate is written to a writer-private staging dir OUTSIDE
+    * the per-table lock; the slot claim (id assignment → move → publish)
+    * runs INSIDE it via [[publishStagedLocked]], so a swap can never
+    * publish between [[commitCow]]'s OCC check and its move — every
+    * in-process publish path holds the same lock. Last-writer-wins by
+    * design (no read-snapshot expectation); for optimistic validation
+    * use [[swapIfCurrent]]. */
   def swap(spark: SparkSession, df: DataFrame, dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
-    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
-    val next = VersionNames.format(nextId)
-    df.write.mode("overwrite").parquet(s"$dir/$next")
-    publish(dir, next)
+    val staging = Paths.get(dir, s".staging-${java.util.UUID.randomUUID}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    publishStagedLocked(dir, staging)
+    ()
   }
 
   /** Thrown by [[swapIfCurrent]] when another writer published first. */
@@ -949,20 +974,18 @@ object ParquetTable {
     // never collide on a version name they both computed early.
     val staging = s".staging-${java.util.UUID.randomUUID}"
     df.write.mode("overwrite").parquet(s"$dir/$staging")
-    val lock = occLocks.computeIfAbsent(
-      Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
-    lock.synchronized {
-      val cur = currentVersion(dir)
-      if (cur != expectedVersion) {
+    try {
+      publishStagedLocked(dir, Paths.get(dir, staging), validate = () => {
+        val cur = currentVersion(dir)
+        if (cur != expectedVersion)
+          throw new ConcurrentWriteException(
+            s"$dir moved $expectedVersion -> $cur while writing; re-read and retry")
+      })
+      ()
+    } catch {
+      case e: ConcurrentWriteException =>
         VersionNames.deleteTree(Paths.get(dir, staging))
-        throw new ConcurrentWriteException(
-          s"$dir moved $expectedVersion -> $cur while writing; re-read and retry")
-      }
-      // Version id assigned under the lock (validate → rename → commit).
-      val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
-      val next = VersionNames.format(nextId)
-      Files.move(Paths.get(dir, staging), Paths.get(dir, next))
-      publish(dir, next)
+        throw e
     }
   }
 
@@ -973,6 +996,30 @@ object ParquetTable {
 
   private val occLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The ONE in-process door to a version slot: assign the next id, move
+    * the caller's fully-written staging dir into it, and publish — all
+    * under the per-table occLock. Every publisher (swap, swapIfCurrent,
+    * swapWithTxn, truncate, adopt, commitCow) claims its slot through
+    * this lock, which is what makes commitCow's OCC window sound: nothing
+    * in-process can publish between its `_CURRENT` validation and its
+    * move. `validate` runs inside the lock BEFORE the slot is claimed —
+    * throw from it to abandon the publish (the caller owns staging
+    * cleanup on abort). Returns the published version id. */
+  private[graft] def publishStagedLocked(
+      dir: String, staging: java.nio.file.Path,
+      validate: () => Unit = () => ()): Long = {
+    val lock = occLocks.computeIfAbsent(
+      Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
+    lock.synchronized {
+      validate()
+      val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
+      val next = VersionNames.format(nextId)
+      Files.move(staging, Paths.get(dir, next))
+      publish(dir, next)
+      nextId
+    }
+  }
 
   /** Atomically repoint `_CURRENT` at a fully-written version dir, then
     * append the history line. private[graft]: GraftSql's scoped
@@ -1031,10 +1078,20 @@ object ParquetTable {
     val staging = s".staging-${java.util.UUID.randomUUID}"
     df.write.mode("overwrite").parquet(s"$dir/$staging")
     Files.writeString(Paths.get(dir, staging, "_TXN"), s"$appId\t$txnVersion\n")
-    val nextId = snapshots(dir).headOption.map(VersionNames.idOf(_) + 1).getOrElse(1L)
-    val next = VersionNames.format(nextId)
-    Files.move(Paths.get(dir, staging), Paths.get(dir, next))
-    publish(dir, next)
-    true
+    // Slot claim under the per-table occLock like every publisher; the
+    // idempotency stamp is re-checked inside the lock so a replayed
+    // commit racing itself cannot double-publish.
+    try {
+      publishStagedLocked(dir, Paths.get(dir, staging), validate = () => {
+        if (lastTxnVersion(dir, appId).exists(_ >= txnVersion))
+          throw new ConcurrentWriteException(
+            s"$dir already carries $appId txn >= $txnVersion")
+      })
+      true
+    } catch {
+      case _: ConcurrentWriteException =>
+        VersionNames.deleteTree(Paths.get(dir, staging))
+        false
+    }
   }
 }

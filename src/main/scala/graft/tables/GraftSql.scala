@@ -1558,8 +1558,17 @@ object GraftSql {
     * transiently lack its line but is committed by definition. */
   private def versionNameOf(name: String, dir: String, v: Long): String = {
     val names = ParquetTable.snapshots(dir)
-    val published = ParquetTable.publishedVersions(dir).map(_._1).toSet +
-      java.nio.file.Paths.get(ParquetTable.currentPath(dir)).getFileName.toString
+    // The live pointer joins the published set ONLY when it is a local
+    // bare version name (mirroring currentPath's clone detection): a
+    // shallow clone's pointer is a path into the SOURCE table, and
+    // adding the source's version NAME here would let a same-named
+    // local orphan (a writer that crashed between move and publish)
+    // resolve as published — exactly the phantom-commit read this set
+    // exists to prevent.
+    val rawPointer = ParquetTable.currentVersion(dir)
+    val published0 = ParquetTable.publishedVersions(dir).map(_._1).toSet
+    val published =
+      if (rawPointer.contains("/")) published0 else published0 + rawPointer
     val i = names.indexWhere(n =>
       graft.streaming.VersionNames.idOf(n) == v && published(n))
     require(i >= 0, s"table '$name' has no published version $v " +

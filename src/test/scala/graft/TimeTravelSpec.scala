@@ -193,4 +193,34 @@ class TimeTravelSpec extends SparkSuite {
     assert(graft.tables.GraftSql.sql(spark,
       s"SELECT count(*) AS n FROM $nm").head.getLong(0) == 3L)
   }
+
+  test("a shallow clone's local orphan never resolves as the source's version (ADVICE r12)") {
+    val s = spark
+    import s.implicits._
+    val srcDir = Files.createTempDirectory("graft-cph").resolve("src").toString
+    ParquetTable.swap(spark, Seq(1, 2).toDF("v"), srcDir)
+    ParquetTable.swap(spark, Seq(1, 2, 3).toDF("v"), srcDir)
+    val cloneDir = Files.createTempDirectory("graft-cph").resolve("clone").toString
+    ParquetTable.shallowClone(srcDir, cloneDir)
+
+    // The clone's pointer is a PATH into the source's v2. A local orphan
+    // dir with the SAME version name (a writer that crashed between its
+    // move and its publish) must not become addressable just because the
+    // pointer's filename matches it — that is the phantom-commit read.
+    val vname = java.nio.file.Paths.get(ParquetTable.currentPath(cloneDir))
+      .getFileName.toString
+    Seq(9, 9, 9, 9).toDF("v").write
+      .parquet(java.nio.file.Paths.get(cloneDir, vname).toString)
+
+    val nm = s"cph_${java.util.UUID.randomUUID.toString.take(8)}".replace("-", "")
+    graft.tables.GraftSql.register(spark, nm, cloneDir, Seq("v"))
+    val e = intercept[IllegalArgumentException] {
+      graft.tables.GraftSql.sql(spark,
+        s"SELECT count(*) AS n FROM $nm VERSION AS OF 2").collect()
+    }
+    assert(e.getMessage.contains("no published version"), e.getMessage)
+    // The clone still reads its source snapshot through the pointer.
+    assert(graft.tables.GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM $nm").head.getLong(0) == 3L)
+  }
 }
