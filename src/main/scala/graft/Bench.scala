@@ -30,6 +30,29 @@ object Bench {
     val runTag = sys.env.getOrElse("SPARK_GRAFT_RUN_TAG",
       java.time.LocalDateTime.now(java.time.ZoneOffset.UTC)
         .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss")))
+    // Wait-for-idle (r12 directive 4): rather than stamping a contended
+    // run as contaminated after the fact, WAIT (bounded) for the 1-min
+    // loadavg to drop below the contention threshold before measuring
+    // anything — a driver invocation that lands right after a busy
+    // Verify pass becomes a clean run instead of a flagged one. ON by
+    // default because the invoker who most needs it (the round driver)
+    // sets no env; SPARK_GRAFT_WAIT_IDLE=0 opts out for iteration. The
+    // wait is bounded (default 300 s, SPARK_GRAFT_WAIT_IDLE_MAX_S) so a
+    // permanently loaded box still produces an artifact (stamped
+    // contended exactly as before).
+    if (!sys.env.get("SPARK_GRAFT_WAIT_IDLE").contains("0")) {
+      val maxWaitS = sys.env.get("SPARK_GRAFT_WAIT_IDLE_MAX_S")
+        .flatMap(_.toIntOption).getOrElse(300)
+      val deadline = System.nanoTime() + maxWaitS * 1e9.toLong
+      def load1(): Option[Double] =
+        loadavg().split("\\s+").headOption.flatMap(_.toDoubleOption)
+      var l = load1()
+      while (l.exists(_ > 1.5) && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] waiting for idle: 1-min loadavg ${l.get}%.2f > 1.5")
+        Thread.sleep(10000)
+        l = load1()
+      }
+    }
     val loadStart = loadavg()
     val spark = SparkSessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

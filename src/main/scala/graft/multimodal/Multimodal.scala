@@ -205,6 +205,133 @@ object Multimodal {
         }
       }
 
+  /** REAL image kernel (r13, promoting the WAV pattern to an image
+    * format): BMP (BITMAPINFOHEADER, 24bpp uncompressed) encode + parse
+    * — the one image container this environment can decode end-to-end
+    * without media jars. The header is a little-endian struct like
+    * WAV's; rows are 4-byte aligned and stored bottom-up unless height
+    * is negative (top-down). Non-24bpp / compressed payloads are
+    * refused loudly (they belong behind the stub seam). */
+  object Bmp {
+    /** Decoded image: row-major TOP-DOWN luma (0-255 per pixel,
+      * (r+g+b)/3 integer — exact for grayscale payloads). */
+    final case class Image(width: Int, height: Int, luma: Array[Int])
+
+    def isBmp(b: Array[Byte]): Boolean =
+      b.length >= 54 && b(0) == 'B' && b(1) == 'M'
+
+    /** Encode an 8-bit grayscale image (row-major top-down `gray`,
+      * values 0-255) as a standard bottom-up 24bpp BMP; `topDown = true`
+      * writes the negative-height variant. Fixture generator for the
+      * spec AND the engine-side payload builder of mm_phash_bmp_neardup
+      * (the parse is the kernel under test; encoding is bookkeeping). */
+    def encodeGray(width: Int, height: Int, gray: Array[Int], topDown: Boolean = false): Array[Byte] = {
+      require(gray.length == width * height,
+        s"encodeGray: ${gray.length} pixels for ${width}x$height")
+      val rowSize = ((24 * width + 31) / 32) * 4
+      val dataSize = rowSize * height
+      val out = new Array[Byte](54 + dataSize)
+      def w16(o: Int, v: Int): Unit = {
+        out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def w32(o: Int, v: Int): Unit = {
+        w16(o, v & 0xffff); w16(o + 2, (v >>> 16) & 0xffff)
+      }
+      out(0) = 'B'; out(1) = 'M'
+      w32(2, out.length); w32(10, 54)       // file size, pixel-data offset
+      w32(14, 40)                           // BITMAPINFOHEADER size
+      w32(18, width); w32(22, if (topDown) -height else height)
+      w16(26, 1); w16(28, 24); w32(30, 0)   // planes, bpp, BI_RGB
+      w32(34, dataSize)
+      var r = 0
+      while (r < height) {
+        // File row r holds image row (height-1-r) bottom-up, r top-down.
+        val imgRow = if (topDown) r else height - 1 - r
+        var x = 0
+        while (x < width) {
+          val v = (gray(imgRow * width + x) & 0xff).toByte
+          val o = 54 + r * rowSize + 3 * x
+          out(o) = v; out(o + 1) = v; out(o + 2) = v
+          x += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    def parse(bytes: Array[Byte]): Image = {
+      require(isBmp(bytes), "not a BMP payload")
+      def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def s32(o: Int): Int =
+        (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+          ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      val dataOff = s32(10)
+      val hdrSize = s32(14)
+      require(hdrSize >= 40, s"unsupported BMP: header size $hdrSize (need BITMAPINFOHEADER)")
+      val width = s32(18)
+      val rawHeight = s32(22)
+      val topDown = rawHeight < 0
+      val height = math.abs(rawHeight)
+      val bpp = u16(28)
+      require(bpp == 24, s"unsupported BMP: $bpp bpp (need 24)")
+      val compression = s32(30)
+      require(compression == 0, s"unsupported BMP: compression $compression (need BI_RGB)")
+      require(width > 0 && height > 0 && width.toLong * height <= Int.MaxValue,
+        s"malformed BMP: ${width}x$rawHeight")
+      val rowSize = ((24 * width + 31) / 32) * 4
+      require(dataOff >= 54 && dataOff.toLong + rowSize.toLong * height <= bytes.length,
+        s"truncated BMP: need ${rowSize.toLong * height} pixel bytes at $dataOff of ${bytes.length}")
+      val luma = new Array[Int](width * height)
+      var r = 0
+      while (r < height) {
+        val fileRow = if (topDown) r else height - 1 - r
+        var x = 0
+        while (x < width) {
+          val o = dataOff + fileRow * rowSize + 3 * x
+          val b = bytes(o) & 0xff; val g = bytes(o + 1) & 0xff; val rr = bytes(o + 2) & 0xff
+          luma(r * width + x) = (rr + g + b) / 3
+          x += 1
+        }
+        r += 1
+      }
+      Image(width, height, luma)
+    }
+  }
+
+  final case class MediaHash(media_id: Long, simhash: Long)
+  implicit val hashEnc: Encoder[MediaHash] = Encoders.product[MediaHash]
+
+  /** Perceptual average-hash over REAL decoded BMP pixels — the image
+    * twin of [[voiceActivityWav]]: parse the container, then bit i of
+    * the hash = raster segment i's luma mass above the image mean,
+    * compared by integer cross-multiplication (seg·n > total·segLen; no
+    * float anywhere). Same 32-segment structure as the payload-level
+    * aHash in mm_phash_neardup, so the output feeds the identical
+    * banded-Hamming pair machinery (Dedup.simhashPairs — never
+    * all-pairs). Non-BMP images are excluded (stub seam). Partition-
+    * local, no shuffle; a DCT-based pHash would change ONLY the
+    * bit-derivation inside this loop. */
+  def phashBmp(media: Dataset[MediaRecord], segments: Int = 32): Dataset[MediaHash] =
+    media.filter(r => r.kind == "image" && Bmp.isBmp(r.payload)).mapPartitions { it =>
+      it.map { r =>
+        val px = Bmp.parse(r.payload).luma
+        val n = px.length
+        var total = 0L
+        var k = 0
+        while (k < n) { total += px(k); k += 1 }
+        var h = 0L
+        var i = 0
+        while (i < segments) {
+          val s = i * n / segments; val e = (i + 1) * n / segments
+          var seg = 0L; var j = s
+          while (j < e) { seg += px(j); j += 1 }
+          if (seg * n > total * (e - s)) h |= 1L << i
+          i += 1
+        }
+        MediaHash(r.media_id, h)
+      }
+    }
+
   final case class ResizedFeatures(
       media_id: Long, kind: String, rs_len: Long, rs_checksum: Long)
 

@@ -130,6 +130,50 @@ object MultimodalQueries extends QueryModule {
              |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.ph, b.ph)) <= 2""".stripMargin)),
 
+    // REAL-decode pHash near-dup (r12 directive 5, the WAV pattern
+    // promoted to an image format): payloads are actual 16x16 24bpp BMP
+    // containers built from each document's bytes, the engine runs the
+    // full parse (header walk, bottom-up rows, 4-byte row padding, luma)
+    // and average-hashes the DECODED pixels — then the same banded
+    // Hamming pair machinery as mm_phash_neardup. The oracle replays
+    // the pixel tiling + hash arithmetically from the text (it cannot
+    // parse BMP — which is the point: the engine's container decode
+    // must be invisible in the result).
+    EngineQuery(
+      "mm_phash_bmp_neardup",
+      (s, dir) => {
+        import s.implicits._
+        import graft.multimodal.Multimodal.recEnc
+        val docs = s.read.parquet(tablePath(dir, "documents"))
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+        val media = docs.map { case (id, text) =>
+          // 256 pixels tiled from the text's char codes (low byte).
+          val px = Array.tabulate(256) { k =>
+            if (text.isEmpty) 0 else text.charAt(k % text.length) & 0xff
+          }
+          Multimodal.MediaRecord(id, "image",
+            Multimodal.Bmp.encodeGray(16, 16, px),
+            Multimodal.MediaMeta("documents", "image"))
+        }
+        val ph = Multimodal.phashBmp(media).toDF()
+          .withColumnRenamed("media_id", "doc_id")
+        graft.dedup.Dedup.simhashPairs(s, ph, 2)
+      },
+      Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+             |px AS (SELECT doc_id,
+             |    [CASE WHEN n = 0 THEN 0 ELSE unicode(text[(k % n) + 1]) % 256 END
+             |     for k in range(0, 256)] AS p
+             |  FROM b),
+             |st AS (SELECT doc_id, p, list_sum(p) AS total FROM px),
+             |ph AS (SELECT doc_id,
+             |    list_sum([CASE WHEN coalesce(list_sum(p[(i*256//32)+1:((i+1)*256//32)]), 0) * 256 > total * 8
+             |              THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 32)]) AS ph
+             |  FROM st)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+             |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.ph, b.ph)) <= 2""".stripMargin)),
+
     // Voice-activity detection over the audio payloads: 32-byte frames
     // score Σ unsigned bytes, voiced = frame mean > clip mean by integer
     // cross-multiplication, plus the longest voiced RUN (the segment-

@@ -114,6 +114,11 @@ def main():
             print(f"PASS {name} ({len(engine_rows)} rows)")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail")
+    # COVERAGE.md <-> query-key consistency rides the same gate (r12
+    # directive 7): a query without a coverage row, or a stale coverage
+    # reference, fails the run even when every oracle row is green.
+    import coverage_check
+    n_fail += 1 if coverage_check.main() else 0
     sys.exit(1 if n_fail else 0)
 
 
