@@ -97,7 +97,17 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .filter(_.nonEmpty)
-    def keep(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    // SPARK_GRAFT_BENCH_SKIP=name1,name2 — EXACT-name exclusions for
+    // extreme-SF runs (the labeled quadratic yardsticks are quadratic by
+    // design; at sf10 they are days, not data). No silent caps: the skip
+    // list is stamped into the artifact as "skipped" so a run that
+    // excluded anything can never read as full coverage.
+    val skip: Set[String] =
+      sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+    def keep(name: String): Boolean =
+      only.forall(_.exists(name.startsWith)) && !skip(name)
 
     val results =
       builds.filter(b => keep(b._1)).map { case (name, work) => (name, timed(work)) } ++
@@ -148,8 +158,9 @@ object Bench {
     val contended =
       loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption)
         .map(l => (l > 1.5).toString).getOrElse("null")
+    val skipped = skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val stamp =
-      s""""run_tag":${jstr(runTag)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"contended":$contended"""
+      s""""run_tag":${jstr(runTag)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"contended":$contended,"skipped":$skipped"""
     val fullQs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
     val fullLine =

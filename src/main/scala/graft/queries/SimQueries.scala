@@ -516,7 +516,7 @@ object SimQueries extends QueryModule {
       "sim_hard_negatives_cells",
       (s, dir) => {
         val e = emb(s, dir)
-        val assigns = ivfAssign(s, e, autoK(s, dir)).select("vec_id", "cell")
+        val assigns = ivfAssignAuto(s, e, autoK(s, dir)).select("vec_id", "cell")
         val cands = e.select(col("vec_id"), col("embedding"), col("label"))
           .join(assigns, "vec_id")
         val probes = cands.filter(col("vec_id") < 8).select(
@@ -622,7 +622,7 @@ object SimQueries extends QueryModule {
       "sim_semdedup",
       (s, dir) => {
         val e = emb(s, dir)
-        val assigned = ivfAssign(s, e, autoK(s, dir)).select("vec_id", "cell")
+        val assigned = ivfAssignAuto(s, e, autoK(s, dir)).select("vec_id", "cell")
           .join(e.select("vec_id", "embedding"), "vec_id")
         val dropped = bucketPairsJvm(
             s, assigned.selectExpr("vec_id", "embedding", "cell AS bucket"), 0.3)
@@ -669,7 +669,7 @@ object SimQueries extends QueryModule {
       "sim_knn_graph",
       (s, dir) => {
         val e = emb(s, dir)
-        val assigns = ivfAssign(s, e, autoK(s, dir)).select(col("vec_id"), col("cell"))
+        val assigns = ivfAssignAuto(s, e, autoK(s, dir)).select(col("vec_id"), col("cell"))
         val cands = e.select(col("vec_id"), col("embedding")).join(assigns, "vec_id")
         val left = cands.select(col("cell"), col("vec_id"), col("embedding").as("a_emb"))
         val right = cands.select(
@@ -938,7 +938,7 @@ object SimQueries extends QueryModule {
     // deterministic seed centroids, argmax-cosine assignment.
     EngineQuery(
       "sim_ivf_assign",
-      (s, dir) => ivfAssign(s, emb(s, dir), autoK(s, dir)),
+      (s, dir) => ivfAssignAuto(s, emb(s, dir), autoK(s, dir)),
       Some(s"""WITH c AS (SELECT vec_id AS cell, embedding AS c_emb
               |  FROM embeddings WHERE vec_id < 16),
               |p AS (SELECT e.vec_id, c.cell,
@@ -974,7 +974,7 @@ object SimQueries extends QueryModule {
       "sim_ivf_topk",
       (s, dir) => {
         val e = emb(s, dir)
-        val assigns = ivfAssign(s, e, autoK(s, dir)).select(col("vec_id"), col("cell"))
+        val assigns = ivfAssignAuto(s, e, autoK(s, dir)).select(col("vec_id"), col("cell"))
         val probes = e.filter(col("vec_id") < 5)
           .join(assigns, "vec_id")
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
@@ -1069,7 +1069,7 @@ object SimQueries extends QueryModule {
       "sim_ivf_recall",
       (s, dir) => {
         val e = emb(s, dir)
-        val assigns = ivfAssign(s, e, autoK(s, dir)).select(col("vec_id"), col("cell"))
+        val assigns = ivfAssignAuto(s, e, autoK(s, dir)).select(col("vec_id"), col("cell"))
         val probes = e.filter(col("vec_id") < 5)
           .join(assigns, "vec_id")
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))

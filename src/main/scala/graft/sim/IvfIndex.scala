@@ -51,13 +51,7 @@ object IvfIndex {
     * N×K scan ran). */
   private[sim] def assignForBuild(
       spark: SparkSession, corpus: DataFrame, numCells: Int): DataFrame =
-    Similarity.hierCoarseK(numCells) match {
-      case None => Similarity.ivfAssign(spark, corpus, numCells)
-      case Some(ck) if numCells <= Similarity.MaxBroadcastFineCentroids =>
-        Similarity.ivfAssignHier(spark, corpus, numCells, ck)
-      case Some(ck) =>
-        Similarity.ivfAssignHierCogrouped(spark, corpus, numCells, ck)
-    }
+    Similarity.ivfAssignAuto(spark, corpus, numCells)
 
   /** One-time index build: one assignment pass over the corpus
     * ([[assignForBuild]] — never the flat N×K scan above the K

@@ -396,6 +396,23 @@ object Similarity {
     if (k <= HierAssignThreshold) None
     else Some(math.min(k, math.ceil(math.sqrt(k.toDouble)).toInt))
 
+  /** Seed-centroid assignment with the scale dispatch — the ONE door
+    * every auto-scaled-K caller (index builds AND the cell-confinement
+    * queries) should assign through: flat O(N·K) up to
+    * [[HierAssignThreshold]] (exactly seed-pinned — every oracle
+    * scale), two-level ~O(N·√K) routing above it, and the
+    * broadcast-free cogrouped variant once the fine set outgrows
+    * [[MaxBroadcastFineCentroids]]. With K ∝ N under the cell-size
+    * invariant, a flat call here is the O(N²/cellSize) cliff —
+    * HierBuildSpec pins the dispatch. */
+  def ivfAssignAuto(spark: SparkSession, corpus: DataFrame, numCells: Int): DataFrame =
+    hierCoarseK(numCells) match {
+      case None => ivfAssign(spark, corpus, numCells)
+      case Some(ck) if numCells <= MaxBroadcastFineCentroids =>
+        ivfAssignHier(spark, corpus, numCells, ck)
+      case Some(ck) => ivfAssignHierCogrouped(spark, corpus, numCells, ck)
+    }
+
   /** argmax-cosine seed (cos DESC, id ASC tie) — the shared tie rule of
     * both assignment levels; object-level so the executor closure ships
     * no driver state. A zero-norm (or NaN) input scores NaN against
