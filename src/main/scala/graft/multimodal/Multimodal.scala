@@ -276,18 +276,24 @@ object Multimodal {
       require(bpp == 24, s"unsupported BMP: $bpp bpp (need 24)")
       val compression = s32(30)
       require(compression == 0, s"unsupported BMP: compression $compression (need BI_RGB)")
-      require(width > 0 && height > 0 && width.toLong * height <= Int.MaxValue,
+      // Row size in LONG: a hostile header with width ~90M would
+      // overflow 24*width to a negative Int rowSize and sail past the
+      // truncation require into an opaque executor
+      // ArrayIndexOutOfBounds; with Long arithmetic the truncation
+      // require below rejects any dims the payload can't physically
+      // hold, loudly.
+      require(width > 0 && height > 0,
         s"malformed BMP: ${width}x$rawHeight")
-      val rowSize = ((24 * width + 31) / 32) * 4
-      require(dataOff >= 54 && dataOff.toLong + rowSize.toLong * height <= bytes.length,
-        s"truncated BMP: need ${rowSize.toLong * height} pixel bytes at $dataOff of ${bytes.length}")
+      val rowSize = ((24L * width + 31) / 32) * 4
+      require(dataOff >= 54 && dataOff.toLong + rowSize * height <= bytes.length,
+        s"truncated BMP: need ${rowSize * height} pixel bytes at $dataOff of ${bytes.length}")
       val luma = new Array[Int](width * height)
       var r = 0
       while (r < height) {
         val fileRow = if (topDown) r else height - 1 - r
         var x = 0
         while (x < width) {
-          val o = dataOff + fileRow * rowSize + 3 * x
+          val o = (dataOff + fileRow * rowSize + 3L * x).toInt
           val b = bytes(o) & 0xff; val g = bytes(o + 1) & 0xff; val rr = bytes(o + 2) & 0xff
           luma(r * width + x) = (rr + g + b) / 3
           x += 1

@@ -147,9 +147,13 @@ object MultimodalQueries extends QueryModule {
         val docs = s.read.parquet(tablePath(dir, "documents"))
           .select(col("doc_id"), col("text")).as[(Long, String)]
         val media = docs.map { case (id, text) =>
-          // 256 pixels tiled from the text's char codes (low byte).
+          // 256 pixels tiled from the text's CODE POINTS (low byte) —
+          // code points, not UTF-16 units, because the oracle's
+          // text[i]/length(text) index code points; charAt/String.length
+          // would shift every index the moment a non-BMP char appears.
+          val cps = text.codePoints().toArray
           val px = Array.tabulate(256) { k =>
-            if (text.isEmpty) 0 else text.charAt(k % text.length) & 0xff
+            if (cps.isEmpty) 0 else cps(k % cps.length) % 256
           }
           Multimodal.MediaRecord(id, "image",
             Multimodal.Bmp.encodeGray(16, 16, px),

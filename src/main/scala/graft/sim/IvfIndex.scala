@@ -101,6 +101,17 @@ object IvfIndex {
       .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/cells")
   }
 
+  /** The index's centroid set as the JVM array every dispatch-aware
+    * path shares — a K×D driver pull, bounded by the cell count (the
+    * same collect class as build's seed pull). */
+  private def loadCentroids(spark: SparkSession, dir: String): Array[Similarity.Vec] = {
+    import org.apache.spark.sql.Encoders
+    implicit val vecEnc = Encoders.product[Similarity.Vec]
+    spark.read.parquet(s"$dir/centroids")
+      .select(col("vec_id"), col("embedding")).as[Similarity.Vec]
+      .collect().sortBy(_.vec_id)
+  }
+
   /** Incremental index maintenance: assign a DELTA of new vectors to
     * the EXISTING centroids and append them to their cell partitions —
     * no rebuild, no touch of resident cells' files. The index stays
@@ -108,20 +119,55 @@ object IvfIndex {
     * as the centroid set is unchanged (IvfIndexSpec pins bit-equality);
     * re-train + rebuild stays the maintenance op once drift accumulates
     * (the OPTIMIZE analogue). Cost: one broadcast-assign pass over the
-    * delta + one partitioned append. */
+    * delta + one partitioned append.
+    *
+    * Above the K threshold the delta routes through the SAME two-level
+    * rule as the build (r13): a flat argmax here could place a delta
+    * vector in a cell the hier-routed build would never have chosen,
+    * silently breaking the append==rebuild contract exactly where the
+    * dispatch changes the build. */
   def appendVectors(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
     import org.apache.spark.sql.functions.broadcast
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-    val wCell = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell").asc)
-    delta.select("vec_id", "embedding")
-      .crossJoin(broadcast(centroids))
-      .selectExpr("vec_id", "embedding", "cell", "cosine_sim(embedding, c_emb) AS cos")
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
-      .select("cell", "vec_id", "embedding")
-      .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+    Similarity.hierCoarseK(loadCentroidCount(spark, dir)) match {
+      case None =>
+        val centroids = spark.read.parquet(s"$dir/centroids")
+          .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+        val wCell = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell").asc)
+        delta.select("vec_id", "embedding")
+          .crossJoin(broadcast(centroids))
+          .selectExpr("vec_id", "embedding", "cell", "cosine_sim(embedding, c_emb) AS cos")
+          .withColumn("rn", row_number().over(wCell))
+          .filter(col("rn") === 1)
+          .select("cell", "vec_id", "embedding")
+          .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+      case Some(ck) =>
+        import org.apache.spark.sql.Encoders
+        implicit val vecEnc = Encoders.product[Similarity.Vec]
+        implicit val routedEnc = Encoders.product[Similarity.RoutedVec]
+        val cents = loadCentroids(spark, dir)
+        val (routable, children) = Similarity.hierRouting(cents, ck)
+        val bcCoarse = spark.sparkContext.broadcast(routable)
+        val bcChildren = spark.sparkContext.broadcast(children)
+        delta.select(col("vec_id"), col("embedding")).as[Similarity.Vec]
+          .mapPartitions { it =>
+            val cs = bcCoarse.value
+            val ch = bcChildren.value
+            it.map { v =>
+              val (cc, _) = Similarity.nearestSeed(v.embedding, cs, v.vec_id)
+              val (cell, _) = Similarity.nearestSeed(v.embedding, ch(cc), v.vec_id)
+              Similarity.RoutedVec(cell, v.vec_id, v.embedding)
+            }
+          }
+          .toDF()
+          .select(col("cc").as("cell"), col("vec_id"), col("embedding"))
+          .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
+    }
   }
+
+  /** Cell count of a persisted index — parquet footer metadata, no data
+    * scan. */
+  private def loadCentroidCount(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/centroids").count().toInt
 
   /** Top-k neighbors per probe, reading only the probed cells'
     * partition directories. */
@@ -142,20 +188,56 @@ object IvfIndex {
       spark: SparkSession, dir: String, probes: DataFrame,
       nprobe: Int): (DataFrame, DataFrame) = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val centroids = spark.read.parquet(s"$dir/centroids")
-      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-    val wCell = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell").asc)
-    val probeRows = probes
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(centroids))
-      .selectExpr("query_id", "q_emb", "cell", "cosine_sim(q_emb, c_emb) AS cos")
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") <= nprobe)
-      .select("query_id", "q_emb", "cell")
-    val collected = probeRows.collect()
-    val probeCells = spark.createDataFrame(
-      java.util.Arrays.asList(collected: _*), probeRows.schema)
-    val cellIds = collected.map(_.getAs[Long]("cell")).distinct.toSeq
+    val probeCells = Similarity.hierCoarseK(loadCentroidCount(spark, dir)) match {
+      case None =>
+        val centroids = spark.read.parquet(s"$dir/centroids")
+          .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+        val wCell = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell").asc)
+        val probeRows = probes
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+          .crossJoin(broadcast(centroids))
+          .selectExpr("query_id", "q_emb", "cell", "cosine_sim(q_emb, c_emb) AS cos")
+          .withColumn("rn", row_number().over(wCell))
+          .filter(col("rn") <= nprobe)
+          .select("query_id", "q_emb", "cell")
+        val collected = probeRows.collect()
+        spark.createDataFrame(
+          java.util.Arrays.asList(collected: _*), probeRows.schema)
+      case Some(ck) =>
+        // Above the K threshold the BUILD placed vectors by two-level
+        // routing; probes must walk the SAME route (FAISS reuses its
+        // coarse quantizer at query time for exactly this reason) — a
+        // flat probe argmax would scan a cell the probe's true
+        // neighbors were never placed in, an unmeasured recall hole on
+        // top of the sanctioned within-coarse approximation. Per-probe
+        // cost drops K -> ~2√K as a side effect. Multi-probe ranks the
+        // nprobe best fine cells WITHIN the probe's coarse cell (IMI-
+        // style; cross-coarse multiprobe is the next knob and would
+        // extend this arm, not the flat one).
+        import org.apache.spark.sql.Encoders
+        implicit val vecEnc = Encoders.product[Similarity.Vec]
+        val cents = loadCentroids(spark, dir)
+        val (routable, children) = Similarity.hierRouting(cents, ck)
+        val probeArr = probes.select(col("vec_id"), col("embedding"))
+          .as[Similarity.Vec].collect()
+        val rows: Seq[org.apache.spark.sql.Row] = probeArr.toSeq.flatMap { p =>
+          val (cc, _) = Similarity.nearestSeed(p.embedding, routable, p.vec_id)
+          children(cc)
+            .map(c => (c.vec_id, Similarity.cosineJvm(p.embedding, c.embedding)))
+            .sortBy { case (id, cos) => (-cos, id) }
+            .take(nprobe)
+            .map { case (cell, _) =>
+              org.apache.spark.sql.Row(p.vec_id, p.embedding.toSeq, cell)
+            }
+        }
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("query_id", LongType, nullable = false),
+          StructField("q_emb", ArrayType(FloatType), nullable = false),
+          StructField("cell", LongType, nullable = false)))
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }
+    val cellIds = probeCells.select("cell").collect().map(_.getLong(0)).distinct.toSeq
     val cands = spark.read.parquet(s"$dir/cells")
       .filter(col("cell").isin(cellIds: _*))
       .withColumn("cell", col("cell").cast("long"))

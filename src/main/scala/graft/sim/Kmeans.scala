@@ -78,13 +78,22 @@ object Kmeans {
     implicit val asgEnc = Encoders.product[IvfAssign]
     val sorted = centroids.sortBy(_._1)
     val coarse = sorted.take(coarseK)
-    // Driver-side fine→coarse ownership map: K×coarseK scorings.
+    // Driver-side fine→coarse ownership map: K×coarseK scorings. A
+    // coarse centroid owning nothing is a same-direction duplicate of a
+    // lower-id coarse centroid (cos(c,c)=1 maximal, ties id-ASC) and by
+    // the same two facts UNREACHABLE from any vector — Lloyd iterations
+    // can collapse centroids onto each other, so this is a legitimate
+    // degenerate state to route around, not an abort (it would crash
+    // fit() mid-training above the dispatch threshold).
     val children: Map[Long, Array[(Long, Array[Double])]] =
       sorted.groupBy(c => nearestCentroidD(c._2, coarse, c._1)._1)
-    require(children.keySet.size == coarse.length,
-      "assignHier: a coarse centroid owns no fine centroid (exact-" +
-        s"duplicate centroids?) — owned ${children.keySet.size} of ${coarse.length}")
-    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    require(children.nonEmpty, "assignHier: no coarse centroid owns anything")
+    // Routing considers only OWNING coarse centroids, mirroring
+    // ivfAssignHier's `routable` rule — children(cc) total by
+    // construction even when near-parallel centroids' cosines differ in
+    // the last ulp.
+    val routable = coarse.filter(c => children.contains(c._1))
+    val bcCoarse = spark.sparkContext.broadcast(routable)
     val bcChildren = spark.sparkContext.broadcast(children)
     corpus.select(col("vec_id"), col("embedding")).as[Vec]
       .mapPartitions { it =>

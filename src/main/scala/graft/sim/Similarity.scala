@@ -303,14 +303,19 @@ object Similarity {
     implicit val asgEnc = Encoders.product[IvfAssign]
     val fine = corpus.filter(col("vec_id") < fineK)
       .select(col("vec_id"), col("embedding")).as[Vec].collect().sortBy(_.vec_id)
-    val coarse = fine.filter(_.vec_id < coarseK)
     // Driver-side fine→coarse ownership map: fineK×coarseK scorings.
-    val children: Map[Long, Array[Vec]] =
-      fine.groupBy(f => nearestSeed(f.embedding, coarse, f.vec_id)._1)
-    require(children.keySet.size == coarse.length,
-      "ivfAssignHier: a coarse seed owns no fine centroid (exact-duplicate " +
-        s"seed vectors?) — owned ${children.keySet.size} of ${coarse.length}")
-    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    // A coarse seed owning NOTHING (not even itself) means a same-
+    // direction duplicate with a LOWER id exists: cos(c, c) = 1 is
+    // maximal and ties break id-ASC, so the duplicate claims c. Routing
+    // considers ONLY owning coarse seeds (hierRouting's `routable`), so
+    // `ch(cc)` is total by construction — for bit-identical duplicates
+    // the empty seed could never win a route anyway (equal cosines,
+    // lower id wins), and for merely-parallel seeds whose cosines
+    // differ in the last ulp this removes the one path to an
+    // executor-side children(-miss). Pre-r13 this was a hard require
+    // that aborted the whole assignment on degenerate seed data.
+    val (routable, children) = hierRouting(fine, coarseK)
+    val bcCoarse = spark.sparkContext.broadcast(routable)
     val bcChildren = spark.sparkContext.broadcast(children)
     corpus.select(col("vec_id"), col("embedding")).as[Vec]
       .mapPartitions { it =>
@@ -353,21 +358,35 @@ object Similarity {
     implicit val keyEnc = Encoders.scalaLong
     val coarse = corpus.filter(col("vec_id") < coarseK)
       .select(col("vec_id"), col("embedding")).as[Vec].collect().sortBy(_.vec_id)
-    val bc = spark.sparkContext.broadcast(coarse)
-    def routeByCoarse(df: DataFrame) =
+    val bcFull = spark.sparkContext.broadcast(coarse)
+    def routeByCoarse(df: DataFrame, routing: org.apache.spark.broadcast.Broadcast[Array[Vec]]) =
       df.select(col("vec_id"), col("embedding")).as[Vec]
         .mapPartitions { it =>
-          val cs = bc.value
+          val cs = routing.value
           it.map(v => RoutedVec(nearestSeed(v.embedding, cs, v.vec_id)._1, v.vec_id, v.embedding))
         }
         .groupByKey(_.cc)
-    routeByCoarse(corpus)
-      .cogroup(routeByCoarse(corpus.filter(col("vec_id") < fineK))) { (cc, vecs, fines) =>
+    // Mirror the broadcast variant exactly: OWNERSHIP routes the fine
+    // seeds with the FULL coarse set; the CORPUS routes only to OWNING
+    // coarse cells (`routable`), so every corpus group meets a non-empty
+    // fine slice by construction. The owner-id pull is ≤ coarseK longs.
+    val fine = corpus.filter(col("vec_id") < fineK)
+    val ownerIds =
+      fine.select(col("vec_id"), col("embedding")).as[Vec]
+        .mapPartitions { it =>
+          val cs = bcFull.value
+          it.map(f => nearestSeed(f.embedding, cs, f.vec_id)._1)
+        }(keyEnc)
+        .distinct().collect().toSet
+    require(ownerIds.nonEmpty, "ivfAssignHierCogrouped: no coarse seed owns anything")
+    val bcRoutable = spark.sparkContext.broadcast(coarse.filter(c => ownerIds(c.vec_id)))
+    routeByCoarse(corpus, bcRoutable)
+      .cogroup(routeByCoarse(fine, bcFull)) { (cc, vecs, fines) =>
         val owned = fines.map(f => Vec(f.vec_id, f.embedding)).toArray.sortBy(_.vec_id)
         vecs.map { v =>
           require(owned.nonEmpty,
             s"ivfAssignHierCogrouped: coarse cell $cc owns no fine centroid " +
-              s"(exact-duplicate seed vectors?) but vec_id=${v.vec_id} routed to it")
+              s"but vec_id=${v.vec_id} routed to it")
           val (cell, cos) = nearestSeed(v.embedding, owned, v.vec_id)
           IvfAssign(v.vec_id, cell, round6(cos))
         }
@@ -413,13 +432,31 @@ object Similarity {
       case Some(ck) => ivfAssignHierCogrouped(spark, corpus, numCells, ck)
     }
 
+  /** Two-level routing plan over an EXPLICIT centroid set: the
+    * (routable coarse set, ownership map) pair [[ivfAssignHier]] derives
+    * from seeds, exposed so the OTHER index paths that must agree with a
+    * hier-routed build — incremental append, probe assignment — route
+    * through the exact same rule instead of a flat argmax that can
+    * disagree with where the build actually placed a vector. Coarse =
+    * the `coarseK` lowest centroid ids (the family convention); cost is
+    * K×coarseK driver-side scorings, bounded by the centroid pull the
+    * caller already holds. */
+  private[sim] def hierRouting(
+      cents: Array[Vec], coarseK: Int): (Array[Vec], Map[Long, Array[Vec]]) = {
+    val sorted = cents.sortBy(_.vec_id)
+    val coarse = sorted.take(coarseK)
+    val children = sorted.groupBy(c => nearestSeed(c.embedding, coarse, c.vec_id)._1)
+    require(children.nonEmpty, "hierRouting: no coarse centroid owns anything")
+    (coarse.filter(c => children.contains(c.vec_id)), children)
+  }
+
   /** argmax-cosine seed (cos DESC, id ASC tie) — the shared tie rule of
     * both assignment levels; object-level so the executor closure ships
     * no driver state. A zero-norm (or NaN) input scores NaN against
     * every seed, so neither branch ever fires and bestId stays -1 —
     * left unguarded that surfaces as an opaque `children(-1)` on an
     * executor; fail loudly here instead, naming the offending vector. */
-  private def nearestSeed(
+  private[sim] def nearestSeed(
       emb: Array[Float], cands: Array[Vec], vecId: Long): (Long, Double) = {
     var bestId = -1L
     var bestCos = Double.NegativeInfinity

@@ -1038,10 +1038,23 @@ object ParquetTable {
   /** Highest writer-transaction version committed for `appId` — the read
     * side of [[swapWithTxn]] (Delta's `txn` action surface). Stamps live
     * INSIDE version dirs (underscore-prefixed, invisible to parquet
-    * readers), so the scan is bounded by the retained version count. */
+    * readers), so the scan is bounded by the retained version count.
+    *
+    * Only PUBLISHED versions' stamps count (r13, closing the same
+    * unpublished-orphan class as versionNameOf/commitCow): a writer that
+    * crashed between its version-dir move and its publish leaves an
+    * on-disk dir whose `_TXN` stamp was never acknowledged — trusting it
+    * would make the replayed batch a silent no-op against data no reader
+    * can see (exactly-once broken the LOSSY way). The live pointer joins
+    * the published set only as a local bare name (clone rule). */
   def lastTxnVersion(dir: String, appId: String): Option[Long] = {
     if (!Files.isDirectory(Paths.get(dir))) return None
-    val stamps = snapshots(dir).flatMap { v =>
+    val published = {
+      val fromHistory = publishedVersions(dir).map(_._1).toSet
+      val cur = currentVersion(dir)
+      if (cur.nonEmpty && !cur.contains("/")) fromHistory + cur else fromHistory
+    }
+    val stamps = snapshots(dir).filter(published).flatMap { v =>
       val p = Paths.get(dir, v, "_TXN")
       if (!Files.exists(p)) Seq.empty
       else Files.readAllLines(p).asScala.flatMap { line =>

@@ -47,4 +47,27 @@ class TxnIdempotenceSpec extends SparkSuite {
     assert(ParquetTable.snapshots(dir).size == 3)
     assert(ParquetTable.read(spark, dir).count() == 1, "each swap is a snapshot")
   }
+
+  test("an UNPUBLISHED orphan's _TXN stamp never no-ops the replay (r13 review)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-txn3").resolve("t").toString
+    assert(ParquetTable.swapWithTxn(spark, (1 to 5).toDF("v"), dir, "sink", 1L))
+
+    // Simulate a writer that crashed BETWEEN its version-dir move and its
+    // publish: a complete-looking v2 with the batch-2 stamp, never
+    // acknowledged by _CURRENT/_HISTORY. Trusting that stamp would make
+    // the replayed batch a silent no-op against data no reader can see —
+    // exactly-once broken the LOSSY way.
+    val orphan = java.nio.file.Paths.get(dir, graft.streaming.VersionNames.format(2L))
+    (1 to 7).toDF("v").write.parquet(orphan.toString)
+    java.nio.file.Files.writeString(orphan.resolve("_TXN"), "sink\t2\n")
+
+    assert(ParquetTable.lastTxnVersion(dir, "sink").contains(1L),
+      "the orphan's stamp is unpublished and must be invisible")
+    assert(ParquetTable.swapWithTxn(spark, (1 to 7).toDF("v"), dir, "sink", 2L),
+      "the replayed batch must COMMIT, not no-op against the orphan")
+    assert(ParquetTable.read(spark, dir).count() == 7)
+    assert(ParquetTable.lastTxnVersion(dir, "sink").contains(2L))
+  }
 }

@@ -113,12 +113,14 @@ def main():
         else:
             print(f"PASS {name} ({len(engine_rows)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
     # COVERAGE.md <-> query-key consistency rides the same gate (r12
     # directive 7): a query without a coverage row, or a stale coverage
-    # reference, fails the run even when every oracle row is green.
+    # reference, fails the run even when every oracle row is green. It
+    # folds into n_fail BEFORE the summary line prints, so the human-read
+    # line and the exit code can never disagree.
     import coverage_check
     n_fail += 1 if coverage_check.main() else 0
+    print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 
 
