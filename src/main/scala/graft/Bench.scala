@@ -65,13 +65,22 @@ object Bench {
     // regression to "crashes instantly" would read as a 100× speedup.
     // Failures are timed, kept out of no one's total, and reported in an
     // explicit "errors" object keyed by entry name.
+    // SPARK_GRAFT_GC_EACH=1: System.gc() after every entry, OUTSIDE its
+    // timing. Spark's ContextCleaner frees shuffle files only when their
+    // owning objects are weakly-GC'd; with a large heap a 300-entry run
+    // barely GCs, so dead shuffle data accumulates on disk for the whole
+    // session — at sf10 that filled the volume. The GC is not timed, so
+    // per-entry numbers are unaffected.
+    val gcEach = sys.env.get("SPARK_GRAFT_GC_EACH").contains("1")
     def timed(work: () => Unit): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err = try { work(); None } catch {
         case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
-      ((System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (gcEach) System.gc()
+      (sec, err)
     }
 
     val builds: Seq[(String, () => Unit)] = Seq(
