@@ -455,4 +455,43 @@ object Dedup {
     closed.agg(count(lit(1)).as("n_triangles"))
       .crossJoin(und.agg(count(lit(1)).as("n_edges")))
   }
+
+  /** Triangle-count SCALE TIER: DOULION-style (Tsourakakis et al. 2009)
+    * deterministic edge sampling in front of [[triangleCount]]. Each
+    * canonical edge survives iff its md5-derived 60-bit hash lands
+    * under a threshold sized so ~`targetEdges` edges survive; a
+    * triangle survives iff all 3 edges do (probability p³), so
+    * sampled_count / p³ is the unbiased estimate. Everything is
+    * engine-reproducible: the keep rule is integer (hash % 10⁶ <
+    * thr, thr = 10⁶·target DIV total), p = thr/10⁶ is one exact
+    * division, and the DuckDB oracle replays the identical sample.
+    *
+    * The dispatch mirrors the IVF family's: BELOW the target the
+    * threshold keeps every edge (p = 1) and the result IS the exact
+    * count — the oracle scales run exact — while above it the wedge
+    * join's intermediate volume shrinks by p² (the term that kills
+    * exact enumeration at 100×: the sf10 strict graph's wedge
+    * materialization outgrows local disk). Estimator variance falls
+    * with the surviving triangle count; near-dup graphs are
+    * clique-heavy, so the count at any scale worth sampling is large
+    * (variance measured in TriangleSampleSpec and at sf1 in
+    * BASELINE.md). */
+  def triangleCountSampled(edges: DataFrame, targetEdges: Long = 1000000L): DataFrame = {
+    import graft.text.TextAnalysis.hash60Spark
+    val total = edges.select("a_id", "b_id").count()
+    val thr = 1000000L * targetEdges / math.max(total, 1L)
+    require(thr >= 1L,
+      s"triangleCountSampled: $total edges exceed 1e6 * targetEdges=$targetEdges " +
+        "— the keep threshold rounds to zero; raise targetEdges")
+    val sampled = edges.filter(expr(
+      s"${hash60Spark("concat(CAST(a_id AS STRING), ',', CAST(b_id AS STRING))")} % 1000000 < $thr"))
+    val p = math.min(1.0, thr.toDouble / 1000000.0)
+    triangleCount(sampled)
+      .select(
+        round(col("n_triangles").cast("double") / lit(p * p * p), 6)
+          .as("n_triangles_est"),
+        col("n_triangles").as("n_triangles_sampled"),
+        col("n_edges").as("n_edges_sampled"))
+      .withColumn("n_edges_total", lit(total))
+  }
 }

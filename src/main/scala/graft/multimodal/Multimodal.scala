@@ -328,7 +328,12 @@ object Multimodal {
         var h = 0L
         var i = 0
         while (i < segments) {
-          val s = i * n / segments; val e = (i + 1) * n / segments
+          // Segment bounds in Long: i*n overflows Int on a legitimate
+          // ~67M-pixel image (Bmp.parse accepts any dims its payload
+          // holds — the same hostile-header class its own row-size
+          // arithmetic guards in Long).
+          val s = (i.toLong * n / segments).toInt
+          val e = ((i + 1).toLong * n / segments).toInt
           var seg = 0L; var j = s
           while (j < e) { seg += px(j); j += 1 }
           if (seg * n > total * (e - s)) h |= 1L << i

@@ -56,11 +56,17 @@ object IvfIndex {
   /** One-time index build: one assignment pass over the corpus
     * ([[assignForBuild]] — never the flat N×K scan above the K
     * threshold) + one partitioned write; rebuild when the corpus or K
-    * changes. */
+    * changes. The REQUESTED cell count is persisted as `dir/meta` so
+    * every read path (append, probe) dispatches flat-vs-hier on the
+    * exact quantity the build dispatched on — dispatching search on the
+    * STORED centroid count instead silently breaks the append==rebuild
+    * and probe-walks-the-build-route contracts whenever the corpus
+    * holds fewer than numCells seed ids (r13 review finding). */
   def build(spark: SparkSession, corpus: DataFrame, numCells: Int, dir: String): Unit = {
     corpus.filter(col("vec_id") < numCells)
       .select("vec_id", "embedding")
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    writeMeta(spark, dir, numCells)
     val assigns = assignForBuild(spark, corpus, numCells)
       .select("vec_id", "cell")
     corpus.select("vec_id", "embedding").join(assigns, "vec_id")
@@ -91,6 +97,7 @@ object IvfIndex {
     }
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+    writeMeta(spark, dir, numCells)
     // Assign the cells against the float-NARROWED centroids — the same
     // values the search path scores with `cosine_sim` — so build-time
     // and probe-time cell choice can never disagree on a borderline.
@@ -112,6 +119,53 @@ object IvfIndex {
       .collect().sortBy(_.vec_id)
   }
 
+  /** Persist the build's dispatch quantity (the REQUESTED numCells) as a
+    * one-row parquet next to the centroids, and drop any cached routing
+    * plan for the dir (a rebuild may change centroids and route). */
+  private def writeMeta(spark: SparkSession, dir: String, numCells: Int): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("num_cells", LongType, nullable = false)))
+    spark.createDataFrame(
+        java.util.Arrays.asList(Row(numCells.toLong)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val key = cacheKey(dir)
+    metaCache.remove(key); routingCache.remove(key)
+    ()
+  }
+
+  private def cacheKey(dir: String): String =
+    java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+
+  private val metaCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private val routingCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Similarity.Vec], Map[Long, Array[Similarity.Vec]])]
+
+  /** The quantity EVERY side dispatches flat-vs-hier on: the numCells
+    * the build was asked for (`dir/meta`), falling back to the stored
+    * centroid count for pre-meta indexes (where ids are dense, so the
+    * two coincide). Memoized per dir — the read repeats per search. */
+  private def dispatchCells(spark: SparkSession, dir: String): Int =
+    metaCache.getOrElseUpdate(cacheKey(dir), {
+      val metaPath = java.nio.file.Paths.get(dir, "meta")
+      if (java.nio.file.Files.isDirectory(metaPath))
+        spark.read.parquet(metaPath.toString).head.getLong(0).toInt
+      else loadCentroidCount(spark, dir)
+    })
+
+  /** The (routable coarse set, ownership map) plan of a hier-routed
+    * index, memoized per dir: deriving it costs a K×D driver pull plus
+    * K×⌈√K⌉ scorings — per-call re-derivation repeats that work on
+    * every search/append (r13 review finding). Invalidated by rebuild
+    * (writeMeta); append never changes centroids, so the plan stays
+    * valid across appends. */
+  private def hierPlan(spark: SparkSession, dir: String,
+      ck: Int): (Array[Similarity.Vec], Map[Long, Array[Similarity.Vec]]) =
+    routingCache.getOrElseUpdate(cacheKey(dir),
+      Similarity.hierRouting(loadCentroids(spark, dir), ck))
+
   /** Incremental index maintenance: assign a DELTA of new vectors to
     * the EXISTING centroids and append them to their cell partitions —
     * no rebuild, no touch of resident cells' files. The index stays
@@ -128,7 +182,7 @@ object IvfIndex {
     * dispatch changes the build. */
   def appendVectors(spark: SparkSession, dir: String, delta: DataFrame): Unit = {
     import org.apache.spark.sql.functions.broadcast
-    Similarity.hierCoarseK(loadCentroidCount(spark, dir)) match {
+    Similarity.hierCoarseK(dispatchCells(spark, dir)) match {
       case None =>
         val centroids = spark.read.parquet(s"$dir/centroids")
           .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
@@ -144,8 +198,7 @@ object IvfIndex {
         import org.apache.spark.sql.Encoders
         implicit val vecEnc = Encoders.product[Similarity.Vec]
         implicit val routedEnc = Encoders.product[Similarity.RoutedVec]
-        val cents = loadCentroids(spark, dir)
-        val (routable, children) = Similarity.hierRouting(cents, ck)
+        val (routable, children) = hierPlan(spark, dir, ck)
         val bcCoarse = spark.sparkContext.broadcast(routable)
         val bcChildren = spark.sparkContext.broadcast(children)
         delta.select(col("vec_id"), col("embedding")).as[Similarity.Vec]
@@ -188,7 +241,7 @@ object IvfIndex {
       spark: SparkSession, dir: String, probes: DataFrame,
       nprobe: Int): (DataFrame, DataFrame) = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val probeCells = Similarity.hierCoarseK(loadCentroidCount(spark, dir)) match {
+    val probeCells = Similarity.hierCoarseK(dispatchCells(spark, dir)) match {
       case None =>
         val centroids = spark.read.parquet(s"$dir/centroids")
           .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
@@ -216,8 +269,7 @@ object IvfIndex {
         // extend this arm, not the flat one).
         import org.apache.spark.sql.Encoders
         implicit val vecEnc = Encoders.product[Similarity.Vec]
-        val cents = loadCentroids(spark, dir)
-        val (routable, children) = Similarity.hierRouting(cents, ck)
+        val (routable, children) = hierPlan(spark, dir, ck)
         val probeArr = probes.select(col("vec_id"), col("embedding"))
           .as[Similarity.Vec].collect()
         val rows: Seq[org.apache.spark.sql.Row] = probeArr.toSeq.flatMap { p =>

@@ -111,15 +111,38 @@ object Kmeans {
   /** Assignment with the build-scale dispatch: flat up to
     * [[Similarity.HierAssignThreshold]] centroids (exactly pinned —
     * every oracle scale), two-level routing above it. [[fit]] and
-    * `IvfIndex.buildTrained` assign through this door. */
+    * `IvfIndex.buildTrained` assign through this door.
+    *
+    * The trained-centroid broadcast bound is MECHANICAL here (r13
+    * directive): both arms ship the full centroid set to every JVM, so
+    * past [[Similarity.MaxBroadcastFineCentroids]] the call refuses
+    * loudly instead of silently crossing the written bound — the
+    * sanctioned path at that scale is sample training (train K within
+    * the bound on a deterministic corpus sample, e.g.
+    * `corpus.filter(vec_id % m == 0)`), or the seed-set
+    * family's `Similarity.ivfAssignHierCogrouped`, which never holds
+    * the fine set whole in any JVM. */
   def assignAuto(
       spark: SparkSession,
       corpus: DataFrame,
-      centroids: Array[(Long, Array[Double])]): DataFrame =
+      centroids: Array[(Long, Array[Double])]): DataFrame = {
+    requireWithinBroadcastBound(centroids.length, "assignAuto")
     Similarity.hierCoarseK(centroids.length) match {
       case None     => assign(spark, corpus, centroids)
       case Some(ck) => assignHier(spark, corpus, centroids, ck)
     }
+  }
+
+  /** The one written bound of the trained-centroid family, enforced at
+    * every door that would broadcast (or driver-hold) the full set. */
+  private def requireWithinBroadcastBound(k: Int, caller: String): Unit =
+    require(k <= Similarity.MaxBroadcastFineCentroids,
+      s"Kmeans.$caller: K=$k exceeds MaxBroadcastFineCentroids " +
+        s"(${Similarity.MaxBroadcastFineCentroids}) — the trained centroid " +
+        "set cannot be driver-held/broadcast whole at this K. Train K " +
+        "within the bound on a deterministic corpus sample (e.g. " +
+        "corpus.filter(vec_id % m == 0)) and assign through assignAuto, " +
+        "or use the seed-centroid ivfAssignHierCogrouped path.")
 
   /** argmax-cosine trained centroid for a float vector (cos DESC, id ASC
     * tie — the family rule), with the zero-norm/NaN guard: a vector that
@@ -207,6 +230,7 @@ object Kmeans {
       corpus: DataFrame,
       k: Int,
       iters: Int): Array[(Long, Array[Double])] = {
+    requireWithinBroadcastBound(k, "fit")
     var cs = seedCentroids(corpus, k)
     val exploded = corpus
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))

@@ -533,8 +533,14 @@ object ParquetTable {
     // the schema without any special empty-table casing. Slot claim goes
     // through the shared occLock door like every publisher.
     val staging = Paths.get(dir, s".staging-${java.util.UUID.randomUUID}")
-    df.limit(0).repartition(1).write.mode("overwrite").parquet(staging.toString)
-    publishStagedLocked(dir, staging)
+    try {
+      df.limit(0).repartition(1).write.mode("overwrite").parquet(staging.toString)
+      publishStagedLocked(dir, staging)
+    } catch {
+      case e: Throwable =>
+        try VersionNames.deleteTree(staging) catch { case _: Exception => () }
+        throw e
+    }
     n
   }
 
@@ -949,9 +955,18 @@ object ParquetTable {
   def swap(spark: SparkSession, df: DataFrame, dir: String): Unit = {
     Files.createDirectories(Paths.get(dir))
     val staging = Paths.get(dir, s".staging-${java.util.UUID.randomUUID}")
-    df.write.mode("overwrite").parquet(staging.toString)
-    publishStagedLocked(dir, staging)
-    ()
+    // Reclaim staging on ANY failure (write or publish): vacuum's
+    // foreign-dir rule never touches dot-staging dirs, so an unclaimed
+    // one would otherwise live forever (commitCow/adopt discipline).
+    try {
+      df.write.mode("overwrite").parquet(staging.toString)
+      publishStagedLocked(dir, staging)
+      ()
+    } catch {
+      case e: Throwable =>
+        try VersionNames.deleteTree(staging) catch { case _: Exception => () }
+        throw e
+    }
   }
 
   /** Thrown by [[swapIfCurrent]] when another writer published first. */
@@ -973,8 +988,8 @@ object ParquetTable {
     // into a writer-private dot-staging dir: concurrent writers can
     // never collide on a version name they both computed early.
     val staging = s".staging-${java.util.UUID.randomUUID}"
-    df.write.mode("overwrite").parquet(s"$dir/$staging")
     try {
+      df.write.mode("overwrite").parquet(s"$dir/$staging")
       publishStagedLocked(dir, Paths.get(dir, staging), validate = () => {
         val cur = currentVersion(dir)
         if (cur != expectedVersion)
@@ -983,8 +998,11 @@ object ParquetTable {
       })
       ()
     } catch {
-      case e: ConcurrentWriteException =>
-        VersionNames.deleteTree(Paths.get(dir, staging))
+      // Stale OCC loss or any write/publish failure: reclaim staging —
+      // nothing else ever will (vacuum skips foreign dirs).
+      case e: Throwable =>
+        try VersionNames.deleteTree(Paths.get(dir, staging))
+        catch { case _: Exception => () }
         throw e
     }
   }
@@ -1089,12 +1107,13 @@ object ParquetTable {
     if (lastTxnVersion(dir, appId).exists(_ >= txnVersion)) return false
     Files.createDirectories(Paths.get(dir))
     val staging = s".staging-${java.util.UUID.randomUUID}"
-    df.write.mode("overwrite").parquet(s"$dir/$staging")
-    Files.writeString(Paths.get(dir, staging, "_TXN"), s"$appId\t$txnVersion\n")
     // Slot claim under the per-table occLock like every publisher; the
     // idempotency stamp is re-checked inside the lock so a replayed
-    // commit racing itself cannot double-publish.
+    // commit racing itself cannot double-publish. Staging is reclaimed
+    // on every non-publish outcome (lost race OR write/publish failure).
     try {
+      df.write.mode("overwrite").parquet(s"$dir/$staging")
+      Files.writeString(Paths.get(dir, staging, "_TXN"), s"$appId\t$txnVersion\n")
       publishStagedLocked(dir, Paths.get(dir, staging), validate = () => {
         if (lastTxnVersion(dir, appId).exists(_ >= txnVersion))
           throw new ConcurrentWriteException(
@@ -1105,6 +1124,10 @@ object ParquetTable {
       case _: ConcurrentWriteException =>
         VersionNames.deleteTree(Paths.get(dir, staging))
         false
+      case e: Throwable =>
+        try VersionNames.deleteTree(Paths.get(dir, staging))
+        catch { case _: Exception => () }
+        throw e
     }
   }
 }

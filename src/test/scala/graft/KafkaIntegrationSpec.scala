@@ -66,7 +66,20 @@ class KafkaIntegrationSpec extends SparkSuite {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
-    assert(spark.table("kafka_live_smoke").count() >= 0L) // reachable = proof
+    try {
+      // A vacuous `>= 0` can never fail, and a timed-out query left
+      // running leaks into the rest of the suite (r13 review finding):
+      // require actual termination within the window and actual parsed
+      // envelope rows from the pre-published topic.
+      assert(q.awaitTermination(120000),
+        "live-broker smoke did not drain within 120s")
+      val rows = spark.table("kafka_live_smoke")
+      assert(rows.columns.contains("table"),
+        "parsed envelope must carry the 12-col shape")
+      assert(rows.count() > 0L,
+        "pre-published topic produced no parsed envelope rows")
+    } finally {
+      if (q.isActive) q.stop()
+    }
   }
 }

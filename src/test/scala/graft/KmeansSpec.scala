@@ -90,4 +90,27 @@ class KmeansSpec extends SparkSuite {
     }.sortBy(_._1)
     assert(got.toSeq == expected)
   }
+
+  test("fit and assignAuto refuse K past the broadcast bound, naming the sample path") {
+    // r13 directive 4: the trained-centroid family's 2^18 broadcast bound
+    // must be mechanical, not prose — no caller can silently cross it.
+    val overK = Similarity.MaxBroadcastFineCentroids + 1
+    val eFit = intercept[IllegalArgumentException] {
+      Kmeans.fit(spark, corpus, k = overK, iters = 1)
+    }
+    assert(eFit.getMessage.contains("MaxBroadcastFineCentroids"))
+    assert(eFit.getMessage.contains("sample"), "refusal must name the sample-training path")
+
+    val bigCs = Array.tabulate(overK)(i => (i.toLong, Array(1.0)))
+    val eAsg = intercept[IllegalArgumentException] {
+      Kmeans.assignAuto(spark, corpus, bigCs)
+    }
+    assert(eAsg.getMessage.contains("MaxBroadcastFineCentroids"))
+    assert(eAsg.getMessage.contains("sample"))
+
+    // The bound itself stays permissive below the ceiling: the normal
+    // gate-scale path is untouched.
+    val cs = Kmeans.fit(spark, corpus, k = 4, iters = 1)
+    assert(cs.length == 4)
+  }
 }
