@@ -9,18 +9,67 @@ import org.apache.spark.sql.functions._
   * shifted by a common power-of-ten offset, so orders↔lineitem keys stay
   * consistent and replicas never collide.
   *
-  * Document text is deterministically word-shuffled per replica
-  * (hash-keyed sort) — a verbatim copy would turn every doc into a
-  * k-clique of exact near-dups and quadratically inflate the pair-based
-  * dedup operators beyond anything an organic corpus produces; the
-  * shuffle keeps the token distribution (langid, quality, BM25 stats)
-  * while breaking shingle identity. Embedding replicas get a tiny
-  * deterministic per-replica rotation of the first two floats for the
-  * same reason.
+  * Document text is deterministically perturbed per replica — a
+  * verbatim copy would turn every doc into a k-clique of exact
+  * near-dups and quadratically inflate the pair-based dedup operators
+  * beyond anything an organic corpus produces (the r13 sf10 run
+  * measured 19-62× pair growth for 10× data under the weaker r12
+  * jitter). Two composed transforms:
+  *   1. hash-keyed word shuffle (per doc,replica) — breaks positional
+  *      shingle identity while keeping the token multiset;
+  *   2. replica-salted vocabulary substitution ([[perturbText]]) — a
+  *      deterministic injective map on ~30% of the vocabulary, so
+  *      bag-of-words fingerprints (SimHash) differ ACROSS replicas
+  *      (expected Hamming ≈ 8/32 bits, far past the ≤2/≤6 gates)
+  *      while similarity WITHIN a replica is preserved (every doc in
+  *      replica r sees the same vocab map).
+  * Embedding replicas get a per-replica cyclic rotation + hash-keyed
+  * sign flips ([[perturbEmbedding]]) — an ORTHOGONAL transform, so all
+  * within-replica cosines (and norms, and component distributions) are
+  * bit-for-bit the original geometry, while cross-replica cosines
+  * collapse to ~N(0, 1/dim) noise: near-dup pair OUTPUTS scale ~k, not
+  * k². ScaleGenSpec pins both properties.
   *
   * Usage: runMain graft.ScaleGen <srcDir> <dstDir> <k>
   */
 object ScaleGen {
+
+  /** Replica-salted orthogonal scramble of `embedding` (replica id =
+    * vec_id DIV vecOff; replica 0 = the driver's original rows, kept
+    * verbatim): rotate components by 1 + (rep-1) mod (dim-1) positions
+    * (never 0 for rep ≥ 1) and flip signs by xxhash64(rep, i) parity.
+    * Rotation and sign-flip are both orthogonal maps, so within-replica
+    * pairwise cosine/L2 structure is EXACTLY the original corpus and
+    * per-vector norms are unchanged; across replicas (different rot or
+    * sign pattern) the alignment is destroyed — cos concentrates at 0
+    * like independent vectors. */
+  def perturbEmbedding(vecOff: Long): org.apache.spark.sql.Column = {
+    val rep = s"(vec_id DIV ${vecOff}L)"
+    val rot = s"(1L + pmod($rep - 1L, size(embedding) - 1))"
+    when(col("vec_id") < vecOff, col("embedding")).otherwise(expr(
+      s"""transform(embedding, (x, i) -> CAST(
+         |  (CASE WHEN pmod(xxhash64($rep, i), 2) = 0 THEN 1.0D ELSE -1.0D END)
+         |  * element_at(embedding, CAST(pmod(i + $rot, size(embedding)) AS INT) + 1)
+         |AS FLOAT))""".stripMargin))
+  }
+
+  /** Replica-salted vocabulary substitution over a split-word array
+    * column `ws` (replica id = doc_id DIV docOff; replica 0 verbatim):
+    * words whose corpus-wide hash lands in the low 30% gain a compact
+    * replica-unique suffix. Salted by (word, replica) ONLY — not
+    * position, not doc — so the map is one consistent injective
+    * σ_r: vocab → vocab' per replica: within a replica every doc is
+    * rewritten by the SAME σ_r and near-dup token overlap is preserved,
+    * while the same doc's copies in two replicas share only ~70% of
+    * tokens (shingle Jaccard ~0.7^n, SimHash Hamming ~8/32 — below
+    * every near-dup gate). */
+  def perturbText(docOff: Long, ws: String): String = {
+    val rep = s"(doc_id DIV ${docOff}L)"
+    s"""transform($ws, w -> CASE
+       |  WHEN $rep > 0 AND pmod(xxhash64(w), 10) < 3
+       |  THEN concat(w, 'x', CAST($rep AS STRING))
+       |  ELSE w END)""".stripMargin
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleGen <srcDir> <dstDir> <k>")
@@ -74,14 +123,16 @@ object ScaleGen {
     val docOff = math.pow(10, math.ceil(math.log10(
       docs.agg(max("doc_id")).head.getLong(0) + 2))).toLong
     replicate(docs, Map("doc_id" -> docOff))
-      // Deterministic per-(doc, replica) word shuffle: sort words by
-      // xxhash64(word, position-salt, doc_id) so replica 0 keeps driver
-      // word order and other replicas break shingle identity.
+      // Deterministic per-(doc, replica) word shuffle (positional
+      // shingle break) composed with the replica-salted vocabulary
+      // substitution (bag-of-words / SimHash break) — see the object
+      // scaladoc for why both are needed for ~linear pair outputs.
       .withColumn("text",
         when(col("doc_id") < docOff, col("text")).otherwise(
           array_join(
-            expr("transform(array_sort(transform(split(text, ' '), " +
-              "(w, i) -> struct(xxhash64(w, i, doc_id) AS h, w AS w))), s -> s.w)"),
+            expr(perturbText(docOff,
+              "transform(array_sort(transform(split(text, ' '), " +
+                "(w, i) -> struct(xxhash64(w, i, doc_id) AS h, w AS w))), s -> s.w)")),
             " ")))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
@@ -89,14 +140,7 @@ object ScaleGen {
     val vecOff = math.pow(10, math.ceil(math.log10(
       emb.agg(max("vec_id")).head.getLong(0) + 2))).toLong
     replicate(emb, Map("vec_id" -> vecOff))
-      .withColumn("embedding",
-        when(col("vec_id") < vecOff, col("embedding")).otherwise(
-          // swap the first two components and nudge by the replica id —
-          // cheap, deterministic, breaks exact-duplicate geometry
-          expr("transform(embedding, (x, i) -> CAST(CASE " +
-            "WHEN i = 0 THEN embedding[1] + CAST(vec_id DIV " + vecOff +
-            " AS FLOAT) / 1000.0 " +
-            "WHEN i = 1 THEN embedding[0] ELSE x END AS FLOAT))")))
+      .withColumn("embedding", perturbEmbedding(vecOff))
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
     println(s"""{"scaled":"$dst","k":$k,"orders_off":$off}""")
