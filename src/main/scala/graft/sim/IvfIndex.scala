@@ -316,6 +316,81 @@ object IvfIndex {
         round(col("cos"), 6).as("cosine"))
   }
 
+  /** Set-oriented BULK search — [[searchMulti]]'s exact semantics with
+    * the probe→cell assignment run as a distributed DataFrame pass:
+    * nothing probe-sized ever lands on the driver. `searchMulti`
+    * collects the probe rows once — right for interactive probe sets,
+    * a driver memory/CPU bottleneck when the probe set is corpus-sized
+    * (kNN-graph construction, batch labeling, dataset-vs-dataset
+    * matching). Here the only driver pull is the DISTINCT probed
+    * cell-id list for partition pruning, bounded by the CELL count
+    * (≤ numCells longs), never the probe count; probes keep their
+    * partitions through assignment (flat: broadcast-centroid crossjoin
+    * + per-query window; hier: mapPartitions over the broadcast
+    * routing plan — the same route the build placed vectors by), and
+    * the candidate join shuffles on `cell` with no broadcast hint so
+    * the planner (or AQE at runtime) picks the join strategy from the
+    * actual probe volume. Both arms dispatch on the same `dir/meta`
+    * quantity as build/append; BulkSearchSpec pins bulk ==
+    * collected-path bit-equality on both arms and both nprobe values.
+    */
+  def searchBulk(
+      spark: SparkSession, dir: String, probes: DataFrame, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val probeCells = Similarity.hierCoarseK(dispatchCells(spark, dir)) match {
+      case None =>
+        val centroids = spark.read.parquet(s"$dir/centroids")
+          .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
+        val wCell = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell").asc)
+        probes
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+          .crossJoin(broadcast(centroids))
+          .selectExpr("query_id", "q_emb", "cell", "cosine_sim(q_emb, c_emb) AS cos")
+          .withColumn("rn", row_number().over(wCell))
+          .filter(col("rn") <= nprobe)
+          .select("query_id", "q_emb", "cell")
+      case Some(ck) =>
+        import org.apache.spark.sql.Encoders
+        implicit val vecEnc = Encoders.product[Similarity.Vec]
+        implicit val routedEnc = Encoders.product[Similarity.RoutedVec]
+        val (routable, children) = hierPlan(spark, dir, ck)
+        val bcCoarse = spark.sparkContext.broadcast(routable)
+        val bcChildren = spark.sparkContext.broadcast(children)
+        probes.select(col("vec_id"), col("embedding")).as[Similarity.Vec]
+          .mapPartitions { it =>
+            val cs = bcCoarse.value
+            val ch = bcChildren.value
+            it.flatMap { p =>
+              val (cc, _) = Similarity.nearestSeed(p.embedding, cs, p.vec_id)
+              ch(cc)
+                .map(c => (c.vec_id, Similarity.cosineJvm(p.embedding, c.embedding)))
+                .sortBy { case (id, cos) => (-cos, id) }
+                .take(nprobe)
+                .map { case (cell, _) => Similarity.RoutedVec(cell, p.vec_id, p.embedding) }
+            }
+          }
+          .toDF()
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            col("cc").as("cell"))
+    }
+    // The one driver pull: probed cell ids for planning-time partition
+    // pruning — ≤ numCells values regardless of probe volume.
+    val cellIds = probeCells.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cands = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(cellIds: _*))
+      .withColumn("cell", col("cell").cast("long"))
+    val wTopK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cands.join(probeCells, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id AS neighbor_id", "cosine_sim(q_emb, embedding) AS cos")
+      .withColumn("rank", row_number().over(wTopK))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** IVF-PQ search — the standard billion-scale ANN composition: the
     * IVF stage prunes IO to the probed cells' partition dirs (reading
     * ONLY vec_id — column pruning skips the raw embeddings entirely),

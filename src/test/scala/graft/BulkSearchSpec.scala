@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sim.{IvfIndex, Similarity}
+
+/** VERDICT r13 directive 2: `searchMulti` collects the probe rows to
+  * the driver — right for interactive probe sets, a driver bottleneck
+  * for corpus-sized probe batches. `searchBulk` is the set-oriented
+  * door: probe→cell assignment stays a distributed pass (only the
+  * distinct probed CELL ids — bounded by the cell count — ever reach
+  * the driver). Pins that bulk results are BIT-IDENTICAL to the
+  * collected path on both dispatch arms (flat and hier-routed) and at
+  * nprobe 1 and 2, with the whole corpus as the probe set — the
+  * workload the bulk door exists for. */
+class BulkSearchSpec extends SparkSuite {
+
+  private def emb = spark.read.parquet(graft.SparkSessions.tablePath(sf0001, "embeddings"))
+
+  private def rows(df: DataFrame): Set[(Long, Int, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+
+  private def buildIdx(numCells: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bulk").resolve("index").toString
+    IvfIndex.build(spark, emb, numCells, dir)
+    dir
+  }
+
+  test("flat arm: bulk == collected path, corpus-sized probe set, nprobe 1 and 2") {
+    val dir = buildIdx(numCells = 16)
+    for (np <- Seq(1, 2)) {
+      val bulk = rows(IvfIndex.searchBulk(spark, dir, emb, k = 3, nprobe = np))
+      val collected = rows(IvfIndex.searchMulti(spark, dir, emb, k = 3, nprobe = np))
+      assert(bulk == collected, s"flat nprobe=$np: bulk and collected paths disagree")
+      assert(bulk.nonEmpty)
+    }
+  }
+
+  test("hier arm: bulk == collected path above the dispatch threshold") {
+    val k = Similarity.HierAssignThreshold + 16 // 80 cells → two-level routing
+    val dir = buildIdx(numCells = k)
+    for (np <- Seq(1, 2)) {
+      val bulk = rows(IvfIndex.searchBulk(spark, dir, emb, k = 3, nprobe = np))
+      val collected = rows(IvfIndex.searchMulti(spark, dir, emb, k = 3, nprobe = np))
+      assert(bulk == collected, s"hier nprobe=$np: bulk and collected paths disagree")
+      assert(bulk.nonEmpty)
+    }
+  }
+
+  test("bulk keeps every query's full top-k and never self-matches") {
+    val dir = buildIdx(numCells = 16)
+    val out = IvfIndex.searchBulk(spark, dir, emb, k = 3)
+    assert(out.filter(col("query_id") === col("neighbor_id")).isEmpty)
+    val perQuery = out.groupBy("query_id").count().collect()
+    assert(perQuery.length == emb.count().toInt)
+    assert(perQuery.forall(_.getLong(1) == 3L))
+  }
+}
