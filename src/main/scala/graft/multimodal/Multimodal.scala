@@ -304,6 +304,85 @@ object Multimodal {
     }
   }
 
+  /** SECOND real image container (r13 next-round 8): binary PPM ("P6"),
+    * the format a 20-line parser decodes end-to-end — ASCII header
+    * (magic, width, height, maxval; '#' comments and arbitrary
+    * whitespace between tokens per the netpbm spec) followed by raw RGB
+    * triplets, row-major TOP-DOWN (no padding, no bottom-up flip — the
+    * structural contrasts to BMP are exactly what a second container
+    * buys the decode seam). Parses to the same [[Bmp.Image]] luma
+    * raster, so every hash kernel downstream is container-blind. */
+  object Ppm {
+    def isPpm(b: Array[Byte]): Boolean =
+      b.length >= 2 && b(0) == 'P' && b(1) == '6'
+
+    /** Fixture/payload encoder — gray triplets, minimal header. */
+    def encodeGray(width: Int, height: Int, gray: Array[Int]): Array[Byte] = {
+      require(gray.length == width * height,
+        s"encodeGray: ${gray.length} pixels for ${width}x$height")
+      val hdr = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](hdr.length + 3 * gray.length)
+      System.arraycopy(hdr, 0, out, 0, hdr.length)
+      var i = 0
+      while (i < gray.length) {
+        val v = (gray(i) & 0xff).toByte
+        val o = hdr.length + 3 * i
+        out(o) = v; out(o + 1) = v; out(o + 2) = v
+        i += 1
+      }
+      out
+    }
+
+    def parse(bytes: Array[Byte]): Bmp.Image = {
+      require(isPpm(bytes), "not a PPM payload")
+      var pos = 2
+      def isWs(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r'
+      // netpbm header token scan: whitespace separates tokens; a '#'
+      // starts a comment running to end-of-line.
+      def nextInt(): Int = {
+        while (pos < bytes.length && (isWs(bytes(pos)) || bytes(pos) == '#')) {
+          if (bytes(pos) == '#')
+            while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        var v = 0L
+        val start = pos
+        while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+          v = v * 10 + (bytes(pos) - '0')
+          require(v <= Int.MaxValue, "malformed PPM: header value overflows")
+          pos += 1
+        }
+        require(pos > start, s"malformed PPM: expected integer at byte $pos")
+        v.toInt
+      }
+      val width = nextInt()
+      val height = nextInt()
+      val maxval = nextInt()
+      require(maxval == 255, s"unsupported PPM: maxval $maxval (need 255)")
+      require(width > 0 && height > 0, s"malformed PPM: ${width}x$height")
+      pos += 1 // exactly ONE whitespace byte after maxval per spec
+      require(pos.toLong + 3L * width * height <= bytes.length,
+        s"truncated PPM: need ${3L * width * height} pixel bytes at $pos of ${bytes.length}")
+      val luma = new Array[Int](width * height)
+      var i = 0
+      while (i < luma.length) {
+        val o = pos + 3 * i
+        val r = bytes(o) & 0xff; val g = bytes(o + 1) & 0xff; val b = bytes(o + 2) & 0xff
+        luma(i) = (r + g + b) / 3
+        i += 1
+      }
+      Bmp.Image(width, height, luma)
+    }
+  }
+
+  /** Container dispatch of the decode seam: magic-sniff BMP vs PPM and
+    * parse to the shared luma raster; anything else is refused loudly
+    * (real codecs live behind the sanctioned [[MediaDecoder]] stub). */
+  def decodeRaster(bytes: Array[Byte]): Bmp.Image =
+    if (Bmp.isBmp(bytes)) Bmp.parse(bytes)
+    else if (Ppm.isPpm(bytes)) Ppm.parse(bytes)
+    else sys.error("decodeRaster: payload is neither BMP nor PPM")
+
   final case class MediaHash(media_id: Long, simhash: Long)
   implicit val hashEnc: Encoder[MediaHash] = Encoders.product[MediaHash]
 
@@ -319,29 +398,112 @@ object Multimodal {
     * bit-derivation inside this loop. */
   def phashBmp(media: Dataset[MediaRecord], segments: Int = 32): Dataset[MediaHash] =
     media.filter(r => r.kind == "image" && Bmp.isBmp(r.payload)).mapPartitions { it =>
-      it.map { r =>
-        val px = Bmp.parse(r.payload).luma
-        val n = px.length
-        var total = 0L
-        var k = 0
-        while (k < n) { total += px(k); k += 1 }
-        var h = 0L
-        var i = 0
-        while (i < segments) {
-          // Segment bounds in Long: i*n overflows Int on a legitimate
-          // ~67M-pixel image (Bmp.parse accepts any dims its payload
-          // holds — the same hostile-header class its own row-size
-          // arithmetic guards in Long).
-          val s = (i.toLong * n / segments).toInt
-          val e = ((i + 1).toLong * n / segments).toInt
-          var seg = 0L; var j = s
-          while (j < e) { seg += px(j); j += 1 }
-          if (seg * n > total * (e - s)) h |= 1L << i
-          i += 1
-        }
-        MediaHash(r.media_id, h)
-      }
+      it.map(r => MediaHash(r.media_id, aHash(Bmp.parse(r.payload).luma, segments)))
     }
+
+  /** Container-blind average-hash: any BMP-or-PPM image payload through
+    * [[decodeRaster]] and the same segment hash — the decode seam's
+    * dispatch proven at the operator level (mm_phash_ppm_neardup pins
+    * that PPM payloads of the same pixels hash identically to the BMP
+    * path, against the IDENTICAL oracle). */
+  def phashRaster(media: Dataset[MediaRecord], segments: Int = 32): Dataset[MediaHash] =
+    media.filter(r => r.kind == "image" && (Bmp.isBmp(r.payload) || Ppm.isPpm(r.payload)))
+      .mapPartitions { it =>
+        it.map(r => MediaHash(r.media_id, aHash(decodeRaster(r.payload).luma, segments)))
+      }
+
+  private def aHash(px: Array[Int], segments: Int): Long = {
+    val n = px.length
+    var total = 0L
+    var k = 0
+    while (k < n) { total += px(k); k += 1 }
+    var h = 0L
+    var i = 0
+    while (i < segments) {
+      // Segment bounds in Long: i*n overflows Int on a legitimate
+      // ~67M-pixel image (Bmp.parse accepts any dims its payload
+      // holds — the same hostile-header class its own row-size
+      // arithmetic guards in Long).
+      val s = (i.toLong * n / segments).toInt
+      val e = ((i + 1).toLong * n / segments).toInt
+      var seg = 0L; var j = s
+      while (j < e) { seg += px(j); j += 1 }
+      if (seg * n > total * (e - s)) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** pHash proper (r13 next-round 8): 2D DCT-II over the decoded 16×16
+    * luma, hash = the 63 low-frequency coefficients (8×8 block minus
+    * DC) thresholded at their median — the classic perceptual hash
+    * (aHash's segment means see only spatial MASS; DCT bits see spatial
+    * STRUCTURE, so a brightness-preserving rearrangement that fools
+    * aHash flips these bits).
+    *
+    * All arithmetic is integer-EXACT on both gate sides: the cosine
+    * basis is fixed-point (`round(cos((2x+1)uπ/32)·2^14)` — the one
+    * table both engines derive from the same closed form; every entry
+    * except u=0 is irrational pre-rounding, so no half-way rounding
+    * boundary exists for libm-vs-JVM cos to disagree across), each
+    * coefficient a Long multiply-add (≤ 255·2^28·256 ≈ 1.8e16, inside
+    * Long), the median the 32nd-smallest of 63 exact integers. Images
+    * whose dims are exact multiples of 16 fold by equal-area box sums
+    * first (a constant scale on every coefficient — threshold-
+    * invariant); other dims are refused loudly (resize belongs behind
+    * the stub seam). */
+  def dctPhash(media: Dataset[MediaRecord]): Dataset[MediaHash] =
+    media.filter(r => r.kind == "image" && (Bmp.isBmp(r.payload) || Ppm.isPpm(r.payload)))
+      .mapPartitions { it =>
+        val ct = Array.tabulate(8, 16) { (u, x) =>
+          math.round(math.cos((2 * x + 1) * u * math.Pi / 32) * 16384)
+        }
+        it.map { r =>
+          val img = decodeRaster(r.payload)
+          require(img.width % 16 == 0 && img.height % 16 == 0,
+            s"dctPhash: ${img.width}x${img.height} not a multiple of 16 — resize first")
+          val bw = img.width / 16; val bh = img.height / 16
+          // Coefficient magnitude bound ≤ 255·(bw·bh)·256·2^28 — keep it
+          // inside Long with headroom (500k ≈ a 128-megapixel image).
+          require(bw.toLong * bh <= 500000L,
+            s"dctPhash: ${img.width}x${img.height} box area overflows the exact-integer bound")
+          val box = new Array[Long](256)
+          var y = 0
+          while (y < img.height) {
+            var x = 0
+            while (x < img.width) {
+              box((y / bh) * 16 + (x / bw)) += img.luma(y * img.width + x)
+              x += 1
+            }
+            y += 1
+          }
+          val co = new Array[Long](64)
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var acc = 0L
+              var yy = 0
+              while (yy < 16) {
+                var rowAcc = 0L
+                var xx = 0
+                while (xx < 16) { rowAcc += box(yy * 16 + xx) * ct(u)(xx); xx += 1 }
+                acc += rowAcc * ct(v)(yy)
+                yy += 1
+              }
+              co(v * 8 + u) = acc
+              v += 1
+            }
+            u += 1
+          }
+          val ac = co.drop(1) // 63 coefficients, DC excluded
+          val med = ac.sorted.apply(31)
+          var h = 0L
+          var k = 0
+          while (k < 63) { if (ac(k) > med) h |= 1L << k; k += 1 }
+          MediaHash(r.media_id, h)
+        }
+      }
 
   final case class ResizedFeatures(
       media_id: Long, kind: String, rs_len: Long, rs_checksum: Long)

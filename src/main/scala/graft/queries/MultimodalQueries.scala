@@ -13,6 +13,48 @@ import graft.multimodal.Multimodal
   */
 object MultimodalQueries extends QueryModule {
 
+  /** 16×16 grayscale media built from each document's CODE POINTS (low
+    * byte), tiled to 256 pixels — the shared fixture of every real-
+    * decode image row, wrapped in the caller's choice of container
+    * (code points, not UTF-16 units: the oracle's text[i]/length(text)
+    * index code points, so charAt/String.length would shift every index
+    * the moment a non-BMP char appears). */
+  private def tiledImageMedia(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      encode: (Int, Int, Array[Int]) => Array[Byte]) = {
+    import s.implicits._
+    s.read.parquet(tablePath(dir, "documents"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val cps = text.codePoints().toArray
+        val px = Array.tabulate(256) { k =>
+          if (cps.isEmpty) 0 else cps(k % cps.length) % 256
+        }
+        Multimodal.MediaRecord(id, "image", encode(16, 16, px),
+          Multimodal.MediaMeta("documents", "image"))
+      }(Multimodal.recEnc)
+  }
+
+  /** One arithmetic replay of the decoded-pixel average-hash near-dup —
+    * shared VERBATIM by the BMP and PPM rows: the oracle cannot parse
+    * either container (the point), and a container-dependent result
+    * would fail one of the two gates. */
+  private val rasterAhashOracle: String =
+    """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |px AS (SELECT doc_id,
+      |    [CASE WHEN n = 0 THEN 0 ELSE unicode(text[(k % n) + 1]) % 256 END
+      |     for k in range(0, 256)] AS p
+      |  FROM b),
+      |st AS (SELECT doc_id, p, list_sum(p) AS total FROM px),
+      |ph AS (SELECT doc_id,
+      |    list_sum([CASE WHEN coalesce(list_sum(p[(i*256//32)+1:((i+1)*256//32)]), 0) * 256 > total * 8
+      |              THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 32)]) AS ph
+      |  FROM st)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+      |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.ph, b.ph)) <= 2""".stripMargin
+
   override def queries: Seq[EngineQuery] = Seq(
 
     EngineQuery(
@@ -142,41 +184,77 @@ object MultimodalQueries extends QueryModule {
     EngineQuery(
       "mm_phash_bmp_neardup",
       (s, dir) => {
-        import s.implicits._
-        import graft.multimodal.Multimodal.recEnc
-        val docs = s.read.parquet(tablePath(dir, "documents"))
-          .select(col("doc_id"), col("text")).as[(Long, String)]
-        val media = docs.map { case (id, text) =>
-          // 256 pixels tiled from the text's CODE POINTS (low byte) —
-          // code points, not UTF-16 units, because the oracle's
-          // text[i]/length(text) index code points; charAt/String.length
-          // would shift every index the moment a non-BMP char appears.
-          val cps = text.codePoints().toArray
-          val px = Array.tabulate(256) { k =>
-            if (cps.isEmpty) 0 else cps(k % cps.length) % 256
-          }
-          Multimodal.MediaRecord(id, "image",
-            Multimodal.Bmp.encodeGray(16, 16, px),
-            Multimodal.MediaMeta("documents", "image"))
-        }
+        val media = tiledImageMedia(s, dir, Multimodal.Bmp.encodeGray(_, _, _))
         val ph = Multimodal.phashBmp(media).toDF()
           .withColumnRenamed("media_id", "doc_id")
         graft.dedup.Dedup.simhashPairs(s, ph, 2)
+      },
+      Some(rasterAhashOracle)),
+
+    // The SAME pixels through the SECOND real container (r13 next-round
+    // 8): binary PPM (P6) payloads — ASCII header, raw top-down RGB
+    // triplets, no row padding, no bottom-up flip — parsed end-to-end by
+    // the engine's own Ppm kernel through the magic-sniffing decode
+    // dispatch (Multimodal.decodeRaster), then the identical average-
+    // hash + banded pair machinery. Gated against the VERBATIM same
+    // oracle as the BMP row: container choice must be invisible in the
+    // result, which is the whole claim of a decode seam.
+    EngineQuery(
+      "mm_phash_ppm_neardup",
+      (s, dir) => {
+        val media = tiledImageMedia(s, dir, Multimodal.Ppm.encodeGray(_, _, _))
+        val ph = Multimodal.phashRaster(media).toDF()
+          .withColumnRenamed("media_id", "doc_id")
+        graft.dedup.Dedup.simhashPairs(s, ph, 2)
+      },
+      Some(rasterAhashOracle)),
+
+    // pHash PROPER over the decoded pixels (r13 next-round 8): 2D DCT-II
+    // of the 16×16 luma, hash = the 63 low-frequency AC coefficients
+    // (8×8 block minus DC) thresholded at their median. The whole
+    // transform is integer-exact on both sides — fixed-point cosine
+    // basis round(cos((2x+1)uπ/32)·2^14) derived from the same closed
+    // form in both engines (every entry except u=0 is irrational before
+    // rounding, so no half-way boundary exists for libm-vs-JVM cos to
+    // straddle), Long multiply-adds, median = 32nd-smallest of 63 exact
+    // integers — so the gate pins every BIT of the hash, not a
+    // tolerance. The oracle replays the DCT relationally (pixel rows ×
+    // basis table join-aggregate); the engine decodes the real BMP
+    // container first.
+    EngineQuery(
+      "mm_dct_phash",
+      (s, dir) => {
+        val media = tiledImageMedia(s, dir, Multimodal.Bmp.encodeGray(_, _, _))
+        Multimodal.dctPhash(media).toDF()
+          .withColumnRenamed("media_id", "doc_id")
+          .withColumnRenamed("simhash", "dct_hash")
       },
       Some("""WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
              |px AS (SELECT doc_id,
              |    [CASE WHEN n = 0 THEN 0 ELSE unicode(text[(k % n) + 1]) % 256 END
              |     for k in range(0, 256)] AS p
              |  FROM b),
-             |st AS (SELECT doc_id, p, list_sum(p) AS total FROM px),
-             |ph AS (SELECT doc_id,
-             |    list_sum([CASE WHEN coalesce(list_sum(p[(i*256//32)+1:((i+1)*256//32)]), 0) * 256 > total * 8
-             |              THEN (1::BIGINT << i) ELSE 0 END for i in range(0, 32)]) AS ph
-             |  FROM st)
-             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-             |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
-             |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
-             |WHERE bit_count(xor(a.ph, b.ph)) <= 2""".stripMargin)),
+             |ctab AS (SELECT u.u AS u, x.x AS x,
+             |    CAST(round(cos((2*x.x+1)*u.u*pi()/32) * 16384) AS BIGINT) AS c
+             |  FROM range(0,8) u(u), range(0,16) x(x)),
+             |pr AS (SELECT doc_id, x.x AS x, y.y AS y,
+             |    CAST(p[y.y*16 + x.x + 1] AS BIGINT) AS v
+             |  FROM px, range(0,16) x(x), range(0,16) y(y)),
+             |co AS (SELECT pr.doc_id, cu.u AS u, cv.u AS v,
+             |    CAST(sum(pr.v * cu.c * cv.c) AS BIGINT) AS coeff
+             |  FROM pr JOIN ctab cu ON cu.x = pr.x JOIN ctab cv ON cv.x = pr.y
+             |  GROUP BY 1, 2, 3),
+             |lf AS (SELECT doc_id, v*8 + u AS k, coeff FROM co
+             |  WHERE NOT (u = 0 AND v = 0)),
+             |med AS (SELECT doc_id, coeff AS m FROM (
+             |    SELECT doc_id, coeff,
+             |      row_number() OVER (PARTITION BY doc_id ORDER BY coeff) AS rn
+             |    FROM lf) WHERE rn = 32)
+             |SELECT lf.doc_id,
+             |  CAST(sum(CASE WHEN lf.coeff > med.m
+             |    THEN (1::BIGINT << CAST(lf.k - 1 AS INT)) ELSE 0 END) AS BIGINT) AS dct_hash
+             |FROM lf JOIN med ON med.doc_id = lf.doc_id
+             |GROUP BY 1""".stripMargin)),
 
     // Voice-activity detection over the audio payloads: 32-byte frames
     // score Σ unsigned bytes, voiced = frame mean > clip mean by integer
