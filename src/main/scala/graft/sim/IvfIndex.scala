@@ -342,14 +342,28 @@ object IvfIndex {
       case None =>
         val centroids = spark.read.parquet(s"$dir/centroids")
           .select(col("vec_id").as("cell"), col("embedding").as("c_emb"))
-        val wCell = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell").asc)
-        probes
+        val scored = probes
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
           .crossJoin(broadcast(centroids))
           .selectExpr("query_id", "q_emb", "cell", "cosine_sim(q_emb, c_emb) AS cos")
-          .withColumn("rn", row_number().over(wCell))
-          .filter(col("rn") <= nprobe)
-          .select("query_id", "q_emb", "cell")
+        if (nprobe == 1) {
+          // Argmax as an AGGREGATE, not a window: max(struct(cos, -cell))
+          // is the same (cos DESC, cell ASC) tie rule, but partial
+          // aggregation collapses the N×K scored rows to ~N on the map
+          // side before the shuffle — the window spelling ships all N×K
+          // rows to the query_id partitions first. BulkSearchSpec pins
+          // bit-equality of the two spellings via the collected path.
+          scored
+            .groupBy("query_id", "q_emb")
+            .agg(max(struct(col("cos"), (-col("cell")).as("nc"), col("cell"))).as("m"))
+            .select(col("query_id"), col("q_emb"), col("m.cell").as("cell"))
+        } else {
+          val wCell = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cell").asc)
+          scored
+            .withColumn("rn", row_number().over(wCell))
+            .filter(col("rn") <= nprobe)
+            .select("query_id", "q_emb", "cell")
+        }
       case Some(ck) =>
         import org.apache.spark.sql.Encoders
         implicit val vecEnc = Encoders.product[Similarity.Vec]
