@@ -166,6 +166,92 @@ object IvfIndex {
     routingCache.getOrElseUpdate(cacheKey(dir),
       Similarity.hierRouting(loadCentroids(spark, dir), ck))
 
+  /** Distributed two-level vector→cell assignment over the index's
+    * STORED centroids — the one hier-routing door of every read path
+    * (bulk search, incremental append, and the interactive probe path
+    * past the broadcast bound). Emits (cc=chosen fine cell, vec_id,
+    * embedding), `nprobe` rows per vector (its top-nprobe fine cells
+    * WITHIN its coarse cell, cos DESC / id ASC — exactly the rule the
+    * build placed vectors by).
+    *
+    * Below [[Similarity.MaxBroadcastFineCentroids]] the memoized
+    * (routable, children) plan broadcasts (K×D — the hierPlan path).
+    * ABOVE it that broadcast is the same memory class the build
+    * refuses (r13 closed the WRITE side with ivfAssignHierCogrouped;
+    * this closes the READ side): only the √K coarse set is ever held
+    * whole in a JVM — fine centroids route to their coarse owner as a
+    * distributed pass, ONE cogroup shuffle co-locates each coarse
+    * cell's vectors with its ~√K owned fine centroids, and the
+    * argmax/top-nprobe runs group-locally. Bit-identical to the
+    * broadcast arm by construction (same routing rule at both levels;
+    * BulkSearchSpec pins it via the forced-variant hook). */
+  private[graft] def hierAssign(
+      spark: SparkSession, dir: String, vectors: DataFrame, ck: Int,
+      nprobe: Int, forceCogrouped: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    implicit val vecEnc = Encoders.product[Similarity.Vec]
+    implicit val routedEnc = Encoders.product[Similarity.RoutedVec]
+    implicit val keyEnc = Encoders.scalaLong
+    if (!forceCogrouped && dispatchCells(spark, dir) <= Similarity.MaxBroadcastFineCentroids) {
+      val (routable, children) = hierPlan(spark, dir, ck)
+      val bcCoarse = spark.sparkContext.broadcast(routable)
+      val bcChildren = spark.sparkContext.broadcast(children)
+      vectors.select(col("vec_id"), col("embedding")).as[Similarity.Vec]
+        .mapPartitions { it =>
+          val cs = bcCoarse.value
+          val ch = bcChildren.value
+          it.flatMap { v =>
+            val (cc, _) = Similarity.nearestSeed(v.embedding, cs, v.vec_id)
+            ch(cc)
+              .map(c => (c.vec_id, Similarity.cosineJvm(v.embedding, c.embedding)))
+              .sortBy { case (id, cos) => (-cos, id) }
+              .take(nprobe)
+              .map { case (cell, _) => Similarity.RoutedVec(cell, v.vec_id, v.embedding) }
+          }
+        }
+        .toDF()
+    } else {
+      val centroids = spark.read.parquet(s"$dir/centroids")
+        .select(col("vec_id"), col("embedding"))
+      // Coarse = the ck LOWEST centroid ids (hierRouting's convention) —
+      // a ⌈√K⌉-row driver pull, never the fine set.
+      val coarse = centroids.orderBy(col("vec_id").asc).limit(ck)
+        .as[Similarity.Vec].collect()
+      val bcFull = spark.sparkContext.broadcast(coarse)
+      def routeByCoarse(df: DataFrame,
+          routing: org.apache.spark.broadcast.Broadcast[Array[Similarity.Vec]]) =
+        df.select(col("vec_id"), col("embedding")).as[Similarity.Vec]
+          .mapPartitions { it =>
+            val cs = routing.value
+            it.map(v => Similarity.RoutedVec(
+              Similarity.nearestSeed(v.embedding, cs, v.vec_id)._1, v.vec_id, v.embedding))
+          }
+          .groupByKey(_.cc)
+      // Ownership routes the FINE set with the FULL coarse set; vectors
+      // route only to OWNING coarse cells — mirrors hierRouting exactly
+      // (the owner-id pull is ≤ ck longs).
+      val ownerIds = routeByCoarse(centroids, bcFull).keys.distinct().collect().toSet
+      require(ownerIds.nonEmpty, "hierAssign: no coarse centroid owns anything")
+      val bcRoutable = spark.sparkContext.broadcast(coarse.filter(c => ownerIds(c.vec_id)))
+      routeByCoarse(vectors, bcRoutable)
+        .cogroup(routeByCoarse(centroids, bcFull)) { (cc, vecs, fines) =>
+          val owned = fines.map(f => Similarity.Vec(f.vec_id, f.embedding))
+            .toArray.sortBy(_.vec_id)
+          vecs.flatMap { v =>
+            require(owned.nonEmpty,
+              s"hierAssign: coarse cell $cc owns no fine centroid " +
+                s"but vec_id=${v.vec_id} routed to it")
+            owned
+              .map(c => (c.vec_id, Similarity.cosineJvm(v.embedding, c.embedding)))
+              .sortBy { case (id, cos) => (-cos, id) }
+              .take(nprobe)
+              .map { case (cell, _) => Similarity.RoutedVec(cell, v.vec_id, v.embedding) }
+          }
+        }
+        .toDF()
+    }
+  }
+
   /** Incremental index maintenance: assign a DELTA of new vectors to
     * the EXISTING centroids and append them to their cell partitions —
     * no rebuild, no touch of resident cells' files. The index stays
@@ -195,23 +281,7 @@ object IvfIndex {
           .select("cell", "vec_id", "embedding")
           .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
       case Some(ck) =>
-        import org.apache.spark.sql.Encoders
-        implicit val vecEnc = Encoders.product[Similarity.Vec]
-        implicit val routedEnc = Encoders.product[Similarity.RoutedVec]
-        val (routable, children) = hierPlan(spark, dir, ck)
-        val bcCoarse = spark.sparkContext.broadcast(routable)
-        val bcChildren = spark.sparkContext.broadcast(children)
-        delta.select(col("vec_id"), col("embedding")).as[Similarity.Vec]
-          .mapPartitions { it =>
-            val cs = bcCoarse.value
-            val ch = bcChildren.value
-            it.map { v =>
-              val (cc, _) = Similarity.nearestSeed(v.embedding, cs, v.vec_id)
-              val (cell, _) = Similarity.nearestSeed(v.embedding, ch(cc), v.vec_id)
-              Similarity.RoutedVec(cell, v.vec_id, v.embedding)
-            }
-          }
-          .toDF()
+        hierAssign(spark, dir, delta, ck, nprobe = 1)
           .select(col("cc").as("cell"), col("vec_id"), col("embedding"))
           .write.partitionBy("cell").mode("append").parquet(s"$dir/cells")
     }
@@ -256,6 +326,18 @@ object IvfIndex {
         val collected = probeRows.collect()
         spark.createDataFrame(
           java.util.Arrays.asList(collected: _*), probeRows.schema)
+      case Some(ck) if dispatchCells(spark, dir) > Similarity.MaxBroadcastFineCentroids =>
+        // Past the fine-set broadcast bound the interactive driver loop
+        // below can't hold the routing plan either — assign through the
+        // cogrouped door and collect the (probe × nprobe)-bounded
+        // result back for the IN-list, exactly the collected-path
+        // contract at interactive probe counts.
+        val probeRows = hierAssign(spark, dir, probes, ck, nprobe)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            col("cc").as("cell"))
+        val collected = probeRows.collect()
+        spark.createDataFrame(
+          java.util.Arrays.asList(collected: _*), probeRows.schema)
       case Some(ck) =>
         // Above the K threshold the BUILD placed vectors by two-level
         // routing; probes must walk the SAME route (FAISS reuses its
@@ -266,7 +348,9 @@ object IvfIndex {
         // cost drops K -> ~2√K as a side effect. Multi-probe ranks the
         // nprobe best fine cells WITHIN the probe's coarse cell (IMI-
         // style; cross-coarse multiprobe is the next knob and would
-        // extend this arm, not the flat one).
+        // extend this arm, not the flat one). The memoized broadcast
+        // plan is the interactive fast path — zero Spark jobs for the
+        // assignment itself; the arm above takes over past the bound.
         import org.apache.spark.sql.Encoders
         implicit val vecEnc = Encoders.product[Similarity.Vec]
         val (routable, children) = hierPlan(spark, dir, ck)
@@ -365,26 +449,7 @@ object IvfIndex {
             .select("query_id", "q_emb", "cell")
         }
       case Some(ck) =>
-        import org.apache.spark.sql.Encoders
-        implicit val vecEnc = Encoders.product[Similarity.Vec]
-        implicit val routedEnc = Encoders.product[Similarity.RoutedVec]
-        val (routable, children) = hierPlan(spark, dir, ck)
-        val bcCoarse = spark.sparkContext.broadcast(routable)
-        val bcChildren = spark.sparkContext.broadcast(children)
-        probes.select(col("vec_id"), col("embedding")).as[Similarity.Vec]
-          .mapPartitions { it =>
-            val cs = bcCoarse.value
-            val ch = bcChildren.value
-            it.flatMap { p =>
-              val (cc, _) = Similarity.nearestSeed(p.embedding, cs, p.vec_id)
-              ch(cc)
-                .map(c => (c.vec_id, Similarity.cosineJvm(p.embedding, c.embedding)))
-                .sortBy { case (id, cos) => (-cos, id) }
-                .take(nprobe)
-                .map { case (cell, _) => Similarity.RoutedVec(cell, p.vec_id, p.embedding) }
-            }
-          }
-          .toDF()
+        hierAssign(spark, dir, probes, ck, nprobe)
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
             col("cc").as("cell"))
     }

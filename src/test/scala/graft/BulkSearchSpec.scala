@@ -48,6 +48,23 @@ class BulkSearchSpec extends SparkSuite {
     }
   }
 
+  test("cogrouped hier assignment (the past-broadcast-bound arm) is bit-identical " +
+      "to the broadcast routing plan") {
+    val k = Similarity.HierAssignThreshold + 16
+    val ck = Similarity.hierCoarseK(k).get
+    val dir = buildIdx(numCells = k)
+    def cells(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("vec_id", "cc").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (np <- Seq(1, 2)) {
+      val viaBroadcast = cells(IvfIndex.hierAssign(spark, dir, emb, ck, np))
+      val viaCogroup = cells(IvfIndex.hierAssign(spark, dir, emb, ck, np, forceCogrouped = true))
+      assert(viaBroadcast == viaCogroup,
+        s"nprobe=$np: the broadcast-free arm routes differently — the read side " +
+          "of the fine-set broadcast bound would silently change results")
+      assert(viaBroadcast.nonEmpty)
+    }
+  }
+
   test("bulk keeps every query's full top-k and never self-matches") {
     val dir = buildIdx(numCells = 16)
     val out = IvfIndex.searchBulk(spark, dir, emb, k = 3)
