@@ -483,8 +483,13 @@ object Dedup {
     require(thr >= 1L,
       s"triangleCountSampled: $total edges exceed 1e6 * targetEdges=$targetEdges " +
         "— the keep threshold rounds to zero; raise targetEdges")
-    val sampled = edges.filter(expr(
-      s"${hash60Spark("concat(CAST(a_id AS STRING), ',', CAST(b_id AS STRING))")} % 1000000 < $thr"))
+    // p = 1 keeps every edge — skip the per-edge md5 entirely rather
+    // than evaluating a filter that can never drop a row (the exact
+    // tier should cost exactly what triangleCount costs).
+    val sampled =
+      if (thr >= 1000000L) edges
+      else edges.filter(expr(
+        s"${hash60Spark("concat(CAST(a_id AS STRING), ',', CAST(b_id AS STRING))")} % 1000000 < $thr"))
     val p = math.min(1.0, thr.toDouble / 1000000.0)
     triangleCount(sampled)
       .select(

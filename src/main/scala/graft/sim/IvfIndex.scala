@@ -129,13 +129,38 @@ object IvfIndex {
     spark.createDataFrame(
         java.util.Arrays.asList(Row(numCells.toLong)), schema)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    val key = cacheKey(dir)
-    metaCache.remove(key); routingCache.remove(key)
+    // The rewrite changed dir/meta's mtime, so future reads miss the
+    // mtime-stamped cache automatically (cross-process safe); dropping
+    // this JVM's now-dead entries just frees them early.
+    for (k <- metaCache.keys if k.startsWith(s"$dir@")) metaCache.remove(k)
+    for (k <- routingCache.keys if k.startsWith(s"$dir@")) routingCache.remove(k)
     ()
   }
 
-  private def cacheKey(dir: String): String =
-    java.nio.file.Paths.get(dir).toAbsolutePath.normalize.toString
+  /** Rebuild-safe cache key: dir + the meta directory's modification
+    * time through the HADOOP filesystem API (storage-agnostic — a
+    * java.nio stat is false/zero on hdfs:// or s3a:// URIs, which
+    * would silently freeze the first-read plan forever there). A
+    * rebuild by ANY process rewrites `dir/meta`, changing the mtime,
+    * so this JVM's next call misses the cache and reloads — the
+    * in-process writeMeta invalidation covers only the builder's own
+    * JVM (r14 review finding). One FS stat per call; the parquet read
+    * and the K×√K routing derivation stay memoized. */
+  private def cacheKey(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, "meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp =
+      try { if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else -1L }
+      catch { case _: java.io.IOException => -1L }
+    s"$dir@$stamp"
+  }
+
+  /** Both caches are bounded crudely: past 64 index dirs per JVM the
+    * whole map clears (a routing plan can pin up to ~134 MB of
+    * centroids at the 2¹⁸ bound — unbounded growth across the temp-dir-
+    * per-index test/bench harnesses is a slow OOM). Rebuilds also
+    * retire entries naturally via the mtime-stamped key. */
+  private val MaxCachedDirs = 64
 
   private val metaCache =
     scala.collection.concurrent.TrieMap.empty[String, Int]
@@ -146,25 +171,33 @@ object IvfIndex {
   /** The quantity EVERY side dispatches flat-vs-hier on: the numCells
     * the build was asked for (`dir/meta`), falling back to the stored
     * centroid count for pre-meta indexes (where ids are dense, so the
-    * two coincide). Memoized per dir — the read repeats per search. */
-  private def dispatchCells(spark: SparkSession, dir: String): Int =
-    metaCache.getOrElseUpdate(cacheKey(dir), {
-      val metaPath = java.nio.file.Paths.get(dir, "meta")
-      if (java.nio.file.Files.isDirectory(metaPath))
-        spark.read.parquet(metaPath.toString).head.getLong(0).toInt
+    * two coincide). Memoized per (dir, meta mtime) — the read repeats
+    * per search; the mtime in the key makes a rebuild (by any process)
+    * a cache miss. The meta read goes through spark.read like every
+    * other index component, so remote filesystems behave identically. */
+  private def dispatchCells(spark: SparkSession, dir: String): Int = {
+    if (metaCache.size > MaxCachedDirs) metaCache.clear()
+    metaCache.getOrElseUpdate(cacheKey(spark, dir), {
+      val p = new org.apache.hadoop.fs.Path(dir, "meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) spark.read.parquet(p.toString).head.getLong(0).toInt
       else loadCentroidCount(spark, dir)
     })
+  }
 
   /** The (routable coarse set, ownership map) plan of a hier-routed
-    * index, memoized per dir: deriving it costs a K×D driver pull plus
-    * K×⌈√K⌉ scorings — per-call re-derivation repeats that work on
-    * every search/append (r13 review finding). Invalidated by rebuild
-    * (writeMeta); append never changes centroids, so the plan stays
-    * valid across appends. */
+    * index, memoized per (dir, meta mtime): deriving it costs a K×D
+    * driver pull plus K×⌈√K⌉ scorings — per-call re-derivation repeats
+    * that work on every search/append (r13 review finding), while the
+    * mtime-stamped key retires the plan on rebuild even when another
+    * process did the rebuilding. Append never changes centroids or
+    * meta, so the plan stays valid across appends. */
   private def hierPlan(spark: SparkSession, dir: String,
-      ck: Int): (Array[Similarity.Vec], Map[Long, Array[Similarity.Vec]]) =
-    routingCache.getOrElseUpdate(cacheKey(dir),
+      ck: Int): (Array[Similarity.Vec], Map[Long, Array[Similarity.Vec]]) = {
+    if (routingCache.size > MaxCachedDirs) routingCache.clear()
+    routingCache.getOrElseUpdate(cacheKey(spark, dir),
       Similarity.hierRouting(loadCentroids(spark, dir), ck))
+  }
 
   /** Distributed two-level vector→cell assignment over the index's
     * STORED centroids — the one hier-routing door of every read path
@@ -192,7 +225,7 @@ object IvfIndex {
     implicit val vecEnc = Encoders.product[Similarity.Vec]
     implicit val routedEnc = Encoders.product[Similarity.RoutedVec]
     implicit val keyEnc = Encoders.scalaLong
-    if (!forceCogrouped && dispatchCells(spark, dir) <= Similarity.MaxBroadcastFineCentroids) {
+    if (!forceCogrouped && dispatchCells(spark, dir) <= Similarity.maxBroadcastFine) {
       val (routable, children) = hierPlan(spark, dir, ck)
       val bcCoarse = spark.sparkContext.broadcast(routable)
       val bcChildren = spark.sparkContext.broadcast(children)
@@ -326,7 +359,7 @@ object IvfIndex {
         val collected = probeRows.collect()
         spark.createDataFrame(
           java.util.Arrays.asList(collected: _*), probeRows.schema)
-      case Some(ck) if dispatchCells(spark, dir) > Similarity.MaxBroadcastFineCentroids =>
+      case Some(ck) if dispatchCells(spark, dir) > Similarity.maxBroadcastFine =>
         // Past the fine-set broadcast bound the interactive driver loop
         // below can't hold the routing plan either — assign through the
         // cogrouped door and collect the (probe × nprobe)-bounded
@@ -453,15 +486,23 @@ object IvfIndex {
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
             col("cc").as("cell"))
     }
+    // The assignment feeds two consumers — the cell-id pull below and
+    // the candidate join in the returned plan. Un-persisted, the second
+    // consumer RE-EXECUTES the whole probe-side lineage (the N×K scan
+    // or the cogroup shuffle) when the caller materializes — the exact
+    // doubled work the collected path avoids by collecting (r14 review
+    // finding). MEMORY_AND_DISK: spill-safe at corpus-sized probe sets.
+    val probeCellsP = probeCells
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // The one driver pull: probed cell ids for planning-time partition
     // pruning — ≤ numCells values regardless of probe volume.
-    val cellIds = probeCells.select("cell").distinct()
+    val cellIds = probeCellsP.select("cell").distinct()
       .collect().map(_.getLong(0)).toSeq
     val cands = spark.read.parquet(s"$dir/cells")
       .filter(col("cell").isin(cellIds: _*))
       .withColumn("cell", col("cell").cast("long"))
     val wTopK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    cands.join(probeCells, Seq("cell"))
+    cands.join(probeCellsP, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "vec_id AS neighbor_id", "cosine_sim(q_emb, embedding) AS cos")
       .withColumn("rank", row_number().over(wTopK))

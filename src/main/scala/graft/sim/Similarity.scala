@@ -407,6 +407,18 @@ object Similarity {
     * 134 MB at dim 128 — the classic "biggest broadcast you'd defend". */
   val MaxBroadcastFineCentroids = 1 << 18
 
+  /** Test-only override of the bound: the past-bound dispatch arms
+    * (cogrouped assignment, searchMulti's distributed probe route) are
+    * otherwise reachable only with a >2¹⁸-cell index — no reasonable
+    * spec fixture — so their plumbing would ship unexecuted (r14 review
+    * finding). Specs lower it in a try/finally; production never sets
+    * it. */
+  private[graft] var maxBroadcastFineCentroidsOverride: Option[Int] = None
+
+  /** The bound every dispatch site consults. */
+  private[graft] def maxBroadcastFine: Int =
+    maxBroadcastFineCentroidsOverride.getOrElse(MaxBroadcastFineCentroids)
+
   /** The coarse-quantizer size for a two-level assignment over `k` fine
     * cells — ⌈√k⌉ (balances the two scoring levels at ~2√k per vector)
     * — or None when `k` is small enough that flat assignment is both
@@ -427,7 +439,7 @@ object Similarity {
   def ivfAssignAuto(spark: SparkSession, corpus: DataFrame, numCells: Int): DataFrame =
     hierCoarseK(numCells) match {
       case None => ivfAssign(spark, corpus, numCells)
-      case Some(ck) if numCells <= MaxBroadcastFineCentroids =>
+      case Some(ck) if numCells <= maxBroadcastFine =>
         ivfAssignHier(spark, corpus, numCells, ck)
       case Some(ck) => ivfAssignHierCogrouped(spark, corpus, numCells, ck)
     }

@@ -65,6 +65,25 @@ class BulkSearchSpec extends SparkSuite {
     }
   }
 
+  test("past-broadcast-bound dispatch: searchMulti and searchBulk route cogrouped " +
+      "and return the identical results") {
+    val k = Similarity.HierAssignThreshold + 16
+    val dir = buildIdx(numCells = k) // built below the bound (broadcast hier arm)
+    val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 7)
+    val wantMulti = rows(IvfIndex.searchMulti(spark, dir, probes, k = 3, nprobe = 2))
+    val wantBulk = rows(IvfIndex.searchBulk(spark, dir, emb, k = 3))
+    // Lower the bound so every hier read path takes the past-bound arm
+    // (the only way to execute that plumbing without a >2^18-cell
+    // fixture — r14 review finding).
+    Similarity.maxBroadcastFineCentroidsOverride = Some(8)
+    try {
+      assert(rows(IvfIndex.searchMulti(spark, dir, probes, k = 3, nprobe = 2)) == wantMulti,
+        "searchMulti's past-bound probe arm disagrees with the broadcast route")
+      assert(rows(IvfIndex.searchBulk(spark, dir, emb, k = 3)) == wantBulk,
+        "searchBulk's past-bound cogrouped arm disagrees with the broadcast route")
+    } finally Similarity.maxBroadcastFineCentroidsOverride = None
+  }
+
   test("bulk keeps every query's full top-k and never self-matches") {
     val dir = buildIdx(numCells = 16)
     val out = IvfIndex.searchBulk(spark, dir, emb, k = 3)
