@@ -21,6 +21,25 @@ object Bench {
       .trim.split("\\s+").take(3).mkString(" ")
     catch { case _: Throwable => "" }
 
+  /** Whole-box busy CPU time from /proc/stat line 1, in jiffies
+    * (USER_HZ = 100 on Linux): everything except idle (field 4) and
+    * iowait (field 5). */
+  private def totalBusyJiffies(): Long =
+    try {
+      val f = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+        .get(0).trim.split("\\s+").drop(1).map(_.toLong)
+      f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+    } catch { case _: Throwable => -1L }
+
+  /** This JVM's cumulative CPU time (ns) — Spark local mode runs
+    * everything (executors, GC) in-process, so this IS the bench's own
+    * footprint. */
+  private def ownCpuNanos(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime
+      case _ => -1L
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -72,6 +91,36 @@ object Bench {
     // session — at sf10 that filled the volume. The GC is not timed, so
     // per-entry numbers are unaffected.
     val gcEach = sys.env.get("SPARK_GRAFT_GC_EACH").contains("1")
+    // WHOLE-RUN contention sampling (r14 directive 2): the start-only
+    // loadavg check stamped BENCH_r14 "contended: false" while the box's
+    // 5-min load hit 4.0 mid-run — exactly the artifact class three
+    // earlier rounds re-adjudicated by hand. Mid-run 1-min loadavg can't
+    // gate directly (this bench's own local[32] work drives it to ~32 on
+    // a busy entry), so the discriminating signal is EXTERNAL CPU:
+    // (Δ /proc/stat busy − Δ own-JVM CPU) / Δ wall — the cores someone
+    // ELSE is burning. Sampled after every entry over ≥2 s windows
+    // (shorter windows are jiffy-quantization noise); the peak is
+    // stamped, and any window where external work exceeds the same 1.5-
+    // core threshold the pre-flight check uses marks the run contended.
+    var extSampleT = System.nanoTime()
+    var extSampleBusy = totalBusyJiffies()
+    var extSampleOwn = ownCpuNanos()
+    var extPeakCores = 0.0
+    var loadPeak1 = 0.0
+    def sampleContention(): Unit = {
+      loadavg().split("\\s+").headOption.flatMap(_.toDoubleOption)
+        .foreach(l => if (l > loadPeak1) loadPeak1 = l)
+      val now = System.nanoTime()
+      val dt = (now - extSampleT) / 1e9
+      if (dt >= 2.0) {
+        val busy = totalBusyJiffies(); val own = ownCpuNanos()
+        if (busy >= 0 && own >= 0 && extSampleBusy >= 0 && extSampleOwn >= 0) {
+          val ext = ((busy - extSampleBusy) / 100.0 - (own - extSampleOwn) / 1e9) / dt
+          if (ext > extPeakCores) extPeakCores = ext
+        }
+        extSampleT = now; extSampleBusy = busy; extSampleOwn = own
+      }
+    }
     def timed(work: () => Unit): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err = try { work(); None } catch {
@@ -80,6 +129,7 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       if (gcEach) System.gc()
+      sampleContention()
       (sec, err)
     }
 
@@ -158,18 +208,23 @@ object Bench {
     //      entries as fit, slowest first (the ones that matter for the
     //      gate), 3-decimal seconds, plus how many were omitted.
     val loadEnd = loadavg()
-    // Pre-flight contention gate, IN the artifact: a run that started on
-    // a busy box (1-min loadavg > 1.5 before the session even built) is
-    // self-identifying, so a judge never again burns a round adjudicating
-    // whether a slow total was the code or the neighbors. Perf claims
-    // should cite only runs with "contended": false — and an UNREADABLE
-    // loadavg stamps null, never a self-certifying false.
-    val contended =
-      loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption)
-        .map(l => (l > 1.5).toString).getOrElse("null")
+    // Contention gate, IN the artifact — pre-flight AND whole-run: a run
+    // is contended if the box was already busy when the session built
+    // (1-min loadavg > 1.5) OR any post-entry sample caught > 1.5 cores
+    // of EXTERNAL work mid-run (see sampleContention). The peak external
+    // cores and the peak 1-min loadavg are both stamped so a judge reads
+    // the magnitude, not just the bit. Perf claims should cite only runs
+    // with "contended": false — and an UNREADABLE loadavg stamps null,
+    // never a self-certifying false.
+    val startBusy =
+      loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption).map(_ > 1.5)
+    val contended = startBusy
+      .map(b => (b || extPeakCores > 1.5).toString).getOrElse("null")
+    def r2(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val skipped = skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val stamp =
-      s""""run_tag":${jstr(runTag)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"contended":$contended,"skipped":$skipped"""
+      s""""run_tag":${jstr(runTag)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"loadavg_peak1":${r2(loadPeak1)},"external_cpu_peak_cores":${r2(extPeakCores)},"contended":$contended,"skipped":$skipped"""
     val fullQs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
     val fullLine =

@@ -39,10 +39,14 @@ object ScaleGen {
     * verbatim): rotate components by 1 + (rep-1) mod (dim-1) positions
     * (never 0 for rep ≥ 1) and flip signs by xxhash64(rep, i) parity.
     * Rotation and sign-flip are both orthogonal maps, so within-replica
-    * pairwise cosine/L2 structure is EXACTLY the original corpus and
-    * per-vector norms are unchanged; across replicas (different rot or
-    * sign pattern) the alignment is destroyed — cos concentrates at 0
-    * like independent vectors. */
+    * pairwise cosine/L2 structure equals the original corpus exactly as
+    * real numbers — in floats, the rotation reorders the summation of
+    * any cosine/norm fold, so computed values agree to fp rounding
+    * (~1e-6 at dim 64; ScaleGenSpec asserts exactly that), not bit-for-
+    * bit; across replicas (different rot or sign pattern) the alignment
+    * is destroyed — cos concentrates at 0 like independent vectors.
+    * Requires dim >= 2: the rotation modulus is dim-1 (div-by-zero on
+    * scalar embeddings, which no real embedding table has). */
   def perturbEmbedding(vecOff: Long): org.apache.spark.sql.Column = {
     val rep = s"(vec_id DIV ${vecOff}L)"
     val rot = s"(1L + pmod($rep - 1L, size(embedding) - 1))"

@@ -521,6 +521,43 @@ object DedupQueries extends QueryModule {
               |  CAST(pp.n_edges AS BIGINT) AS n_edges_total
               |FROM tr, pp""".stripMargin)),
 
+    // The estimator at a FORCED-BINDING p (r14 directive 3):
+    // `dedup_triangles_sampled`'s 1M-edge target keeps p = 1 at every
+    // oracle scale (the sf0.01 strict graph holds 366 edges), so the
+    // p<1 arithmetic — hash keep rule, p³ inflation, the DuckDB dual of
+    // both — was exercised only spec-side. targetEdges = 128 < 366
+    // binds at the gate: the oracle replays the identical integer keep
+    // rule (md5-hash % 1e6 < thr, thr = 1e6·128 DIV 366) over its own
+    // edge set, so every surviving edge, every surviving triangle, and
+    // the exact p³ division are hash-gated end-to-end. The row's
+    // n_edges_sampled < n_edges_total IS the binding proof in the
+    // gated output.
+    EngineQuery(
+      "dedup_triangles_est",
+      (s, dir) => graft.dedup.Dedup.triangleCountSampled(
+        strictPairsCached(s, dir), targetEdges = 128L),
+      Some(s"""WITH tk AS (SELECT doc_id, $toksDuck AS toks FROM documents),
+              |h AS (SELECT doc_id, $tokenHashesDuck AS th FROM tk),
+              |f AS (SELECT doc_id, $simhash32Duck AS simhash FROM h),
+              |e AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              |  FROM f a JOIN f b ON a.doc_id < b.doc_id
+              |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+              |tot AS (SELECT count(*) AS n_edges,
+              |    (1000000::BIGINT * 128) // greatest(count(*), 1) AS thr
+              |  FROM e),
+              |se AS (SELECT a_id, b_id FROM e, tot
+              |  WHERE ${hash60Duck("CAST(a_id AS VARCHAR) || ',' || CAST(b_id AS VARCHAR)")} % 1000000 < tot.thr),
+              |tr AS (SELECT count(*) AS n FROM se e1
+              |  JOIN se e2 ON e2.a_id = e1.a_id AND e2.b_id > e1.b_id
+              |  JOIN se e3 ON e3.a_id = e1.b_id AND e3.b_id = e2.b_id),
+              |pp AS (SELECT least(CAST(1.0 AS DOUBLE),
+              |    CAST(thr AS DOUBLE) / 1000000.0) AS p, n_edges FROM tot)
+              |SELECT round(CAST(tr.n AS DOUBLE) / (pp.p * pp.p * pp.p), 6) AS n_triangles_est,
+              |  CAST(tr.n AS BIGINT) AS n_triangles_sampled,
+              |  CAST((SELECT count(*) FROM se) AS BIGINT) AS n_edges_sampled,
+              |  CAST(pp.n_edges AS BIGINT) AS n_edges_total
+              |FROM tr, pp""".stripMargin)),
+
     // Asymmetric containment (inter / min(|A|,|B|)) over the SAME banded
     // candidates — flags sub-document duplication (boilerplate, quotes,
     // truncations) whose symmetric Jaccard stays low because the size

@@ -16,6 +16,44 @@ object SimQueries extends QueryModule {
   private val Dim = 64
   private val LshBits = 6 // 64 buckets — bucket-local NN stays non-trivial at test SF
 
+  /** The expected-bucket-size target of the AUTO LSH tier: signature
+    * width grows with the corpus so E[bucket] stays ≤ this, keeping
+    * within-bucket pair work Σb² ≈ (N/2^bits)·E[bucket]² = 128·N —
+    * linear in N (the constant-bits yardstick's is N²/2^bits). */
+  private val LshTargetBucket = 128L
+
+  /** Widest auto signature: 2²⁰ buckets ≈ 134M vectors at the target
+    * bucket size — beyond that, raise the cap (each bit is one more
+    * hyperplane fold, still partition-local). */
+  private val LshMaxBits = 20
+
+  /** Signature width for this corpus: the smallest b in [LshBits,
+    * LshMaxBits] with 2^b · targetBucket ≥ N — a PURE-INTEGER
+    * derivation (no fp log2 whose rounding could disagree across
+    * engines) that the DuckDB dual replays verbatim as
+    * MIN(b) FROM range(...) WHERE (target << b) >= count(*). At the
+    * oracle/bench scales (N = 500 / 2000) it floors at [[LshBits]], so
+    * the gate pins the auto tier's full machinery while its result
+    * there coincides with the labeled yardstick; at sf1 (N = 20k) it
+    * yields 8 bits, sf10 (N = 200k) 11 — E[bucket] pinned ≤128 where
+    * the constant-bits tier's buckets grow ∝ N. */
+  private[queries] def autoLshBits(n: Long): Int =
+    (LshBits to LshMaxBits).find(b => (LshTargetBucket << b) >= n).getOrElse(LshMaxBits)
+
+  private val bitsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+
+  private def autoBits(s: SparkSession, dir: String): Int =
+    bitsCache.getOrElseUpdate((s, dir), autoLshBits(emb(s, dir).count()))
+
+  /** The DuckDB dual of [[autoLshBits]] over the embeddings table —
+    * the same integer rule, computed IN the oracle so the replay holds
+    * at any scale, not just where a hardcoded width happens to agree. */
+  private val duckAutoBits =
+    s"""(SELECT MIN(b) FROM range($LshBits, ${LshMaxBits + 1}) t(b)
+       | WHERE ($LshTargetBucket::BIGINT << b) >= (SELECT count(*) FROM embeddings))"""
+      .stripMargin.replace("\n", "")
+
   /** DuckDB subspace-m L2² between two embedding columns (strict
     * position-ordered fold — the oracle dual of `l2_sq_range`). */
   private def duckSubL2(e1: String, e2: String): String =
@@ -598,6 +636,72 @@ object SimQueries extends QueryModule {
               |  FROM p)
               |SELECT vec_id, neighbor_id, round(cos, 6) AS cosine FROM r WHERE rn = 1""".stripMargin)),
 
+    // The bucketed-NN SCALE TIER (r14 directive 1): same search, but
+    // the signature width follows the corpus ([[autoLshBits]] — bits =
+    // min b with 2^b·128 ≥ N) instead of the constant [[LshBits]]. A
+    // constant bucket domain makes E[bucket] ∝ N and within-bucket
+    // pair work ∝ N²/2^bits (the r14 weak grade: 28× for 10× data at
+    // sf10); growing bits with log N pins E[bucket] ~128 so the
+    // quadratic stays bucket-local and TOTAL work tracks N. The oracle
+    // computes the same integer width from its own count(*) — at the
+    // gate scales that floors at 6 bits, so this row coincides with
+    // the yardstick there by design (the tier's dispatch, signature
+    // masking, and width rule are still all on the gated path); the
+    // sf1/sf10 runs are where the widths diverge (8/11 bits) and the
+    // flat-to-linear claim is measured (BASELINE.md). The DuckDB side
+    // builds the full LshMaxBits-wide signature and masks to the low
+    // `bits` — identical to building a bits-wide signature, because
+    // bit j's contribution (1<<j when proj_j > 0) is independent of
+    // the total width.
+    EngineQuery(
+      "sim_lsh_bucket_nn_auto",
+      (s, dir) => bucketNnJvm(s, emb(s, dir).selectExpr(
+        "vec_id", "embedding",
+        s"${lshSigSpark("embedding", autoBits(s, dir), Dim)} AS bucket")),
+      Some(s"""WITH s AS (SELECT vec_id, embedding,
+              |    ${lshSigDuck("embedding", LshMaxBits, Dim)}
+              |      % (1::BIGINT << $duckAutoBits) AS bucket
+              |  FROM embeddings),
+              |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+              |    ${cosineDuck("a.embedding", "b.embedding")} AS cos
+              |  FROM s a JOIN s b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+              |r AS (SELECT vec_id, neighbor_id, cos,
+              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+              |  FROM p)
+              |SELECT vec_id, neighbor_id, round(cos, 6) AS cosine FROM r WHERE rn = 1""".stripMargin)),
+
+    // The auto tier's bucket-size AUDIT (the dedup_bucket_audit
+    // pattern): the chosen width plus the realized bucket-population
+    // shape, gated — so the "E[bucket] stays ~target" invariant is a
+    // hash-checked output, not a claim. One narrow aggregate over the
+    // signatures (no pair work).
+    EngineQuery(
+      "sim_lsh_auto_audit",
+      (s, dir) => {
+        val bits = autoBits(s, dir)
+        emb(s, dir).selectExpr(
+            s"${lshSigSpark("embedding", bits, Dim)} AS bucket")
+          .groupBy("bucket").agg(count(lit(1)).as("sz"))
+          .agg(
+            sum("sz").as("n_vectors"),
+            count(lit(1)).as("n_buckets_nonempty"),
+            max("sz").as("max_bucket"),
+            round(avg(col("sz")), 6).as("avg_bucket"))
+          .selectExpr(s"CAST($bits AS BIGINT) AS bits", "n_vectors",
+            "n_buckets_nonempty", "max_bucket", "avg_bucket")
+      },
+      Some(s"""WITH s AS (SELECT
+              |    ${lshSigDuck("embedding", LshMaxBits, Dim)}
+              |      % (1::BIGINT << $duckAutoBits) AS bucket
+              |  FROM embeddings),
+              |b AS (SELECT bucket, count(*) AS sz FROM s GROUP BY bucket)
+              |SELECT CAST($duckAutoBits AS BIGINT) AS bits,
+              |  CAST(sum(sz) AS BIGINT) AS n_vectors,
+              |  CAST(count(*) AS BIGINT) AS n_buckets_nonempty,
+              |  CAST(max(sz) AS BIGINT) AS max_bucket,
+              |  round(CAST(sum(sz) AS DOUBLE) / count(*), 6) AS avg_bucket
+              |FROM b""".stripMargin)),
+
     // Embedding-cosine near-duplicate pairs (exact, thresholded):
     // triangle block join — distributed n²/2 scan with no driver collect
     // and bounded per-group memory.
@@ -1037,11 +1141,16 @@ object SimQueries extends QueryModule {
               |      row_number() OVER (PARTITION BY cf.f
               |        ORDER BY ${cosineDuck("cf.f_emb", "cc.c_emb")} DESC, cc.c ASC) AS rn
               |    FROM cf CROSS JOIN cc) WHERE rn = 1),
+              |-- vectors route among OWNING coarse cells only, mirroring the
+              |-- engine's routable filter (hierRouting drops childless coarse
+              |-- seeds — e.g. duplicate seeds — before routing; r14 ADVICE)
+              |ccr AS (SELECT cc.c, cc.c_emb FROM cc
+              |  JOIN (SELECT DISTINCT c FROM fmap) own USING (c)),
               |vc AS (SELECT vec_id, c FROM (
-              |    SELECT e.vec_id, cc.c,
+              |    SELECT e.vec_id, ccr.c,
               |      row_number() OVER (PARTITION BY e.vec_id
-              |        ORDER BY ${cosineDuck("e.embedding", "cc.c_emb")} DESC, cc.c ASC) AS rn
-              |    FROM embeddings e CROSS JOIN cc) WHERE rn = 1),
+              |        ORDER BY ${cosineDuck("e.embedding", "ccr.c_emb")} DESC, ccr.c ASC) AS rn
+              |    FROM embeddings e CROSS JOIN ccr) WHERE rn = 1),
               |a AS (SELECT vec_id, cell FROM (
               |    SELECT vc.vec_id, cf.f AS cell,
               |      row_number() OVER (PARTITION BY vc.vec_id
@@ -1255,11 +1364,14 @@ object SimQueries extends QueryModule {
               |      row_number() OVER (PARTITION BY cf.f
               |        ORDER BY ${cosineDuck("cf.f_emb", "cc.c_emb")} DESC, cc.c ASC) AS rn
               |    FROM cf CROSS JOIN cc) WHERE rn = 1),
+              |-- owners only, mirroring the engine's routable filter (r14 ADVICE)
+              |ccr AS (SELECT cc.c, cc.c_emb FROM cc
+              |  JOIN (SELECT DISTINCT c FROM fmap) own USING (c)),
               |vc AS (SELECT vec_id, c FROM (
-              |    SELECT e.vec_id, cc.c,
+              |    SELECT e.vec_id, ccr.c,
               |      row_number() OVER (PARTITION BY e.vec_id
-              |        ORDER BY ${cosineDuck("e.embedding", "cc.c_emb")} DESC, cc.c ASC) AS rn
-              |    FROM embeddings e CROSS JOIN cc) WHERE rn = 1),
+              |        ORDER BY ${cosineDuck("e.embedding", "ccr.c_emb")} DESC, ccr.c ASC) AS rn
+              |    FROM embeddings e CROSS JOIN ccr) WHERE rn = 1),
               |a AS (SELECT vec_id, cell FROM (
               |    SELECT vc.vec_id, cf.f AS cell,
               |      row_number() OVER (PARTITION BY vc.vec_id
@@ -1273,6 +1385,123 @@ object SimQueries extends QueryModule {
               |    ${cosineDuck("pr.q_emb", "e.embedding")} AS cos
               |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
               |  JOIN pr ON a.cell = pr.cell AND e.vec_id <> pr.query_id),
+              |hr AS (SELECT query_id, neighbor_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM j),
+              |i3 AS (SELECT query_id, neighbor_id FROM hr WHERE rank <= 3),
+              |bj AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+              |    ${cosineDuck("q.embedding", "e.embedding")} AS cos
+              |  FROM embeddings e JOIN embeddings q
+              |    ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+              |br AS (SELECT query_id, neighbor_id,
+              |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |  FROM bj),
+              |b3 AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 3)
+              |SELECT b3.query_id,
+              |  CAST(count(i3.neighbor_id) AS BIGINT) AS hits,
+              |  round(CAST(count(i3.neighbor_id) AS DOUBLE) / 3, 6) AS recall_at_3
+              |FROM b3 LEFT JOIN i3
+              |  ON i3.query_id = b3.query_id AND i3.neighbor_id = b3.neighbor_id
+              |GROUP BY 1""".stripMargin)),
+
+    // CROSS-COARSE multiprobe recall (r14 directive 6) at the same
+    // forced K = 80: nprobe = 2 with the fine cells ranked JOINTLY
+    // across the probe's top-2 OWNING coarse cells — the r14
+    // measurement put the hier misses across the coarse boundary
+    // (recall@3 = 0.80 at nprobe=1), where within-coarse multiprobe
+    // can never recover them at any nprobe. Same per-probe recall
+    // shape as sim_ivf_hier_recall; the oracle replays BOTH the
+    // build-side two-level placement AND the cross-coarse probe
+    // routing (top-2 coarse, pooled-children argmax, rn ≤ 2), so a
+    // routing regression hash-mismatches per probe. Per-probe cost:
+    // 2 coarse cells' children scored (~2K/ck) + 2 cells scanned.
+    EngineQuery(
+      "sim_ivf_hier_recall_x2",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val forcedK = 80
+        val ck = 9 // ⌈√80⌉ — hierCoarseK's rule at this K
+        val assigns = ivfAssignAuto(s, e, forcedK).select(col("vec_id"), col("cell"))
+        val fine = e.filter(col("vec_id") < forcedK)
+          .select(col("vec_id").as("f"), col("embedding").as("f_emb"))
+        val coarse = e.filter(col("vec_id") < ck)
+          .select(col("vec_id").as("c"), col("embedding").as("c_emb"))
+        val wF = Window.partitionBy("f").orderBy(col("cos").desc, col("c").asc)
+        val fmap = fine.crossJoin(broadcast(coarse))
+          .selectExpr("f", "f_emb", "c", "cosine_sim(f_emb, c_emb) AS cos")
+          .withColumn("rn", row_number().over(wF)).filter(col("rn") === 1)
+          .select("f", "f_emb", "c")
+        val ccr = coarse.join(fmap.select("c").distinct(), Seq("c"))
+        val wQ = Window.partitionBy("query_id").orderBy(col("cos").desc, col("c").asc)
+        val qc = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+          .crossJoin(broadcast(ccr))
+          .selectExpr("query_id", "q_emb", "c", "cosine_sim(q_emb, c_emb) AS cos")
+          .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= 2)
+          .select("query_id", "q_emb", "c")
+        val wQF = Window.partitionBy("query_id").orderBy(col("cos").desc, col("f").asc)
+        val probeCells = qc.join(broadcast(fmap), Seq("c"))
+          .selectExpr("query_id", "q_emb", "f", "cosine_sim(q_emb, f_emb) AS cos")
+          .withColumn("rn", row_number().over(wQF)).filter(col("rn") <= 2)
+          .select(col("query_id"), col("q_emb"), col("f").as("cell"))
+        val cands = e.select(col("vec_id"), col("embedding")).join(assigns, "vec_id")
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        val hier3 = cands.join(broadcast(probeCells), Seq("cell"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .selectExpr("query_id", "vec_id AS neighbor_id", "cosine_sim(q_emb, embedding) AS cos")
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+          .select("query_id", "neighbor_id")
+        val probesB = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        val brute3 = e.crossJoin(broadcast(probesB))
+          .filter(col("vec_id") =!= col("query_id"))
+          .selectExpr("query_id", "vec_id AS neighbor_id", "cosine_sim(q_emb, embedding) AS cos")
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+          .select("query_id", "neighbor_id")
+        brute3.join(hier3.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+          .selectExpr("query_id", "hits",
+            "round(CAST(hits AS DOUBLE) / 3, 6) AS recall_at_3")
+      },
+      Some(s"""WITH cf AS (SELECT vec_id AS f, embedding AS f_emb
+              |  FROM embeddings WHERE vec_id < 80),
+              |cc AS (SELECT vec_id AS c, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 9),
+              |fmap AS (SELECT f, c FROM (
+              |    SELECT cf.f, cc.c,
+              |      row_number() OVER (PARTITION BY cf.f
+              |        ORDER BY ${cosineDuck("cf.f_emb", "cc.c_emb")} DESC, cc.c ASC) AS rn
+              |    FROM cf CROSS JOIN cc) WHERE rn = 1),
+              |ccr AS (SELECT cc.c, cc.c_emb FROM cc
+              |  JOIN (SELECT DISTINCT c FROM fmap) own USING (c)),
+              |vc AS (SELECT vec_id, c FROM (
+              |    SELECT e.vec_id, ccr.c,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${cosineDuck("e.embedding", "ccr.c_emb")} DESC, ccr.c ASC) AS rn
+              |    FROM embeddings e CROSS JOIN ccr) WHERE rn = 1),
+              |a AS (SELECT vec_id, cell FROM (
+              |    SELECT vc.vec_id, cf.f AS cell,
+              |      row_number() OVER (PARTITION BY vc.vec_id
+              |        ORDER BY ${cosineDuck("e.embedding", "cf.f_emb")} DESC, cf.f ASC) AS rn
+              |    FROM vc JOIN embeddings e ON e.vec_id = vc.vec_id
+              |    JOIN fmap ON fmap.c = vc.c
+              |    JOIN cf ON cf.f = fmap.f) WHERE rn = 1),
+              |qc AS (SELECT query_id, q_emb, c FROM (
+              |    SELECT q.vec_id AS query_id, q.embedding AS q_emb, ccr.c,
+              |      row_number() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${cosineDuck("q.embedding", "ccr.c_emb")} DESC, ccr.c ASC) AS rn
+              |    FROM embeddings q CROSS JOIN ccr WHERE q.vec_id < 5) WHERE rn <= 2),
+              |pc AS (SELECT query_id, q_emb, cell FROM (
+              |    SELECT qc.query_id, qc.q_emb, cf.f AS cell,
+              |      row_number() OVER (PARTITION BY qc.query_id
+              |        ORDER BY ${cosineDuck("qc.q_emb", "cf.f_emb")} DESC, cf.f ASC) AS rn
+              |    FROM qc JOIN fmap ON fmap.c = qc.c
+              |    JOIN cf ON cf.f = fmap.f) WHERE rn <= 2),
+              |j AS (SELECT pc.query_id, e.vec_id AS neighbor_id,
+              |    ${cosineDuck("pc.q_emb", "e.embedding")} AS cos
+              |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+              |  JOIN pc ON a.cell = pc.cell AND e.vec_id <> pc.query_id),
               |hr AS (SELECT query_id, neighbor_id,
               |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
               |  FROM j),

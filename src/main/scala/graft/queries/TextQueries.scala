@@ -1751,6 +1751,118 @@ object TextQueries extends QueryModule {
            |FROM pr GROUP BY lang, predicted""".stripMargin
       }),
 
+    // NB classifier with a DOCUMENT-FREQUENCY FLOOR (r14 directive 4)
+    // — the vocab-bounding tier of text_nb_classify. The yardstick
+    // hashes EVERY token instance through md5 at both fit and apply
+    // time, so per-instance cost tracks the raw token stream and, on a
+    // Heaps-growing vocabulary, the hashing stage dominated at sf10
+    // (18.4× for 10× data). Standard NB practice bounds the model at
+    // the vocabulary head instead: tokens seen in ≥ dfFloor TRAIN
+    // documents keep their hashed bucket; everything below collapses
+    // to one OOV bucket. The md5 then runs once per HEAD-VOCAB TYPE
+    // (a train-split distinct, Zipf-truncated), and the corpus-sized
+    // apply pass becomes a broadcast hash-probe per token — codegen'd
+    // join lookup, no per-instance digest. Deterministic and
+    // oracle-replayable end-to-end: the floor is an integer count
+    // predicate, the head map is hash-of-token, and the 65-bucket
+    // (64 head + OOV) Laplace/odds algebra is the yardstick's with
+    // B = 65. Scale contract: the broadcast is the HEAD VOCAB (df ≥
+    // floor on a 100 TB corpus can still be wide — raise the floor or
+    // swap the probe to a shuffle join past the model-broadcast bound,
+    // the same dispatch class as the centroid family); per-doc state
+    // stays ≤ 65 buckets.
+    EngineQuery(
+      "text_nb_classify_df",
+      (s, dir) => {
+        val B = 64       // head buckets; OOV = B → B+1 model rows
+        val NB = B + 1
+        val dfFloor = 3
+        val langs = Seq("en", "es", "de", "fr", "zh")
+        val e = docs(s, dir).withColumn("toks", expr(toksSpark))
+          .selectExpr("doc_id", "lang", s"${splitSpark("doc_id")} AS split",
+            "explode(toks) AS tok")
+        val vocab = e.where(col("split") === "train")
+          .select("tok", "doc_id").distinct()
+          .groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= dfFloor)
+          .selectExpr("tok", s"${hash60Spark("tok")} % $B AS f")
+        val ef = e.join(broadcast(vocab), Seq("tok"), "left")
+          .selectExpr("doc_id", "lang", "split",
+            s"coalesce(f, CAST($B AS BIGINT)) AS f")
+        val cntCols = langs.map(l =>
+          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"c_$l"))
+        val cnt = ef.where(col("split") === "train").groupBy("f")
+          .agg(cntCols.head, cntCols.tail: _*)
+        val full = s.range(NB).selectExpr("CAST(id AS BIGINT) AS f")
+          .join(cnt, Seq("f"), "left")
+          .selectExpr("f" +: langs.map(l => s"coalesce(c_$l, 0) AS c_$l"): _*)
+        val totCols = langs.map(l => sum(s"c_$l").as(s"n_$l"))
+        val tot = full.groupBy().agg(totCols.head, totCols.tail: _*)
+        val weights = full.crossJoin(broadcast(tot))
+          .selectExpr("f" +: langs.map(l =>
+            s"""((CAST($NB * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $NB AS DOUBLE)) - CAST(1.0 AS DOUBLE))
+               | / ((CAST($NB * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $NB AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS s_$l""".stripMargin.replace("\n", "")): _*)
+        val docF = ef.groupBy("doc_id", "lang", "f")
+          .agg(count(lit(1)).cast("long").as("cf"))
+        val scoreAggs = langs.map(l =>
+          expr(qsum(s"CAST(cf AS DOUBLE) * s_$l")).as(s"sc_$l"))
+        val scored = docF.join(broadcast(weights), "f")
+          .groupBy("doc_id", "lang")
+          .agg(scoreAggs.head, scoreAggs.tail: _*)
+        scored.selectExpr("lang",
+            """CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr, sc_zh) THEN 'en'
+              |     WHEN sc_es >= greatest(sc_de, sc_fr, sc_zh) THEN 'es'
+              |     WHEN sc_de >= greatest(sc_fr, sc_zh) THEN 'de'
+              |     WHEN sc_fr >= sc_zh THEN 'fr'
+              |     ELSE 'zh' END AS predicted""".stripMargin.replace("\n", " "))
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+      },
+      Some {
+        val B = 64
+        val NB = B + 1
+        val langs = Seq("en", "es", "de", "fr", "zh")
+        val ccols = langs.map(l =>
+          s"CAST(count(CASE WHEN lang = '$l' THEN 1 END) AS BIGINT) AS c_$l").mkString(",\n    ")
+        val fullCols = langs.map(l => s"COALESCE(c_$l, 0) AS c_$l").mkString(", ")
+        val ncols = langs.map(l => s"CAST(sum(c_$l) AS BIGINT) AS n_$l").mkString(", ")
+        val wcols = langs.map(l =>
+          s"""((CAST($NB * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $NB AS DOUBLE)) - CAST(1.0 AS DOUBLE)) / ((CAST($NB * (c_$l + 1) AS DOUBLE) / CAST(n_$l + $NB AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS s_$l""").mkString(",\n    ")
+        val scols = langs.map(l =>
+          s"${qsum(s"CAST(cf AS DOUBLE) * s_$l")} AS sc_$l").mkString(",\n    ")
+        s"""WITH t AS (SELECT doc_id, lang, ${splitDuck("doc_id")} AS split, $toksDuck AS toks FROM documents),
+           |e AS (SELECT doc_id, lang, split, unnest(toks) AS tok FROM t),
+           |v AS (SELECT tok FROM (
+           |    SELECT tok, count(DISTINCT doc_id) AS df
+           |    FROM e WHERE split = 'train' GROUP BY tok) WHERE df >= 3),
+           |vf AS (SELECT tok, ${hash60Duck("tok")} % $B AS f FROM v),
+           |ef AS (SELECT e.doc_id, e.lang, e.split, COALESCE(vf.f, $B) AS f
+           |  FROM e LEFT JOIN vf USING (tok)),
+           |cnt AS (SELECT f,
+           |    $ccols
+           |  FROM ef WHERE split = 'train' GROUP BY f),
+           |fm AS (SELECT CAST(range AS BIGINT) AS f, $fullCols
+           |  FROM range($NB) LEFT JOIN cnt ON CAST(range AS BIGINT) = cnt.f),
+           |tot AS (SELECT $ncols FROM fm),
+           |w AS (SELECT f,
+           |    $wcols
+           |  FROM fm, tot),
+           |df AS (SELECT doc_id, lang, f, CAST(count(*) AS BIGINT) AS cf
+           |  FROM ef GROUP BY doc_id, lang, f),
+           |sc AS (SELECT doc_id, lang,
+           |    $scols
+           |  FROM df JOIN w USING (f) GROUP BY doc_id, lang),
+           |pr AS (SELECT lang,
+           |    CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr, sc_zh) THEN 'en'
+           |         WHEN sc_es >= greatest(sc_de, sc_fr, sc_zh) THEN 'es'
+           |         WHEN sc_de >= greatest(sc_fr, sc_zh) THEN 'de'
+           |         WHEN sc_fr >= sc_zh THEN 'fr'
+           |         ELSE 'zh' END AS predicted
+           |  FROM sc)
+           |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+           |FROM pr GROUP BY lang, predicted""".stripMargin
+      }),
+
     // Gopher quality-filter ruleset (Rae et al. 2021, A1.1) — the named
     // document filters every large-scale curation pipeline applies, as
     // EXACT integer predicates (ratio thresholds compared by

@@ -137,21 +137,34 @@ object IvfIndex {
     ()
   }
 
-  /** Rebuild-safe cache key: dir + the meta directory's modification
-    * time through the HADOOP filesystem API (storage-agnostic — a
-    * java.nio stat is false/zero on hdfs:// or s3a:// URIs, which
-    * would silently freeze the first-read plan forever there). A
-    * rebuild by ANY process rewrites `dir/meta`, changing the mtime,
-    * so this JVM's next call misses the cache and reloads — the
-    * in-process writeMeta invalidation covers only the builder's own
-    * JVM (r14 review finding). One FS stat per call; the parquet read
-    * and the K×√K routing derivation stay memoized. */
+  /** Rebuild-safe cache key: dir + a stamp of the `dir/meta` DATA FILES
+    * — max(mtime) and sum(length) over fs.listStatus — through the
+    * HADOOP filesystem API (storage-agnostic — a java.nio stat is
+    * false/zero on hdfs:// or s3a:// URIs, which would silently freeze
+    * the first-read plan forever there). Stamping the files rather
+    * than the directory matters twice (r14 ADVICE): object stores
+    * (s3a) report constant/zero mtimes for directory markers, so a
+    * directory stamp never fires there at all, and on 1s-granularity
+    * filesystems a rebuild within the same second as a prior read
+    * could reuse a stale plan — the length term catches a same-second
+    * rewrite whose payload changed size. A rebuild by ANY process
+    * rewrites `dir/meta`, changing the stamp, so this JVM's next call
+    * misses the cache and reloads — the in-process writeMeta
+    * invalidation covers only the builder's own JVM (r14 review
+    * finding). One FS list per call; the parquet read and the K×√K
+    * routing derivation stay memoized. */
   private def cacheKey(spark: SparkSession, dir: String): String = {
     val p = new org.apache.hadoop.fs.Path(dir, "meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stamp =
-      try { if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else -1L }
-      catch { case _: java.io.IOException => -1L }
+      try {
+        if (!fs.exists(p)) "-1"
+        else {
+          val files = fs.listStatus(p).filter(_.isFile)
+          if (files.isEmpty) "-1"
+          else s"${files.map(_.getModificationTime).max}.${files.map(_.getLen).sum}"
+        }
+      } catch { case _: java.io.IOException => "-1" }
     s"$dir@$stamp"
   }
 
@@ -225,6 +238,14 @@ object IvfIndex {
     implicit val vecEnc = Encoders.product[Similarity.Vec]
     implicit val routedEnc = Encoders.product[Similarity.RoutedVec]
     implicit val keyEnc = Encoders.scalaLong
+    // CROSS-COARSE multiprobe (r14 directive 6): at nprobe >= 2 the
+    // candidate fine cells pool from the top-[[Similarity.HierProbeCoarse]]
+    // coarse cells and rank jointly by (cos DESC, fine id ASC) — the
+    // within-coarse ranking could never recover a neighbor across the
+    // coarse boundary, which is where the r14 forced-K recall misses
+    // all lived. nprobe = 1 stays the pure build route (see
+    // HierProbeCoarse's scaladoc for why that contract is load-bearing).
+    val coarseProbe = if (nprobe >= 2) Similarity.HierProbeCoarse else 1
     if (!forceCogrouped && dispatchCells(spark, dir) <= Similarity.maxBroadcastFine) {
       val (routable, children) = hierPlan(spark, dir, ck)
       val bcCoarse = spark.sparkContext.broadcast(routable)
@@ -234,8 +255,10 @@ object IvfIndex {
           val cs = bcCoarse.value
           val ch = bcChildren.value
           it.flatMap { v =>
-            val (cc, _) = Similarity.nearestSeed(v.embedding, cs, v.vec_id)
-            ch(cc)
+            // children sets partition the fine centroids (one owner per
+            // fine cell), so the pooled candidates are duplicate-free.
+            Similarity.nearestSeeds(v.embedding, cs, coarseProbe, v.vec_id)
+              .flatMap(cc => ch(cc))
               .map(c => (c.vec_id, Similarity.cosineJvm(v.embedding, c.embedding)))
               .sortBy { case (id, cos) => (-cos, id) }
               .take(nprobe)
@@ -262,11 +285,24 @@ object IvfIndex {
           .groupByKey(_.cc)
       // Ownership routes the FINE set with the FULL coarse set; vectors
       // route only to OWNING coarse cells — mirrors hierRouting exactly
-      // (the owner-id pull is ≤ ck longs).
+      // (the owner-id pull is ≤ ck longs). Under cross-coarse multiprobe
+      // each vector ships to its top-coarseProbe owner groups.
       val ownerIds = routeByCoarse(centroids, bcFull).keys.distinct().collect().toSet
       require(ownerIds.nonEmpty, "hierAssign: no coarse centroid owns anything")
       val bcRoutable = spark.sparkContext.broadcast(coarse.filter(c => ownerIds(c.vec_id)))
-      routeByCoarse(vectors, bcRoutable)
+      implicit val candEnc = Encoders.product[Similarity.RoutedCand]
+      val routedVecs = vectors.select(col("vec_id"), col("embedding")).as[Similarity.Vec]
+        .mapPartitions { it =>
+          val cs = bcRoutable.value
+          it.flatMap { v =>
+            Similarity.nearestSeeds(v.embedding, cs, coarseProbe, v.vec_id)
+              .map(cc => Similarity.RoutedVec(cc, v.vec_id, v.embedding))
+          }
+        }
+        .groupByKey(_.cc)
+      // Per-group top-nprobe candidates; for coarseProbe = 1 this IS the
+      // final answer (each vector lives in exactly one group).
+      val grouped = routedVecs
         .cogroup(routeByCoarse(centroids, bcFull)) { (cc, vecs, fines) =>
           val owned = fines.map(f => Similarity.Vec(f.vec_id, f.embedding))
             .toArray.sortBy(_.vec_id)
@@ -278,10 +314,25 @@ object IvfIndex {
               .map(c => (c.vec_id, Similarity.cosineJvm(v.embedding, c.embedding)))
               .sortBy { case (id, cos) => (-cos, id) }
               .take(nprobe)
-              .map { case (cell, _) => Similarity.RoutedVec(cell, v.vec_id, v.embedding) }
+              .map { case (cell, cos) =>
+                Similarity.RoutedCand(cell, v.vec_id, v.embedding, cos) }
           }
         }
-        .toDF()
+      if (coarseProbe == 1)
+        grouped.map(c => Similarity.RoutedVec(c.cc, c.vec_id, c.embedding)).toDF()
+      else {
+        // Global re-rank across the coarseProbe groups: the union of
+        // per-group top-nprobe sets contains the global top-nprobe
+        // (standard top-k merge), so this window sees ≤ coarseProbe ×
+        // nprobe rows per vector — never the full pooled candidate set.
+        // Same (cos DESC, fine id ASC) rule as the broadcast arm's
+        // pooled sort, so the two arms stay bit-identical.
+        val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cc").asc)
+        grouped.toDF()
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= nprobe)
+          .select("cc", "vec_id", "embedding")
+      }
     }
   }
 
@@ -378,20 +429,23 @@ object IvfIndex {
         // flat probe argmax would scan a cell the probe's true
         // neighbors were never placed in, an unmeasured recall hole on
         // top of the sanctioned within-coarse approximation. Per-probe
-        // cost drops K -> ~2√K as a side effect. Multi-probe ranks the
-        // nprobe best fine cells WITHIN the probe's coarse cell (IMI-
-        // style; cross-coarse multiprobe is the next knob and would
-        // extend this arm, not the flat one). The memoized broadcast
-        // plan is the interactive fast path — zero Spark jobs for the
-        // assignment itself; the arm above takes over past the bound.
+        // cost drops K -> ~2√K as a side effect. Multi-probe (nprobe ≥
+        // 2) ranks fine cells JOINTLY across the top-HierProbeCoarse
+        // coarse cells (r14 directive 6 — within-coarse ranking could
+        // never recover a cross-boundary neighbor; nprobe = 1 stays
+        // the pure build route, see HierProbeCoarse). The memoized
+        // broadcast plan is the interactive fast path — zero Spark
+        // jobs for the assignment itself; the arm above takes over
+        // past the bound, applying the same rule via hierAssign.
         import org.apache.spark.sql.Encoders
         implicit val vecEnc = Encoders.product[Similarity.Vec]
         val (routable, children) = hierPlan(spark, dir, ck)
+        val coarseProbe = if (nprobe >= 2) Similarity.HierProbeCoarse else 1
         val probeArr = probes.select(col("vec_id"), col("embedding"))
           .as[Similarity.Vec].collect()
         val rows: Seq[org.apache.spark.sql.Row] = probeArr.toSeq.flatMap { p =>
-          val (cc, _) = Similarity.nearestSeed(p.embedding, routable, p.vec_id)
-          children(cc)
+          Similarity.nearestSeeds(p.embedding, routable, coarseProbe, p.vec_id)
+            .flatMap(cc => children(cc))
             .map(c => (c.vec_id, Similarity.cosineJvm(p.embedding, c.embedding)))
             .sortBy { case (id, cos) => (-cos, id) }
             .take(nprobe)
@@ -416,10 +470,16 @@ object IvfIndex {
   /** Multi-probe search — THE recall knob of IVF: each probe scans its
     * `nprobe` nearest cells instead of one. Since every corpus vector
     * lives in exactly one cell, the candidate sets of a probe's cells
-    * are disjoint, so raising nprobe strictly grows the candidate pool
-    * and recall@k is monotonically non-decreasing in nprobe (pinned in
-    * IvfIndexSpec); IO grows linearly as nprobe/numCells of the corpus.
-    * nprobe = numCells degenerates to exact brute force. */
+    * are disjoint, so on the FLAT arm raising nprobe strictly grows the
+    * candidate pool and recall@k is monotonically non-decreasing in
+    * nprobe (pinned in IvfIndexSpec); IO grows linearly as
+    * nprobe/numCells of the corpus. nprobe = numCells degenerates to
+    * exact brute force. On the HIER arm, nprobe ≥ 2 ranks fine cells
+    * across the top-[[Similarity.HierProbeCoarse]] coarse cells (r14
+    * directive 6), so the nprobe=1 build-route cell is USUALLY but not
+    * provably among the scanned set — strict nesting is traded for the
+    * cross-boundary recall the within-coarse ranking can never reach
+    * (measured: sim_ivf_hier_recall_x2). */
   def searchMulti(
       spark: SparkSession, dir: String, probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val (probeCells, cands) = probeAssignments(spark, dir, probes, nprobe)
@@ -502,13 +562,45 @@ object IvfIndex {
       .filter(col("cell").isin(cellIds: _*))
       .withColumn("cell", col("cell").cast("long"))
     val wTopK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    cands.join(probeCellsP, Seq("cell"))
+    val out = cands.join(probeCellsP, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "vec_id AS neighbor_id", "cosine_sim(q_emb, embedding) AS cos")
       .withColumn("rank", row_number().over(wTopK))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
+    // PERSIST LIFECYCLE (r14 directive 5 / ADVICE): the cell-id pull
+    // above already materialized probeCellsP's blocks, and the caller
+    // gets only a lazy plan — without a release hook every bulk search
+    // leaves corpus-sized cached blocks pinned until the ContextCleaner
+    // happens to GC the plan, a storage/disk leak in long-lived
+    // sessions. A QueryExecutionListener self-unregisters and
+    // unpersists after the FIRST completed caller execution that
+    // contains the persisted subtree (success or failure) — the
+    // one-materialization contract this API targets (kNN-graph build,
+    // batch labeling land the result once). A caller re-executing the
+    // returned plan after that recomputes the probe assignment —
+    // correct, just uncached; a caller that never materializes leaks
+    // until session end (registration is post-pull, so the listener
+    // cannot fire early off the pull's own in-flight event).
+    // Lifecycle pinned in BulkSearchSpec.
+    val target = probeCellsP.queryExecution.analyzed
+    val lm = spark.listenerManager
+    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def maybeRelease(
+          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        if (qe.analyzed.exists(_.sameResult(target))) {
+          probeCellsP.unpersist(blocking = false)
+          lm.unregister(this)
+        }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = maybeRelease(qe)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = maybeRelease(qe)
+    })
+    out
   }
 
   /** IVF-PQ search — the standard billion-scale ANN composition: the

@@ -136,9 +136,14 @@ object Kmeans {
   /** The one written bound of the trained-centroid family, enforced at
     * every door that would broadcast (or driver-hold) the full set. */
   private def requireWithinBroadcastBound(k: Int, caller: String): Unit =
-    require(k <= Similarity.MaxBroadcastFineCentroids,
-      s"Kmeans.$caller: K=$k exceeds MaxBroadcastFineCentroids " +
-        s"(${Similarity.MaxBroadcastFineCentroids}) — the trained centroid " +
+    // Consult the override-aware accessor, not the raw constant: every
+    // other dispatch site does, so a spec lowering the bound exercises
+    // the past-bound arms against a BUILD that refuses consistently
+    // (r14 review finding — the raw-constant guard here let tests build
+    // an index the read paths would then treat as past-bound).
+    require(k <= Similarity.maxBroadcastFine,
+      s"Kmeans.$caller: K=$k exceeds the fine-centroid broadcast bound " +
+        s"(${Similarity.maxBroadcastFine}) — the trained centroid " +
         "set cannot be driver-held/broadcast whole at this K. Train K " +
         "within the bound on a deterministic corpus sample (e.g. " +
         "corpus.filter(vec_id % m == 0)) and assign through assignAuto, " +

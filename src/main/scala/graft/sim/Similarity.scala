@@ -334,6 +334,12 @@ object Similarity {
     * of [[ivfAssignHierCogrouped]]. */
   final case class RoutedVec(cc: Long, vec_id: Long, embedding: Array[Float])
 
+  /** A fine-cell candidate of a cross-coarse multiprobe before the
+    * global top-nprobe re-rank: `cc` is the FINE cell id, `cos` its
+    * centroid's score against the vector. */
+  final case class RoutedCand(
+      cc: Long, vec_id: Long, embedding: Array[Float], cos: Double)
+
   /** Shuffle-sharded two-level IVF assignment — [[ivfAssignHier]] with
     * the fine-set broadcast removed: only the √K coarse seeds are ever
     * held whole in a JVM. Both the corpus and the fine-seed set route to
@@ -412,7 +418,13 @@ object Similarity {
     * otherwise reachable only with a >2¹⁸-cell index — no reasonable
     * spec fixture — so their plumbing would ship unexecuted (r14 review
     * finding). Specs lower it in a try/finally; production never sets
-    * it. */
+    * it. A plain mutable global, NOT a DynamicVariable: every dispatch
+    * read happens on executor-facing driver code paths that a
+    * DynamicVariable's thread-locality would silently miss (Spark jobs
+    * hop threads), so the honest contract is coarser — suites that set
+    * it must not run in parallel with other sim suites (the build forks
+    * one test JVM and leaves `Test / testForkedParallel` at its false
+    * default, which pins exactly that). */
   private[graft] var maxBroadcastFineCentroidsOverride: Option[Int] = None
 
   /** The bound every dispatch site consults. */
@@ -460,6 +472,34 @@ object Similarity {
     val children = sorted.groupBy(c => nearestSeed(c.embedding, coarse, c.vec_id)._1)
     require(children.nonEmpty, "hierRouting: no coarse centroid owns anything")
     (coarse.filter(c => children.contains(c.vec_id)), children)
+  }
+
+  /** How many coarse cells a hier-routed MULTI-probe (nprobe ≥ 2)
+    * pools fine-cell candidates from (r14 directive 6): within-coarse
+    * multiprobe ranks the nprobe fine cells inside ONE coarse cell, so
+    * every miss whose true neighbors sit across the coarse boundary is
+    * unrecoverable at any nprobe — the r14 recall measurement put ALL
+    * the forced-K misses there (0.80 @ nprobe=1). Ranking (coarse,
+    * fine) jointly over the top-2 coarse cells makes the candidate
+    * pool ~2K/ck fine centroids and recovers cross-boundary neighbors;
+    * cost is one extra coarse cell's children scored per probe.
+    * nprobe = 1 deliberately stays the pure build route — its contract
+    * is "scan exactly the cell the build would place you in" (append==
+    * rebuild and probe-self-consistency audits ride it, HierBuildSpec). */
+  val HierProbeCoarse = 2
+
+  /** Top-n seeds by (cos DESC, id ASC) — [[nearestSeed]] generalized
+    * for cross-coarse multiprobe; n = 1 returns exactly nearestSeed's
+    * choice (same tie rule). NaN-scoring vectors fail loudly like
+    * nearestSeed. */
+  private[sim] def nearestSeeds(
+      emb: Array[Float], cands: Array[Vec], n: Int, vecId: Long): Array[Long] = {
+    val scored = cands.map(c => (c.vec_id, cosineJvm(emb, c.embedding)))
+      .filter(!_._2.isNaN)
+    require(scored.nonEmpty,
+      s"nearestSeeds: vec_id=$vecId scored NaN against every centroid " +
+        "(zero-norm or NaN embedding?) — no cell assignable")
+    scored.sortBy { case (id, cos) => (-cos, id) }.take(n).map(_._1)
   }
 
   /** argmax-cosine seed (cos DESC, id ASC tie) — the shared tie rule of

@@ -92,4 +92,23 @@ class BulkSearchSpec extends SparkSuite {
     assert(perQuery.length == emb.count().toInt)
     assert(perQuery.forall(_.getLong(1) == 3L))
   }
+
+  test("persist lifecycle: repeated bulk searches leave no net cached blocks " +
+      "(r14 directive 5)") {
+    val dir = buildIdx(numCells = 16)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // N bulk searches, each materialized once — the API's contract
+    // point. The probe-assignment cache must be released after each
+    // materialization (listener-driven, async on the SQL listener bus),
+    // so the persistent-RDD set returns to the pre-run snapshot instead
+    // of growing by one corpus-sized cache per call.
+    (1 to 4).foreach { i =>
+      assert(IvfIndex.searchBulk(spark, dir, emb, k = 3).count() > 0, s"run $i")
+    }
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def leaked() = spark.sparkContext.getPersistentRDDs.keySet -- before
+    while (leaked().nonEmpty && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(leaked().isEmpty,
+      s"bulk-search probe caches still pinned after 30s: RDDs ${leaked()}")
+  }
 }
