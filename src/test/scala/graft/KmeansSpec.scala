@@ -98,14 +98,14 @@ class KmeansSpec extends SparkSuite {
     val eFit = intercept[IllegalArgumentException] {
       Kmeans.fit(spark, corpus, k = overK, iters = 1)
     }
-    assert(eFit.getMessage.contains("MaxBroadcastFineCentroids"))
+    assert(eFit.getMessage.contains("fine-centroid broadcast bound"))
     assert(eFit.getMessage.contains("sample"), "refusal must name the sample-training path")
 
     val bigCs = Array.tabulate(overK)(i => (i.toLong, Array(1.0)))
     val eAsg = intercept[IllegalArgumentException] {
       Kmeans.assignAuto(spark, corpus, bigCs)
     }
-    assert(eAsg.getMessage.contains("MaxBroadcastFineCentroids"))
+    assert(eAsg.getMessage.contains("fine-centroid broadcast bound"))
     assert(eAsg.getMessage.contains("sample"))
 
     // The bound itself stays permissive below the ceiling: the normal

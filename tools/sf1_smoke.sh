@@ -20,6 +20,23 @@ cd "$(dirname "$0")/.."
 SF1_DIR=${SF1_DIR:-/tmp/sf1}
 BASELINE_JSON=${1:-}
 
+# Heap tier is PINNED (r14 ops rule, r15 directive 8 — ends the
+# sf1@48g/8g double bookkeeping): sf1 and below run the 8 g default;
+# only sf10 needs 48 g (8 g OOMs in the stateful CDC build). Measured
+# cause-shape (r14_sf1_full vs r14_sf1_full8g, identical code+data):
+# at 48 g only the STREAMING-REPLAY builds slowed 4-10x — the replay
+# path churns per-batch state/shuffle objects whose native and disk
+# resources are reclaimed via GC-driven ContextCleaner weak refs, and
+# a 6x larger heap GCs ~6x less often, so dead state piles up exactly
+# there (the same mechanism SPARK_GRAFT_GC_EACH exists for); everything
+# non-replay was within noise (median ratio 1.04). Cross-SF comparisons
+# of CDC/SCD build entries must be same-heap.
+export SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-8g}
+if [ "$SPARK_DRIVER_MEM" != "8g" ]; then
+  echo "WARNING: sf1 smoke with SPARK_DRIVER_MEM=$SPARK_DRIVER_MEM — replay-build" >&2
+  echo "  numbers will not be comparable to the 8g baselines (see header note)." >&2
+fi
+
 if [ ! -d "$SF1_DIR/orders.parquet" ]; then
   echo "== building $SF1_DIR (ScaleGen 10x of sf0.1)..." >&2
   sbt -batch "runMain graft.ScaleGen /root/testdata/sf0.1 $SF1_DIR 10" >/dev/null
