@@ -207,8 +207,22 @@ object GraftExtensions {
       NormalizeNfc(children.head)
     })
 
+  val lshSigDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("lsh_sig"),
+    new ExpressionInfo(classOf[LshSig].getName, "lsh_sig"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "lsh_sig takes exactly 3 arguments: (embedding, bits, dim)")
+      def lit(e: Expression, name: String): Int = e match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(i: Int, _) => i
+        case other => throw new IllegalArgumentException(
+          s"lsh_sig $name must be an integer literal (it sizes the generated loops), got $other")
+      }
+      LshSig(children.head, lit(children(1), "bits"), lit(children(2), "dim"))
+    })
+
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(cosineSimDescriptor)
+    ext.injectFunction(lshSigDescriptor)
     ext.injectFunction(normalizeNfcDescriptor)
     ext.injectFunction(l2SqRangeDescriptor)
     ext.injectFunction(hilbertXYDescriptor)

@@ -47,9 +47,19 @@ object Similarity {
   private def weight(j: String, d: String, dim: Int): String =
     s"CAST(((CAST(1103515245 AS BIGINT) * ($j * $dim + $d) + 12345) % 2147483648) - 1073741824 AS DOUBLE)"
 
-  /** `bits`-bit random-hyperplane signature of an embedding column —
-    * Spark SQL. proj_j = left fold over dims of emb[d] * w(j,d). */
-  def lshSigSpark(emb: String, bits: Int, dim: Int): String = {
+  /** `bits`-bit random-hyperplane signature of an embedding column.
+    * Emits the native codegen'd `lsh_sig` (expressions/LshSig — the
+    * nested-HOF spelling evaluates bits×dim interpreted lambda steps
+    * per row, which became the measured sf10 bottleneck once the
+    * auto-width tier made pair work linear, r15); bit-identical to
+    * [[lshSigSparkHof]] and the DuckDB dual (LshSigSpec). */
+  def lshSigSpark(emb: String, bits: Int, dim: Int): String =
+    s"lsh_sig($emb, $bits, $dim)"
+
+  /** The pure-builtin HOF spelling of the same signature — kept as the
+    * parity reference (proj_j = left fold over dims of emb[d]·w(j,d));
+    * LshSigSpec pins lsh_sig == this, element for element. */
+  def lshSigSparkHof(emb: String, bits: Int, dim: Int): String = {
     val proj =
       s"aggregate(sequence(0, ${dim - 1}), CAST(0.0 AS DOUBLE), (acc, d) -> acc + CAST(element_at($emb, d + 1) AS DOUBLE) * ${weight("j", "d", dim)})"
     s"aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (sig, j) -> sig + CASE WHEN $proj > 0.0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"
