@@ -22,13 +22,17 @@ object Bench {
     catch { case _: Throwable => "" }
 
   /** Whole-box busy CPU time from /proc/stat line 1, in jiffies
-    * (USER_HZ = 100 on Linux): everything except idle (field 4) and
-    * iowait (field 5). */
+    * (USER_HZ = 100 on Linux): everything except idle (field 4),
+    * iowait (field 5), and guest/guest_nice (fields 9/10 — the kernel
+    * already folds guest time into user/nice, so summing them too
+    * would double-count VM load; r15 review). */
   private def totalBusyJiffies(): Long =
     try {
       val f = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
         .get(0).trim.split("\\s+").drop(1).map(_.toLong)
-      f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+      f.zipWithIndex.collect {
+        case (v, i) if i != 3 && i != 4 && i != 8 && i != 9 => v
+      }.sum
     } catch { case _: Throwable => -1L }
 
   /** This JVM's cumulative CPU time (ns) — Spark local mode runs
@@ -98,29 +102,41 @@ object Bench {
     // gate directly (this bench's own local[32] work drives it to ~32 on
     // a busy entry), so the discriminating signal is EXTERNAL CPU:
     // (Δ /proc/stat busy − Δ own-JVM CPU) / Δ wall — the cores someone
-    // ELSE is burning. Sampled after every entry over ≥2 s windows
-    // (shorter windows are jiffy-quantization noise); the peak is
-    // stamped, and any window where external work exceeds the same 1.5-
-    // core threshold the pre-flight check uses marks the run contended.
-    var extSampleT = System.nanoTime()
-    var extSampleBusy = totalBusyJiffies()
-    var extSampleOwn = ownCpuNanos()
-    var extPeakCores = 0.0
-    var loadPeak1 = 0.0
-    def sampleContention(): Unit = {
-      loadavg().split("\\s+").headOption.flatMap(_.toDoubleOption)
-        .foreach(l => if (l > loadPeak1) loadPeak1 = l)
-      val now = System.nanoTime()
-      val dt = (now - extSampleT) / 1e9
-      if (dt >= 2.0) {
-        val busy = totalBusyJiffies(); val own = ownCpuNanos()
-        if (busy >= 0 && own >= 0 && extSampleBusy >= 0 && extSampleOwn >= 0) {
-          val ext = ((busy - extSampleBusy) / 100.0 - (own - extSampleOwn) / 1e9) / dt
-          if (ext > extPeakCores) extPeakCores = ext
+    // ELSE is burning. A DAEMON timer samples every ~5 s so the window
+    // size is bounded by the sampler, not the entry: sampling only at
+    // entry ends would average a short mid-entry burst below threshold
+    // inside a long entry — the exact false-negative class this feature
+    // exists to kill (r15 review). ≥2 s windows (shorter is jiffy-
+    // quantization noise); the peak window is stamped, and any window
+    // whose external work exceeds the same 1.5-core threshold as the
+    // pre-flight check marks the run contended.
+    object contention {
+      private var t = System.nanoTime()
+      private var busy = totalBusyJiffies()
+      private var own = ownCpuNanos()
+      var extPeakCores = 0.0
+      var loadPeak1 = 0.0
+      def sample(): Unit = synchronized {
+        loadavg().split("\\s+").headOption.flatMap(_.toDoubleOption)
+          .foreach(l => if (l > loadPeak1) loadPeak1 = l)
+        val now = System.nanoTime()
+        val dt = (now - t) / 1e9
+        if (dt >= 2.0) {
+          val b = totalBusyJiffies(); val o = ownCpuNanos()
+          if (b >= 0 && o >= 0 && busy >= 0 && own >= 0) {
+            val ext = ((b - busy) / 100.0 - (o - own) / 1e9) / dt
+            if (ext > extPeakCores) extPeakCores = ext
+          }
+          t = now; busy = b; own = o
         }
-        extSampleT = now; extSampleBusy = busy; extSampleOwn = own
       }
     }
+    val sampler = new Thread(() => {
+      try while (true) { Thread.sleep(5000); contention.sample() }
+      catch { case _: InterruptedException => () }
+    }, "bench-contention-sampler")
+    sampler.setDaemon(true)
+    sampler.start()
     def timed(work: () => Unit): (Double, Option[String]) = {
       val t0 = System.nanoTime()
       val err = try { work(); None } catch {
@@ -129,7 +145,7 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       if (gcEach) System.gc()
-      sampleContention()
+      contention.sample()
       (sec, err)
     }
 
@@ -219,12 +235,12 @@ object Bench {
     val startBusy =
       loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption).map(_ > 1.5)
     val contended = startBusy
-      .map(b => (b || extPeakCores > 1.5).toString).getOrElse("null")
+      .map(b => (b || contention.extPeakCores > 1.5).toString).getOrElse("null")
     def r2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val skipped = skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val stamp =
-      s""""run_tag":${jstr(runTag)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"loadavg_peak1":${r2(loadPeak1)},"external_cpu_peak_cores":${r2(extPeakCores)},"contended":$contended,"skipped":$skipped"""
+      s""""run_tag":${jstr(runTag)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"loadavg_peak1":${r2(contention.loadPeak1)},"external_cpu_peak_cores":${r2(contention.extPeakCores)},"contended":$contended,"skipped":$skipped"""
     val fullQs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
     val fullLine =

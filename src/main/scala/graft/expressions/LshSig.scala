@@ -27,6 +27,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * element order. `bits`/`dim` are plan-time literals (they size the
   * generated loops); dim must match the array length — enforced at
   * eval so a schema drift fails loudly instead of hashing garbage.
+  * A null ARRAY yields null (nullSafeEval); a null ELEMENT yields
+  * signature 0 — exactly what the HOF and DuckDB spellings produce
+  * when the null nulls every projection fold (r15 review).
   */
 case class LshSig(child: Expression, bits: Int, dim: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -47,6 +50,12 @@ case class LshSig(child: Expression, bits: Int, dim: Int)
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     checkLen(x.numElements())
+    // A null ELEMENT nulls every proj_j in the HOF spelling, whose
+    // CASE then contributes 0 for every bit — and the DuckDB dual's
+    // NULL list_reduce does the same — so the signature is 0, not a
+    // hash of null-as-0.0f (r15 review pinned the divergence).
+    var nd = 0
+    while (nd < dim) { if (x.isNullAt(nd)) return 0L; nd += 1 }
     var sig = 0L
     var j = 0
     while (j < bits) {
@@ -70,6 +79,7 @@ case class LshSig(child: Expression, bits: Int, dim: Int)
       val w = ctx.freshName("w")
       val proj = ctx.freshName("proj")
       val sig = ctx.freshName("sig")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |if ($x.numElements() != $dim) {
          |  throw new IllegalArgumentException(
@@ -77,14 +87,20 @@ case class LshSig(child: Expression, bits: Int, dim: Int)
          |    " elements, expression compiled for dim=$dim");
          |}
          |long $sig = 0L;
-         |for (int $j = 0; $j < $bits; $j++) {
-         |  double $proj = 0.0;
-         |  for (int $d = 0; $d < $dim; $d++) {
-         |    long $w = ((1103515245L * ((long) $j * $dim + $d) + 12345L)
-         |      % 2147483648L) - 1073741824L;
-         |    $proj += (double) $x.getFloat($d) * (double) $w;
+         |boolean $hasNull = false;
+         |for (int $d = 0; $d < $dim; $d++) {
+         |  if ($x.isNullAt($d)) { $hasNull = true; break; }
+         |}
+         |if (!$hasNull) {
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    double $proj = 0.0;
+         |    for (int $d = 0; $d < $dim; $d++) {
+         |      long $w = ((1103515245L * ((long) $j * $dim + $d) + 12345L)
+         |        % 2147483648L) - 1073741824L;
+         |      $proj += (double) $x.getFloat($d) * (double) $w;
+         |    }
+         |    if ($proj > 0.0) $sig += (1L << $j);
          |  }
-         |  if ($proj > 0.0) $sig += (1L << $j);
          |}
          |${ev.value} = $sig;
        """.stripMargin

@@ -24,7 +24,11 @@ object SimQueries extends QueryModule {
 
   /** Widest auto signature: 2²⁰ buckets ≈ 134M vectors at the target
     * bucket size — beyond that, raise the cap (each bit is one more
-    * hyperplane fold, still partition-local). */
+    * hyperplane fold, still partition-local). The cap REFUSES loudly
+    * rather than saturating (r15 review): a silently saturated engine
+    * width would face a DuckDB dual whose MIN(b) subquery returns NULL
+    * past the same bound — every oracle bucket NULL, a structurally
+    * broken gate instead of an error naming the knob. */
   private val LshMaxBits = 20
 
   /** Signature width for this corpus: the smallest b in [LshBits,
@@ -38,13 +42,19 @@ object SimQueries extends QueryModule {
     * yields 8 bits, sf10 (N = 200k) 11 — E[bucket] pinned ≤128 where
     * the constant-bits tier's buckets grow ∝ N. */
   private[queries] def autoLshBits(n: Long): Int =
-    (LshBits to LshMaxBits).find(b => (LshTargetBucket << b) >= n).getOrElse(LshMaxBits)
+    (LshBits to LshMaxBits).find(b => (LshTargetBucket << b) >= n).getOrElse(
+      throw new IllegalArgumentException(
+        s"autoLshBits: N=$n exceeds ${LshTargetBucket} << $LshMaxBits " +
+          "(the widest supported signature) — raise LshMaxBits on BOTH the " +
+          "engine and the duckAutoBits oracle range together"))
 
   private val bitsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+    scala.collection.concurrent.TrieMap.empty[String, Int]
 
+  /** Memoized per embeddings-file stamp, same contract as [[autoK]]:
+    * a rebuilt corpus re-derives the width the oracle will derive. */
   private def autoBits(s: SparkSession, dir: String): Int =
-    bitsCache.getOrElseUpdate((s, dir), autoLshBits(emb(s, dir).count()))
+    bitsCache.getOrElseUpdate(embStamp(s, dir), autoLshBits(emb(s, dir).count()))
 
   /** The DuckDB dual of [[autoLshBits]] over the embeddings table —
     * the same integer rule, computed IN the oracle so the replay holds
@@ -113,16 +123,42 @@ object SimQueries extends QueryModule {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(tablePath(dir, "embeddings"))
 
+  /** Rebuild-safe memo key for corpus-DERIVED parameters (cell count,
+    * signature width): dir + the embeddings table's data-file stamp
+    * (max mtime + total length, the IvfIndex.cacheKey recipe). Keying
+    * on (SparkSession, dir) — the r14 spelling — had two defects (r15
+    * review): a same-JVM rebuild of the table silently kept the stale
+    * parameter while the DuckDB oracle recomputes from its live
+    * count(*), and the map strong-referenced every session for process
+    * lifetime. One FS stat per query call; the count job stays
+    * memoized. */
+  private def embStamp(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(tablePath(dir, "embeddings"))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stamp =
+      try {
+        if (!fs.exists(p)) "-1"
+        else {
+          val st = fs.getFileStatus(p)
+          val files = if (st.isFile) Array(st) else fs.listStatus(p).filter(_.isFile)
+          if (files.isEmpty) "-1"
+          else s"${files.map(_.getModificationTime).max}.${files.map(_.getLen).sum}"
+        }
+      } catch { case _: java.io.IOException => "-1" }
+    s"$dir@$stamp"
+  }
+
   private val cellsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
+    scala.collection.concurrent.TrieMap.empty[String, Int]
 
   /** The IVF/semdedup cell count for this corpus — `IvfIndex.autoCells`
-    * over the vector count (memoized; the count is one footer-only job).
-    * Yields exactly the 16 cells the DuckDB duals pin at the oracle
-    * scales (N=500 → 16, N=2000 → 16) and grows ∝ N beyond (sf1's 20k
-    * vectors → 160 cells), keeping per-cell scan cost flat. */
+    * over the vector count (memoized per embeddings-file stamp; the
+    * count is one footer-only job). Yields exactly the 16 cells the
+    * DuckDB duals pin at the oracle scales (N=500 → 16, N=2000 → 16)
+    * and grows ∝ N beyond (sf1's 20k vectors → 160 cells), keeping
+    * per-cell scan cost flat. */
   private def autoK(s: SparkSession, dir: String): Int =
-    cellsCache.getOrElseUpdate((s, dir),
+    cellsCache.getOrElseUpdate(embStamp(s, dir),
       graft.sim.IvfIndex.autoCells(emb(s, dir).count()))
 
   /** Pre-build the persisted IVF indexes (Bench times this as an

@@ -576,15 +576,20 @@ object IvfIndex {
     // happens to GC the plan, a storage/disk leak in long-lived
     // sessions. A QueryExecutionListener self-unregisters and
     // unpersists after the FIRST completed caller execution that
-    // contains the persisted subtree (success or failure) — the
+    // contains the RETURNED plan's subtree (success or failure) — the
     // one-materialization contract this API targets (kNN-graph build,
-    // batch labeling land the result once). A caller re-executing the
-    // returned plan after that recomputes the probe assignment —
-    // correct, just uncached; a caller that never materializes leaks
-    // until session end (registration is post-pull, so the listener
-    // cannot fire early off the pull's own in-flight event).
-    // Lifecycle pinned in BulkSearchSpec.
-    val target = probeCellsP.queryExecution.analyzed
+    // batch labeling land the result once). Matching on `out`'s
+    // analyzed tree, NOT probeCellsP's, is load-bearing: the pull's
+    // own SQLExecutionEnd event is posted to the async listener bus
+    // BEFORE this registration but may be DELIVERED after it, and that
+    // event's plan contains the probeCells subtree — matching on it
+    // would release the cache before the caller ever ran (r15 review).
+    // The pull's plan can never contain `out` (out is built from it,
+    // not vice versa). A caller re-executing the returned plan after
+    // the release recomputes the probe assignment — correct, just
+    // uncached; a caller that never materializes leaks until session
+    // end. Lifecycle pinned in BulkSearchSpec.
+    val target = out.queryExecution.analyzed
     val lm = spark.listenerManager
     lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
       private def maybeRelease(

@@ -499,11 +499,14 @@ object Similarity {
   val HierProbeCoarse = 2
 
   /** Top-n seeds by (cos DESC, id ASC) — [[nearestSeed]] generalized
-    * for cross-coarse multiprobe; n = 1 returns exactly nearestSeed's
-    * choice (same tie rule). NaN-scoring vectors fail loudly like
-    * nearestSeed. */
+    * for cross-coarse multiprobe; n = 1 delegates to nearestSeed's
+    * allocation-free argmax loop (this runs once per CORPUS vector on
+    * every nprobe=1 build/append route — the boxed sort below would be
+    * pure overhead there; r15 review). NaN-scoring vectors fail
+    * loudly either way. */
   private[sim] def nearestSeeds(
       emb: Array[Float], cands: Array[Vec], n: Int, vecId: Long): Array[Long] = {
+    if (n == 1) return Array(nearestSeed(emb, cands, vecId)._1)
     val scored = cands.map(c => (c.vec_id, cosineJvm(emb, c.embedding)))
       .filter(!_._2.isNaN)
     require(scored.nonEmpty,

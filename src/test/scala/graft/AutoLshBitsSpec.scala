@@ -29,9 +29,10 @@ class AutoLshBitsSpec extends AnyFunSuite {
       assert(b >= 6 && b <= 20)
       n = n * 3 + 7
     }
-    // Past the cap the rule saturates (raise LshMaxBits to go further).
-    assert(bits((128L << 20) + 1) == 20)
-    assert(bits(Long.MaxValue / 4) == 20)
+    // Past the cap the rule REFUSES loudly (a silent saturate would face
+    // a NULL-bucket oracle — r15 review), naming the knob to raise.
+    val e = intercept[IllegalArgumentException] { bits((128L << 20) + 1) }
+    assert(e.getMessage.contains("LshMaxBits"))
   }
 
   test("monotone in N — a bigger corpus never gets a narrower signature") {

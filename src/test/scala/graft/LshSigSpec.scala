@@ -35,6 +35,17 @@ class LshSigSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("null embedding element yields signature 0 on both spellings (HOF parity)") {
+    // The HOF's null element nulls every proj fold → CASE contributes 0
+    // per bit; the native expression must not read the slot as 0.0f.
+    val row = spark.sql(
+      s"""SELECT ${Similarity.lshSigSpark("e", 4, 2)} AS native,
+         |  ${Similarity.lshSigSparkHof("e", 4, 2)} AS hof
+         |FROM (SELECT array(CAST(1.5 AS FLOAT), CAST(NULL AS FLOAT)) AS e)""".stripMargin)
+      .head()
+    assert(row.getLong(0) == 0L && row.getLong(1) == 0L, row.toString)
+  }
+
   test("non-literal width and wrong dim fail loudly") {
     val e1 = intercept[Exception] {
       emb.selectExpr("lsh_sig(embedding, CAST(vec_id AS INT), 64)").collect()
