@@ -561,14 +561,29 @@ object IvfIndex {
     val cands = spark.read.parquet(s"$dir/cells")
       .filter(col("cell").isin(cellIds: _*))
       .withColumn("cell", col("cell").cast("long"))
-    val wTopK = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    // Final ranking as the bounded-heap AGGREGATE, not a window: at a
+    // corpus-sized probe set the scored row count is probes × cell
+    // size, and the row_number spelling makes every task SORT its
+    // whole partition on (query, cos) before Spark 4's
+    // WindowGroupLimit trims it — O(n log n) on the bulk path's
+    // largest intermediate. topk_by keeps k per query through the
+    // hash-aggregate path (map-side partial: the shuffle carries ≤ k
+    // rows per (query, map partition)), O(n log k), no Sort operator.
+    // Bit-equality with the window rule (cos DESC, neighbor_id ASC):
+    // topk_by totals ties by (score, id) with the LARGER id winning,
+    // so ranking the NEGATED neighbor id flips that to smallest-
+    // original-id-wins — and ids are distinct per query (cells
+    // partition the corpus), so set semantics cannot collapse rows.
+    // searchMulti keeps the window spelling; BulkSearchSpec pins the
+    // two spellings bit-identical on both dispatch arms.
     val out = cands.join(probeCellsP, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .selectExpr("query_id", "vec_id AS neighbor_id", "cosine_sim(q_emb, embedding) AS cos")
-      .withColumn("rank", row_number().over(wTopK))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
+      .groupBy("query_id")
+      .agg(expr(s"topk_by(cos, -neighbor_id, $k)").as("tk"))
+      .selectExpr("query_id", "posexplode(tk) AS (pos, e)")
+      .selectExpr("query_id", "CAST(pos + 1 AS INT) AS rank",
+        "-e.id AS neighbor_id", "round(e.score, 6) AS cosine")
     // PERSIST LIFECYCLE (r14 directive 5 / ADVICE): the cell-id pull
     // above already materialized probeCellsP's blocks, and the caller
     // gets only a lazy plan — without a release hook every bulk search
