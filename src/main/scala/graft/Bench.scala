@@ -181,7 +181,16 @@ object Bench {
           val pj = pidJiffies()
           if (breached && culprits.size < 12) {
             pj.toSeq
-              .map { case (k, v) => (k, (v - perPid.getOrElse(k, v)) / 100.0 / dt) }
+              // A pid ABSENT from the baseline accumulated all its
+              // jiffies inside this window (processes spawned mid-
+              // window are the likeliest culprits — defaulting to v
+              // zeroed exactly those; r15 review). Cap at the core
+              // count: a pid the baseline merely failed to stat would
+              // otherwise attribute its whole lifetime to one window.
+              .map { case (k, v) =>
+                (k, math.min(cpus.toInt.toDouble,
+                  (v - perPid.getOrElse(k, 0L)) / 100.0 / dt))
+              }
               .filter(_._2 > 0.2).sortBy(-_._2).take(3)
               .foreach { case ((pid, comm), cores) =>
                 culprits += f"$comm/$pid:$cores%.1f"
@@ -283,6 +292,13 @@ object Bench {
     //   2. a final stdout line kept under ~1900 chars: total + as many
     //      entries as fit, slowest first (the ones that matter for the
     //      gate), 3-decimal seconds, plus how many were omitted.
+    // Quiesce the sampler BEFORE reading its fields: the stamp reads
+    // below are outside contention's lock, and a final 5s tick mutating
+    // culprits mid-iteration would race the artifact assembly (r15
+    // review). One last sample catches the closing window.
+    sampler.interrupt()
+    sampler.join(2000)
+    contention.sample()
     val loadEnd = loadavg()
     // Contention gate, IN the artifact — pre-flight AND whole-run: a run
     // is contended if the box was already busy when the session built

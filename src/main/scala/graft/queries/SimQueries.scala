@@ -124,29 +124,17 @@ object SimQueries extends QueryModule {
     s.read.parquet(tablePath(dir, "embeddings"))
 
   /** Rebuild-safe memo key for corpus-DERIVED parameters (cell count,
-    * signature width): dir + the embeddings table's data-file stamp
-    * (max mtime + total length, the IvfIndex.cacheKey recipe). Keying
-    * on (SparkSession, dir) — the r14 spelling — had two defects (r15
-    * review): a same-JVM rebuild of the table silently kept the stale
-    * parameter while the DuckDB oracle recomputes from its live
-    * count(*), and the map strong-referenced every session for process
-    * lifetime. One FS stat per query call; the count job stays
-    * memoized. */
-  private def embStamp(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(tablePath(dir, "embeddings"))
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val stamp =
-      try {
-        if (!fs.exists(p)) "-1"
-        else {
-          val st = fs.getFileStatus(p)
-          val files = if (st.isFile) Array(st) else fs.listStatus(p).filter(_.isFile)
-          if (files.isEmpty) "-1"
-          else s"${files.map(_.getModificationTime).max}.${files.map(_.getLen).sum}"
-        }
-      } catch { case _: java.io.IOException => "-1" }
-    s"$dir@$stamp"
-  }
+    * signature width): the embeddings table's [[graft.tables.FileStamp]]
+    * (shared with IvfIndex's plan caches so the two cache classes can't
+    * drift — r15 review). Keying on (SparkSession, dir) — the r14
+    * spelling — had two defects (r15 review): a same-JVM rebuild of the
+    * table silently kept the stale parameter while the DuckDB oracle
+    * recomputes from its live count(*), and the map strong-referenced
+    * every session for process lifetime. One FS stat per query call;
+    * the count job stays memoized. StampInvalidationSpec pins the
+    * re-derivation across an in-place rebuild. */
+  private def embStamp(s: SparkSession, dir: String): String =
+    graft.tables.FileStamp(s, tablePath(dir, "embeddings"))
 
   private val cellsCache =
     scala.collection.concurrent.TrieMap.empty[String, Int]

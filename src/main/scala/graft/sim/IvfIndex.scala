@@ -129,11 +129,13 @@ object IvfIndex {
     spark.createDataFrame(
         java.util.Arrays.asList(Row(numCells.toLong)), schema)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-    // The rewrite changed dir/meta's mtime, so future reads miss the
-    // mtime-stamped cache automatically (cross-process safe); dropping
-    // this JVM's now-dead entries just frees them early.
-    for (k <- metaCache.keys if k.startsWith(s"$dir@")) metaCache.remove(k)
-    for (k <- routingCache.keys if k.startsWith(s"$dir@")) routingCache.remove(k)
+    // The rewrite changed dir/meta's data-file stamp, so future reads
+    // miss the stamp-keyed cache automatically (cross-process safe);
+    // dropping this JVM's now-dead entries just frees them early. Keys
+    // are FileStamp's "$dir/meta@<stamp>" form — match on the dir
+    // prefix including the separator.
+    for (k <- metaCache.keys if k.startsWith(s"$dir/")) metaCache.remove(k)
+    for (k <- routingCache.keys if k.startsWith(s"$dir/")) routingCache.remove(k)
     ()
   }
 
@@ -152,21 +154,11 @@ object IvfIndex {
     * misses the cache and reloads — the in-process writeMeta
     * invalidation covers only the builder's own JVM (r14 review
     * finding). One FS list per call; the parquet read and the K×√K
-    * routing derivation stay memoized. */
-  private def cacheKey(spark: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(dir, "meta")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stamp =
-      try {
-        if (!fs.exists(p)) "-1"
-        else {
-          val files = fs.listStatus(p).filter(_.isFile)
-          if (files.isEmpty) "-1"
-          else s"${files.map(_.getModificationTime).max}.${files.map(_.getLen).sum}"
-        }
-      } catch { case _: java.io.IOException => "-1" }
-    s"$dir@$stamp"
-  }
+    * routing derivation stay memoized. Stamp spelling shared via
+    * [[graft.tables.FileStamp]] (r15 review — SimQueries' parameter
+    * caches use the identical recipe). */
+  private def cacheKey(spark: SparkSession, dir: String): String =
+    graft.tables.FileStamp(spark, s"$dir/meta")
 
   /** Both caches are bounded crudely: past 64 index dirs per JVM the
     * whole map clears (a routing plan can pin up to ~134 MB of

@@ -1,0 +1,34 @@
+package graft.tables
+
+import org.apache.spark.sql.SparkSession
+
+/** THE rebuild-detection stamp every parameter/plan memo keys on:
+  * `<path>@<max data-file mtime>.<total data-file length>` through the
+  * Hadoop filesystem API (storage-agnostic — a java.nio stat is
+  * false/zero on hdfs:// or s3a:// URIs). Stamping the FILES rather
+  * than the directory matters twice (r14 ADVICE): object stores report
+  * constant/zero mtimes for directory markers, and on 1s-granularity
+  * filesystems a same-second rewrite would alias — the length term
+  * catches it when the payload size changed. One FS stat/list per
+  * call; whatever the stamp guards stays memoized.
+  *
+  * One definition shared by the IVF index caches (IvfIndex.cacheKey)
+  * and the corpus-derived query parameters (SimQueries autoK/autoBits)
+  * so the two cache classes cannot drift apart (r15 review). */
+object FileStamp {
+  def apply(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp =
+      try {
+        if (!fs.exists(p)) "-1"
+        else {
+          val st = fs.getFileStatus(p)
+          val files = if (st.isFile) Array(st) else fs.listStatus(p).filter(_.isFile)
+          if (files.isEmpty) "-1"
+          else s"${files.map(_.getModificationTime).max}.${files.map(_.getLen).sum}"
+        }
+      } catch { case _: java.io.IOException => "-1" }
+    s"$path@$stamp"
+  }
+}

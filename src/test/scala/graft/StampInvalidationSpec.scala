@@ -1,37 +1,39 @@
 package graft
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Files
 
 /** r15 review: corpus-DERIVED query parameters (IVF cell count, LSH
-  * signature width) memoize per embeddings-file STAMP, not per
-  * (session, dir) — a same-JVM rebuild of the table must re-derive
-  * what the DuckDB oracle derives from its live count(*). Pinned by
-  * rebuilding a dir's embeddings in place and checking the gated
-  * audit row tracks the new corpus. */
+  * signature width) memoize per embeddings-file STAMP
+  * (tables/FileStamp), not per (session, dir) — a same-JVM rebuild of
+  * the table must re-derive what the DuckDB oracle derives from its
+  * live count(*). The corpora STRADDLE the 6→7-bit width boundary
+  * (2⁶·128 = 8192) and the assertion is on the MEMOIZED `bits` column:
+  * a reverted (session, dir) cache would return the stale 6 for the
+  * rebuilt 9000-vector corpus while both corpora's live-recomputed
+  * columns (n_vectors) still look plausible — the first version of
+  * this spec asserted only those and was vacuous (r15 review). */
 class StampInvalidationSpec extends SparkSuite {
 
-  test("sim_lsh_auto_audit re-derives after the embeddings file is rebuilt in place") {
+  test("auto width re-derives across an in-place rebuild (6 -> 7 bits at the 8192 boundary)") {
     val dir = Files.createTempDirectory("graft-stamp").toString
-    def install(srcDir: String): Unit = {
-      val src = Paths.get(graft.SparkSessions.tablePath(srcDir, "embeddings"))
-      val dst = Paths.get(graft.SparkSessions.tablePath(dir, "embeddings"))
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
-      // 1s-granularity filesystems could alias a same-second rewrite —
-      // the stamp also carries the byte length, which differs here; be
-      // explicit about the property under test anyway.
-      dst.toFile.setLastModified(System.currentTimeMillis())
-      ()
+    val path = graft.SparkSessions.tablePath(dir, "embeddings")
+    def writeCorpus(n: Long): Unit =
+      spark.range(n).selectExpr(
+          "id AS vec_id",
+          "transform(sequence(1, 64), x -> CAST(pmod(id * x, 17) - 8 AS FLOAT)) AS embedding")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    def audit() = {
+      val r = SparkEntry.queries("sim_lsh_auto_audit")(spark, dir)
+        .select("bits", "n_vectors").head()
+      (r.getLong(0), r.getLong(1))
     }
-    val audit = SparkEntry.queries("sim_lsh_auto_audit")
 
-    install(sf0001) // 500 vectors
-    val n1 = audit(spark, dir).select("n_vectors").head().getLong(0)
-    assert(n1 == 500L, s"first derivation saw $n1 vectors")
+    writeCorpus(500)
+    assert(audit() == ((6L, 500L)))
 
-    install("/root/testdata/sf0.1") // 2000 vectors, same dir, same session
-    val n2 = audit(spark, dir).select("n_vectors").head().getLong(0)
-    assert(n2 == 2000L,
-      s"rebuild kept a stale derivation: audit saw $n2 vectors (want 2000) — " +
-        "the (session, dir) cache class the r15 stamp fix removed")
+    writeCorpus(9000) // same dir, same session, past the 6-bit boundary
+    assert(audit() == ((7L, 9000L)),
+      "rebuild kept a stale width derivation — the (session, dir) cache " +
+        "class the r15 FileStamp fix removed")
   }
 }
