@@ -1766,11 +1766,12 @@ object TextQueries extends QueryModule {
     // oracle-replayable end-to-end: the floor is an integer count
     // predicate, the head map is hash-of-token, and the 65-bucket
     // (64 head + OOV) Laplace/odds algebra is the yardstick's with
-    // B = 65. Scale contract: the broadcast is the HEAD VOCAB (df ≥
-    // floor on a 100 TB corpus can still be wide — raise the floor or
-    // swap the probe to a shuffle join past the model-broadcast bound,
-    // the same dispatch class as the centroid family); per-doc state
-    // stays ≤ 65 buckets.
+    // B = 65. Scale contract: the probe side is the HEAD VOCAB, and
+    // the join carries no broadcast hint — AQE broadcasts it at every
+    // sane floor and degrades to a shuffle join if df ≥ floor on a
+    // 100 TB corpus still leaves a vocab too wide to hold whole (the
+    // mechanical fallback, not prose); per-doc state stays ≤ 65
+    // buckets.
     EngineQuery(
       "text_nb_classify_df",
       (s, dir) => {
@@ -1786,7 +1787,14 @@ object TextQueries extends QueryModule {
           .groupBy("tok").agg(count(lit(1)).as("df"))
           .filter(col("df") >= dfFloor)
           .selectExpr("tok", s"${hash60Spark("tok")} % $B AS f")
-        val ef = e.join(broadcast(vocab), Seq("tok"), "left")
+        // No broadcast HINT on the head-vocab probe: AQE picks the join
+        // strategy from the vocab's ACTUAL runtime size — broadcast at
+        // every sane floor (the hash-probe fast path), degrading to a
+        // shuffle join only when df >= floor still leaves a vocab no
+        // JVM should hold whole (the documented 100 TB fallback,
+        // mechanical instead of prose — same dispatch philosophy as
+        // the centroid broadcast bound).
+        val ef = e.join(vocab, Seq("tok"), "left")
           .selectExpr("doc_id", "lang", "split",
             s"coalesce(f, CAST($B AS BIGINT)) AS f")
         val cntCols = langs.map(l =>

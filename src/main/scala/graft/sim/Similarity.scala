@@ -170,6 +170,29 @@ object Similarity {
   final case class BucketVec(vec_id: Long, embedding: Array[Float], bucket: Long)
   final case class BucketNn(vec_id: Long, neighbor_id: Long, cosine: Double)
 
+  /** Largest bucket group the JVM scans will buffer: 2²⁰ vectors ≈
+    * 270 MB at dim 64 — past it, the group would both strain executor
+    * memory AND mark quadratic pair work no signature widening can
+    * fix. The auto-width tier keeps E[bucket] ≤ 128, but LSH cannot
+    * separate what the GEOMETRY doesn't separate: a degenerate corpus
+    * (mass-duplicate embeddings) collapses into one bucket at ANY
+    * width. Fail loudly naming the audit row instead of OOMing an
+    * executor (the `sim_lsh_auto_audit` max_bucket column is the
+    * operational early warning). Test-settable like the broadcast
+    * bound (same no-parallel-suites caveat). */
+  val MaxBucketGroup = 1 << 20
+  private[graft] var maxBucketGroupOverride: Option[Int] = None
+  private def maxBucketGroup: Int = maxBucketGroupOverride.getOrElse(MaxBucketGroup)
+
+  private def requireBucketBounded(n: Int, bucket: Long): Unit =
+    require(n <= maxBucketGroup,
+      s"LSH bucket $bucket holds $n vectors (> $maxBucketGroup): the corpus " +
+        "collapses buckets no signature width can split (mass-duplicate " +
+        "embeddings? check sim_lsh_auto_audit's max_bucket). Deduplicate " +
+        "exact-duplicate vectors first, or scan this bucket with the " +
+        "triangle block join (bruteForcePairs), which bounds group memory " +
+        "by block count instead of bucket size.")
+
   /** Bucketed ANN, JVM path: nearest neighbor within each vector's LSH
     * bucket. ONE shuffle on the bucket key (groupByKey) and a JVM scan
     * per bucket group — no driver collect, no corpus broadcast; executor
@@ -185,8 +208,9 @@ object Similarity {
     implicit val keyEnc = Encoders.scalaLong
     withBuckets.select(col("vec_id"), col("embedding"), col("bucket")).as[BucketVec]
       .groupByKey(_.bucket)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (bucket, it) =>
         val vecs = it.toArray
+        requireBucketBounded(vecs.length, bucket)
         val norms = vecs.map(v => normJvm(v.embedding))
         vecs.indices.iterator.flatMap { j =>
           val a = vecs(j)
@@ -222,8 +246,9 @@ object Similarity {
     implicit val keyEnc = Encoders.scalaLong
     withBuckets.select(col("vec_id"), col("embedding"), col("bucket")).as[BucketVec]
       .groupByKey(_.bucket)
-      .flatMapGroups { (_, it) =>
+      .flatMapGroups { (bucket, it) =>
         val vecs = it.toArray.sortBy(_.vec_id)
+        requireBucketBounded(vecs.length, bucket)
         val norms = vecs.map(v => normJvm(v.embedding))
         vecs.indices.iterator.flatMap { x =>
           val a = vecs(x)
