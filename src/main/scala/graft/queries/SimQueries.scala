@@ -48,13 +48,90 @@ object SimQueries extends QueryModule {
           "(the widest supported signature) — raise LshMaxBits on BOTH the " +
           "engine and the duckAutoBits oracle range together"))
 
-  private val bitsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
+  /** One (stamp → value) entry PER CORPUS DIR (r15 directive 6): the
+    * r15 spelling keyed the TrieMaps by the full FileStamp string, so
+    * every rebuild ACCUMULATED an entry forever — irrelevant at bench
+    * scale, a slow leak in a long-lived session. Keying by dir with the
+    * stamp INSIDE the value replaces on change, and the stale value is
+    * evicted (with a per-cache release hook — unpersist, DROP) BEFORE
+    * the recompute, so a failed recompute never leaves a stale entry
+    * live. FileStamp's unique error stamps compose correctly here: an
+    * errored stat replaces (never hits), so nothing computed during an
+    * FS blip is ever served again.
+    *
+    * Scope note (r15 ADVICE): every corpus-derived memo in THIS module
+    * is stamp-keyed because the embeddings corpus is the one table the
+    * shipped flows rebuild in place (StampInvalidationSpec, ScaleGen
+    * regeneration) — a stale parameter here diverges from the DuckDB
+    * oracle's live recompute. The CDC/SCD/dedup pipeline memos
+    * (CdcPipeline, ScdPipeline, DedupQueries) stay (session, sfDir)-
+    * keyed deliberately: they cache derived stages over the driver's
+    * immutable sf dirs, no supported flow rewrites those tables within
+    * a session, and stamping each would add an FS stat per call to the
+    * hottest build paths for a rebuild class that cannot occur. */
+  private final class StampMemo[V] {
+    private val m = scala.collection.mutable.Map.empty[String, (String, V)]
+    def get(key: String, stamp: String, onEvict: V => Unit = _ => ())(compute: => V): V =
+      synchronized {
+        m.get(key) match {
+          case Some((st, v)) if st == stamp => v
+          case old =>
+            old.foreach { case (_, ov) => onEvict(ov) }
+            m.remove(key)
+            val v = compute
+            m.put(key, (stamp, v))
+            v
+        }
+      }
+    def snapshot(key: String): Option[(String, V)] = synchronized(m.get(key))
+  }
+
+  /** Session-SCOPED stamp memo for values tied to a SparkSession (a
+    * persisted DataFrame, a session-registered index name): sessions
+    * key a WeakHashMap so the memo never pins a closed session — the
+    * r14 (SparkSession, dir) TrieMaps strong-referenced every session
+    * for process lifetime (r15 ADVICE) — and each session's inner map
+    * carries one (stamp → value) entry per dir, replace-on-change. */
+  private final class SessionStampMemo[V] {
+    private val bySession = new java.util.WeakHashMap[
+      SparkSession, scala.collection.mutable.Map[String, (String, V)]]()
+    def get(s: SparkSession, dir: String, stamp: String, onEvict: V => Unit = _ => ())(
+        compute: => V): V = synchronized {
+      val m = {
+        var mm = bySession.get(s)
+        if (mm == null) {
+          mm = scala.collection.mutable.Map.empty[String, (String, V)]
+          bySession.put(s, mm)
+        }
+        mm
+      }
+      m.get(dir) match {
+        case Some((st, v)) if st == stamp => v
+        case old =>
+          old.foreach { case (_, ov) => onEvict(ov) }
+          m.remove(dir)
+          val v = compute
+          m.put(dir, (stamp, v))
+          v
+      }
+    }
+    def snapshot(s: SparkSession, dir: String): Option[(String, V)] = synchronized {
+      Option(bySession.get(s)).flatMap(_.get(dir))
+    }
+  }
+
+  private val bitsCache = new StampMemo[Int]
 
   /** Memoized per embeddings-file stamp, same contract as [[autoK]]:
     * a rebuilt corpus re-derives the width the oracle will derive. */
   private def autoBits(s: SparkSession, dir: String): Int =
-    bitsCache.getOrElseUpdate(embStamp(s, dir), autoLshBits(emb(s, dir).count()))
+    bitsCache.get(dir, embStamp(s, dir))(autoLshBits(emb(s, dir).count()))
+
+  /** Test hook (StampInvalidationSpec): the memo's single entry for a
+    * dir — asserting on it pins that a rebuild REPLACED the entry
+    * (stamp advanced) rather than accumulating beside it. */
+  private[graft] def bitsMemoSnapshotForTest(dir: String): Option[(String, Int)] =
+    bitsCache.snapshot(dir)
 
   /** The DuckDB dual of [[autoLshBits]] over the embeddings table —
     * the same integer rule, computed IN the oracle so the replay holds
@@ -136,8 +213,7 @@ object SimQueries extends QueryModule {
   private def embStamp(s: SparkSession, dir: String): String =
     graft.tables.FileStamp(s, tablePath(dir, "embeddings"))
 
-  private val cellsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private val cellsCache = new StampMemo[Int]
 
   /** The IVF/semdedup cell count for this corpus — `IvfIndex.autoCells`
     * over the vector count (memoized per embeddings-file stamp; the
@@ -146,7 +222,7 @@ object SimQueries extends QueryModule {
     * and grows ∝ N beyond (sf1's 20k vectors → 160 cells), keeping
     * per-cell scan cost flat. */
   private def autoK(s: SparkSession, dir: String): Int =
-    cellsCache.getOrElseUpdate(embStamp(s, dir),
+    cellsCache.get(dir, embStamp(s, dir))(
       graft.sim.IvfIndex.autoCells(emb(s, dir).count()))
 
   /** Pre-build the persisted IVF indexes (Bench times this as an
@@ -156,15 +232,17 @@ object SimQueries extends QueryModule {
     ivfIndexDir(s, dir); mipsIndexDir(s, dir); pqCodesCached(s, dir); ()
   }
 
-  private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val pqCache = new SessionStampMemo[DataFrame]
 
-  /** PQ code assignment (vec_id, m, j, d2) memoized per (session, dir):
-    * the encode and ADC queries share the same 8-subspace argmin — the
-    * 640k interpreted L2 folds at sf0.1 are the expensive stage, so
-    * compute them once. */
+  /** PQ code assignment (vec_id, m, j, d2) memoized per (session,
+    * corpus stamp): the encode and ADC queries share the same
+    * 8-subspace argmin — the 640k interpreted L2 folds at sf0.1 are
+    * the expensive stage, so compute them once. A corpus rebuild
+    * evicts (unpersisting the stale blocks) and recomputes what the
+    * DuckDB oracle recomputes live (r15 ADVICE — this memo previously
+    * served stale codes across a same-session rebuild). */
   private def pqCodesCached(s: SparkSession, dir: String): DataFrame =
-    pqCache.getOrElseUpdate((s, dir), {
+    pqCache.get(s, dir, embStamp(s, dir), _.unpersist(blocking = false)) {
       val e = emb(s, dir)
       val seeds = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("j"), col("embedding").as("c_emb"))
@@ -182,36 +260,39 @@ object SimQueries extends QueryModule {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
-    })
+    }
 
-  private val sqlIdxSeed =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Boolean]
+  private val sqlIdxSeed = new SessionStampMemo[String]
 
-  private val idxSeed =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  /** Persisted IVF index built once per corpus stamp — the index path
+    * is session-free (parquet on disk), so a rebuild by any session
+    * re-seeds for all. The STALE index dir is left on disk rather than
+    * deleted: a reader mid-scan on the old plan must not lose its
+    * files; the dirs live under the OS temp root (createTempDirectory)
+    * and the memo replaces the path, so nothing accumulates in memory. */
+  private val idxSeed = new StampMemo[String]
 
-  /** Persisted IVF index built once per (session, dir). */
   private def ivfIndexDir(s: SparkSession, dir: String): String =
-    idxSeed.getOrElseUpdate((s, dir), {
+    idxSeed.get(dir, embStamp(s, dir)) {
       val t = java.nio.file.Files.createTempDirectory("graft-ivf-idx").resolve("index").toString
       graft.sim.IvfIndex.build(s, emb(s, dir), numCells = autoK(s, dir), t)
       t
-    })
+    }
 
-  private val m2Cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Double]
+  private val m2Cache = new StampMemo[Double]
 
   /** Corpus max squared norm M² — the MIPS augmentation constant.
-    * Memoized per (session, dir): sim_mips, sim_mips_recall's probes,
-    * and the augmented-index build all need the same scalar, and each
+    * Memoized per corpus stamp (r15 ADVICE — the (session, dir) key
+    * served a stale M² across a same-session rebuild while the DuckDB
+    * oracle recomputed live): sim_mips, sim_mips_recall's probes, and
+    * the augmented-index build all need the same scalar, and each
     * recomputation is a full corpus pass. */
   private def maxNorm2(s: SparkSession, dir: String): Double =
-    m2Cache.getOrElseUpdate((s, dir),
+    m2Cache.get(dir, embStamp(s, dir))(
       emb(s, dir).selectExpr(s"${dotSpark("embedding", "embedding")} AS n2")
         .agg(max("n2")).head.getDouble(0))
 
-  private val mipsIdxSeed =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private val mipsIdxSeed = new StampMemo[String]
 
   /** Persisted IVF index over the NORM-AUGMENTED corpus — the Bachrach
     * reduction wired to the ANN structure it exists for: every vector
@@ -225,7 +306,7 @@ object SimQueries extends QueryModule {
     * the drop-in that keeps assignment off the O(N·K) cliff, see
     * sim_ivf_hier_topk.) */
   private def mipsIndexDir(s: SparkSession, dir: String): String =
-    mipsIdxSeed.getOrElseUpdate((s, dir), {
+    mipsIdxSeed.get(dir, embStamp(s, dir)) {
       val e = emb(s, dir)
       val m2 = maxNorm2(s, dir)
       val aug = e.selectExpr("vec_id",
@@ -233,7 +314,7 @@ object SimQueries extends QueryModule {
       val t = java.nio.file.Files.createTempDirectory("graft-mips-idx").resolve("index").toString
       graft.sim.IvfIndex.build(s, aug, numCells = autoK(s, dir), t)
       t
-    })
+    }
 
   /** Shared oracle CTE chain for the augmented-IVF MIPS search, ending
     * in `r`(query_id, neighbor_id, dot, rank) — the engine's cell
@@ -1268,13 +1349,18 @@ object SimQueries extends QueryModule {
     EngineQuery(
       "sim_sql_vector_search",
       (s, dir) => {
-        val idx = s"vi_emb_${math.abs(dir.hashCode)}"
-        sqlIdxSeed.getOrElseUpdate((s, dir), {
+        // Stamp-keyed seeding (r15 ADVICE): a corpus rebuild DROPs the
+        // session's stale index (evict-before-recompute — CREATE
+        // rejects a live duplicate name by design) and re-CREATEs over
+        // the rebuilt table, matching the oracle's live recompute.
+        val idx = sqlIdxSeed.get(s, dir, embStamp(s, dir),
+            old => { graft.tables.GraftSql.sql(s, s"DROP VECTOR INDEX $old"); () }) {
+          val name = s"vi_emb_${math.abs(dir.hashCode)}"
           emb(s, dir).createOrReplaceTempView("emb_corpus")
           graft.tables.GraftSql.sql(s,
-            s"CREATE VECTOR INDEX $idx ON emb_corpus (embedding) KEY vec_id CELLS 16")
-          true
-        })
+            s"CREATE VECTOR INDEX $name ON emb_corpus (embedding) KEY vec_id CELLS 16")
+          name
+        }
         emb(s, dir).filter(col("vec_id") < 5).createOrReplaceTempView("emb_probes")
         graft.tables.GraftSql.sql(s,
           s"SELECT * FROM vector_search('$idx', 'emb_probes', 3)")

@@ -1779,9 +1779,21 @@ object TextQueries extends QueryModule {
         val NB = B + 1
         val dfFloor = 3
         val langs = Seq("en", "es", "de", "fr", "zh")
+        // SINGLE corpus tokenization (r15 directive 2): the exploded
+        // token stream feeds BOTH the train-split vocab pass and the
+        // apply-pass probe — un-persisted, the tier's dominant
+        // intermediate (corpus scan + tokenize + explode) computed
+        // twice per run, a doubled pass over the biggest stage at
+        // 100 TB. Persisted MEMORY_AND_DISK (spill-safe at corpus
+        // scale); both consumers resolve to the one InMemoryRelation
+        // inside the single caller execution, and the cache releases
+        // searchBulk-style after it completes (TextNbDfSpec pins the
+        // release). The DuckDB oracle re-evaluates its CTE twice —
+        // same values either way, so the gate is unaffected.
         val e = docs(s, dir).withColumn("toks", expr(toksSpark))
           .selectExpr("doc_id", "lang", s"${splitSpark("doc_id")} AS split",
             "explode(toks) AS tok")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val vocab = e.where(col("split") === "train")
           .select("tok", "doc_id").distinct()
           .groupBy("tok").agg(count(lit(1)).as("df"))
@@ -1817,7 +1829,7 @@ object TextQueries extends QueryModule {
         val scored = docF.join(broadcast(weights), "f")
           .groupBy("doc_id", "lang")
           .agg(scoreAggs.head, scoreAggs.tail: _*)
-        scored.selectExpr("lang",
+        val out = scored.selectExpr("lang",
             """CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr, sc_zh) THEN 'en'
               |     WHEN sc_es >= greatest(sc_de, sc_fr, sc_zh) THEN 'es'
               |     WHEN sc_de >= greatest(sc_fr, sc_zh) THEN 'de'
@@ -1825,6 +1837,8 @@ object TextQueries extends QueryModule {
               |     ELSE 'zh' END AS predicted""".stripMargin.replace("\n", " "))
           .groupBy("lang", "predicted")
           .agg(count(lit(1)).cast("long").as("n_docs"))
+        graft.plans.CacheRelease.afterFirstMaterialization(
+          s, out, () => { e.unpersist(blocking = false); () })
       },
       Some {
         val B = 64

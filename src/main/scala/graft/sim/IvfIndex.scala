@@ -576,43 +576,20 @@ object IvfIndex {
       .selectExpr("query_id", "posexplode(tk) AS (pos, e)")
       .selectExpr("query_id", "CAST(pos + 1 AS INT) AS rank",
         "-e.id AS neighbor_id", "round(e.score, 6) AS cosine")
-    // PERSIST LIFECYCLE (r14 directive 5 / ADVICE): the cell-id pull
-    // above already materialized probeCellsP's blocks, and the caller
-    // gets only a lazy plan — without a release hook every bulk search
-    // leaves corpus-sized cached blocks pinned until the ContextCleaner
-    // happens to GC the plan, a storage/disk leak in long-lived
-    // sessions. A QueryExecutionListener self-unregisters and
-    // unpersists after the FIRST completed caller execution that
-    // contains the RETURNED plan's subtree (success or failure) — the
-    // one-materialization contract this API targets (kNN-graph build,
-    // batch labeling land the result once). Matching on `out`'s
-    // analyzed tree, NOT probeCellsP's, is load-bearing: the pull's
-    // own SQLExecutionEnd event is posted to the async listener bus
-    // BEFORE this registration but may be DELIVERED after it, and that
-    // event's plan contains the probeCells subtree — matching on it
-    // would release the cache before the caller ever ran (r15 review).
-    // The pull's plan can never contain `out` (out is built from it,
-    // not vice versa). A caller re-executing the returned plan after
-    // the release recomputes the probe assignment — correct, just
-    // uncached; a caller that never materializes leaks until session
-    // end. Lifecycle pinned in BulkSearchSpec.
-    val target = out.queryExecution.analyzed
-    val lm = spark.listenerManager
-    lm.register(new org.apache.spark.sql.util.QueryExecutionListener {
-      private def maybeRelease(
-          qe: org.apache.spark.sql.execution.QueryExecution): Unit =
-        if (qe.analyzed.exists(_.sameResult(target))) {
-          probeCellsP.unpersist(blocking = false)
-          lm.unregister(this)
-        }
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          durationNs: Long): Unit = maybeRelease(qe)
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution,
-          exception: Exception): Unit = maybeRelease(qe)
-    })
-    out
+    // PERSIST LIFECYCLE (r14 directive 5, hardened r15 directive 7 +
+    // ADVICE): the cell-id pull above already materialized
+    // probeCellsP's blocks, and the caller gets only a lazy plan —
+    // CacheRelease unpersists after the FIRST completed caller
+    // execution of the RETURNED (uniquely tagged) plan, so twin
+    // searchBulk calls can't release each other's cache, an
+    // abandoning caller is bounded by the pending cap + application-
+    // end drain, and CacheRelease.releaseAll is the explicit handle.
+    // A caller re-executing the returned plan after the release
+    // recomputes the probe assignment — correct, just uncached.
+    // Lifecycle (twin-call independence, abandoned-plan cap) pinned in
+    // BulkSearchSpec.
+    graft.plans.CacheRelease.afterFirstMaterialization(
+      spark, out, () => { probeCellsP.unpersist(blocking = false); () })
   }
 
   /** IVF-PQ search — the standard billion-scale ANN composition: the

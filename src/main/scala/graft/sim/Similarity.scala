@@ -178,13 +178,16 @@ object Similarity {
     * (mass-duplicate embeddings) collapses into one bucket at ANY
     * width. Fail loudly naming the audit row instead of OOMing an
     * executor (the `sim_lsh_auto_audit` max_bucket column is the
-    * operational early warning). Test-settable like the broadcast
-    * bound (same no-parallel-suites caveat). */
+    * operational early warning). The bound is a PARAMETER of the two
+    * group scans (default this constant), not a mutable global: the
+    * check runs INSIDE flatMapGroups on executor task threads, so a
+    * global (or a thread-local DynamicVariable) is exactly the shape a
+    * parallel suite races on — a parameter is captured in the closure
+    * at plan construction and serialized with the task (r15 directive
+    * 5; BucketBoundSpec passes a small bound explicitly). */
   val MaxBucketGroup = 1 << 20
-  private[graft] var maxBucketGroupOverride: Option[Int] = None
-  private def maxBucketGroup: Int = maxBucketGroupOverride.getOrElse(MaxBucketGroup)
 
-  private def requireBucketBounded(n: Int, bucket: Long): Unit =
+  private def requireBucketBounded(n: Int, bucket: Long, maxBucketGroup: Int): Unit =
     require(n <= maxBucketGroup,
       s"LSH bucket $bucket holds $n vectors (> $maxBucketGroup): the corpus " +
         "collapses buckets no signature width can split (mass-duplicate " +
@@ -201,7 +204,8 @@ object Similarity {
     * corpus. Bit-identical to the SQL formulation (same fold-ordered
     * cosine, same (cos desc, id asc) argmax — the argmax is
     * order-insensitive, so shuffle nondeterminism cannot change it). */
-  def bucketNnJvm(spark: SparkSession, withBuckets: DataFrame): DataFrame = {
+  def bucketNnJvm(spark: SparkSession, withBuckets: DataFrame,
+      maxBucketGroup: Int = MaxBucketGroup): DataFrame = {
     import org.apache.spark.sql.Encoders
     implicit val vEnc = Encoders.product[BucketVec]
     implicit val nnEnc = Encoders.product[BucketNn]
@@ -210,7 +214,7 @@ object Similarity {
       .groupByKey(_.bucket)
       .flatMapGroups { (bucket, it) =>
         val vecs = it.toArray
-        requireBucketBounded(vecs.length, bucket)
+        requireBucketBounded(vecs.length, bucket, maxBucketGroup)
         val norms = vecs.map(v => normJvm(v.embedding))
         vecs.indices.iterator.flatMap { j =>
           val a = vecs(j)
@@ -239,7 +243,8 @@ object Similarity {
     * shuffle moves each vector once and the quadratic scan runs per
     * bucket (recall is tuned by signature width / multi-probe, not by
     * corpus size). Same group machinery as bucketNnJvm. */
-  def bucketPairsJvm(spark: SparkSession, withBuckets: DataFrame, threshold: Double): DataFrame = {
+  def bucketPairsJvm(spark: SparkSession, withBuckets: DataFrame, threshold: Double,
+      maxBucketGroup: Int = MaxBucketGroup): DataFrame = {
     import org.apache.spark.sql.Encoders
     implicit val vEnc = Encoders.product[BucketVec]
     implicit val pairEnc = Encoders.product[NearDupPair]
@@ -248,7 +253,7 @@ object Similarity {
       .groupByKey(_.bucket)
       .flatMapGroups { (bucket, it) =>
         val vecs = it.toArray.sortBy(_.vec_id)
-        requireBucketBounded(vecs.length, bucket)
+        requireBucketBounded(vecs.length, bucket, maxBucketGroup)
         val norms = vecs.map(v => normJvm(v.embedding))
         vecs.indices.iterator.flatMap { x =>
           val a = vecs(x)
@@ -452,19 +457,21 @@ object Similarity {
     * (cogrouped assignment, searchMulti's distributed probe route) are
     * otherwise reachable only with a >2¹⁸-cell index — no reasonable
     * spec fixture — so their plumbing would ship unexecuted (r14 review
-    * finding). Specs lower it in a try/finally; production never sets
-    * it. A plain mutable global, NOT a DynamicVariable: every dispatch
-    * read happens on executor-facing driver code paths that a
-    * DynamicVariable's thread-locality would silently miss (Spark jobs
-    * hop threads), so the honest contract is coarser — suites that set
-    * it must not run in parallel with other sim suites (the build forks
-    * one test JVM and leaves `Test / testForkedParallel` at its false
-    * default, which pins exactly that). */
-  private[graft] var maxBroadcastFineCentroidsOverride: Option[Int] = None
+    * finding). A DynamicVariable, scoped per `withValue` block (r15
+    * directive 5 — the r14 plain-var spelling raced across parallel
+    * suites): this is safe here, unlike for the bucket bound, because
+    * EVERY consult of [[maxBroadcastFine]] happens synchronously on the
+    * calling thread during plan construction / dispatch (ivfAssignAuto,
+    * hierAssign, probeAssignments, Kmeans.fit's require) — never inside
+    * a task closure at execution time — so the value is always read on
+    * the thread that set it. Production never sets it. */
+  private[graft] val maxBroadcastFineCentroidsOverride =
+    new scala.util.DynamicVariable[Option[Int]](None)
 
-  /** The bound every dispatch site consults. */
+  /** The bound every dispatch site consults — all driver-synchronous
+    * reads (see the override's scaladoc). */
   private[graft] def maxBroadcastFine: Int =
-    maxBroadcastFineCentroidsOverride.getOrElse(MaxBroadcastFineCentroids)
+    maxBroadcastFineCentroidsOverride.value.getOrElse(MaxBroadcastFineCentroids)
 
   /** The coarse-quantizer size for a two-level assignment over `k` fine
     * cells — ⌈√k⌉ (balances the two scoring levels at ~2√k per vector)

@@ -16,6 +16,8 @@ import org.apache.spark.sql.SparkSession
   * and the corpus-derived query parameters (SimQueries autoK/autoBits)
   * so the two cache classes cannot drift apart (r15 review). */
 object FileStamp {
+  private val errSeq = new java.util.concurrent.atomic.AtomicLong()
+
   def apply(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -28,7 +30,18 @@ object FileStamp {
           if (files.isEmpty) "-1"
           else s"${files.map(_.getModificationTime).max}.${files.map(_.getLen).sum}"
         }
-      } catch { case _: java.io.IOException => "-1" }
+      } catch {
+        // A TRANSIENT stat failure must never be a STABLE cache key
+        // (r15 review): mapping IOException to the same "-1" as a
+        // missing dir let two blips in one session alias each other
+        // (and the missing-dir state), so a memo computed during the
+        // first blip was served for the second. Every error gets a
+        // UNIQUE stamp — "memoize nothing on error": the next
+        // successful stat re-keys correctly, and in the meantime each
+        // errored call recomputes rather than trusting a possibly
+        // blip-corrupted value.
+        case _: java.io.IOException => s"!err-${errSeq.incrementAndGet()}"
+      }
     s"$path@$stamp"
   }
 }

@@ -16,20 +16,19 @@ class BucketBoundSpec extends SparkSuite {
       "CAST(0 AS BIGINT) AS bucket")
 
   test("bucketNnJvm and bucketPairsJvm refuse a bucket past the bound, naming the audit") {
-    Similarity.maxBucketGroupOverride = Some(10)
-    try {
-      for (run <- Seq(
-          () => Similarity.bucketNnJvm(spark, oneBucket(50)).count(),
-          () => Similarity.bucketPairsJvm(spark, oneBucket(50), 0.5).count())) {
-        val e = intercept[org.apache.spark.SparkException] { run() }
-        val msg = String.valueOf(e.getCause match {
-          case null => e.getMessage
-          case c => c.getMessage
-        })
-        assert(msg.contains("sim_lsh_auto_audit"), msg.take(300))
-      }
-      // Below the bound the same shapes run fine.
-      assert(Similarity.bucketNnJvm(spark, oneBucket(9)).count() == 9)
-    } finally Similarity.maxBucketGroupOverride = None
+    // The bound is a per-call parameter captured in the task closure
+    // (r15 directive 5) — no global to race on, nothing to restore.
+    for (run <- Seq(
+        () => Similarity.bucketNnJvm(spark, oneBucket(50), maxBucketGroup = 10).count(),
+        () => Similarity.bucketPairsJvm(spark, oneBucket(50), 0.5, maxBucketGroup = 10).count())) {
+      val e = intercept[org.apache.spark.SparkException] { run() }
+      val msg = String.valueOf(e.getCause match {
+        case null => e.getMessage
+        case c => c.getMessage
+      })
+      assert(msg.contains("sim_lsh_auto_audit"), msg.take(300))
+    }
+    // Below the bound the same shapes run fine.
+    assert(Similarity.bucketNnJvm(spark, oneBucket(9), maxBucketGroup = 10).count() == 9)
   }
 }

@@ -74,14 +74,15 @@ class BulkSearchSpec extends SparkSuite {
     val wantBulk = rows(IvfIndex.searchBulk(spark, dir, emb, k = 3))
     // Lower the bound so every hier read path takes the past-bound arm
     // (the only way to execute that plumbing without a >2^18-cell
-    // fixture — r14 review finding).
-    Similarity.maxBroadcastFineCentroidsOverride = Some(8)
-    try {
+    // fixture — r14 review finding). DynamicVariable scope: every
+    // dispatch read is driver-synchronous, so the withValue block
+    // covers plan construction AND the collects inside rows().
+    Similarity.maxBroadcastFineCentroidsOverride.withValue(Some(8)) {
       assert(rows(IvfIndex.searchMulti(spark, dir, probes, k = 3, nprobe = 2)) == wantMulti,
         "searchMulti's past-bound probe arm disagrees with the broadcast route")
       assert(rows(IvfIndex.searchBulk(spark, dir, emb, k = 3)) == wantBulk,
         "searchBulk's past-bound cogrouped arm disagrees with the broadcast route")
-    } finally Similarity.maxBroadcastFineCentroidsOverride = None
+    }
   }
 
   test("bulk keeps every query's full top-k and never self-matches") {
@@ -91,6 +92,52 @@ class BulkSearchSpec extends SparkSuite {
     val perQuery = out.groupBy("query_id").count().collect()
     assert(perQuery.length == emb.count().toInt)
     assert(perQuery.forall(_.getLong(1) == 3L))
+  }
+
+  test("twin calls: materializing one searchBulk must not release the OTHER " +
+      "identical call's pending cache (r15 ADVICE — unique plan tags)") {
+    import graft.plans.CacheRelease
+    val dir = buildIdx(numCells = 16)
+    CacheRelease.releaseAll(spark)
+    val base = CacheRelease.pendingCountForTest(spark)
+    val a = IvfIndex.searchBulk(spark, dir, emb, k = 3)
+    val b = IvfIndex.searchBulk(spark, dir, emb, k = 3) // identical args
+    assert(CacheRelease.pendingCountForTest(spark) == base + 2)
+    assert(a.count() > 0)
+    // The listener bus is async — wait for A's release to land, then
+    // assert B's is STILL pending (the r15 sameResult matching released
+    // both on the first materialization).
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (CacheRelease.pendingCountForTest(spark) > base + 1 &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    assert(CacheRelease.pendingCountForTest(spark) == base + 1,
+      "first materialization released zero or both of the twin caches")
+    assert(b.count() > 0) // B still works, then releases itself
+    while (CacheRelease.pendingCountForTest(spark) > base &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    assert(CacheRelease.pendingCountForTest(spark) == base)
+  }
+
+  test("abandoned plans: callers that never materialize are bounded by the " +
+      "pending cap, and releaseAll drains the rest (r15 directive 7)") {
+    import graft.plans.CacheRelease
+    val dir = buildIdx(numCells = 16)
+    CacheRelease.releaseAll(spark)
+    val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    // MaxPending + 4 bulk plans, none ever materialized: the oldest 4
+    // force-release at registration time (their caches unpersist), the
+    // registry never exceeds the cap, and the leaked tail drains on the
+    // explicit release handle.
+    (1 to CacheRelease.MaxPending + 4).foreach { _ =>
+      IvfIndex.searchBulk(spark, dir, emb, k = 3)
+    }
+    assert(CacheRelease.pendingCountForTest(spark) <= CacheRelease.MaxPending)
+    CacheRelease.releaseAll(spark)
+    assert(CacheRelease.pendingCountForTest(spark) == 0)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    def leaked() = spark.sparkContext.getPersistentRDDs.keySet -- rddsBefore
+    while (leaked().nonEmpty && System.nanoTime() < deadline) Thread.sleep(200)
+    assert(leaked().isEmpty, s"abandoned bulk caches still pinned: ${leaked()}")
   }
 
   test("persist lifecycle: repeated bulk searches leave no net cached blocks " +

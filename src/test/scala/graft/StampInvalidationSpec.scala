@@ -30,10 +30,19 @@ class StampInvalidationSpec extends SparkSuite {
 
     writeCorpus(500)
     assert(audit() == ((6L, 500L)))
+    val firstEntry = graft.queries.SimQueries.bitsMemoSnapshotForTest(dir)
+    assert(firstEntry.exists(_._2 == 6), s"memo after first build: $firstEntry")
 
     writeCorpus(9000) // same dir, same session, past the 6-bit boundary
     assert(audit() == ((7L, 9000L)),
       "rebuild kept a stale width derivation — the (session, dir) cache " +
         "class the r15 FileStamp fix removed")
+    // r15 directive 6: the memo holds ONE entry per dir — the rebuild
+    // REPLACED it (stamp advanced, value re-derived); the old stamp's
+    // entry is gone rather than accumulating beside the new one.
+    val secondEntry = graft.queries.SimQueries.bitsMemoSnapshotForTest(dir)
+    assert(secondEntry.exists(_._2 == 7), s"memo after rebuild: $secondEntry")
+    assert(secondEntry.map(_._1) != firstEntry.map(_._1),
+      "rebuild did not advance the memo's stamp")
   }
 }
