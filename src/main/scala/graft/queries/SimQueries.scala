@@ -1631,6 +1631,185 @@ object SimQueries extends QueryModule {
               |  ON i3.query_id = b3.query_id AND i3.neighbor_id = b3.neighbor_id
               |GROUP BY 1""".stripMargin)),
 
+    // BOUNDARY-PROBE cross-coarse recall (r15 directive 4): the forced-
+    // K fixture above honestly measured its residual miss as PLACEMENT-
+    // bound (probe 2 is itself a seed centroid; no probe-side knob
+    // reaches its neighbors — see BASELINE.md r15), so this companion
+    // fixture constructs probes whose misses ARE cross-coarse: for each
+    // fine centroid f1, take f2 = the most-f1-like fine centroid owned
+    // by f1's SECOND coarse cell, and probe with the 0.75·f1 + 0.25·f2
+    // float blend under a NON-SEED id (1e6 + f1). The probe routes to
+    // f1's cell at nprobe=1 (recovering f1, missing f2 across the
+    // coarse boundary — recall@2 ≈ 0.49 measured), while nprobe=2's
+    // cross-coarse pooling scans both constituents' cells (recall@2 =
+    // 0.95 at sf0.01 / 0.97 at sf0.001 — the ≥0.95 target the forced-K
+    // fixture could not reach). BOTH arms' per-probe recall are in the
+    // gated output, so a regression in either routing hash-mismatches.
+    // The oracle replays placement, pair construction, blend (same
+    // double-arithmetic, float-rounded), both probe routings, and the
+    // brute truth. 0.75 = 3/4 is binary-exact in DOUBLE on both
+    // engines. HierCrossProbeSpec drives the REAL searchMulti doors
+    // over the same synthesized probes and pins the same gap.
+    EngineQuery(
+      "sim_ivf_hier_recall_xb",
+      (s, dir) => {
+        val e = emb(s, dir)
+        val forcedK = 80
+        val ck = 9 // ⌈√80⌉ — hierCoarseK's rule at this K
+        val assigns = ivfAssignAuto(s, e, forcedK).select(col("vec_id"), col("cell"))
+        val fine = e.filter(col("vec_id") < forcedK)
+          .select(col("vec_id").as("f"), col("embedding").as("f_emb"))
+        val coarse = e.filter(col("vec_id") < ck)
+          .select(col("vec_id").as("c"), col("embedding").as("c_emb"))
+        val wF = Window.partitionBy("f").orderBy(col("cos").desc, col("c").asc)
+        val fmap = fine.crossJoin(broadcast(coarse))
+          .selectExpr("f", "f_emb", "c", "cosine_sim(f_emb, c_emb) AS cos")
+          .withColumn("rn", row_number().over(wF)).filter(col("rn") === 1)
+          .select("f", "f_emb", "c")
+        val ccr = coarse.join(fmap.select("c").distinct(), Seq("c"))
+        // f1's SECOND-nearest owning coarse cell, then the most-f1-like
+        // fine centroid it owns — the cross-boundary partner.
+        val fc2 = fmap.select("f", "f_emb").crossJoin(broadcast(ccr))
+          .selectExpr("f", "f_emb", "c", "cosine_sim(f_emb, c_emb) AS cos")
+          .withColumn("rn", row_number().over(wF)).filter(col("rn") === 2)
+          .select(col("f"), col("f_emb"), col("c").as("c2"))
+        val wP = Window.partitionBy("f").orderBy(col("cos").desc, col("f2").asc)
+        val bp = fc2.join(broadcast(
+            fmap.select(col("f").as("f2"), col("f_emb").as("e2"), col("c").as("c2"))),
+            Seq("c2"))
+          .selectExpr("f", "f_emb", "f2", "e2", "cosine_sim(f_emb, e2) AS cos")
+          .withColumn("rn", row_number().over(wP)).filter(col("rn") === 1)
+          .select(col("f").as("f1"), col("f_emb").as("e1"), col("e2"))
+        val pr = bp.selectExpr("1000000 + f1 AS query_id",
+          "zip_with(e1, e2, (x, y) -> CAST(0.75D * CAST(x AS DOUBLE) + 0.25D * CAST(y AS DOUBLE) AS FLOAT)) AS q_emb")
+        val wQ = Window.partitionBy("query_id").orderBy(col("cos").desc, col("c").asc)
+        val wQF = Window.partitionBy("query_id").orderBy(col("cos").desc, col("f").asc)
+        def probeCells(nprobe: Int): DataFrame = {
+          val qc = pr.crossJoin(broadcast(ccr))
+            .selectExpr("query_id", "q_emb", "c", "cosine_sim(q_emb, c_emb) AS cos")
+            .withColumn("rn", row_number().over(wQ)).filter(col("rn") <= nprobe)
+            .select("query_id", "q_emb", "c")
+          qc.join(broadcast(fmap), Seq("c"))
+            .selectExpr("query_id", "q_emb", "f", "cosine_sim(q_emb, f_emb) AS cos")
+            .withColumn("rn", row_number().over(wQF)).filter(col("rn") <= nprobe)
+            .select(col("query_id"), col("q_emb"), col("f").as("cell"))
+        }
+        val cands = e.select(col("vec_id"), col("embedding")).join(assigns, "vec_id")
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        def top2(probes: DataFrame): DataFrame =
+          cands.join(broadcast(probes), Seq("cell"))
+            .selectExpr("query_id", "vec_id AS neighbor_id",
+              "cosine_sim(q_emb, embedding) AS cos")
+            .withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
+            .select("query_id", "neighbor_id")
+        val h1 = top2(probeCells(1))
+        val h2 = top2(probeCells(2))
+        val brute2 = e.crossJoin(broadcast(pr))
+          .selectExpr("query_id", "vec_id AS neighbor_id", "cosine_sim(q_emb, embedding) AS cos")
+          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
+          .select("query_id", "neighbor_id")
+        brute2
+          .join(h1.withColumn("hit1", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+          .join(h2.withColumn("hit2", lit(1L)), Seq("query_id", "neighbor_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(coalesce(col("hit1"), lit(0L))).as("hits_np1"),
+            sum(coalesce(col("hit2"), lit(0L))).as("hits_np2"))
+          .selectExpr("query_id", "hits_np1",
+            "round(CAST(hits_np1 AS DOUBLE) / 2, 6) AS recall_np1",
+            "hits_np2", "round(CAST(hits_np2 AS DOUBLE) / 2, 6) AS recall_np2")
+      },
+      Some(s"""WITH cf AS (SELECT vec_id AS f, embedding AS f_emb
+              |  FROM embeddings WHERE vec_id < 80),
+              |cc AS (SELECT vec_id AS c, embedding AS c_emb
+              |  FROM embeddings WHERE vec_id < 9),
+              |fmap AS (SELECT f, f_emb, c FROM (
+              |    SELECT cf.f, cf.f_emb, cc.c,
+              |      row_number() OVER (PARTITION BY cf.f
+              |        ORDER BY ${cosineDuck("cf.f_emb", "cc.c_emb")} DESC, cc.c ASC) AS rn
+              |    FROM cf CROSS JOIN cc) WHERE rn = 1),
+              |ccr AS (SELECT cc.c, cc.c_emb FROM cc
+              |  JOIN (SELECT DISTINCT c FROM fmap) own USING (c)),
+              |vc AS (SELECT vec_id, c FROM (
+              |    SELECT e.vec_id, ccr.c,
+              |      row_number() OVER (PARTITION BY e.vec_id
+              |        ORDER BY ${cosineDuck("e.embedding", "ccr.c_emb")} DESC, ccr.c ASC) AS rn
+              |    FROM embeddings e CROSS JOIN ccr) WHERE rn = 1),
+              |a AS (SELECT vec_id, cell FROM (
+              |    SELECT vc.vec_id, cf.f AS cell,
+              |      row_number() OVER (PARTITION BY vc.vec_id
+              |        ORDER BY ${cosineDuck("e.embedding", "cf.f_emb")} DESC, cf.f ASC) AS rn
+              |    FROM vc JOIN embeddings e ON e.vec_id = vc.vec_id
+              |    JOIN fmap ON fmap.c = vc.c
+              |    JOIN cf ON cf.f = fmap.f) WHERE rn = 1),
+              |fc2 AS (SELECT f, f_emb, c2 FROM (
+              |    SELECT fm.f, fm.f_emb, ccr.c AS c2,
+              |      row_number() OVER (PARTITION BY fm.f
+              |        ORDER BY ${cosineDuck("fm.f_emb", "ccr.c_emb")} DESC, ccr.c ASC) AS rn
+              |    FROM fmap fm CROSS JOIN ccr) WHERE rn = 2),
+              |bp AS (SELECT f1, e1, e2 FROM (
+              |    SELECT fc2.f AS f1, fc2.f_emb AS e1, g.f_emb AS e2,
+              |      row_number() OVER (PARTITION BY fc2.f
+              |        ORDER BY ${cosineDuck("fc2.f_emb", "g.f_emb")} DESC, g.f ASC) AS rn
+              |    FROM fc2 JOIN fmap g ON g.c = fc2.c2) WHERE rn = 1),
+              |pr AS (SELECT 1000000 + f1 AS query_id,
+              |    [CAST(0.75 * CAST(e1[i] AS DOUBLE) + 0.25 * CAST(e2[i] AS DOUBLE) AS FLOAT)
+              |     for i in range(1, 65)] AS q_emb
+              |  FROM bp),
+              |qc1 AS (SELECT query_id, q_emb, c FROM (
+              |    SELECT pr.query_id, pr.q_emb, ccr.c,
+              |      row_number() OVER (PARTITION BY pr.query_id
+              |        ORDER BY ${cosineDuck("pr.q_emb", "ccr.c_emb")} DESC, ccr.c ASC) AS rn
+              |    FROM pr CROSS JOIN ccr) WHERE rn = 1),
+              |pc1 AS (SELECT query_id, q_emb, cell FROM (
+              |    SELECT qc1.query_id, qc1.q_emb, cf.f AS cell,
+              |      row_number() OVER (PARTITION BY qc1.query_id
+              |        ORDER BY ${cosineDuck("qc1.q_emb", "cf.f_emb")} DESC, cf.f ASC) AS rn
+              |    FROM qc1 JOIN fmap ON fmap.c = qc1.c
+              |    JOIN cf ON cf.f = fmap.f) WHERE rn = 1),
+              |qc2 AS (SELECT query_id, q_emb, c FROM (
+              |    SELECT pr.query_id, pr.q_emb, ccr.c,
+              |      row_number() OVER (PARTITION BY pr.query_id
+              |        ORDER BY ${cosineDuck("pr.q_emb", "ccr.c_emb")} DESC, ccr.c ASC) AS rn
+              |    FROM pr CROSS JOIN ccr) WHERE rn <= 2),
+              |pc2 AS (SELECT query_id, q_emb, cell FROM (
+              |    SELECT qc2.query_id, qc2.q_emb, cf.f AS cell,
+              |      row_number() OVER (PARTITION BY qc2.query_id
+              |        ORDER BY ${cosineDuck("qc2.q_emb", "cf.f_emb")} DESC, cf.f ASC) AS rn
+              |    FROM qc2 JOIN fmap ON fmap.c = qc2.c
+              |    JOIN cf ON cf.f = fmap.f) WHERE rn <= 2),
+              |j1 AS (SELECT pc1.query_id, e.vec_id AS neighbor_id,
+              |    ${cosineDuck("pc1.q_emb", "e.embedding")} AS cos
+              |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+              |  JOIN pc1 ON a.cell = pc1.cell),
+              |h1 AS (SELECT query_id, neighbor_id FROM (
+              |    SELECT query_id, neighbor_id,
+              |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |    FROM j1) WHERE rank <= 2),
+              |j2 AS (SELECT pc2.query_id, e.vec_id AS neighbor_id,
+              |    ${cosineDuck("pc2.q_emb", "e.embedding")} AS cos
+              |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+              |  JOIN pc2 ON a.cell = pc2.cell),
+              |h2 AS (SELECT query_id, neighbor_id FROM (
+              |    SELECT query_id, neighbor_id,
+              |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |    FROM j2) WHERE rank <= 2),
+              |bj AS (SELECT pr.query_id, e.vec_id AS neighbor_id,
+              |    ${cosineDuck("pr.q_emb", "e.embedding")} AS cos
+              |  FROM embeddings e CROSS JOIN pr),
+              |b2 AS (SELECT query_id, neighbor_id FROM (
+              |    SELECT query_id, neighbor_id,
+              |      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+              |    FROM bj) WHERE rank <= 2)
+              |SELECT b2.query_id,
+              |  CAST(count(h1.neighbor_id) AS BIGINT) AS hits_np1,
+              |  round(CAST(count(h1.neighbor_id) AS DOUBLE) / 2, 6) AS recall_np1,
+              |  CAST(count(h2.neighbor_id) AS BIGINT) AS hits_np2,
+              |  round(CAST(count(h2.neighbor_id) AS DOUBLE) / 2, 6) AS recall_np2
+              |FROM b2
+              |LEFT JOIN h1 ON h1.query_id = b2.query_id AND h1.neighbor_id = b2.neighbor_id
+              |LEFT JOIN h2 ON h2.query_id = b2.query_id AND h2.neighbor_id = b2.neighbor_id
+              |GROUP BY 1""".stripMargin)),
+
     // Product-quantization encoding — the PQ half of IVF-PQ, the
     // industry-standard ANN compression: 64 dims split into 8 subspaces
     // × 16-entry codebooks (seed codebook = the first 16 vectors'

@@ -83,6 +83,55 @@ class HierCrossProbeSpec extends SparkSuite {
     info(s"$spanning/${vecs.length} probes pooled across a coarse boundary")
   }
 
+  test("boundary probes (the r16 xb fixture): the REAL searchMulti doors measure " +
+      "recall@2 nprobe=1 < nprobe=2, with nprobe=2 >= 0.95") {
+    // Synthesize sim_ivf_hier_recall_xb's probes from the SPEC-LOCAL
+    // reference routing (independent of production code): for each fine
+    // centroid f1, f2 = the most-f1-like fine centroid owned by f1's
+    // second coarse cell, probe = float(0.75·f1 + 0.25·f2), non-seed id.
+    val fines: Array[(Long, Array[Float])] =
+      childrenRef.values.flatten.toArray.sortBy(_._1)
+    def rankedCoarse(e: Array[Float]): Seq[Long] =
+      coarseRef.map { case (id, ce) => (id, Similarity.cosineJvm(e, ce)) }
+        .sortBy { case (id, cos) => (-cos, id) }.map(_._1).toSeq
+    val probes: Array[(Long, Array[Float])] = fines.map { case (f1, e1) =>
+      val c2 = rankedCoarse(e1)(1)
+      val (_, e2) = childrenRef(c2)
+        .map { case (f, fe) => ((f, fe), Similarity.cosineJvm(e1, fe)) }
+        .minBy { case ((f, _), cos) => (-cos, f) }._1
+      val blend = e1.indices.map(i =>
+        (0.75d * e1(i) + 0.25d * e2(i)).toFloat).toArray
+      (1000000L + f1, blend)
+    }
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType), nullable = false)))
+    val probesDf = spark.createDataFrame(
+      java.util.Arrays.asList(probes.map { case (id, e) => SRow(id, e.toSeq) }: _*), schema)
+    // Brute truth, spec-local: top-2 by (cos DESC, id ASC) over the corpus.
+    val corpus = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val truth: Map[Long, Set[Long]] = probes.map { case (qid, qe) =>
+      qid -> corpus.map { case (v, ve) => (v, Similarity.cosineJvm(qe, ve)) }
+        .sortBy { case (v, cos) => (-cos, v) }.take(2).map(_._1).toSet
+    }.toMap
+    def meanRecall(nprobe: Int): Double = {
+      val got = IvfIndex.searchMulti(spark, dir, probesDf, k = 2, nprobe = nprobe)
+        .select("query_id", "neighbor_id").collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      probes.map { case (qid, _) =>
+        truth(qid).intersect(got.getOrElse(qid, Set.empty)).size / 2.0
+      }.sum / probes.length
+    }
+    val r1 = meanRecall(1)
+    val r2 = meanRecall(2)
+    info(f"boundary-probe recall@2: nprobe=1 $r1%.4f, nprobe=2 $r2%.4f (${probes.length} probes)")
+    assert(r1 < r2, s"no cross-coarse gap: nprobe=1 $r1 vs nprobe=2 $r2")
+    assert(r2 >= 0.95, s"nprobe=2 recall@2 $r2 below the 0.95 fixture target")
+  }
+
   test("nprobe=1 stays the pure build route (single-coarse argmax)") {
     val got = assigned(nprobe = 1)
     val vecs = emb.select("vec_id", "embedding").collect()
