@@ -1779,21 +1779,24 @@ object TextQueries extends QueryModule {
         val NB = B + 1
         val dfFloor = 3
         val langs = Seq("en", "es", "de", "fr", "zh")
-        // SINGLE corpus tokenization (r15 directive 2): the exploded
-        // token stream feeds BOTH the train-split vocab pass and the
-        // apply-pass probe — un-persisted, the tier's dominant
-        // intermediate (corpus scan + tokenize + explode) computed
-        // twice per run, a doubled pass over the biggest stage at
-        // 100 TB. Persisted MEMORY_AND_DISK (spill-safe at corpus
-        // scale); both consumers resolve to the one InMemoryRelation
-        // inside the single caller execution, and the cache releases
-        // searchBulk-style after it completes (TextNbDfSpec pins the
-        // release). The DuckDB oracle re-evaluates its CTE twice —
-        // same values either way, so the gate is unaffected.
+        // Tokenization-sharing NOTE (r15 directive 2, closed with
+        // measurements AGAINST the change): the exploded token stream
+        // feeds both the train-split vocab pass and the apply-pass
+        // probe, so this spelling tokenizes the corpus twice. Both
+        // single-pass variants were implemented and measured SLOWER:
+        // persisting the instance stream (sf1 8.6->17.0 s, sf10
+        // ~71 (env-adj) ->108 s — columnar-caching one row per token
+        // instance costs more than the tokenize it saves) and
+        // reducing to persisted per-(doc, token) counts first (sf1
+        // 15.2 s — the pair shuffle + cache still outweighs a rescan).
+        // The codegen'd tokenize over a column-pruned parquet scan is
+        // the CHEAP stage here; the double pass is the measured
+        // optimum on page-cached local storage. On a remote-storage
+        // 100 TB corpus the balance can flip — the count-first
+        // variant (BASELINE.md r16) is the drop-in for that regime.
         val e = docs(s, dir).withColumn("toks", expr(toksSpark))
           .selectExpr("doc_id", "lang", s"${splitSpark("doc_id")} AS split",
             "explode(toks) AS tok")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val vocab = e.where(col("split") === "train")
           .select("tok", "doc_id").distinct()
           .groupBy("tok").agg(count(lit(1)).as("df"))
@@ -1829,7 +1832,7 @@ object TextQueries extends QueryModule {
         val scored = docF.join(broadcast(weights), "f")
           .groupBy("doc_id", "lang")
           .agg(scoreAggs.head, scoreAggs.tail: _*)
-        val out = scored.selectExpr("lang",
+        scored.selectExpr("lang",
             """CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr, sc_zh) THEN 'en'
               |     WHEN sc_es >= greatest(sc_de, sc_fr, sc_zh) THEN 'es'
               |     WHEN sc_de >= greatest(sc_fr, sc_zh) THEN 'de'
@@ -1837,8 +1840,6 @@ object TextQueries extends QueryModule {
               |     ELSE 'zh' END AS predicted""".stripMargin.replace("\n", " "))
           .groupBy("lang", "predicted")
           .agg(count(lit(1)).cast("long").as("n_docs"))
-        graft.plans.CacheRelease.afterFirstMaterialization(
-          s, out, () => { e.unpersist(blocking = false); () })
       },
       Some {
         val B = 64
