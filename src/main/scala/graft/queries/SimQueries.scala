@@ -1695,19 +1695,27 @@ object SimQueries extends QueryModule {
             .select(col("query_id"), col("q_emb"), col("f").as("cell"))
         }
         val cands = e.select(col("vec_id"), col("embedding")).join(assigns, "vec_id")
-        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-        def top2(probes: DataFrame): DataFrame =
-          cands.join(broadcast(probes), Seq("cell"))
-            .selectExpr("query_id", "vec_id AS neighbor_id",
-              "cosine_sim(q_emb, embedding) AS cos")
-            .withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
-            .select("query_id", "neighbor_id")
-        val h1 = top2(probeCells(1))
-        val h2 = top2(probeCells(2))
-        val brute2 = e.crossJoin(broadcast(pr))
-          .selectExpr("query_id", "vec_id AS neighbor_id", "cosine_sim(q_emb, embedding) AS cos")
-          .withColumn("rank", row_number().over(w)).filter(col("rank") <= 2)
-          .select("query_id", "neighbor_id")
+        // Top-2 sets via the bounded-heap topk_by aggregate (negated-id
+        // tie flip = the (cos DESC, id ASC) window rule — the r15
+        // searchBulk pattern): the brute arm scores 80 probes × the
+        // whole corpus, and the row_number spelling sorted each
+        // query's full partition (80 × N rows at sf10 — the measured
+        // 54.6 s was mostly that sort); the aggregate keeps 2 per
+        // query through map-side partials instead.
+        def top2(scored: DataFrame): DataFrame =
+          scored.groupBy("query_id")
+            .agg(expr("topk_by(cos, -neighbor_id, 2)").as("tk"))
+            .selectExpr("query_id", "explode(tk) AS t")
+            .selectExpr("query_id", "-t.id AS neighbor_id")
+        val h1 = top2(cands.join(broadcast(probeCells(1)), Seq("cell"))
+          .selectExpr("query_id", "vec_id AS neighbor_id",
+            "cosine_sim(q_emb, embedding) AS cos"))
+        val h2 = top2(cands.join(broadcast(probeCells(2)), Seq("cell"))
+          .selectExpr("query_id", "vec_id AS neighbor_id",
+            "cosine_sim(q_emb, embedding) AS cos"))
+        val brute2 = top2(e.crossJoin(broadcast(pr))
+          .selectExpr("query_id", "vec_id AS neighbor_id",
+            "cosine_sim(q_emb, embedding) AS cos"))
         brute2
           .join(h1.withColumn("hit1", lit(1L)), Seq("query_id", "neighbor_id"), "left")
           .join(h2.withColumn("hit2", lit(1L)), Seq("query_id", "neighbor_id"), "left")
