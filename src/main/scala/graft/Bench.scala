@@ -305,9 +305,9 @@ object Bench {
 
     // Calibration, first pair: AFTER an untimed SAME-SHAPE warmup job
     // (so the Spark probe measures the stack, not first-job codegen /
-    // classloader warm-up — a 1M-row run of the identical plan compiles
-    // and JITs everything the timed probe executes) and BEFORE any
-    // build touches real data.
+    // classloader warm-up — a 2^27-row run of the identical plan
+    // compiles and JITs everything the timed probe executes, ~0.3 s)
+    // and BEFORE any build touches real data.
     calibSparkJob(spark, 1L << 27)
     val calibSpinFirst = calibSpin()
     val calibSparkFirst = calibSpark(spark)

@@ -111,12 +111,33 @@ object CacheRelease {
       } else None
     }
     spark.listenerManager.register(listener)
-    // Force-release OUTSIDE the lock (release may run Spark calls).
-    overflow.foreach { p =>
-      spark.listenerManager.unregister(p.listener)
-      p.release()
+    // Registration happens OUTSIDE the lock (the manager has its own
+    // synchronization), so a concurrent releaseAll/app-end drain may
+    // have already removed this id — its unregister of the
+    // not-yet-registered listener was a no-op, and without this
+    // re-check the listener would stay registered for session
+    // lifetime, tree-walking every later query (r16 review).
+    val stillPending = synchronized {
+      Option(pendingBySession.get(spark)).exists(_.containsKey(Long.box(id)))
     }
+    if (!stillPending) spark.listenerManager.unregister(listener)
+    // Force-release OUTSIDE the lock (release may run Spark calls).
+    overflow.foreach(p => runRelease(spark, p))
     tagged
+  }
+
+  /** Unregister + release, never letting one entry's failure (an
+    * unpersist on a stopping context, a DROP whose require fails)
+    * abort a multi-entry drain whose map entries are already removed —
+    * that would leak the rest permanently (r16 review). */
+  private def runRelease(spark: SparkSession, p: Pending): Unit = {
+    try spark.listenerManager.unregister(p.listener)
+    catch { case _: Throwable => () }
+    try p.release()
+    catch {
+      case t: Throwable =>
+        System.err.println(s"CacheRelease: release ${p.id} failed: $t")
+    }
   }
 
   /** Remove-then-run: the pending-map removal is the idempotence gate
@@ -126,10 +147,7 @@ object CacheRelease {
     val p = synchronized {
       Option(pendingBySession.get(spark)).flatMap(m => Option(m.remove(Long.box(id))))
     }
-    p.foreach { pend =>
-      spark.listenerManager.unregister(pend.listener)
-      pend.release()
-    }
+    p.foreach(pend => runRelease(spark, pend))
   }
 
   /** Fire every pending release for `spark` — the explicit drain for a
@@ -144,10 +162,7 @@ object CacheRelease {
         all
       }
     }
-    ps.foreach { p =>
-      spark.listenerManager.unregister(p.listener)
-      p.release()
-    }
+    ps.foreach(p => runRelease(spark, p))
   }
 
   private def releaseEverything(): Unit = {

@@ -70,9 +70,22 @@ object SimQueries extends QueryModule {
     * a session, and stamping each would add an FS stat per call to the
     * hottest build paths for a rebuild class that cannot occur. */
   private final class StampMemo[V] {
-    private val m = scala.collection.mutable.Map.empty[String, (String, V)]
-    def get(key: String, stamp: String, onEvict: V => Unit = _ => ())(compute: => V): V =
-      synchronized {
+    private val m = scala.collection.concurrent.TrieMap.empty[String, (String, V)]
+    private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
+    def get(key: String, stamp: String, onEvict: V => Unit = _ => ())(compute: => V): V = {
+      // An ERRORED stamp means "corpus state unknown" (r16 review): do
+      // NOT serve the cached value (it may be stale), and do NOT evict
+      // the last good entry (a transient blip must not unpersist
+      // healthy caches or DROP a healthy index) — compute fresh for
+      // this call only, leaving the memo untouched; the next good stat
+      // re-keys normally.
+      if (graft.tables.FileStamp.isError(stamp)) return compute
+      // Per-KEY lock: compute is a whole Spark job (an index build, the
+      // PQ encode), so a memo-global monitor would serialize unrelated
+      // dirs/sessions for the build's duration (r16 review). The lock
+      // object per key serializes only same-key callers; the TrieMap
+      // itself is thread-safe.
+      locks.getOrElseUpdate(key, new Object).synchronized {
         m.get(key) match {
           case Some((st, v)) if st == stamp => v
           case old =>
@@ -83,41 +96,28 @@ object SimQueries extends QueryModule {
             v
         }
       }
-    def snapshot(key: String): Option[(String, V)] = synchronized(m.get(key))
+    }
+    def snapshot(key: String): Option[(String, V)] = m.get(key)
   }
 
   /** Session-SCOPED stamp memo for values tied to a SparkSession (a
     * persisted DataFrame, a session-registered index name): sessions
     * key a WeakHashMap so the memo never pins a closed session — the
     * r14 (SparkSession, dir) TrieMaps strong-referenced every session
-    * for process lifetime (r15 ADVICE) — and each session's inner map
-    * carries one (stamp → value) entry per dir, replace-on-change. */
+    * for process lifetime (r15 ADVICE). COMPOSES a per-session
+    * [[StampMemo]] so the replace-on-change/error-bypass/per-key-lock
+    * contract exists exactly once (r16 review). */
   private final class SessionStampMemo[V] {
-    private val bySession = new java.util.WeakHashMap[
-      SparkSession, scala.collection.mutable.Map[String, (String, V)]]()
+    private val bySession = new java.util.WeakHashMap[SparkSession, StampMemo[V]]()
+    private def memo(s: SparkSession): StampMemo[V] = synchronized {
+      var mm = bySession.get(s)
+      if (mm == null) { mm = new StampMemo[V]; bySession.put(s, mm) }
+      mm
+    }
     def get(s: SparkSession, dir: String, stamp: String, onEvict: V => Unit = _ => ())(
-        compute: => V): V = synchronized {
-      val m = {
-        var mm = bySession.get(s)
-        if (mm == null) {
-          mm = scala.collection.mutable.Map.empty[String, (String, V)]
-          bySession.put(s, mm)
-        }
-        mm
-      }
-      m.get(dir) match {
-        case Some((st, v)) if st == stamp => v
-        case old =>
-          old.foreach { case (_, ov) => onEvict(ov) }
-          m.remove(dir)
-          val v = compute
-          m.put(dir, (stamp, v))
-          v
-      }
-    }
-    def snapshot(s: SparkSession, dir: String): Option[(String, V)] = synchronized {
-      Option(bySession.get(s)).flatMap(_.get(dir))
-    }
+        compute: => V): V = memo(s).get(dir, stamp, onEvict)(compute)
+    def snapshot(s: SparkSession, dir: String): Option[(String, V)] =
+      memo(s).snapshot(dir)
   }
 
   private val bitsCache = new StampMemo[Int]
@@ -241,26 +241,36 @@ object SimQueries extends QueryModule {
     * evicts (unpersisting the stale blocks) and recomputes what the
     * DuckDB oracle recomputes live (r15 ADVICE — this memo previously
     * served stale codes across a same-session rebuild). */
-  private def pqCodesCached(s: SparkSession, dir: String): DataFrame =
-    pqCache.get(s, dir, embStamp(s, dir), _.unpersist(blocking = false)) {
-      val e = emb(s, dir)
-      val seeds = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("j"), col("embedding").as("c_emb"))
-      // Codegen'd subspace L2 (expressions/L2SqRange) — bit-identical to
-      // the HOF fold the oracle mirrors, fused into the scan stage.
-      val w = Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("j").asc)
-      val df = e.crossJoin(broadcast(seeds))
-        .select(col("vec_id"), col("embedding"), col("j"), col("c_emb"),
-          explode(expr("sequence(0, 7)")).as("m"))
-        .selectExpr("vec_id", "m", "j",
-          "l2_sq_range(embedding, c_emb, m * 8 + 1, 8) AS d2")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("vec_id", "m", "j", "d2")
+  /** The codes plan alone, un-persisted — what the error-stamp bypass
+    * returns (a persist on that path would leak a cache nobody
+    * releases; consumers just recompute, slow but safe). */
+  private def pqCodesPlan(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("j"), col("embedding").as("c_emb"))
+    // Codegen'd subspace L2 (expressions/L2SqRange) — bit-identical to
+    // the HOF fold the oracle mirrors, fused into the scan stage.
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("d2").asc, col("j").asc)
+    e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("j"), col("c_emb"),
+        explode(expr("sequence(0, 7)")).as("m"))
+      .selectExpr("vec_id", "m", "j",
+        "l2_sq_range(embedding, c_emb, m * 8 + 1, 8) AS d2")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "m", "j", "d2")
+  }
+
+  private def pqCodesCached(s: SparkSession, dir: String): DataFrame = {
+    val stamp = embStamp(s, dir)
+    if (graft.tables.FileStamp.isError(stamp)) pqCodesPlan(s, dir)
+    else pqCache.get(s, dir, stamp, _.unpersist(blocking = false)) {
+      val df = pqCodesPlan(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
     }
+  }
 
   private val sqlIdxSeed = new SessionStampMemo[String]
 
@@ -1350,12 +1360,20 @@ object SimQueries extends QueryModule {
       "sim_sql_vector_search",
       (s, dir) => {
         // Stamp-keyed seeding (r15 ADVICE): a corpus rebuild DROPs the
-        // session's stale index (evict-before-recompute — CREATE
-        // rejects a live duplicate name by design) and re-CREATEs over
-        // the rebuilt table, matching the oracle's live recompute.
+        // session's stale index (evict-before-recompute) and re-CREATEs
+        // over the rebuilt table, matching the oracle's live recompute.
+        // The name derives from an md5 of the FULL dir string (two dirs
+        // can collide on String.hashCode, and math.abs(Int.MinValue) is
+        // negative — r16 review), and the compute is name-IDEMPOTENT
+        // (drop-if-exists first) so the memo's error-stamp bypass can
+        // re-run it against a registry that already holds the name.
         val idx = sqlIdxSeed.get(s, dir, embStamp(s, dir),
             old => { graft.tables.GraftSql.sql(s, s"DROP VECTOR INDEX $old"); () }) {
-          val name = s"vi_emb_${math.abs(dir.hashCode)}"
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+          val name = s"vi_emb_$digest"
+          try graft.tables.GraftSql.sql(s, s"DROP VECTOR INDEX $name")
+          catch { case _: IllegalArgumentException => () }
           emb(s, dir).createOrReplaceTempView("emb_corpus")
           graft.tables.GraftSql.sql(s,
             s"CREATE VECTOR INDEX $name ON emb_corpus (embedding) KEY vec_id CELLS 16")

@@ -18,6 +18,13 @@ import org.apache.spark.sql.SparkSession
 object FileStamp {
   private val errSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** True for the unique per-call stamps an errored stat produces.
+    * Memo consumers must treat these as "state unknown": neither serve
+    * a cached value under one (it may be stale) nor evict/replace the
+    * last GOOD entry because of one (a blip must not unpersist healthy
+    * caches or drop a healthy index — r16 review). */
+  def isError(stamp: String): Boolean = stamp.contains("@!err-")
+
   def apply(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -45,6 +45,12 @@ class FileStampSpec extends SparkSuite {
     val e1 = stamp(p)
     val e2 = stamp(p)
     assert(e1.contains("@!err-"), s"error stamp shape: $e1")
+    // The classifier memo consumers branch on: error stamps are
+    // "state unknown" (bypass — no serve, no evict); good and
+    // missing-dir stamps are cacheable.
+    assert(graft.tables.FileStamp.isError(e1) && graft.tables.FileStamp.isError(e2))
+    assert(!graft.tables.FileStamp.isError(
+      stamp("/tmp/graft-filestamp-definitely-missing")))
     assert(e1 != e2, "two stat failures aliased to one cache key")
     assert(!e1.endsWith("@-1") && !e2.endsWith("@-1"),
       "an IO error aliased the missing-dir stamp — the r15 defect")

@@ -52,8 +52,20 @@ def load(path):
         return d["parsed"]["queries"], calib
     tail = d.get("tail", "")
     pairs = re.findall(r'"([a-z0-9_]+)":([0-9][0-9.eE+-]*)', tail)
+    # The provenance/calibration stamp sits at the END of the line, so a
+    # truncated tail always contains these numeric keys — they are run
+    # metadata, not query timings, and scraping them as entries produced
+    # spurious MISSING/REGRESSION flags (r16 review).
+    stamp_keys = {
+        "value", "omitted", "n", "rc", "cpus", "sf", "loadavg_peak1",
+        "external_cpu_peak_cores", "steal_peak_cores", "calib_ratio",
+        "spin_first", "spin_last", "spark_first", "spark_last",
+        "sampler_errors", "n_errors",
+    }
     out = {}
     for k, v in pairs:
+        if k in stamp_keys:
+            continue
         try:
             out[k] = float(v)
         except ValueError:
