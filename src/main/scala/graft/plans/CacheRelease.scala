@@ -131,11 +131,19 @@ object CacheRelease {
     * abort a multi-entry drain whose map entries are already removed —
     * that would leak the rest permanently (r16 review). */
   private def runRelease(spark: SparkSession, p: Pending): Unit = {
+    import scala.util.control.NonFatal
     try spark.listenerManager.unregister(p.listener)
-    catch { case _: Throwable => () }
+    catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case NonFatal(_) => ()
+    }
     try p.release()
     catch {
-      case t: Throwable =>
+      // NonFatal only: an OOM/VM error must propagate, and an
+      // interrupt must keep its flag so a cancelling drain thread
+      // still sees the signal (r16 review).
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case NonFatal(t) =>
         System.err.println(s"CacheRelease: release ${p.id} failed: $t")
     }
   }

@@ -55,9 +55,11 @@ object SimQueries extends QueryModule {
     * stamp INSIDE the value replaces on change, and the stale value is
     * evicted (with a per-cache release hook — unpersist, DROP) BEFORE
     * the recompute, so a failed recompute never leaves a stale entry
-    * live. FileStamp's unique error stamps compose correctly here: an
-    * errored stat replaces (never hits), so nothing computed during an
-    * FS blip is ever served again.
+    * live. FileStamp's unique error stamps BYPASS the memo entirely
+    * (no serve — the cached value may be stale; no evict — a blip
+    * must not destroy healthy cached state): nothing computed during
+    * an FS blip is ever served again, and nothing healthy is lost to
+    * one.
     *
     * Scope note (r15 ADVICE): every corpus-derived memo in THIS module
     * is stamp-keyed because the embeddings corpus is the one table the
@@ -89,8 +91,20 @@ object SimQueries extends QueryModule {
         m.get(key) match {
           case Some((st, v)) if st == stamp => v
           case old =>
-            old.foreach { case (_, ov) => onEvict(ov) }
+            // Eviction is BEST-EFFORT and the entry is removed first:
+            // a throwing onEvict (a DROP whose require fails, an
+            // unpersist on a stopping context) must not leave the
+            // stale entry live to re-throw on every later call (r16
+            // review). Fatal errors and interrupts still propagate.
             m.remove(key)
+            old.foreach { case (_, ov) =>
+              try onEvict(ov)
+              catch {
+                case _: InterruptedException => Thread.currentThread().interrupt()
+                case scala.util.control.NonFatal(t) =>
+                  System.err.println(s"StampMemo: evict for $key failed: $t")
+              }
+            }
             val v = compute
             m.put(key, (stamp, v))
             v
@@ -106,7 +120,13 @@ object SimQueries extends QueryModule {
     * r14 (SparkSession, dir) TrieMaps strong-referenced every session
     * for process lifetime (r15 ADVICE). COMPOSES a per-session
     * [[StampMemo]] so the replace-on-change/error-bypass/per-key-lock
-    * contract exists exactly once (r16 review). */
+    * contract exists exactly once (r16 review). Weak-key caveat,
+    * documented: while a session holds LIVE entries whose values
+    * reference it (pqCache's cached DataFrame), the value→key chain
+    * pins the entry — bounded at one value per dir with eviction on
+    * every stamp change, which is the strongest bound available
+    * without dropping the unpersist bookkeeping; a session whose
+    * entries were all evicted collects normally. */
   private final class SessionStampMemo[V] {
     private val bySession = new java.util.WeakHashMap[SparkSession, StampMemo[V]]()
     private def memo(s: SparkSession): StampMemo[V] = synchronized {
@@ -1365,20 +1385,37 @@ object SimQueries extends QueryModule {
         // The name derives from an md5 of the FULL dir string (two dirs
         // can collide on String.hashCode, and math.abs(Int.MinValue) is
         // negative — r16 review), and the compute is name-IDEMPOTENT
-        // (drop-if-exists first) so the memo's error-stamp bypass can
-        // re-run it against a registry that already holds the name.
-        val idx = sqlIdxSeed.get(s, dir, embStamp(s, dir),
-            old => { graft.tables.GraftSql.sql(s, s"DROP VECTOR INDEX $old"); () }) {
+        // (drop-if-exists first; an already-exists CREATE loss to a
+        // concurrent seeder is treated as success — the winner built
+        // the same index from the same corpus).
+        def seedIndex(): String = {
           val digest = java.security.MessageDigest.getInstance("MD5")
             .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
           val name = s"vi_emb_$digest"
           try graft.tables.GraftSql.sql(s, s"DROP VECTOR INDEX $name")
           catch { case _: IllegalArgumentException => () }
           emb(s, dir).createOrReplaceTempView("emb_corpus")
-          graft.tables.GraftSql.sql(s,
+          try graft.tables.GraftSql.sql(s,
             s"CREATE VECTOR INDEX $name ON emb_corpus (embedding) KEY vec_id CELLS 16")
+          catch {
+            case e: IllegalArgumentException
+                if String.valueOf(e.getMessage).contains("already exists") => ()
+          }
           name
         }
+        val stamp = embStamp(s, dir)
+        // Error stamp = state unknown: serve the LAST-KNOWN index name
+        // rather than run the DESTRUCTIVE drop/create compute — a blip
+        // must never delete a healthy index's on-disk layout, and the
+        // re-CREATE would likely fail mid-way on the same blip (r16
+        // review). A stale-corpus risk only for the blip's duration;
+        // the next good stat re-keys normally.
+        val idx =
+          if (graft.tables.FileStamp.isError(stamp))
+            sqlIdxSeed.snapshot(s, dir).map(_._2).getOrElse(seedIndex())
+          else sqlIdxSeed.get(s, dir, stamp,
+            old => { graft.tables.GraftSql.sql(s, s"DROP VECTOR INDEX $old"); () })(
+            seedIndex())
         emb(s, dir).filter(col("vec_id") < 5).createOrReplaceTempView("emb_probes")
         graft.tables.GraftSql.sql(s,
           s"SELECT * FROM vector_search('$idx', 'emb_probes', 3)")

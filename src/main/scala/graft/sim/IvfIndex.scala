@@ -181,13 +181,21 @@ object IvfIndex {
     * a cache miss. The meta read goes through spark.read like every
     * other index component, so remote filesystems behave identically. */
   private def dispatchCells(spark: SparkSession, dir: String): Int = {
-    if (metaCache.size > MaxCachedDirs) metaCache.clear()
-    metaCache.getOrElseUpdate(cacheKey(spark, dir), {
+    val key = cacheKey(spark, dir)
+    def load: Int = {
       val p = new org.apache.hadoop.fs.Path(dir, "meta")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) spark.read.parquet(p.toString).head.getLong(0).toInt
       else loadCentroidCount(spark, dir)
-    })
+    }
+    // An errored stat stamp is unique per call — caching under it
+    // would insert one permanent entry per blip (r16 review); compute
+    // without caching instead (FileStamp.isError's contract).
+    if (graft.tables.FileStamp.isError(key)) load
+    else {
+      if (metaCache.size > MaxCachedDirs) metaCache.clear()
+      metaCache.getOrElseUpdate(key, load)
+    }
   }
 
   /** The (routable coarse set, ownership map) plan of a hier-routed
@@ -199,9 +207,15 @@ object IvfIndex {
     * meta, so the plan stays valid across appends. */
   private def hierPlan(spark: SparkSession, dir: String,
       ck: Int): (Array[Similarity.Vec], Map[Long, Array[Similarity.Vec]]) = {
-    if (routingCache.size > MaxCachedDirs) routingCache.clear()
-    routingCache.getOrElseUpdate(cacheKey(spark, dir),
-      Similarity.hierRouting(loadCentroids(spark, dir), ck))
+    val key = cacheKey(spark, dir)
+    // Same error-stamp bypass as dispatchCells (r16 review).
+    if (graft.tables.FileStamp.isError(key))
+      Similarity.hierRouting(loadCentroids(spark, dir), ck)
+    else {
+      if (routingCache.size > MaxCachedDirs) routingCache.clear()
+      routingCache.getOrElseUpdate(key,
+        Similarity.hierRouting(loadCentroids(spark, dir), ck))
+    }
   }
 
   /** Distributed two-level vector→cell assignment over the index's

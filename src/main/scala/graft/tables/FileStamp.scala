@@ -22,8 +22,12 @@ object FileStamp {
     * Memo consumers must treat these as "state unknown": neither serve
     * a cached value under one (it may be stale) nor evict/replace the
     * last GOOD entry because of one (a blip must not unpersist healthy
-    * caches or drop a healthy index — r16 review). */
-  def isError(stamp: String): Boolean = stamp.contains("@!err-")
+    * caches or drop a healthy index — r16 review). Anchored at the
+    * stamp SUFFIX (after the last '@'): the prefix is the caller's
+    * path, and a path that happens to contain "@!err-" must not make
+    * every good stamp classify as errored. */
+  def isError(stamp: String): Boolean =
+    stamp.substring(stamp.lastIndexOf('@') + 1).startsWith("!err-")
 
   def apply(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
