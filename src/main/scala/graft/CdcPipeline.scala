@@ -167,6 +167,16 @@ object CdcPipeline {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // The staging JSON and the checkpoint are DEAD once the sink
+      // parquet exists — the cached frame's lineage reads only `out`.
+      // Left behind, each bench/verify run parked ~4 GB of dead files
+      // in the temp root (26 GB across one day's runs, measured r16 —
+      // enough dirty-page/free-space pressure to inflate every later
+      // write-heavy entry). Best-effort delete, sink kept.
+      (dirs :+ base.resolve("cp").toString).foreach { d =>
+        try graft.tables.ValueIndex.deleteTree(java.nio.file.Paths.get(d))
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       val df = spark.read.parquet(out)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()

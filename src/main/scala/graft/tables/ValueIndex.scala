@@ -51,8 +51,9 @@ object ValueIndex {
       s"ValueIndex.$op: snapshot carries deletion vectors — purgeDV first " +
         "(raw-file postings would resurrect deleted rows)")
 
-  /** Recursive delete, shared with GraftSql's DROP INDEX arm. */
-  private[tables] def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+  /** Recursive delete, shared with GraftSql's DROP INDEX arm and the
+    * CDC pipeline's staging cleanup. */
+  private[graft] def deleteTree(p: Path): Unit = if (Files.exists(p)) {
     val walk = Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder[Path]())
       .iterator().asScala.foreach(Files.deleteIfExists(_))

@@ -60,6 +60,7 @@ def load(path):
         "value", "omitted", "n", "rc", "cpus", "sf", "loadavg_peak1",
         "external_cpu_peak_cores", "steal_peak_cores", "calib_ratio",
         "spin_first", "spin_last", "spark_first", "spark_last",
+        "io_first", "io_last", "calib_io_ratio",
         "sampler_errors", "n_errors",
     }
     out = {}
