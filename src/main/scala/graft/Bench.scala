@@ -121,7 +121,7 @@ object Bench {
 
   private def calibIo(): Double = {
     import java.nio.file.{Files, Paths, StandardOpenOption}
-    val dir = Files.createTempDirectory("graft-calib-io")
+    val dir = graft.tables.TmpDirs.create("graft-calib-io")
     val buf = new Array[Byte](CalibIoFileBytes)
     new java.util.Random(42).nextBytes(buf) // incompressible
     val t0 = System.nanoTime()

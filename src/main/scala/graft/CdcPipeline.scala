@@ -54,13 +54,13 @@ object CdcPipeline {
     sys.env.get("SPARK_GRAFT_FASTGEN").contains("1")
 
   private val unifiedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tables.SessionMemo[String, DataFrame]
 
   /** Memoized + persisted unified envelope for the TPC-H-derived workload:
     * the generate+parse stage feeds both the buffering pipeline and the
     * envelope-level queries — compute it once per JVM. */
   def unifiedCached(spark: SparkSession, sfDir: String): DataFrame =
-    unifiedCache.getOrElseUpdate((spark, sfDir), {
+    unifiedCache.getOrElseUpdate(spark, sfDir)({
       if (useFastGen) {
         // Direct generation is a narrow codegen'd pipeline — cheaper to
         // recompute per consumer than to write the columnar cache.
@@ -75,13 +75,13 @@ object CdcPipeline {
     })
 
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tables.SessionMemo[String, DataFrame]
 
   /** Memoized + persisted `order_stream` per (session, sfDir): the stateful
     * buffering is the expensive stage, and several correctness/bench queries
     * read its output — compute it once per JVM, not once per query. */
   def orderStreamCached(spark: SparkSession, sfDir: String): DataFrame =
-    cache.getOrElseUpdate((spark, sfDir), {
+    cache.getOrElseUpdate(spark, sfDir)({
       val df = orderStreamFromTpch(spark, sfDir).toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize eagerly so all readers hit the cache
@@ -89,7 +89,7 @@ object CdcPipeline {
     })
 
   private val cacheV2 =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tables.SessionMemo[String, DataFrame]
 
   /** The same order_stream computed by the state-v2 buffer
     * (`transformWithState`, [[graft.buffering.TxBufferV2]]) — memoized
@@ -112,7 +112,7 @@ object CdcPipeline {
     * without traffic (explicit timers, TxBufferV2Spec) or when state
     * schema evolution / multiple state variables are needed. */
   def orderStreamV2Cached(spark: SparkSession, sfDir: String): DataFrame =
-    cacheV2.getOrElseUpdate((spark, sfDir), {
+    cacheV2.getOrElseUpdate(spark, sfDir)({
       // Batch transformWithState needs the StateStoreCoordinator driver
       // endpoint that only streaming startup normally registers.
       org.apache.spark.sql.graft.StateInit.ensureStateStoreCoordinator(spark)
@@ -124,7 +124,7 @@ object CdcPipeline {
     })
 
   private val cacheV2Streamed =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tables.SessionMemo[String, DataFrame]
 
   /** order_stream computed by TxBufferV2 running as a REAL STREAM — the
     * reference's actual operating mode, end to end: the four CDC value
@@ -139,9 +139,9 @@ object CdcPipeline {
     * split across microbatches completes in the later one), which the
     * shared DuckDB oracle then hash-gates. */
   def orderStreamV2StreamedCached(spark: SparkSession, sfDir: String): DataFrame =
-    cacheV2Streamed.getOrElseUpdate((spark, sfDir), {
+    cacheV2Streamed.getOrElseUpdate(spark, sfDir)({
       import graft.streaming.CdcStreaming
-      val base = java.nio.file.Files.createTempDirectory("graft-v2s")
+      val base = graft.tables.TmpDirs.create("graft-v2s")
       val srcs = CdcEventGen.fromTpch(spark, sfDir)
       val dirs = Seq(
         "orders" -> srcs.orders, "details" -> srcs.details,

@@ -67,15 +67,14 @@ object Dedup {
       .toDF()
   }
 
-  private val gramsCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  private val gramsCache = new graft.tables.SessionMemo[String, DataFrame]
 
   /** Memoized + persisted (doc_id, grams) per (session, path): the gram
     * derivation is the expensive narrow stage and feeds the Jaccard
     * join, the MinHash signatures AND the candidate verification —
     * compute it once per JVM, in the JVM loop. */
   def gramsCached(spark: org.apache.spark.sql.SparkSession, docsParquet: String): DataFrame =
-    gramsCache.getOrElseUpdate((spark, docsParquet), {
+    gramsCache.getOrElseUpdate(spark, docsParquet)({
       val df = withGramsJvm(spark.read.parquet(docsParquet))
         .select(col("doc_id"), col("grams"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

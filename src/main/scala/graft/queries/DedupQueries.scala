@@ -21,12 +21,12 @@ object DedupQueries extends QueryModule {
     Dedup.gramsCached(s, tablePath(dir, "documents"))
 
   private val mhCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tables.SessionMemo[String, DataFrame]
 
   /** Signatures+bands persisted once per (session, dir): shared by the
     * bands projection and the candidate-pair query. */
   private def minhash(s: SparkSession, dir: String): DataFrame =
-    mhCache.getOrElseUpdate((s, dir), {
+    mhCache.getOrElseUpdate(s, dir)({
       val df = Dedup.withMinhash(grams(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
@@ -34,7 +34,7 @@ object DedupQueries extends QueryModule {
     })
 
   private val mpCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), DataFrame]
+    new graft.tables.SessionMemo[(String, Double), DataFrame]
 
   /** LSH-banded candidates verified by exact Jaccard, memoized per
     * (session, dir, threshold): THE near-dup pair source — three queries
@@ -43,7 +43,7 @@ object DedupQueries extends QueryModule {
     * to `dedup_jaccard_pairs`, which exists to measure LSH recall against
     * ground truth — everything downstream rides the scale path. */
   def minhashPairsCached(s: SparkSession, dir: String, threshold: Double): DataFrame =
-    mpCache.getOrElseUpdate((s, dir, threshold), {
+    mpCache.getOrElseUpdate(s, (dir, threshold))({
       val df = Dedup.minhashPairs(minhash(s, dir), threshold)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
@@ -93,13 +93,13 @@ object DedupQueries extends QueryModule {
        |  FROM v WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= $threshold)""".stripMargin
 
   private val shCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tables.SessionMemo[String, DataFrame]
 
   /** SimHash fingerprints persisted once per (session, dir): the
     * fingerprint query and the self-joined pairs query share them (a
     * self-join would otherwise recompute the hashing twice). */
   private def simhashCached(s: SparkSession, dir: String): DataFrame =
-    shCache.getOrElseUpdate((s, dir), {
+    shCache.getOrElseUpdate(s, dir)({
       val df = Dedup.simhash(docs(s, dir))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
@@ -107,14 +107,14 @@ object DedupQueries extends QueryModule {
     })
 
   private val spCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tables.SessionMemo[String, DataFrame]
 
   /** Strict (hamming ≤ 2) simhash pairs, persisted per (session, dir):
     * the triangle count walks the edge list THREE times (degrees,
     * orientation, closing-edge probe) — uncached, each walk would
     * re-execute the whole band-join DAG. */
   private def strictPairsCached(s: SparkSession, dir: String): DataFrame =
-    spCache.getOrElseUpdate((s, dir), {
+    spCache.getOrElseUpdate(s, dir)({
       val df = Dedup.simhashPairs(s, simhashCached(s, dir), 2)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()

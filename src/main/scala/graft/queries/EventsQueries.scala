@@ -51,13 +51,13 @@ object EventsQueries extends QueryModule {
   }
 
   private val partSeed =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Events seeded once per (session, dir) into a date-partitioned
     * hive-style layout (UTC session tz == DuckDB's naive CAST(ts AS DATE)). */
   private def partitionedDir(s: SparkSession, dir: String): String =
-    partSeed.getOrElseUpdate((s, dir), {
-      val base = java.nio.file.Files.createTempDirectory("graft-evt-part")
+    partSeed.getOrElseUpdate(s, dir)({
+      val base = graft.tables.TmpDirs.create("graft-evt-part")
         .resolve("events").toString
       graft.tables.PartitionedTable.write(
         events(s, dir).withColumn("event_date", to_date(col("ts"))), base, Seq("event_date"))
@@ -65,16 +65,16 @@ object EventsQueries extends QueryModule {
     })
 
   private val streamDedupCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tables.SessionMemo[String, DataFrame]
 
   /** Runs the REAL streaming dedup end-to-end (file source with verbatim
     * duplicate deliveries → watermark → dropDuplicatesWithinWatermark →
     * checkpointed parquet sink), memoized per (session, dir) so bench
     * times the ingest once. */
   private def streamDeduped(s: SparkSession, dir: String): DataFrame =
-    streamDedupCache.getOrElseUpdate((s, dir), {
+    streamDedupCache.getOrElseUpdate(s, dir)({
       val src = events(s, dir).select("event_id", "ts", "event_type", "user_id", "value")
-      val base = java.nio.file.Files.createTempDirectory("graft-evtdedup").toString
+      val base = graft.tables.TmpDirs.create("graft-evtdedup").toString
       src.coalesce(3).write.mode("overwrite").parquet(s"$base/in")
       // At-least-once delivery simulated: every 7th event re-delivered
       // VERBATIM in a later file — whichever copy wins is bytewise

@@ -234,7 +234,7 @@ object JoinQueries extends QueryModule {
     // memoized+persisted as before.
     EngineQuery(
       "range_autobin_join",
-      (s, dir) => autobinCache.getOrElseUpdate((s, dir), {
+      (s, dir) => autobinCache.getOrElseUpdate(s, dir)({
         val s2 = s.newSession()
         s2.conf.set(graft.plans.RangeBinJoinRule.ConfKey, "3600000")
         val e = ev(s2, dir)
@@ -276,7 +276,7 @@ object JoinQueries extends QueryModule {
     // ordinary join and still hash-match — the spec is the teeth).
     EngineQuery(
       "q30_runtime_filter",
-      (s, dir) => runtimeFilterCache.getOrElseUpdate((s, dir), {
+      (s, dir) => runtimeFilterCache.getOrElseUpdate(s, dir)({
         val s2 = s.newSession()
         s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
@@ -304,8 +304,8 @@ object JoinQueries extends QueryModule {
   )
 
   private val runtimeFilterCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tables.SessionMemo[String, DataFrame]
 
   private val autobinCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tables.SessionMemo[String, DataFrame]
 }

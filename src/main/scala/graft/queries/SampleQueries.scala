@@ -28,11 +28,11 @@ object SampleQueries extends QueryModule {
     "de" -> 2.4, "es" -> 3.0, "fr" -> 1.0, "zh" -> 1.7, "en" -> 0.5)
 
   private val tsSeeded =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   private def sampleTable(s: SparkSession, dir: String): String =
-    tsSeeded.getOrElseUpdate((s, dir), {
-      val base = java.nio.file.Files.createTempDirectory("graft-ts").toString
+    tsSeeded.getOrElseUpdate(s, dir)({
+      val base = graft.tables.TmpDirs.create("graft-ts").toString
       graft.streaming.ParquetTable.swap(
         s, s.read.parquet(tablePath(dir, "orders")).repartition(4), s"$base/t")
       val nm = s"smp_orders_${java.util.UUID.randomUUID.toString.replace("-", "").take(8)}"

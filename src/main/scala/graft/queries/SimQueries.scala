@@ -70,7 +70,9 @@ object SimQueries extends QueryModule {
     * keyed deliberately: they cache derived stages over the driver's
     * immutable sf dirs, no supported flow rewrites those tables within
     * a session, and stamping each would add an FS stat per call to the
-    * hottest build paths for a rebuild class that cannot occur. */
+    * hottest build paths for a rebuild class that cannot occur. (Their
+    * session halves are weakly held via graft.tables.SessionMemo — the
+    * strong-reference side of the r15 ADVICE, closed repo-wide.) */
   private final class StampMemo[V] {
     private val m = scala.collection.concurrent.TrieMap.empty[String, (String, V)]
     private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
@@ -298,13 +300,14 @@ object SimQueries extends QueryModule {
     * is session-free (parquet on disk), so a rebuild by any session
     * re-seeds for all. The STALE index dir is left on disk rather than
     * deleted: a reader mid-scan on the old plan must not lose its
-    * files; the dirs live under the OS temp root (createTempDirectory)
+    * files; the dirs live under the per-process scratch root
+    * (TmpDirs — swept at JVM exit, orphans reclaimed by the next run)
     * and the memo replaces the path, so nothing accumulates in memory. */
   private val idxSeed = new StampMemo[String]
 
   private def ivfIndexDir(s: SparkSession, dir: String): String =
     idxSeed.get(dir, embStamp(s, dir)) {
-      val t = java.nio.file.Files.createTempDirectory("graft-ivf-idx").resolve("index").toString
+      val t = graft.tables.TmpDirs.create("graft-ivf-idx").resolve("index").toString
       graft.sim.IvfIndex.build(s, emb(s, dir), numCells = autoK(s, dir), t)
       t
     }
@@ -341,7 +344,7 @@ object SimQueries extends QueryModule {
       val m2 = maxNorm2(s, dir)
       val aug = e.selectExpr("vec_id",
         s"concat(embedding, array(CAST(sqrt($m2 - (${dotSpark("embedding", "embedding")})) AS FLOAT))) AS embedding")
-      val t = java.nio.file.Files.createTempDirectory("graft-mips-idx").resolve("index").toString
+      val t = graft.tables.TmpDirs.create("graft-mips-idx").resolve("index").toString
       graft.sim.IvfIndex.build(s, aug, numCells = autoK(s, dir), t)
       t
     }

@@ -298,7 +298,7 @@ object SketchQueries extends QueryModule {
     // pick up the rewrite; memoized+persisted as before.
     EngineQuery(
       "sketch_approx_rewrite",
-      (s, dir) => arCache.getOrElseUpdate((s, dir), {
+      (s, dir) => arCache.getOrElseUpdate(s, dir)({
         val s2 = s.newSession()
         s2.conf.set(graft.plans.ApproxDistinctRule.ConfKey, "128")
         val df = lineitem(s2, dir)
@@ -400,5 +400,5 @@ object SketchQueries extends QueryModule {
   )
 
   private val arCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tables.SessionMemo[String, DataFrame]
 }

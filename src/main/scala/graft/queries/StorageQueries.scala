@@ -15,12 +15,12 @@ import graft.streaming.ParquetTable
 object StorageQueries extends QueryModule {
 
   private val seeded =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Two-version table: v1 = even o_orderkey, v2 (current) = all orders. */
   private def versionedOrders(s: SparkSession, dir: String): String =
-    seeded.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-tt")
+    seeded.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-tt")
         .resolve("orders_versioned").toString
       val orders = s.read.parquet(tablePath(dir, "orders"))
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -30,7 +30,7 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededMv =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Materialized-view fixture: base publishes v1 (even keys) through
     * [[graft.streaming.ChangeFeedTable.publish]], the MV is created over
@@ -42,8 +42,8 @@ object StorageQueries extends QueryModule {
     * refuses by design: float sums drift under incremental +/−).
     * Returns the MV dir. */
   private def mvOrders(s: SparkSession, dir: String): String =
-    seededMv.getOrElseUpdate((s, dir), {
-      val root = java.nio.file.Files.createTempDirectory("graft-mv-q")
+    seededMv.getOrElseUpdate(s, dir)({
+      val root = graft.tables.TmpDirs.create("graft-mv-q")
       val base = root.resolve("orders_base").toString
       val mv = root.resolve("orders_mv").toString
       val orders = s.read.parquet(tablePath(dir, "orders"))
@@ -64,7 +64,7 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededMvSql =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Statement-surface MV fixture: the base registers under GraftSql,
     * the view is created with CREATE MATERIALIZED VIEW, the base is then
@@ -72,8 +72,8 @@ object StorageQueries extends QueryModule {
     * plain versions, no change files), and REFRESH folds the result via
     * the full-recompute fallback. Returns the registered MV name. */
   private def mvSqlOrders(s: SparkSession, dir: String): String =
-    seededMvSql.getOrElseUpdate((s, dir), {
-      val base = java.nio.file.Files.createTempDirectory("graft-mvsql-q")
+    seededMvSql.getOrElseUpdate(s, dir)({
+      val base = graft.tables.TmpDirs.create("graft-mvsql-q")
         .resolve("orders_mv_base").toString
       graft.streaming.ChangeFeedTable.publish(
         s, s.read.parquet(tablePath(dir, "orders"))
@@ -93,13 +93,13 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededSe =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Two-generation append table: even keys written pre-evolution, odd
     * keys written after an ADD COLUMN (`priority_flag`). */
   private def evolvedOrders(s: SparkSession, dir: String): String =
-    seededSe.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-se")
+    seededSe.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-se")
         .resolve("orders_evolved").toString
       val orders = s.read.parquet(tablePath(dir, "orders"))
         .select("o_orderkey", "o_orderstatus")
@@ -112,7 +112,7 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededRn =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Two-generation table spanning a RENAME COLUMN: even keys written
     * with the original name `amount`, then the column is renamed to
@@ -120,8 +120,8 @@ object StorageQueries extends QueryModule {
     * are appended under the NEW logical name (physically stored as
     * `amount` — no file ever rewritten). */
   private def renamedOrders(s: SparkSession, dir: String): String =
-    seededRn.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-rn")
+    seededRn.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-rn")
         .resolve("orders_renamed").toString
       val orders = s.read.parquet(tablePath(dir, "orders"))
       graft.tables.SchemaEvolution.appendEvolved(
@@ -135,7 +135,7 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededWd =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Two-generation table spanning TWO type widens: even keys written
     * with qty INT + shipped_at STRING, then ALTER COLUMN TYPE to
@@ -143,8 +143,8 @@ object StorageQueries extends QueryModule {
     * already typed. Old files upcast at scan (qty) / cast in the
     * projection (shipped_at). */
   private def widenedOrders(s: SparkSession, dir: String): String =
-    seededWd.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-wd")
+    seededWd.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-wd")
         .resolve("orders_widened").toString
       val orders = s.read.parquet(tablePath(dir, "orders"))
       graft.tables.SchemaEvolution.appendEvolved(
@@ -167,15 +167,15 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededMt =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** A dedicated two-version table taken through the SQL maintenance
     * lifecycle (OPTIMIZE → RESTORE TO VERSION AS OF 1) via GraftSql —
     * its own seed so the statements never mutate `versionedOrders`,
     * which other oracles read. */
   private def maintainedOrders(s: SparkSession, dir: String): String =
-    seededMt.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-mt")
+    seededMt.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-mt")
         .resolve("orders_maint").toString
       val orders = s.read.parquet(tablePath(dir, "orders"))
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -189,13 +189,13 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededCl =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Shallow clone of the versioned table, diverged copy-on-write: the
     * clone's only local swap drops it to keys % 3 == 0; the source must
     * still read every order. */
   private def clonedOrders(s: SparkSession, dir: String): String =
-    seededCl.getOrElseUpdate((s, dir), {
+    seededCl.getOrElseUpdate(s, dir)({
       val src = versionedOrders(s, dir)
       val c = src + "_shallow"
       ParquetTable.shallowClone(src, c)
@@ -204,15 +204,15 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededDel =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Key-clustered table (range-partitioned files) with one copy-on-write
     * DELETE applied: version 1 = all orders, current = keys >= 1000.
     * The range layout means the delete rewrites only the low-key files
     * and hard-links the rest forward. */
   private def deletedOrders(s: SparkSession, dir: String): String =
-    seededDel.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-del")
+    seededDel.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-del")
         .resolve("orders_deleted").toString
       val orders = s.read.parquet(tablePath(dir, "orders"))
         .select("o_orderkey", "o_orderstatus")
@@ -223,13 +223,13 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededUpd =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Key-clustered table with one copy-on-write UPDATE applied: orders
     * with keys < 1000 re-flagged to status 'X' and their price zeroed. */
   private def updatedOrders(s: SparkSession, dir: String): String =
-    seededUpd.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-upd")
+    seededUpd.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-upd")
         .resolve("orders_updated").toString
       val orders = s.read.parquet(tablePath(dir, "orders"))
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -241,14 +241,14 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededSk =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Range-clustered orders with a per-file min/max `_STATS` manifest
     * (tables/StatsSkipping): 8 key-disjoint files + one zone-map line
     * each. */
   private def statsOrders(s: SparkSession, dir: String): String =
-    seededSk.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-skip")
+    seededSk.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-skip")
         .resolve("orders_stats").toString
       graft.tables.StatsSkipping.writeWithStats(
         s, s.read.parquet(tablePath(dir, "orders"))
@@ -258,13 +258,13 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededZk =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Z-ordered orders with a 2-dimension `_STATS` zone map
     * (o_orderkey × o_custkey). */
   private def zstatsOrders(s: SparkSession, dir: String): String =
-    seededZk.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-skipz")
+    seededZk.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-skipz")
         .resolve("orders_zstats").toString
       graft.tables.StatsSkipping.writeWithStats(
         s, s.read.parquet(tablePath(dir, "orders"))
@@ -274,14 +274,14 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededHk =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Same table, same stat columns, HILBERT-clustered — store_hilbert_skipping
     * pins the curve-agnostic pruning path; HilbertOrderSpec measures the
     * file-count advantage over the Morton layout. */
   private def hstatsOrders(s: SparkSession, dir: String): String =
-    seededHk.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-skiph")
+    seededHk.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-skiph")
         .resolve("orders_hstats").toString
       graft.tables.StatsSkipping.writeWithStats(
         s, s.read.parquet(tablePath(dir, "orders"))
@@ -291,13 +291,13 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededBl =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Orderkey-clustered orders with a `_BLOOM` index on the SCATTERED
     * o_custkey column (zone maps prune nothing for it). */
   private def bloomOrders(s: SparkSession, dir: String): String =
-    seededBl.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-bloom")
+    seededBl.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-bloom")
         .resolve("orders_bloom").toString
       s.read.parquet(tablePath(dir, "orders"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
@@ -308,14 +308,14 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededDv =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Key-clustered table with one merge-on-read DELETE applied as
     * deletion vectors: every multiple-of-5 key masked, zero files
     * rewritten (DeletionVectorSpec pins the hard-link property). */
   private def dvOrders(s: SparkSession, dir: String): String =
-    seededDv.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-dv")
+    seededDv.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-dv")
         .resolve("orders_dv").toString
       val orders = s.read.parquet(tablePath(dir, "orders"))
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -326,15 +326,15 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededMi =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Key-clustered table with one generic MERGE INTO applied: %7 keys
     * updated (status 'M', price+1000), %11 keys deleted (deletes win
     * the %77 overlap), %13 keys re-inserted under fresh high keys with
     * status 'N'. */
   private def mergedOrders(s: SparkSession, dir: String): String =
-    seededMi.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-mi")
+    seededMi.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-mi")
         .resolve("orders_merged").toString
       val orders = s.read.parquet(tablePath(dir, "orders"))
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -358,7 +358,7 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededDl =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Two-generation table whose whole evolution ran through GraftSql DDL
     * SPELLINGS (reference db/schema_evolution.sql:9-31): even keys
@@ -367,8 +367,8 @@ object StorageQueries extends QueryModule {
     * DROPPED — the tombstone path), then odd keys appended under the
     * post-DDL logical schema. */
   private def ddlOrders(s: SparkSession, dir: String): String =
-    seededDl.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-ddl")
+    seededDl.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-ddl")
         .resolve("orders_ddl").toString
       val orders = s.read.parquet(tablePath(dir, "orders"))
       graft.tables.SchemaEvolution.appendEvolved(
@@ -392,14 +392,14 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededCi =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** The reference's type-change recipe run end-to-end through SQL
     * (db/schema_evolution.sql:52-105): CREATE TABLE with the desired
     * DECIMAL schema, then INSERT INTO ... SELECT the cast transform.
     * Returns the created table's location. */
   private def createdInsertedOrders(s: SparkSession, dir: String): String =
-    seededCi.getOrElseUpdate((s, dir), {
+    seededCi.getOrElseUpdate(s, dir)({
       // Build-unique names for BOTH the table and the source view: the
       // getOrElseUpdate builder may race-evaluate (see ddlOrders), and a
       // shared view name would let one build's INSERT read the other's
@@ -420,15 +420,15 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededVidx =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Value-index seed: orders versioned CLUSTERED BY o_orderkey with a
     * permuted `o_track` column (high-cardinality, unclustered — the
     * layout stats skipping can never prune), then a file-posting index
     * built on o_track. */
   private def vidxOrders(s: SparkSession, dir: String): String =
-    seededVidx.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-vidx-q")
+    seededVidx.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-vidx-q")
         .resolve("orders_vidx").toString
       val df = s.read.parquet(tablePath(dir, "orders"))
         .select(col("o_orderkey"), col("o_totalprice"),
@@ -441,7 +441,7 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededDef =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Column-default lifecycle seed (Delta's ALTER COLUMN SET DEFAULT):
     * an empty typed table gets defaults on two columns, the even-key
@@ -450,7 +450,7 @@ object StorageQueries extends QueryModule {
     * DROPPED — later inserts must spell boost out again. Returns the
     * table's location. */
   private def defaultedOrders(s: SparkSession, dir: String): String =
-    seededDef.getOrElseUpdate((s, dir), {
+    seededDef.getOrElseUpdate(s, dir)({
       import graft.tables.GraftSql
       val uid = java.util.UUID.randomUUID.toString.replace("-", "")
       val name = s"orders_def_$uid"
@@ -479,7 +479,7 @@ object StorageQueries extends QueryModule {
     * in half vs sequential actions (the standard many-small-jobs driver
     * pattern at any scale). */
   private val seededAn =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, (String, String, String)]
+    new graft.tables.SessionMemo[Unit, (String, String, String)]
 
   /** ANALYZE seeds: a fact-side orders table plus a 25-row nation dim,
     * both registered with GraftSql; the dim is ANALYZE'd at seed time so
@@ -490,7 +490,7 @@ object StorageQueries extends QueryModule {
     * second sfDir would silently repoint the first dir's queries at the
     * second's data — refuse loudly instead. */
   private def analyzedTables(s: SparkSession, dir: String): (String, String) = {
-    val (seededDir, ot, nt) = seededAn.getOrElseUpdate(s, {
+    val (seededDir, ot, nt) = seededAn.getOrElseUpdate(s, ())({
       val (o, n) = seedAnalyzed(s, dir)
       (dir, o, n)
     })
@@ -501,7 +501,7 @@ object StorageQueries extends QueryModule {
   }
 
   private def seedAnalyzed(s: SparkSession, dir: String): (String, String) = {
-      val base = java.nio.file.Files.createTempDirectory("graft-an")
+      val base = graft.tables.TmpDirs.create("graft-an")
       val ot = base.resolve("orders_analyzed").toString
       ParquetTable.swap(s,
         s.read.parquet(tablePath(dir, "orders"))
@@ -516,7 +516,7 @@ object StorageQueries extends QueryModule {
     }
 
   private val seededCdf =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tables.SessionMemo[String, DataFrame]
 
   /** STREAMING change-feed seed: a dedicated table published twice
     * through `ChangeFeedTable.publish` (change files written at commit),
@@ -525,8 +525,8 @@ object StorageQueries extends QueryModule {
     * on keys %10==0, adds the odd keys — so the feed carries all four
     * change classes with exactly-reconstructible membership. */
   private def cdfStreamedSink(s: SparkSession, dir: String): DataFrame =
-    seededCdf.getOrElseUpdate((s, dir), {
-      val base = java.nio.file.Files.createTempDirectory("graft-cdfs")
+    seededCdf.getOrElseUpdate(s, dir)({
+      val base = graft.tables.TmpDirs.create("graft-cdfs")
       val t = base.resolve("orders_cdf").toString
       val sink = base.resolve("sink").toString
       val orders = s.read.parquet(tablePath(dir, "orders"))
@@ -552,14 +552,14 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededCtas =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** CTAS under a SCHEMA-QUALIFIED name: `mart.orders_ctas` lands via
     * the one-statement CREATE TABLE ... AS SELECT arm and is read back
     * through the backquoted spelling — one seed covers both the CTAS
     * path and the dotted-identifier surface. */
   private def ctasOrders(s: SparkSession, dir: String): String =
-    seededCtas.getOrElseUpdate((s, dir), {
+    seededCtas.getOrElseUpdate(s, dir)({
       s.read.parquet(tablePath(dir, "orders"))
         .createOrReplaceTempView("ctas_src")
       graft.tables.GraftSql.sql(s,
@@ -570,14 +570,14 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededRg =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** REORG seed: versioned orders table, a deletion-vector DELETE
     * (hard-links + `_dv`, zero rewrites), then REORG APPLY (PURGE) —
     * the statement must physically fold the vectors into clean files. */
   private def reorgedOrders(s: SparkSession, dir: String): String =
-    seededRg.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-rg")
+    seededRg.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-rg")
         .resolve("orders_reorg").toString
       ParquetTable.swap(s,
         s.read.parquet(tablePath(dir, "orders"))
@@ -589,13 +589,13 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededTg =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Tagged-orders seed: versioned copy, 'baseline' tag on v1 via the
     * statement surface, then a DELETE moves the live table past it. */
   private def taggedOrders(s: SparkSession, dir: String): String =
-    seededTg.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-tag")
+    seededTg.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-tag")
         .resolve("orders_tagged").toString
       ParquetTable.swap(s,
         s.read.parquet(tablePath(dir, "orders"))
@@ -608,15 +608,15 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededOw =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Range-laid-out orders (16 key-range files) scoped-compacted over
     * the low-key quarter; the OPTIMIZE WHERE statement itself runs here
     * once (a zero-compaction run would make the gated query vacuous, so
     * the seed asserts the window actually compacted). */
   private def optimizeWhereTable(s: SparkSession, dir: String): String =
-    seededOw.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-ow")
+    seededOw.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-ow")
         .resolve("orders_ow").toString
       val orders = s.read.parquet(tablePath(dir, "orders"))
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
@@ -632,12 +632,12 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededSp =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** Hive-partitioned copy of orders (by status) for SHOW PARTITIONS. */
   private def partitionedOrders(s: SparkSession, dir: String): String =
-    seededSp.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-sp")
+    seededSp.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-sp")
         .resolve("orders_parted").toString
       s.read.parquet(tablePath(dir, "orders"))
         .select("o_orderkey", "o_orderstatus")
@@ -647,13 +647,13 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededCm =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** COMMENT ON TABLE seed — its own tiny table so the `_PROPS` write
     * never races another oracle's property reads. */
   private def commentedNation(s: SparkSession, dir: String): String =
-    seededCm.getOrElseUpdate((s, dir), {
-      val t = java.nio.file.Files.createTempDirectory("graft-cm")
+    seededCm.getOrElseUpdate(s, dir)({
+      val t = graft.tables.TmpDirs.create("graft-cm")
         .resolve("nation_commented").toString
       ParquetTable.swap(s, s.read.parquet(tablePath(dir, "nation")), t)
       graft.tables.GraftSql.register(s, "nation_commented", t, Seq("n_nationkey"))
@@ -663,13 +663,13 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededGen =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   /** GENERATED-column seed: a CREATE TABLE with a generated cents
     * column, filled by an INSERT that OMITS it — the gate only passes
     * if the engine computed every row from the stored expression. */
   private def genOrders(s: SparkSession, dir: String): String =
-    seededGen.getOrElseUpdate((s, dir), {
+    seededGen.getOrElseUpdate(s, dir)({
       val uid = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
       val nm = s"gen_orders_$uid"
       s.read.parquet(tablePath(dir, "orders"))
@@ -684,10 +684,10 @@ object StorageQueries extends QueryModule {
     })
 
   private val seededIdent =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new graft.tables.SessionMemo[String, String]
 
   private def identOrders(s: SparkSession, dir: String): String =
-    seededIdent.getOrElseUpdate((s, dir), {
+    seededIdent.getOrElseUpdate(s, dir)({
       val uid = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
       val nm = s"ident_orders_$uid"
       s.read.parquet(tablePath(dir, "orders"))

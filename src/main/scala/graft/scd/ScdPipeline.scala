@@ -31,12 +31,12 @@ object ScdPipeline {
   val NumBuckets = 64
 
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.tables.SessionMemo[String, DataFrame]
 
   def ordersCurrent(spark: SparkSession, sfDir: String): DataFrame =
-    cache.getOrElseUpdate((spark, sfDir), {
+    cache.getOrElseUpdate(spark, sfDir)({
       val stream = CdcPipeline.orderStreamCached(spark, sfDir)
-      val dir = java.nio.file.Files.createTempDirectory("graft-scd1")
+      val dir = graft.tables.TmpDirs.create("graft-scd1")
         .resolve("orders_current").toString
       // Micro-batch 1: base inserts bootstrap the bucketed table (with
       // the merge's insert guard — child-only rows never orphan).

@@ -27,11 +27,11 @@ object GraftSql {
   final case class TableRef(dir: String, keyCols: Seq[String])
 
   private val registry =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), TableRef]
+    new SessionMemo[String, TableRef]
 
   /** Graft-managed views: name → stored SQL text (see CreateView). */
   private val viewRegistry =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new SessionMemo[String, String]
 
   /** Re-entrant view-expansion depth (cycle guard). */
   private val viewDepth = new ThreadLocal[Int] { override def initialValue = 0 }
@@ -58,13 +58,13 @@ object GraftSql {
 
   def register(s: SparkSession, name: String, dir: String,
       keyCols: Seq[String] = Nil): Unit = {
-    registry.put((s, normalizeIdent(name)), TableRef(dir, keyCols))
+    registry.of(s).put(normalizeIdent(name), TableRef(dir, keyCols))
     ()
   }
 
   private def resolve(s: SparkSession, name: String): TableRef = {
     val key = normalizeIdent(name)
-    registry.getOrElse((s, key),
+    registry.of(s).getOrElse(key,
       throw new IllegalArgumentException(
         s"table '$key' is not registered with GraftSql.register"))
   }
@@ -270,7 +270,7 @@ object GraftSql {
     """(?i)vector_search\s*\(\s*'([^']+)'\s*,\s*'([^']+)'\s*,\s*(\d+)\s*\)""".r
 
   private val vectorIndexes =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    new SessionMemo[String, String]
   // Time-travel FROM phrases inside an otherwise-plain query (reference
   // db/query_table.sql:173-178). Statement-level RESTORE spellings never
   // reach these (their cases match first), so "TO VERSION AS OF" cannot
@@ -334,16 +334,16 @@ object GraftSql {
     case CacheTable(lzy, rawName) =>
       val name = normalizeIdent(rawName)
       val ref = resolve(s, name)
-      cachedTables.remove((s, name)).foreach(_._2.unpersist())
+      cachedTables.of(s).remove(name).foreach(_._2.unpersist())
       val df = TableStats.readCurrent(s, ref.dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = if (lzy == null) df.count() else -1L // Spark's CACHE is eager unless LAZY
-      cachedTables.put((s, name), (TableStats.currentStamp(ref.dir), df))
+      cachedTables.of(s).put(name, (TableStats.currentStamp(ref.dir), df))
       singleRow(s, Seq("name" -> name,
         "cached_rows" -> (if (n >= 0) n.toString else "lazy")))
     case UncacheTable(ifExists, rawName) =>
       val name = normalizeIdent(rawName)
-      val removed = cachedTables.remove((s, name))
+      val removed = cachedTables.of(s).remove(name)
       removed.foreach(_._2.unpersist())
       require(removed.isDefined || ifExists != null,
         s"UNCACHE TABLE: '$name' is not cached (use IF EXISTS for a no-op)")
@@ -360,17 +360,17 @@ object GraftSql {
     case CreateView(orReplace, rawName, body) =>
       val name = normalizeIdent(rawName)
       require(!name.contains("."), s"CREATE VIEW: qualified view names are not supported: $name")
-      require(orReplace != null || !viewRegistry.contains((s, name)),
+      require(orReplace != null || !viewRegistry.of(s).contains(name),
         s"CREATE VIEW: '$name' already exists — use CREATE OR REPLACE VIEW")
-      require(!registry.contains((s, name)),
+      require(!registry.of(s).contains(name),
         s"CREATE VIEW: '$name' is a registered table")
       val text = body.trim.replaceAll(";\\s*$", "")
-      val prior = viewRegistry.put((s, name), text)
+      val prior = viewRegistry.of(s).put(name, text)
       try sql(s, s"SELECT * FROM $name").queryExecution.analyzed
       catch { case e: Exception =>
         prior match {
-          case Some(p) => viewRegistry.put((s, name), p)
-          case None => viewRegistry.remove((s, name))
+          case Some(p) => viewRegistry.of(s).put(name, p)
+          case None => viewRegistry.of(s).remove(name)
         }
         throw new IllegalArgumentException(
           s"CREATE VIEW $name: body does not resolve: ${e.getMessage}")
@@ -385,7 +385,7 @@ object GraftSql {
     // from the next second on.
     case ConvertStmt(rawName, path, keysBody) =>
       val name = normalizeIdent(rawName)
-      require(!registry.contains((s, name)),
+      require(!registry.of(s).contains(name),
         s"CONVERT TO TABLE: '$name' is already registered — DROP it first")
       val keys = Option(keysBody)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -394,23 +394,22 @@ object GraftSql {
       singleRow(s, Seq("name" -> name, "location" -> path, "n_files" -> n))
     case DropView(ifExists, rawName) =>
       val name = normalizeIdent(rawName)
-      val removed = viewRegistry.remove((s, name))
+      val removed = viewRegistry.of(s).remove(name)
       require(removed.isDefined || ifExists != null,
         s"DROP VIEW: '$name' does not exist (use IF EXISTS for a no-op)")
       singleRow(s, Seq("name" -> name,
         "dropped" -> (if (removed.isDefined) "true" else "false")))
     case ShowViews() =>
       import scala.jdk.CollectionConverters._
-      val rows = viewRegistry.keysIterator
-        .collect { case (sess, n) if sess eq s => n }.toSeq.sorted
-        .map(n => Row(n, viewRegistry((s, n))))
+      val rows = viewRegistry.of(s).keysIterator.toSeq.sorted
+        .map(n => Row(n, viewRegistry.of(s)(n)))
       s.createDataFrame(rows.asJava, StructType(Seq(
         StructField("name", StringType, nullable = false),
         StructField("definition", StringType, nullable = false))))
     case ShowTables(pat) =>
       // Registered names for THIS session, name-sorted; LIKE filters with
       // SQL wildcards. Bounded by the registration count by definition.
-      val names = registry.keys.toSeq.collect { case (sess, n) if sess eq s => n }
+      val names = registry.of(s).keys.toSeq
       val rx = Option(pat).map(p =>
         ("(?i)^" + java.util.regex.Pattern.quote(p)
           .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r)
@@ -471,7 +470,7 @@ object GraftSql {
       // CREATE TABLE / CLONE re-run guards say "DROP it first", and
       // this is that spelling. IF EXISTS makes a missing name a no-op.
       val name = normalizeIdent(rawName)
-      val existed = registry.remove((s, name)).isDefined
+      val existed = registry.of(s).remove(name).isDefined
       require(existed || ifExists != null,
         s"DROP TABLE: '$name' is not registered (use IF EXISTS for a no-op)")
       singleRow(s, Seq("name" -> name,
@@ -494,20 +493,20 @@ object GraftSql {
     case RenameTable(rawFrom, rawTo) =>
       val from = normalizeIdent(rawFrom)
       val to = normalizeIdent(rawTo)
-      val ref = registry.getOrElse((s, from), throw new IllegalArgumentException(
+      val ref = registry.of(s).getOrElse(from, throw new IllegalArgumentException(
         s"ALTER TABLE RENAME: '$from' is not registered"))
-      require(!registry.contains((s, to)),
+      require(!registry.of(s).contains(to),
         s"ALTER TABLE RENAME: '$to' is already registered — DROP it first")
-      registry.put((s, to), ref)
-      registry.remove((s, from))
-      cachedTables.remove((s, from)).foreach(e => cachedTables.put((s, to), e))
+      registry.of(s).put(to, ref)
+      registry.of(s).remove(from)
+      cachedTables.of(s).remove(from).foreach(e => cachedTables.of(s).put(to, e))
       singleRow(s, Seq("name" -> to, "renamed_from" -> from,
         "location" -> ref.dir))
     // SHOW COLUMNS IN|FROM t — the column names of the EVOLVED logical
     // schema (same metadata layers DESCRIBE reads; manifest-bounded).
     case ShowColumns(rawName) =>
       val name = normalizeIdent(rawName)
-      registry.get((s, name)) match {
+      registry.of(s).get(name) match {
         case Some(ref) =>
           describeTable(s, name, ref.dir, ref.keyCols, extended = false)
             .select("col_name")
@@ -523,13 +522,13 @@ object GraftSql {
       // through the DML statements fall back to a full recompute —
       // correct either way, the cost model differs.
       val name = normalizeIdent(rawName)
-      require(!registry.contains((s, name)),
+      require(!registry.of(s).contains(name),
         s"CREATE MATERIALIZED VIEW: '$name' is already registered — DROP it first")
       val (baseName, groups, countName, sums) = parseMvSelect(select)
       val baseDir = resolve(s, baseName).dir
       require(ParquetTable.exists(baseDir),
         s"CREATE MATERIALIZED VIEW: base '$baseName' is not a versioned table")
-      val mvDir = java.nio.file.Files.createTempDirectory("graft-mv")
+      val mvDir = graft.tables.TmpDirs.create("graft-mv")
         .resolve(dirNameFor(name)).toString
       MaterializedView.create(s, mvDir, baseDir, groups, countName, sums)
       register(s, name, mvDir)
@@ -615,10 +614,10 @@ object GraftSql {
       // shadow the existing table with a fresh empty dir and orphan its
       // data.
       val name = normalizeIdent(rawName)
-      require(!registry.contains((s, name)),
+      require(!registry.of(s).contains(name),
         s"CREATE TABLE: '$name' is already registered — DROP/unregister it first")
       val cols = parseColumnDefs(body)
-      val dir = java.nio.file.Files.createTempDirectory("graft-ct")
+      val dir = graft.tables.TmpDirs.create("graft-ct")
         .resolve(dirNameFor(name)).toString
       SchemaEvolution.createTable(s, dir, cols.map { case (n, t, _, _) => n -> t })
       cols.foreach { case (n, _, c, _) =>
@@ -766,13 +765,13 @@ object GraftSql {
     // choices, not copied silently).
     case CreateTableLike(rawNew, rawSrc) =>
       val nn = normalizeIdent(rawNew)
-      require(!registry.contains((s, nn)),
+      require(!registry.of(s).contains(nn),
         s"CREATE TABLE LIKE: '$nn' is already registered — DROP it first")
       val srcRef = resolve(s, normalizeIdent(rawSrc))
       val schema =
         if (ParquetTable.exists(srcRef.dir)) ParquetTable.read(s, srcRef.dir).schema
         else SchemaEvolution.readEvolved(s, srcRef.dir).schema
-      val likeDir = java.nio.file.Files.createTempDirectory("graft-like")
+      val likeDir = graft.tables.TmpDirs.create("graft-like")
         .resolve(dirNameFor(nn)).toString
       SchemaEvolution.createTable(s, likeDir,
         schema.fields.map(f => f.name -> f.dataType).toSeq)
@@ -802,11 +801,11 @@ object GraftSql {
       // instead of shadowing, and the SELECT goes back through sql() so
       // table_changes()/AS-OF phrases compose.
       val name = normalizeIdent(rawName)
-      require(!registry.contains((s, name)),
+      require(!registry.of(s).contains(name),
         s"CREATE TABLE AS: '$name' is already registered — DROP/unregister it first")
       val result = sql(s, select).persist()
       try {
-        val dir = java.nio.file.Files.createTempDirectory("graft-ctas")
+        val dir = graft.tables.TmpDirs.create("graft-ctas")
           .resolve(dirNameFor(name)).toString
         SchemaEvolution.createTable(s, dir,
           result.schema.fields.map(f => f.name -> f.dataType).toSeq)
@@ -969,16 +968,16 @@ object GraftSql {
     // mirroring CREATE TABLE's re-run guard.
     case CreateVectorIndex(idxName, srcName, embCol, keyCol, cellsOpt) =>
       val key = idxName.toLowerCase
-      require(!vectorIndexes.contains((s, key)),
+      require(!vectorIndexes.of(s).contains(key),
         s"vector index '$idxName' already exists — DROP VECTOR INDEX $idxName first")
       val src = sql(s, s"SELECT $keyCol AS vec_id, $embCol AS embedding FROM $srcName")
       val n = src.count()
       val cells = Option(cellsOpt).map(_.toInt)
         .getOrElse(graft.sim.IvfIndex.autoCells(n))
-      val dir = java.nio.file.Files.createTempDirectory("graft-vidx")
+      val dir = graft.tables.TmpDirs.create("graft-vidx")
         .resolve(key).toString
       graft.sim.IvfIndex.build(s, src, cells, dir)
-      vectorIndexes.put((s, key), dir)
+      vectorIndexes.of(s).put(key, dir)
       singleRow(s, Seq("name" -> key, "n_vectors" -> n, "cells" -> cells))
     // CREATE INDEX ix ON t (col) — the reference source schema's own
     // secondary-index spelling (db/oracle-ddl.sql:56), here backed by
@@ -1032,7 +1031,7 @@ object GraftSql {
       singleRow(s, Seq("name" -> ixName.toLowerCase, "table" -> name,
         "dropped" -> "true"))
     case DropVectorIndex(idxName) =>
-      val removed = vectorIndexes.remove((s, idxName.toLowerCase))
+      val removed = vectorIndexes.of(s).remove(idxName.toLowerCase)
       require(removed.isDefined, s"vector index '$idxName' does not exist")
       // Delete the IVF layout on disk (CREATE built it under a private
       // temp dir); without this, CREATE/DROP cycles accumulate disk.
@@ -1112,7 +1111,7 @@ object GraftSql {
           scala.util.matching.Regex.quoteReplacement(m.matched)
         else {
           val (idx, probeSrc, k) = (m.group(1).toLowerCase, m.group(2), m.group(3).toInt)
-          val dir = vectorIndexes.getOrElse((s, idx),
+          val dir = vectorIndexes.of(s).getOrElse(idx,
             throw new IllegalArgumentException(
               s"vector index '$idx' does not exist — CREATE VECTOR INDEX first"))
           val view = s"__graft_vs_${idx}_${probeSrc.replaceAll("[^A-Za-z0-9_]", "_")}_$k"
@@ -1183,7 +1182,7 @@ object GraftSql {
       rewritten = VersionAsOf.replaceAllIn(afterTc, m => {
         val (key, v) = (normalizeIdent(m.group(1)), m.group(2).toLong)
         scala.util.matching.Regex.quoteReplacement(
-          if (inLiteral(afterTc, m.start) || !registry.contains((s, key))) m.matched
+          if (inLiteral(afterTc, m.start) || !registry.of(s).contains(key)) m.matched
           else {
             val view = s"__graft_v_${viewToken(key)}_$v"
             snapshotAt(s, key, v).createOrReplaceTempView(view)
@@ -1198,7 +1197,7 @@ object GraftSql {
       rewritten = VersionAsOfTag.replaceAllIn(afterVTag, m => {
         val (key, tag) = (normalizeIdent(m.group(1)), m.group(2))
         scala.util.matching.Regex.quoteReplacement(
-          if (inLiteral(afterVTag, m.start) || !registry.contains((s, key))) m.matched
+          if (inLiteral(afterVTag, m.start) || !registry.of(s).contains(key)) m.matched
           else {
             val v = Tags.versionOf(resolve(s, key).dir, tag).getOrElse(
               throw new IllegalArgumentException(s"table '$key' has no tag '$tag'"))
@@ -1211,7 +1210,7 @@ object GraftSql {
       rewritten = TimestampAsOf.replaceAllIn(afterV, m => {
         val (key, ts) = (normalizeIdent(m.group(1)), m.group(2))
         scala.util.matching.Regex.quoteReplacement(
-          if (inLiteral(afterV, m.start) || !registry.contains((s, key))) m.matched
+          if (inLiteral(afterV, m.start) || !registry.of(s).contains(key)) m.matched
           else {
             val millis = parseTsUtc(ts)
             val view = s"__graft_t_${viewToken(key)}_$millis"
@@ -1226,9 +1225,8 @@ object GraftSql {
       // as `a.b`. Runs BEFORE the plain mounts below: once `db.t` has
       // become a token, a plain registered `t` can no longer word-match
       // inside it.
-      val dottedRestores = registry.keysIterator
-        .collect { case (sess, name) if (sess eq s) && name.contains(".") => name }
-        .toSeq.sortBy(-_.length)
+      val dottedRestores = registry.of(s).keysIterator
+        .filter(_.contains(".")).toSeq.sortBy(-_.length)
         .flatMap { name =>
           val before = rewritten
           var found = false
@@ -1262,8 +1260,7 @@ object GraftSql {
       // statement-scoped and restored like the table mounts below. The
       // depth counter turns a view cycle into a loud error instead of
       // a stack overflow.
-      val viewRestores = viewRegistry.keysIterator
-        .collect { case (sess, n) if sess eq s => n }
+      val viewRestores = viewRegistry.of(s).keysIterator
         .filter(wordOutsideQuotes(rewritten, _))
         .map { n =>
           val priorTemp = scala.util.Try(s.catalog.getTable(n)).toOption
@@ -1272,15 +1269,15 @@ object GraftSql {
           try {
             require(viewDepth.get <= 10,
               s"view expansion exceeds depth 10 at '$n' — circular view definitions?")
-            sql(s, viewRegistry((s, n))).createOrReplaceTempView(n)
+            sql(s, viewRegistry.of(s)(n)).createOrReplaceTempView(n)
           } finally viewDepth.set(viewDepth.get - 1)
           () => priorTemp match {
             case Some(saved) => saved.createOrReplaceTempView(n)
             case None => s.catalog.dropTempView(n); ()
           }
         }.toSeq
-      val restores = registry.keysIterator
-        .collect { case (sess, name) if (sess eq s) && !name.contains(".") => name }
+      val restores = registry.of(s).keysIterator
+        .filter(!_.contains("."))
         .filter(wordOutsideQuotes(rewritten, _))
         .map { name =>
           val priorTemp = scala.util.Try(s.catalog.getTable(name)).toOption
@@ -1310,7 +1307,7 @@ object GraftSql {
       return None
     statement.trim match {
       case CountStarStmt(alias, rawName) =>
-        registry.get((s, normalizeIdent(rawName))).flatMap { ref =>
+        registry.of(s).get(normalizeIdent(rawName)).flatMap { ref =>
           if (!ParquetTable.exists(ref.dir)) None
           // Deletion-vector snapshots: ANALYZE counted the RAW files
           // (DV-deleted rows included), so a stamped count would
@@ -1355,7 +1352,7 @@ object GraftSql {
     statement.trim match {
       case MvSelect(items, rawBase, groupBody) =>
         val baseName = normalizeIdent(rawBase)
-        val baseRef = registry.get((s, baseName)).getOrElse(return None)
+        val baseRef = registry.of(s).get(baseName).getOrElse(return None)
         if (!graft.streaming.ParquetTable.exists(baseRef.dir)) return None
         val its = items.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val groups = groupBody.split(",").map(_.trim).filter(_.nonEmpty).toSeq
@@ -1371,10 +1368,9 @@ object GraftSql {
         val liveBaseV = scala.util.Try(graft.streaming.VersionNames.idOf(
           graft.streaming.ParquetTable.currentVersion(baseRef.dir)))
           .getOrElse(return None)
-        val cand = registry.keysIterator
-          .collect { case (sess, n) if sess eq s => n }.toSeq.sorted
+        val cand = registry.of(s).keysIterator.toSeq.sorted
           .flatMap { n =>
-            val d = registry((s, n)).dir
+            val d = registry.of(s)(n).dir
             if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_MV"))) None
             else scala.util.Try(MaterializedView.readDef(d)).toOption
               .filter(mv => mv.base == baseRef.dir &&
@@ -1452,7 +1448,7 @@ object GraftSql {
   /** CACHE TABLE entries: (session, name) → (freshness stamp at cache
     * time, persisted frame). Validated per mount; see the CACHE arm. */
   private val cachedTables =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, DataFrame)]
+    new SessionMemo[String, (String, DataFrame)]
 
   private def mountFrame(s: SparkSession, name: String): DataFrame = {
     val dir = resolve(s, name).dir
@@ -1462,13 +1458,13 @@ object GraftSql {
       // no non-local return here: a lambda `return` inside this try
       // would surface as NonLocalReturnControl and be eaten by the
       // catch-all below
-      val hit = cachedTables.get((s, name)) match {
+      val hit = cachedTables.of(s).get(name) match {
         case Some((stamp, cached)) if stamp == TableStats.currentStamp(dir) =>
           Some(cached)
         case Some((_, cached)) =>
           // the table moved under the cache — retire it, mount fresh
           cached.unpersist()
-          cachedTables.remove((s, name))
+          cachedTables.of(s).remove(name)
           None
         case None => None
       }
@@ -1634,7 +1630,7 @@ object GraftSql {
     // a same-named unrelated sibling dir) of DEEP CLONE would silently
     // swap() a new version ONTO the existing table instead of failing
     // the way CREATE TABLE and shallowClone's !exists guard do.
-    require(!registry.contains((s, name)),
+    require(!registry.of(s).contains(name),
       s"CREATE TABLE ... CLONE: '$name' is already registered — DROP/unregister it first")
     require(!ParquetTable.exists(dst),
       s"CREATE TABLE ... CLONE: destination already holds a table: $dst")
@@ -2827,7 +2823,7 @@ object GraftSql {
         val pct = m.group(2).toDouble
         require(pct >= 0.0 && pct <= 100.0, s"TABLESAMPLE: $pct PERCENT out of range")
         val seed = Option(m.group(3)).map(_.toLong).getOrElse(0L)
-        val ref = registry.getOrElse((s, name), throw new IllegalArgumentException(
+        val ref = registry.of(s).getOrElse(name, throw new IllegalArgumentException(
           s"TABLESAMPLE: table '$name' is not registered with GraftSql.register"))
         require(ref.keyCols.nonEmpty,
           s"TABLESAMPLE: table '$name' has no registered key columns — " +
@@ -2901,7 +2897,7 @@ object GraftSql {
     val name = m.group(1)
     val cols = Option(m.group(2))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).filter(_.nonEmpty)
-    require(registry.get((s, normalizeIdent(name))).isEmpty,
+    require(registry.of(s).get(normalizeIdent(name)).isEmpty,
       s"WITH RECURSIVE: '$name' is also a registered table — the recursive " +
         "name would be shadowed by the statement-scoped mount; pick another name")
     // balanced scan to the CTE body's closing paren
@@ -3057,7 +3053,7 @@ object GraftSql {
       s: SparkSession, statement: String, rawName: String,
       extended: Boolean): DataFrame = {
     val name = normalizeIdent(rawName)
-    registry.get((s, name)) match {
+    registry.of(s).get(name) match {
       case Some(ref) => describeTable(s, name, ref.dir, ref.keyCols, extended)
       case None => s.sql(statement)
     }

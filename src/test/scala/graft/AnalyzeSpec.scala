@@ -18,7 +18,7 @@ import graft.tables.{GraftSql, TableStats}
 class AnalyzeSpec extends SparkSuite {
 
   private def freshTable(name: String, df: org.apache.spark.sql.DataFrame): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-analyze")
+    val dir = graft.tables.TmpDirs.create("graft-analyze")
       .resolve(name).toString
     ParquetTable.swap(spark, df, dir)
     GraftSql.register(spark, name, dir, Seq())

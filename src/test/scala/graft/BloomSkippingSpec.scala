@@ -11,7 +11,7 @@ import graft.tables.BloomSkipping
 class BloomSkippingSpec extends SparkSuite {
 
   test("bloom candidates prune files; every lookup stays exact") {
-    val dir = Files.createTempDirectory("graft-bloom").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-bloom").resolve("t").toString
     // Cluster by orderkey so custkey is scattered across all files —
     // zone maps on custkey would prune NOTHING here.
     val orders = spark.read.parquet(s"$sf001/orders.parquet")

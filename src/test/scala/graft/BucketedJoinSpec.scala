@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 class BucketedJoinSpec extends SparkSuite {
 
   test("bucketed-table join runs with zero exchanges, same result as plain join") {
-    val base = Files.createTempDirectory("graft-bucketjoin").toString
+    val base = graft.tables.TmpDirs.create("graft-bucketjoin").toString
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val customer = spark.read.parquet(s"$sf0001/customer.parquet")

@@ -14,7 +14,7 @@ import graft.streaming.BucketedTable
 class BucketedTableSpec extends SparkSuite {
 
   test("bucketed merge equals monolithic merge and rewrites only affected buckets") {
-    val dir = Files.createTempDirectory("graft-bucketed").toString
+    val dir = graft.tables.TmpDirs.create("graft-bucketed").toString
     val N = 16
     val stream = CdcPipeline.orderStreamCached(spark, sf0001)
     val batch1 = BatchFlattener.flatten(stream.filter(col("xid").startsWith("tx-")))

@@ -22,7 +22,7 @@ class BulkSearchSpec extends SparkSuite {
     df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
 
   private def buildIdx(numCells: Int): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-bulk").resolve("index").toString
+    val dir = graft.tables.TmpDirs.create("graft-bulk").resolve("index").toString
     IvfIndex.build(spark, emb, numCells, dir)
     dir
   }

@@ -13,7 +13,7 @@ import graft.streaming.{ChangeFeedTable, ParquetTable}
 class ChangeFeedStreamSpec extends SparkSuite {
 
   private def freshDirs(): (String, String) = {
-    val base = java.nio.file.Files.createTempDirectory("graft-cdfstream")
+    val base = graft.tables.TmpDirs.create("graft-cdfstream")
     (base.resolve("table").toString, base.resolve("cp").toString)
   }
 

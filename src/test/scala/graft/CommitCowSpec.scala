@@ -11,7 +11,7 @@ import graft.tables.GraftSql
 class CommitCowSpec extends SparkSuite {
 
   test("an orphaned .staging dir never poisons reads, versions, vacuum or retries") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-cow").toString + "/t"
+    val dir = graft.tables.TmpDirs.create("graft-cow").toString + "/t"
     val df = spark.sql("SELECT * FROM VALUES (1L, 10.0), (2L, 20.0), (3L, 30.0) AS t(k, v)")
     ParquetTable.swap(spark, df, dir)
     val nm = s"cow_${java.util.UUID.randomUUID.toString.take(8)}".replace("-", "")
@@ -48,7 +48,7 @@ class CommitCowSpec extends SparkSuite {
     // a foreign process moved v2 in and appended its _HISTORY line but
     // has not flipped _CURRENT yet: the rewrite must abort with
     // ConcurrentWriteException and must NOT delete the published dir.
-    val dir = java.nio.file.Files.createTempDirectory("graft-cow2").toString + "/t"
+    val dir = graft.tables.TmpDirs.create("graft-cow2").toString + "/t"
     val df = spark.sql("SELECT * FROM VALUES (1L, 10.0), (2L, 20.0), (3L, 30.0) AS t(k, v)")
     ParquetTable.swap(spark, df, dir)
     val nm = s"cowp_${java.util.UUID.randomUUID.toString.take(8)}".replace("-", "")

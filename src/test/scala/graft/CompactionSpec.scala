@@ -10,7 +10,7 @@ import graft.streaming.Compaction
 class CompactionSpec extends SparkSuite {
 
   test("compaction bin-packs small files, content identical, idempotent") {
-    val dir = Files.createTempDirectory("graft-compact").resolve("order_stream").toString
+    val dir = graft.tables.TmpDirs.create("graft-compact").resolve("order_stream").toString
     val src = CdcPipeline.orderStreamCached(spark, sf0001)
     // Fragment like a long-running micro-batch stream would.
     src.repartition(48).write.parquet(dir)
@@ -34,7 +34,7 @@ class CompactionSpec extends SparkSuite {
   }
 
   test("partitioned trees compact per leaf and refuse the flat rewrite") {
-    val dir = Files.createTempDirectory("graft-compact-part").resolve("events").toString
+    val dir = graft.tables.TmpDirs.create("graft-compact-part").resolve("events").toString
     val src = graft.queries.EventsQueries.events(spark, sf0001)
       .withColumn("event_date", org.apache.spark.sql.functions.to_date(
         org.apache.spark.sql.functions.col("ts")))
@@ -55,7 +55,7 @@ class CompactionSpec extends SparkSuite {
   }
 
   test("partitioned STREAMING sink: log retired, stragglers dropped, then per-leaf compaction") {
-    val base = Files.createTempDirectory("graft-compact-sink").toString
+    val base = graft.tables.TmpDirs.create("graft-compact-sink").toString
     val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select("event_id", "ts", "event_type", "value")
     src.coalesce(2).write.parquet(s"$base/in")
@@ -84,7 +84,7 @@ class CompactionSpec extends SparkSuite {
   }
 
   test("an interrupted compaction rolls back losslessly on the next run") {
-    val dir = Files.createTempDirectory("graft-compact-crash").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-compact-crash").resolve("t").toString
     val s = spark
     import s.implicits._
     val src = (1 to 1000).map(i => (i.toLong, s"row-$i")).toDF("id", "v")

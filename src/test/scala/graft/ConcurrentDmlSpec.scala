@@ -19,7 +19,7 @@ class ConcurrentDmlSpec extends SparkSuite {
       .map(_.toString).filter(_.contains(".staging-")).toSeq
 
   test("a stale-snapshot commit is loudly rejected and leaves zero garbage") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-occ").toString + "/t"
+    val dir = graft.tables.TmpDirs.create("graft-occ").toString + "/t"
     val df = spark.sql("SELECT * FROM VALUES (1L, 10.0), (2L, 20.0), (3L, 30.0) AS t(k, v)")
     ParquetTable.swap(spark, df, dir)
     val nm = s"occ_${java.util.UUID.randomUUID.toString.take(8)}".replace("-", "")
@@ -62,7 +62,7 @@ class ConcurrentDmlSpec extends SparkSuite {
   }
 
   test("a crashed writer's orphaned VERSION slot (moved, never published) self-heals") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-occ3").toString + "/t"
+    val dir = graft.tables.TmpDirs.create("graft-occ3").toString + "/t"
     ParquetTable.swap(spark,
       spark.sql("SELECT 1L AS k, CAST(1.0 AS DOUBLE) AS v"), dir)
     val cur = java.nio.file.Paths.get(ParquetTable.currentPath(dir))
@@ -90,9 +90,9 @@ class ConcurrentDmlSpec extends SparkSuite {
   test("first row-level DML on an UNDIVERGED shallow clone commits locally") {
     val s = spark
     import s.implicits._
-    val src = java.nio.file.Files.createTempDirectory("graft-occ4").toString + "/src"
+    val src = graft.tables.TmpDirs.create("graft-occ4").toString + "/src"
     ParquetTable.swap(spark, Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), src)
-    val cloneDir = java.nio.file.Files.createTempDirectory("graft-occ4c").toString + "/c"
+    val cloneDir = graft.tables.TmpDirs.create("graft-occ4c").toString + "/c"
     ParquetTable.shallowClone(src, cloneDir)
     val nm = s"occ4_${java.util.UUID.randomUUID.toString.take(8)}".replace("-", "")
     GraftSql.register(spark, nm, cloneDir, Seq("k"))
@@ -106,7 +106,7 @@ class ConcurrentDmlSpec extends SparkSuite {
   }
 
   test("same-snapshot racers: exactly one wins, the loser is clean") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-occ2").toString + "/t"
+    val dir = graft.tables.TmpDirs.create("graft-occ2").toString + "/t"
     ParquetTable.swap(spark,
       spark.sql("SELECT * FROM VALUES (1L, 1.0) AS t(k, v)"), dir)
     val cur = java.nio.file.Paths.get(ParquetTable.currentPath(dir))

@@ -13,7 +13,7 @@ class ConstraintsSpec extends SparkSuite {
   test("checkedSwap blocks violations, keeps the live snapshot; NULL passes") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-ck").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-ck").resolve("t").toString
 
     Constraints.addCheck(spark, dir, "price_nonneg", "price >= 0.0")
     Constraints.addCheck(spark, dir, "status_known", "status IN ('A', 'B')")
@@ -57,7 +57,7 @@ class ConstraintsSpec extends SparkSuite {
     val s = spark
     import s.implicits._
     import graft.tables.GraftSql
-    val dir = java.nio.file.Files.createTempDirectory("graft-uq").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-uq").resolve("t").toString
     ParquetTable.swap(spark, Seq((1L, "A"), (2L, "B")).toDF("id", "status"), dir)
     GraftSql.register(spark, "uq_t", dir, Seq("id"))
 
@@ -104,7 +104,7 @@ class ConstraintsSpec extends SparkSuite {
     val s = spark
     import s.implicits._
     import graft.tables.GraftSql
-    val dir = java.nio.file.Files.createTempDirectory("graft-uqn").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-uqn").resolve("t").toString
     ParquetTable.swap(spark,
       Seq((Some(1L), "A")).toDF("id", "status"), dir)
     GraftSql.register(spark, "uqn_t", dir, Seq("id"))

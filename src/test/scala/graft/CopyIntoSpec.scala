@@ -18,7 +18,7 @@ class CopyIntoSpec extends SparkSuite {
     import s.implicits._
     n += 1
     val name = s"cpy_t$n"
-    val dir = Files.createTempDirectory("graft-cpy").resolve(name).toString
+    val dir = graft.tables.TmpDirs.create("graft-cpy").resolve(name).toString
     ParquetTable.swap(spark,
       Seq((0L, "seed")).toDF("id", "tag").where(lit(false)), dir)
     GraftSql.register(spark, name, dir, Seq("id"))
@@ -40,7 +40,7 @@ class CopyIntoSpec extends SparkSuite {
 
   test("loads new files once; re-run is a no-op; late files load alone") {
     val (name, dir) = mkTable()
-    val src = Files.createTempDirectory("graft-cpy-src").toString
+    val src = graft.tables.TmpDirs.create("graft-cpy-src").toString
     srcBatch(src, "a", Seq(1L, 2L))
     srcBatch(src, "b", Seq(3L))
 
@@ -72,7 +72,7 @@ class CopyIntoSpec extends SparkSuite {
   test("CHECK constraints gate the ingest; a rejected batch loads nothing") {
     val (name, dir) = mkTable()
     GraftSql.sql(spark, s"ALTER TABLE $name ADD CONSTRAINT pos CHECK (id > 0)")
-    val src = Files.createTempDirectory("graft-cpy-src2").toString
+    val src = graft.tables.TmpDirs.create("graft-cpy-src2").toString
     srcBatch(src, "bad", Seq(-1L, 7L))
     val v0 = ParquetTable.snapshots(dir).size
     intercept[Exception] {

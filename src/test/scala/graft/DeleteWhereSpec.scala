@@ -18,7 +18,7 @@ class DeleteWhereSpec extends SparkSuite {
       .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
 
   private def freshTable(): String = {
-    val t = Files.createTempDirectory("graft-delspec").resolve("orders").toString
+    val t = graft.tables.TmpDirs.create("graft-delspec").resolve("orders").toString
     val orders = spark.read.parquet(s"$sf001/orders.parquet")
       .select("o_orderkey", "o_orderstatus")
       .repartitionByRange(8, col("o_orderkey"))
@@ -59,7 +59,7 @@ class DeleteWhereSpec extends SparkSuite {
   }
 
   test("rows with a NULL predicate are KEPT (SQL DELETE semantics)") {
-    val t = Files.createTempDirectory("graft-delspec").resolve("nulls").toString
+    val t = graft.tables.TmpDirs.create("graft-delspec").resolve("nulls").toString
     val s = spark
     import s.implicits._
     val df = Seq(

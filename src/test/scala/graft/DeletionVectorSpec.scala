@@ -14,7 +14,7 @@ class DeletionVectorSpec extends SparkSuite {
   private def key(r: org.apache.spark.sql.Row) = r.toSeq.mkString("|")
 
   test("DV delete rewrites nothing, composes, and purges clean") {
-    val dir = Files.createTempDirectory("graft-dv").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-dv").resolve("t").toString
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .repartitionByRange(8, col("o_orderkey"))
@@ -72,7 +72,7 @@ class DeletionVectorSpec extends SparkSuite {
   }
 
   test("plain-file DML refuses to run over a DV-carrying snapshot") {
-    val dir = Files.createTempDirectory("graft-dvguard").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-dvguard").resolve("t").toString
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_orderstatus")
       .repartitionByRange(4, col("o_orderkey"))

@@ -16,7 +16,7 @@ class DppSpec extends SparkSuite {
     "CAST(id % 7 AS INT) AS dow_bucket")
 
   test("join against a filtered dim plants a dynamicpruning subquery on the fact scan") {
-    val base = Files.createTempDirectory("graft-dpp").resolve("events").toString
+    val base = graft.tables.TmpDirs.create("graft-dpp").resolve("events").toString
     graft.tables.PartitionedTable.write(
       spark.read.parquet(s"$sf0001/events.parquet")
         .withColumn("event_date", to_date(col("ts"))),

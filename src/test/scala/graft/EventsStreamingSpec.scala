@@ -17,7 +17,7 @@ class EventsStreamingSpec extends SparkSuite {
     val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select("event_id", "ts", "event_type", "value")
 
-    val dir = Files.createTempDirectory("graft-part-stream").toString
+    val dir = graft.tables.TmpDirs.create("graft-part-stream").toString
     src.coalesce(3).write.mode("overwrite").parquet(s"$dir/in")
 
     val stream = spark.readStream.schema(src.schema).parquet(s"$dir/in")
@@ -51,7 +51,7 @@ class EventsStreamingSpec extends SparkSuite {
       .select("ts", "event_type", "value")
 
     // Replay as a file stream (3 files → a few micro-batches).
-    val dir = Files.createTempDirectory("graft-events").toString
+    val dir = graft.tables.TmpDirs.create("graft-events").toString
     src.coalesce(3).write.mode("overwrite").parquet(s"$dir/in")
 
     val stream = spark.readStream.schema(src.schema).parquet(s"$dir/in")
@@ -89,7 +89,7 @@ class EventsStreamingSpec extends SparkSuite {
     val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
 
-    val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val dir = graft.tables.TmpDirs.create("graft-ssj").toString
     src.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
     val stream = spark.readStream.schema(src.schema).parquet(s"$dir/in")
 
@@ -117,7 +117,7 @@ class EventsStreamingSpec extends SparkSuite {
     val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
 
-    val dir = java.nio.file.Files.createTempDirectory("graft-ssjo").toString
+    val dir = graft.tables.TmpDirs.create("graft-ssjo").toString
     src.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
     val stream = spark.readStream.schema(src.schema).parquet(s"$dir/in")
 
@@ -154,7 +154,7 @@ class EventsStreamingSpec extends SparkSuite {
     val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select("ts", "user_id", "value")
 
-    val dir = Files.createTempDirectory("graft-sess").toString
+    val dir = graft.tables.TmpDirs.create("graft-sess").toString
     src.coalesce(3).write.mode("overwrite").parquet(s"$dir/in")
     val stream = spark.readStream.schema(src.schema).parquet(s"$dir/in")
 
@@ -179,7 +179,7 @@ class EventsStreamingSpec extends SparkSuite {
   test("stream-static enrichment joins the broadcast dim statelessly") {
     val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    val dir = Files.createTempDirectory("graft-enrich").toString
+    val dir = graft.tables.TmpDirs.create("graft-enrich").toString
     src.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
 
     // Static dim covering only even users — odd users must survive the
@@ -213,7 +213,7 @@ class EventsStreamingSpec extends SparkSuite {
   test("late-data accounting: beyond-watermark rows are dropped AND counted in progress") {
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft-late").toString
+    val dir = graft.tables.TmpDirs.create("graft-late").toString
     val ckpt = s"$dir/ckpt"
     def ev(hourOff: Int, min: Int): (java.sql.Timestamp, String, Double) =
       (java.sql.Timestamp.valueOf(f"2025-01-01 $hourOff%02d:$min%02d:00"), "click", 1.0)
@@ -271,7 +271,7 @@ class EventsStreamingSpec extends SparkSuite {
 
     // Feed three TIME-ORDERED chunks, one file per micro-batch — the
     // monitor's in-order delivery contract.
-    val dir = Files.createTempDirectory("graft-cusum-stream").toString
+    val dir = graft.tables.TmpDirs.create("graft-cusum-stream").toString
     val rows = ev.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     rows.grouped((rows.length + 2) / 3).foreach { chunk =>
       chunk.toSeq.toDF("ms", "event_id", "xq")
@@ -302,7 +302,7 @@ class EventsStreamingSpec extends SparkSuite {
   test("dropDuplicatesWithinWatermark dedups across micro-batches, bounded state") {
     val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select("event_id", "ts", "event_type", "user_id", "value")
-    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    val dir = graft.tables.TmpDirs.create("graft-dedup-stream").toString
     // File 1: the full table. File 2: every 3rd event re-delivered
     // verbatim. maxFilesPerTrigger=1 forces the re-delivery into a
     // LATER micro-batch, so the dedup must come from the state store,

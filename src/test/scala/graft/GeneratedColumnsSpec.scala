@@ -55,7 +55,7 @@ class GeneratedColumnsSpec extends SparkSuite {
     val s = spark
     import s.implicits._
     val t = fresh()
-    val dir = java.nio.file.Files.createTempDirectory("graft-gen")
+    val dir = graft.tables.TmpDirs.create("graft-gen")
       .resolve(t).toString
     ParquetTable.swap(spark,
       Seq((1L, 10L, 11L), (2L, 20L, 22L)).toDF("a", "b", "c"), dir)

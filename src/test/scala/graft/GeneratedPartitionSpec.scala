@@ -13,7 +13,7 @@ class GeneratedPartitionSpec extends SparkSuite {
   private def seed(): String = {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-genpart")
+    val dir = graft.tables.TmpDirs.create("graft-genpart")
       .resolve("t").toString
     val rows = for {
       d <- 1 to 6

@@ -14,7 +14,7 @@ class GraftSqlSpec extends SparkSuite {
   private def seedTable(): String = {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-gsql")
+    val dir = graft.tables.TmpDirs.create("graft-gsql")
       .resolve("t").toString
     ParquetTable.swap(spark,
       Seq((1L, "A"), (2L, "B")).toDF("id", "status"), dir)
@@ -181,7 +181,7 @@ class GraftSqlSpec extends SparkSuite {
   test("schema DDL spellings: ADD COLUMNS, RENAME, DROP, ALTER COLUMN TYPE") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-gsql-ddl")
+    val dir = graft.tables.TmpDirs.create("graft-gsql-ddl")
       .resolve("t").toString
     Seq((1, 10), (2, 20)).toDF("id", "qty").write.parquet(dir)
     GraftSql.register(spark, "gsql_ddl", dir)
@@ -210,7 +210,7 @@ class GraftSqlSpec extends SparkSuite {
   test("column comments: ADD COLUMNS captures them; ALTER COLUMN COMMENT sets and survives RENAME") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-gsql-cc")
+    val dir = graft.tables.TmpDirs.create("graft-gsql-cc")
       .resolve("t").toString
     Seq((1, 10)).toDF("id", "qty").write.parquet(dir)
     GraftSql.register(spark, "gsql_cc", dir)
@@ -373,7 +373,7 @@ class GraftSqlSpec extends SparkSuite {
   test("SHOW PARTITIONS lists hive leaves; non-partitioned tables error") {
     val s = spark
     import s.implicits._
-    val pdir = java.nio.file.Files.createTempDirectory("graft-gsql-p")
+    val pdir = graft.tables.TmpDirs.create("graft-gsql-p")
       .resolve("p").toString
     Seq((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-02"))
       .toDF("v", "dt").write.partitionBy("dt").parquet(pdir)
@@ -456,7 +456,7 @@ class GraftSqlSpec extends SparkSuite {
     // plant an empty-but-valid parquet file into the live snapshot.
     val s2 = spark
     import s2.implicits._
-    val emptyDir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val emptyDir = graft.tables.TmpDirs.create("graft-empty").toString
     Seq.empty[(Long, String)].toDF("id", "status")
       .coalesce(1).write.mode("overwrite").parquet(emptyDir)
     val src = {
@@ -533,7 +533,7 @@ class GraftSqlSpec extends SparkSuite {
   test("auto-compaction: trickle INSERTs self-compact past the file threshold, content intact") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-ac").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-ac").resolve("t").toString
     ParquetTable.swap(spark, Seq((1L, "A")).toDF("id", "status"), dir)
     GraftSql.register(spark, "gsql_ac", dir, Seq("id"))
     def insert(k: Long): Unit = {
@@ -819,7 +819,7 @@ class GraftSqlSpec extends SparkSuite {
   test("CONVERT TO TABLE adopts a plain parquet dir in place, zero-copy") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-conv")
+    val dir = graft.tables.TmpDirs.create("graft-conv")
       .resolve("plain").toString
     (1L to 9L).map(i => (i, s"p$i")).toDF("id", "payload")
       .repartition(3).write.parquet(dir)
@@ -958,7 +958,7 @@ class GraftSqlSpec extends SparkSuite {
   test("CREATE/DROP INDEX and index_lookup compose in SQL") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-gsql-ix")
+    val dir = graft.tables.TmpDirs.create("graft-gsql-ix")
       .resolve("t").toString
     ParquetTable.swap(spark,
       (0L until 400L).map(i => (i, (i * 48271L) % 1009L, s"v$i"))

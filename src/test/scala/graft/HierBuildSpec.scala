@@ -32,7 +32,7 @@ class HierBuildSpec extends SparkSuite {
 
   test("a build above the threshold assigns through the two-level routing") {
     val k = Similarity.HierAssignThreshold + 16 // 80 cells over 500 vectors
-    val dir = java.nio.file.Files.createTempDirectory("graft-hierbuild").toString
+    val dir = graft.tables.TmpDirs.create("graft-hierbuild").toString
     IvfIndex.build(spark, emb, numCells = k, dir)
     val built = cellsOf(
       spark.read.parquet(s"$dir/cells").withColumn("cell", col("cell").cast("long")))
@@ -83,8 +83,8 @@ class HierBuildSpec extends SparkSuite {
     val k = Similarity.HierAssignThreshold + 16
     val base = emb.filter(col("vec_id") < 400)
     val delta = emb.filter(col("vec_id") >= 400)
-    val incDir = java.nio.file.Files.createTempDirectory("graft-hierinc").toString
-    val fullDir = java.nio.file.Files.createTempDirectory("graft-hierfull").toString
+    val incDir = graft.tables.TmpDirs.create("graft-hierinc").toString
+    val fullDir = graft.tables.TmpDirs.create("graft-hierfull").toString
     IvfIndex.build(spark, base, numCells = k, incDir)
     IvfIndex.appendVectors(spark, incDir, delta)
     IvfIndex.build(spark, emb, numCells = k, fullDir)
@@ -96,7 +96,7 @@ class HierBuildSpec extends SparkSuite {
 
   test("probes route like the build: each indexed vector finds its OWN cell (r13 review)") {
     val k = Similarity.HierAssignThreshold + 16
-    val dir = java.nio.file.Files.createTempDirectory("graft-hierprobe").toString
+    val dir = graft.tables.TmpDirs.create("graft-hierprobe").toString
     IvfIndex.build(spark, emb, numCells = k, dir)
     val stored = cellsOf(
       spark.read.parquet(s"$dir/cells").withColumn("cell", col("cell").cast("long")))

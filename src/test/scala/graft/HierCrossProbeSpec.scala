@@ -32,7 +32,7 @@ class HierCrossProbeSpec extends SparkSuite {
   private val ck = Similarity.hierCoarseK(k).get
 
   private lazy val dir: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-xprobe").resolve("index").toString
+    val d = graft.tables.TmpDirs.create("graft-xprobe").resolve("index").toString
     IvfIndex.build(spark, emb, k, d)
     d
   }

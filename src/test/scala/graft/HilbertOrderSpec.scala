@@ -55,7 +55,7 @@ class HilbertOrderSpec extends SparkSuite {
     val s = spark
     val orders = s.read.parquet(s"$sf001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    val base = java.nio.file.Files.createTempDirectory("graft-hvz")
+    val base = graft.tables.TmpDirs.create("graft-hvz")
     val zDir = base.resolve("z").toString
     val hDir = base.resolve("h").toString
     val cols = Seq("o_orderkey", "o_custkey")

@@ -42,7 +42,7 @@ class IncrementalDedupSpec extends SparkSuite {
   }
 
   test("retrying a batch id is idempotent, including after a half-written crash") {
-    val base = Files.createTempDirectory("graft-incdedup-retry").toString
+    val base = graft.tables.TmpDirs.create("graft-incdedup-retry").toString
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id", "text")
     val b0 = docs.filter(col("doc_id") < 250)
     val b1 = docs.filter(col("doc_id") >= 250)
@@ -87,7 +87,7 @@ class IncrementalDedupSpec extends SparkSuite {
       finally s.close()
     }
 
-    val a = Files.createTempDirectory("graft-incdedup-fold").toString
+    val a = graft.tables.TmpDirs.create("graft-incdedup-fold").toString
     val docs = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id", "text")
     def slice(lo: Int, hi: Int) = docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
     (0 to 2).foreach { i =>
@@ -97,7 +97,7 @@ class IncrementalDedupSpec extends SparkSuite {
     assert(partDirs(s"$a/index/bands").size == 3)
 
     // Control: identical state, never compacted.
-    val b = Files.createTempDirectory("graft-incdedup-ctrl").toString
+    val b = graft.tables.TmpDirs.create("graft-incdedup-ctrl").toString
     copyTree(a, b)
 
     val stats = IncrementalDedup.compactIndex(spark, s"$a/index")
@@ -123,7 +123,7 @@ class IncrementalDedupSpec extends SparkSuite {
   }
 
   test("streamed corpus matches the simulated two-gate admission, no near-dup pairs inside") {
-    val base = Files.createTempDirectory("graft-incdedup").toString
+    val base = graft.tables.TmpDirs.create("graft-incdedup").toString
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").orderBy("doc_id")
     val ids = docs.select("doc_id").collect().map(_.getLong(0)).sorted

@@ -13,7 +13,7 @@ import graft.sim.IvfIndex
 class IvfIndexSpec extends SparkSuite {
 
   test("search over the persisted index == sim_ivf_topk, with cell partitions pruned") {
-    val dir = Files.createTempDirectory("graft-ivf").resolve("index").toString
+    val dir = graft.tables.TmpDirs.create("graft-ivf").resolve("index").toString
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select("vec_id", "embedding")
     IvfIndex.build(spark, corpus, numCells = 16, dir)
@@ -66,9 +66,9 @@ class IvfIndexSpec extends SparkSuite {
       got.intersect(truth).size.toDouble / truth.size
     }
 
-    val seededDir = Files.createTempDirectory("graft-ivf-s").resolve("index").toString
+    val seededDir = graft.tables.TmpDirs.create("graft-ivf-s").resolve("index").toString
     IvfIndex.build(spark, corpus, cells, seededDir)
-    val trainedDir = Files.createTempDirectory("graft-ivf-t").resolve("index").toString
+    val trainedDir = graft.tables.TmpDirs.create("graft-ivf-t").resolve("index").toString
     IvfIndex.buildTrained(spark, corpus, cells, trainIters = 3, trainedDir)
 
     // The training guarantee: the objective strictly improves.
@@ -115,11 +115,11 @@ class IvfIndexSpec extends SparkSuite {
     val delta = corpus.filter(col("vec_id") >= 250)
     val probes = corpus.filter(col("vec_id") < 10)
 
-    val incDir = Files.createTempDirectory("graft-ivf-inc").resolve("index").toString
+    val incDir = graft.tables.TmpDirs.create("graft-ivf-inc").resolve("index").toString
     IvfIndex.build(spark, base, numCells = 16, incDir)
     IvfIndex.appendVectors(spark, incDir, delta)
 
-    val fullDir = Files.createTempDirectory("graft-ivf-full").resolve("index").toString
+    val fullDir = graft.tables.TmpDirs.create("graft-ivf-full").resolve("index").toString
     IvfIndex.build(spark, corpus, numCells = 16, fullDir)
 
     def res(dir: String) = IvfIndex.search(spark, dir, probes, 3)
@@ -129,7 +129,7 @@ class IvfIndexSpec extends SparkSuite {
   }
 
   test("IVF-PQ searchAdc reads NO embedding bytes from the cells tree") {
-    val dir = Files.createTempDirectory("graft-ivfpq").resolve("index").toString
+    val dir = graft.tables.TmpDirs.create("graft-ivfpq").resolve("index").toString
     val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select("vec_id", "embedding")
     IvfIndex.build(spark, corpus, numCells = 16, dir)

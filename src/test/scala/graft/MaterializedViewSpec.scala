@@ -25,7 +25,7 @@ class MaterializedViewSpec extends SparkSuite {
   test("refresh folds inserts/deletes/updates exactly; no-op when current") {
     val s = spark
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-mv")
+    val root = graft.tables.TmpDirs.create("graft-mv")
     val baseDir = root.resolve("base").toString
     val mvDir = root.resolve("mv").toString
 
@@ -65,7 +65,7 @@ class MaterializedViewSpec extends SparkSuite {
   test("a NULL group key maintains as ONE group (null-safe merge, no row split)") {
     val s = spark
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-mvnull")
+    val root = graft.tables.TmpDirs.create("graft-mvnull")
     val baseDir = root.resolve("base").toString
     val mvDir = root.resolve("mv").toString
     // v1 holds a NULL-keyed group next to a real one.
@@ -90,7 +90,7 @@ class MaterializedViewSpec extends SparkSuite {
   test("vacuumed change files trigger the full-recompute fallback") {
     val s = spark
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-mv2")
+    val root = graft.tables.TmpDirs.create("graft-mv2")
     val baseDir = root.resolve("base").toString
     val mvDir = root.resolve("mv").toString
     ChangeFeedTable.publish(spark,
@@ -111,7 +111,7 @@ class MaterializedViewSpec extends SparkSuite {
   test("SUM over a float column is refused") {
     val s = spark
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-mv3")
+    val root = graft.tables.TmpDirs.create("graft-mv3")
     val baseDir = root.resolve("base").toString
     ChangeFeedTable.publish(spark,
       Seq((1L, "a", 1.5)).toDF("k", "g", "x"), baseDir, Seq("k"))

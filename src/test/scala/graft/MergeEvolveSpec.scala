@@ -14,7 +14,7 @@ import graft.tables.GraftSql
 class MergeEvolveSpec extends SparkSuite {
 
   private def mkTable(tag: String): (String, String) = {
-    val dir = Files.createTempDirectory(s"graft-mev-$tag").toString + "/t"
+    val dir = graft.tables.TmpDirs.create(s"graft-mev-$tag").toString + "/t"
     val df = spark.sql(
       "SELECT * FROM VALUES (1L, 'a', CAST(10.0 AS DOUBLE)), (2L, 'b', CAST(20.0 AS DOUBLE)), (3L, 'c', CAST(30.0 AS DOUBLE)) AS t(k, s, v)")
     graft.streaming.ParquetTable.swap(spark, df, dir)

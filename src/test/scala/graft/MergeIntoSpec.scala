@@ -13,7 +13,7 @@ class MergeIntoSpec extends SparkSuite {
   private def key(r: org.apache.spark.sql.Row) = r.toSeq.mkString("|")
 
   test("mergeInto applies upserts, deletes, inserts; untouched files link forward") {
-    val dir = Files.createTempDirectory("graft-mi").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-mi").resolve("t").toString
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .repartitionByRange(8, col("o_orderkey"))

@@ -22,8 +22,8 @@ class MergeStreamSpec extends SparkSuite {
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val dir = Files.createTempDirectory("graft-ms").resolve("t").toString
-    val cp = Files.createTempDirectory("graft-ms-cp").toString
+    val dir = graft.tables.TmpDirs.create("graft-ms").resolve("t").toString
+    val cp = graft.tables.TmpDirs.create("graft-ms-cp").toString
 
     val src = MemoryStream[Change]
     val q = MergeStream.start(spark, src.toDF(), dir, Seq("id"), cp)
@@ -65,7 +65,7 @@ class MergeStreamSpec extends SparkSuite {
   test("snapshot-mirror mode: each trigger makes the table EQUAL the snapshot, one commit") {
     val s = spark
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-mirror").toString
+    val root = graft.tables.TmpDirs.create("graft-mirror").toString
     val dir = s"$root/t"
     def snap(rows: Seq[(Long, String)]) = rows.toDF("id", "payload")
     def state() = ParquetTable.read(spark, dir)

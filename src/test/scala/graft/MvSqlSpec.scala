@@ -17,7 +17,7 @@ class MvSqlSpec extends SparkSuite {
   test("create, query, refresh through the change feed; no-op when current") {
     val s = spark
     import s.implicits._
-    val baseDir = java.nio.file.Files.createTempDirectory("graft-mvsql")
+    val baseDir = graft.tables.TmpDirs.create("graft-mvsql")
       .resolve("base").toString
     ChangeFeedTable.publish(spark,
       Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)).toDF("k", "g", "x"),
@@ -49,7 +49,7 @@ class MvSqlSpec extends SparkSuite {
   test("statement DML on the base is folded via the recompute fallback") {
     val s = spark
     import s.implicits._
-    val baseDir = java.nio.file.Files.createTempDirectory("graft-mvsql2")
+    val baseDir = graft.tables.TmpDirs.create("graft-mvsql2")
       .resolve("base").toString
     ParquetTable.swap(spark,
       Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "g", "x"), baseDir)
@@ -69,7 +69,7 @@ class MvSqlSpec extends SparkSuite {
   test("aggregate statements over the base route to a FRESH covering MV; stale or conf-off reads the base") {
     val s = spark
     import s.implicits._
-    val baseDir = java.nio.file.Files.createTempDirectory("graft-mvrw")
+    val baseDir = graft.tables.TmpDirs.create("graft-mvrw")
       .resolve("base").toString
     ParquetTable.swap(spark,
       Seq((1L, "a", "x", Option(10L)), (2L, "a", "y", Option(20L)),
@@ -83,12 +83,21 @@ class MvSqlSpec extends SparkSuite {
       s"CREATE MATERIALIZED VIEW $mv AS SELECT g, h, COUNT(*) AS n, SUM(v) AS sv " +
         s"FROM $base GROUP BY g, h").collect().head.getString(2)
     val q = s"SELECT g, COUNT(*) AS n, SUM(v) AS sv FROM $base GROUP BY g"
-    def planOf(df: org.apache.spark.sql.DataFrame) =
-      df.queryExecution.sparkPlan.toString
+    // Structural, not string: the plan's Location rendering truncates
+    // long paths (and the per-process TmpDirs root lengthened them), so
+    // contains-on-toString both false-fails positives and false-passes
+    // negatives. Collect the scans' actual root paths instead.
+    def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    def scans(df: org.apache.spark.sql.DataFrame, dir: String): Boolean =
+      scanPaths(df).exists(_.contains(dir))
     // Fresh MV + subset GROUP BY → the plan scans the MV, not the base,
     // and re-aggregation is exact (including the all-NULL sum group c).
     val rw = GraftSql.sql(spark, q)
-    assert(planOf(rw).contains(loc) && !planOf(rw).contains(baseDir),
+    assert(scans(rw, loc) && !scans(rw, baseDir),
       "rewritten plan must scan the MV only")
     def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1),
@@ -97,7 +106,7 @@ class MvSqlSpec extends SparkSuite {
     // Schema-invisible: dtypes equal the un-rewritten frame's.
     spark.conf.set("spark.graft.mvRewrite.enabled", "false")
     val direct = GraftSql.sql(spark, q)
-    assert(!planOf(direct).contains(loc), "conf off → base scan")
+    assert(!scans(direct, loc), "conf off → base scan")
     assert(direct.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
       rw.schema.fields.map(f => (f.name, f.dataType)).toSeq)
     assert(rowsOf(direct) == rowsOf(rw))
@@ -108,28 +117,28 @@ class MvSqlSpec extends SparkSuite {
       s"INSERT INTO $base SELECT CAST(9 AS BIGINT) AS k, 'd' AS g, 'x' AS h, " +
         "CAST(7 AS BIGINT) AS v")
     val stale = GraftSql.sql(spark, q)
-    assert(!planOf(stale).contains(loc), "stale MV must not serve")
+    assert(!scans(stale, loc), "stale MV must not serve")
     assert(rowsOf(stale)(("d", 1L, 7L)), "fresh base data visible")
     GraftSql.sql(spark, s"REFRESH MATERIALIZED VIEW $mv")
     val again = GraftSql.sql(spark, q)
-    assert(planOf(again).contains(loc), "refreshed MV serves again")
+    assert(scans(again, loc), "refreshed MV serves again")
     assert(rowsOf(again) == rowsOf(stale))
     // Not covered (SUM of an unmaintained column / WHERE) → base scan.
-    assert(!planOf(GraftSql.sql(spark,
-      s"SELECT g, COUNT(*) AS n, SUM(k) AS sk FROM $base GROUP BY g")).contains(loc))
-    assert(!planOf(GraftSql.sql(spark,
-      s"SELECT g, COUNT(*) AS n FROM $base WHERE k > 1 GROUP BY g")).contains(loc))
+    assert(!scans(GraftSql.sql(spark,
+      s"SELECT g, COUNT(*) AS n, SUM(k) AS sk FROM $base GROUP BY g"), loc))
+    assert(!scans(GraftSql.sql(spark,
+      s"SELECT g, COUNT(*) AS n FROM $base WHERE k > 1 GROUP BY g"), loc))
     // Aggregate-free GROUP BY (the dedup spelling) is NOT the rewrite's
     // shape: it must pass through and execute, not crash in agg().
     val dedup = GraftSql.sql(spark, s"SELECT g FROM $base GROUP BY g")
-    assert(!planOf(dedup).contains(loc))
+    assert(!scans(dedup, loc))
     assert(dedup.collect().map(_.getString(0)).toSet == Set("a", "b", "c", "d"))
   }
 
   test("non-maintainable definitions are refused") {
     val s = spark
     import s.implicits._
-    val baseDir = java.nio.file.Files.createTempDirectory("graft-mvsql3")
+    val baseDir = graft.tables.TmpDirs.create("graft-mvsql3")
       .resolve("base").toString
     ParquetTable.swap(spark, Seq((1L, "a", 1.5)).toDF("k", "g", "x"), baseDir)
     val base = freshName("mv_bad_base")

@@ -35,7 +35,7 @@ class ObserveSpec extends SparkSuite {
   test("streaming observe: counters arrive on every progress, totals match the data") {
     val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select("event_id", "ts", "event_type", "value")
-    val dir = Files.createTempDirectory("graft-observe").toString
+    val dir = graft.tables.TmpDirs.create("graft-observe").toString
     src.coalesce(2).write.mode("overwrite").parquet(s"$dir/in")
 
     val stream = spark.readStream.schema(src.schema).parquet(s"$dir/in")

@@ -13,7 +13,7 @@ class OperationalSpec extends SparkSuite {
   test("maxFilesPerTrigger bounds catch-up micro-batches") {
     val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select("event_id", "ts", "event_type", "value")
-    val dir = Files.createTempDirectory("graft-ops").toString
+    val dir = graft.tables.TmpDirs.create("graft-ops").toString
     src.repartition(6).write.mode("overwrite").parquet(s"$dir/in")
 
     val stream = spark.readStream.schema(src.schema)
@@ -34,7 +34,7 @@ class OperationalSpec extends SparkSuite {
   }
 
   test("ignoreCorruptFiles skips a poisoned parquet file, keeps the rest") {
-    val dir = Files.createTempDirectory("graft-corrupt").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-corrupt").resolve("t").toString
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_orderstatus")
     orders.coalesce(4).write.mode("overwrite").parquet(dir)

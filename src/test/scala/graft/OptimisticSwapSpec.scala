@@ -12,7 +12,7 @@ class OptimisticSwapSpec extends SparkSuite {
   test("stale writer rejected, table unscathed, retry succeeds; racers serialize") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-occ").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-occ").resolve("t").toString
     ParquetTable.swap(spark, (1 to 10).toDF("v"), dir)
 
     // Writer A reads v1; writer B commits first; A must be rejected.

@@ -12,7 +12,7 @@ import graft.tables.GraftSql
 class OptimizeWhereSpec extends SparkSuite {
 
   private def mk(): (String, String) = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ows").toString + "/t"
+    val dir = graft.tables.TmpDirs.create("graft-ows").toString + "/t"
     val orders = spark.read.parquet(s"$sf001/orders.parquet")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     ParquetTable.swap(spark, orders.repartitionByRange(8, col("o_orderkey")), dir)

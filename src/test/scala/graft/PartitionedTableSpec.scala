@@ -20,7 +20,7 @@ class PartitionedTableSpec extends SparkSuite {
       .withColumn("event_date", to_date(col("ts")))
 
   test("partition filter prunes directories at planning time") {
-    val dir = Files.createTempDirectory("graft-part").resolve("events").toString
+    val dir = graft.tables.TmpDirs.create("graft-part").resolve("events").toString
     val df = events()
     PartitionedTable.write(df, dir, Seq("event_date"))
 
@@ -49,7 +49,7 @@ class PartitionedTableSpec extends SparkSuite {
   }
 
   test("dynamic partition overwrite touches only the partitions in the batch") {
-    val dir = Files.createTempDirectory("graft-dynpart").resolve("events").toString
+    val dir = graft.tables.TmpDirs.create("graft-dynpart").resolve("events").toString
     val df = events()
     PartitionedTable.write(df, dir, Seq("event_date"))
 

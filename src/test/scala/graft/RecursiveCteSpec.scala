@@ -90,7 +90,7 @@ class RecursiveCteSpec extends SparkSuite {
   }
 
   test("failure modes: registered-name collision, iteration cap, malformed body") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-rc").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-rc").resolve("t").toString
     val s = spark
     import s.implicits._
     graft.streaming.ParquetTable.swap(spark, Seq((1L, "a")).toDF("id", "v"), dir)

@@ -17,7 +17,7 @@ import graft.streaming.{CdcStreaming, ParquetTable}
 class RedeliveryStreamingSpec extends SparkSuite {
 
   private def tmp(prefix: String): Path = {
-    val p = Files.createTempDirectory(prefix)
+    val p = graft.tables.TmpDirs.create(prefix)
     p.toFile.deleteOnExit()
     p
   }

@@ -17,7 +17,7 @@ class ReplaceWhereSpec extends SparkSuite {
     import s.implicits._
     n += 1
     val name = s"rpw_t$n"
-    val dir = java.nio.file.Files.createTempDirectory("graft-rpw")
+    val dir = graft.tables.TmpDirs.create("graft-rpw")
       .resolve(name).toString
     ParquetTable.swap(spark,
       Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0),

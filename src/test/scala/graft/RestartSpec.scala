@@ -15,7 +15,7 @@ import graft.streaming.CdcStreaming
 class RestartSpec extends SparkSuite {
 
   test("ingest restart from checkpoint produces no duplicates and no loss") {
-    val root = Files.createTempDirectory("graft-restart")
+    val root = graft.tables.TmpDirs.create("graft-restart")
     def dir(name: String): String = { val d = root.resolve(name); Files.createDirectories(d); d.toString }
 
     val streams = CdcEventGen.fromTpch(spark, sf0001)

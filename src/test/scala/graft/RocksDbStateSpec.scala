@@ -13,7 +13,7 @@ import graft.streaming.CdcStreaming
 class RocksDbStateSpec extends SparkSuite {
 
   test("ingest on RocksDB state store matches the batch path") {
-    val root = Files.createTempDirectory("graft-rocks")
+    val root = graft.tables.TmpDirs.create("graft-rocks")
     def dir(name: String): String = {
       val d = root.resolve(name); Files.createDirectories(d); d.toString
     }

@@ -12,7 +12,7 @@ class SchemaEvolutionSpec extends SparkSuite {
   test("ADD COLUMN evolves, old files null-fill; drop/type-change rejected") {
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft-evolve").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-evolve").resolve("t").toString
 
     SchemaEvolution.appendEvolved(spark, Seq((1L, "a")).toDF("id", "name"), dir)
     // ADD COLUMN score: compatible.
@@ -43,7 +43,7 @@ class SchemaEvolutionSpec extends SparkSuite {
   test("RENAME COLUMN is metadata-only and spans file generations; DROP tombstones") {
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft-rename").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-rename").resolve("t").toString
 
     SchemaEvolution.appendEvolved(spark, Seq((1L, 10.0)).toDF("id", "amount"), dir)
     val filesBefore = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).filter(p =>
@@ -87,7 +87,7 @@ class SchemaEvolutionSpec extends SparkSuite {
     import org.apache.spark.sql.types._
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft-widen").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-widen").resolve("t").toString
 
     SchemaEvolution.appendEvolved(spark, Seq((1L, 10), (2L, 20)).toDF("id", "qty"), dir)
     // Pre-widen: a double batch is rejected (strict enforcement).
@@ -121,7 +121,7 @@ class SchemaEvolutionSpec extends SparkSuite {
     import org.apache.spark.sql.types._
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft-widents").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-widents").resolve("t").toString
 
     SchemaEvolution.appendEvolved(spark,
       Seq((1L, "2024-01-05 10:30:00")).toDF("id", "shipped_at"), dir)
@@ -149,7 +149,7 @@ class SchemaEvolutionSpec extends SparkSuite {
     import org.apache.spark.sql.types._
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft-widenmix").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-widenmix").resolve("t").toString
 
     SchemaEvolution.appendEvolved(spark, Seq((1L, 5)).toDF("id", "amount"), dir)
     SchemaEvolution.renameColumn(spark, dir, "amount", "total")
@@ -169,7 +169,7 @@ class SchemaEvolutionSpec extends SparkSuite {
     import org.apache.spark.sql.types._
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft-widenrej").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-widenrej").resolve("t").toString
     SchemaEvolution.appendEvolved(spark, Seq((1L, 5L)).toDF("id", "big"), dir)
     val e = intercept[IllegalArgumentException] {
       SchemaEvolution.widenColumn(spark, dir, "big", DoubleType)

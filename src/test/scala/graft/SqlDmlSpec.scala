@@ -19,7 +19,7 @@ class SqlDmlSpec extends SparkSuite {
     import s.implicits._
     n += 1
     val name = s"dml_t$n"
-    val dir = java.nio.file.Files.createTempDirectory("graft-dml")
+    val dir = graft.tables.TmpDirs.create("graft-dml")
       .resolve(name).toString
     ParquetTable.swap(spark,
       rows.toDF("id", "status", "price").repartition(3), dir)
@@ -40,7 +40,7 @@ class SqlDmlSpec extends SparkSuite {
     import s.implicits._
     n += 1
     val name = s"dml_t$n"
-    val dir = java.nio.file.Files.createTempDirectory("graft-dml")
+    val dir = graft.tables.TmpDirs.create("graft-dml")
       .resolve(name).toString
     // A NULL status row: `status = 'B'` is NULL there — SQL keeps it.
     ParquetTable.swap(spark,
@@ -220,7 +220,7 @@ class SqlDmlSpec extends SparkSuite {
   test("DML statements accept qualified and backquoted identifiers") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-dml")
+    val dir = graft.tables.TmpDirs.create("graft-dml")
       .resolve("qual").toString
     ParquetTable.swap(spark, Seq((1L, 5.0), (2L, 6.0)).toDF("id", "v"), dir)
     GraftSql.register(spark, "lake.dmlq", dir, Seq("id"))
@@ -331,7 +331,7 @@ class SqlDmlSpec extends SparkSuite {
   test("DML on a schema-diverged table (pending RENAME) is refused loudly") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-dml")
+    val dir = graft.tables.TmpDirs.create("graft-dml")
       .resolve("div").toString
     ParquetTable.swap(spark, Seq((1L, 5.0)).toDF("id", "amount"), dir)
     GraftSql.register(spark, "dml_div", dir, Seq("id"))
@@ -345,7 +345,7 @@ class SqlDmlSpec extends SparkSuite {
   test("OPTIMIZE WHERE on a diverged table refuses; unscoped OPTIMIZE still works") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-dml")
+    val dir = graft.tables.TmpDirs.create("graft-dml")
       .resolve("divopt").toString
     ParquetTable.swap(spark,
       Seq((1L, 5.0), (2L, 7.0)).toDF("id", "amount").repartition(2), dir)

@@ -15,7 +15,7 @@ import java.nio.file.Files
 class StampInvalidationSpec extends SparkSuite {
 
   test("auto width re-derives across an in-place rebuild (6 -> 7 bits at the 8192 boundary)") {
-    val dir = Files.createTempDirectory("graft-stamp").toString
+    val dir = graft.tables.TmpDirs.create("graft-stamp").toString
     val path = graft.SparkSessions.tablePath(dir, "embeddings")
     def writeCorpus(n: Long): Unit =
       spark.range(n).selectExpr(

@@ -15,7 +15,7 @@ import graft.tables.StatsSkipping
 class StatsAggSpec extends SparkSuite {
 
   test("manifest aggregates equal row-level aggregates, with zero data IO") {
-    val dir = Files.createTempDirectory("graft-magg").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-magg").resolve("t").toString
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
     StatsSkipping.writeWithStats(
@@ -44,7 +44,7 @@ class StatsAggSpec extends SparkSuite {
   }
 
   test("append extends the counts; empty table yields null min/max") {
-    val dir = Files.createTempDirectory("graft-magg2").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-magg2").resolve("t").toString
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_custkey")
     val gen1 = orders.filter(col("o_orderkey") % 2 === 0)
@@ -60,7 +60,7 @@ class StatsAggSpec extends SparkSuite {
       orders.agg(max("o_orderkey")).head.getLong(0))
 
     // Degenerate manifest (header only): count 0, NULL extrema.
-    val emptyDir = Files.createTempDirectory("graft-magg3").resolve("e").toString
+    val emptyDir = graft.tables.TmpDirs.create("graft-magg3").resolve("e").toString
     Files.createDirectories(Paths.get(emptyDir))
     Files.write(Paths.get(emptyDir, "_STATS"),
       Seq("#cols\to_orderkey\t#curve=z").asJava)

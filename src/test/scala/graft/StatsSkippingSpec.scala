@@ -15,7 +15,7 @@ import graft.tables.StatsSkipping
 class StatsSkippingSpec extends SparkSuite {
 
   test("range scan prunes files by manifest and preserves content") {
-    val dir = Files.createTempDirectory("graft-skip").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-skip").resolve("t").toString
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     StatsSkipping.writeWithStats(spark, orders, "o_orderkey", dir, numFiles = 8)
@@ -43,7 +43,7 @@ class StatsSkippingSpec extends SparkSuite {
   }
 
   test("incremental append extends the manifest; skipping spans both generations") {
-    val dir = Files.createTempDirectory("graft-skipa").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-skipa").resolve("t").toString
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     val gen1 = orders.filter(col("o_orderkey") % 2 === 0)
@@ -66,7 +66,7 @@ class StatsSkippingSpec extends SparkSuite {
   }
 
   test("multi-dim zone maps over a z-ordered layout prune in EVERY dimension") {
-    val dir = Files.createTempDirectory("graft-skipz").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-skipz").resolve("t").toString
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     StatsSkipping.writeWithStats(
@@ -96,7 +96,7 @@ class StatsSkippingSpec extends SparkSuite {
   }
 
   test("append replays the recorded curve — a hilbert table stays hilbert") {
-    val dir = Files.createTempDirectory("graft-skiph").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-skiph").resolve("t").toString
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val gen1 = orders.filter(col("o_orderkey") % 2 === 0)
@@ -115,7 +115,7 @@ class StatsSkippingSpec extends SparkSuite {
     // The appended generation must be clustered with the SAME curve: its
     // per-file boxes must match a fresh hilbert clustering of gen2, not a
     // morton one (the curves produce different file→box assignments).
-    val hdir = Files.createTempDirectory("graft-skiph2").resolve("t").toString
+    val hdir = graft.tables.TmpDirs.create("graft-skiph2").resolve("t").toString
     StatsSkipping.writeWithStats(spark, gen2, Seq("o_orderkey", "o_custkey"), hdir,
       numFiles = 4, curve = "hilbert")
     // boxes of the appended files == boxes of a standalone hilbert write

@@ -23,7 +23,7 @@ class StreamingIvfSpec extends SparkSuite {
     val base = corpus.filter(col("vec_id") < 100)
     val delta = corpus.filter(col("vec_id") >= 100)
 
-    val root = Files.createTempDirectory("graft-sivf").toString
+    val root = graft.tables.TmpDirs.create("graft-sivf").toString
     val streamDir = s"$root/streamed"
     IvfIndex.build(spark, base, numCells = 16, streamDir)
 

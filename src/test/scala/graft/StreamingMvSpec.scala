@@ -23,7 +23,7 @@ class StreamingMvSpec extends SparkSuite {
   test("maintainer follows commits across runs; replay is a no-op") {
     val s = spark
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-smv")
+    val root = graft.tables.TmpDirs.create("graft-smv")
     val baseDir = root.resolve("base").toString
     val mvDir = root.resolve("mv").toString
     val ckpt = root.resolve("ckpt").toString

@@ -15,7 +15,7 @@ class StreamingSketchSpec extends SparkSuite {
     val src = graft.queries.EventsQueries.events(spark, sf0001)
       .select(col("ts"),
         expr(graft.text.TextAnalysis.hash60Spark("CAST(user_id AS STRING)")).as("h"))
-    val dir = Files.createTempDirectory("graft-sks").toString
+    val dir = graft.tables.TmpDirs.create("graft-sks").toString
     src.repartition(4).write.mode("overwrite").parquet(s"$dir/in")
 
     def agg(df: org.apache.spark.sql.DataFrame) = df

@@ -16,7 +16,7 @@ import graft.streaming.{BucketedTable, CdcStreaming, ParquetTable}
 class StreamingSpec extends SparkSuite {
 
   private def tmp(prefix: String): Path = {
-    val p = Files.createTempDirectory(prefix)
+    val p = graft.tables.TmpDirs.create(prefix)
     p.toFile.deleteOnExit()
     p
   }

@@ -20,7 +20,7 @@ class StreamingValueIndexSpec extends SparkSuite {
   test("foreachBatch append + refreshIncremental == rebuild; lookups stay pruned") {
     val s = spark
     import s.implicits._
-    val root = Files.createTempDirectory("graft-svix").toString
+    val root = graft.tables.TmpDirs.create("graft-svix").toString
     val dir = s"$root/t"
     def rows(lo: Long, hi: Long) =
       (lo until hi).map(i => (i, (i * 48271L) % 100003L)).toDF("id", "track")

@@ -8,7 +8,7 @@ import graft.tables.GraftSql
 class TablesampleSpec extends SparkSuite {
 
   private lazy val table: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-tss").toString + "/t"
+    val dir = graft.tables.TmpDirs.create("graft-tss").toString + "/t"
     graft.streaming.ParquetTable.swap(spark,
       spark.read.parquet(s"$sf001/orders.parquet"), dir)
     val nm = s"tss_orders_${java.util.UUID.randomUUID.toString.take(8)}".replace("-", "")
@@ -41,7 +41,7 @@ class TablesampleSpec extends SparkSuite {
     assert(e1.getMessage.contains("not registered"))
     val keyless = s"tss_keyless_${java.util.UUID.randomUUID.toString.take(8)}".replace("-", "")
     GraftSql.register(spark, keyless,
-      java.nio.file.Files.createTempDirectory("graft-tsk").toString)
+      graft.tables.TmpDirs.create("graft-tsk").toString)
     val e2 = intercept[IllegalArgumentException] {
       GraftSql.sql(spark, s"SELECT * FROM $keyless TABLESAMPLE (10 PERCENT)")
     }

@@ -11,7 +11,7 @@ import graft.tables.{GraftSql, Tags}
 class TagSpec extends SparkSuite {
 
   private def mk(): (String, String) = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-tagspec").toString + "/t"
+    val dir = graft.tables.TmpDirs.create("graft-tagspec").toString + "/t"
     val df = spark.sql("SELECT * FROM VALUES (1L, 10.0), (2L, 20.0), (3L, 30.0) AS t(k, v)")
     ParquetTable.swap(spark, df, dir)
     val nm = s"tag_${java.util.UUID.randomUUID.toString.take(8)}".replace("-", "")

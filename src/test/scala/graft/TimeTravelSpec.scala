@@ -12,7 +12,7 @@ class TimeTravelSpec extends SparkSuite {
   test("snapshots accumulate, read back by version, vacuum keeps the newest") {
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft-tt").toString
+    val dir = graft.tables.TmpDirs.create("graft-tt").toString
 
     ParquetTable.swap(spark, Seq(1, 2, 3).toDF("x"), dir)
     ParquetTable.swap(spark, Seq(1, 2, 3, 4).toDF("x"), dir)
@@ -32,7 +32,7 @@ class TimeTravelSpec extends SparkSuite {
   test("version ids stay monotonic across naming epochs (numeric, not lexical, order)") {
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft-tt2").toString
+    val dir = graft.tables.TmpDirs.create("graft-tt2").toString
 
     // Plant a snapshot written by an "older epoch" with an UNPADDED name:
     // lexically "v99" sorts after any zero-padded name, numerically it is
@@ -56,7 +56,7 @@ class TimeTravelSpec extends SparkSuite {
   test("RESTORE republishes an old snapshot as a new version; DEEP CLONE starts fresh history") {
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft-tt4").toString
+    val dir = graft.tables.TmpDirs.create("graft-tt4").toString
 
     ParquetTable.swap(spark, Seq(1, 2, 3).toDF("x"), dir)
     ParquetTable.swap(spark, Seq(9).toDF("x"), dir)
@@ -66,7 +66,7 @@ class TimeTravelSpec extends SparkSuite {
     assert(ParquetTable.snapshots(dir).size == 3, "restore commits, never rewrites history")
     assert(ParquetTable.readSnapshot(spark, dir, 1).count() == 1, "the rolled-back version survives")
 
-    val cloneDir = Files.createTempDirectory("graft-tt4c").toString
+    val cloneDir = graft.tables.TmpDirs.create("graft-tt4c").toString
     ParquetTable.deepClone(spark, dir, cloneDir)
     assert(ParquetTable.read(spark, cloneDir).count() == 3)
     assert(ParquetTable.snapshots(cloneDir).size == 1, "clone starts with fresh history")
@@ -75,10 +75,10 @@ class TimeTravelSpec extends SparkSuite {
   test("SHALLOW CLONE copies zero data files and diverges copy-on-write") {
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft-tt5").toString
+    val dir = graft.tables.TmpDirs.create("graft-tt5").toString
 
     ParquetTable.swap(spark, Seq(1, 2, 3).toDF("x"), dir)
-    val cloneDir = Files.createTempDirectory("graft-tt5c").resolve("clone").toString
+    val cloneDir = graft.tables.TmpDirs.create("graft-tt5c").resolve("clone").toString
     ParquetTable.shallowClone(dir, cloneDir)
 
     def parquetFiles(d: String): Seq[java.nio.file.Path] = {
@@ -105,7 +105,7 @@ class TimeTravelSpec extends SparkSuite {
   test("TIMESTAMP AS OF reads the newest snapshot published at or before ts") {
     val s = spark
     import s.implicits._
-    val dir = Files.createTempDirectory("graft-tt3").toString
+    val dir = graft.tables.TmpDirs.create("graft-tt3").toString
 
     val t0 = System.currentTimeMillis()
     ParquetTable.swap(spark, Seq(1).toDF("x"), dir)
@@ -124,7 +124,7 @@ class TimeTravelSpec extends SparkSuite {
   test("vacuum DRY RUN previews without deleting; RETAIN drops by publish age") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-vac").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-vac").resolve("t").toString
     (1 to 3).foreach(i => ParquetTable.swap(spark, (1 to i * 10).toDF("v"), dir))
     assert(ParquetTable.snapshots(dir).size == 3)
 
@@ -147,7 +147,7 @@ class TimeTravelSpec extends SparkSuite {
   test("snapshot isolation: a resolved reader never sees a concurrent swap") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-iso").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-iso").resolve("t").toString
     ParquetTable.swap(spark, (1 to 100).toDF("v"), dir)
 
     // The reader resolves `_CURRENT` ONCE, at DataFrame creation — it is
@@ -168,7 +168,7 @@ class TimeTravelSpec extends SparkSuite {
   test("a moved-but-unpublished version dir is NOT addressable (no phantom commits)") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-ph").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-ph").resolve("t").toString
     ParquetTable.swap(spark, Seq(1, 2).toDF("v"), dir)
     ParquetTable.swap(spark, Seq(1, 2, 3).toDF("v"), dir)
     val nm = s"ph_${java.util.UUID.randomUUID.toString.take(8)}".replace("-", "")
@@ -197,10 +197,10 @@ class TimeTravelSpec extends SparkSuite {
   test("a shallow clone's local orphan never resolves as the source's version (ADVICE r12)") {
     val s = spark
     import s.implicits._
-    val srcDir = Files.createTempDirectory("graft-cph").resolve("src").toString
+    val srcDir = graft.tables.TmpDirs.create("graft-cph").resolve("src").toString
     ParquetTable.swap(spark, Seq(1, 2).toDF("v"), srcDir)
     ParquetTable.swap(spark, Seq(1, 2, 3).toDF("v"), srcDir)
-    val cloneDir = Files.createTempDirectory("graft-cph").resolve("clone").toString
+    val cloneDir = graft.tables.TmpDirs.create("graft-cph").resolve("clone").toString
     ParquetTable.shallowClone(srcDir, cloneDir)
 
     // The clone's pointer is a PATH into the source's v2. A local orphan

@@ -127,7 +127,7 @@ class TxBufferSpec extends SparkSuite {
 
   test("state TTL drops transactions that stay incomplete past the deadline") {
     import java.nio.file.{Files, Paths}
-    val root = Files.createTempDirectory("graft-ttl")
+    val root = graft.tables.TmpDirs.create("graft-ttl")
     def dir(n: String) = { val d = root.resolve(n); Files.createDirectories(d); d.toString }
     Seq("in/orders", "in/details", "in/lineitems", "in/metadata", "out", "ckpt").foreach(dir)
 
@@ -173,7 +173,7 @@ class TxBufferSpec extends SparkSuite {
 
   test("TTL-dropped transactions land in the quarantine dir with full payloads") {
     import java.nio.file.{Files, Paths}
-    val root = Files.createTempDirectory("graft-dlq")
+    val root = graft.tables.TmpDirs.create("graft-dlq")
     def dir(n: String) = { val d = root.resolve(n); Files.createDirectories(d); d.toString }
     Seq("in/orders", "in/details", "in/lineitems", "in/metadata", "out", "quarantine", "ckpt")
       .foreach(dir)

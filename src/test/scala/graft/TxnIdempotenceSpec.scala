@@ -11,7 +11,7 @@ class TxnIdempotenceSpec extends SparkSuite {
   test("replayed (appId, version) is a no-op; apps are independent") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-txn").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-txn").resolve("t").toString
 
     assert(ParquetTable.swapWithTxn(spark, (1 to 10).toDF("v"), dir, "sink", 1L))
     assert(ParquetTable.lastTxnVersion(dir, "sink").contains(1L))
@@ -37,7 +37,7 @@ class TxnIdempotenceSpec extends SparkSuite {
   test("foreachBatch-style replay sequence commits each batch once") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-txn2").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-txn2").resolve("t").toString
     // Simulated restart replays batch 1: ids 0, 1, 1, 2.
     val applied = Seq(0L, 1L, 1L, 2L).map { id =>
       ParquetTable.swapWithTxn(
@@ -51,7 +51,7 @@ class TxnIdempotenceSpec extends SparkSuite {
   test("an UNPUBLISHED orphan's _TXN stamp never no-ops the replay (r13 review)") {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-txn3").resolve("t").toString
+    val dir = graft.tables.TmpDirs.create("graft-txn3").resolve("t").toString
     assert(ParquetTable.swapWithTxn(spark, (1 to 5).toDF("v"), dir, "sink", 1L))
 
     // Simulate a writer that crashed BETWEEN its version-dir move and its

@@ -18,7 +18,7 @@ class ValueIndexSpec extends SparkSuite {
   private def seed(): String = {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-vidx-t")
+    val dir = graft.tables.TmpDirs.create("graft-vidx-t")
       .resolve("t").toString
     val df = (0L until 4000L).map(i => (i, (i * 48271L) % 100003L, i % 7L))
       .toDF("id", "track", "grp")

@@ -43,7 +43,7 @@ class ZOrderSpec extends SparkSuite {
   }
 
   test("zorderPartitions clusters within each partition, layout survives") {
-    val dir = Files.createTempDirectory("graft-zorder-part").resolve("orders").toString
+    val dir = graft.tables.TmpDirs.create("graft-zorder-part").resolve("orders").toString
     val orders = spark.read.parquet(s"$sf001/orders.parquet")
       .select("o_orderkey", "o_orderstatus", "o_custkey", "o_totalprice")
     orders.repartition(6).write.partitionBy("o_orderstatus").parquet(dir)
@@ -61,7 +61,7 @@ class ZOrderSpec extends SparkSuite {
   }
 
   test("zorder rewrite clusters both columns and preserves content") {
-    val dir = Files.createTempDirectory("graft-zorder").resolve("orders").toString
+    val dir = graft.tables.TmpDirs.create("graft-zorder").resolve("orders").toString
     val orders = spark.read.parquet(s"$sf001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
     // Fragment in key order so custkey/totalprice start fully unclustered.
