@@ -2938,6 +2938,25 @@ object GraftSql {
     }
     val priorTemp = scala.util.Try(s.catalog.getTable(name)).toOption
       .filter(_.isTemporary).map(_ => s.table(name))
+    // Loop-invariant FROM-subqueries materialize ONCE before the loop
+    // (r16): the step re-executes every BFS level, so a derived table
+    // that never references the recursive name — e.g. an edge list
+    // built by a fact-table self-join — was re-scanned and re-shuffled
+    // at EVERY level (depth × the most expensive subplan). Hoisting it
+    // into a checkpointed temp view makes the per-level work just
+    // frontier ⋈ edges, the Σ-level-sizes shape the scaladoc promises.
+    // Results are unchanged: the loop already assumes the step is
+    // deterministic (it re-evaluates the same text each level).
+    // Opt out with spark.graft.recursive.hoistInvariant=false.
+    val hoisted = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (!s.conf.getOption("spark.graft.recursive.hoistInvariant").contains("false"))
+      step = hoistLoopInvariants(step, name, { sub =>
+        val view = s"graft_rcte_inv_${hoisted.size}_" +
+          java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+        sql(s, sub).localCheckpoint(true).createOrReplaceTempView(view)
+        hoisted += view
+        view
+      })
     try {
       val base0 = shape(sql(s, base))
       var acc = (if (bag) base0 else base0.distinct()).localCheckpoint(true)
@@ -2971,7 +2990,65 @@ object GraftSql {
             s.catalog.dropTempView(name)
           ()
       }
+      hoisted.foreach(v => scala.util.Try(s.catalog.dropTempView(v)))
     }
+  }
+
+  /** Rewrite `step` so that every top-level derived table (`FROM (...)` /
+    * `JOIN (...)` whose body starts with SELECT or WITH) that does NOT
+    * mention `name` anywhere is replaced by `mk(subquery)` — the caller
+    * materializes the subquery once and returns a view name to splice
+    * in. Conservative on purpose: a subquery that mentions the
+    * recursive name (even in a string literal), a parenthesized join, a
+    * LATERAL item, or anything not in canonical `FROM/JOIN (SELECT …)`
+    * position is left untouched — not hoisting is always correct, the
+    * loop just re-evaluates it per level as before. */
+  private[graft] def hoistLoopInvariants(
+      step: String, name: String, mk: String => String): String = {
+    val nameWord = ("(?i)(?<![A-Za-z0-9_])" +
+      java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])").r
+    val out = new StringBuilder
+    var i = 0
+    var inQuote = false
+    val n = step.length
+    def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
+    def wordAt(idx: Int, w: String): Boolean =
+      step.regionMatches(true, idx, w, 0, w.length) &&
+        (idx == 0 || !isWordChar(step.charAt(idx - 1))) &&
+        (idx + w.length >= n || !isWordChar(step.charAt(idx + w.length)))
+    while (i < n) {
+      val c = step.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; out += c; i += 1 }
+      else if (!inQuote && (wordAt(i, "FROM") || wordAt(i, "JOIN"))) {
+        val kw = if (wordAt(i, "FROM")) "FROM" else "JOIN"
+        out.append(step.substring(i, i + kw.length))
+        i += kw.length
+        var j = i
+        while (j < n && Character.isWhitespace(step.charAt(j))) j += 1
+        if (j < n && step.charAt(j) == '(') {
+          // balanced, quote-aware scan to the matching close paren
+          var depth = 1; var k = j + 1; var q = false
+          while (k < n && depth > 0) {
+            val ck = step.charAt(k)
+            if (ck == '\'') q = !q
+            else if (!q && ck == '(') depth += 1
+            else if (!q && ck == ')') depth -= 1
+            k += 1
+          }
+          val sub = if (depth == 0) step.substring(j + 1, k - 1).trim else ""
+          val derived = sub.nonEmpty &&
+            ((sub.length >= 6 && sub.regionMatches(true, 0, "SELECT", 0, 6)) ||
+              (sub.length >= 4 && sub.regionMatches(true, 0, "WITH", 0, 4)))
+          if (derived && nameWord.findFirstIn(sub).isEmpty) {
+            out.append(step.substring(i, j))
+            if (j == i) out += ' ' // `FROM(` — keep the splice a word apart
+            out.append(mk(sub))
+            i = k
+          }
+        }
+      } else { out += c; i += 1 }
+    }
+    out.toString
   }
 
   /** Split on top-level whole-word separators, dropping the separator. */

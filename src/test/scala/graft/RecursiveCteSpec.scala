@@ -89,6 +89,57 @@ class RecursiveCteSpec extends SparkSuite {
     spark.catalog.dropTempView("rc_t")
   }
 
+  test("loop-invariant derived tables hoist once; name-referencing ones do not") {
+    // rewrite surface, directly: FROM-(SELECT …) not mentioning the
+    // recursive name is replaced via mk exactly once; the JOIN item
+    // that references `r` stays inline; string-literal mentions are
+    // conservatively treated as references (never hoisted).
+    var calls = Vector.empty[String]
+    def mk(sub: String): String = { calls :+= sub; s"v${calls.size}" }
+    val step =
+      """SELECT e.b FROM (SELECT a, b FROM edges WHERE a < 10) e
+        |JOIN r ON e.a = r.n
+        |JOIN (SELECT n FROM r WHERE n > 0) live ON live.n = e.a
+        |JOIN (SELECT 'r' AS tag) t ON 1=1""".stripMargin
+    val out = GraftSql.hoistLoopInvariants(step, "r", mk)
+    assert(calls.size == 1, s"expected exactly the edge subquery hoisted: $calls")
+    assert(calls.head.startsWith("SELECT a, b FROM edges"))
+    assert(out.contains("FROM v1 e"), out)
+    assert(out.contains("JOIN (SELECT n FROM r WHERE n > 0) live"),
+      "the step subquery referencing the recursive name must stay inline")
+    assert(out.contains("JOIN (SELECT 'r' AS tag) t"),
+      "a string-literal mention of the name is conservatively kept inline")
+    // non-derived parens (join conditions, IN-lists) untouched
+    val cond = "SELECT n + 1 FROM r WHERE (n < 5) AND n IN (SELECT k FROM seeds)"
+    assert(GraftSql.hoistLoopInvariants(cond, "r", mk) == cond)
+    assert(calls.size == 1)
+  }
+
+  test("hoisted step computes the same reach as the inline spelling") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (9L, 9L))
+      .toDF("src", "dst").createOrReplaceTempView("rc_inv_edges")
+    val stmt =
+      """WITH RECURSIVE r(n) AS (
+        |  SELECT CAST(1 AS BIGINT) AS n
+        |  UNION
+        |  SELECT e.b FROM (SELECT src AS a, dst AS b FROM rc_inv_edges WHERE src <> 9) e
+        |  JOIN r ON e.a = r.n
+        |) SELECT n FROM r""".stripMargin
+    val hoistedR = GraftSql.sql(spark, stmt).collect().map(_.getLong(0)).sorted.toSeq
+    spark.conf.set("spark.graft.recursive.hoistInvariant", "false")
+    val inlineR =
+      try GraftSql.sql(spark, stmt).collect().map(_.getLong(0)).sorted.toSeq
+      finally spark.conf.unset("spark.graft.recursive.hoistInvariant")
+    assert(hoistedR == Seq(1L, 2L, 3L, 4L), s"got $hoistedR")
+    assert(hoistedR == inlineR)
+    assert(spark.catalog.listTables().collect()
+      .forall(t => !t.name.startsWith("graft_rcte_inv_")),
+      "hoisted views must be dropped after the statement")
+    spark.catalog.dropTempView("rc_inv_edges")
+  }
+
   test("failure modes: registered-name collision, iteration cap, malformed body") {
     val dir = graft.tables.TmpDirs.create("graft-rc").resolve("t").toString
     val s = spark
