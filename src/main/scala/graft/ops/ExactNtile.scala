@@ -34,8 +34,8 @@ import org.apache.spark.sql.functions._
   * tiles = 4 the quartile edges — grouped exact order statistics with
   * no window, even when the group key is a constant-cardinality column.
   *
-  * The only collects are the per-group counts (bounded by |g|) and the
-  * histogram (bounded by |g| × bins) — both read, both documented.
+  * The only collect is the (group, bin) histogram (bounded by |g| ×
+  * bins); the per-group counts are derived from it in the driver.
   * Ordering is (score DESC, tie ASC); `tie` must be row-unique within a
   * group so the boundary row — and therefore every tie-crossing tile
   * edge — is deterministic and matches the window-function oracle

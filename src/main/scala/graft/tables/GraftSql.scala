@@ -2844,23 +2844,57 @@ object GraftSql {
     sql(s, out)
   }
 
+  /** Lexically opaque region starting at `i`: a quoted string (`'…'`,
+    * `"…"`, with `''`/`""` doubling and backslash escapes, Spark's
+    * default literal syntax), a backtick identifier (`` `…` ``, with
+    * ` `` ` doubling), a `--` line comment, or a `/* */` block comment.
+    * Returns the index just past the region, or `i` when none starts
+    * here. An unterminated region consumes to end-of-text — keyword and
+    * paren scanners must never match inside one (an apostrophe in a
+    * comment desynced the old single-quote-only trackers; r16 ADVICE). */
+  private[graft] def opaqueEnd(text: String, i: Int): Int = {
+    val n = text.length
+    val c = text.charAt(i)
+    if (c == '\'' || c == '"' || c == '`') {
+      var k = i + 1
+      while (k < n) {
+        val ck = text.charAt(k)
+        if (ck == '\\' && c != '`' && k + 1 < n) k += 2 // escaped char
+        else if (ck == c) {
+          if (k + 1 < n && text.charAt(k + 1) == c) k += 2 // doubled quote
+          else return k + 1
+        } else k += 1
+      }
+      n
+    } else if (c == '-' && i + 1 < n && text.charAt(i + 1) == '-') {
+      val nl = text.indexOf('\n', i)
+      if (nl < 0) n else nl + 1
+    } else if (c == '/' && i + 1 < n && text.charAt(i + 1) == '*') {
+      val e = text.indexOf("*/", i + 2)
+      if (e < 0) n else e + 2
+    } else i
+  }
+
   private def topLevelWordIndices(text: String, word: String): Seq[Int] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var depth = 0; var inQuote = false; var i = 0
+    var depth = 0; var i = 0
     val n = text.length; val w = word.length
     def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
     while (i < n) {
-      val c = text.charAt(i)
-      if (c == '\'') inQuote = !inQuote
-      else if (!inQuote && c == '(') depth += 1
-      else if (!inQuote && c == ')') depth -= 1
-      else if (!inQuote && depth == 0 && text.regionMatches(true, i, word, 0, w) &&
-          (i == 0 || !isWordChar(text.charAt(i - 1))) &&
-          (i + w >= n || !isWordChar(text.charAt(i + w)))) {
-        out += i
-        i += w - 1
+      val e = opaqueEnd(text, i)
+      if (e > i) i = e
+      else {
+        val c = text.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (depth == 0 && text.regionMatches(true, i, word, 0, w) &&
+            (i == 0 || !isWordChar(text.charAt(i - 1))) &&
+            (i + w >= n || !isWordChar(text.charAt(i + w)))) {
+          out += i
+          i += w - 1
+        }
+        i += 1
       }
-      i += 1
     }
     out.toSeq
   }
@@ -2900,14 +2934,17 @@ object GraftSql {
     require(registry.of(s).get(normalizeIdent(name)).isEmpty,
       s"WITH RECURSIVE: '$name' is also a registered table — the recursive " +
         "name would be shadowed by the statement-scoped mount; pick another name")
-    // balanced scan to the CTE body's closing paren
-    var depth = 1; var i = m.end; var inQuote = false
+    // balanced scan to the CTE body's closing paren (comment/quote-aware)
+    var depth = 1; var i = m.end
     while (i < stmt.length && depth > 0) {
-      val c = stmt.charAt(i)
-      if (c == '\'') inQuote = !inQuote
-      else if (!inQuote && c == '(') depth += 1
-      else if (!inQuote && c == ')') depth -= 1
-      i += 1
+      val e = opaqueEnd(stmt, i)
+      if (e > i) i = e
+      else {
+        val c = stmt.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        i += 1
+      }
     }
     require(depth == 0, "WITH RECURSIVE: unbalanced parentheses in the CTE body")
     val body = stmt.substring(m.end, i - 1)
@@ -2949,15 +2986,19 @@ object GraftSql {
     // deterministic (it re-evaluates the same text each level).
     // Opt out with spark.graft.recursive.hoistInvariant=false.
     val hoisted = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (!s.conf.getOption("spark.graft.recursive.hoistInvariant").contains("false"))
-      step = hoistLoopInvariants(step, name, { sub =>
-        val view = s"graft_rcte_inv_${hoisted.size}_" +
-          java.util.UUID.randomUUID.toString.replace("-", "").take(8)
-        sql(s, sub).localCheckpoint(true).createOrReplaceTempView(view)
-        hoisted += view
-        view
-      })
     try {
+      // Inside the try: each invariant materializes eagerly, so a later
+      // subquery throwing must reach the finally that drops the views
+      // (and releases their checkpointed blocks) already created
+      // (r16 ADVICE — the hoist used to run before the try).
+      if (!s.conf.getOption("spark.graft.recursive.hoistInvariant").contains("false"))
+        step = hoistLoopInvariants(step, name, { sub =>
+          val view = s"graft_rcte_inv_${hoisted.size}_" +
+            java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+          sql(s, sub).localCheckpoint(true).createOrReplaceTempView(view)
+          hoisted += view
+          view
+        })
       val base0 = shape(sql(s, base))
       var acc = (if (bag) base0 else base0.distinct()).localCheckpoint(true)
       var working = acc
@@ -2994,59 +3035,109 @@ object GraftSql {
     }
   }
 
-  /** Rewrite `step` so that every top-level derived table (`FROM (...)` /
-    * `JOIN (...)` whose body starts with SELECT or WITH) that does NOT
-    * mention `name` anywhere is replaced by `mk(subquery)` — the caller
-    * materializes the subquery once and returns a view name to splice
-    * in. Conservative on purpose: a subquery that mentions the
-    * recursive name (even in a string literal), a parenthesized join, a
-    * LATERAL item, or anything not in canonical `FROM/JOIN (SELECT …)`
-    * position is left untouched — not hoisting is always correct, the
-    * loop just re-evaluates it per level as before. */
+  /** Rewrite `step` so that every derived table (`FROM (...)` /
+    * `JOIN (...)` / a comma-separated FROM item `, (...)` whose body
+    * starts with SELECT or WITH) that does NOT mention `name` anywhere
+    * is replaced by `mk(subquery)` — the caller materializes the
+    * subquery once and returns a view name to splice in. A derived
+    * table that DOES mention the name stays inline, but the rewrite
+    * recurses into it, so its own invariant derived tables still hoist
+    * (r17: nested shapes). Conservative on purpose: a name mention even
+    * in a string literal blocks the hoist of that item, a LATERAL item
+    * or a parenthesized join is never hoisted as a whole, and anything
+    * else not in canonical derived-table position is left untouched —
+    * not hoisting is always correct, the loop just re-evaluates it per
+    * level as before. The scan is comment- and quote-aware end to end
+    * ([[opaqueEnd]]): keywords, commas and parens inside `--`/`/* */`
+    * comments, string literals or backtick identifiers never match. */
   private[graft] def hoistLoopInvariants(
       step: String, name: String, mk: String => String): String = {
     val nameWord = ("(?i)(?<![A-Za-z0-9_])" +
       java.util.regex.Pattern.quote(name) + "(?![A-Za-z0-9_])").r
     val out = new StringBuilder
     var i = 0
-    var inQuote = false
     val n = step.length
+    // Paren depth of the text passed through (consumed derived tables
+    // are balanced, so they never move it) and whether the scan sits in
+    // a top-level FROM list — the state that tells a FROM-item comma
+    // apart from a function-argument or ORDER/GROUP BY comma.
+    var depth = 0
+    var inFromList = false
+    val FromEnders = Seq("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+      "UNION", "EXCEPT", "INTERSECT", "WINDOW", "QUALIFY")
     def isWordChar(c: Char): Boolean = Character.isLetterOrDigit(c) || c == '_'
     def wordAt(idx: Int, w: String): Boolean =
       step.regionMatches(true, idx, w, 0, w.length) &&
         (idx == 0 || !isWordChar(step.charAt(idx - 1))) &&
         (idx + w.length >= n || !isWordChar(step.charAt(idx + w.length)))
-    while (i < n) {
-      val c = step.charAt(i)
-      if (c == '\'') { inQuote = !inQuote; out += c; i += 1 }
-      else if (!inQuote && (wordAt(i, "FROM") || wordAt(i, "JOIN"))) {
-        val kw = if (wordAt(i, "FROM")) "FROM" else "JOIN"
-        out.append(step.substring(i, i + kw.length))
-        i += kw.length
-        var j = i
-        while (j < n && Character.isWhitespace(step.charAt(j))) j += 1
-        if (j < n && step.charAt(j) == '(') {
-          // balanced, quote-aware scan to the matching close paren
-          var depth = 1; var k = j + 1; var q = false
-          while (k < n && depth > 0) {
-            val ck = step.charAt(k)
-            if (ck == '\'') q = !q
-            else if (!q && ck == '(') depth += 1
-            else if (!q && ck == ')') depth -= 1
-            k += 1
-          }
-          val sub = if (depth == 0) step.substring(j + 1, k - 1).trim else ""
-          val derived = sub.nonEmpty &&
-            ((sub.length >= 6 && sub.regionMatches(true, 0, "SELECT", 0, 6)) ||
-              (sub.length >= 4 && sub.regionMatches(true, 0, "WITH", 0, 4)))
-          if (derived && nameWord.findFirstIn(sub).isEmpty) {
-            out.append(step.substring(i, j))
-            if (j == i) out += ' ' // `FROM(` — keep the splice a word apart
-            out.append(mk(sub))
-            i = k
-          }
+    // Derived-table attempt: `j` points at '(' with pending text from
+    // `i0`. Returns the resume index past the item when it was consumed
+    // (hoisted, or recursed into because it references the name), -1 to
+    // fall back to the plain char-by-char path.
+    def tryDerived(i0: Int, j: Int): Int = {
+      var d = 1; var k = j + 1
+      while (k < n && d > 0) {
+        val e = opaqueEnd(step, k)
+        if (e > k) k = e
+        else {
+          val ck = step.charAt(k)
+          if (ck == '(') d += 1 else if (ck == ')') d -= 1
+          k += 1
         }
-      } else { out += c; i += 1 }
+      }
+      if (d != 0) return -1 // unbalanced: leave the text alone
+      val inner = step.substring(j + 1, k - 1)
+      val sub = inner.trim
+      val derived = sub.nonEmpty &&
+        ((sub.length >= 6 && sub.regionMatches(true, 0, "SELECT", 0, 6)) ||
+          (sub.length >= 4 && sub.regionMatches(true, 0, "WITH", 0, 4)))
+      if (!derived) return -1
+      out.append(step.substring(i0, j))
+      if (nameWord.findFirstIn(sub).isEmpty) {
+        if (j == i0) out += ' ' // `FROM(` — keep the splice a word apart
+        out.append(mk(sub))
+      } else {
+        // References the recursive name: the item itself must re-
+        // evaluate per level, but its inner invariants can still hoist.
+        out += '('
+        out.append(hoistLoopInvariants(inner, name, mk))
+        out += ')'
+      }
+      k
+    }
+    while (i < n) {
+      val e = opaqueEnd(step, i)
+      if (e > i) { out.append(step.substring(i, e)); i = e }
+      else {
+        val c = step.charAt(i)
+        if (wordAt(i, "FROM") || wordAt(i, "JOIN")) {
+          val kw = if (wordAt(i, "FROM")) "FROM" else "JOIN"
+          if (depth == 0 && kw == "FROM") inFromList = true
+          out.append(step.substring(i, i + kw.length))
+          i += kw.length
+          var j = i
+          while (j < n && Character.isWhitespace(step.charAt(j))) j += 1
+          if (j < n && step.charAt(j) == '(') {
+            val ni = tryDerived(i, j)
+            if (ni >= 0) i = ni
+          }
+        } else if (depth == 0 && inFromList && c == ',') {
+          // Comma-separated FROM item: hoists exactly like `FROM (…)`.
+          out += c; i += 1
+          var j = i
+          while (j < n && Character.isWhitespace(step.charAt(j))) j += 1
+          if (j < n && step.charAt(j) == '(') {
+            val ni = tryDerived(i, j)
+            if (ni >= 0) i = ni
+          }
+        } else {
+          if (depth == 0 && inFromList && FromEnders.exists(wordAt(i, _)))
+            inFromList = false
+          if (c == '(') depth += 1
+          else if (c == ')' && depth > 0) depth -= 1
+          out += c; i += 1
+        }
+      }
     }
     out.toString
   }

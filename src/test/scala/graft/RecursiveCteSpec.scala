@@ -140,6 +140,89 @@ class RecursiveCteSpec extends SparkSuite {
     spark.catalog.dropTempView("rc_inv_edges")
   }
 
+  test("scanner: comments, double quotes and backticks never desync the hoist") {
+    var calls = Vector.empty[String]
+    def mk(sub: String): String = { calls :+= sub; s"v${calls.size}" }
+    // An apostrophe (and an unbalanced paren) inside a -- comment
+    // desynced the old single-quote-only tracker, which could then
+    // mis-extract a region (r16 ADVICE). The invariant item after the
+    // comment must still hoist, exactly once.
+    val commented =
+      """SELECT e.b -- it's a comment (with an open paren
+        |FROM (SELECT a, b FROM edges WHERE a < 10) e
+        |JOIN r ON e.a = r.n /* block comment: don't (desync) either */""".stripMargin
+    val out = GraftSql.hoistLoopInvariants(commented, "r", mk)
+    assert(calls.size == 1, s"expected one hoist: $calls")
+    assert(out.contains("FROM v1 e"), out)
+    assert(out.contains("-- it's a comment"), "comment text must pass through")
+    // FROM/JOIN-lookalikes inside double-quoted literals and backtick
+    // identifiers are opaque — nothing hoists, text unchanged.
+    val quoted =
+      """SELECT "FROM (SELECT 1) fake" AS s, `odd ' backtick` FROM r WHERE r.n > 0"""
+    assert(GraftSql.hoistLoopInvariants(quoted, "r", mk) == quoted)
+    assert(calls.size == 1)
+  }
+
+  test("wider shapes: comma-separated FROM items and nested invariants hoist") {
+    var calls = Vector.empty[String]
+    def mk(sub: String): String = { calls :+= sub; s"v${calls.size}" }
+    // Comma-separated FROM items hoist like FROM/JOIN items; a LATERAL
+    // item stays inline; select-list/ORDER BY commas are not FROM items.
+    val commaFrom =
+      """SELECT f(x.a, y.b), (SELECT max(k) FROM seeds) AS m
+        |FROM (SELECT a FROM edges) x, (SELECT b FROM edges) y,
+        |     LATERAL (SELECT x.a + 1 AS c) l
+        |JOIN r ON x.a = r.n
+        |ORDER BY x.a, y.b""".stripMargin
+    val out1 = GraftSql.hoistLoopInvariants(commaFrom, "r", mk)
+    assert(calls.size == 2, s"both comma items hoist, LATERAL does not: $calls")
+    assert(out1.contains("FROM v1 x, v2 y"), out1)
+    assert(out1.contains("LATERAL (SELECT x.a + 1 AS c) l"), out1)
+    assert(out1.contains("(SELECT max(k) FROM seeds) AS m"),
+      "a scalar subquery in the select list is not a FROM item")
+    // A name-referencing derived table stays inline, but its own
+    // invariant derived tables hoist out of it.
+    val nested =
+      """SELECT z.b FROM (
+        |  SELECT q.b FROM (SELECT a, b FROM edges WHERE a < 10) q
+        |  JOIN r ON q.a = r.n) z""".stripMargin
+    val out2 = GraftSql.hoistLoopInvariants(nested, "r", mk)
+    assert(calls.size == 3, s"the nested invariant must hoist: $calls")
+    assert(calls.last.startsWith("SELECT a, b FROM edges"), calls.last)
+    assert(out2.contains("FROM v3 q"), out2)
+    assert(out2.contains("JOIN r ON q.a = r.n"), out2)
+  }
+
+  test("hoisted wider shapes compute the same reach as the inline spelling") {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (9L, 9L))
+      .toDF("src", "dst").createOrReplaceTempView("rc_wide_edges")
+    // comma-FROM pair join + a nested invariant inside the name-
+    // referencing join item + comments with apostrophes in the step
+    val stmt =
+      """WITH RECURSIVE r(n) AS (
+        |  SELECT CAST(1 AS BIGINT) AS n
+        |  UNION
+        |  SELECT e2.d -- step's comment (don't desync
+        |  FROM (SELECT src AS a, dst AS b FROM rc_wide_edges WHERE src <> 9) e1,
+        |       (SELECT src AS c, dst AS d FROM rc_wide_edges WHERE src <> 9) e2
+        |  JOIN (SELECT q.n FROM (SELECT n FROM r) q) live ON e2.c = live.n
+        |  WHERE e1.a = e2.c
+        |) SELECT n FROM r""".stripMargin
+    val hoistedR = GraftSql.sql(spark, stmt).collect().map(_.getLong(0)).sorted.toSeq
+    spark.conf.set("spark.graft.recursive.hoistInvariant", "false")
+    val inlineR =
+      try GraftSql.sql(spark, stmt).collect().map(_.getLong(0)).sorted.toSeq
+      finally spark.conf.unset("spark.graft.recursive.hoistInvariant")
+    assert(hoistedR == Seq(1L, 2L, 3L, 4L), s"got $hoistedR")
+    assert(hoistedR == inlineR)
+    assert(spark.catalog.listTables().collect()
+      .forall(t => !t.name.startsWith("graft_rcte_inv_")),
+      "hoisted views must be dropped after the statement")
+    spark.catalog.dropTempView("rc_wide_edges")
+  }
+
   test("failure modes: registered-name collision, iteration cap, malformed body") {
     val dir = graft.tables.TmpDirs.create("graft-rc").resolve("t").toString
     val s = spark
