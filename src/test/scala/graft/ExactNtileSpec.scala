@@ -69,6 +69,32 @@ class ExactNtileSpec extends SparkSuite {
     assert(got == ref, s"native-type tie ordering: $got vs $ref")
   }
 
+  test("withTile computes its input exactly 3 times (the r16 count pass stays gone)") {
+    // The r16 optimization derived the per-group counts from the
+    // histogram collect, deleting a 4th full pass over the input. A
+    // final-plan dump cannot show a removed driver-side job (the r16
+    // artifact mistakenly cited one), so this pins the pass count
+    // directly: every materialization of the input bumps a per-row
+    // accumulator — histogram collect + boundary-bin refinement +
+    // final assignment = exactly 3 N.
+    val s = spark
+    val n = 300
+    val acc = s.sparkContext.longAccumulator("ntile-input-rows-computed")
+    val rdd = s.sparkContext.parallelize(0 until n, 4).map { i =>
+      acc.add(1)
+      org.apache.spark.sql.Row(
+        if (i % 3 == 0) "en" else "de", (i % 11) / 10.0, f"d$i%03d")
+    }
+    val df = s.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType))))
+    graft.ops.ExactNtile.withTile(df, "g", "score", "id", 3)
+      .write.format("noop").mode("overwrite").save()
+    assert(acc.value == 3L * n,
+      s"expected exactly 3 input passes (${3L * n} rows computed), got ${acc.value}")
+  }
+
   test("plans no window over a constant-count partitioning on the corpus side") {
     import SparkTestBase.spark.implicits._
     val df = (0 until 200).map(i => ("en", i / 10.0, f"d$i%03d")).toDF("g", "score", "id")
