@@ -120,6 +120,13 @@ object CdcPipeline {
         .toDF()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
+      // Every consumer reads the persisted blocks from here on; the 32
+      // RocksDB providers the batch run loaded would otherwise stay
+      // registered — instances open, maintenance thread snapshotting
+      // ephemeral state — for the rest of the session (r17: measured
+      // as a monotone 4.9→22 s drift across repeated replays before
+      // the unload was added to the A/B harness).
+      org.apache.spark.sql.graft.StateInit.unloadAllStateStores()
       df
     })
 
@@ -140,33 +147,10 @@ object CdcPipeline {
     * shared DuckDB oracle then hash-gates. */
   def orderStreamV2StreamedCached(spark: SparkSession, sfDir: String): DataFrame =
     cacheV2Streamed.getOrElseUpdate(spark, sfDir)({
-      import graft.streaming.CdcStreaming
       val base = graft.tables.TmpDirs.create("graft-v2s")
-      val srcs = CdcEventGen.fromTpch(spark, sfDir)
-      val dirs = Seq(
-        "orders" -> srcs.orders, "details" -> srcs.details,
-        "lineitems" -> srcs.lineItems, "metadata" -> srcs.metadata).map {
-        case (n, df) =>
-          val d = base.resolve(n).toString
-          df.select("value").write.mode("overwrite").text(d)
-          d
-      }
-      val streamed = unified(
-        CdcStreaming.fileValueStream(spark, dirs(0)),
-        CdcStreaming.fileValueStream(spark, dirs(1)),
-        CdcStreaming.fileValueStream(spark, dirs(2)),
-        CdcStreaming.fileValueStream(spark, dirs(3)))
+      val dirs = stageV2sInputs(spark, sfDir, base)
       val out = base.resolve("out").toString
-      val q = graft.buffering.TxBufferV2(streamed, () => FixedTs)
-        .toDF()
-        .writeStream
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", base.resolve("cp").toString)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      runV2sStream(spark, dirs, out, base.resolve("cp").toString)
       // The staging JSON and the checkpoint are DEAD once the sink
       // parquet exists — the cached frame's lineage reads only `out`.
       // Left behind, each bench/verify run parked ~4 GB of dead files
@@ -177,9 +161,55 @@ object CdcPipeline {
         try graft.tables.ValueIndex.deleteTree(java.nio.file.Paths.get(d))
         catch { case scala.util.control.NonFatal(_) => () }
       }
+      // The terminated query's 32 RocksDB providers stay registered
+      // until the next maintenance tick (60 s) and would snapshot
+      // against the checkpoint dir just deleted above — unload them
+      // with the staging, not eventually (the in-memory sibling of the
+      // r16 dead-staging fix).
+      org.apache.spark.sql.graft.StateInit.unloadAllStateStores()
       val df = spark.read.parquet(out)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
     })
+
+  /** v2s staging step: render the four CDC value streams as JSON-line
+    * text dirs under `base` (the file-source input). Split out so the
+    * A/B harness ([[AbStream]]) can stage once and time only the
+    * stream replay. */
+  private[graft] def stageV2sInputs(
+      spark: SparkSession, sfDir: String, base: java.nio.file.Path): Seq[String] = {
+    val srcs = CdcEventGen.fromTpch(spark, sfDir)
+    Seq(
+      "orders" -> srcs.orders, "details" -> srcs.details,
+      "lineitems" -> srcs.lineItems, "metadata" -> srcs.metadata).map {
+      case (n, df) =>
+        val d = base.resolve(n).toString
+        df.select("value").write.mode("overwrite").text(d)
+        d
+    }
+  }
+
+  /** v2s replay step: file source → parse/union → transformWithState
+    * (RocksDB state store, checkpointed) → parquet sink, run to
+    * completion under Trigger.AvailableNow. */
+  private[graft] def runV2sStream(
+      spark: SparkSession, dirs: Seq[String], out: String, cp: String): Unit = {
+    import graft.streaming.CdcStreaming
+    val streamed = unified(
+      CdcStreaming.fileValueStream(spark, dirs(0)),
+      CdcStreaming.fileValueStream(spark, dirs(1)),
+      CdcStreaming.fileValueStream(spark, dirs(2)),
+      CdcStreaming.fileValueStream(spark, dirs(3)))
+    val q = graft.buffering.TxBufferV2(streamed, () => FixedTs)
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -55,4 +55,14 @@ object StateInit {
             "use the flatMapGroupsWithState path (TxBuffer v1) for batch.",
           e)
     }
+
+  /** Unload every loaded state-store provider on this executor (local
+    * mode: the JVM) — `StateStore.unloadAll()` is `private[sql]`, hence
+    * surfaced here. Measurement hygiene for the A/B harness
+    * ([[graft.AbStream]]): a terminated AvailableNow query leaves its
+    * providers (RocksDB instances + background maintenance) registered
+    * until the next maintenance tick, which otherwise overlaps the next
+    * timed sample. Never called on a query path. */
+  def unloadAllStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
