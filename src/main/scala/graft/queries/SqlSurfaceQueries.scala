@@ -42,6 +42,28 @@ object SqlSurfaceQueries extends QueryModule {
     ()
   }
 
+  private val ordersSliceMemo =
+    new graft.tables.SessionMemo[String, (DataFrame, Long)]
+
+  /** The (o_orderkey, o_orderstatus, o_totalprice) slice of `orders`
+    * that seeds every DML/COPY statement table, checkpointed once per
+    * (session, dir) together with its max key. The four seeders
+    * previously each re-read orders.parquet — 9 swap sources + 3
+    * max-key aggregates + 3 merge-source views = 15 scans of the same
+    * file for one projection (r17, guide §6/§5: pay the scan once; the
+    * checkpointed rows are exactly the projection every consumer
+    * wants). Row content is identical, so every statement's oracle
+    * semantics are unchanged. */
+  private def ordersSlice(s: SparkSession, dir: String): (DataFrame, Long) =
+    ordersSliceMemo.getOrElseUpdate(s, dir)({
+      val df = s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .localCheckpoint(true)
+      val maxKey = df.agg(org.apache.spark.sql.functions.max("o_orderkey"))
+        .head.getLong(0)
+      (df, maxKey)
+    })
+
   private val bynSeeded =
     new graft.tables.SessionMemo[String, String]
 
@@ -50,15 +72,12 @@ object SqlSurfaceQueries extends QueryModule {
     * max so the append is key-disjoint, status 'B', price +0.5). */
   private def byNameTable(s: SparkSession, dir: String): String =
     bynSeeded.getOrElseUpdate(s, dir)({
-      import org.apache.spark.sql.functions._
       import graft.tables.GraftSql
       val base = graft.tables.TmpDirs.create("graft-bynsql").toString
-      val orders = s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val (orders, maxKey) = ordersSlice(s, dir)
       graft.streaming.ParquetTable.swap(s, orders.repartition(4), s"$base/t")
       val name = s"dml_byn_${java.util.UUID.randomUUID.toString.replace("-", "").take(8)}"
       GraftSql.register(s, name, s"$base/t", Seq("o_orderkey"))
-      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
       GraftSql.sql(s,
         s"""INSERT INTO $name BY NAME
            |SELECT o_totalprice + 0.5 AS o_totalprice,
@@ -81,13 +100,11 @@ object SqlSurfaceQueries extends QueryModule {
       import org.apache.spark.sql.functions._
       import graft.tables.GraftSql
       val base = graft.tables.TmpDirs.create("graft-mevsql").toString
-      val orders = s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val (orders, maxKey) = ordersSlice(s, dir)
       val uid = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
       graft.streaming.ParquetTable.swap(s, orders.repartition(4), s"$base/mev")
       val name = s"dml_mev_$uid"
       GraftSql.register(s, name, s"$base/mev", Seq("o_orderkey"))
-      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
       val srcView = s"dml_mevsrc_$uid"
       orders.filter(col("o_orderkey") % 5 === 0)
         .withColumn("o_orderstatus", lit("M"))
@@ -126,8 +143,7 @@ object SqlSurfaceQueries extends QueryModule {
       import org.apache.spark.sql.functions._
       import graft.tables.GraftSql
       val base = graft.tables.TmpDirs.create("graft-dmlsql").toString
-      val orders = s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val (orders, maxKey) = ordersSlice(s, dir)
       val uid = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
       def mk(tag: String): String = {
         graft.streaming.ParquetTable.swap(s, orders.repartition(4), s"$base/$tag")
@@ -143,7 +159,6 @@ object SqlSurfaceQueries extends QueryModule {
       // MERGE source: %5 keys re-keyed to ('M', 2×price) with a delete
       // guard on %3; %13 keys shifted past the max key so they land as
       // inserts. Disjoint key sets by construction (shift > max).
-      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
       val srcView = s"dml_src_$uid"
       orders.filter(col("o_orderkey") % 5 === 0)
         .withColumn("o_orderstatus", lit("M"))
@@ -206,8 +221,7 @@ object SqlSurfaceQueries extends QueryModule {
       import org.apache.spark.sql.functions._
       import graft.tables.GraftSql
       val base = graft.tables.TmpDirs.create("graft-cpysql").toString
-      val orders = s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val (orders, _) = ordersSlice(s, dir)
       val uid = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
       val name = s"cpy_sql_$uid"
       graft.streaming.ParquetTable.swap(s, orders.where(lit(false)), s"$base/t")
