@@ -236,6 +236,87 @@ object Bench {
       private var own = ownCpuNanos()
       private var steal = stealJiffies()
       private var perPid = pidJiffies()
+      // PERIODIC IO probe (r17, VERDICT r16 "what's wrong" 2): the
+      // first/last calib_io pair straddled — and missed — BENCH_r16's
+      // mid-run IO-throttle episode (the 32-core run read
+      // calib_io_ratio 0.13 while its write-heavy entries ran 2–28×
+      // their 8-core siblings). Every sampler tick now times a tiny
+      // fixed fsync (256 KB — ~2 ms on this guest idle, 0.2–0.8 s
+      // measured under a saturated writer, back to 2 ms the moment the
+      // load stops, so it discriminates sharply). One slow tick can be
+      // the bench's OWN write burst; only ≥ IoEpisodeTicks CONSECUTIVE
+      // slow ticks (≥ ~20 s sustained, longer than any single entry's
+      // burst) open an episode, stamped with its start offset, duration
+      // and the entries it overlapped — a run like BENCH_r16's now
+      // marks itself instead of needing an 8-core cross-check.
+      // Reference + read rule documented in BASELINE.md.
+      val IoSlowSec = 0.15
+      val IoEpisodeTicks = 4
+      private val ioDir = graft.tables.TmpDirs.create("graft-io-sampler")
+      private val ioBuf = {
+        val b = new Array[Byte](256 << 10)
+        new java.util.Random(7).nextBytes(b); b
+      }
+      private val startNs = System.nanoTime()
+      @volatile var currentEntry: String = ""
+      var ioTicks = 0
+      var ioSlowTicks = 0
+      var ioProbeMax = 0.0
+      private var ioStreak = 0
+      private var epStartS = -1.0
+      private val epEntries = scala.collection.mutable.LinkedHashSet.empty[String]
+      val ioEpisodes =
+        scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Seq[String])]
+      def ioTick(): Unit = {
+        val sec =
+          try {
+            val p = ioDir.resolve("probe")
+            val t0 = System.nanoTime()
+            val ch = java.nio.channels.FileChannel.open(p,
+              java.nio.file.StandardOpenOption.CREATE,
+              java.nio.file.StandardOpenOption.WRITE,
+              java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+            try { ch.write(java.nio.ByteBuffer.wrap(ioBuf)); ch.force(false) }
+            finally ch.close()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case t: Throwable => recordSamplerError(t); return }
+        synchronized {
+          ioTicks += 1
+          if (sec > ioProbeMax) ioProbeMax = sec
+          if (sec > IoSlowSec) {
+            ioSlowTicks += 1
+            ioStreak += 1
+            if (epStartS < 0 && ioStreak >= IoEpisodeTicks)
+              // backdate the start to the first slow tick of the streak
+              epStartS = (System.nanoTime() - startNs) / 1e9 -
+                (ioStreak - 1) * 5.0
+            if (epStartS >= 0 && epEntries.size < 8 && currentEntry.nonEmpty)
+              epEntries += currentEntry
+            else if (epStartS < 0 && currentEntry.nonEmpty && epEntries.size < 8)
+              epEntries += currentEntry // candidates while the streak builds
+          } else {
+            if (epStartS >= 0) {
+              val now = (System.nanoTime() - startNs) / 1e9
+              if (ioEpisodes.size < 8)
+                ioEpisodes += ((epStartS, now - epStartS, epEntries.toSeq))
+              epStartS = -1.0
+            }
+            epEntries.clear()
+            ioStreak = 0
+          }
+        }
+      }
+      /** Close a still-open episode at run end. */
+      def ioFlush(): Unit = synchronized {
+        if (epStartS >= 0) {
+          val now = (System.nanoTime() - startNs) / 1e9
+          if (ioEpisodes.size < 8)
+            ioEpisodes += ((epStartS, now - epStartS, epEntries.toSeq))
+          epStartS = -1.0
+          epEntries.clear()
+          ioStreak = 0
+        }
+      }
       var extPeakCores = 0.0
       var stealPeakCores = 0.0
       var loadPeak1 = 0.0
@@ -326,7 +407,7 @@ object Bench {
     val sampler = new Thread(() => {
       var alive = true
       while (alive) {
-        try { Thread.sleep(5000); contention.sample() }
+        try { Thread.sleep(5000); contention.sample(); contention.ioTick() }
         catch {
           case _: InterruptedException => alive = false
           case t: Throwable => contention.recordSamplerError(t)
@@ -335,7 +416,8 @@ object Bench {
     }, "bench-contention-sampler")
     sampler.setDaemon(true)
     sampler.start()
-    def timed(work: () => Unit): (Double, Option[String]) = {
+    def timed(name: String, work: () => Unit): (Double, Option[String]) = {
+      contention.currentEntry = name
       val t0 = System.nanoTime()
       val err = try { work(); None } catch {
         case e: Throwable =>
@@ -393,9 +475,9 @@ object Bench {
       only.forall(_.exists(name.startsWith)) && !skip(name)
 
     val results =
-      builds.filter(b => keep(b._1)).map { case (name, work) => (name, timed(work)) } ++
+      builds.filter(b => keep(b._1)).map { case (name, work) => (name, timed(name, work)) } ++
         SparkEntry.queries.toSeq.sortBy(_._1).filter(q => keep(q._1)).map { case (name, fn) =>
-          (name, timed(() => { fn(spark, sfDir).count(); () }))
+          (name, timed(name, () => { fn(spark, sfDir).count(); () }))
         }
 
     // Calibration, last pair: identical fixed work at the run's END, so
@@ -450,6 +532,8 @@ object Bench {
     sampler.interrupt()
     sampler.join(2000)
     contention.sample()
+    contention.currentEntry = ""
+    contention.ioFlush()
     val loadEnd = loadavg()
     // Contention gate, IN the artifact — pre-flight AND whole-run: a run
     // is contended if the box was already busy when the session built
@@ -474,8 +558,13 @@ object Bench {
     val culprits = contention.culprits.toSeq.map(jstr).mkString("[", ",", "]")
     val calibIoRatio =
       math.sqrt((calibIoFirst / CalibIoRefSec) * (calibIoLast / CalibIoRefSec))
+    val ioEps = contention.ioEpisodes.map { case (start, dur, entries) =>
+      s"""{"start_s":${r2(start)},"dur_s":${r2(dur)},"entries":${entries.map(jstr).mkString("[", ",", "]")}}"""
+    }.mkString("[", ",", "]")
+    val ioProbe =
+      s""""io_probe":{"slow_s":${contention.IoSlowSec},"ticks":${contention.ioTicks},"slow_ticks":${contention.ioSlowTicks},"max":${r2(contention.ioProbeMax)}},"io_episodes":$ioEps,"io_episode":${contention.ioEpisodes.nonEmpty}"""
     val calib =
-      s""""calib":{"spin_first":${r2(calibSpinFirst)},"spin_last":${r2(calibSpinLast)},"spark_first":${r2(calibSparkFirst)},"spark_last":${r2(calibSparkLast)},"io_first":${r2(calibIoFirst)},"io_last":${r2(calibIoLast)}},"calib_ratio":${r2(calibRatio)},"calib_io_ratio":${r2(calibIoRatio)}"""
+      s""""calib":{"spin_first":${r2(calibSpinFirst)},"spin_last":${r2(calibSpinLast)},"spark_first":${r2(calibSparkFirst)},"spark_last":${r2(calibSparkLast)},"io_first":${r2(calibIoFirst)},"io_last":${r2(calibIoLast)}},"calib_ratio":${r2(calibRatio)},"calib_io_ratio":${r2(calibIoRatio)},$ioProbe"""
     val samplerHealth =
       if (contention.samplerErrors == 0) s""""sampler_errors":0"""
       else
