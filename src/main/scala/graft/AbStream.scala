@@ -95,6 +95,19 @@ object AbStream {
     val sample: () => Double = mode match {
       case "v2s" => () => sampleV2s()
       case "v2"  => () => sampleV2()
+      // query:<declared name>: time the declared query's count() (the
+      // bench's timed action) under the flipped confs — the generic
+      // arm for any conf-gated query-path A/B.
+      case q if q.startsWith("query:") =>
+        val fn = SparkEntry.queries(q.stripPrefix("query:"))
+        () => {
+          val t0 = System.nanoTime()
+          val rows = fn(spark, sfDir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (expectRows < 0) expectRows = rows
+          require(rows == expectRows, s"arm changed results: $rows vs $expectRows")
+          sec
+        }
       case m => throw new IllegalArgumentException(s"unknown mode $m")
     }
 

@@ -48,25 +48,24 @@ import org.apache.spark.sql.functions._
   */
 object ExactNtile {
 
-  /** Internal: joined boundary rows (_g, group, _j, _s, _t) — None when
-    * no group has 2+ rank edges (every group smaller than 2 rows or
-    * tiles == 1). `_g` is the string-cast group key used by the tiny
-    * broadcast joins; the native group column rides along. */
-  private def boundaryFrame(
+  private case class Boundary(g: String, bin: Long, residual: Long, rankIdx: Int)
+
+  /** Driver-side boundary location: ONE histogram pass (the shuffled
+    * (group, bin) agg, collected — bounded by groups × bins), from
+    * which the per-group counts (its per-group sums — r16 §1.2, the
+    * separate count pass deleted), the ntile boundary ranks K_j, and
+    * each boundary's (bin, within-bin residual) are all derived.
+    * Returns (binned input, boundaries) — empty when no group has 2+
+    * rank edges. */
+  private def boundarySpecs(
       df: DataFrame, group: String, score: String, tie: String,
-      tiles: Int, binScale: Double): Option[DataFrame] = {
+      tiles: Int, binScale: Double): (DataFrame, Seq[Boundary]) = {
     val spark = df.sparkSession
     import spark.implicits._
     val binned = df
       .withColumn("_g", col(group).cast("string"))
       .withColumn("_bin", floor(col(score) * lit(binScale)).cast("long"))
 
-    // (1)+(2) ONE histogram pass serves both needs: the shuffled
-    // (group, bin) agg is collected anyway (bounded by groups × bins),
-    // and the per-group row counts are its per-group sums — the
-    // separate groupBy(_g).count() pass was a full extra scan of the
-    // input for numbers already in hand (r16 §1.2 "don't compute
-    // things you throw away"; measured: 4 input passes → 3).
     val hist: Map[String, Seq[(Long, Long)]] =
       binned.groupBy(col("_g"), col("_bin")).count()
         .as[(String, Long, Long)].collect()
@@ -88,7 +87,6 @@ object ExactNtile {
 
     // walk the per-group cumulative histogram: boundary rank K_j lands in
     // bin b_j at within-bin residual r_j (1-based in (score DESC, tie ASC)).
-    case class Boundary(g: String, bin: Long, residual: Long, rankIdx: Int)
     val bnds: Seq[Boundary] = boundaryRanks.toSeq.flatMap { case (g, ks) =>
       val bins = hist.getOrElse(g, Seq.empty)
       ks.zipWithIndex.map { case (k, j) =>
@@ -97,6 +95,19 @@ object ExactNtile {
         Boundary(g, bins(i)._1, k - cum, j)
       }
     }
+    (binned, bnds)
+  }
+
+  /** Internal: joined boundary rows (_g, group, _j, _s, _t) — None when
+    * no group has 2+ rank edges (every group smaller than 2 rows or
+    * tiles == 1). `_g` is the string-cast group key used by the tiny
+    * broadcast joins; the native group column rides along. */
+  private def boundaryFrame(
+      df: DataFrame, group: String, score: String, tie: String,
+      tiles: Int, binScale: Double): Option[DataFrame] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (binned, bnds) = boundarySpecs(df, group, score, tie, tiles, binScale)
     if (bnds.isEmpty) return None
 
     // (3) refine: rank ONLY the boundary-bin rows. The window partitions
@@ -148,6 +159,8 @@ object ExactNtile {
       tileCol: String = "tile",
       binScale: Double = 1024.0): DataFrame = {
     require(tiles >= 1, s"tiles must be >= 1, got $tiles")
+    if (!df.sparkSession.conf.getOption("spark.graft.ntile.fused").contains("false"))
+      return withTileFused(df, group, score, tie, tiles, tileCol, binScale)
     val binned = df.withColumn("_g", col(group).cast("string"))
     boundaryFrame(df, group, score, tie, tiles, binScale) match {
       case None => binned.drop("_g").withColumn(tileCol, lit(1))
@@ -168,6 +181,67 @@ object ExactNtile {
                  |          THEN 1 ELSE 0 END)""".stripMargin.replace("\n", " ")), lit(0)))
           .drop("_g", "_bnds")
     }
+  }
+
+  /** The r17 fused assignment (guide §1.2: the separate boundary-row
+    * refinement subtree folds into the assignment itself). Key fact:
+    * `bin = floor(score × binScale)` is monotone in score, so a row is
+    * strictly after boundary j (rank K_j, in bin b_j at within-bin
+    * residual r_j) iff its bin is LOWER than b_j, or equal and its
+    * within-bin rank k exceeds r_j. Hence:
+    *
+    *   tile(row) = 1 + #{j: b_j > bin}                 (bins above)
+    *             + #{j in this bin: r_j < k}           (boundary bins only)
+    *
+    * Non-boundary-bin rows (≈ the whole corpus) need ONLY the first
+    * term — a hash probe into a broadcast per-group bin array, no
+    * boundary ROW ever computed or joined. Boundary-bin rows (a
+    * binScale-thin sliver) get their within-bin rank from the same
+    * (group, bin)-partitioned window the old refinement used — but its
+    * output is now the final tile directly, instead of boundary rows
+    * joined back against the full corpus. vs the old spelling: the
+    * `wanted` join, the collect_list, and the corpus-wide broadcast
+    * join of struct arrays (with per-row double-cast + tie compares)
+    * all disappear; the exactness contract (score DESC, tie ASC total
+    * order, ntile edge rule) is byte-identical — pinned by
+    * ExactNtileSpec's window-parity fixtures and the oracle row.
+    * Opt out (the r16 spelling) with spark.graft.ntile.fused=false. */
+  private def withTileFused(
+      df: DataFrame, group: String, score: String, tie: String,
+      tiles: Int, tileCol: String, binScale: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (binned, bnds) = boundarySpecs(df, group, score, tie, tiles, binScale)
+    val outCols = (df.columns.toSeq :+ tileCol).map(col)
+    if (bnds.isEmpty)
+      return binned.drop("_g", "_bin").withColumn(tileCol, lit(1))
+    // per (group, boundary bin): #boundaries in strictly higher bins
+    // and the sorted within-bin residuals (several edges can share a
+    // bin); per group: every boundary's bin, duplicates kept, for the
+    // non-boundary-row term.
+    val binInfo = bnds.groupBy(b => (b.g, b.bin)).toSeq.map { case ((g, bin), bs) =>
+      val above = bnds.count(b2 => b2.g == g && b2.bin > bin)
+      (g, bin, above.toLong, bs.map(_.residual).sorted)
+    }.toDF("_g", "_bin", "_above", "_res")
+    val gBins = bnds.groupBy(_.g).toSeq
+      .map { case (g, bs) => (g, bs.map(_.bin)) }
+      .toDF("_g", "_bnd_bins")
+    val wBin = Window.partitionBy(col("_g"), col("_bin"))
+      .orderBy(col(score).desc, col(tie).asc)
+    val inBoundary = binned.join(broadcast(binInfo), Seq("_g", "_bin"))
+      .withColumn("_r", row_number().over(wBin))
+      .withColumn(tileCol,
+        (lit(1L) + col("_above") +
+          size(filter(col("_res"), r => r < col("_r")))).cast("int"))
+      .select(outCols: _*)
+    val outside = binned
+      .join(broadcast(binInfo.select("_g", "_bin")), Seq("_g", "_bin"), "left_anti")
+      .join(broadcast(gBins), Seq("_g"), "left")
+      .withColumn(tileCol,
+        (lit(1L) + coalesce(
+          size(filter(col("_bnd_bins"), b => b > col("_bin"))), lit(0))).cast("int"))
+      .select(outCols: _*)
+    outside.unionByName(inBoundary)
   }
 
   /** Convenience: tile column as head/middle/tail-style labels. */

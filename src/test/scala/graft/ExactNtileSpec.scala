@@ -69,6 +69,18 @@ class ExactNtileSpec extends SparkSuite {
     assert(got == ref, s"native-type tie ordering: $got vs $ref")
   }
 
+  test("fused and r16 assignment arms are bit-identical (conf opt-out pinned)") {
+    val rows = for {
+      g <- Seq("en", "de")
+      i <- 0 until (g.head - 'a' + 1) * 29
+    } yield (g, ((i * 48271L) % 5).toDouble / 8.0, f"doc$i%04d")
+    val fused = exactTiles(rows, 4)
+    spark.conf.set("spark.graft.ntile.fused", "false")
+    val r16 = try exactTiles(rows, 4)
+    finally spark.conf.unset("spark.graft.ntile.fused")
+    assert(fused == r16)
+  }
+
   test("withTile computes its input exactly 3 times (the r16 count pass stays gone)") {
     // The r16 optimization derived the per-group counts from the
     // histogram collect, deleting a 4th full pass over the input. A
