@@ -108,6 +108,24 @@ object AbStream {
           require(rows == expectRows, s"arm changed results: $rows vs $expectRows")
           sec
         }
+      // sqlfile:<path>: time a GraftSql statement's count() with every
+      // sfDir parquet table mounted as a temp view (file stem = name).
+      case p if p.startsWith("sqlfile:") =>
+        val stmt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p.stripPrefix("sqlfile:"))), "UTF-8")
+        val dirFiles = Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+        dirFiles.filter(_.getName.endsWith(".parquet")).foreach { f =>
+          spark.read.parquet(f.getPath)
+            .createOrReplaceTempView(f.getName.stripSuffix(".parquet"))
+        }
+        () => {
+          val t0 = System.nanoTime()
+          val rows = graft.tables.GraftSql.sql(spark, stmt).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (expectRows < 0) expectRows = rows
+          require(rows == expectRows, s"arm changed results: $rows vs $expectRows")
+          sec
+        }
       case m => throw new IllegalArgumentException(s"unknown mode $m")
     }
 
