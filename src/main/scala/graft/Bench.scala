@@ -318,6 +318,8 @@ object Bench {
         }
       }
       var extPeakCores = 0.0
+      var extNonKwPeakCores = 0.0
+      var kworkerPeakCores = 0.0
       var stealPeakCores = 0.0
       var loadPeak1 = 0.0
       // Sampler health, stamped into the artifact: a sampler that died
@@ -366,17 +368,36 @@ object Bench {
         if (dt >= 2.0) {
           val b = totalBusyJiffies(); val o = ownCpuNanos()
           val st = stealJiffies()
+          val pj = pidJiffies()
+          // kworker CPU is the guest's own DEFERRED work — on this
+          // single-tenant box overwhelmingly page-cache writeback of
+          // the bench's own writes (r17: heavy-write runs tripped the
+          // 1.5-core external breach on a kworker blip with an EMPTY
+          // culprit list while every calibration axis read clean —
+          // r17_mid, and this session's r17b_base at ext 1.56). Kernel
+          // threads never belong to a neighboring tenant, so they are
+          // excluded from the breach signal and stamped separately
+          // (kworker_peak_cores) so magnitude stays visible. A real
+          // external writer's own USER cpu still counts and still
+          // names itself in culprits.
+          val kw = pj.iterator.collect {
+            case ((pid, comm), v) if comm.startsWith("kworker") =>
+              math.min(nCpus.toDouble,
+                (v - perPid.getOrElse((pid, comm), 0L)) / 100.0 / dt)
+          }.sum
+          if (kw > kworkerPeakCores) kworkerPeakCores = kw
           var breached = false
           if (b >= 0 && o >= 0 && busy >= 0 && own >= 0) {
             val ext = ((b - busy) / 100.0 - (o - own) / 1e9) / dt
             if (ext > extPeakCores) extPeakCores = ext
-            breached = ext > 1.5
+            val extNonKw = ext - math.min(kw, math.max(ext, 0.0))
+            if (extNonKw > extNonKwPeakCores) extNonKwPeakCores = extNonKw
+            breached = extNonKw > 1.5
           }
           if (st >= 0 && steal >= 0) {
             val sc = (st - steal) / 100.0 / dt
             if (sc > stealPeakCores) stealPeakCores = sc
           }
-          val pj = pidJiffies()
           if (breached && culprits.size < 12) {
             pj.toSeq
               // A pid ABSENT from the baseline accumulated all its
@@ -549,8 +570,12 @@ object Bench {
     // never for "a detected breach was dropped".
     val startBusy =
       loadStart.split("\\s+").headOption.flatMap(_.toDoubleOption).map(_ > 1.5)
+    // The whole-run breach excludes kworker (kernel-deferred, i.e. the
+    // guest's own writeback) CPU — see the sampler comment; both the
+    // raw and the kworker-excluded peaks are stamped so the exclusion
+    // is auditable per run.
     val contended =
-      if (contention.extPeakCores > 1.5) "true"
+      if (contention.extNonKwPeakCores > 1.5) "true"
       else startBusy.map(_.toString).getOrElse("null")
     def r2(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
@@ -570,7 +595,7 @@ object Bench {
       else
         s""""sampler_errors":${contention.samplerErrors},"sampler_first_error":${jstr(contention.samplerFirstError)}"""
     val stamp =
-      s""""run_tag":${jstr(runTag)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"loadavg_peak1":${r2(contention.loadPeak1)},"external_cpu_peak_cores":${r2(contention.extPeakCores)},"steal_peak_cores":${r2(contention.stealPeakCores)},"external_culprits":$culprits,"contended":$contended,$calib,$samplerHealth,"skipped":$skipped"""
+      s""""run_tag":${jstr(runTag)},"loadavg_start":${jstr(loadStart)},"loadavg_end":${jstr(loadEnd)},"loadavg_peak1":${r2(contention.loadPeak1)},"external_cpu_peak_cores":${r2(contention.extPeakCores)},"external_nonkworker_peak_cores":${r2(contention.extNonKwPeakCores)},"kworker_peak_cores":${r2(contention.kworkerPeakCores)},"steal_peak_cores":${r2(contention.stealPeakCores)},"external_culprits":$culprits,"contended":$contended,$calib,$samplerHealth,"skipped":$skipped"""
     val fullQs = results.map { case (k, (sec, _)) => "\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
     val fullLine =

@@ -180,9 +180,14 @@ object CdcPipeline {
   private[graft] def stageV2sInputs(
       spark: SparkSession, sfDir: String, base: java.nio.file.Path): Seq[String] = {
     val srcs = CdcEventGen.fromTpch(spark, sfDir)
-    Seq(
+    // Four independent render+write jobs overlapped per guide §2.6:
+    // each stream's JSON render is CPU-narrow and its text write
+    // IO-bound, so sequential staging left most of local[N] idle in
+    // every job's tail. Same four jobs, same outputs — just submitted
+    // from a pool so they back-fill each other.
+    graft.queries.SeedPar.mapAll(Seq(
       "orders" -> srcs.orders, "details" -> srcs.details,
-      "lineitems" -> srcs.lineItems, "metadata" -> srcs.metadata).map {
+      "lineitems" -> srcs.lineItems, "metadata" -> srcs.metadata)) {
       case (n, df) =>
         val d = base.resolve(n).toString
         df.select("value").write.mode("overwrite").text(d)

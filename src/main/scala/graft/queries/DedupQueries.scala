@@ -127,9 +127,13 @@ object DedupQueries extends QueryModule {
     * numbers measure only themselves. (The all-pairs Jaccard join is
     * deliberately NOT here: it is `dedup_jaccard_pairs`' own cost.) */
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
-    minhashPairsCached(s, dir, 0.8).count()
-    simhashCached(s, dir).count()
-    strictPairsCached(s, dir).count()
+    // Two independent chains (grams→minhash→pairs vs simhash→strict
+    // pairs) overlapped per guide §2.6 — each chain's straggler tail
+    // back-fills with the other's work. Chains share no memo, so the
+    // fan-out cannot race-evaluate a thunk.
+    SeedPar.all(Seq(
+      () => minhashPairsCached(s, dir, 0.8).count(),
+      () => { simhashCached(s, dir).count(); strictPairsCached(s, dir).count() }))
     ()
   }
 

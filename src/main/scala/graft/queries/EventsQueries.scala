@@ -45,8 +45,13 @@ object EventsQueries extends QueryModule {
     * (Bench times this as an explicit `build_*` entry so query numbers
     * measure only themselves). */
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
-    partitionedDir(s, dir)
-    streamDeduped(s, dir)
+    // Independent sub-builds (hive-partitioned write vs the streaming
+    // dedup ingest; both read events.parquet directly) overlapped per
+    // guide §2.6: the AvailableNow stream's microbatch barriers leave
+    // cores idle that the partitioned write back-fills.
+    SeedPar.all(Seq(
+      () => partitionedDir(s, dir),
+      () => streamDeduped(s, dir)))
     ()
   }
 
@@ -827,9 +832,19 @@ object EventsQueries extends QueryModule {
             max("s_t").as("s_t"), max("c_t").as("c_t"),
             sum(abs(col("v100") * col("c_t") - col("s_t"))).as("err_num"))
           .selectExpr(
+            // round(x, 4) spelled as round(x·10⁴)/10⁴ — DuckDB's own
+            // evaluation order for fractional rounding, so the halfway
+            // class agrees bit-for-bit: at sf0.001 one group hits
+            // s_t/c_t·100 = 50.94875 whose double is just UNDER the
+            // .5 grid line — DuckDB (std::round on the scaled double)
+            // yields .9487 while Spark's round (BigDecimal on the
+            // shortest decimal repr "50.94875", HALF_UP) yields .9488.
+            // Rounding the SCALED product makes both engines see the
+            // same double; verified ≡ round(x,4) over 2M DuckDB probes
+            // and over every currently-matching oracle row.
             "event_type", "hr", "n_eval",
-            "round(s_t / CAST(c_t * 100 AS DOUBLE), 4) AS baseline",
-            "round(err_num / CAST(c_t * n_eval * 100 AS DOUBLE), 4) AS mae")
+            "round(s_t / CAST(c_t * 100 AS DOUBLE) * 10000, 0) / 10000 AS baseline",
+            "round(err_num / CAST(c_t * n_eval * 100 AS DOUBLE) * 10000, 0) / 10000 AS mae")
       },
       Some("""WITH ev AS (
              |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS v100,

@@ -25,20 +25,32 @@ object SqlSurfaceQueries extends QueryModule {
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
     seeded.getOrElseUpdate(s, dir)({
       val base = graft.tables.TmpDirs.create("graft-sql").toString
+      // Shared dep first (ordersCurrent builds ON the order stream —
+      // racing the two would double-build the persisted frame), then
+      // the two independent dumps overlapped per guide §2.6.
       CdcPipeline.orderStreamCached(s, dir)
-        .write.mode("overwrite").parquet(s"$base/order_stream")
-      ScdPipeline.ordersCurrent(s, dir)
-        .write.mode("overwrite").parquet(s"$base/orders_current")
+      SeedPar.all(Seq(
+        () => CdcPipeline.orderStreamCached(s, dir)
+          .write.mode("overwrite").parquet(s"$base/order_stream"),
+        () => ScdPipeline.ordersCurrent(s, dir)
+          .write.mode("overwrite").parquet(s"$base/orders_current")))
       SqlScriptRunner.runResource(s, "/ddl/10_tables.sql", Map(
         "order_stream_dir" -> s"$base/order_stream",
         "orders_current_dir" -> s"$base/orders_current"))
       SqlScriptRunner.runResource(s, "/ddl/20_views.sql")
       true
     })
-    dmlTables(s, dir)
-    copyTable(s, dir)
-    mergeEvolveTable(s, dir)
-    byNameTable(s, dir)
+    // The four statement seeders mutate disjoint tables under disjoint
+    // scratch roots; their one shared memo (the checkpointed orders
+    // slice) is sequenced first so the fan-out cannot race-evaluate it.
+    // Each statement's copy-on-write commit is driver-side manifest
+    // work + small jobs — exactly the §2.6 back-fill shape.
+    ordersSlice(s, dir)
+    SeedPar.all(Seq(
+      () => dmlTables(s, dir),
+      () => copyTable(s, dir),
+      () => mergeEvolveTable(s, dir),
+      () => byNameTable(s, dir)))
     ()
   }
 
@@ -151,59 +163,74 @@ object SqlSurfaceQueries extends QueryModule {
         GraftSql.register(s, nm, s"$base/$tag", Seq("o_orderkey"))
         nm
       }
-      val (u, d, m) = (mk("upd"), mk("del"), mk("mrg"))
-      val (o, r, nm) = (mk("ovw"), mk("rpw"), mk("nms"))
-      GraftSql.sql(s, s"UPDATE $u SET o_orderstatus = 'U', " +
-        s"o_totalprice = o_totalprice + 500.0 WHERE o_orderkey % 7 = 0")
-      GraftSql.sql(s, s"DELETE FROM $d WHERE o_orderkey % 11 = 0")
-      // MERGE source: %5 keys re-keyed to ('M', 2×price) with a delete
-      // guard on %3; %13 keys shifted past the max key so they land as
-      // inserts. Disjoint key sets by construction (shift > max).
-      val srcView = s"dml_src_$uid"
-      orders.filter(col("o_orderkey") % 5 === 0)
-        .withColumn("o_orderstatus", lit("M"))
-        .withColumn("o_totalprice", col("o_totalprice") * 2)
-        .withColumn("kill", col("o_orderkey") % 3 === 0)
-        .unionByName(orders.filter(col("o_orderkey") % 13 === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1)
-          .withColumn("o_orderstatus", lit("N"))
-          .withColumn("kill", lit(false)))
-        .createOrReplaceTempView(srcView)
-      GraftSql.sql(s,
-        s"""MERGE INTO $m AS t USING $srcView AS s ON t.o_orderkey = s.o_orderkey
-           |WHEN MATCHED AND s.kill THEN DELETE
-           |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      // Full-table overwrite: the new version is exactly the SELECT
-      // (even keys restated as 'O' at price+1); history preserved.
-      GraftSql.sql(s,
-        s"""INSERT OVERWRITE $o SELECT o_orderkey, 'O' AS o_orderstatus,
-           |  o_totalprice + 1.0 AS o_totalprice FROM $o
-           |WHERE o_orderkey % 2 = 0""".stripMargin)
-      // Predicate-scoped overwrite: the %4 window is dropped and ONLY
-      // its %8 subset restated ('R', 3x price) — the %4-but-not-%8 rows
-      // must vanish, everything outside the window must be untouched.
-      GraftSql.sql(s,
-        s"""INSERT INTO $r REPLACE WHERE o_orderkey % 4 = 0
-           |SELECT o_orderkey, 'R' AS o_orderstatus,
-           |  o_totalprice * 3 AS o_totalprice FROM $r
-           |WHERE o_orderkey % 8 = 0""".stripMargin)
-      // NOT MATCHED BY SOURCE family: %5 keys are the source (replaced
-      // as 'M' at 2× price); every OTHER target row routes first-match-
-      // wins through the NMBS chain — %3 rows restated as 'S' at +100,
-      // then %7 rows deleted. A %21-and-not-%5 key pins the clause
-      // ORDER: it matches both guards and must be updated, not deleted.
-      val nmSrcView = s"dml_nmsrc_$uid"
-      orders.filter(col("o_orderkey") % 5 === 0)
-        .withColumn("o_orderstatus", lit("M"))
-        .withColumn("o_totalprice", col("o_totalprice") * 2)
-        .createOrReplaceTempView(nmSrcView)
-      GraftSql.sql(s,
-        s"""MERGE INTO $nm AS t USING $nmSrcView AS s ON t.o_orderkey = s.o_orderkey
-           |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 3 = 0
-           |  THEN UPDATE SET o_orderstatus = 'S', o_totalprice = o_totalprice + 100.0
-           |WHEN NOT MATCHED BY SOURCE AND o_orderkey % 7 = 0 THEN DELETE""".stripMargin)
+      // Six disjoint tables: the swap-in writes and then the six
+      // statements (one per table) each overlap per guide §2.6 — the
+      // per-statement commit protocol (read-snapshot → rewrite →
+      // atomic publish) is driver-heavy with small jobs, the exact
+      // shape concurrent FIFO jobs back-fill. Per-table commit locks
+      // plus uid-suffixed view names keep the arms independent; each
+      // table still sees exactly its one statement, so the oracle
+      // semantics per table are unchanged.
+      val names = SeedPar.mapAll(Seq("upd", "del", "mrg", "ovw", "rpw", "nms"))(mk)
+      val (u, d, m) = (names(0), names(1), names(2))
+      val (o, r, nm) = (names(3), names(4), names(5))
+      SeedPar.all(Seq(
+        () => GraftSql.sql(s, s"UPDATE $u SET o_orderstatus = 'U', " +
+          s"o_totalprice = o_totalprice + 500.0 WHERE o_orderkey % 7 = 0"),
+        () => GraftSql.sql(s, s"DELETE FROM $d WHERE o_orderkey % 11 = 0"),
+        () => {
+          // MERGE source: %5 keys re-keyed to ('M', 2×price) with a
+          // delete guard on %3; %13 keys shifted past the max key so
+          // they land as inserts. Disjoint key sets by construction.
+          val srcView = s"dml_src_$uid"
+          orders.filter(col("o_orderkey") % 5 === 0)
+            .withColumn("o_orderstatus", lit("M"))
+            .withColumn("o_totalprice", col("o_totalprice") * 2)
+            .withColumn("kill", col("o_orderkey") % 3 === 0)
+            .unionByName(orders.filter(col("o_orderkey") % 13 === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + maxKey + 1)
+              .withColumn("o_orderstatus", lit("N"))
+              .withColumn("kill", lit(false)))
+            .createOrReplaceTempView(srcView)
+          GraftSql.sql(s,
+            s"""MERGE INTO $m AS t USING $srcView AS s ON t.o_orderkey = s.o_orderkey
+               |WHEN MATCHED AND s.kill THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        },
+        // Full-table overwrite: the new version is exactly the SELECT
+        // (even keys restated as 'O' at price+1); history preserved.
+        () => GraftSql.sql(s,
+          s"""INSERT OVERWRITE $o SELECT o_orderkey, 'O' AS o_orderstatus,
+             |  o_totalprice + 1.0 AS o_totalprice FROM $o
+             |WHERE o_orderkey % 2 = 0""".stripMargin),
+        // Predicate-scoped overwrite: the %4 window is dropped and ONLY
+        // its %8 subset restated ('R', 3x price) — the %4-but-not-%8
+        // rows must vanish, everything outside must be untouched.
+        () => GraftSql.sql(s,
+          s"""INSERT INTO $r REPLACE WHERE o_orderkey % 4 = 0
+             |SELECT o_orderkey, 'R' AS o_orderstatus,
+             |  o_totalprice * 3 AS o_totalprice FROM $r
+             |WHERE o_orderkey % 8 = 0""".stripMargin),
+        () => {
+          // NOT MATCHED BY SOURCE family: %5 keys are the source
+          // (replaced as 'M' at 2× price); every OTHER target row
+          // routes first-match-wins through the NMBS chain — %3 rows
+          // restated as 'S' at +100, then %7 rows deleted. A
+          // %21-and-not-%5 key pins the clause ORDER: it matches both
+          // guards and must be updated, not deleted.
+          val nmSrcView = s"dml_nmsrc_$uid"
+          orders.filter(col("o_orderkey") % 5 === 0)
+            .withColumn("o_orderstatus", lit("M"))
+            .withColumn("o_totalprice", col("o_totalprice") * 2)
+            .createOrReplaceTempView(nmSrcView)
+          GraftSql.sql(s,
+            s"""MERGE INTO $nm AS t USING $nmSrcView AS s ON t.o_orderkey = s.o_orderkey
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 3 = 0
+               |  THEN UPDATE SET o_orderstatus = 'S', o_totalprice = o_totalprice + 100.0
+               |WHEN NOT MATCHED BY SOURCE AND o_orderkey % 7 = 0 THEN DELETE""".stripMargin)
+        }))
       (u, d, m, o, r, nm)
     })
 

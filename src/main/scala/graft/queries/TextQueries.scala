@@ -63,10 +63,15 @@ object TextQueries extends QueryModule {
     * runs first. The LSH candidate build is already itemized as
     * `build_dedup_shared`. */
   def ensureSeeded(s: SparkSession, dir: String): Unit = {
-    taggedGramsCached(s, dir, 5).count()
-    repGramStatsCached(s, dir, 2)
-    repGramStatsCached(s, dir, 3)
-    bpeChainCached(s, dir)
+    // Four mutually independent builds (each reads documents.parquet
+    // directly; no shared memo) overlapped per guide §2.6 — the BPE
+    // chain's 1-row argmax collects leave local[N] nearly idle, exactly
+    // the gaps the gram shuffles back-fill.
+    SeedPar.all(Seq(
+      () => taggedGramsCached(s, dir, 5).count(),
+      () => repGramStatsCached(s, dir, 2),
+      () => repGramStatsCached(s, dir, 3),
+      () => bpeChainCached(s, dir)))
     ()
   }
 
