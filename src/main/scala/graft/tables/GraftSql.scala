@@ -3002,24 +3002,87 @@ object GraftSql {
       val base0 = shape(sql(s, base))
       var acc = (if (bag) base0 else base0.distinct()).localCheckpoint(true)
       var working = acc
+      // Broadcast the LOOP-CARRIED sides when they are provably small
+      // (§3.1: the planner cannot — a localCheckpoint scans as
+      // UnknownPartitioning with no stats, so the per-level
+      // frontier ⋈ step join AND the except's anti-join both planned
+      // as shuffles of BOTH sides, re-shuffling the hoisted fact/edge
+      // view and the whole accumulated set at EVERY level). The loop
+      // materializes each frontier anyway, so exact row counts are one
+      // cheap job on checkpointed blocks; under the threshold the
+      // frontier view carries an explicit broadcast hint and the
+      // except runs as an explicit broadcast anti-join (below) —
+      // strategy-only, results unchanged (and Spark ignores the hint
+      // where broadcast does not apply). Opt out / retune via
+      // spark.graft.recursive.broadcastMaxRows (0 disables; the
+      // default keeps even wide frontiers within tens of MB).
+      val maxBcastRows = s.conf.getOption("spark.graft.recursive.broadcastMaxRows")
+        .map(_.toLong).getOrElse(1L << 20)
+      def bcastIfSmall(df: DataFrame, rows: Long): DataFrame =
+        if (rows <= maxBcastRows) df.hint("broadcast") else df
+      var workingRows = working.count()
+      var accRows = workingRows
       var iter = 0
-      var done = working.isEmpty
+      var done = workingRows == 0L
       while (!done) {
         iter += 1
         require(iter <= maxIters,
           s"WITH RECURSIVE $name: exceeded $maxIters iterations without reaching a " +
             "fixpoint (set spark.graft.recursive.maxIterations to raise the bound)")
-        working.createOrReplaceTempView(name)
+        bcastIfSmall(working, workingRows).createOrReplaceTempView(name)
         val produced = shape(sql(s, step))
         require(produced.columns.length == acc.columns.length,
           s"WITH RECURSIVE $name: step yields ${produced.columns.length} columns, base has ${acc.columns.length}")
-        val next = (if (bag) produced else produced.except(acc)).localCheckpoint(true)
-        if (next.isEmpty) done = true
+        val levelPlan =
+          if (bag) produced
+          else if (accRows <= maxBcastRows &&
+              produced.columns.distinct.length == produced.columns.length) {
+            // EXCEPT with the accumulated set BROADCAST: Spark's own
+            // optimizer rewrite (Except → Distinct ∘ LeftAnti join on
+            // null-safe equality) spelled manually, because a hint
+            // UNDER an Except node is dropped by EliminateResolvedHint
+            // ("not part of a join relation") before the rewrite runs —
+            // measured at sf0.1: the anti-join planned as SortMergeJoin,
+            // re-shuffling the whole accumulated set AND the step
+            // output at every level (§2.4/§3.1; the accumulated set's
+            // exact row count is known, the planner's estimate is not).
+            // Null-safe <=> matches EXCEPT's set semantics (NULL=NULL,
+            // NaN=NaN) and dropDuplicates supplies the Distinct.
+            // Duplicate column names fall back to the built-in Except
+            // (positional), which this per-name spelling can't resolve.
+            val l = produced.alias("graft_rcte_l")
+            val r = acc.hint("broadcast").alias("graft_rcte_r")
+            val cond = produced.columns.zip(acc.columns).map {
+              case (lc, rc) => l.col(lc) <=> r.col(rc)
+            }.reduce(_ && _)
+            l.join(r, cond, "left_anti").select(produced.columns.map(l.col): _*)
+              .dropDuplicates()
+          } else produced.except(acc)
+        // Per-LEVEL plan evidence on demand: a final-plan dump of the
+        // statement shows only the union of checkpointed frontiers —
+        // the loop's join/except shape is invisible in it (the r16
+        // ccnet lesson: never cite a final plan for loop-level work).
+        // spark.graft.recursive.explainLevel=<n> prints level n's plan.
+        if (s.conf.getOption("spark.graft.recursive.explainLevel")
+            .flatMap(_.toIntOption).contains(iter))
+          // scalastyle:off println
+          System.err.println(s"[rcte] level $iter plan:\n" +
+            levelPlan.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode))
+          // scalastyle:on println
+        val next = levelPlan.localCheckpoint(true)
+        val nextRows = next.count()
+        if (nextRows == 0L) done = true
         // acc stays a LAZY union of the checkpointed frontiers — each
         // level's rows materialize exactly once (in `next`); re-
         // checkpointing the accumulation here would rewrite all prior
         // levels every round, O(depth × total) instead of O(total).
-        else { acc = acc.unionAll(next); working = next }
+        // Frontiers are disjoint (next excludes acc), so acc's row
+        // count is the plain running sum.
+        else {
+          acc = acc.unionAll(next); accRows += nextRows
+          working = next; workingRows = nextRows
+        }
       }
       acc.createOrReplaceTempView(name)
       sql(s, finalSql)
