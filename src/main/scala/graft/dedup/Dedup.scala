@@ -204,9 +204,33 @@ object Dedup {
       .distinct()
   }
 
+  /** The (doc_id, grams) verification side of the candidate joins, with
+    * its join strategy made DELIBERATE (guide §3.1): left to the
+    * planner, the whole-corpus gram table auto-broadcasts whenever its
+    * COLUMNAR estimate sits under the session threshold — but the
+    * broadcast hash relation is deserialized row objects, several times
+    * the columnar bytes, and in the mid range (estimate < 64 MB, build
+    * hundreds of MB) the driver build OOMs under in-suite heap pressure
+    * (observed once at sf1: dedup_capped_pairs, green in isolation).
+    * Strategy per spark.graft.dedup.gramsJoin: `shuffle_hash` (default)
+    * hints SHUFFLE_HASH on the grams side — the per-partition build is
+    * corpus/parallelism, no driver relation, and the shape survives any
+    * scale; `auto` restores pure planner choice; any other value is
+    * passed through as a hint name (e.g. `shuffle_merge`, `broadcast`).
+    * Strategy-only: pair output is bit-identical either way (oracle +
+    * DedupCapSpec re-gated). */
+  private def gramsSide(mh: DataFrame): DataFrame = {
+    val g = mh.select(col("doc_id"), col("grams"))
+    mh.sparkSession.conf.getOption("spark.graft.dedup.gramsJoin")
+      .getOrElse("shuffle_hash") match {
+      case "auto" => g
+      case h => g.hint(h)
+    }
+  }
+
   def minhashPairs(mh: DataFrame, threshold: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val gramSets = mh.select(col("doc_id"), col("grams"))
+    val gramSets = gramsSide(mh)
     bandCandidates(mh, maxBucket)
       .join(gramSets.alias("ga"), col("a_id") === col("ga.doc_id"))
       .join(gramSets.alias("gb"), col("b_id") === col("gb.doc_id"))
@@ -226,7 +250,7 @@ object Dedup {
     * integer-ratio division; only the denominator changes. */
   def containmentPairs(mh: DataFrame, threshold: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val gramSets = mh.select(col("doc_id"), col("grams"))
+    val gramSets = gramsSide(mh)
     bandCandidates(mh, maxBucket)
       .join(gramSets.alias("ga"), col("a_id") === col("ga.doc_id"))
       .join(gramSets.alias("gb"), col("b_id") === col("gb.doc_id"))
