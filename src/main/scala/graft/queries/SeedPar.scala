@@ -38,8 +38,11 @@ private[graft] object SeedPar {
 
   /** Run the thunks to completion — concurrently on the pool when
     * enabled, in order otherwise. The first failure propagates (as the
-    * sequential spelling's would); remaining work still runs to
-    * completion either way, so no sub-build is left half-seeded. */
+    * sequential spelling's would); in the parallel arm the already-
+    * submitted siblings still run to completion in the background
+    * (harmless: each is an idempotent memoized seed), in the
+    * sequential arm later thunks never start — both surface the same
+    * exception to the caller. */
   def all(work: Seq[() => Any]): Unit = { mapAll(work)(_()); () }
 
   /** Fan out `f` over the items and return results in item order —
