@@ -1110,8 +1110,8 @@ object AnalyticsQueries extends QueryModule {
         // ContextCleaner (the recursive-CTE frontier lifecycle). The
         // cached set is the distinct pair projection, bounded by the
         // same shuffle the lazy plan already paid 4×.
-        val baskets = li(s, dir).select("l_orderkey", "l_partkey").distinct()
-          .localCheckpoint(true)
+        val baskets = graft.tables.Checkpoints.cut(
+          li(s, dir).select("l_orderkey", "l_partkey").distinct())
         val itemCnt = baskets.groupBy("l_partkey")
           .agg(count(lit(1)).as("item_cnt"))
           .where(col("item_cnt") >= minSup)

@@ -68,9 +68,9 @@ object SqlSurfaceQueries extends QueryModule {
     * semantics are unchanged. */
   private def ordersSlice(s: SparkSession, dir: String): (DataFrame, Long) =
     ordersSliceMemo.getOrElseUpdate(s, dir)({
-      val df = s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .localCheckpoint(true)
+      val df = graft.tables.Checkpoints.cut(
+        s.read.parquet(graft.SparkSessions.tablePath(dir, "orders"))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice"))
       val maxKey = df.agg(org.apache.spark.sql.functions.max("o_orderkey"))
         .head.getLong(0)
       (df, maxKey)

@@ -2072,7 +2072,7 @@ object GraftSql {
         else SchemaEvolution.readEvolved(s2, dir)
       val maxRow = live.agg(max(col(c))).head()
       val start = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0) + 1L
-      val ckpt = df.localCheckpoint(true)
+      val ckpt = Checkpoints.cut(df)
       val pidCounts = ckpt.groupBy(spark_partition_id().as("_pid")).count()
         .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
       var acc = 0L
@@ -2995,12 +2995,12 @@ object GraftSql {
         step = hoistLoopInvariants(step, name, { sub =>
           val view = s"graft_rcte_inv_${hoisted.size}_" +
             java.util.UUID.randomUUID.toString.replace("-", "").take(8)
-          sql(s, sub).localCheckpoint(true).createOrReplaceTempView(view)
+          Checkpoints.cut(sql(s, sub)).createOrReplaceTempView(view)
           hoisted += view
           view
         })
       val base0 = shape(sql(s, base))
-      var acc = (if (bag) base0 else base0.distinct()).localCheckpoint(true)
+      var acc = Checkpoints.cut(if (bag) base0 else base0.distinct())
       var working = acc
       // Broadcast the LOOP-CARRIED sides when they are provably small
       // (§3.1: the planner cannot — a localCheckpoint scans as
@@ -3070,7 +3070,7 @@ object GraftSql {
             levelPlan.queryExecution.explainString(
               org.apache.spark.sql.execution.FormattedMode))
           // scalastyle:on println
-        val next = levelPlan.localCheckpoint(true)
+        val next = Checkpoints.cut(levelPlan)
         val nextRows = next.count()
         if (nextRows == 0L) done = true
         // acc stays a LAZY union of the checkpointed frontiers — each

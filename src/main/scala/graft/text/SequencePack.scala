@@ -182,7 +182,7 @@ object SequencePack {
     // ContextCleaner once unreferenced), then RELEASE the cached layout
     // — without this every call pins a corpus-sized cache entry for the
     // session lifetime.
-    val ck = out.localCheckpoint(true)
+    val ck = graft.tables.Checkpoints.cut(out)
     ranged.unpersist()
     ck
   }
