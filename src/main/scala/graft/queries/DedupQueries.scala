@@ -183,7 +183,7 @@ object DedupQueries extends QueryModule {
         import org.apache.spark.sql.functions._
         val tok = grams(s, dir).select(col("doc_id"), explode(col("grams")).as("t"))
         val dfq = tok.groupBy("t").agg(count(lit(1)).as("df"))
-        val ordered = tok.join(dfq, "t")
+        val orderedPlan = tok.join(dfq, "t")
           .groupBy("doc_id")
           // Residual ordered fold (ExactSum survey, r12): ppjoin NEEDS
           // each doc's grams rarity-sorted (the prefix IS an order
@@ -193,6 +193,25 @@ object DedupQueries extends QueryModule {
             "transform(ord, e -> e.t) AS gs")
           .selectExpr("doc_id", "n", "gs",
             "slice(gs, 1, CAST(n - (4 * n + 4) DIV 5 + 1 AS INT)) AS prefix")
+        // Four consumers (both prefix self-join sides, both
+        // verification joins) each re-ran the explode → df join →
+        // sort-fold aggregation — the final plan carried the subtree
+        // 4×, with no exchange reuse across the broadcast boundaries
+        // (§1.2: don't compute what you already have; the q34 lesson).
+        // Cutting it once is a measured 2× at 50k docs (sf1) but LOSES
+        // at 5k docs (sf0.1: materializing the full gram arrays costs
+        // more than 3 recomputes over the cached base), so the default
+        // is SIZE-ADAPTIVE per §2 (never a constant tuned for one
+        // scale): share from 20k docs up — recompute cost grows with
+        // corpus density, the one-time cut linearly. The count is one
+        // cheap job on the memoized grams cache.
+        // spark.graft.prefix.shareOrdered=true|false forces an arm.
+        val share = s.conf.getOption("spark.graft.prefix.shareOrdered") match {
+          case Some(v) => v == "true"
+          case None => grams(s, dir).count() >= 20000L
+        }
+        val ordered =
+          if (share) graft.tables.Checkpoints.cut(orderedPlan) else orderedPlan
         // ppjoin's LENGTH filter rides the candidate join: J >= 0.8
         // forces min(na,nb)/max(na,nb) >= 0.8 (intersection is bounded
         // by the smaller set), so 5*least >= 4*greatest prunes pairs
