@@ -462,12 +462,23 @@ object Dedup {
     val und = edges.select("a_id", "b_id")
     val deg = und.select(col("a_id").as("v")).unionByName(und.select(col("b_id").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val oriented = und
+    val orientedPlan = und
       .join(deg.select(col("v").as("a_id"), col("d").as("da")), Seq("a_id"))
       .join(deg.select(col("v").as("b_id"), col("d").as("db")), Seq("b_id"))
       .selectExpr(
         "CASE WHEN da < db OR (da = db AND a_id < b_id) THEN a_id ELSE b_id END AS src",
         "CASE WHEN da < db OR (da = db AND a_id < b_id) THEN b_id ELSE a_id END AS dst")
+    // Both wedge-join sides consumed the oriented edge list as a fresh
+    // subtree — the degree aggregation and its two joins ran twice
+    // each (§1.2). Cut it once: the materialized rows are two BIGINTs
+    // per edge (no wide payload, unlike the prefix-join case), so the
+    // cut is cheap at any size. spark.graft.triangles.shareOriented=
+    // false restores the inline spelling (the A/B lever).
+    val oriented =
+      if (edges.sparkSession.conf
+          .getOption("spark.graft.triangles.shareOriented").contains("false"))
+        orientedPlan
+      else graft.tables.Checkpoints.cut(orientedPlan)
     val wedges = oriented.alias("x").join(
         oriented.alias("y"),
         col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
